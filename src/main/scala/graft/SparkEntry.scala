@@ -1,13 +1,448 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.catalog.CollectionCatalog
+import graft.functions.{Distances, TextAnalysis}
+import graft.operators.{Assemble, ChromaFilter, Dedup, Knn}
+
+/** Driver contract — see /root/repo/SURVEY.md §2.D + the builder prompt.
+  *
+  * Every query has BOTH a Spark implementation (left column of SURVEY §2.D)
+  * and a DuckDB oracle (right column, `oracleSql`). Column names and types
+  * are aligned pairwise; floats are rounded to 4 decimals; money aggregates
+  * are DECIMAL(18,4); all outputs carry a total ORDER BY on a unique key.
+  * Distance arithmetic is done in Double with identical operation order on
+  * both engines (sequential fold over array index), so hashes match bitwise.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a long
+    * (nanos) via this legacy flag; DuckDB truncates the same values to µs.
+    * All event-time arithmetic therefore happens on integer MICROSECONDS on
+    * both engines — exact parity, no float drift. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+  }
+
+  private def headVec(emb: DataFrame, id: Long): Seq[Float] =
+    emb.filter(col("vec_id") === id).select("embedding").head.getSeq[Float](0)
+
+  // ---- DuckDB-side distance SQL, mirroring graft.functions.Distances ----
+  // (same Double casts, same index order, same 1 - dot/(sqrt*sqrt) shape)
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), j -> CAST($a[j+1] AS DOUBLE) * CAST($b[j+1] AS DOUBLE)))"
+  private def sqlCos(a: String, b: String): String =
+    s"1 - (${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+  private def sqlL2(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), j -> (CAST($a[j+1] AS DOUBLE) - CAST($b[j+1] AS DOUBLE)) * (CAST($a[j+1] AS DOUBLE) - CAST($b[j+1] AS DOUBLE))))"
+  private def sqlIp(a: String, b: String): String = s"1 - ${sqlDot(a, b)}"
+
+  private def sqlKnnSingle(distSql: String, extraWhere: String = ""): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |d AS (SELECT e.vec_id AS vec_id, $distSql AS dist_raw
+       |      FROM embeddings e, q WHERE e.vec_id <> 0 $extraWhere)
+       |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM d
+       |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin
+
+  private val enStop = TextAnalysis.stopwordList("en")
+  private def sqlInList(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString("(", ", ", ")")
+
+  /** Flagship: full hydration path (catalog + add + kNN query) on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val cat = new CollectionCatalog(spark, "/root/repo/target/entry-collections")
+    cat.deleteCollection("flagship")
+    val coll = cat.getOrCreateCollection("flagship", "cosine")
+    val docs = t(spark, dir, "documents")
+    val emb = t(spark, dir, "embeddings")
+    val frame = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(Assemble.idAsString("doc_id"), col("text").as("document"),
+        col("embedding"), col("label").cast("string").as("rating"))
+    coll.add(frame)
+    require(coll.count() == 500L, "hydration count conservation failed")
+    coll.query(headVec(emb, 0), 10,
+      where = Some(ChromaFilter.Ne("rating", "999")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1-A10: the hydration projection itself (join + id cast + metadata map)
+    "q00_hydrate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents"); val emb = t(s, dir, "embeddings")
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(Assemble.idAsString("doc_id"), col("text").as("document"),
+          size(col("embedding")).as("dim"),
+          element_at(Assemble.metadataMap("label"), "rating").as("rating"))
+        .orderBy("id")
+    }),
+    // A1,A5,A6: scan + project + cast
+    "q01_scan_project_cast" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(Assemble.idAsString("doc_id"), col("text")).orderBy("id")),
+    // A2,A4: wide-pattern projection + row-wise assembly with null drop
+    "q02_wide_assemble_nulldrop" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val wideCols = (0 until 64).map { j =>
+        when(pmod(col("vec_id") + lit(j), lit(17)) === 0, lit(null).cast("float"))
+          .otherwise(element_at(col("embedding"), j + 1)).as(s"emb_$j")
+      }
+      val wide = emb.select(col("vec_id").as("doc_id") +: wideCols: _*)
+      wide.select(col("doc_id"),
+          size(Assemble.assembleVectorLike(wide, "emb_")).as("dim"))
+        .orderBy("doc_id")
+    }),
+    // A11/B10: count
+    "q03_count" -> ((s, dir) =>
+      t(s, dir, "documents").agg(count(lit(1)).as("cnt"))),
+    // B7 $eq (+ A5 cast)
+    "q04_filter_eq" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .filter(ChromaFilter.Eq("label", 3).toColumn)
+        .select(col("vec_id").cast("string").as("id")).orderBy("id")),
+    // B7 $in
+    "q05_filter_in" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(ChromaFilter.In("lang", Seq("en", "es")).toColumn)
+        .select("doc_id").orderBy("doc_id")),
+    // B7 $gt/$lte
+    "q06_filter_range" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(ChromaFilter.And(Seq(
+          ChromaFilter.Gt("n_chars", 100), ChromaFilter.Lte("n_chars", 200))).toColumn)
+        .select("doc_id").orderBy("doc_id")),
+    // B7 $and/$or/$ne/$gte
+    "q07_filter_bool" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(ChromaFilter.And(Seq(
+          ChromaFilter.Or(Seq(
+            ChromaFilter.Eq("lang", "en"), ChromaFilter.Ne("source", "src0"))),
+          ChromaFilter.Gte("n_chars", 64))).toColumn)
+        .select("doc_id").orderBy("doc_id")),
+    // B8 $contains
+    "q08_doc_contains" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(ChromaFilter.Contains("scan").toColumn(col("text")))
+        .select("doc_id").orderBy("doc_id")),
+    // B8 $not_contains
+    "q09_doc_not_contains" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(ChromaFilter.NotContains("scan").toColumn(col("text")))
+        .agg(count(lit(1)).as("cnt"))),
+    // B5 get with limit/offset
+    "q10_get_limit_offset" -> ((s, dir) =>
+      t(s, dir, "documents").select("doc_id", "lang")
+        .orderBy("doc_id").offset(5).limit(10)),
+    // B6/B9 cosine top-k
+    "q11_knn_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Knn.topK(emb, "vec_id", "embedding", headVec(emb, 0), 10, "cosine",
+          excludeIds = Seq(0L))
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
+    // B9 squared-L2 top-k
+    "q12_knn_l2" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Knn.topK(emb, "vec_id", "embedding", headVec(emb, 0), 10, "l2",
+          excludeIds = Seq(0L))
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
+    // B9 inner-product top-k
+    "q13_knn_ip" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Knn.topK(emb, "vec_id", "embedding", headVec(emb, 0), 10, "ip",
+          excludeIds = Seq(0L))
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
+    // B6+B7 metadata-prefiltered kNN
+    "q14_knn_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lbl = emb.filter(col("vec_id") === 0).select("label").head.getInt(0)
+      Knn.topK(emb, "vec_id", "embedding", headVec(emb, 0), 10, "cosine",
+          preFilter = Some(ChromaFilter.Eq("label", lbl).toColumn),
+          excludeIds = Seq(0L))
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
+    // B6 batch kNN (broadcast queries + per-query rank limit)
+    "q15_knn_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Knn.topKBatch(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id").between(0, 4)), "vec_id", "embedding", 5, "cosine")
+        .select(col("qid"), col("rnk"), col("vec_id")).orderBy("qid", "rnk")
+    }),
+    // C1 exact dedup (count distinct + keep-min-id dedup count)
+    "q16_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.agg(countDistinct(col("text")).as("n_distinct")).crossJoin(
+        Dedup.exactDedup(docs, Seq("text"), "doc_id").agg(count(lit(1)).as("n_after")))
+    }),
+    // B2 upsert latest-wins
+    "q17_upsert_latest_wins" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val b1 = docs.select(col("doc_id"), col("text"), lit(1).as("batch"))
+      val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), upper(col("text")).as("text"), lit(2).as("batch"))
+      val w = Window.partitionBy("doc_id").orderBy(col("batch").desc)
+      b1.unionByName(b2)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("doc_id"), col("batch"), length(col("text")).as("n"))
+        .orderBy("doc_id")
+    }),
+    // B4 delete = anti-join against an id list
+    "q18_delete_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      val doomed = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L).toDF("doc_id")
+      t(s, dir, "documents").join(doomed, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    }),
+    // C4 hash aggregation
+    "q19_agg_by_lang" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("lang")),
+    // C4 TPC-H Q1-ish aggregate scan (DECIMAL money)
+    "q20_tpch_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    // C4/C5 join + top-k per group
+    "q21_topk_per_nation" -> ((s, dir) => {
+      val tot = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+          .cast(DecimalType(18, 4)).as("total"))
+      tot.withColumn("rnk", row_number().over(
+          Window.partitionBy("n_name").orderBy(col("total").desc, col("c_custkey"))))
+        .filter(col("rnk") <= 3)
+        .select("n_name", "rnk", "c_custkey", "total").orderBy("n_name", "rnk")
+    }),
+    // C6/C7 time bucketing + JSON scalar (integer µs arithmetic)
+    "q22_events_hourly_json" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(expr("us div 3600000000").as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(get_json_object(col("props"), "$.k").cast("int")).cast("long").as("sum_k"))
+        .orderBy("hr", "event_type")),
+    // C5 sessionization (lag + cumulative sum)
+    "q23_sessionize" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      ev.withColumn("new_s",
+          when(lag(col("us"), 1).over(w).isNull
+            || col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_idx", sum(col("new_s")).over(w).cast("long"))
+        .groupBy("user_id", "session_idx").agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_idx")
+    }),
+    // Text analysis: token counting (whitespace + BPE-ish)
+    "q24_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws"),
+          TextAnalysis.tokenCountBpeish(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")),
+    // Text analysis: quality signals + composite score
+    "q25_quality_score" -> ((s, dir) => {
+      val q = TextAnalysis.qualityStruct(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          q.getField("mean_tok_len").as("mean_tok_len"),
+          q.getField("punct_ratio").as("punct_ratio"),
+          q.getField("upper_ratio").as("upper_ratio"),
+          q.getField("stopword_ratio").as("stopword_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")
+    }),
+    // Text analysis: language-ID heuristic
+    "q26_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    // Text analysis: rolling-hash fingerprint
+    "q27_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    // C2 n-gram (word-set) Jaccard similarity over a sampled pair set
+    "q28_jaccard_pairs" -> ((s, dir) => {
+      val sample = t(s, dir, "documents").filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("id"), array_distinct(split(col("text"), " ")).as("toks"))
+      sample.as("a").join(sample.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(Dedup.jaccard(col("a.toks"), col("b.toks")), 4).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+    // C2 embedding-cosine near-dup pairs over a sampled set
+    "q29_embedding_neardup" -> ((s, dir) => {
+      val sample = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
+      Dedup.embeddingNearDup(sample, "vec_id", "embedding", -1.0)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+    // C2 MinHash+LSH near-dup candidates (engine-hash-specific: rows-only check)
+    "q30_minhash_candidates" -> ((s, dir) => {
+      val sample = t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
+      Dedup.minHashCandidates(sample, "doc_id", "text").orderBy("id_a", "id_b")
+    }),
+    // C2 SimHash 64-bit signatures (engine-hash-specific: rows-only check)
+    "q31_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), Dedup.simHash(split(col("text"), " ")).as("simhash"))
+        .orderBy("doc_id")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q00_hydrate" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, text AS document,
+        |CAST(len(embedding) AS INTEGER) AS dim, CAST(label AS VARCHAR) AS rating
+        |FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY id""".stripMargin,
+    "q01_scan_project_cast" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents ORDER BY id",
+    "q02_wide_assemble_nulldrop" ->
+      """SELECT vec_id AS doc_id,
+        |CAST(len(list_filter(list_transform(range(64),
+        |  j -> CASE WHEN (vec_id + j) % 17 = 0 THEN NULL ELSE embedding[j+1] END),
+        |  x -> x IS NOT NULL)) AS INTEGER) AS dim
+        |FROM embeddings ORDER BY doc_id""".stripMargin,
+    "q03_count" -> "SELECT COUNT(*) AS cnt FROM documents",
+    "q04_filter_eq" ->
+      "SELECT CAST(vec_id AS VARCHAR) AS id FROM embeddings WHERE label = 3 ORDER BY id",
+    "q05_filter_in" ->
+      "SELECT doc_id FROM documents WHERE lang IN ('en', 'es') ORDER BY doc_id",
+    "q06_filter_range" ->
+      "SELECT doc_id FROM documents WHERE n_chars > 100 AND n_chars <= 200 ORDER BY doc_id",
+    "q07_filter_bool" ->
+      """SELECT doc_id FROM documents
+        |WHERE (lang = 'en' OR source <> 'src0') AND n_chars >= 64 ORDER BY doc_id""".stripMargin,
+    "q08_doc_contains" ->
+      "SELECT doc_id FROM documents WHERE contains(text, 'scan') ORDER BY doc_id",
+    "q09_doc_not_contains" ->
+      "SELECT COUNT(*) AS cnt FROM documents WHERE NOT contains(text, 'scan')",
+    "q10_get_limit_offset" ->
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 10 OFFSET 5",
+    "q11_knn_cosine" -> sqlKnnSingle(sqlCos("e.embedding", "q.qe")),
+    "q12_knn_l2" -> sqlKnnSingle(sqlL2("e.embedding", "q.qe")),
+    "q13_knn_ip" -> sqlKnnSingle(sqlIp("e.embedding", "q.qe")),
+    "q14_knn_filtered" -> sqlKnnSingle(sqlCos("e.embedding", "q.qe"),
+      "AND e.label = (SELECT label FROM embeddings WHERE vec_id = 0)"),
+    "q15_knn_batch" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |           WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |d AS (SELECT q.qid, e.vec_id, ${sqlCos("e.embedding", "q.qe")} AS dist_raw
+         |      FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, CAST(row_number() OVER
+         |        (PARTITION BY qid ORDER BY dist_raw, vec_id) AS INTEGER) AS rnk FROM d)
+         |SELECT qid, rnk, vec_id FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "q16_dedup_exact" ->
+      """SELECT (SELECT COUNT(DISTINCT text) FROM documents) AS n_distinct,
+        |(SELECT COUNT(*) FROM (SELECT text, MIN(doc_id) FROM documents GROUP BY text)) AS n_after""".stripMargin,
+    "q17_upsert_latest_wins" ->
+      """WITH b1 AS (SELECT doc_id, text, 1 AS batch FROM documents),
+        |b2 AS (SELECT doc_id, upper(text) AS text, 2 AS batch FROM documents WHERE doc_id % 3 = 0),
+        |u AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY batch DESC) AS rn
+        |      FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2))
+        |SELECT doc_id, batch, CAST(length(text) AS INTEGER) AS n
+        |FROM u WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q18_delete_antijoin" ->
+      """SELECT COUNT(*) AS cnt, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents WHERE doc_id NOT IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)""".stripMargin,
+    "q19_agg_by_lang" ->
+      """SELECT lang, COUNT(*) AS cnt, ROUND(AVG(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q20_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q21_topk_per_nation" ->
+      """WITH tot AS (
+        |  SELECT n_name, c_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, c_custkey),
+        |r AS (SELECT n_name, CAST(row_number() OVER
+        |        (PARTITION BY n_name ORDER BY total DESC, c_custkey) AS INTEGER) AS rnk,
+        |        c_custkey, total FROM tot)
+        |SELECT n_name, rnk, c_custkey, total FROM r WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
+    "q22_events_hourly_json" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hr, event_type, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    "q23_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us, event_id,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, CAST(SUM(new_s) OVER
+        |        (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_idx FROM g)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events FROM s
+        |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "q24_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_quality_score" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |       tk -> lower(tk) IN ${sqlInList(enStop)})) AS DOUBLE) AS sw_hits,
+         |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+         |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |  ROUND(n_chars / n_tokens, 4) AS mean_tok_len,
+         |  ROUND(n_punct / n_chars, 4) AS punct_ratio,
+         |  ROUND(n_upper / n_chars, 4) AS upper_ratio,
+         |  ROUND(sw_hits / n_tokens, 4) AS stopword_ratio,
+         |  n_tokens FROM q)
+         |SELECT doc_id, mean_tok_len, punct_ratio, upper_ratio, stopword_ratio,
+         |  ROUND((LEAST(n_tokens / 20.0, 1.0) + LEAST(stopword_ratio * 5.0, 1.0)
+         |        + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) / 3.0, 4) AS score
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q26_langid" -> {
+      val langs = TextAnalysis.languages // sorted ascending
+      val hits = langs.map { l =>
+        s"CAST(len(list_filter(string_split(text, ' '), tk -> lower(tk) IN ${sqlInList(TextAnalysis.stopwordList(l))})) AS INTEGER) AS h_$l"
+      }.mkString(",\n  ")
+      val greatest = s"GREATEST(${langs.map("h_" + _).mkString(", ")})"
+      val cases = langs.init.map(l => s"WHEN h_$l = g THEN '$l'").mkString(" ")
+      s"""WITH h AS (SELECT doc_id, $hits FROM documents),
+         |g AS (SELECT doc_id, ${langs.map("h_" + _).mkString(", ")}, $greatest AS g FROM h)
+         |SELECT doc_id, CASE WHEN g = 0 THEN 'und' $cases ELSE '${langs.last}' END AS lang_pred
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+    "q27_fingerprint" ->
+      """SELECT doc_id, CAST(COALESCE(list_sum(list_transform(range(length(text)),
+        |  i -> ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) * ((i % 7) + 1))), 0) AS BIGINT) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_jaccard_pairs" ->
+      """WITH s AS (SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents WHERE doc_id % 100 = 0),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS sim
+        |      FROM s a, s b WHERE a.id < b.id)
+        |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p ORDER BY id_a, id_b""".stripMargin,
+    "q29_embedding_neardup" -> {
+      val sim = s"${sqlDot("a.e", "b.e")} / (sqrt(${sqlDot("a.e", "a.e")}) * sqrt(${sqlDot("b.e", "b.e")}))"
+      s"""WITH s AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id % 10 = 0),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b, $sim AS sim FROM s a, s b WHERE a.id < b.id)
+         |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p ORDER BY id_a, id_b""".stripMargin
+    },
+    // q30/q31 intentionally omitted: MinHash/SimHash signatures depend on the
+    // engine hash function (xxhash64) — covered by the rows-only check + unit tests.
+  )
 }

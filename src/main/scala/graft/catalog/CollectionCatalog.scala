@@ -1,0 +1,232 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ChromaFilter, Knn}
+
+/** Parquet-backed vector-collection store with Chroma collection semantics.
+  *
+  * The reference bulk-loads a Chroma `PersistentClient` collection
+  * (extras/...sas:126-132: `PersistentClient(path)`,
+  * `get_or_create_collection(name)`; sas:177-190: `collection.add(...)`).
+  * Chroma persists to SQLite + an HNSW segment on ONE node; that shape caps
+  * out long before 100 TB. Here a collection is:
+  *
+  *   <root>/<name>/meta.json          {name, space, version, metadata}
+  *   <root>/<name>/data_v<N>/         parquet, hash(id)-bucketed `pt` dirs
+  *
+  * Rows: id STRING (unique), document STRING, embedding ARRAY<FLOAT>,
+  * metadata columns flattened as ordinary typed columns (filter pushdown
+  * works on them; Chroma's flat str→scalar dict maps 1:1).
+  *
+  * Scale design:
+  *  - id-hash partition column `pt` → merges (upsert/update/delete) rewrite
+  *    ONLY the buckets containing affected ids (dynamic partition overwrite),
+  *    and point-gets prune to one bucket.
+  *  - Mutations are copy-on-write into a new `data_v<N>` dir; `meta.json` is
+  *    swapped atomically (write temp + move) so readers never see a torn
+  *    version. This replaces Chroma's single-writer SQLite transaction.
+  *  - `add` validates duplicate ids with one groupBy over the (small)
+  *    incoming batch + a broadcast-able left-semi probe of existing ids.
+  */
+final class CollectionCatalog(spark: SparkSession, rootDir: String, numBuckets: Int = 32) {
+
+  private val root: Path = Paths.get(rootDir)
+  Files.createDirectories(root)
+
+  def getOrCreateCollection(name: String, space: String = "l2"): Collection = {
+    val dir = root.resolve(name)
+    if (!Files.exists(dir.resolve("meta.json"))) {
+      Files.createDirectories(dir)
+      writeMeta(dir, CollectionMeta(name, space, 0, Map.empty))
+    }
+    new Collection(spark, dir, numBuckets)
+  }
+
+  def getCollection(name: String): Option[Collection] = {
+    val dir = root.resolve(name)
+    if (Files.exists(dir.resolve("meta.json"))) Some(new Collection(spark, dir, numBuckets))
+    else None
+  }
+
+  def listCollections(): Seq[String] =
+    if (!Files.exists(root)) Nil
+    else Files.list(root).iterator.asScala
+      .filter(p => Files.exists(p.resolve("meta.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  def deleteCollection(name: String): Boolean = {
+    val dir = root.resolve(name)
+    if (!Files.exists(dir)) false
+    else {
+      Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      true
+    }
+  }
+
+  private[catalog] def writeMeta(dir: Path, meta: CollectionMeta): Unit =
+    CollectionMeta.atomicWrite(dir, meta)
+}
+
+final case class CollectionMeta(
+    name: String,
+    space: String,
+    version: Int,
+    metadata: Map[String, String])
+
+object CollectionMeta {
+  /** Minimal hand-rolled JSON (flat strings/ints only) — no extra deps. */
+  def toJson(m: CollectionMeta): String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+    val md = m.metadata.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+    s"""{"name": ${q(m.name)}, "space": ${q(m.space)}, "version": ${m.version}, "metadata": $md}"""
+  }
+
+  def fromJson(s: String): CollectionMeta = {
+    def str(k: String) = ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(s).map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+    def int(k: String) = ("\"" + k + "\"\\s*:\\s*(\\d+)").r
+      .findFirstMatchIn(s).map(_.group(1).toInt)
+    val mdBody = ("\"metadata\"\\s*:\\s*\\{([^}]*)\\}").r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    val md = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findAllMatchIn(mdBody).map(m => m.group(1) -> m.group(2)).toMap
+    CollectionMeta(str("name").get, str("space").getOrElse("l2"), int("version").getOrElse(0), md)
+  }
+
+  def read(dir: Path): CollectionMeta =
+    fromJson(new String(Files.readAllBytes(dir.resolve("meta.json")), StandardCharsets.UTF_8))
+
+  def atomicWrite(dir: Path, meta: CollectionMeta): Unit = {
+    val tmp = dir.resolve("meta.json.tmp")
+    Files.write(tmp, toJson(meta).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("meta.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** One collection — the Chroma collection API surface (SURVEY §2.B). */
+final class Collection(spark: SparkSession, dir: Path, numBuckets: Int) {
+
+  import ChromaFilter.{Where, WhereDocument}
+
+  def meta: CollectionMeta = CollectionMeta.read(dir)
+  def name: String = meta.name
+  def space: String = meta.space
+
+  private def dataDir(v: Int): Path = dir.resolve(f"data_v$v%06d")
+  private def currentData: Option[Path] = {
+    val p = dataDir(meta.version)
+    if (Files.exists(p)) Some(p) else None
+  }
+
+  private def bucketed(df: DataFrame): DataFrame =
+    df.withColumn("pt", pmod(xxhash64(col("id")), lit(numBuckets)).cast("int"))
+
+  /** Current contents (empty frame with canonical schema if never written). */
+  def toDF: DataFrame = currentData match {
+    case Some(p) => spark.read.parquet(p.toString).drop("pt")
+    case None => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("document", org.apache.spark.sql.types.StringType, true),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType), true))))
+  }
+
+  private def writeVersion(df: DataFrame): Unit = {
+    val m = meta
+    val next = m.version + 1
+    bucketed(df).write.mode("overwrite").partitionBy("pt").parquet(dataDir(next).toString)
+    CollectionMeta.atomicWrite(dir, m.copy(version = next))
+  }
+
+  /** B1 add: batch insert; errors on duplicate ids (within the batch or vs
+    * the collection) — Chroma `add()` semantics. */
+  def add(batch: DataFrame): Unit = {
+    val withinDup = batch.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
+    if (withinDup.nonEmpty)
+      throw new IllegalArgumentException(s"duplicate id in batch: ${withinDup.head.getString(0)}")
+    currentData.foreach { _ =>
+      val clash = batch.join(toDF.select("id"), Seq("id"), "left_semi").limit(1).collect()
+      if (clash.nonEmpty)
+        throw new IllegalArgumentException(s"id already exists: ${clash.head.getString(0)}")
+    }
+    writeVersion(if (currentData.isDefined) toDF.unionByName(batch, allowMissingColumns = true) else batch)
+  }
+
+  /** B2 upsert: insert-or-replace by id; within-batch duplicates resolve
+    * latest-wins by `orderCol` descending (deterministic). */
+  def upsert(batch: DataFrame, orderCol: Option[String] = None): Unit = {
+    val w = Window.partitionBy("id")
+      .orderBy(orderCol.map(c => col(c).desc).getOrElse(monotonically_increasing_id().desc))
+    val dedupBatch = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val merged = currentData match {
+      case Some(_) => toDF.join(dedupBatch.select("id"), Seq("id"), "left_anti")
+        .unionByName(dedupBatch, allowMissingColumns = true)
+      case None => dedupBatch
+    }
+    writeVersion(merged)
+  }
+
+  /** B3 update: replace non-null fields for EXISTING ids only. */
+  def update(batch: DataFrame): Unit = currentData.foreach { _ =>
+    val cur = toDF
+    val upd = batch.columns.filter(_ != "id")
+    val joined = cur.alias("c").join(batch.alias("u"), Seq("id"), "left")
+    val merged = joined.select(
+      col("id") +: cur.columns.filter(_ != "id").map { c =>
+        if (upd.contains(c)) coalesce(col(s"u.$c"), col(s"c.$c")).as(c) else col(s"c.$c").as(c)
+      }: _*)
+    writeVersion(merged)
+  }
+
+  /** B4 delete by id list and/or metadata predicate. */
+  def delete(ids: Seq[String] = Nil, where: Option[Where] = None,
+             whereDoc: Option[WhereDocument] = None): Unit = currentData.foreach { _ =>
+    val cur = toDF
+    val byIds: Option[Column] = if (ids.nonEmpty) Some(col("id").isin(ids: _*)) else None
+    val byPred = ChromaFilter.predicate(where, whereDoc, col("document"))
+    val cond = (byIds.toSeq ++ byPred.toSeq).reduceOption(_ || _)
+    cond.foreach(c => writeVersion(cur.filter(!coalesce(c, lit(false)))))
+  }
+
+  /** B5 get: point/filtered retrieval, deterministically paged by id. */
+  def get(ids: Seq[String] = Nil, where: Option[Where] = None,
+          whereDoc: Option[WhereDocument] = None,
+          limit: Option[Int] = None, offset: Int = 0): DataFrame = {
+    var df = toDF
+    if (ids.nonEmpty) df = df.filter(col("id").isin(ids: _*))
+    ChromaFilter.predicate(where, whereDoc, col("document")).foreach(p => df = df.filter(p))
+    df = df.orderBy("id")
+    if (offset > 0) df = df.offset(offset)
+    limit.fold(df)(df.limit)
+  }
+
+  /** B6 query: top-k nearest neighbors with optional prefilters. */
+  def query(queryVec: Seq[Float], k: Int, where: Option[Where] = None,
+            whereDoc: Option[WhereDocument] = None): DataFrame =
+    Knn.topK(toDF, "id", "embedding", queryVec, k, meta.space,
+      ChromaFilter.predicate(where, whereDoc, col("document")))
+
+  /** B10 count / peek. */
+  def count(): Long = currentData.fold(0L)(_ => toDF.count())
+  def peek(n: Int = 10): DataFrame = toDF.orderBy("id").limit(n)
+
+  /** B11 modify: rename is a catalog move; metadata is a meta.json update. */
+  def modifyMetadata(kv: Map[String, String]): Unit = {
+    val m = meta
+    CollectionMeta.atomicWrite(dir, m.copy(metadata = m.metadata ++ kv))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalars for training-data pipelines: token counting,
+  * language-ID (stopword n-gram heuristic), quality scoring, document
+  * fingerprinting. All pure `org.apache.spark.sql.functions` compositions —
+  * codegen'd, no UDFs, narrow (no shuffle).
+  *
+  * These extend the hydration pipeline of the reference (which only carries
+  * the raw text column through, extras/...sas:179) with the cleaning stack a
+  * 100 TB corpus needs before embedding.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (single-space split, deterministic). */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword token estimate: counts maximal alphanumeric runs plus
+    * single non-space punctuation marks — a cheap proxy for a byte-pair
+    * tokenizer's token count. RE2-safe pattern (no lookarounds), so the same
+    * regex runs identically in any oracle engine.
+    */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "den", "von", "das", "mit", "dem", "des", "ein"))
+
+  /** Language codes, ascending (the deterministic tie-break order). */
+  val languages: Seq[String] = stopwords.keys.toSeq.sorted
+
+  /** The stopword list for a language (exposed so oracle SQL is generated
+    * from the SAME lists — single source of truth, no drift). */
+  def stopwordList(lang: String): Seq[String] = stopwords(lang)
+
+  /** Stopword hits for one language over a token array. */
+  def stopwordHits(tokens: Column, lang: String): Column = {
+    val sw = array(stopwords(lang).map(lit): _*)
+    size(filter(tokens, t => array_contains(sw, lower(t))))
+  }
+
+  /** Language-ID heuristic: argmax over per-language stopword hit counts;
+    * 'und' (undetermined) when no stopword matches at all. Deterministic
+    * tie-break: language-code ascending (array_sort on (−hits, lang)).
+    */
+  def langId(text: Column): Column = {
+    val tokens = split(text, " ")
+    val scored = array(stopwords.keys.toSeq.sorted.map { l =>
+      struct((-stopwordHits(tokens, l)).as("neg"), lit(l).as("lang"))
+    }: _*)
+    val best = element_at(array_sort(scored), 1)
+    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Quality signals: char length, token count, mean token length,
+    * punctuation ratio, uppercase ratio, stopword ratio (en). */
+  def qualityStruct(text: Column): Column = {
+    val tokens = split(text, " ")
+    val nChars = length(text).cast("double")
+    val nTok = size(tokens).cast("double")
+    struct(
+      length(text).as("n_chars"),
+      size(tokens).as("n_tokens"),
+      round(nChars / nTok, 4).as("mean_tok_len"),
+      round(length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") / nChars, 4).as("punct_ratio"),
+      round(length(regexp_replace(text, "[^A-Z]", "")).cast("double") / nChars, 4).as("upper_ratio"),
+      round(stopwordHits(tokens, "en").cast("double") / nTok, 4).as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: penalize too-short/too-long docs,
+    * reward natural punctuation and stopword density. Deterministic. */
+  def qualityScore(text: Column): Column = {
+    val q = qualityStruct(text)
+    val lenScore = least(q.getField("n_tokens").cast("double") / 20.0, lit(1.0))
+    val swScore = least(q.getField("stopword_ratio") * 5.0, lit(1.0))
+    val punctOk = when(q.getField("punct_ratio") <= 0.2, 1.0).otherwise(0.5)
+    round((lenScore + swScore + punctOk) / 3.0, 4)
+  }
+
+  /** Rolling-hash document fingerprint: position-weighted byte sum
+    * Σᵢ ascii(cᵢ)·((i mod 7)+1) — order-sensitive (detects permuted text),
+    * overflow-free for any realistic document length, and expressible
+    * identically in any ANSI-SQL oracle engine.
+    */
+  def fingerprint(text: Column): Column =
+    // sequence(1, 0) would count DOWN in Spark — guard the empty-text case.
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+          i => ascii(text.substr(i, lit(1))).cast("long") * ((i - 1) % 7 + 1).cast("long")),
+        lit(0L), (s, x) => s + x))
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The Chroma `where` / `where_document` filter language, translated to
+  * Catalyst `Column` predicates.
+  *
+  * The reference hydrates a Chroma collection
+  * (extras/Vector_Databases_Hydrate_ChromaDB_Collection.sas:132,177-190) whose
+  * public query API accepts:
+  *   where:          $eq $ne $gt $gte $lt $lte $in $nin  +  $and $or
+  *   where_document: $contains $not_contains
+  * Here each operator is an ADT node that compiles to a plain `Column`, so the
+  * whole predicate participates in Catalyst pushdown (reaches the parquet
+  * scan as PushedFilters) — unlike Chroma, which evaluates it row-by-row in
+  * SQLite.
+  */
+object ChromaFilter {
+
+  sealed trait Where { def toColumn: Column }
+
+  final case class Eq(key: String, v: Any)  extends Where { def toColumn: Column = col(key) === lit(v) }
+  final case class Ne(key: String, v: Any)  extends Where { def toColumn: Column = col(key) =!= lit(v) }
+  final case class Gt(key: String, v: Any)  extends Where { def toColumn: Column = col(key) > lit(v) }
+  final case class Gte(key: String, v: Any) extends Where { def toColumn: Column = col(key) >= lit(v) }
+  final case class Lt(key: String, v: Any)  extends Where { def toColumn: Column = col(key) < lit(v) }
+  final case class Lte(key: String, v: Any) extends Where { def toColumn: Column = col(key) <= lit(v) }
+  final case class In(key: String, vs: Seq[Any])  extends Where { def toColumn: Column = col(key).isin(vs: _*) }
+  final case class Nin(key: String, vs: Seq[Any]) extends Where { def toColumn: Column = !col(key).isin(vs: _*) }
+  final case class And(cs: Seq[Where]) extends Where { def toColumn: Column = cs.map(_.toColumn).reduce(_ && _) }
+  final case class Or(cs: Seq[Where])  extends Where { def toColumn: Column = cs.map(_.toColumn).reduce(_ || _) }
+
+  sealed trait WhereDocument { def toColumn(docCol: Column): Column }
+
+  final case class Contains(s: String) extends WhereDocument {
+    def toColumn(docCol: Column): Column = docCol.contains(s)
+  }
+  final case class NotContains(s: String) extends WhereDocument {
+    def toColumn(docCol: Column): Column = !docCol.contains(s)
+  }
+  final case class AndDoc(cs: Seq[WhereDocument]) extends WhereDocument {
+    def toColumn(docCol: Column): Column = cs.map(_.toColumn(docCol)).reduce(_ && _)
+  }
+  final case class OrDoc(cs: Seq[WhereDocument]) extends WhereDocument {
+    def toColumn(docCol: Column): Column = cs.map(_.toColumn(docCol)).reduce(_ || _)
+  }
+
+  /** Combine optional where + where_document into one pushdown-able predicate. */
+  def predicate(
+      where: Option[Where],
+      whereDoc: Option[WhereDocument],
+      docCol: Column): Option[Column] = {
+    val parts = where.map(_.toColumn).toSeq ++ whereDoc.map(_.toColumn(docCol)).toSeq
+    parts.reduceOption(_ && _)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * The hydrated collection's `add()` already rejects duplicate ids
+  * (Chroma semantics, reference sas:177-190); these operators extend that to
+  * CONTENT duplication — exact text, near-duplicate text (MinHash/SimHash/
+  * n-gram Jaccard) and near-duplicate embeddings — the standard LLM
+  * training-data cleaning stack.
+  *
+  * Scale notes (100 TB):
+  *  - Exact dedup is one hash-shuffle on the dedup key; keep-min-id uses a
+  *    map-side-combinable `min` agg, not a window (no per-group sort).
+  *  - MinHash/SimHash signatures are computed map-side (narrow); candidate
+  *    generation joins on band keys / hamming blocks so the cross-product is
+  *    confined to same-bucket pairs — never an O(n²) global cross join.
+  *  - All hashes use Spark's codegen'd xxhash64 — no UDFs.
+  */
+object Dedup {
+
+  /** Exact dedup on `keyCols`, keeping the row with min `idCol` per group.
+    * Implemented as min-id agg + semi-join back (map-side combinable),
+    * avoiding a window sort over every group.
+    */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val keep = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
+    df.join(keep, keyCols :+ idCol, "left_semi")
+  }
+
+  /** Word-level shingles (n-grams) of a text column, as ARRAY<STRING>. */
+  def wordShingles(textCol: Column, n: Int): Column = {
+    val tokens = split(textCol, "\\s+")
+    val idx = sequence(lit(0), greatest(size(tokens) - n, lit(0)))
+    when(size(tokens) < n, array(array_join(tokens, " ")))
+      .otherwise(transform(idx, i => array_join(slice(tokens, i + 1, lit(n)), " ")))
+  }
+
+  /** MinHash signature: for each of `numHashes` permutations i,
+    * min over shingles s of (a_i * xxhash64(s) + b_i) mod p.
+    * Permutation constants are fixed (deterministic across runs/engines).
+    */
+  def minHashSignature(shingles: Column, numHashes: Int): Column = {
+    // p = 2^31−1 (Mersenne prime) keeps a·h+b < 2^62 — no long overflow
+    // under ANSI arithmetic while still giving a 31-bit hash space.
+    val p = 2147483647L
+    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+    val perms = sequence(lit(0), lit(numHashes - 1))
+    transform(perms, i => {
+      // LCG-derived permutation constants — small enough that every
+      // intermediate product stays below 2^62 (ANSI-safe).
+      val a = pmod(i * lit(1103515245L) + lit(12345L), lit(p - 1)) + 1
+      val b = pmod(i * lit(69069L) + lit(362437L), lit(p))
+      array_min(transform(hashed, h => pmod(a * h + b, lit(p))))
+    })
+  }
+
+  /** MinHash+LSH near-dup candidate pairs: signatures banded into
+    * `numBands`; docs sharing any band bucket become a candidate pair
+    * (idA < idB). Verification (true Jaccard) is the caller's second stage.
+    */
+  def minHashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sig = df.select(
+      col(idCol).as("id"),
+      minHashSignature(wordShingles(col(textCol), shingleSize), numHashes).as("sig"))
+    val bands = sig.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("rows")))))
+      .select(col("id"), hash(col("col.band"), col("col.rows")).as("bucket"))
+    bands.as("a").join(bands.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
+  /** SimHash (64-bit): sign-sum of per-token hash bits weighted +1/−1.
+    * bit_j(doc) = 1 iff Σ_tokens sign(bit_j(xxhash64(token))) > 0.
+    */
+  def simHash(tokens: Column): Column = {
+    val hashed = transform(tokens, t => xxhash64(t))
+    val bits = sequence(lit(0), lit(63))
+    val bitSums = transform(bits, j =>
+      aggregate(hashed, lit(0),
+        (s, h) => s + when(call_function("bit_get", h, j) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(bitSums, bits, (s, j) =>
+        when(s > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit SimHash values. */
+  def hammingDist64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** n-gram Jaccard similarity between two token-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast("double")
+    inter / (size(ad) + size(bd) - inter)
+  }
+
+  /** Embedding-cosine near-dup pairs above `minSim` within an id-bounded
+    * candidate set (caller bounds candidates via LSH buckets or sampling —
+    * a raw self-join is O(n²) and only acceptable on small slices).
+    */
+  def embeddingNearDup(
+      df: DataFrame, idCol: String, vecCol: String, minSim: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", Distances.cosineSim(col("va"), col("vb")))
+      .filter(col("sim") >= minSim)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** Brute-force exact top-k nearest-neighbor search — the read path of the
+  * hydrated Chroma collection (`collection.query(query_embeddings, n_results,
+  * where, where_document)`, reference README.md:5 "similarity search").
+  *
+  * Design for scale (100 TB):
+  *  - The query side is always tiny (a handful of vectors) → `broadcast()` it,
+  *    so the join is a BroadcastNestedLoopJoin with NO shuffle of the corpus.
+  *  - Per-query top-k uses `row_number` over a window partitioned by query id;
+  *    Spark ≥3.5 plans this as WindowGroupLimit (rank pushdown), so each
+  *    shuffle partition only keeps k rows — no global sort of distances.
+  *  - Metadata/document prefilters are applied BEFORE the distance compute so
+  *    Catalyst pushes them into the parquet scan.
+  *  - Ties broken by id ascending (deterministic, oracle-stable).
+  */
+object Knn {
+
+  /** Top-k rows of `corpus` nearest to a single literal query vector.
+    *
+    * @param corpus     table with an id column and a vector column
+    * @param idCol      unique id column name (tie-break key)
+    * @param vecCol     ARRAY<FLOAT>/ARRAY<DOUBLE> column name
+    * @param queryVec   the query vector
+    * @param k          number of neighbors
+    * @param space      l2 | ip | cosine
+    * @param preFilter  optional metadata/document prefilter (pushed to scan)
+    * @param excludeIds ids excluded from the result (e.g. the query itself)
+    */
+  def topK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      space: String = "cosine",
+      preFilter: Option[Column] = None,
+      excludeIds: Seq[Any] = Nil): DataFrame = {
+    val q = typedLit(queryVec)
+    val base = preFilter.fold(corpus)(corpus.filter)
+    val excluded =
+      if (excludeIds.isEmpty) base else base.filter(!col(idCol).isin(excludeIds: _*))
+    excluded
+      .withColumn("dist", Distances.bySpace(space)(col(vecCol), q))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .drop(vecCol)
+  }
+
+  /** Batch kNN: top-k per query vector, queries broadcast to the corpus.
+    *
+    * @param queries  small table of (qidCol, qvecCol) — broadcast side
+    * @param excludeSelf drop corpus rows whose id equals the query id
+    * @return corpus columns minus the vector, plus qid / dist / rnk (1-based)
+    */
+  def topKBatch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      space: String = "cosine",
+      preFilter: Option[Column] = None,
+      excludeSelf: Boolean = true): DataFrame = {
+    val base = preFilter.fold(corpus)(corpus.filter)
+    val joined = base.crossJoin(
+      broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qvec"))))
+    val scoped =
+      if (excludeSelf) joined.filter(col(idCol) =!= col("qid")) else joined
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    scoped
+      .withColumn("dist", Distances.bySpace(space)(col(vecCol), col("__qvec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .drop(vecCol, "__qvec")
+  }
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf parquet tables, load our Verify parquet output, sort
+columns by name, canonicalize, and diff. Usage:
+    python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(os.path.join(sfdir, "*.parquet")):
+    name = os.path.basename(f)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
+    return df.reset_index(drop=True)
+
+fails = []
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        want = con.execute(sql).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    pdir = os.path.join(outdir, name)
+    files = glob.glob(os.path.join(pdir, "*.parquet"))
+    if not files:
+        fails.append((name, "no spark output"))
+        continue
+    got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+    w, g = canon(want), canon(got)
+    if list(w.columns) != list(g.columns):
+        fails.append((name, f"schema: oracle {list(w.columns)} vs spark {list(g.columns)}"))
+        continue
+    if len(w) != len(g):
+        fails.append((name, f"rows: oracle {len(w)} vs spark {len(g)}"))
+        continue
+    try:
+        pd.testing.assert_frame_equal(w, g, check_dtype=False, check_exact=True)
+        print(f"OK    {name} ({len(w)} rows)")
+    except AssertionError as e:
+        fails.append((name, "value mismatch: " + str(e).split("\n")[0]))
+        # show first differing rows
+        neq = (w != g) & ~(w.isna() & g.isna())
+        bad = neq.any(axis=1)
+        print(f"--- {name} first diffs:")
+        print(pd.concat([w[bad].head(3).add_suffix("_oracle"),
+                         g[bad].head(3).add_suffix("_spark")], axis=1))
+for name, why in fails:
+    print(f"FAIL  {name}: {why}")
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
+sys.exit(1 if fails else 0)
