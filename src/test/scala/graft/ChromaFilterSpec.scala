@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.ChromaFilter._
+
+class ChromaFilterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 1, "en", "hello world"),
+    ("b", 2, "es", "hola mundo"),
+    ("c", 3, "en", "scan the table"),
+    ("d", 4, "fr", "bonjour")
+  ).toDF("id", "n", "lang", "doc")
+
+  private def ids(w: Where): Set[String] =
+    df.filter(w.toColumn).select("id").as[String].collect().toSet
+
+  test("$eq / $ne")  { assert(ids(Eq("lang", "en")) == Set("a", "c"))
+                       assert(ids(Ne("lang", "en")) == Set("b", "d")) }
+  test("$gt / $gte") { assert(ids(Gt("n", 2)) == Set("c", "d"))
+                       assert(ids(Gte("n", 2)) == Set("b", "c", "d")) }
+  test("$lt / $lte") { assert(ids(Lt("n", 2)) == Set("a"))
+                       assert(ids(Lte("n", 2)) == Set("a", "b")) }
+  test("$in / $nin") { assert(ids(In("lang", Seq("en", "fr"))) == Set("a", "c", "d"))
+                       assert(ids(Nin("lang", Seq("en", "fr"))) == Set("b")) }
+  test("$and / $or") {
+    assert(ids(And(Seq(Eq("lang", "en"), Gt("n", 1)))) == Set("c"))
+    assert(ids(Or(Seq(Eq("lang", "fr"), Eq("n", 1)))) == Set("a", "d"))
+    assert(ids(And(Seq(Or(Seq(Eq("lang", "en"), Eq("lang", "es"))), Lte("n", 2)))) == Set("a", "b"))
+  }
+
+  test("$contains / $not_contains on document") {
+    def dids(w: WhereDocument): Set[String] =
+      df.filter(w.toColumn(col("doc"))).select("id").as[String].collect().toSet
+    assert(dids(Contains("scan")) == Set("c"))
+    assert(dids(NotContains("scan")) == Set("a", "b", "d"))
+    assert(dids(AndDoc(Seq(Contains("o"), NotContains("scan")))) == Set("a", "b", "d"))
+    assert(dids(OrDoc(Seq(Contains("bonjour"), Contains("hola")))) == Set("b", "d"))
+  }
+
+  test("predicate combines where and where_document") {
+    val p = predicate(Some(Eq("lang", "en")), Some(Contains("table")), col("doc")).get
+    assert(df.filter(p).select("id").as[String].collect().toSeq == Seq("c"))
+    assert(predicate(None, None, col("doc")).isEmpty)
+  }
+
+  test("metadata filters push down to the parquet scan") {
+    val docs = spark.read.parquet(sf("documents"))
+    val plan = docs.filter(And(Seq(Eq("lang", "en"), Gt("n_chars", 100))).toColumn)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("IsNotNull(lang)"),
+      s"filter not pushed:\n$plan")
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.catalog.CollectionCatalog
+import graft.operators.ChromaFilter
+
+class CollectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshCatalog(): CollectionCatalog = {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "coll-test").toString
+    new CollectionCatalog(spark, root, numBuckets = 4)
+  }
+
+  private def batch(rows: (String, String, Seq[Float])*) =
+    rows.toSeq.toDF("id", "document", "embedding")
+
+  test("get_or_create is idempotent; list/delete catalog ops") {
+    val cat = freshCatalog()
+    cat.getOrCreateCollection("c1", "cosine")
+    cat.getOrCreateCollection("c1", "cosine")
+    cat.getOrCreateCollection("c2")
+    assert(cat.listCollections() == Seq("c1", "c2"))
+    assert(cat.getCollection("c1").get.space == "cosine")
+    assert(cat.getCollection("c2").get.space == "l2")
+    assert(cat.deleteCollection("c2"))
+    assert(cat.listCollections() == Seq("c1"))
+    assert(!cat.deleteCollection("nope"))
+    assert(cat.getCollection("nope").isEmpty)
+  }
+
+  test("add + count + get round-trip") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(batch(("a", "doc a", Seq(1f, 0f)), ("b", "doc b", Seq(0f, 1f))))
+    assert(c.count() == 2)
+    assert(c.get(ids = Seq("a")).select("document").as[String].head() == "doc a")
+  }
+
+  test("add rejects duplicate ids within batch and against collection (B1)") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    intercept[IllegalArgumentException] {
+      c.add(batch(("x", "1", Seq(1f)), ("x", "2", Seq(2f))))
+    }
+    c.add(batch(("x", "1", Seq(1f))))
+    val e = intercept[IllegalArgumentException] { c.add(batch(("x", "3", Seq(3f)))) }
+    assert(e.getMessage.contains("already exists"))
+    assert(c.count() == 1)
+  }
+
+  test("upsert inserts new and replaces existing, latest wins (B2)") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(batch(("a", "v1", Seq(1f)), ("b", "v1", Seq(2f))))
+    c.upsert(batch(("b", "v2", Seq(9f)), ("c", "new", Seq(3f))))
+    assert(c.count() == 3)
+    val docs = c.toDF.select("id", "document").as[(String, String)].collect().toMap
+    assert(docs == Map("a" -> "v1", "b" -> "v2", "c" -> "new"))
+  }
+
+  test("upsert resolves within-batch dupes by orderCol descending") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    val b = Seq(("a", "old", Seq(1f), 1), ("a", "new", Seq(2f), 2))
+      .toDF("id", "document", "embedding", "ver")
+    c.upsert(b, orderCol = Some("ver"))
+    assert(c.count() == 1)
+    assert(c.toDF.select("document").as[String].head() == "new")
+  }
+
+  test("update replaces fields for existing ids only (B3)") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(batch(("a", "v1", Seq(1f)), ("b", "v1", Seq(2f))))
+    c.update(Seq(("a", "patched"), ("zz", "ignored")).toDF("id", "document"))
+    val docs = c.toDF.select("id", "document").as[(String, String)].collect().toMap
+    assert(docs == Map("a" -> "patched", "b" -> "v1"))
+  }
+
+  test("delete by ids and by metadata/document predicate (B4)") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(batch(("a", "keep me", Seq(1f)), ("b", "drop me", Seq(2f)), ("c", "keep too", Seq(3f))))
+    c.delete(ids = Seq("c"))
+    assert(c.count() == 2)
+    c.delete(whereDoc = Some(ChromaFilter.Contains("drop")))
+    assert(c.toDF.select("id").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("get supports where/where_document/limit/offset paging (B5)") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(batch(("a", "xx", Seq(1f)), ("b", "xy", Seq(2f)),
+      ("c", "yy", Seq(3f)), ("d", "xz", Seq(4f))))
+    val page = c.get(whereDoc = Some(ChromaFilter.Contains("x")), limit = Some(2), offset = 1)
+    assert(page.select("id").as[String].collect().toSeq == Seq("b", "d"))
+  }
+
+  test("query returns top-k by the collection's distance space (B6)") {
+    val c = freshCatalog().getOrCreateCollection("c", "cosine")
+    c.add(batch(("a", "east", Seq(1f, 0f)), ("b", "north", Seq(0f, 1f)), ("c", "ne", Seq(1f, 1f))))
+    val res = c.query(Seq(1f, 0f), 2).select("id").as[String].collect()
+    assert(res.toSeq == Seq("a", "c"))
+    val filtered = c.query(Seq(1f, 0f), 2,
+      whereDoc = Some(ChromaFilter.NotContains("east"))).select("id").as[String].collect()
+    assert(filtered.toSeq == Seq("c", "b"))
+  }
+
+  test("peek returns first n by id (B10)") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(batch(("b", "2", Seq(1f)), ("a", "1", Seq(2f)), ("c", "3", Seq(3f))))
+    assert(c.peek(2).select("id").as[String].collect().toSeq == Seq("a", "b"))
+  }
+
+  test("modify updates collection metadata in meta.json (B11)") {
+    val cat = freshCatalog()
+    val c = cat.getOrCreateCollection("c")
+    c.modifyMetadata(Map("owner" -> "graft", "dim" -> "2"))
+    assert(c.meta.metadata == Map("owner" -> "graft", "dim" -> "2"))
+    c.modifyMetadata(Map("owner" -> "other"))
+    assert(c.meta.metadata == Map("owner" -> "other", "dim" -> "2"))
+  }
+
+  test("copy-on-write: mutations bump version, data is hash-bucketed") {
+    val cat = freshCatalog()
+    val c = cat.getOrCreateCollection("c")
+    c.add(batch(("a", "1", Seq(1f))))
+    val v1 = c.meta.version
+    c.upsert(batch(("a", "2", Seq(2f))))
+    assert(c.meta.version == v1 + 1)
+    // bucket partition column exists on disk but is hidden from readers
+    assert(!c.toDF.columns.contains("pt"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "another unrelated short text snippet entirely")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per text; idempotent") {
+    val once = Dedup.exactDedup(docs, Seq("text"), "doc_id")
+    assert(once.count() == 4)
+    assert(once.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 5L))
+    val twice = Dedup.exactDedup(once, Seq("text"), "doc_id")
+    assert(twice.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("word shingles: count, content, short-text fallback") {
+    val sh = docs.filter(col("doc_id") === 1)
+      .select(Dedup.wordShingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(sh.length == 7) // 9 tokens -> 7 trigrams
+    assert(sh.head == "the quick brown" && sh.last == "the lazy dog")
+    val short = Seq("one two").toDF("t")
+      .select(Dedup.wordShingles(col("t"), 3).as("s")).as[Seq[String]].head()
+    assert(short == Seq("one two"))
+  }
+
+  test("minhash signature: fixed length, deterministic, equal for equal text") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minHashSignature(Dedup.wordShingles(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs.values.forall(_.length == 16))
+    assert(sigs(1L) == sigs(4L))          // identical text -> identical signature
+    assert(sigs(1L) != sigs(3L))          // different text -> different signature
+    val overlap12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    val overlap13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(overlap12 > overlap13)         // near-dup shares more minhashes
+  }
+
+  test("minhash LSH candidates include exact and near dups, not unrelated") {
+    val cand = Dedup.minHashCandidates(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, numBands = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 4L)))       // exact dup always collides
+    assert(!cand.contains((3L, 5L)))      // unrelated never collides
+  }
+
+  test("simhash: equal text -> equal hash; near-dup closer than unrelated") {
+    val hs = docs.select(col("doc_id"), Dedup.simHash(split(col("text"), " ")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hs(1L) == hs(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) < ham(hs(1L), hs(3L)))
+  }
+
+  test("hammingDist64 column matches bitCount") {
+    val d = Seq((3L, 1L)).toDF("a", "b")
+      .select(Dedup.hammingDist64(col("a"), col("b"))).as[Int].head()
+    assert(d == 1)
+  }
+
+  test("jaccard on token arrays") {
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-12)     // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("embedding near-dup finds duplicate vectors above threshold") {
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0.01f)), (3L, Seq(0f, 1f)))
+      .toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDup(vecs, "id", "vec", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one[T](text: String, c: org.apache.spark.sql.Column): T =
+    Seq(text).toDF("text").select(c.as("v")).head.getAs[T]("v")
+
+  test("whitespace token count") {
+    assert(one[Int]("a b c", TextAnalysis.tokenCount(col("text"))) == 3)
+    assert(one[Int]("one", TextAnalysis.tokenCount(col("text"))) == 1)
+  }
+
+  test("BPE-ish token count splits words and punctuation") {
+    assert(one[Int]("hello, world!", TextAnalysis.tokenCountBpeish(col("text"))) == 4)
+    assert(one[Int]("a1b2", TextAnalysis.tokenCountBpeish(col("text"))) == 1)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    assert(one[String]("the cat and the dog of the house",
+      TextAnalysis.langId(col("text"))) == "en")
+    assert(one[String]("el perro y la casa de los gatos",
+      TextAnalysis.langId(col("text"))) == "es")
+    assert(one[String]("zzz qqq xxx", TextAnalysis.langId(col("text"))) == "und")
+  }
+
+  test("langId tie-break is language-code ascending") {
+    // 'de' and 'en' both hit exactly once -> 'de' (ascending)
+    assert(one[String]("der the zzz", TextAnalysis.langId(col("text"))) == "de")
+  }
+
+  test("quality struct fields") {
+    val r = Seq("The cat, the dog.").toDF("text")
+      .select(TextAnalysis.qualityStruct(col("text")).as("q"))
+      .select("q.n_chars", "q.n_tokens", "q.punct_ratio").head()
+    assert(r.getInt(0) == 17 && r.getInt(1) == 4)
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 0.2)
+  }
+
+  test("quality score is in [0,1] and favors natural text") {
+    val natural = one[Double]("the cat and the dog sat on the mat with a hat in the sun all day long today",
+      TextAnalysis.qualityScore(col("text")))
+    val junk = one[Double]("zzz", TextAnalysis.qualityScore(col("text")))
+    assert(natural > junk)
+    assert(natural <= 1.0 && junk >= 0.0)
+  }
+
+  test("fingerprint is order-sensitive and 0 for empty text") {
+    val a = one[Long]("abc", TextAnalysis.fingerprint(col("text")))
+    val b = one[Long]("cba", TextAnalysis.fingerprint(col("text")))
+    assert(a != b)
+    // "abc" = 97*1 + 98*2 + 99*3 = 590
+    assert(a == 590L)
+    assert(one[Long]("", TextAnalysis.fingerprint(col("text"))) == 0L)
+  }
+}
