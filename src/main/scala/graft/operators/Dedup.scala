@@ -40,23 +40,49 @@ object Dedup {
       .otherwise(transform(idx, i => array_join(slice(tokens, i + 1, lit(n)), " ")))
   }
 
-  /** MinHash signature: for each of `numHashes` permutations i,
-    * min over shingles s of (a_i * xxhash64(s) + b_i) mod p.
-    * Permutation constants are fixed (deterministic across runs/engines).
+  // p = 2^31−1 (Mersenne prime) keeps a·h+b < 2^62 — no long overflow
+  // under ANSI arithmetic while still giving a 31-bit hash space.
+  private val MinHashP = 2147483647L
+  // LCG-derived permutation constants, fixed and deterministic.
+  private def permA(i: Int): Long = ((i * 1103515245L + 12345L) % (MinHashP - 1)) + 1
+  private def permB(i: Int): Long = (i * 69069L + 362437L) % MinHashP
+
+  /** MinHash signature as a single array Column: for each of `numHashes`
+    * permutations i, min over shingles s of (a_i·xxhash64(s)+b_i) mod p.
+    * Lambda-expression form — convenient but interpreted (no codegen); for
+    * bulk signing prefer [[minHashSignatures]], which produces identical
+    * values through whole-stage-codegen'd aggregation.
     */
   def minHashSignature(shingles: Column, numHashes: Int): Column = {
-    // p = 2^31−1 (Mersenne prime) keeps a·h+b < 2^62 — no long overflow
-    // under ANSI arithmetic while still giving a 31-bit hash space.
-    val p = 2147483647L
-    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(p)))
+    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(MinHashP)))
     val perms = sequence(lit(0), lit(numHashes - 1))
     transform(perms, i => {
-      // LCG-derived permutation constants — small enough that every
-      // intermediate product stays below 2^62 (ANSI-safe).
-      val a = pmod(i * lit(1103515245L) + lit(12345L), lit(p - 1)) + 1
-      val b = pmod(i * lit(69069L) + lit(362437L), lit(p))
-      array_min(transform(hashed, h => pmod(a * h + b, lit(p))))
+      val a = pmod(i * lit(1103515245L) + lit(12345L), lit(MinHashP - 1)) + 1
+      val b = pmod(i * lit(69069L) + lit(362437L), lit(MinHashP))
+      array_min(transform(hashed, h => pmod(a * h + b, lit(MinHashP))))
     })
+  }
+
+  /** Bulk MinHash signing, relational form: explode shingles to rows, hash
+    * with codegen'd xxhash64, take `numHashes` map-side-combinable `min`
+    * aggregations. Same values as [[minHashSignature]], but the whole plan
+    * stays in whole-stage codegen and the only shuffle is the partial-agg
+    * combine on `id` — the shape that survives a 100 TB corpus (no giant
+    * per-row arrays, no interpreted lambdas on the hot path).
+    *
+    * @return (id, sig ARRAY<BIGINT>[numHashes])
+    */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleSize)).as("sh"))
+    val hashed = shingled.withColumn("h", pmod(xxhash64(col("sh")), lit(MinHashP)))
+    val minCols = (0 until numHashes).map { i =>
+      min(pmod(lit(permA(i)) * col("h") + lit(permB(i)), lit(MinHashP))).as(s"m$i")
+    }
+    hashed.groupBy("id").agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** MinHash+LSH near-dup candidate pairs: signatures banded into
@@ -65,19 +91,26 @@ object Dedup {
     */
   def minHashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4): DataFrame = {
+      shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val sig = df.select(
-      col(idCol).as("id"),
-      minHashSignature(wordShingles(col(textCol), shingleSize), numHashes).as("sig"))
+    val sig = minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
     val bands = sig.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("rows")))))
       .select(col("id"), hash(col("col.band"), col("col.rows")).as("bucket"))
-    bands.as("a").join(bands.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // One signature pass + ONE shuffle (groupBy bucket), then pair expansion
+    // inside each bucket — never a self-join (which would recompute the whole
+    // signature pipeline for both sides) and never a global cross product.
+    // maxBucketSize guards against a degenerate hot bucket going quadratic.
+    val buckets = bands.groupBy("bucket").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val sorted = sort_array(col("ids"))
+    buckets.select(explode(flatten(transform(sorted, (x, i) =>
+        transform(slice(sorted, i + 2, size(sorted)), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b")).distinct()
   }
 
   /** SimHash (64-bit): sign-sum of per-token hash bits weighted +1/−1.

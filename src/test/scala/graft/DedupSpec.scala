@@ -44,6 +44,15 @@ class DedupSpec extends SparkTestBase {
     assert(overlap12 > overlap13)         // near-dup shares more minhashes
   }
 
+  test("relational minHashSignatures matches the lambda form exactly") {
+    val lambda = docs.select(col("doc_id").as("id"),
+        Dedup.minHashSignature(Dedup.wordShingles(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val rel = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(lambda == rel)
+  }
+
   test("minhash LSH candidates include exact and near dups, not unrelated") {
     val cand = Dedup.minHashCandidates(docs, "doc_id", "text",
         shingleSize = 3, numHashes = 16, numBands = 8)
