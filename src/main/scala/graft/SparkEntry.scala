@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.catalog.CollectionCatalog
 import graft.functions.{Distances, TextAnalysis}
-import graft.operators.{Assemble, ChromaFilter, Dedup, Knn}
+import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Knn, Multimodal}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + the builder prompt.
   *
@@ -298,6 +298,27 @@ object SparkEntry {
       t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(col("doc_id"), Dedup.simHash(split(col("text"), " ")).as("simhash"))
         .orderBy("doc_id")),
+    // ANN scale path: IVF partition-pruned kNN (k-means: rows-only check)
+    "q32_ivf_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = Ann.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+      Ann.queryIvf(m.assigned, m, "vec_id", "embedding", headVec(emb, 0), 10,
+          nprobe = 2, space = "cosine")
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
+    // ANN: deterministic sign-random-projection buckets
+    "q33_srp_bucket" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), Ann.srpBucket(col("embedding"), 64, 8).as("bucket"))
+        .orderBy("vec_id")),
+    // Multimodal: binary payload + typed metadata + (stub) decode features
+    "q34_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeStub(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(col("mean_byte"), 4).as("mean_byte"))
+        .orderBy("media_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -442,7 +463,22 @@ object SparkEntry {
          |p AS (SELECT a.id AS id_a, b.id AS id_b, $sim AS sim FROM s a, s b WHERE a.id < b.id)
          |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p ORDER BY id_a, id_b""".stripMargin
     },
-    // q30/q31 intentionally omitted: MinHash/SimHash signatures depend on the
-    // engine hash function (xxhash64) — covered by the rows-only check + unit tests.
+    "q33_srp_bucket" ->
+      """SELECT vec_id, CAST(list_sum(list_transform(range(8), b ->
+        |  CASE WHEN list_sum(list_transform(range(64), j ->
+        |         CAST(embedding[j+1] AS DOUBLE)
+        |         * (((1103515245 * (b*64 + j) + 12345) % 2001 - 1000) / 1000.0))) >= 0
+        |       THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q34_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |ROUND(CAST(list_sum(list_transform(range(length(text)),
+        |  i -> ascii(substr(text, CAST(i+1 AS INTEGER), 1)))) AS DOUBLE) / length(text), 4) AS mean_byte
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // q30/q31/q32 intentionally omitted: MinHash/SimHash signatures depend on
+    // the engine hash function (xxhash64), and IVF on an MLlib k-means fit —
+    // covered by the rows-only check + unit tests (DedupSpec, AnnSpec).
   )
 }

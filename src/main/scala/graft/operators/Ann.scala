@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** Approximate nearest-neighbor search — the scale path for the hydrated
+  * collection's `query()` (SURVEY §4.3.3). Chroma answers kNN with a
+  * single-node HNSW graph; that shape cannot shard past one machine. The
+  * Spark-native equivalent is IVF (inverted-file) partition pruning:
+  *
+  *   build: k-means over (a sample of) the corpus → every row is assigned
+  *          its nearest centroid id → corpus is repartitioned/persisted BY
+  *          centroid (a partition column, so Catalyst partition-prunes).
+  *   query: compute the query's nprobe nearest centroids driver-side
+  *          (centroid table is tiny) → scan ONLY those cells → exact
+  *          distance + top-k inside the pruned set.
+  *
+  * At 100 TB with nlist=4096 and nprobe=8, a query touches ~0.2% of the
+  * corpus, and each cell is an independent parquet partition — no shuffle
+  * at query time at all.
+  *
+  * Also provided: deterministic sign-random-projection LSH bucketing
+  * (`srpBucket`) — a cheap alternative prune when training k-means is
+  * undesirable; projection vectors derive from a fixed arithmetic formula,
+  * so bucketing is reproducible across runs and engines.
+  */
+object Ann {
+
+  /** IVF build product: centroid table (small) + corpus with `cell` col. */
+  final case class IvfModel(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
+
+  /** Build an IVF index: fit k-means (seeded, deterministic) and assign
+    * every row to its nearest centroid cell.
+    *
+    * @param trainFraction fit on a sample — at 100 TB you never train on
+    *        the full corpus; assignment is still exact for every row.
+    */
+  def buildIvf(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L, trainFraction: Double = 1.0): IvfModel = {
+    val featurized = corpus.withColumn("__features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val train = if (trainFraction >= 1.0) featurized
+                else featurized.sample(withReplacement = false, trainFraction, seed)
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("__features").setPredictionCol("cell")
+      .fit(train)
+    val assigned = model.transform(featurized).drop("__features")
+    val cents = model.clusterCenters.zipWithIndex.map { case (v: Vector, i) => (i, v.toArray) }
+    IvfModel(cents, assigned)
+  }
+
+  /** Persist the assignment partitioned by cell: queries then prune at the
+    * file-listing level (`PartitionFilters` in the scan). */
+  def writeIvf(model: IvfModel, path: String): Unit =
+    model.assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** nprobe nearest centroid ids for a query vector (driver-side: the
+    * centroid table is nlist rows — never distributed work). */
+  def nearestCells(model: IvfModel, query: Seq[Float], nprobe: Int): Seq[Int] = {
+    val q = query.map(_.toDouble).toArray
+    model.centroids
+      .map { case (i, c) =>
+        var s = 0.0; var j = 0
+        while (j < c.length) { val d = c(j) - q(j); s += d * d; j += 1 }
+        (i, s)
+      }
+      .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1).toSeq
+  }
+
+  /** IVF query: exact top-k inside the nprobe pruned cells. `indexed` may be
+    * the in-memory `assigned` frame or `spark.read.parquet(ivfPath)` — with
+    * the latter, the `cell` predicate prunes whole directories. */
+  def queryIvf(
+      indexed: DataFrame, model: IvfModel, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nprobe: Int,
+      space: String = "cosine", preFilter: Option[Column] = None): DataFrame = {
+    val cells = nearestCells(model, query, nprobe)
+    Knn.topK(indexed.filter(col("cell").isin(cells: _*)),
+      idCol, vecCol, query, k, space, preFilter)
+  }
+
+  /** Deterministic sign-random-projection bucket (LSH prune alternative):
+    * bit b of the bucket = sign of ⟨vec, r_b⟩ where
+    * r_b[j] = ((1103515245·(b·dim+j) + 12345) mod 2001 − 1000)/1000 — a
+    * fixed arithmetic pseudo-random sequence, reproducible anywhere.
+    */
+  def srpBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { b =>
+      val proj = (0 until dim).map { j =>
+        val r = ((1103515245L * (b.toLong * dim + j) + 12345L) % 2001L - 1000L) / 1000.0
+        element_at(vec, j + 1).cast("double") * lit(r)
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+}

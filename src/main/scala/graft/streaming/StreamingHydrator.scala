@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+import graft.catalog.Collection
+import graft.operators.Assemble
+
+/** Streaming hydration: the reference's one-shot batch load
+  * (extras/...sas:177-190, a single `collection.add`) re-expressed as a
+  * Structured Streaming sink, so a 100 TB corpus can hydrate continuously
+  * instead of via one giant client-side batch.
+  *
+  * Patterns provided:
+  *  - `hydrate`: readStream rows → per-microbatch upsert into a collection
+  *    (`foreachBatch`; upsert not add, so replayed batches stay idempotent —
+  *    exactly-once effect on top of at-least-once delivery).
+  *  - `dedupedHydrate`: drop duplicate ids inside the watermark window
+  *    before the sink (streaming form of B1's unique-id invariant).
+  *  - `windowedCounts`: tumbling-window event counts with late-data drop —
+  *    the C9 windowed-agg surface.
+  */
+object StreamingHydrator {
+
+  /** Per-microbatch upsert sink. Caller starts/stops the returned writer. */
+  def hydrate(
+      rows: DataFrame,
+      collection: Collection,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) collection.upsert(batch)
+      }
+
+  /** Streaming unique-id enforcement: duplicates arriving within the
+    * watermark horizon are dropped before the sink. */
+  def dedupedRows(rows: DataFrame, tsCol: String, watermark: String): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("id")
+
+  /** Tumbling-window counts with watermark-based late-data drop. */
+  def windowedCounts(
+      events: DataFrame, tsCol: String,
+      watermark: String, windowLen: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+
+  /** Wide-input streaming assembly: the reference's A2+A4 applied to a
+    * stream (pattern projection is schema-static, so it works unchanged). */
+  def assembleStream(
+      wide: DataFrame, docIdCol: String, textCol: String,
+      embeddingPattern: String, metadataCol: Option[String] = None): DataFrame =
+    Assemble.hydrationFrame(wide, docIdCol, textCol, embeddingPattern, metadataCol)
+}

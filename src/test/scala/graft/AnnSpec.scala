@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, Knn}
+
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(sf("embeddings"))
+
+  test("IVF: every row assigned to a valid cell; centroids cover nlist") {
+    val m = Ann.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+    assert(m.centroids.length == 8)
+    assert(m.assigned.count() == emb.count())
+    val cells = m.assigned.select("cell").distinct().as[Int].collect().toSet
+    assert(cells.subsetOf((0 until 8).toSet))
+  }
+
+  test("IVF query recall vs brute force (nprobe=nlist means exact)") {
+    val m = Ann.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+    val q = emb.filter(col("vec_id") === 7).select("embedding").as[Seq[Float]].head()
+    val exact = Knn.topK(emb, "vec_id", "embedding", q, 10, "cosine")
+      .select("vec_id").as[Long].collect().toSet
+    // probing ALL cells must reproduce brute force exactly
+    val all = Ann.queryIvf(m.assigned, m, "vec_id", "embedding", q, 10,
+      nprobe = 8, space = "cosine").select("vec_id").as[Long].collect().toSet
+    assert(all == exact)
+    // probing 3/8 cells: approximate but should still recall most of top-10
+    val approx = Ann.queryIvf(m.assigned, m, "vec_id", "embedding", q, 10,
+      nprobe = 3, space = "cosine").select("vec_id").as[Long].collect().toSet
+    assert(approx.intersect(exact).size >= 5,
+      s"recall too low: ${approx.intersect(exact).size}/10")
+  }
+
+  test("IVF persisted layout partition-prunes at the scan") {
+    val m = Ann.buildIvf(emb, "vec_id", "embedding", nlist = 4)
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ivf").toString
+    Ann.writeIvf(m, dir)
+    val indexed = spark.read.parquet(dir)
+    val q = emb.filter(col("vec_id") === 3).select("embedding").as[Seq[Float]].head()
+    val res = Ann.queryIvf(indexed, m, "vec_id", "embedding", q, 5, nprobe = 1)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning in:\n$plan")
+    assert(res.count() == 5)
+  }
+
+  test("SRP bucket is deterministic and groups identical vectors") {
+    val df = Seq((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(1f, 2f, 3f, 4f)),
+      (3L, Seq(-1f, -2f, -3f, -4f))).toDF("id", "vec")
+    val b = df.select(col("id"), Ann.srpBucket(col("vec"), 4, 8).as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(3L)) // opposite vectors flip every sign bit
+    // re-evaluation gives the same buckets (pure arithmetic, no RNG state)
+    val b2 = df.select(col("id"), Ann.srpBucket(col("vec"), 4, 8).as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(b == b2)
+  }
+}

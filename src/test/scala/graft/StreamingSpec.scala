@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.catalog.CollectionCatalog
+import graft.streaming.StreamingHydrator
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), prefix).toString
+
+  test("streaming hydrate: microbatches land in the collection, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new CollectionCatalog(spark, tmp("stream-cat"), numBuckets = 4)
+    val coll = cat.getOrCreateCollection("s", "cosine")
+    val mem = MemoryStream[(String, String, Seq[Float])]
+    mem.addData(("a", "doc a", Seq(1f, 0f)), ("b", "doc b", Seq(0f, 1f)))
+    val rows = mem.toDF.toDF("id", "document", "embedding")
+    val q1 = StreamingHydrator.hydrate(rows, coll, tmp("ckpt1")).start()
+    q1.awaitTermination(60000)
+    assert(coll.count() == 2)
+    // second batch including an id seen before: upsert keeps it idempotent
+    mem.addData(("b", "doc b v2", Seq(0f, 2f)), ("c", "doc c", Seq(1f, 1f)))
+    val q2 = StreamingHydrator.hydrate(rows, coll, tmp("ckpt2")).start()
+    q2.awaitTermination(60000)
+    assert(coll.count() == 3)
+    assert(coll.get(ids = Seq("b")).select("document").as[String].head() == "doc b v2")
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicate ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, String)]
+    val base = 1700000000000L
+    mem.addData(
+      ("a", new Timestamp(base), "v1"),
+      ("a", new Timestamp(base + 1000), "v1-dup"),
+      ("b", new Timestamp(base + 2000), "v2"))
+    val out = StreamingHydrator.dedupedRows(
+      mem.toDF.toDF("id", "ts", "document"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("dedup_out").select("id").as[String].collect().sorted
+    assert(ids.toSeq == Seq("a", "b"))
+  }
+
+  test("windowed counts with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val h = 3600000L
+    // last event pushes the watermark (13:00 - 1h = 12:00) past the ends of
+    // the 10:00 and 11:00 windows so Append mode emits them
+    mem.addData(
+      (new Timestamp(h * 10), "view"), (new Timestamp(h * 10 + 60000), "view"),
+      (new Timestamp(h * 10 + 120000), "click"), (new Timestamp(h * 11), "view"),
+      (new Timestamp(h * 13), "sentinel"))
+    val out = StreamingHydrator.windowedCounts(
+      mem.toDF.toDF("ts", "event_type"), "ts", "1 hour", "1 hour")
+    val q = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("win_out")
+      .select("window_start", "event_type", "cnt")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(rows.contains((new Timestamp(h * 10), "view", 2L)))
+    assert(rows.contains((new Timestamp(h * 10), "click", 1L)))
+    assert(rows.contains((new Timestamp(h * 11), "view", 1L)))
+  }
+}
