@@ -1,0 +1,54 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.GraftColumnShim
+
+/** Registration of the graft native expressions.
+  *
+  * Two paths:
+  *  1. `spark.sql.extensions=graft.expressions.GraftExtensions` at session
+  *     build time — the standard SparkSessionExtensions route; makes
+  *     `graft_cosine_dist(a,b)` etc. usable from plain SQL.
+  *  2. `GraftExtensions.register(spark)` on a live session (the driver may
+  *     hand us an already-built session) — same functions, same names.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.specs.foreach { case (name, space) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[VectorDistance].getName, name),
+        (children: Seq[Expression]) => GraftExtensions.build(space, children)))
+    }
+}
+
+object GraftExtensions {
+
+  private val specs: Seq[(String, String)] = Seq(
+    "graft_dot" -> "dot",
+    "graft_l2_dist" -> "l2",
+    "graft_ip_dist" -> "ip",
+    "graft_cosine_dist" -> "cosine")
+
+  private def build(space: String, children: Seq[Expression]): VectorDistance = {
+    require(children.length == 2, s"vector distance takes 2 args, got ${children.length}")
+    VectorDistance(children.head, children(1), space)
+  }
+
+  /** Column-level constructors (no registration needed). */
+  def dist(space: String)(a: Column, b: Column): Column =
+    GraftColumnShim.column(VectorDistance(
+      GraftColumnShim.expression(a), GraftColumnShim.expression(b), space))
+
+  /** Register the SQL functions on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    specs.foreach { case (name, space) =>
+      registry.createOrReplaceTempFunction(
+        name, (children: Seq[Expression]) => build(space, children), "scala_udf")
+    }
+  }
+}
