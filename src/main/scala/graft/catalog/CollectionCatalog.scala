@@ -144,6 +144,11 @@ final class Collection(spark: SparkSession, dir: Path, numBuckets: Int) {
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType), true))))
   }
 
+  /** Current contents WITH the bucket column (internal merge path). */
+  private def currentWithPt: DataFrame =
+    spark.read.parquet(currentData.get.toString)
+
+  /** Full rewrite into a fresh version (first write / fallback). */
   private def writeVersion(df: DataFrame): Unit = {
     val m = meta
     val next = m.version + 1
@@ -151,55 +156,113 @@ final class Collection(spark: SparkSession, dir: Path, numBuckets: Int) {
     CollectionMeta.atomicWrite(dir, m.copy(version = next))
   }
 
+  /** Partition-pruned copy-on-write (SURVEY §7.4.3): rewrite ONLY the id-hash
+    * buckets named in `affected`; every other bucket's files are hard-linked
+    * from the previous version into the new one (O(1) per file, no data
+    * movement). At 100 TB a point upsert touches 1 of `numBuckets` buckets
+    * instead of rewriting the collection. The meta.json swap stays atomic,
+    * so readers see either the old or the new version, never a mix.
+    *
+    * @param mergedAffected replacement rows for the affected buckets only
+    *                       (must already be exactly those buckets' content)
+    */
+  private def writeMergedVersion(mergedAffected: DataFrame, affected: Set[Int]): Unit = {
+    val m = meta
+    val next = m.version + 1
+    val newDir = dataDir(next)
+    bucketed(mergedAffected.drop("pt")).write.mode("overwrite")
+      .partitionBy("pt").parquet(newDir.toString)
+    val oldDir = dataDir(m.version)
+    Files.list(oldDir).iterator.asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("pt="))
+      .filterNot(p => affected.contains(p.getFileName.toString.stripPrefix("pt=").toInt))
+      .foreach { bucketDir =>
+        val target = newDir.resolve(bucketDir.getFileName.toString)
+        Files.createDirectories(target)
+        Files.list(bucketDir).iterator.asScala.filter(Files.isRegularFile(_)).foreach { f =>
+          val link = target.resolve(f.getFileName.toString)
+          try Files.createLink(link, f)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
+        }
+      }
+    CollectionMeta.atomicWrite(dir, m.copy(version = next))
+  }
+
+  /** Distinct id-hash buckets hit by a batch (small driver-side collect). */
+  private def bucketsOf(df: DataFrame): Set[Int] =
+    bucketed(df).select("pt").distinct().collect().map(_.getInt(0)).toSet
+
   /** B1 add: batch insert; errors on duplicate ids (within the batch or vs
-    * the collection) — Chroma `add()` semantics. */
+    * the collection) — Chroma `add()` semantics. Only the buckets receiving
+    * new rows are rewritten. */
   def add(batch: DataFrame): Unit = {
     val withinDup = batch.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
     if (withinDup.nonEmpty)
       throw new IllegalArgumentException(s"duplicate id in batch: ${withinDup.head.getString(0)}")
-    currentData.foreach { _ =>
-      val clash = batch.join(toDF.select("id"), Seq("id"), "left_semi").limit(1).collect()
-      if (clash.nonEmpty)
-        throw new IllegalArgumentException(s"id already exists: ${clash.head.getString(0)}")
+    currentData match {
+      case None => writeVersion(batch)
+      case Some(_) =>
+        val clash = batch.join(toDF.select("id"), Seq("id"), "left_semi").limit(1).collect()
+        if (clash.nonEmpty)
+          throw new IllegalArgumentException(s"id already exists: ${clash.head.getString(0)}")
+        val affected = bucketsOf(batch)
+        val curAffected = currentWithPt.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
+        writeMergedVersion(
+          curAffected.unionByName(batch, allowMissingColumns = true), affected)
     }
-    writeVersion(if (currentData.isDefined) toDF.unionByName(batch, allowMissingColumns = true) else batch)
   }
 
   /** B2 upsert: insert-or-replace by id; within-batch duplicates resolve
-    * latest-wins by `orderCol` descending (deterministic). */
+    * latest-wins by `orderCol` descending (deterministic). Only affected
+    * buckets are rewritten. */
   def upsert(batch: DataFrame, orderCol: Option[String] = None): Unit = {
     val w = Window.partitionBy("id")
       .orderBy(orderCol.map(c => col(c).desc).getOrElse(monotonically_increasing_id().desc))
     val dedupBatch = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val merged = currentData match {
-      case Some(_) => toDF.join(dedupBatch.select("id"), Seq("id"), "left_anti")
-        .unionByName(dedupBatch, allowMissingColumns = true)
-      case None => dedupBatch
+    currentData match {
+      case None => writeVersion(dedupBatch)
+      case Some(_) =>
+        val affected = bucketsOf(dedupBatch)
+        val curAffected = currentWithPt.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
+        val merged = curAffected.join(dedupBatch.select("id"), Seq("id"), "left_anti")
+          .unionByName(dedupBatch, allowMissingColumns = true)
+        writeMergedVersion(merged, affected)
     }
-    writeVersion(merged)
   }
 
-  /** B3 update: replace non-null fields for EXISTING ids only. */
+  /** B3 update: replace non-null fields for EXISTING ids only. Only the
+    * buckets containing updated ids are rewritten. */
   def update(batch: DataFrame): Unit = currentData.foreach { _ =>
-    val cur = toDF
+    val affected = bucketsOf(batch.select("id"))
+    val cur = currentWithPt.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
     val upd = batch.columns.filter(_ != "id")
     val joined = cur.alias("c").join(batch.alias("u"), Seq("id"), "left")
     val merged = joined.select(
       col("id") +: cur.columns.filter(_ != "id").map { c =>
         if (upd.contains(c)) coalesce(col(s"u.$c"), col(s"c.$c")).as(c) else col(s"c.$c").as(c)
       }: _*)
-    writeVersion(merged)
+    writeMergedVersion(merged, affected)
   }
 
-  /** B4 delete by id list and/or metadata predicate. */
+  /** B4 delete by id list and/or metadata predicate. For an id list the
+    * affected buckets are known a priori; for a predicate they are
+    * discovered with one pruned scan — either way only buckets that lose
+    * rows are rewritten. */
   def delete(ids: Seq[String] = Nil, where: Option[Where] = None,
              whereDoc: Option[WhereDocument] = None): Unit = currentData.foreach { _ =>
-    val cur = toDF
     val byIds: Option[Column] = if (ids.nonEmpty) Some(col("id").isin(ids: _*)) else None
     val byPred = ChromaFilter.predicate(where, whereDoc, col("document"))
     val cond = (byIds.toSeq ++ byPred.toSeq).reduceOption(_ || _)
-    cond.foreach(c => writeVersion(cur.filter(!coalesce(c, lit(false)))))
+    cond.foreach { c =>
+      val affected = currentWithPt.filter(coalesce(c, lit(false)))
+        .select("pt").distinct().collect().map(_.getInt(0)).toSet
+      if (affected.nonEmpty) {
+        val cur = currentWithPt.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
+        writeMergedVersion(cur.filter(!coalesce(c, lit(false))), affected)
+      }
+    }
   }
 
   /** B5 get: point/filtered retrieval, deterministically paged by id. */

@@ -117,6 +117,36 @@ class CollectionSpec extends SparkTestBase {
     assert(c.meta.metadata == Map("owner" -> "other", "dim" -> "2"))
   }
 
+  test("merge rewrites only affected buckets; others are hard-linked") {
+    val cat = freshCatalog()
+    val c = cat.getOrCreateCollection("c")
+    val rows = (0 until 40).map(i => (s"id$i", s"doc $i", Seq(i.toFloat)))
+    c.add(rows.toDF("id", "document", "embedding"))
+    val v1Dir = java.nio.file.Paths.get(
+      c.toDF.inputFiles.head.stripPrefix("file:")).getParent.getParent
+    def bucketFiles(dir: java.nio.file.Path): Map[String, Set[String]] = {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator.asScala
+        .filter(p => p.getFileName.toString.startsWith("pt="))
+        .map(p => p.getFileName.toString ->
+          Files.list(p).iterator.asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = bucketFiles(v1Dir)
+    c.upsert(Seq(("id0", "patched", Seq(99f))).toDF("id", "document", "embedding"))
+    val v2Dir = v1Dir.getParent.resolve(f"data_v${c.meta.version}%06d")
+    val after = bucketFiles(v2Dir)
+    // the bucket holding id0 gets new files; every other bucket keeps the
+    // exact same file names (hard links, not rewrites)
+    val changed = after.keySet.filter(k => before.get(k) != after.get(k))
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+    (after.keySet - changed.head).foreach { k => assert(after(k) == before(k)) }
+    // and content is correct
+    assert(c.count() == 40)
+    assert(c.get(ids = Seq("id0")).select("document").as[String].head() == "patched")
+  }
+
   test("copy-on-write: mutations bump version, data is hash-bucketed") {
     val cat = freshCatalog()
     val c = cat.getOrCreateCollection("c")
