@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.{Collection, CollectionCatalog}
+import graft.operators.Assemble
+
+/** The reference step's parameter surface: 9 UI-configurable values
+  * (extras/Vector_Databases_Hydrate_ChromaDB_Collection.sas:21-30, the
+  * `.step` JSON `ui.values`). CAS addressing (caslib/host/port) maps to a
+  * table path + catalog root in the Spark world.
+  *
+  * @param inputTable       parquet path or registered table name  (inputTable+lib, sas:21-22)
+  * @param textVar          document text column                    (sas:23)
+  * @param docId            id column, cast to string               (sas:24)
+  * @param embeddingPattern wide-column name substring              (sas:25)
+  * @param metadataColumn   optional metadata column → {"rating": v} (sas:26)
+  * @param collectionName   target collection                       (sas:27)
+  * @param persistentPath   collection store root                   (sas:28)
+  * @param space            distance space of the collection (Chroma hnsw:space)
+  * @param runTrigger       the step's run-time gate                (sas:527-538)
+  */
+final case class HydrateConfig(
+    inputTable: String,
+    textVar: String,
+    docId: String,
+    embeddingPattern: String,
+    metadataColumn: Option[String] = None,
+    collectionName: String,
+    persistentPath: String,
+    space: String = "l2",
+    runTrigger: Boolean = true)
+
+/** The reference's whole life, Spark-first: validate → project/assemble →
+  * add → count check (sas:423-511 orchestration + sas:126-193 payload).
+  *
+  * Differences from the reference, by design:
+  *  - no client-side materialization: the table never leaves the cluster
+  *    (the reference pulls everything into one pandas process, sas:161);
+  *  - validation is fail-fast BEFORE any job is submitted (mirrors the
+  *    error-flag short-circuiting of sas:429-489);
+  *  - the add is a distributed bucketed write, not one giant
+  *    `collection.add` batch (sas:177).
+  */
+object Hydrator {
+
+  /** A15-style validation gates. Returns the list of failures (empty = ok). */
+  def validate(spark: SparkSession, cfg: HydrateConfig): Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    if (cfg.collectionName.trim.isEmpty) errs += "collectionName must be non-empty"
+    if (!Seq("l2", "ip", "cosine").contains(cfg.space))
+      errs += s"space '${cfg.space}' not one of l2|ip|cosine"
+    val input: Option[DataFrame] =
+      try Some(readInput(spark, cfg.inputTable))
+      catch { case e: Exception => errs += s"input table unreadable: ${e.getMessage}"; None }
+    input.foreach { df =>
+      val cols = df.columns.toSet
+      if (!cols.contains(cfg.textVar)) errs += s"text column '${cfg.textVar}' not in input"
+      if (!cols.contains(cfg.docId)) errs += s"id column '${cfg.docId}' not in input"
+      cfg.metadataColumn.foreach { m =>
+        if (!cols.contains(m)) errs += s"metadata column '$m' not in input" }
+      if (Assemble.columnsLike(df, cfg.embeddingPattern).isEmpty)
+        errs += s"no columns match embedding pattern '${cfg.embeddingPattern}'"
+    }
+    errs.result()
+  }
+
+  private def readInput(spark: SparkSession, table: String): DataFrame =
+    if (table.contains("/")) spark.read.parquet(table) else spark.table(table)
+
+  /** Run the hydration. Returns the hydrated collection, or None when the
+    * run trigger is off (the reference's no-op branch, sas:244-255). Throws
+    * on validation failure with every gate message (not just the first). */
+  def run(spark: SparkSession, cfg: HydrateConfig): Option[Collection] = {
+    if (!cfg.runTrigger) return None // _hcdc_run_trigger=0 → whole step skipped
+    val errs = validate(spark, cfg)
+    if (errs.nonEmpty)
+      throw new IllegalArgumentException(s"hydration config invalid: ${errs.mkString("; ")}")
+    val input = readInput(spark, cfg.inputTable)
+    val frame = Assemble.hydrationFrame(
+      input, cfg.docId, cfg.textVar, cfg.embeddingPattern, cfg.metadataColumn)
+    // Chroma-faithful add-time invariant: uniform embedding dimension
+    Assemble.validateUniformDim(frame, "embedding")
+    val cat = new CollectionCatalog(spark, cfg.persistentPath)
+    val coll = cat.getOrCreateCollection(cfg.collectionName, cfg.space)
+    val before = coll.count()
+    coll.add(frame)
+    val after = coll.count()
+    val added = input.count()
+    // the reference's operational correctness signal: count conservation
+    // (sas:134 pre-count, sas:193 post-count, README.md:93)
+    require(after - before == added,
+      s"count conservation violated: before=$before after=$after added=$added")
+    Some(coll)
+  }
+}

@@ -311,6 +311,29 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .select(col("vec_id"), Ann.srpBucket(col("embedding"), 64, 8).as("bucket"))
         .orderBy("vec_id")),
+    // C6 tumbling window via window() (DECIMAL sums: fold-order-free)
+    "q35_tumbling_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(timestamp_micros(col("us")), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("ws"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy("ws", "event_type")),
+    // C4 TPC-H Q5-ish: 4 broadcast dims + fact scan, region prefilter
+    "q36_region_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("n_name")),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -477,6 +500,22 @@ object SparkEntry {
         |ROUND(CAST(list_sum(list_transform(range(length(text)),
         |  i -> ascii(substr(text, CAST(i+1 AS INTEGER), 1)))) AS DOUBLE) / length(text), 4) AS mean_byte
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q35_tumbling_window" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws, event_type,
+        |COUNT(*) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q36_region_revenue" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |COUNT(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // q30/q31/q32 intentionally omitted: MinHash/SimHash signatures depend on
     // the engine hash function (xxhash64), and IVF on an MLlib k-means fit —
     // covered by the rows-only check + unit tests (DedupSpec, AnnSpec).

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class HydratorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpRoot(): String = Files.createTempDirectory(
+    java.nio.file.Paths.get("/root/repo/target"), "hyd").toString
+
+  // wide-shape input mirroring the reference's CAS table (README.md:75)
+  private lazy val widePath: String = {
+    val p = tmpRoot() + "/wide"
+    Seq(
+      (1L, "first doc", 9.1, 0.1, 0.2, 0.3),
+      (2L, "second doc", 8.2, 0.4, 0.5, 0.6),
+      (3L, "third doc", 7.3, 0.7, 0.8, 0.9)
+    ).toDF("doc_id", "text", "score", "emb_0", "emb_1", "emb_2")
+      .write.parquet(p)
+    p
+  }
+
+  private def cfg(root: String) = HydrateConfig(
+    inputTable = widePath, textVar = "text", docId = "doc_id",
+    embeddingPattern = "emb_", metadataColumn = Some("score"),
+    collectionName = "wide", persistentPath = root, space = "cosine")
+
+  test("full hydration: wide input -> collection, count conserved, queryable") {
+    val root = tmpRoot()
+    val coll = Hydrator.run(spark, cfg(root)).get
+    assert(coll.count() == 3)
+    val row = coll.get(ids = Seq("1")).head()
+    assert(row.getAs[String]("document") == "first doc")
+    assert(row.getSeq[Float](row.fieldIndex("embedding")) == Seq(0.1f, 0.2f, 0.3f))
+    assert(row.getAs[Map[String, String]]("metadata")("rating") == "9.1")
+    val knn = coll.query(Seq(0.1f, 0.2f, 0.3f), 2).select("id").as[String].collect()
+    assert(knn.head == "1")
+  }
+
+  test("run trigger off -> no-op (sas:244-255 branch)") {
+    val root = tmpRoot()
+    assert(Hydrator.run(spark, cfg(root).copy(runTrigger = false)).isEmpty)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "wide", "meta.json")))
+  }
+
+  test("validation gates report every failure, fail fast") {
+    val bad = cfg(tmpRoot()).copy(textVar = "nope", docId = "also_nope",
+      embeddingPattern = "zzz_", metadataColumn = Some("missing"))
+    val errs = Hydrator.validate(spark, bad)
+    assert(errs.size == 4)
+    val e = intercept[IllegalArgumentException] { Hydrator.run(spark, bad) }
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("zzz_"))
+  }
+
+  test("unreadable input and bad space are validation errors, not crashes") {
+    val errs = Hydrator.validate(spark,
+      cfg(tmpRoot()).copy(inputTable = "/no/such/path", space = "manhattan"))
+    assert(errs.exists(_.contains("unreadable")))
+    assert(errs.exists(_.contains("manhattan")))
+  }
+
+  test("ragged embeddings rejected at add time (Chroma invariant)") {
+    val p = tmpRoot() + "/ragged"
+    Seq((1L, "a", Some(1.0), Some(2.0)), (2L, "b", Some(3.0), None))
+      .toDF("doc_id", "text", "emb_0", "emb_1").write.parquet(p)
+    val e = intercept[IllegalArgumentException] {
+      Hydrator.run(spark, cfg(tmpRoot()).copy(inputTable = p, metadataColumn = None))
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
+  test("count conservation holds across a second batch into the same collection") {
+    val root = tmpRoot()
+    Hydrator.run(spark, cfg(root))
+    val p2 = tmpRoot() + "/more"
+    Seq((10L, "tenth", 1.0, 0.5, 0.5, 0.5)).toDF("doc_id", "text", "score", "emb_0", "emb_1", "emb_2")
+      .write.parquet(p2)
+    val coll = Hydrator.run(spark, cfg(root).copy(inputTable = p2)).get
+    assert(coll.count() == 4)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Distances
+import graft.operators.{Dedup, Knn}
+
+/** Property-based coverage (SURVEY §5.2): scalacheck generators produce the
+  * inputs; each property is checked over the whole generated set in ONE
+  * Spark job (per-case jobs would be pathologically slow).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-100f, 100f)).map(_.toSeq)
+  private val nonZeroVecGen: Gen[Seq[Float]] =
+    vecGen.retryUntil(v => v.exists(x => math.abs(x) > 1e-3))
+
+  private lazy val vecs: Seq[(Long, Seq[Float])] =
+    sample(Gen.listOfN(60, nonZeroVecGen), 7L).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+  private lazy val vecDf = vecs.toDF("id", "vec")
+
+  test("property: d(a,a)=0 (cosine ~0, l2 exactly 0) for all generated vectors") {
+    val r = vecDf.select(
+      max(abs(Distances.cosineDist(col("vec"), col("vec")))).as("c"),
+      max(Distances.l2Sq(col("vec"), col("vec"))).as("l")).head()
+    assert(r.getDouble(0) < 1e-9 && r.getDouble(1) == 0.0)
+  }
+
+  test("property: symmetry d(a,b)=d(b,a) over all pairs") {
+    val pairs = vecDf.as("a").crossJoin(vecDf.as("b"))
+    val bad = pairs.filter(
+      Distances.cosineDist(col("a.vec"), col("b.vec")) =!=
+        Distances.cosineDist(col("b.vec"), col("a.vec")) ||
+      Distances.l2Sq(col("a.vec"), col("b.vec")) =!=
+        Distances.l2Sq(col("b.vec"), col("a.vec"))).count()
+    assert(bad == 0)
+  }
+
+  test("property: l2 >= 0 and cosine in [0,2] over all pairs") {
+    val pairs = vecDf.as("a").crossJoin(vecDf.as("b"))
+    val bad = pairs.filter(
+      Distances.l2Sq(col("a.vec"), col("b.vec")) < 0 ||
+      Distances.cosineDist(col("a.vec"), col("b.vec")) < -1e-12 ||
+      Distances.cosineDist(col("a.vec"), col("b.vec")) > 2 + 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("property: kNN result ⊆ corpus, size ≤ k, monotone, no better row left out") {
+    val q = vecs(13)._2
+    val k = 10
+    val res = Knn.topK(vecDf, "id", "vec", q, k, "l2")
+      .select("id", "dist").as[(Long, Double)].collect()
+    assert(res.length == k && res.map(_._1).toSet.subsetOf(vecs.map(_._1).toSet))
+    assert(res.map(_._2).toSeq == res.map(_._2).sorted.toSeq)
+    // completeness: every row NOT in the result is at least as far as the kth
+    val kth = res.last._2
+    val better = vecDf.filter(!col("id").isin(res.map(_._1): _*))
+      .filter(Distances.l2Sq(col("vec"), typedLit(q)) < kth).count()
+    assert(better == 0)
+  }
+
+  test("property: dedup idempotent and keeps one row per key, for generated dup sets") {
+    val texts = sample(Gen.listOfN(120, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta")), 11L)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = Dedup.exactDedup(df, Seq("text"), "doc_id")
+    val twice = Dedup.exactDedup(once, Seq("text"), "doc_id")
+    assert(once.count() == texts.distinct.size)
+    assert(once.select("doc_id").as[Long].collect().sorted.toSeq ==
+      twice.select("doc_id").as[Long].collect().sorted.toSeq)
+    // kept id is the minimum id of its group
+    val kept = once.select("text", "doc_id").as[(String, Long)].collect().toMap
+    texts.zipWithIndex.groupBy(_._1).foreach { case (t, grp) =>
+      assert(kept(t) == grp.map(_._2).min)
+    }
+  }
+
+  test("property: In/Nin partition the non-null domain") {
+    import graft.operators.ChromaFilter
+    val langs = sample(Gen.listOfN(200, Gen.oneOf("en", "es", "fr", "de", "pt")), 23L)
+    val df = langs.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    val inC = df.filter(ChromaFilter.In("lang", Seq("en", "fr")).toColumn).count()
+    val ninC = df.filter(ChromaFilter.Nin("lang", Seq("en", "fr")).toColumn).count()
+    assert(inC + ninC == 200)
+  }
+
+  test("property: jaccard(a,a)=1, jaccard bounded [0,1]") {
+    val toks = sample(Gen.listOfN(40,
+      Gen.nonEmptyListOf(Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6")).map(_.toSeq)), 31L)
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "toks")
+    val selfBad = df.filter(Dedup.jaccard(col("toks"), col("toks")) =!= 1.0).count()
+    assert(selfBad == 0)
+    val pairs = df.as("a").crossJoin(df.as("b"))
+    val rangeBad = pairs.filter(
+      Dedup.jaccard(col("a.toks"), col("b.toks")) < 0 ||
+      Dedup.jaccard(col("a.toks"), col("b.toks")) > 1).count()
+    assert(rangeBad == 0)
+  }
+}
