@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.catalog.CollectionCatalog
 import graft.functions.{Distances, TextAnalysis}
-import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Knn, Multimodal}
+import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Knn, Multimodal, Skew}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + the builder prompt.
   *
@@ -334,6 +334,16 @@ object SparkEntry {
             .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("revenue"),
           count(lit(1)).as("cnt"))
         .orderBy("n_name")),
+    // Skew mitigation: salted join must be result-identical to the plain join
+    "q37_salted_join_agg" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+      Skew.saltedJoin(t(s, dir, "orders"), cust, "o_custkey", numSalts = 8)
+        .groupBy("c_mktsegment")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+            .cast(DecimalType(18, 4)).as("total"),
+          count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -516,6 +526,12 @@ object SparkEntry {
         |  JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q37_salted_join_agg" ->
+      """SELECT c_mktsegment,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total,
+        |COUNT(*) AS cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // q30/q31/q32 intentionally omitted: MinHash/SimHash signatures depend on
     // the engine hash function (xxhash64), and IVF on an MLlib k-means fit —
     // covered by the rows-only check + unit tests (DedupSpec, AnnSpec).
