@@ -44,12 +44,28 @@ final case class HydrateConfig(
   */
 object Hydrator {
 
+  /** The reference accepts `server:/path` persistence references and strips
+    * the scheme with `scan(ref, 2, ":")` (sas:395, sas:415 — operator A14);
+    * bare paths pass through, anything else falls back to a default
+    * (`/tmp` in the reference, sas:473-489). */
+  def resolvePersistentPath(ref: String, default: String = "/tmp"): String = {
+    val parts = ref.split(":", 2)
+    val path = if (parts.length == 2) parts(1) else parts(0)
+    if (path.startsWith("/")) path else default
+  }
+
   /** A15-style validation gates. Returns the list of failures (empty = ok). */
   def validate(spark: SparkSession, cfg: HydrateConfig): Seq[String] = {
     val errs = Seq.newBuilder[String]
+    // A12/A18 analogue: the session must be alive before any work is planned
+    if (spark.sparkContext.isStopped) errs += "SparkSession is stopped"
     if (cfg.collectionName.trim.isEmpty) errs += "collectionName must be non-empty"
     if (!Seq("l2", "ip", "cosine").contains(cfg.space))
       errs += s"space '${cfg.space}' not one of l2|ip|cosine"
+    // A13 analogue: catalog lookup for table-name inputs (the reference
+    // resolves libref→caslib through dictionary.libnames, sas:329-332)
+    if (!cfg.inputTable.contains("/") && !spark.catalog.tableExists(cfg.inputTable))
+      errs += s"table '${cfg.inputTable}' not found in the session catalog"
     val input: Option[DataFrame] =
       try Some(readInput(spark, cfg.inputTable))
       catch { case e: Exception => errs += s"input table unreadable: ${e.getMessage}"; None }

@@ -70,6 +70,19 @@ final class CollectionCatalog(spark: SparkSession, rootDir: String, numBuckets: 
     }
   }
 
+  /** B11 rename: catalog-level move + meta.json name update (atomic dir
+    * move on the same filesystem; data files untouched). */
+  def renameCollection(from: String, to: String): Boolean = {
+    val src = root.resolve(from); val dst = root.resolve(to)
+    if (!Files.exists(src.resolve("meta.json")) || Files.exists(dst)) false
+    else {
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      val m = CollectionMeta.read(dst)
+      CollectionMeta.atomicWrite(dst, m.copy(name = to))
+      true
+    }
+  }
+
   private[catalog] def writeMeta(dir: Path, meta: CollectionMeta): Unit =
     CollectionMeta.atomicWrite(dir, meta)
 }
@@ -291,5 +304,20 @@ final class Collection(spark: SparkSession, dir: Path, numBuckets: Int) {
   def modifyMetadata(kv: Map[String, String]): Unit = {
     val m = meta
     CollectionMeta.atomicWrite(dir, m.copy(metadata = m.metadata ++ kv))
+  }
+
+  /** Drop superseded copy-on-write versions, keeping the current one plus
+    * `keepHistory` predecessors. Hard-linked files shared with retained
+    * versions survive (link count > 1) — only truly dead bytes are freed.
+    * Storage hygiene for long-lived collections under frequent upserts. */
+  def vacuum(keepHistory: Int = 0): Int = {
+    val current = meta.version
+    val cutoff = current - keepHistory
+    val dead = Files.list(dir).iterator.asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data_v"))
+      .filter(_.getFileName.toString.stripPrefix("data_v").toInt < cutoff)
+      .toSeq
+    dead.foreach(d => Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.delete))
+    dead.size
   }
 }

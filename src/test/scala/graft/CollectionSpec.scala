@@ -147,6 +147,34 @@ class CollectionSpec extends SparkTestBase {
     assert(c.get(ids = Seq("id0")).select("document").as[String].head() == "patched")
   }
 
+  test("rename moves the catalog entry and rewrites meta name (B11)") {
+    val cat = freshCatalog()
+    val c = cat.getOrCreateCollection("old", "cosine")
+    c.add(batch(("a", "doc", Seq(1f))))
+    assert(cat.renameCollection("old", "new"))
+    assert(cat.listCollections() == Seq("new"))
+    val renamed = cat.getCollection("new").get
+    assert(renamed.name == "new" && renamed.space == "cosine" && renamed.count() == 1)
+    assert(!cat.renameCollection("missing", "x"))
+    cat.getOrCreateCollection("blocker")
+    assert(!cat.renameCollection("new", "blocker")) // refuse to clobber
+  }
+
+  test("vacuum drops superseded versions but keeps shared linked files") {
+    val cat = freshCatalog()
+    val c = cat.getOrCreateCollection("c")
+    c.add(batch(("a", "1", Seq(1f)), ("b", "2", Seq(2f))))
+    c.upsert(batch(("a", "1b", Seq(3f))))
+    c.upsert(batch(("b", "2b", Seq(4f))))
+    assert(c.meta.version == 3)
+    val removed = c.vacuum()
+    assert(removed == 2)
+    // current version fully readable after old dirs (link sources) are gone
+    val docs = c.toDF.select("id", "document").as[(String, String)].collect().toMap
+    assert(docs == Map("a" -> "1b", "b" -> "2b"))
+    assert(c.vacuum() == 0) // idempotent
+  }
+
   test("copy-on-write: mutations bump version, data is hash-bucketed") {
     val cat = freshCatalog()
     val c = cat.getOrCreateCollection("c")

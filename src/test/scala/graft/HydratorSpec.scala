@@ -53,6 +53,24 @@ class HydratorSpec extends SparkTestBase {
     assert(e.getMessage.contains("nope") && e.getMessage.contains("zzz_"))
   }
 
+  test("persistentPath scheme stripping mirrors scan(ref,2,':') (A14)") {
+    assert(Hydrator.resolvePersistentPath("sasserver:/data/chroma") == "/data/chroma")
+    assert(Hydrator.resolvePersistentPath("/plain/path") == "/plain/path")
+    assert(Hydrator.resolvePersistentPath("relative/path") == "/tmp")
+    assert(Hydrator.resolvePersistentPath("srv:relative") == "/tmp")
+  }
+
+  test("catalog-name inputs resolve through the session catalog (A13)") {
+    spark.read.parquet(widePath).createOrReplaceTempView("wide_view")
+    val root = tmpRoot()
+    val viaCatalog = cfg(root).copy(inputTable = "wide_view", collectionName = "via_cat")
+    assert(Hydrator.validate(spark, viaCatalog).isEmpty)
+    val coll = Hydrator.run(spark, viaCatalog).get
+    assert(coll.count() == 3)
+    val missing = Hydrator.validate(spark, viaCatalog.copy(inputTable = "no_such_table"))
+    assert(missing.exists(_.contains("not found in the session catalog")))
+  }
+
   test("unreadable input and bad space are validation errors, not crashes") {
     val errs = Hydrator.validate(spark,
       cfg(tmpRoot()).copy(inputTable = "/no/such/path", space = "manhattan"))
