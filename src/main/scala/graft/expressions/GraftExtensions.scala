@@ -15,13 +15,15 @@ import org.apache.spark.sql.GraftColumnShim
   *     hand us an already-built session) — same functions, same names.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.specs.foreach { case (name, space) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[VectorDistance].getName, name),
         (children: Seq[Expression]) => GraftExtensions.build(space, children)))
     }
+    ext.injectOptimizerRule(session => new IvfPruneRule(session))
+  }
 }
 
 object GraftExtensions {
@@ -42,13 +44,16 @@ object GraftExtensions {
     GraftColumnShim.column(VectorDistance(
       GraftColumnShim.expression(a), GraftColumnShim.expression(b), space))
 
-  /** Register the SQL functions on a live session. */
+  /** Register the SQL functions + the IVF prune rule on a live session. */
   def register(spark: SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val registry = classic.sessionState.functionRegistry
     specs.foreach { case (name, space) =>
       registry.createOrReplaceTempFunction(
         name, (children: Seq[Expression]) => build(space, children), "scala_udf")
     }
+    if (!classic.experimental.extraOptimizations.exists(_.isInstanceOf[IvfPruneRule]))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ new IvfPruneRule(spark)
   }
 }

@@ -56,22 +56,47 @@ object Ann {
   }
 
   /** Persist the assignment partitioned by cell: queries then prune at the
-    * file-listing level (`PartitionFilters` in the scan). */
-  def writeIvf(model: IvfModel, path: String): Unit =
+    * file-listing level (`PartitionFilters` in the scan). Centroids are
+    * written alongside (`_ivf_centroids.txt`: "cell v0 v1 …" per line) so
+    * the optimizer rule [[graft.expressions.IvfPruneRule]] can prune later
+    * sessions' queries without the in-memory model. */
+  def writeIvf(model: IvfModel, path: String): Unit = {
     model.assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    val lines = model.centroids.map { case (i, c) => s"$i ${c.mkString(" ")}" }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_ivf_centroids.txt"),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Read back centroids persisted by [[writeIvf]] (None if absent). */
+  def readCentroids(path: String): Option[Array[(Int, Array[Double])]] = {
+    val f = java.nio.file.Paths.get(path, "_ivf_centroids.txt")
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(
+      new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).map { line =>
+          val parts = line.split(" ")
+          (parts.head.toInt, parts.tail.map(_.toDouble))
+        })
+  }
+
+  /** nprobe nearest cells from a raw centroid table (shared by the model
+    * path and the optimizer rule). */
+  def nearestCellsOf(
+      centroids: Array[(Int, Array[Double])], query: Seq[Float], nprobe: Int): Seq[Int] = {
+    val q = query.map(_.toDouble).toArray
+    centroids.map { case (i, c) =>
+      var s = 0.0; var j = 0
+      while (j < c.length && j < q.length) { val d = c(j) - q(j); s += d * d; j += 1 }
+      (i, s)
+    }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1).toSeq
+  }
 
   /** nprobe nearest centroid ids for a query vector (driver-side: the
     * centroid table is nlist rows — never distributed work). */
-  def nearestCells(model: IvfModel, query: Seq[Float], nprobe: Int): Seq[Int] = {
-    val q = query.map(_.toDouble).toArray
-    model.centroids
-      .map { case (i, c) =>
-        var s = 0.0; var j = 0
-        while (j < c.length) { val d = c(j) - q(j); s += d * d; j += 1 }
-        (i, s)
-      }
-      .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1).toSeq
-  }
+  def nearestCells(model: IvfModel, query: Seq[Float], nprobe: Int): Seq[Int] =
+    nearestCellsOf(model.centroids, query, nprobe)
 
   /** IVF query: exact top-k inside the nprobe pruned cells. `indexed` may be
     * the in-memory `assigned` frame or `spark.read.parquet(ivfPath)` — with

@@ -47,6 +47,40 @@ class AnnSpec extends SparkTestBase {
     assert(res.count() == 5)
   }
 
+  test("IvfPruneRule: brute-force kNN over an IVF layout auto-prunes when enabled") {
+    import graft.expressions.GraftExtensions
+    val m = Ann.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ivf-rule").toString
+    Ann.writeIvf(m, dir)
+    val q = emb.filter(col("vec_id") === 11).select("embedding").as[Seq[Float]].head()
+    GraftExtensions.register(spark)
+    def knnPlan() = {
+      val df = Knn.topK(spark.read.parquet(dir), "vec_id", "embedding", q, 5, "cosine")
+      val rows = df.select("vec_id").as[Long].collect().toSeq
+      (rows, df.queryExecution.executedPlan.toString)
+    }
+    try {
+      // default off: full scan, exact result
+      val (exact, offPlan) = knnPlan()
+      assert(!offPlan.contains("cell IN"), s"pruned while disabled:\n$offPlan")
+      // enabled: plan gains a cell IN partition filter; result = nprobe query
+      spark.conf.set("spark.graft.ivf.autoPrune", "true")
+      spark.conf.set("spark.graft.ivf.nprobe", "2")
+      val (pruned, onPlan) = knnPlan()
+      assert(onPlan.contains("cell IN") || onPlan.contains("cell#"),
+        s"no cell pruning in:\n$onPlan")
+      val expected = Ann.queryIvf(spark.read.parquet(dir), m, "vec_id", "embedding",
+        q, 5, nprobe = 2, space = "cosine").select("vec_id").as[Long].collect().toSeq
+      assert(pruned == expected)
+      // sanity: with all cells probed the rewrite reproduces brute force
+      spark.conf.set("spark.graft.ivf.nprobe", "8")
+      assert(knnPlan()._1 == exact)
+    } finally {
+      spark.conf.set("spark.graft.ivf.autoPrune", "false")
+    }
+  }
+
   test("SRP bucket is deterministic and groups identical vectors") {
     val df = Seq((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(1f, 2f, 3f, 4f)),
       (3L, Seq(-1f, -2f, -3f, -4f))).toDF("id", "vec")
