@@ -55,18 +55,27 @@ object SparkEntry {
   private val enStop = TextAnalysis.stopwordList("en")
   private def sqlInList(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString("(", ", ", ")")
 
-  /** Flagship: full hydration path (catalog + add + kNN query) on sf0.001. */
+  /** Flagship: the reference's WHOLE life on sf0.001 — wide input (the
+    * CAS-table shape, README.md:75) through the validated Hydrator config
+    * path (A15 gates → A2/A4 assembly → A9/A10 collection add with count
+    * conservation) into a Chroma-style filtered kNN read (B6+B7). */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val cat = new CollectionCatalog(spark, "/root/repo/target/entry-collections")
-    cat.deleteCollection("flagship")
-    val coll = cat.getOrCreateCollection("flagship", "cosine")
+    val root = "/root/repo/target/entry-collections"
     val docs = t(spark, dir, "documents")
     val emb = t(spark, dir, "embeddings")
-    val frame = docs.join(emb, col("doc_id") === col("vec_id"))
-      .select(Assemble.idAsString("doc_id"), col("text").as("document"),
-        col("embedding"), col("label").cast("string").as("rating"))
-    coll.add(frame)
+    // wide-ize: embeddings as emb_0..emb_63 columns, the reference's input shape
+    val wideCols = (0 until 64).map(j => element_at(col("embedding"), j + 1).as(s"emb_$j"))
+    docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id") +: col("text") +: col("label") +: wideCols: _*)
+      .createOrReplaceTempView("entry_wide")
+    new CollectionCatalog(spark, root).deleteCollection("flagship")
+    val coll = Hydrator.run(spark, HydrateConfig(
+      inputTable = "entry_wide", textVar = "text", docId = "doc_id",
+      embeddingPattern = "emb_", metadataColumn = Some("label"),
+      collectionName = "flagship",
+      persistentPath = Hydrator.resolvePersistentPath(s"sasserver:$root"),
+      space = "cosine")).get
     require(coll.count() == 500L, "hydration count conservation failed")
     coll.query(headVec(emb, 0), 10,
       where = Some(ChromaFilter.Ne("rating", "999")))
@@ -344,6 +353,14 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy("c_mktsegment")
     }),
+    // C4 set operations: EXCEPT / INTERSECT (distinct semantics)
+    "q38_set_ops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val en = docs.filter(col("lang") === "en").select("doc_id")
+      val src0 = docs.filter(col("source") === "src0").select("doc_id")
+      en.except(src0).agg(count(lit(1)).as("n_except")).crossJoin(
+        en.intersect(src0).agg(count(lit(1)).as("n_intersect")))
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -532,6 +549,12 @@ object SparkEntry {
         |COUNT(*) AS cnt
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q38_set_ops" ->
+      """SELECT
+        |(SELECT COUNT(*) FROM (SELECT doc_id FROM documents WHERE lang = 'en'
+        |  EXCEPT SELECT doc_id FROM documents WHERE source = 'src0')) AS n_except,
+        |(SELECT COUNT(*) FROM (SELECT doc_id FROM documents WHERE lang = 'en'
+        |  INTERSECT SELECT doc_id FROM documents WHERE source = 'src0')) AS n_intersect""".stripMargin,
     // q30/q31/q32 intentionally omitted: MinHash/SimHash signatures depend on
     // the engine hash function (xxhash64), and IVF on an MLlib k-means fit —
     // covered by the rows-only check + unit tests (DedupSpec, AnnSpec).

@@ -266,7 +266,7 @@ final class Collection(spark: SparkSession, dir: Path, numBuckets: Int) {
   def delete(ids: Seq[String] = Nil, where: Option[Where] = None,
              whereDoc: Option[WhereDocument] = None): Unit = currentData.foreach { _ =>
     val byIds: Option[Column] = if (ids.nonEmpty) Some(col("id").isin(ids: _*)) else None
-    val byPred = ChromaFilter.predicate(where, whereDoc, col("document"))
+    val byPred = ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(toDF))
     val cond = (byIds.toSeq ++ byPred.toSeq).reduceOption(_ || _)
     cond.foreach { c =>
       val affected = currentWithPt.filter(coalesce(c, lit(false)))
@@ -278,13 +278,23 @@ final class Collection(spark: SparkSession, dir: Path, numBuckets: Int) {
     }
   }
 
+  /** Chroma-faithful `where` key resolution: a key names a metadata entry.
+    * Flat columns (the pushdown-friendly layout) resolve directly; a
+    * `MAP<STRING,STRING>` metadata column resolves misses via element_at. */
+  private def keyResolver(df: DataFrame): ChromaFilter.KeyResolver = { key =>
+    if (df.columns.contains(key)) col(key)
+    else if (df.columns.contains("metadata")) element_at(col("metadata"), key)
+    else col(key)
+  }
+
   /** B5 get: point/filtered retrieval, deterministically paged by id. */
   def get(ids: Seq[String] = Nil, where: Option[Where] = None,
           whereDoc: Option[WhereDocument] = None,
           limit: Option[Int] = None, offset: Int = 0): DataFrame = {
     var df = toDF
     if (ids.nonEmpty) df = df.filter(col("id").isin(ids: _*))
-    ChromaFilter.predicate(where, whereDoc, col("document")).foreach(p => df = df.filter(p))
+    ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df))
+      .foreach(p => df = df.filter(p))
     df = df.orderBy("id")
     if (offset > 0) df = df.offset(offset)
     limit.fold(df)(df.limit)
@@ -292,9 +302,11 @@ final class Collection(spark: SparkSession, dir: Path, numBuckets: Int) {
 
   /** B6 query: top-k nearest neighbors with optional prefilters. */
   def query(queryVec: Seq[Float], k: Int, where: Option[Where] = None,
-            whereDoc: Option[WhereDocument] = None): DataFrame =
-    Knn.topK(toDF, "id", "embedding", queryVec, k, meta.space,
-      ChromaFilter.predicate(where, whereDoc, col("document")))
+            whereDoc: Option[WhereDocument] = None): DataFrame = {
+    val df = toDF
+    Knn.topK(df, "id", "embedding", queryVec, k, meta.space,
+      ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df)))
+  }
 
   /** B10 count / peek. */
   def count(): Long = currentData.fold(0L)(_ => toDF.count())

@@ -47,8 +47,11 @@ object Ann {
       array_to_vector(col(vecCol).cast("array<double>")))
     val train = if (trainFraction >= 1.0) featurized
                 else featurized.sample(withReplacement = false, trainFraction, seed)
+    // 10 iterations is ample for IVF cells — centroids only need to be
+    // good partitions, not a converged clustering; halves build time.
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("__features").setPredictionCol("cell")
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__features").setPredictionCol("cell")
       .fit(train)
     val assigned = model.transform(featurized).drop("__features")
     val cents = model.clusterCenters.zipWithIndex.map { case (v: Vector, i) => (i, v.toArray) }

@@ -15,21 +15,32 @@ import org.apache.spark.sql.functions._
   * whole predicate participates in Catalyst pushdown (reaches the parquet
   * scan as PushedFilters) — unlike Chroma, which evaluates it row-by-row in
   * SQLite.
+  *
+  * In Chroma, `where` keys name METADATA entries. A key resolver maps the
+  * key to a Column: the default is a plain column reference (metadata stored
+  * flat, the pushdown-friendly layout); collections carrying a
+  * `MAP<STRING,STRING>` metadata column resolve misses via `element_at`
+  * (see [[graft.catalog.Collection]]).
   */
 object ChromaFilter {
 
-  sealed trait Where { def toColumn: Column }
+  type KeyResolver = String => Column
 
-  final case class Eq(key: String, v: Any)  extends Where { def toColumn: Column = col(key) === lit(v) }
-  final case class Ne(key: String, v: Any)  extends Where { def toColumn: Column = col(key) =!= lit(v) }
-  final case class Gt(key: String, v: Any)  extends Where { def toColumn: Column = col(key) > lit(v) }
-  final case class Gte(key: String, v: Any) extends Where { def toColumn: Column = col(key) >= lit(v) }
-  final case class Lt(key: String, v: Any)  extends Where { def toColumn: Column = col(key) < lit(v) }
-  final case class Lte(key: String, v: Any) extends Where { def toColumn: Column = col(key) <= lit(v) }
-  final case class In(key: String, vs: Seq[Any])  extends Where { def toColumn: Column = col(key).isin(vs: _*) }
-  final case class Nin(key: String, vs: Seq[Any]) extends Where { def toColumn: Column = !col(key).isin(vs: _*) }
-  final case class And(cs: Seq[Where]) extends Where { def toColumn: Column = cs.map(_.toColumn).reduce(_ && _) }
-  final case class Or(cs: Seq[Where])  extends Where { def toColumn: Column = cs.map(_.toColumn).reduce(_ || _) }
+  sealed trait Where {
+    def toColumnWith(r: KeyResolver): Column
+    final def toColumn: Column = toColumnWith(col)
+  }
+
+  final case class Eq(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = r(key) === lit(v) }
+  final case class Ne(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = r(key) =!= lit(v) }
+  final case class Gt(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = r(key) > lit(v) }
+  final case class Gte(key: String, v: Any) extends Where { def toColumnWith(r: KeyResolver): Column = r(key) >= lit(v) }
+  final case class Lt(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = r(key) < lit(v) }
+  final case class Lte(key: String, v: Any) extends Where { def toColumnWith(r: KeyResolver): Column = r(key) <= lit(v) }
+  final case class In(key: String, vs: Seq[Any])  extends Where { def toColumnWith(r: KeyResolver): Column = r(key).isin(vs: _*) }
+  final case class Nin(key: String, vs: Seq[Any]) extends Where { def toColumnWith(r: KeyResolver): Column = !r(key).isin(vs: _*) }
+  final case class And(cs: Seq[Where]) extends Where { def toColumnWith(r: KeyResolver): Column = cs.map(_.toColumnWith(r)).reduce(_ && _) }
+  final case class Or(cs: Seq[Where])  extends Where { def toColumnWith(r: KeyResolver): Column = cs.map(_.toColumnWith(r)).reduce(_ || _) }
 
   sealed trait WhereDocument { def toColumn(docCol: Column): Column }
 
@@ -50,8 +61,10 @@ object ChromaFilter {
   def predicate(
       where: Option[Where],
       whereDoc: Option[WhereDocument],
-      docCol: Column): Option[Column] = {
-    val parts = where.map(_.toColumn).toSeq ++ whereDoc.map(_.toColumn(docCol)).toSeq
+      docCol: Column,
+      resolver: KeyResolver = col): Option[Column] = {
+    val parts = where.map(_.toColumnWith(resolver)).toSeq ++
+      whereDoc.map(_.toColumn(docCol)).toSeq
     parts.reduceOption(_ && _)
   }
 }

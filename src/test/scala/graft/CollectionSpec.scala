@@ -102,6 +102,21 @@ class CollectionSpec extends SparkTestBase {
     assert(filtered.toSeq == Seq("c", "b"))
   }
 
+  test("where keys resolve against a MAP metadata column (Chroma parity)") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    val rows = Seq(
+      ("a", "doc a", Seq(1f), Map("rating" -> "5", "src" -> "x")),
+      ("b", "doc b", Seq(2f), Map("rating" -> "9", "src" -> "y")))
+      .toDF("id", "document", "embedding", "metadata")
+    c.add(rows)
+    val hi = c.get(where = Some(ChromaFilter.Gt("rating", "5")))
+    assert(hi.select("id").as[String].collect().toSeq == Seq("b"))
+    val q = c.query(Seq(1f), 5, where = Some(ChromaFilter.Eq("src", "x")))
+    assert(q.select("id").as[String].collect().toSeq == Seq("a"))
+    c.delete(where = Some(ChromaFilter.Eq("rating", "9")))
+    assert(c.toDF.select("id").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("peek returns first n by id (B10)") {
     val c = freshCatalog().getOrCreateCollection("c")
     c.add(batch(("b", "2", Seq(1f)), ("a", "1", Seq(2f)), ("c", "3", Seq(3f))))
