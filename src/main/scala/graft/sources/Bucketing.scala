@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table layout for repeated co-located joins (SURVEY §2's
+  * "Partitioning & shuffle" mandate).
+  *
+  * A 100 TB fact⋈fact equi-join shuffles BOTH sides every query. Writing
+  * both sides bucketed by the join key (`bucketBy` + `sortBy`) pins rows to
+  * hash buckets at write time, so every later join on that key plans with
+  * ZERO Exchange on the bucketed sides — the shuffle is paid once at
+  * ingestion instead of per-query. This is the Spark-native replacement for
+  * the co-located storage a single-node engine gets for free.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, bucket-sorted table in the session catalog. */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, numBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key — shuffle-free when both
+    * were written with the same bucket count. */
+  def colocatedJoin(
+      spark: SparkSession, leftTable: String, rightTable: String,
+      key: String, joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+}
