@@ -310,7 +310,9 @@ object SparkEntry {
     // ANN scale path: IVF partition-pruned kNN (k-means: rows-only check)
     "q32_ivf_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val m = Ann.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+      // train on half the corpus — cells only need to partition well, and at
+      // 100 TB the fit is always on a sample; assignment stays exact
+      val m = Ann.buildIvf(emb, "vec_id", "embedding", nlist = 8, trainFraction = 0.5)
       Ann.queryIvf(m.assigned, m, "vec_id", "embedding", headVec(emb, 0), 10,
           nprobe = 2, space = "cosine")
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
@@ -360,6 +362,32 @@ object SparkEntry {
       val src0 = docs.filter(col("source") === "src0").select("doc_id")
       en.except(src0).agg(count(lit(1)).as("n_except")).crossJoin(
         en.intersect(src0).agg(count(lit(1)).as("n_intersect")))
+    }),
+    // Text normalization (canonical form for dedup)
+    "q39_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm"))
+        .orderBy("doc_id")),
+    // Dataset curation: deterministic stratified systematic sample (1-in-10
+    // per language stratum, by id order — reproducible without RNG state)
+    "q41_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(pmod(col("rn"), lit(10)) === 1)
+        .select("doc_id", "lang", "rn").orderBy("doc_id")
+    }),
+    // LLM batch construction: greedy token packing into 512-token bins per
+    // language stratum (running sum + integer division — exact both engines)
+    "q42_token_packing" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("lang"),
+          expr("(cum - n_tok) div 512").as("bin"))
+        .orderBy("doc_id")
     }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
@@ -555,6 +583,23 @@ object SparkEntry {
         |  EXCEPT SELECT doc_id FROM documents WHERE source = 'src0')) AS n_except,
         |(SELECT COUNT(*) FROM (SELECT doc_id FROM documents WHERE lang = 'en'
         |  INTERSECT SELECT doc_id FROM documents WHERE source = 'src0')) AS n_intersect""".stripMargin,
+    "q39_normalize" ->
+      """SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS INTEGER) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn FROM r WHERE rn % 10 = 1 ORDER BY doc_id""".stripMargin,
+    "q42_token_packing" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT doc_id, lang, CAST((cum - n_tok) // 512 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q30/q31/q32 intentionally omitted: MinHash/SimHash signatures depend on
     // the engine hash function (xxhash64), and IVF on an MLlib k-means fit —
     // covered by the rows-only check + unit tests (DedupSpec, AnnSpec).

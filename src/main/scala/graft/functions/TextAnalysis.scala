@@ -82,6 +82,11 @@ object TextAnalysis {
     round((lenScore + swScore + punctOk) / 3.0, 4)
   }
 
+  /** Canonical text normalization for dedup/training: lowercase, strip
+    * non-alphanumerics, collapse runs of spaces, trim. RE2-safe patterns. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Rolling-hash document fingerprint: position-weighted byte sum
     * Σᵢ ascii(cᵢ)·((i mod 7)+1) — order-sensitive (detects permuted text),
     * overflow-free for any realistic document length, and expressible

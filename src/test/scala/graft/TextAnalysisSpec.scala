@@ -48,6 +48,12 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(natural <= 1.0 && junk >= 0.0)
   }
 
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    assert(one[String]("  Hello,   WORLD!! 42 ", TextAnalysis.normalize(col("text")))
+      == "hello world 42")
+    assert(one[String]("...", TextAnalysis.normalize(col("text"))) == "")
+  }
+
   test("fingerprint is order-sensitive and 0 for empty text") {
     val a = one[Long]("abc", TextAnalysis.fingerprint(col("text")))
     val b = one[Long]("cba", TextAnalysis.fingerprint(col("text")))
