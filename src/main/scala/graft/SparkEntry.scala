@@ -355,6 +355,19 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy("c_mktsegment")
     }),
+    // C4 fact⋈dim with the part table: revenue + avg list price per brand
+    "q43_brand_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("revenue"),
+          // exact decimal sum + ONE double division: avg(double) would be
+          // partial-agg fold-order dependent and could flip the 4th decimal
+          round(sum(col("p_retailprice").cast(DecimalType(18, 4))).cast("double")
+            / count(lit(1)), 4).as("avg_retail"),
+          count(lit(1)).as("cnt"))
+        .orderBy("p_brand")),
     // C4 set operations: EXCEPT / INTERSECT (distinct semantics)
     "q38_set_ops" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -577,6 +590,13 @@ object SparkEntry {
         |COUNT(*) AS cnt
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q43_brand_revenue" ->
+      """SELECT p_brand,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_retail,
+        |COUNT(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q38_set_ops" ->
       """SELECT
         |(SELECT COUNT(*) FROM (SELECT doc_id FROM documents WHERE lang = 'en'

@@ -71,15 +71,29 @@ object Knn {
       preFilter: Option[Column] = None,
       excludeSelf: Boolean = true): DataFrame = {
     val base = preFilter.fold(corpus)(corpus.filter)
-    val joined = base.crossJoin(
-      broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qvec"))))
+    // cosine: precompute each side's norm ONCE (per corpus row / per query)
+    // instead of once per (row, query) pair. sqrt(Σx²) is computed from the
+    // same fold either way, so results stay bit-identical to the per-pair
+    // form the oracle uses.
+    val (left, right, dist) = space match {
+      case "cosine" =>
+        (base.withColumn("__na", sqrt(Distances.normSq(col(vecCol)))),
+         queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qvec"),
+           sqrt(Distances.normSq(col(qvecCol))).as("__nq")),
+         lit(1.0) - Distances.dot(col(vecCol), col("__qvec")) / (col("__na") * col("__nq")))
+      case _ =>
+        (base,
+         queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qvec")),
+         Distances.bySpace(space)(col(vecCol), col("__qvec")))
+    }
+    val joined = left.crossJoin(broadcast(right))
     val scoped =
       if (excludeSelf) joined.filter(col(idCol) =!= col("qid")) else joined
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
     scoped
-      .withColumn("dist", Distances.bySpace(space)(col(vecCol), col("__qvec")))
+      .withColumn("dist", dist)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .drop(vecCol, "__qvec")
+      .drop(vecCol, "__qvec", "__na", "__nq")
   }
 }
