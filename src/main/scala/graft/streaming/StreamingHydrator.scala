@@ -57,4 +57,37 @@ object StreamingHydrator {
       wide: DataFrame, docIdCol: String, textCol: String,
       embeddingPattern: String, metadataCol: Option[String] = None): DataFrame =
     Assemble.hydrationFrame(wide, docIdCol, textCol, embeddingPattern, metadataCol)
+
+  /** Event-time session windows (gap-based), the streaming form of the
+    * batch sessionization query (SparkEntry q23): one row per closed
+    * session with its event count. */
+  def sessionCounts(
+      events: DataFrame, tsCol: String, userCol: String,
+      watermark: String, gap: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"), col("n_events"))
+
+  /** Custom keyed state via mapGroupsWithState: a per-key running
+    * high-water mark over an unbounded stream — the KeyValueGroupedDataset
+    * state surface for aggregations no built-in window expresses. */
+  def runningMax(
+      events: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          val batchMax = rows.map(_._2).max
+          val hwm = math.max(state.getOption.getOrElse(Double.MinValue), batchMax)
+          state.update(hwm)
+          (key, hwm)
+      }
+      .toDF(keyCol, "high_water_mark")
+  }
 }

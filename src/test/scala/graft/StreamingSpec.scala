@@ -51,6 +51,45 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.toSeq == Seq("a", "b"))
   }
 
+  test("session windows close after the gap and carry event counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val m = 60000L
+    mem.addData(
+      (new Timestamp(m * 10), 1L), (new Timestamp(m * 12), 1L),   // session A: 2 events
+      (new Timestamp(m * 60), 1L),                                 // session B: 1 event
+      (new Timestamp(m * 11), 2L),                                 // user 2: 1 event
+      (new Timestamp(m * 600), 99L))                               // watermark pusher
+    val out = StreamingHydrator.sessionCounts(
+      mem.toDF.toDF("ts", "user_id"), "ts", "user_id", "10 minutes", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sess_out")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, Timestamp, Long)].collect().toSet
+    assert(rows.contains((1L, new Timestamp(m * 10), 2L)))
+    assert(rows.contains((1L, new Timestamp(m * 60), 1L)))
+    assert(rows.contains((2L, new Timestamp(m * 11), 1L)))
+  }
+
+  test("mapGroupsWithState keeps a per-key high-water mark across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val out = StreamingHydrator.runningMax(mem.toDF.toDF("k", "v"), "k", "v")
+    val q = out.writeStream.format("memory").queryName("hwm_out")
+      .outputMode("update").start()
+    mem.addData((1L, 5.0), (1L, 3.0), (2L, 1.0))
+    q.processAllAvailable()
+    mem.addData((1L, 4.0), (2L, 9.0)) // 1's hwm must stay 5, 2's rises to 9
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("hwm_out").as[(Long, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    assert(last == Map(1L -> 5.0, 2L -> 9.0))
+  }
+
   test("windowed counts with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
