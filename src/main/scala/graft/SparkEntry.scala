@@ -33,7 +33,7 @@ object SparkEntry {
   }
 
   private def headVec(emb: DataFrame, id: Long): Seq[Float] =
-    emb.filter(col("vec_id") === id).select("embedding").head.getSeq[Float](0)
+    emb.filter(col("vec_id") === id).select("embedding").head().getSeq[Float](0)
 
   // ---- DuckDB-side distance SQL, mirroring graft.functions.Distances ----
   // (same Double casts, same index order, same 1 - dot/(sqrt*sqrt) shape)
@@ -172,7 +172,7 @@ object SparkEntry {
     // B6+B7 metadata-prefiltered kNN
     "q14_knn_filtered" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val lbl = emb.filter(col("vec_id") === 0).select("label").head.getInt(0)
+      val lbl = emb.filter(col("vec_id") === 0).select("label").head().getInt(0)
       Knn.topK(emb, "vec_id", "embedding", headVec(emb, 0), 10, "cosine",
           preFilter = Some(ChromaFilter.Eq("label", lbl).toColumn),
           excludeIds = Seq(0L))

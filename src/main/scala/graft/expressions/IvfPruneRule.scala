@@ -75,9 +75,9 @@ class IvfPruneRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def literalQueryVec(vd: VectorDistance): Option[Seq[Float]] =
     (vd.left, vd.right) match {
       case (_, Literal(ad: ArrayData, ArrayType(FloatType, _))) =>
-        Some(ad.toFloatArray.toSeq)
+        Some(ad.toFloatArray().toSeq)
       case (Literal(ad: ArrayData, ArrayType(FloatType, _)), _) =>
-        Some(ad.toFloatArray.toSeq)
+        Some(ad.toFloatArray().toSeq)
       case _ => None
     }
 
