@@ -368,6 +368,18 @@ object SparkEntry {
             / count(lit(1)), 4).as("avg_retail"),
           count(lit(1)).as("cnt"))
         .orderBy("p_brand")),
+    // SQL surface: the registered graft_* native functions, used from
+    // plain spark.sql text (SparkSessionExtensions path, SURVEY §4.3)
+    "q44_sql_function_api" -> ((s, dir) => {
+      graft.expressions.GraftExtensions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("emb_v")
+      val qv = headVec(t(s, dir, "embeddings"), 1)
+      val qlit = qv.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")")
+      s.sql(
+        s"""SELECT vec_id, ROUND(graft_l2_dist(embedding, $qlit), 4) AS dist
+           |FROM emb_v WHERE vec_id <> 1
+           |ORDER BY graft_l2_dist(embedding, $qlit), vec_id LIMIT 10""".stripMargin)
+    }),
     // C4 set operations: EXCEPT / INTERSECT (distinct semantics)
     "q38_set_ops" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -590,6 +602,12 @@ object SparkEntry {
         |COUNT(*) AS cnt
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q44_sql_function_api" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+         |d AS (SELECT e.vec_id AS vec_id, ${sqlL2("e.embedding", "q.qe")} AS dist_raw
+         |      FROM embeddings e, q WHERE e.vec_id <> 1)
+         |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM d
+         |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
     "q43_brand_revenue" ->
       """SELECT p_brand,
         |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
