@@ -44,7 +44,7 @@ final class CollectionCatalog(spark: SparkSession, rootDir: String, numBuckets: 
     val dir = root.resolve(name)
     if (!Files.exists(dir.resolve("meta.json"))) {
       Files.createDirectories(dir)
-      writeMeta(dir, CollectionMeta(name, space, 0, Map.empty))
+      writeMeta(dir, CollectionMeta(name, space, 0, Map.empty, numBuckets))
     }
     new Collection(spark, dir, numBuckets)
   }
@@ -91,7 +91,8 @@ final case class CollectionMeta(
     name: String,
     space: String,
     version: Int,
-    metadata: Map[String, String])
+    metadata: Map[String, String],
+    buckets: Int = 32)
 
 object CollectionMeta {
   /** Minimal hand-rolled JSON (flat strings/ints only) — no extra deps. */
@@ -102,7 +103,7 @@ object CollectionMeta {
     } + "\""
     val md = m.metadata.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
-    s"""{"name": ${q(m.name)}, "space": ${q(m.space)}, "version": ${m.version}, "metadata": $md}"""
+    s"""{"name": ${q(m.name)}, "space": ${q(m.space)}, "version": ${m.version}, "buckets": ${m.buckets}, "metadata": $md}"""
   }
 
   def fromJson(s: String): CollectionMeta = {
@@ -113,7 +114,8 @@ object CollectionMeta {
     val mdBody = ("\"metadata\"\\s*:\\s*\\{([^}]*)\\}").r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
     val md = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
       .findAllMatchIn(mdBody).map(m => m.group(1) -> m.group(2)).toMap
-    CollectionMeta(str("name").get, str("space").getOrElse("l2"), int("version").getOrElse(0), md)
+    CollectionMeta(str("name").get, str("space").getOrElse("l2"),
+      int("version").getOrElse(0), md, int("buckets").getOrElse(32))
   }
 
   def read(dir: Path): CollectionMeta =
@@ -128,11 +130,16 @@ object CollectionMeta {
 }
 
 /** One collection — the Chroma collection API surface (SURVEY §2.B). */
-final class Collection(spark: SparkSession, dir: Path, numBuckets: Int) {
+final class Collection(spark: SparkSession, dir: Path, catalogBuckets: Int) {
 
   import ChromaFilter.{Where, WhereDocument}
 
   def meta: CollectionMeta = CollectionMeta.read(dir)
+
+  /** The bucket count is part of the collection's on-disk identity: a
+    * session configured differently must still merge against the layout the
+    * data was written with, or bucket-pruned merges would corrupt it. */
+  private def numBuckets: Int = meta.buckets
   def name: String = meta.name
   def space: String = meta.space
 
@@ -147,7 +154,7 @@ final class Collection(spark: SparkSession, dir: Path, numBuckets: Int) {
 
   /** Current contents (empty frame with canonical schema if never written). */
   def toDF: DataFrame = currentData match {
-    case Some(p) => spark.read.parquet(p.toString).drop("pt")
+    case Some(p) => spark.read.option("mergeSchema", "true").parquet(p.toString).drop("pt")
     case None => spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -159,7 +166,7 @@ final class Collection(spark: SparkSession, dir: Path, numBuckets: Int) {
 
   /** Current contents WITH the bucket column (internal merge path). */
   private def currentWithPt: DataFrame =
-    spark.read.parquet(currentData.get.toString)
+    spark.read.option("mergeSchema", "true").parquet(currentData.get.toString)
 
   /** Full rewrite into a fresh version (first write / fallback). */
   private def writeVersion(df: DataFrame): Unit = {

@@ -162,6 +162,35 @@ class CollectionSpec extends SparkTestBase {
     assert(c.get(ids = Seq("id0")).select("document").as[String].head() == "patched")
   }
 
+  test("bucket count persists in meta; a differently-configured session honors it") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "coll-bk").toString
+    val c4 = new CollectionCatalog(spark, root, numBuckets = 4).getOrCreateCollection("c")
+    c4.add(batch(("a", "1", Seq(1f)), ("b", "2", Seq(2f))))
+    assert(c4.meta.buckets == 4)
+    // reopen with a catalog configured for 32 buckets: merges must stay on 4
+    val c32 = new CollectionCatalog(spark, root, numBuckets = 32).getCollection("c").get
+    c32.upsert(batch(("a", "patched", Seq(9f))))
+    val pts = c32.toDF.count()
+    assert(pts == 2)
+    assert(c32.get(ids = Seq("a")).select("document").as[String].head() == "patched")
+    import scala.jdk.CollectionConverters._
+    val bucketDirs = Files.list(java.nio.file.Paths.get(root, "c", f"data_v${c32.meta.version}%06d"))
+      .iterator.asScala.map(_.getFileName.toString).filter(_.startsWith("pt=")).toSeq
+    assert(bucketDirs.forall(_.stripPrefix("pt=").toInt < 4), s"bucket drift: $bucketDirs")
+  }
+
+  test("schema evolution: later batch adds a column, old linked files still read") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(batch(("a", "1", Seq(1f))))
+    val withExtra = Seq(("z", "new", Seq(2f), "en")).toDF("id", "document", "embedding", "lang")
+    c.add(withExtra)
+    val all = c.toDF.orderBy("id")
+    assert(all.columns.contains("lang"))
+    val rows = all.select("id", "lang").as[(String, Option[String])].collect().toMap
+    assert(rows == Map("a" -> None, "z" -> Some("en")))
+  }
+
   test("rename moves the catalog entry and rewrites meta name (B11)") {
     val cat = freshCatalog()
     val c = cat.getOrCreateCollection("old", "cosine")
