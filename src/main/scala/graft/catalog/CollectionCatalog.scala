@@ -35,7 +35,9 @@ import graft.operators.{ChromaFilter, Knn}
   *  - `add` validates duplicate ids with one groupBy over the (small)
   *    incoming batch + a broadcast-able left-semi probe of existing ids.
   */
-final class CollectionCatalog(spark: SparkSession, rootDir: String, numBuckets: Int = 32) {
+final class CollectionCatalog(
+    spark: SparkSession, rootDir: String, numBuckets: Int = 32,
+    maxRowsPerFile: Long = 1L << 20) {
 
   private val root: Path = Paths.get(rootDir)
   Files.createDirectories(root)
@@ -46,12 +48,13 @@ final class CollectionCatalog(spark: SparkSession, rootDir: String, numBuckets: 
       Files.createDirectories(dir)
       writeMeta(dir, CollectionMeta(name, space, 0, Map.empty, numBuckets))
     }
-    new Collection(spark, dir, numBuckets)
+    new Collection(spark, dir, numBuckets, maxRowsPerFile)
   }
 
   def getCollection(name: String): Option[Collection] = {
     val dir = root.resolve(name)
-    if (Files.exists(dir.resolve("meta.json"))) Some(new Collection(spark, dir, numBuckets))
+    if (Files.exists(dir.resolve("meta.json")))
+      Some(new Collection(spark, dir, numBuckets, maxRowsPerFile))
     else None
   }
 
@@ -130,7 +133,9 @@ object CollectionMeta {
 }
 
 /** One collection — the Chroma collection API surface (SURVEY §2.B). */
-final class Collection(spark: SparkSession, dir: Path, catalogBuckets: Int) {
+final class Collection(
+    spark: SparkSession, dir: Path, catalogBuckets: Int,
+    maxRowsPerFile: Long = 1L << 20) {
 
   import ChromaFilter.{Where, WhereDocument}
 
@@ -172,7 +177,9 @@ final class Collection(spark: SparkSession, dir: Path, catalogBuckets: Int) {
   private def writeVersion(df: DataFrame): Unit = {
     val m = meta
     val next = m.version + 1
-    bucketed(df).write.mode("overwrite").partitionBy("pt").parquet(dataDir(next).toString)
+    bucketed(df).write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRowsPerFile)
+      .partitionBy("pt").parquet(dataDir(next).toString)
     CollectionMeta.atomicWrite(dir, m.copy(version = next))
   }
 
@@ -191,6 +198,7 @@ final class Collection(spark: SparkSession, dir: Path, catalogBuckets: Int) {
     val next = m.version + 1
     val newDir = dataDir(next)
     bucketed(mergedAffected.drop("pt")).write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRowsPerFile)
       .partitionBy("pt").parquet(newDir.toString)
     val oldDir = dataDir(m.version)
     Files.list(oldDir).iterator.asScala

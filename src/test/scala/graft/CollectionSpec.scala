@@ -162,6 +162,19 @@ class CollectionSpec extends SparkTestBase {
     assert(c.get(ids = Seq("id0")).select("document").as[String].head() == "patched")
   }
 
+  test("maxRowsPerFile splits oversized bucket files (chunked add)") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "coll-chunk").toString
+    val cat = new CollectionCatalog(spark, root, numBuckets = 2, maxRowsPerFile = 5)
+    val c = cat.getOrCreateCollection("c")
+    c.add((0 until 40).map(i => (s"id$i", s"doc $i", Seq(i.toFloat)))
+      .toDF("id", "document", "embedding"))
+    // ~20 rows per bucket at 5 rows/file -> ≥ 4 files per bucket
+    val files = c.toDF.inputFiles.length
+    assert(files >= 8, s"expected chunked files, got $files")
+    assert(c.count() == 40)
+  }
+
   test("bucket count persists in meta; a differently-configured session honors it") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "coll-bk").toString
