@@ -19,6 +19,7 @@ import graft.operators.Assemble
   * @param persistentPath   collection store root                   (sas:28)
   * @param space            distance space of the collection (Chroma hnsw:space)
   * @param runTrigger       the step's run-time gate                (sas:527-538)
+  * @param maxRowsPerFile   parquet file-size cap for collection writes
   */
 final case class HydrateConfig(
     inputTable: String,
@@ -29,7 +30,8 @@ final case class HydrateConfig(
     collectionName: String,
     persistentPath: String,
     space: String = "l2",
-    runTrigger: Boolean = true)
+    runTrigger: Boolean = true,
+    maxRowsPerFile: Long = 1L << 20)
 
 /** The reference's whole life, Spark-first: validate → project/assemble →
   * add → count check (sas:423-511 orchestration + sas:126-193 payload).
@@ -97,7 +99,8 @@ object Hydrator {
       input, cfg.docId, cfg.textVar, cfg.embeddingPattern, cfg.metadataColumn)
     // Chroma-faithful add-time invariant: uniform embedding dimension
     Assemble.validateUniformDim(frame, "embedding")
-    val cat = new CollectionCatalog(spark, cfg.persistentPath)
+    val cat = new CollectionCatalog(spark, cfg.persistentPath,
+      maxRowsPerFile = cfg.maxRowsPerFile)
     val coll = cat.getOrCreateCollection(cfg.collectionName, cfg.space)
     val before = coll.count()
     coll.add(frame)

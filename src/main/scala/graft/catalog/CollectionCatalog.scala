@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{ChromaFilter, Knn}
 
+/** fd-safe wrappers: `Files.list`/`Files.walk` hold an open directory fd
+  * until closed — full iteration does NOT close them, so every call site
+  * must drain inside a try/finally or a long-running driver (e.g. a
+  * streaming upsert loop) leaks fds until ulimit. */
+private[catalog] object DirIO {
+  def list[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator.asScala) finally s.close()
+  }
+  def walk[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.walk(p)
+    try f(s.iterator.asScala) finally s.close()
+  }
+  def deleteRecursively(p: Path): Unit =
+    walk(p)(_.toSeq).reverse.foreach(Files.delete)
+}
+
 /** Parquet-backed vector-collection store with Chroma collection semantics.
   *
   * The reference bulk-loads a Chroma `PersistentClient` collection
@@ -39,6 +56,11 @@ final class CollectionCatalog(
     spark: SparkSession, rootDir: String, numBuckets: Int = 32,
     maxRowsPerFile: Long = 1L << 20) {
 
+  require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+  // Spark treats maxRecordsPerFile <= 0 as "no limit" — reject it up front
+  // rather than silently disabling the chunking the caller asked for.
+  require(maxRowsPerFile > 0, s"maxRowsPerFile must be positive, got $maxRowsPerFile")
+
   private val root: Path = Paths.get(rootDir)
   Files.createDirectories(root)
 
@@ -60,15 +82,14 @@ final class CollectionCatalog(
 
   def listCollections(): Seq[String] =
     if (!Files.exists(root)) Nil
-    else Files.list(root).iterator.asScala
-      .filter(p => Files.exists(p.resolve("meta.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+    else DirIO.list(root)(_.filter(p => Files.exists(p.resolve("meta.json")))
+      .map(_.getFileName.toString).toSeq.sorted)
 
   def deleteCollection(name: String): Boolean = {
     val dir = root.resolve(name)
     if (!Files.exists(dir)) false
     else {
-      Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      DirIO.deleteRecursively(dir)
       true
     }
   }
@@ -134,8 +155,7 @@ object CollectionMeta {
 
 /** One collection — the Chroma collection API surface (SURVEY §2.B). */
 final class Collection(
-    spark: SparkSession, dir: Path, catalogBuckets: Int,
-    maxRowsPerFile: Long = 1L << 20) {
+    spark: SparkSession, dir: Path, catalogBuckets: Int, maxRowsPerFile: Long) {
 
   import ChromaFilter.{Where, WhereDocument}
 
@@ -201,19 +221,20 @@ final class Collection(
       .option("maxRecordsPerFile", maxRowsPerFile)
       .partitionBy("pt").parquet(newDir.toString)
     val oldDir = dataDir(m.version)
-    Files.list(oldDir).iterator.asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("pt="))
-      .filterNot(p => affected.contains(p.getFileName.toString.stripPrefix("pt=").toInt))
-      .foreach { bucketDir =>
-        val target = newDir.resolve(bucketDir.getFileName.toString)
-        Files.createDirectories(target)
-        Files.list(bucketDir).iterator.asScala.filter(Files.isRegularFile(_)).foreach { f =>
-          val link = target.resolve(f.getFileName.toString)
-          try Files.createLink(link, f)
-          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-            Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
-        }
+    val carryOver = DirIO.list(oldDir)(
+      _.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("pt="))
+        .filterNot(p => affected.contains(p.getFileName.toString.stripPrefix("pt=").toInt))
+        .toSeq)
+    carryOver.foreach { bucketDir =>
+      val target = newDir.resolve(bucketDir.getFileName.toString)
+      Files.createDirectories(target)
+      DirIO.list(bucketDir)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
+        val link = target.resolve(f.getFileName.toString)
+        try Files.createLink(link, f)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
       }
+    }
     CollectionMeta.atomicWrite(dir, m.copy(version = next))
   }
 
@@ -340,11 +361,11 @@ final class Collection(
   def vacuum(keepHistory: Int = 0): Int = {
     val current = meta.version
     val cutoff = current - keepHistory
-    val dead = Files.list(dir).iterator.asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data_v"))
-      .filter(_.getFileName.toString.stripPrefix("data_v").toInt < cutoff)
-      .toSeq
-    dead.foreach(d => Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.delete))
+    val dead = DirIO.list(dir)(
+      _.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data_v"))
+        .filter(_.getFileName.toString.stripPrefix("data_v").toInt < cutoff)
+        .toSeq)
+    dead.foreach(DirIO.deleteRecursively)
     dead.size
   }
 }

@@ -167,12 +167,19 @@ class CollectionSpec extends SparkTestBase {
       java.nio.file.Paths.get("/root/repo/target"), "coll-chunk").toString
     val cat = new CollectionCatalog(spark, root, numBuckets = 2, maxRowsPerFile = 5)
     val c = cat.getOrCreateCollection("c")
+    // coalesce(1): one writer task, so any splitting comes from the
+    // maxRecordsPerFile option, not task parallelism
     c.add((0 until 40).map(i => (s"id$i", s"doc $i", Seq(i.toFloat)))
-      .toDF("id", "document", "embedding"))
-    // ~20 rows per bucket at 5 rows/file -> ≥ 4 files per bucket
-    val files = c.toDF.inputFiles.length
-    assert(files >= 8, s"expected chunked files, got $files")
+      .toDF("id", "document", "embedding").coalesce(1))
     assert(c.count() == 40)
+    // the real invariant: no file holds more than maxRowsPerFile rows
+    val perFile = c.toDF.inputFiles.map { f =>
+      spark.read.parquet(f).count()
+    }
+    assert(perFile.nonEmpty && perFile.forall(_ <= 5), s"oversized files: ${perFile.toSeq}")
+    intercept[IllegalArgumentException] {
+      new CollectionCatalog(spark, root, numBuckets = 2, maxRowsPerFile = 0)
+    }
   }
 
   test("bucket count persists in meta; a differently-configured session honors it") {
