@@ -42,12 +42,16 @@ class IvfPruneRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
+    // NOTE: Catalyst's `Limit` extractor strips the LocalLimit (it returns
+    // the grandchild), so rebuilding through it would DELETE the LocalLimit
+    // node and break the TakeOrderedAndProject pattern downstream — match
+    // GlobalLimit/LocalLimit explicitly and rebuild with copy().
     plan.transformDown {
-      case l @ Limit(_, s @ Sort(order, _, p: Project, _)) =>
-        rewrite(s, order, p).map(ns => l.withNewChildren(Seq(ns))).getOrElse(l)
-      case l @ Limit(_, ll @ LocalLimit(_, s @ Sort(order, _, p: Project, _))) =>
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_, s @ Sort(order, _, p: Project, _))) =>
         rewrite(s, order, p)
-          .map(ns => l.withNewChildren(Seq(ll.withNewChildren(Seq(ns))))).getOrElse(l)
+          .map(ns => gl.copy(child = ll.copy(child = ns))).getOrElse(gl)
+      case gl @ GlobalLimit(_, s @ Sort(order, _, p: Project, _)) =>
+        rewrite(s, order, p).map(ns => gl.copy(child = ns)).getOrElse(gl)
     }
   }
 
@@ -62,7 +66,7 @@ class IvfPruneRule(session: SparkSession) extends Rule[LogicalPlan] {
         case a: AttributeReference if a.name == "cell" && a.dataType == IntegerType => a }
       if !alreadyPruned(p.child)
       path <- scanRootPath(p.child)
-      centroids <- Ann.readCentroids(path)
+      centroids <- Ann.readCentroids(path, session.sparkContext.hadoopConfiguration)
     } yield {
       val cells = Ann.nearestCellsOf(centroids, query, nprobe)
       val filter = Filter(
@@ -81,16 +85,21 @@ class IvfPruneRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Idempotency guard. MUST survive the optimizer rewriting our inserted
+    * `In` (OptimizeIn turns 1 value into EqualTo and >10 into InSet in the
+    * SAME fixed-point batch) — so treat ANY filter referencing `cell` as
+    * "already pruned", or the batch never converges and stacks duplicate
+    * filters until the iteration limit. */
   private def alreadyPruned(plan: LogicalPlan): Boolean = plan.exists {
-    case Filter(cond, _) => cond.exists {
-      case In(a: AttributeReference, _) => a.name == "cell"
-      case _ => false }
+    case Filter(cond, _) => cond.references.exists(_.name == "cell")
     case _ => false
   }
 
   private def scanRootPath(plan: LogicalPlan): Option[String] = plan.collectFirst {
     case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.headOption.map(_.toUri.getPath)
+      // keep the FULL path (scheme included) — stripping to toUri.getPath
+      // would point the sidecar read at a nonexistent local path on hdfs/s3
+      case fs: HadoopFsRelation => fs.location.rootPaths.headOption.map(_.toString)
       case _ => None
     }
   }.flatten

@@ -54,6 +54,7 @@ case class VectorDistance(left: Expression, right: Expression, space: String)
     val n = a.numElements()
     if (n != b.numElements()) return null
     val lf = isFloat(left); val rf = isFloat(right)
+    val needNorms = space == "cosine"
     var acc = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -61,7 +62,8 @@ case class VectorDistance(left: Expression, right: Expression, space: String)
       val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
       if (space == "l2") { val d = x - y; acc += d * d }
-      else { acc += x * y; na += x * x; nb += y * y }
+      else if (needNorms) { acc += x * y; na += x * x; nb += y * y }
+      else acc += x * y
       i += 1
     }
     space match {
@@ -79,9 +81,12 @@ case class VectorDistance(left: Expression, right: Expression, space: String)
       val x = ctx.freshName("x"); val y = ctx.freshName("y"); val d = ctx.freshName("d")
       val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // only cosine needs the norms — dot/ip must not pay 4 extra
+      // multiplies per element in the fused hot loop
       val accumulate = space match {
-        case "l2" => s"double $d = $x - $y; $acc += $d * $d;"
-        case _    => s"$acc += $x * $y; $na += $x * $x; $nb += $y * $y;"
+        case "l2"     => s"double $d = $x - $y; $acc += $d * $d;"
+        case "cosine" => s"$acc += $x * $y; $na += $x * $x; $nb += $y * $y;"
+        case _        => s"$acc += $x * $y;"
       }
       val result = space match {
         case "l2"     => acc

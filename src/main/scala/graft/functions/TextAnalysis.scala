@@ -54,7 +54,12 @@ object TextAnalysis {
       struct((-stopwordHits(tokens, l)).as("neg"), lit(l).as("lang"))
     }: _*)
     val best = element_at(array_sort(scored), 1)
-    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+    // guard null text explicitly: null hit-counts sort FIRST in struct
+    // ordering and `neg === 0` is null, so without the guard every null
+    // document would be confidently labeled with the first language code
+    when(text.isNull, lit(null).cast("string"))
+      .when(best.getField("neg") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
   }
 
   /** Quality signals: char length, token count, mean token length,

@@ -65,23 +65,40 @@ object Ann {
     * sessions' queries without the in-memory model. */
   def writeIvf(model: IvfModel, path: String): Unit = {
     model.assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-    val lines = model.centroids.map { case (i, c) => s"$i ${c.mkString(" ")}" }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_ivf_centroids.txt"),
-      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Hadoop FS, not java.nio: the layout may live on hdfs://, s3a://, … —
+    // a local-filesystem sidecar would crash AFTER the expensive corpus
+    // write (or silently disable rule-based pruning on read).
+    val spark = model.assigned.sparkSession
+    val sidecar = new org.apache.hadoop.fs.Path(path, "_ivf_centroids.txt")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(sidecar, true)
+    try out.write(model.centroids
+      .map { case (i, c) => s"$i ${c.mkString(" ")}" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Read back centroids persisted by [[writeIvf]] (None if absent). */
-  def readCentroids(path: String): Option[Array[(Int, Array[Double])]] = {
-    val f = java.nio.file.Paths.get(path, "_ivf_centroids.txt")
-    if (!java.nio.file.Files.exists(f)) None
-    else Some(
-      new String(java.nio.file.Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").filter(_.nonEmpty).map { line =>
-          val parts = line.split(" ")
-          (parts.head.toInt, parts.tail.map(_.toDouble))
-        })
+  def readCentroids(
+      path: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Option[Array[(Int, Array[Double])]] = {
+    val sidecar = new org.apache.hadoop.fs.Path(path, "_ivf_centroids.txt")
+    val fs = sidecar.getFileSystem(hadoopConf)
+    if (!fs.exists(sidecar)) None
+    else {
+      val in = fs.open(sidecar)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(text.split("\n").filter(_.nonEmpty).map { line =>
+        val parts = line.split(" ")
+        (parts.head.toInt, parts.tail.map(_.toDouble))
+      })
+    }
   }
 
   /** nprobe nearest cells from a raw centroid table (shared by the model

@@ -64,17 +64,12 @@ object Assemble {
       textCol: String,
       embeddingPattern: String,
       metadataCol: Option[String] = None): DataFrame = {
-    val base = input.select(
+    val meta = metadataCol.fold(lit(null).cast("map<string,string>"))(metadataMap(_))
+    input.select(
       idAsString(docIdCol),
       col(textCol).as("document"),
-      assembleVectorLike(input, embeddingPattern).as("embedding"))
-    metadataCol.fold(base.withColumn("metadata", lit(null).cast("map<string,string>"))) {
-      m => input.select(
-        idAsString(docIdCol),
-        col(textCol).as("document"),
-        assembleVectorLike(input, embeddingPattern).as("embedding"),
-        metadataMap(m).as("metadata"))
-    }
+      assembleVectorLike(input, embeddingPattern).as("embedding"),
+      meta.as("metadata"))
   }
 
   /** Uniform-dimension validation (Chroma add-time invariant, SURVEY §7.4.1):
@@ -82,9 +77,13 @@ object Assemble {
     * One map-side `size()` agg — no data movement beyond a tiny agg shuffle.
     */
   def validateUniformDim(df: DataFrame, vecCol: String): Int = {
-    val dims = df.select(size(col(vecCol)).as("dim")).distinct().collect().map(_.getInt(0))
-    if (dims.length != 1) throw new IllegalArgumentException(
+    val dims = df.select(size(col(vecCol)).as("dim")).distinct().collect()
+      .map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    if (dims.contains(-1)) throw new IllegalArgumentException(
+      s"null embedding in '$vecCol' — Chroma add() requires a vector per row")
+    if (dims.isEmpty) 0 // no rows: nothing to validate
+    else if (dims.length != 1) throw new IllegalArgumentException(
       s"ragged embedding dimensions ${dims.sorted.mkString(",")} — Chroma add() requires uniform dim")
-    dims.head
+    else dims.head
   }
 }

@@ -29,7 +29,13 @@ object Dedup {
     */
   def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
     val keep = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
-    df.join(keep, keyCols :+ idCol, "left_semi")
+    // null-SAFE key equality (<=>): groupBy puts null keys in one group, and
+    // a null-unsafe semi-join would then drop that whole group (its min-id
+    // row included) — silent data loss, not dedup.
+    val l = df.alias("l"); val r = keep.alias("r")
+    val cond = keyCols.map(c => col(s"l.$c") <=> col(s"r.$c"))
+      .reduce(_ && _) && col(s"l.$idCol") === col(s"r.$idCol")
+    l.join(r, cond, "left_semi")
   }
 
   /** Word-level shingles (n-grams) of a text column, as ARRAY<STRING>. */
@@ -93,6 +99,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4,
       maxBucketSize: Int = 1000): DataFrame = {
+    require(numBands >= 1 && numBands <= numHashes && numHashes % numBands == 0,
+      s"numBands ($numBands) must divide numHashes ($numHashes) — a remainder would be " +
+        "silently ignored, and numBands > numHashes degenerates every doc into the same buckets")
     val rowsPerBand = numHashes / numBands
     val sig = minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
     val bands = sig.select(

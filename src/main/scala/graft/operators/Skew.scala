@@ -28,8 +28,7 @@ object Skew {
   def saltedJoin(
       left: DataFrame, right: DataFrame, key: String, numSalts: Int): DataFrame = {
     val salted = left.withColumn("__salt",
-      pmod(pmod(hash(monotonically_increasing_id(), col(key)), lit(numSalts)) + numSalts,
-        lit(numSalts)))
+      pmod(hash(monotonically_increasing_id(), col(key)), lit(numSalts)))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

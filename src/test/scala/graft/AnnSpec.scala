@@ -70,12 +70,26 @@ class AnnSpec extends SparkTestBase {
       val (pruned, onPlan) = knnPlan()
       assert(onPlan.contains("cell IN") || onPlan.contains("cell#"),
         s"no cell pruning in:\n$onPlan")
+      // the rewrite must PRESERVE the top-k shortcut (Limit+Sort intact):
+      // rebuilding through Catalyst's Limit extractor would drop the
+      // LocalLimit and degrade to a global sort
+      assert(onPlan.contains("TakeOrderedAndProject"),
+        s"top-k shortcut destroyed by the rewrite:\n$onPlan")
       val expected = Ann.queryIvf(spark.read.parquet(dir), m, "vec_id", "embedding",
         q, 5, nprobe = 2, space = "cosine").select("vec_id").as[Long].collect().toSeq
       assert(pruned == expected)
       // sanity: with all cells probed the rewrite reproduces brute force
       spark.conf.set("spark.graft.ivf.nprobe", "8")
       assert(knnPlan()._1 == exact)
+      // convergence: nprobe=1 (OptimizeIn -> EqualTo) and nprobe=8 (-> InSet
+      // when >10; here a multi-value In) must not stack duplicate filters —
+      // the fixed-point batch would hit max iterations if the guard missed
+      for (np <- Seq("1", "8")) {
+        spark.conf.set("spark.graft.ivf.nprobe", np)
+        val (_, plan) = knnPlan()
+        val filters = "Filter".r.findAllIn(plan).length
+        assert(filters <= 3, s"stacked filters at nprobe=$np:\n$plan")
+      }
     } finally {
       spark.conf.set("spark.graft.ivf.autoPrune", "false")
     }

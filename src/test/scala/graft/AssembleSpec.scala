@@ -66,4 +66,15 @@ class AssembleSpec extends SparkTestBase {
     assert(Assemble.validateUniformDim(
       Assemble.hydrationFrame(uniform, "doc_id", "text", "emb_"), "embedding") == 3)
   }
+
+  test("validateUniformDim: empty frame -> 0; null vector -> clear error") {
+    val empty = wide.filter(col("doc_id") < 0)
+    assert(Assemble.validateUniformDim(
+      Assemble.hydrationFrame(empty, "doc_id", "text", "emb_"), "embedding") == 0)
+    val withNullVec = Seq((1L, Some(Seq(1f))), (2L, None)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Assemble.validateUniformDim(withNullVec, "v")
+    }
+    assert(e.getMessage.contains("null embedding"))
+  }
 }

@@ -22,6 +22,24 @@ class DedupSpec extends SparkTestBase {
     assert(twice.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 5L))
   }
 
+  test("exact dedup keeps exactly one survivor for a NULL key group") {
+    val withNulls = Seq((1L, Some("x")), (2L, None), (3L, None), (4L, Some("x")))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(withNulls, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // null-unsafe semi-join would drop BOTH null rows; null-safe keeps min
+    assert(out == Set(1L, 2L))
+  }
+
+  test("minHashCandidates rejects non-divisible or degenerate band configs") {
+    intercept[IllegalArgumentException] {
+      Dedup.minHashCandidates(docs, "doc_id", "text", numHashes = 16, numBands = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minHashCandidates(docs, "doc_id", "text", numHashes = 16, numBands = 20)
+    }
+  }
+
   test("word shingles: count, content, short-text fallback") {
     val sh = docs.filter(col("doc_id") === 1)
       .select(Dedup.wordShingles(col("text"), 3).as("s")).as[Seq[String]].head()

@@ -27,6 +27,12 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one[String]("zzz qqq xxx", TextAnalysis.langId(col("text"))) == "und")
   }
 
+  test("langId on null text returns null, not a confident wrong label") {
+    val r = Seq[Option[String]](None).toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("v")).head()
+    assert(r.isNullAt(0))
+  }
+
   test("langId tie-break is language-code ascending") {
     // 'de' and 'en' both hit exactly once -> 'de' (ascending)
     assert(one[String]("der the zzz", TextAnalysis.langId(col("text"))) == "de")
