@@ -99,7 +99,9 @@ object Hydrator {
       input, cfg.docId, cfg.textVar, cfg.embeddingPattern, cfg.metadataColumn)
     // Chroma-faithful add-time invariant: uniform embedding dimension
     Assemble.validateUniformDim(frame, "embedding")
-    val cat = new CollectionCatalog(spark, cfg.persistentPath,
+    // A14: accept reference-style `server:/path` references here too — a
+    // raw Paths.get would otherwise create a literal './server:' directory
+    val cat = new CollectionCatalog(spark, resolvePersistentPath(cfg.persistentPath),
       maxRowsPerFile = cfg.maxRowsPerFile)
     val coll = cat.getOrCreateCollection(cfg.collectionName, cfg.space)
     val before = coll.count()

@@ -70,13 +70,13 @@ final class CollectionCatalog(
       Files.createDirectories(dir)
       writeMeta(dir, CollectionMeta(name, space, 0, Map.empty, numBuckets))
     }
-    new Collection(spark, dir, numBuckets, maxRowsPerFile)
+    new Collection(spark, dir, maxRowsPerFile)
   }
 
   def getCollection(name: String): Option[Collection] = {
     val dir = root.resolve(name)
     if (Files.exists(dir.resolve("meta.json")))
-      Some(new Collection(spark, dir, numBuckets, maxRowsPerFile))
+      Some(new Collection(spark, dir, maxRowsPerFile))
     else None
   }
 
@@ -119,10 +119,13 @@ final case class CollectionMeta(
     buckets: Int = 32)
 
 object CollectionMeta {
-  /** Minimal hand-rolled JSON (flat strings/ints only) — no extra deps. */
+  /** Minimal hand-rolled JSON (flat strings/ints only) — no extra deps.
+    * Braces and control characters are \uXXXX-escaped so the regex reader
+    * below can delimit the metadata object without a full JSON parser. */
   def toJson(m: CollectionMeta): String = {
     def q(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' || c == '{' || c == '}' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val md = m.metadata.toSeq.sortBy(_._1)
@@ -130,14 +133,27 @@ object CollectionMeta {
     s"""{"name": ${q(m.name)}, "space": ${q(m.space)}, "version": ${m.version}, "buckets": ${m.buckets}, "metadata": $md}"""
   }
 
+  private def unescape(raw: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i) == '\\' && i + 1 < raw.length) raw(i + 1) match {
+        case 'u' => sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar); i += 6
+        case 'n' => sb.append('\n'); i += 2
+        case c   => sb.append(c); i += 2
+      } else { sb.append(raw(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   def fromJson(s: String): CollectionMeta = {
     def str(k: String) = ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
-      .findFirstMatchIn(s).map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .findFirstMatchIn(s).map(m => unescape(m.group(1)))
     def int(k: String) = ("\"" + k + "\"\\s*:\\s*(\\d+)").r
       .findFirstMatchIn(s).map(_.group(1).toInt)
     val mdBody = ("\"metadata\"\\s*:\\s*\\{([^}]*)\\}").r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
     val md = "\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findAllMatchIn(mdBody).map(m => m.group(1) -> m.group(2)).toMap
+      .findAllMatchIn(mdBody).map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
     CollectionMeta(str("name").get, str("space").getOrElse("l2"),
       int("version").getOrElse(0), md, int("buckets").getOrElse(32))
   }
@@ -154,8 +170,7 @@ object CollectionMeta {
 }
 
 /** One collection — the Chroma collection API surface (SURVEY §2.B). */
-final class Collection(
-    spark: SparkSession, dir: Path, catalogBuckets: Int, maxRowsPerFile: Long) {
+final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
 
   import ChromaFilter.{Where, WhereDocument}
 
@@ -193,6 +208,18 @@ final class Collection(
   private def currentWithPt: DataFrame =
     spark.read.option("mergeSchema", "true").parquet(currentData.get.toString)
 
+  /** Best-effort single-writer check: the meta version read at the start of
+    * a mutation must still be current at swap time, or another writer won
+    * the race and committing would silently drop its rows. A true lock
+    * needs an external coordinator; this CAS turns the silent loss into a
+    * loud failure. */
+  private def casSwap(expected: CollectionMeta): Unit = {
+    val now = meta
+    if (now.version != expected.version) throw new java.util.ConcurrentModificationException(
+      s"collection '${now.name}' advanced v${expected.version}->v${now.version} during this mutation; retry")
+    CollectionMeta.atomicWrite(dir, expected.copy(version = expected.version + 1))
+  }
+
   /** Full rewrite into a fresh version (first write / fallback). */
   private def writeVersion(df: DataFrame): Unit = {
     val m = meta
@@ -200,7 +227,7 @@ final class Collection(
     bucketed(df).write.mode("overwrite")
       .option("maxRecordsPerFile", maxRowsPerFile)
       .partitionBy("pt").parquet(dataDir(next).toString)
-    CollectionMeta.atomicWrite(dir, m.copy(version = next))
+    casSwap(m)
   }
 
   /** Partition-pruned copy-on-write (SURVEY §7.4.3): rewrite ONLY the id-hash
@@ -235,7 +262,7 @@ final class Collection(
           Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
       }
     }
-    CollectionMeta.atomicWrite(dir, m.copy(version = next))
+    casSwap(m)
   }
 
   /** Distinct id-hash buckets hit by a batch (small driver-side collect). */
@@ -252,22 +279,28 @@ final class Collection(
     currentData match {
       case None => writeVersion(batch)
       case Some(_) =>
-        val clash = batch.join(toDF.select("id"), Seq("id"), "left_semi").limit(1).collect()
-        if (clash.nonEmpty)
-          throw new IllegalArgumentException(s"id already exists: ${clash.head.getString(0)}")
+        // clashes can only live in the batch's own buckets — probe those,
+        // not the whole collection (point-inserts must stay O(affected))
         val affected = bucketsOf(batch)
         val curAffected = currentWithPt.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
+        val clash = batch.join(curAffected.select("id"), Seq("id"), "left_semi").limit(1).collect()
+        if (clash.nonEmpty)
+          throw new IllegalArgumentException(s"id already exists: ${clash.head.getString(0)}")
         writeMergedVersion(
           curAffected.unionByName(batch, allowMissingColumns = true), affected)
     }
   }
 
   /** B2 upsert: insert-or-replace by id; within-batch duplicates resolve
-    * latest-wins by `orderCol` descending (deterministic). Only affected
-    * buckets are rewritten. */
+    * latest-wins by `orderCol` descending. Without an orderCol the winner is
+    * arbitrary but DETERMINISTIC (content-hash order, independent of
+    * partition layout) — a replayed microbatch picks the same row, which a
+    * monotonically_increasing_id tie-break would not guarantee. Only
+    * affected buckets are rewritten. */
   def upsert(batch: DataFrame, orderCol: Option[String] = None): Unit = {
+    val contentOrder = xxhash64(struct(batch.columns.map(col): _*))
     val w = Window.partitionBy("id")
-      .orderBy(orderCol.map(c => col(c).desc).getOrElse(monotonically_increasing_id().desc))
+      .orderBy(orderCol.map(c => col(c).desc).getOrElse(contentOrder.desc))
     val dedupBatch = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     currentData match {
@@ -284,6 +317,9 @@ final class Collection(
   /** B3 update: replace non-null fields for EXISTING ids only. Only the
     * buckets containing updated ids are rewritten. */
   def update(batch: DataFrame): Unit = currentData.foreach { _ =>
+    val dup = batch.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"duplicate id in update batch: ${dup.head.getString(0)} — the left join would fan out")
     val affected = bucketsOf(batch.select("id"))
     val cur = currentWithPt.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
     val upd = batch.columns.filter(_ != "id")
@@ -295,15 +331,16 @@ final class Collection(
     writeMergedVersion(merged, affected)
   }
 
-  /** B4 delete by id list and/or metadata predicate. For an id list the
-    * affected buckets are known a priori; for a predicate they are
-    * discovered with one pruned scan — either way only buckets that lose
-    * rows are rewritten. */
+  /** B4 delete by id list and/or metadata predicate. Conditions COMBINE
+    * WITH AND (Chroma semantics, matching `get`): an id list plus a `where`
+    * deletes only the listed ids that ALSO satisfy the predicate — OR here
+    * would turn a caller's restriction into a mass delete. Affected buckets
+    * are discovered with one pruned scan; only buckets losing rows rewrite. */
   def delete(ids: Seq[String] = Nil, where: Option[Where] = None,
              whereDoc: Option[WhereDocument] = None): Unit = currentData.foreach { _ =>
     val byIds: Option[Column] = if (ids.nonEmpty) Some(col("id").isin(ids: _*)) else None
     val byPred = ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(toDF))
-    val cond = (byIds.toSeq ++ byPred.toSeq).reduceOption(_ || _)
+    val cond = (byIds.toSeq ++ byPred.toSeq).reduceOption(_ && _)
     cond.foreach { c =>
       val affected = currentWithPt.filter(coalesce(c, lit(false)))
         .select("pt").distinct().collect().map(_.getInt(0)).toSet
@@ -359,6 +396,8 @@ final class Collection(
     * versions survive (link count > 1) — only truly dead bytes are freed.
     * Storage hygiene for long-lived collections under frequent upserts. */
   def vacuum(keepHistory: Int = 0): Int = {
+    require(keepHistory >= 0,
+      s"keepHistory must be >= 0, got $keepHistory (negative would delete the LIVE version)")
     val current = meta.version
     val cutoff = current - keepHistory
     val dead = DirIO.list(dir)(

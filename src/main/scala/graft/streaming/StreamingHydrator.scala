@@ -75,14 +75,16 @@ object StreamingHydrator {
     * state surface for aggregations no built-in window expresses. */
   def runningMax(
       events: DataFrame, keyCol: String, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col(keyCol).cast("long"), col(valueCol).cast("double"))
-      .as[(Long, Double)]
+    // key travels as STRING: a long cast would null out non-numeric keys and
+    // crash the non-nullable encoder the moment the stream starts
+    events.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[Double]) =>
           val batchMax = rows.map(_._2).max
           val hwm = math.max(state.getOption.getOrElse(Double.MinValue), batchMax)
           state.update(hwm)

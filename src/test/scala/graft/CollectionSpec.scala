@@ -84,6 +84,42 @@ class CollectionSpec extends SparkTestBase {
     assert(c.toDF.select("id").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("delete combines ids and predicate with AND (Chroma parity), not OR") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(Seq(("a", "en doc", Seq(1f), "en"), ("b", "en doc 2", Seq(2f), "en"),
+      ("x", "fr doc", Seq(3f), "fr")).toDF("id", "document", "embedding", "lang"))
+    // delete id 'a' ONLY IF lang=en: must remove exactly 'a', never every en row
+    c.delete(ids = Seq("a"), where = Some(ChromaFilter.Eq("lang", "en")))
+    assert(c.toDF.select("id").as[String].collect().toSet == Set("b", "x"))
+    // restriction that matches nothing deletes nothing
+    c.delete(ids = Seq("b"), where = Some(ChromaFilter.Eq("lang", "fr")))
+    assert(c.count() == 2)
+  }
+
+  test("update rejects within-batch duplicate ids (join fan-out guard)") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(batch(("a", "v1", Seq(1f))))
+    intercept[IllegalArgumentException] {
+      c.update(Seq(("a", "x"), ("a", "y")).toDF("id", "document"))
+    }
+  }
+
+  test("vacuum rejects negative keepHistory (would delete the live version)") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(batch(("a", "1", Seq(1f))))
+    intercept[IllegalArgumentException] { c.vacuum(-1) }
+    assert(c.count() == 1)
+  }
+
+  test("metadata values with braces and newlines round-trip through meta.json") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    val tricky = Map("note" -> "a}b{c", "desc" -> "line1\nline2", "quote" -> "say \"hi\"")
+    c.modifyMetadata(tricky)
+    assert(c.meta.metadata == tricky)
+    c.modifyMetadata(Map("extra" -> "plain"))
+    assert(c.meta.metadata == tricky + ("extra" -> "plain"))
+  }
+
   test("get supports where/where_document/limit/offset paging (B5)") {
     val c = freshCatalog().getOrCreateCollection("c")
     c.add(batch(("a", "xx", Seq(1f)), ("b", "xy", Seq(2f)),

@@ -85,9 +85,10 @@ class StreamingSpec extends SparkTestBase {
     mem.addData((1L, 4.0), (2L, 9.0)) // 1's hwm must stay 5, 2's rises to 9
     q.processAllAvailable()
     q.stop()
-    val last = spark.table("hwm_out").as[(Long, Double)].collect()
-      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
-    assert(last == Map(1L -> 5.0, 2L -> 9.0))
+    // keys travel as strings (arbitrary key types supported)
+    val last = spark.table("hwm_out").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last == Map("1" -> 5.0, "2" -> 9.0))
   }
 
   test("windowed counts with watermark") {
