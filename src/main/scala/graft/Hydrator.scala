@@ -83,8 +83,16 @@ object Hydrator {
     errs.result()
   }
 
+  /** Input resolution: catalog table name, or a path whose format follows
+    * its extension (parquet default; csv with header+inferSchema; json
+    * lines) — the source surface a step like the reference exposes. */
   private def readInput(spark: SparkSession, table: String): DataFrame =
-    if (table.contains("/")) spark.read.parquet(table) else spark.table(table)
+    if (!table.contains("/")) spark.table(table)
+    else if (table.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(table)
+    else if (table.endsWith(".json") || table.endsWith(".jsonl"))
+      spark.read.json(table)
+    else spark.read.parquet(table)
 
   /** Run the hydration. Returns the hydrated collection, or None when the
     * run trigger is off (the reference's no-op branch, sas:244-255). Throws

@@ -380,6 +380,16 @@ object SparkEntry {
            |FROM emb_v WHERE vec_id <> 1
            |ORDER BY graft_l2_dist(embedding, $qlit), vec_id LIMIT 10""".stripMargin)
     }),
+    // Corpus statistics: exact interpolated percentiles + distinct counts
+    "q45_corpus_stats" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang")
+        .agg(expr("percentile(n_chars, array(0.5D, 0.9D))").as("pct"),
+          countDistinct(col("source")).as("n_sources"))
+        .select(col("lang"),
+          round(element_at(col("pct"), 1), 4).as("median_chars"),
+          round(element_at(col("pct"), 2), 4).as("p90_chars"),
+          col("n_sources"))
+        .orderBy("lang")),
     // C4 set operations: EXCEPT / INTERSECT (distinct semantics)
     "q38_set_ops" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -608,6 +618,11 @@ object SparkEntry {
          |      FROM embeddings e, q WHERE e.vec_id <> 1)
          |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM d
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
+    "q45_corpus_stats" ->
+      """SELECT lang, ROUND(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+        |ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+        |COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q43_brand_revenue" ->
       """SELECT p_brand,
         |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,

@@ -88,6 +88,32 @@ class HydratorSpec extends SparkTestBase {
     assert(e.getMessage.contains("ragged"))
   }
 
+  test("csv and json inputs hydrate through the same config path") {
+    val base = tmpRoot()
+    val df = Seq((1L, "csv doc", 0.1, 0.2), (2L, "csv doc 2", 0.3, 0.4))
+      .toDF("doc_id", "text", "emb_0", "emb_1").coalesce(1)
+    df.write.option("header", "true").csv(base + "/in_csv")
+    df.write.json(base + "/in_json")
+    // csv/json dirs contain part files; point at the dir with the extension hint
+    val csvDir = base + "/in_csv"
+    val jsonDir = base + "/in_json"
+    // Spark reads a directory of csv/json parts fine; extension check is on
+    // the user-supplied path, so use explicit suffixed copies
+    import java.nio.file.{Files => F, Paths => P}
+    import scala.jdk.CollectionConverters._
+    def firstPart(dir: String, suffix: String): String =
+      F.list(P.get(dir)).iterator.asScala
+        .find(_.getFileName.toString.endsWith(suffix)).get.toString
+    val csvCfg = HydrateConfig(
+      inputTable = firstPart(csvDir, ".csv"), textVar = "text", docId = "doc_id",
+      embeddingPattern = "emb_", metadataColumn = None,
+      collectionName = "from_csv", persistentPath = tmpRoot())
+    assert(Hydrator.run(spark, csvCfg).get.count() == 2)
+    val jsonCfg = csvCfg.copy(inputTable = firstPart(jsonDir, ".json"),
+      collectionName = "from_json", persistentPath = tmpRoot())
+    assert(Hydrator.run(spark, jsonCfg).get.count() == 2)
+  }
+
   test("count conservation holds across a second batch into the same collection") {
     val root = tmpRoot()
     Hydrator.run(spark, cfg(root))
