@@ -391,6 +391,29 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     CollectionMeta.atomicWrite(dir, m.copy(metadata = m.metadata ++ kv))
   }
 
+  /** Export the collection's current contents to an external sink
+    * (parquet | csv | json). csv cannot carry array/map columns, so the
+    * embedding is serialized to a comma-joined string and metadata to a
+    * JSON string — a lossy but loadable interchange form. */
+  def export(path: String, format: String = "parquet"): Unit = {
+    val df = toDF
+    format match {
+      case "parquet" => df.write.mode("overwrite").parquet(path)
+      case "json" => df.write.mode("overwrite").json(path)
+      case "csv" =>
+        val flat = df.columns.foldLeft(df) { (acc, c) =>
+          acc.schema(c).dataType.typeName match {
+            case "array" => acc.withColumn(c, concat_ws(",", col(c)))
+            case "map"   => acc.withColumn(c, to_json(col(c)))
+            case _       => acc
+          }
+        }
+        flat.write.mode("overwrite").option("header", "true").csv(path)
+      case other => throw new IllegalArgumentException(
+        s"unknown export format '$other' (parquet|csv|json)")
+    }
+  }
+
   /** Drop superseded copy-on-write versions, keeping the current one plus
     * `keepHistory` predecessors. Hard-linked files shared with retained
     * versions survive (link count > 1) — only truly dead bytes are freed.

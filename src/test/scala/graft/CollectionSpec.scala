@@ -247,6 +247,23 @@ class CollectionSpec extends SparkTestBase {
     assert(rows == Map("a" -> None, "z" -> Some("en")))
   }
 
+  test("export round-trips parquet/json and flattens csv") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(Seq(("a", "doc", Seq(1f, 2f), Map("k" -> "v")))
+      .toDF("id", "document", "embedding", "metadata"))
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "exp").toString
+    c.export(base + "/p", "parquet")
+    assert(spark.read.parquet(base + "/p").count() == 1)
+    c.export(base + "/j", "json")
+    assert(spark.read.json(base + "/j").select("id").as[String].head() == "a")
+    c.export(base + "/c", "csv")
+    val csv = spark.read.option("header", "true").csv(base + "/c").head()
+    assert(csv.getAs[String]("embedding") == "1.0,2.0")
+    assert(csv.getAs[String]("metadata").contains("\"k\":\"v\""))
+    intercept[IllegalArgumentException] { c.export(base + "/x", "avro") }
+  }
+
   test("rename moves the catalog entry and rewrites meta name (B11)") {
     val cat = freshCatalog()
     val c = cat.getOrCreateCollection("old", "cosine")
