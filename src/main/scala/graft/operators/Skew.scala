@@ -23,12 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The salt for one fact row: mixes row identity with the key so a hot
+    * key spreads over all n salts. Exposed so tests exercise the SAME
+    * expression the join uses (a re-derived copy could silently drift). */
+  def saltExpr(key: String, numSalts: Int): Column =
+    pmod(hash(monotonically_increasing_id(), col(key)), lit(numSalts))
+
   /** Inner equi-join with the left (fact) side salted n ways.
     * `right` is replicated n× — keep it the smaller side. */
   def saltedJoin(
       left: DataFrame, right: DataFrame, key: String, numSalts: Int): DataFrame = {
-    val salted = left.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id(), col(key)), lit(numSalts)))
+    val salted = left.withColumn("__salt", saltExpr(key, numSalts))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

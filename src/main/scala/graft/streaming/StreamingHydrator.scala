@@ -23,17 +23,21 @@ import graft.operators.Assemble
   */
 object StreamingHydrator {
 
-  /** Per-microbatch upsert sink. Caller starts/stops the returned writer. */
+  /** Per-microbatch upsert sink. Caller starts/stops the returned writer.
+    * Pass `orderCol` (e.g. an event version/timestamp) when a redelivered
+    * batch can contain multiple versions of one id — latest-wins then
+    * resolves by that column instead of the content-hash fallback. */
   def hydrate(
       rows: DataFrame,
       collection: Collection,
-      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpointDir: String,
+      orderCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) collection.upsert(batch)
+        if (!batch.isEmpty) collection.upsert(batch, orderCol)
       }
 
   /** Streaming unique-id enforcement: duplicates arriving within the

@@ -91,7 +91,9 @@ class AnnSpec extends SparkTestBase {
         assert(filters <= 3, s"stacked filters at nprobe=$np:\n$plan")
       }
     } finally {
+      // reset BOTH keys — a leftover nprobe would leak into later tests
       spark.conf.set("spark.graft.ivf.autoPrune", "false")
+      spark.conf.unset("spark.graft.ivf.nprobe")
     }
   }
 

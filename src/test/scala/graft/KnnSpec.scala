@@ -18,6 +18,22 @@ class KnnSpec extends SparkTestBase {
     assert(res.toSeq == Seq(1L, 5L, 3L))
   }
 
+  test("EXACT distance ties break by id ascending (oracle canonicalization)") {
+    // ids 7 and 6 share one vector; 9 and 8 share another — identical
+    // distances, so only the id tie-break determines order
+    val tied = Seq(
+      (7L, Seq(1f, 0f)), (6L, Seq(1f, 0f)),
+      (9L, Seq(0f, 1f)), (8L, Seq(0f, 1f))
+    ).toDF("id", "vec")
+    val res = Knn.topK(tied, "id", "vec", Seq(1f, 0f), 4, "cosine")
+      .select("id").as[Long].collect()
+    assert(res.toSeq == Seq(6L, 7L, 8L, 9L))
+    val batch = Knn.topKBatch(tied, "id", "vec",
+        tied.filter(col("id") === 6), "id", "vec", 3, "cosine")
+      .orderBy("rnk").select("id").as[Long].collect()
+    assert(batch.toSeq == Seq(7L, 8L, 9L)) // self excluded; ties by id
+  }
+
   test("excludeIds removes the query row") {
     val res = Knn.topK(corpus, "id", "vec", Seq(1f, 0f), 2, "cosine", excludeIds = Seq(1L))
       .select("id").as[Long].collect()

@@ -6,7 +6,9 @@ import graft.operators.Multimodal
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
-  private lazy val docs = spark.read.parquet(sf("documents")).limit(30)
+  // deterministic slice: limit without orderBy may pick different rows on
+  // each re-evaluation (feats and the join probe evaluate docs separately)
+  private lazy val docs = spark.read.parquet(sf("documents")).orderBy("doc_id").limit(30)
   private lazy val media = Multimodal.fakeMediaFrame(docs, "doc_id", "text")
 
   test("media frame carries binary payload + typed metadata") {
@@ -32,8 +34,8 @@ class MultimodalSpec extends SparkTestBase {
     val feats = Multimodal.decodeStub(media).toDF()
     val joined = docs.join(feats, col("doc_id") === col("media_id"))
     assert(joined.count() == 30)
-    // n_bytes of the stub payload equals the utf-8 text length
-    val bad = joined.filter(col("n_bytes") =!= length(col("text"))).count()
+    // n_bytes counts UTF-8 BYTES — compare octet_length, not char length
+    val bad = joined.filter(col("n_bytes") =!= octet_length(col("text"))).count()
     assert(bad == 0)
   }
 

@@ -21,8 +21,8 @@ class SkewSpec extends SparkTestBase {
   }
 
   test("salted join spreads the hot key over multiple salt values") {
-    val salts = fact.withColumn("__salt",
-        pmod(pmod(hash(monotonically_increasing_id(), col("k")), lit(8)) + 8, lit(8)))
+    // drive the PRODUCTION salt expression, not a re-derived copy
+    val salts = fact.withColumn("__salt", Skew.saltExpr("k", 8))
       .filter(col("k") === 7).select("__salt").distinct().count()
     assert(salts > 1, "hot key landed on a single salt")
   }

@@ -15,19 +15,24 @@ class StreamingSpec extends SparkTestBase {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), prefix).toString
 
-  test("streaming hydrate: microbatches land in the collection, replay-safe") {
+  test("streaming hydrate: microbatches upsert; redelivered versions resolve by orderCol") {
     implicit val sqlCtx = spark.sqlContext
     val cat = new CollectionCatalog(spark, tmp("stream-cat"), numBuckets = 4)
     val coll = cat.getOrCreateCollection("s", "cosine")
-    val mem = MemoryStream[(String, String, Seq[Float])]
-    mem.addData(("a", "doc a", Seq(1f, 0f)), ("b", "doc b", Seq(0f, 1f)))
-    val rows = mem.toDF.toDF("id", "document", "embedding")
-    val q1 = StreamingHydrator.hydrate(rows, coll, tmp("ckpt1")).start()
+    val mem = MemoryStream[(String, String, Seq[Float], Long)]
+    mem.addData(("a", "doc a", Seq(1f, 0f), 1L), ("b", "doc b", Seq(0f, 1f), 1L))
+    val rows = mem.toDF.toDF("id", "document", "embedding", "ver")
+    val q1 = StreamingHydrator.hydrate(rows, coll, tmp("ckpt1"), Some("ver")).start()
     q1.awaitTermination(60000)
     assert(coll.count() == 2)
-    // second batch including an id seen before: upsert keeps it idempotent
-    mem.addData(("b", "doc b v2", Seq(0f, 2f)), ("c", "doc c", Seq(1f, 1f)))
-    val q2 = StreamingHydrator.hydrate(rows, coll, tmp("ckpt2")).start()
+    // an at-least-once redelivery: ONE batch carrying BOTH versions of id
+    // 'b' (stale + correction) — orderCol must make the newer version win
+    // deterministically, not arrival luck
+    mem.addData(
+      ("b", "doc b stale", Seq(0f, 1f), 1L),
+      ("b", "doc b v2", Seq(0f, 2f), 2L),
+      ("c", "doc c", Seq(1f, 1f), 1L))
+    val q2 = StreamingHydrator.hydrate(rows, coll, tmp("ckpt2"), Some("ver")).start()
     q2.awaitTermination(60000)
     assert(coll.count() == 3)
     assert(coll.get(ids = Seq("b")).select("document").as[String].head() == "doc b v2")
@@ -85,10 +90,11 @@ class StreamingSpec extends SparkTestBase {
     mem.addData((1L, 4.0), (2L, 9.0)) // 1's hwm must stay 5, 2's rises to 9
     q.processAllAvailable()
     q.stop()
-    // keys travel as strings (arbitrary key types supported)
-    val last = spark.table("hwm_out").as[(String, Double)].collect()
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
-    assert(last == Map("1" -> 5.0, "2" -> 9.0))
+    // assert the FULL emitted multiset: a per-key max here would mask the
+    // exact regression this test exists for (state lost between batches
+    // would emit (1, 4.0) in batch 2 and max() would hide it)
+    val emitted = spark.table("hwm_out").as[(String, Double)].collect().sorted.toSeq
+    assert(emitted == Seq("1" -> 5.0, "1" -> 5.0, "2" -> 1.0, "2" -> 9.0).sorted)
   }
 
   test("windowed counts with watermark") {
