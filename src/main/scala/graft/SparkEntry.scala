@@ -390,6 +390,35 @@ object SparkEntry {
           round(element_at(col("pct"), 2), 4).as("p90_chars"),
           col("n_sources"))
         .orderBy("lang")),
+    // C4 full outer join: unmatched sides surface as nulls
+    "q46_full_outer" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      t(s, dir, "nation")
+        .join(cust, col("n_nationkey") === col("c_nationkey"), "full_outer")
+        .select(coalesce(col("n_name"), lit("<none>")).as("nation"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .orderBy("nation")
+    }),
+    // C4 rollup subtotals (grand total included; NULL markers coalesced so
+    // cross-engine NULL ordering differences cannot bite)
+    "q47_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast(DecimalType(18, 4)).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("qty"))
+        .orderBy("rf", "ls")),
+    // C4 pivot: lang x source count matrix via Spark pivot
+    "q48_pivot" -> ((s, dir) => {
+      val srcs = Seq("src0", "src1", "src2", "src3")
+      t(s, dir, "documents").groupBy("lang").pivot("source", srcs).count()
+        .select(col("lang") +: srcs.map(sc => coalesce(col(sc), lit(0L)).as(sc)): _*)
+        .orderBy("lang")
+    }),
     // C4 set operations: EXCEPT / INTERSECT (distinct semantics)
     "q38_set_ops" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -618,6 +647,25 @@ object SparkEntry {
          |      FROM embeddings e, q WHERE e.vec_id <> 1)
          |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM d
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
+    "q46_full_outer" ->
+      """SELECT COALESCE(n_name, '<none>') AS nation, COALESCE(n_cust, 0) AS n_cust
+        |FROM nation FULL OUTER JOIN
+        |  (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+        |  ON n_nationkey = c_nationkey
+        |ORDER BY nation""".stripMargin,
+    "q47_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |COUNT(*) AS cnt,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q48_pivot" ->
+      """SELECT lang,
+        |COUNT(CASE WHEN source = 'src0' THEN 1 END) AS src0,
+        |COUNT(CASE WHEN source = 'src1' THEN 1 END) AS src1,
+        |COUNT(CASE WHEN source = 'src2' THEN 1 END) AS src2,
+        |COUNT(CASE WHEN source = 'src3' THEN 1 END) AS src3
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q45_corpus_stats" ->
       """SELECT lang, ROUND(quantile_cont(n_chars, 0.5), 4) AS median_chars,
         |ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
