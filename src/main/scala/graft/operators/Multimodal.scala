@@ -78,6 +78,26 @@ object Multimodal {
     }
   }
 
+  /** STUB resize for image rows: a real implementation decodes, scales and
+    * re-encodes; the stub rewrites the metadata and derives a payload whose
+    * length scales with the target area — the schema/plumbing contract a
+    * real resizer must satisfy (same row count, updated dims, new bytes). */
+  def resizeStub(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      if (r.kind != "image") r
+      else {
+        // ---- STUB: deterministic fake scale (replace with real codec) ----
+        val scale = (w.toLong * h).toDouble / math.max(r.width.toLong * r.height, 1L)
+        val n = math.max(1, (r.payload.length * scale).toInt)
+        val resized = Array.tabulate(n)(i => r.payload(i % r.payload.length))
+        // ---- end STUB ----
+        r.copy(payload = resized, width = w, height = h)
+      }
+    }
+  }
+
   /** Deterministic frame sampling for video rows: every `everyMs` ms of the
     * (stub) duration yields one frame index row — the explode shape a real
     * frame extractor produces. */

@@ -39,6 +39,22 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("resize stub rewrites image dims and payload, leaves other kinds alone") {
+    val resized = Multimodal.resizeStub(media, 32, 32)
+    assert(resized.count() == media.count())
+    val images = resized.filter(col("kind") === "image")
+    assert(images.filter(col("width") =!= 32 || col("height") =!= 32).count() == 0)
+    // non-image rows pass through untouched
+    val audioBefore = media.filter(col("kind") === "audio")
+      .select("media_id", "width").as[(Long, Int)].collect().toMap
+    val audioAfter = resized.filter(col("kind") === "audio")
+      .select("media_id", "width").as[(Long, Int)].collect().toMap
+    assert(audioBefore == audioAfter)
+    // payload length scales with area (stub contract)
+    val r = resized.filter(col("kind") === "image").head()
+    assert(r.payload.nonEmpty)
+  }
+
   test("frame sampling explodes video rows on the time axis") {
     val frames = Multimodal.sampleFrames(media, everyMs = 500)
     val kinds = media.filter(col("kind") === "video").count()

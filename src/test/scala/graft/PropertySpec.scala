@@ -66,6 +66,20 @@ class PropertySpec extends SparkTestBase {
     assert(better == 0)
   }
 
+  test("property: native distance ≡ HOF reference on random vectors (all spaces)") {
+    val pairs = vecDf.as("a").crossJoin(vecDf.as("b"))
+    val bad = pairs.filter(
+      Distances.cosineDist(col("a.vec"), col("b.vec")) =!=
+        Distances.cosineDistHof(col("a.vec"), col("b.vec")) ||
+      Distances.l2Sq(col("a.vec"), col("b.vec")) =!=
+        Distances.l2SqHof(col("a.vec"), col("b.vec")) ||
+      Distances.ipDist(col("a.vec"), col("b.vec")) =!=
+        Distances.ipDistHof(col("a.vec"), col("b.vec")) ||
+      Distances.dot(col("a.vec"), col("b.vec")) =!=
+        Distances.dotHof(col("a.vec"), col("b.vec"))).count()
+    assert(bad == 0)
+  }
+
   test("property: dedup idempotent and keeps one row per key, for generated dup sets") {
     val texts = sample(Gen.listOfN(120, Gen.oneOf(
       "alpha", "beta", "gamma", "delta", "epsilon", "zeta")), 11L)
