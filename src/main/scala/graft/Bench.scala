@@ -16,10 +16,17 @@ object Bench {
     Seq("documents", "embeddings", "lineitem", "orders").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_BENCH_RUNS > 1 repeats the suite and keeps per-query MIN
+    // (steady-state timing, less JIT/IO noise); default 1 = driver behavior
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    val results = (1 to runs).map { _ =>
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }.reduce { (a, b) =>
+      a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
