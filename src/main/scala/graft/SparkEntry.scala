@@ -390,6 +390,18 @@ object SparkEntry {
           round(element_at(col("pct"), 2), 4).as("p90_chars"),
           col("n_sources"))
         .orderBy("lang")),
+    // PII-style scrub: mask digit runs in the JSON payload
+    "q49_redact" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          TextAnalysis.maskPattern(col("props"), "[0-9]+", "#").as("masked"))
+        .orderBy("event_id")),
+    // Repetition signal: distinct-token ratio (boilerplate scores low)
+    "q50_repetition_ratio" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.distinctTokenRatio(col("text")).as("distinct_ratio"))
+        .orderBy("doc_id")),
     // C4 full outer join: unmatched sides surface as nulls
     "q46_full_outer" -> ((s, dir) => {
       val cust = t(s, dir, "customer").groupBy("c_nationkey")
@@ -647,6 +659,14 @@ object SparkEntry {
          |      FROM embeddings e, q WHERE e.vec_id <> 1)
          |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM d
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
+    "q49_redact" ->
+      """SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS masked
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q50_repetition_ratio" ->
+      """SELECT doc_id,
+        |ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS distinct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q46_full_outer" ->
       """SELECT COALESCE(n_name, '<none>') AS nation, COALESCE(n_cust, 0) AS n_cust
         |FROM nation FULL OUTER JOIN

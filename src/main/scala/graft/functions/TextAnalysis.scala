@@ -92,6 +92,18 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** Pattern masking for PII-style scrubbing (digit runs, emails, …).
+    * RE2-safe patterns only, so the same regex runs in any oracle engine. */
+  def maskPattern(text: Column, pattern: String, replacement: String): Column =
+    regexp_replace(text, pattern, replacement)
+
+  /** Repetition signal: distinct-token ratio in (0, 1]. Heavily repeated
+    * boilerplate scores low — a standard filter for generated/spam text. */
+  def distinctTokenRatio(text: Column): Column = {
+    val tokens = split(text, " ")
+    round(size(array_distinct(tokens)).cast("double") / size(tokens), 4)
+  }
+
   /** Rolling-hash document fingerprint: position-weighted byte sum
     * Σᵢ ascii(cᵢ)·((i mod 7)+1) — order-sensitive (detects permuted text),
     * overflow-free for any realistic document length, and expressible
