@@ -4,25 +4,39 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. AQE on, shuffle partitions sized to cores (not 200)
   * so small-stage scheduling overhead doesn't dominate local runs.
+  *
+  * Each query is executed through the `noop` sink, NOT `.count()`: count
+  * lets Catalyst column-prune the projections and drop final sorts, so a
+  * projection-shaped query would be "benchmarked" without its regex/
+  * distance/sort work ever running. The noop write consumes every row and
+  * column at full fidelity with zero IO cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/IO paths once so the first timed query doesn't
-    // absorb session startup (~3s otherwise); touches each bench input.
-    Seq("documents", "embeddings", "lineitem", "orders").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
-    }
     // SPARK_GRAFT_BENCH_RUNS > 1 repeats the suite and keeps per-query MIN
     // (steady-state timing, less JIT/IO noise); default 1 = driver behavior
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/IO paths once so the first timed query doesn't
+    // absorb session startup; touches EVERY table the suite reads.
+    Seq("documents", "embeddings", "lineitem", "orders", "customer",
+        "supplier", "nation", "region", "part", "events").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = (1 to runs).map { _ =>
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }.reduce { (a, b) =>
@@ -30,8 +44,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -236,10 +236,14 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
         .select("n_name", "rnk", "c_custkey", "total").orderBy("n_name", "rnk")
     }),
-    // C6/C7 time bucketing + JSON scalar (integer µs arithmetic)
+    // C6/C7 time bucketing + JSON scalar (integer µs arithmetic).
+    // FLOOR division, not `div` (truncation): they differ for pre-epoch
+    // timestamps, and the DuckDB oracle's `//` floors. (us - pmod) div d
+    // is exact integer floor-division.
     "q22_events_hourly_json" -> ((s, dir) =>
       events(s, dir)
-        .groupBy(expr("us div 3600000000").as("hr"), col("event_type"))
+        .groupBy(expr("(us - pmod(us, 3600000000)) div 3600000000").as("hr"),
+          col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(get_json_object(col("props"), "$.k").cast("int")).cast("long").as("sum_k"))
         .orderBy("hr", "event_type")),
@@ -276,10 +280,10 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
-    // Text analysis: rolling-hash fingerprint
+    // Text analysis: rolling-hash fingerprint (relational codegen form;
+    // identical values to the Column form — spec-cross-checked)
     "q27_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
     // C2 n-gram (word-set) Jaccard similarity over a sampled pair set
     "q28_jaccard_pairs" -> ((s, dir) => {
@@ -293,7 +297,9 @@ object SparkEntry {
     // C2 embedding-cosine near-dup pairs over a sampled set
     "q29_embedding_neardup" -> ((s, dir) => {
       val sample = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(10)) === 0)
-      Dedup.embeddingNearDup(sample, "vec_id", "embedding", -1.0)
+      // -Inf (not -1.0): float cosine can land epsilon below -1, and the
+      // oracle applies NO similarity filter — every pair must survive
+      Dedup.embeddingNearDup(sample, "vec_id", "embedding", Double.NegativeInfinity)
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")
     }),
@@ -624,6 +630,9 @@ object SparkEntry {
         |         * (((1103515245 * (b*64 + j) + 12345) % 2001 - 1000) / 1000.0))) >= 0
         |       THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // NOTE: byte-vs-codepoint parity of mean_byte relies on the fixture
+    // text being ASCII (driver-generated, fixed); non-ASCII corpora would
+    // need a bytes-based oracle (DuckDB lacks per-byte access on BLOB).
     "q34_multimodal_features" ->
       """SELECT doc_id AS media_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

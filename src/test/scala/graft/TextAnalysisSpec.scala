@@ -60,6 +60,16 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one[String]("...", TextAnalysis.normalize(col("text"))) == "")
   }
 
+  test("relational fingerprints match the Column form on the fixture corpus") {
+    val docs = spark.read.parquet(sf("documents"))
+    val lambda = docs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val rel = TextAnalysis.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(lambda == rel)
+  }
+
   test("fingerprint is order-sensitive and 0 for empty text") {
     val a = one[Long]("abc", TextAnalysis.fingerprint(col("text")))
     val b = one[Long]("cba", TextAnalysis.fingerprint(col("text")))
