@@ -275,10 +275,9 @@ object SparkEntry {
           TextAnalysis.qualityScore(col("text")).as("score"))
         .orderBy("doc_id")
     }),
-    // Text analysis: language-ID heuristic
+    // Text analysis: language-ID heuristic (relational codegen form)
     "q26_langid" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      TextAnalysis.langIds(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
     // Text analysis: rolling-hash fingerprint (relational codegen form;
     // identical values to the Column form — spec-cross-checked)

@@ -62,6 +62,31 @@ object TextAnalysis {
       .otherwise(best.getField("lang"))
   }
 
+  /** Bulk language-ID, relational form: explode tokens once, take one
+    * conditional count per language (codegen'd, map-side combinable), then
+    * the same argmax/tie-break/und logic as [[langId]] — identical labels
+    * (spec cross-checked), no interpreted lambdas, one combine shuffle.
+    *
+    * @return (idCol, lang_pred)
+    */
+  def langIds(df: org.apache.spark.sql.DataFrame,
+              idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val langs = languages
+    val tokens = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val hitCols = langs.map { l =>
+      count(when(lower(col("tok")).isin(stopwords(l): _*), 1)).as(s"h_$l")
+    }
+    val hits = tokens.groupBy(idCol).agg(hitCols.head, hitCols.tail: _*)
+    val g = greatest(langs.map(l => col(s"h_$l")): _*)
+    val pred = langs.init.foldLeft(
+        when(col(textCol).isNull, lit(null).cast("string")).when(g === 0, lit("und"))) {
+      (acc, l) => acc.when(col(s"h_$l") === g, lit(l))
+    }.otherwise(lit(langs.last))
+    // left join keeps rows whose text is null (explode drops them upstream)
+    df.select(col(idCol), col(textCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol), pred.as("lang_pred"))
+  }
+
   /** Quality signals: char length, token count, mean token length,
     * punctuation ratio, uppercase ratio, stopword ratio (en). */
   def qualityStruct(text: Column): Column = {

@@ -33,6 +33,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  test("relational langIds matches the Column form on the fixture + null text") {
+    val docs = spark.read.parquet(sf("documents"))
+    val lambda = docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .as[(Long, String)].collect().toMap
+    val rel = TextAnalysis.langIds(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(lambda == rel)
+    val withNull = Seq((1L, Some("the cat and the dog")), (2L, None))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.langIds(withNull, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(r == Map(1L -> Some("en"), 2L -> None))
+  }
+
   test("langId tie-break is language-code ascending") {
     // 'de' and 'en' both hit exactly once -> 'de' (ascending)
     assert(one[String]("der the zzz", TextAnalysis.langId(col("text"))) == "de")
