@@ -215,12 +215,18 @@ object SparkEntry {
       t(s, dir, "documents").groupBy("lang")
         .agg(count(lit(1)).as("cnt"), round(avg("n_chars"), 4).as("avg_chars"))
         .orderBy("lang")),
-    // C4 TPC-H Q1-ish aggregate scan (DECIMAL money)
+    // C4 TPC-H Q1-ish aggregate scan. Money math is DECIMAL internally
+    // (exact, fold-order-free) but the OUTPUT is cast to DOUBLE: the
+    // driver's hash canonicalizes by value string, and DECIMAL('x.8100')
+    // vs DuckDB-fetched float 'x.81' mismatch whenever the 4th decimal is
+    // zero. decimal->double is deterministic on both engines (scaled
+    // int < 2^53 converts exactly, one correctly-rounded divide).
     "q20_tpch_q1" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("revenue"),
+            .cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+            .cast("double").as("revenue"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")),
     // C4/C5 join + top-k per group
@@ -234,7 +240,10 @@ object SparkEntry {
       tot.withColumn("rnk", row_number().over(
           Window.partitionBy("n_name").orderBy(col("total").desc, col("c_custkey"))))
         .filter(col("rnk") <= 3)
-        .select("n_name", "rnk", "c_custkey", "total").orderBy("n_name", "rnk")
+        // rank on the exact decimal; ship the output as double (hash parity)
+        .select(col("n_name"), col("rnk"), col("c_custkey"),
+          col("total").cast("double").as("total"))
+        .orderBy("n_name", "rnk")
     }),
     // C6/C7 time bucketing + JSON scalar (integer µs arithmetic).
     // FLOOR division, not `div` (truncation): they differ for pre-epoch
@@ -332,7 +341,8 @@ object SparkEntry {
       events(s, dir)
         .groupBy(window(timestamp_micros(col("us")), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("sum_value"))
+          sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+            .cast("double").as("sum_value"))
         .select(unix_micros(col("w.start")).as("ws"), col("event_type"),
           col("cnt"), col("sum_value"))
         .orderBy("ws", "event_type")),
@@ -347,7 +357,8 @@ object SparkEntry {
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("revenue"),
+            .cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+            .cast("double").as("revenue"),
           count(lit(1)).as("cnt"))
         .orderBy("n_name")),
     // Skew mitigation: salted join must be result-identical to the plain join
@@ -356,7 +367,7 @@ object SparkEntry {
       Skew.saltedJoin(t(s, dir, "orders"), cust, "o_custkey", numSalts = 8)
         .groupBy("c_mktsegment")
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 4)))
-            .cast(DecimalType(18, 4)).as("total"),
+            .cast(DecimalType(18, 4)).cast("double").as("total"),
           count(lit(1)).as("cnt"))
         .orderBy("c_mktsegment")
     }),
@@ -366,7 +377,8 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("revenue"),
+            .cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+            .cast("double").as("revenue"),
           // exact decimal sum + ONE double division: avg(double) would be
           // partial-agg fold-order dependent and could flip the 4th decimal
           round(sum(col("p_retailprice").cast(DecimalType(18, 4))).cast("double")
@@ -424,7 +436,7 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_quantity").cast(DecimalType(18, 4)))
-            .cast(DecimalType(18, 4)).as("qty"))
+            .cast(DecimalType(18, 4)).cast("double").as("qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("cnt"), col("qty"))
@@ -540,7 +552,7 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q20_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         |COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -554,7 +566,8 @@ object SparkEntry {
         |r AS (SELECT n_name, CAST(row_number() OVER
         |        (PARTITION BY n_name ORDER BY total DESC, c_custkey) AS INTEGER) AS rnk,
         |        c_custkey, total FROM tot)
-        |SELECT n_name, rnk, c_custkey, total FROM r WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
+        |SELECT n_name, rnk, c_custkey, CAST(total AS DOUBLE) AS total
+        |FROM r WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
     "q22_events_hourly_json" ->
       """SELECT epoch_us(ts) // 3600000000 AS hr, event_type, COUNT(*) AS cnt,
         |CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
@@ -642,11 +655,11 @@ object SparkEntry {
     "q35_tumbling_window" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws, event_type,
         |COUNT(*) AS cnt,
-        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+        |CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q36_region_revenue" ->
       """SELECT n_name,
-        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         |COUNT(*) AS cnt
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -657,7 +670,7 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q37_salted_join_agg" ->
       """SELECT c_mktsegment,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total,
+        |CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS total,
         |COUNT(*) AS cnt
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
@@ -684,7 +697,7 @@ object SparkEntry {
     "q47_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |COUNT(*) AS cnt,
-        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS qty
+        |CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
     "q48_pivot" ->
@@ -701,7 +714,7 @@ object SparkEntry {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q43_brand_revenue" ->
       """SELECT p_brand,
-        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        |CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         |ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_retail,
         |COUNT(*) AS cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey

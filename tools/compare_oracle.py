@@ -16,15 +16,32 @@ for f in glob.glob(os.path.join(sfdir, "*.parquet")):
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
-def canon(df):
+def canon(df, other):
+    """Sort columns; coerce object->numeric ONLY when BOTH sides are object.
+    A one-sided coercion (e.g. Spark DECIMAL objects vs DuckDB float64)
+    hides exactly the representation diffs the driver's stricter hash
+    catches — Decimal('4033742.8100') stringifies differently from float
+    4033742.81. Those must surface as dtype failures here."""
     df = df[sorted(df.columns)].copy()
+    other = other[sorted(other.columns)]
     for c in df.columns:
-        if df[c].dtype == object:
+        if df[c].dtype == object and c in other.columns and other[c].dtype == object:
             try:
                 df[c] = pd.to_numeric(df[c])
             except (ValueError, TypeError):
                 df[c] = df[c].astype(str)
     return df.reset_index(drop=True)
+
+
+def dtype_mismatch(w, g):
+    """Columns where one side is numeric and the other object (e.g. Decimal)."""
+    bad = []
+    for c in w.columns:
+        wk = "obj" if w[c].dtype == object else "num"
+        gk = "obj" if g[c].dtype == object else "num"
+        if wk != gk:
+            bad.append(f"{c}: oracle {w[c].dtype} vs spark {g[c].dtype}")
+    return bad
 
 fails = []
 for name in sorted(oracle):
@@ -40,9 +57,13 @@ for name in sorted(oracle):
         fails.append((name, "no spark output"))
         continue
     got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
-    w, g = canon(want), canon(got)
+    w, g = canon(want, got), canon(got, want)
     if list(w.columns) != list(g.columns):
         fails.append((name, f"schema: oracle {list(w.columns)} vs spark {list(g.columns)}"))
+        continue
+    mism = dtype_mismatch(w, g)
+    if mism:
+        fails.append((name, "dtype mismatch (driver hash would differ): " + "; ".join(mism)))
         continue
     if len(w) != len(g):
         fails.append((name, f"rows: oracle {len(w)} vs spark {len(g)}"))
