@@ -311,24 +311,35 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")
     }),
-    // C2 MinHash+LSH near-dup candidates (engine-hash-specific: rows-only check)
+    // C2 MinHash+LSH near-dup candidates, portable-hash + equality-bucket
+    // form so a DuckDB oracle replays the whole signature pipeline.
+    // 8 bands × 2 rows: candidate-permissive (the fixture has no exact
+    // dups) while still pruning ~all of the 125k-pair cross product.
     "q30_minhash_candidates" -> ((s, dir) => {
       val sample = t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
-      Dedup.minHashCandidates(sample, "doc_id", "text").orderBy("id_a", "id_b")
+      Dedup.minHashCandidates(sample, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, numBands = 8,
+          hashFn = Dedup.portableHash)
+        .orderBy("id_a", "id_b")
     }),
-    // C2 SimHash 64-bit signatures (engine-hash-specific: rows-only check)
+    // C2 SimHash 64-bit signatures, relational portable form (one codegen
+    // pass: explode tokens → 64 conditional sums → bit assembly)
     "q31_simhash" -> ((s, dir) =>
-      t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select(col("doc_id"), Dedup.simHash(split(col("text"), " ")).as("simhash"))
+      Dedup.simHashes(
+          t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
         .orderBy("doc_id")),
-    // ANN scale path: IVF partition-pruned kNN (k-means: rows-only check)
+    // ANN scale path: IVF partition-pruned kNN, deterministic seeded form
+    // (cells = first 8 corpus vectors, argmin-L2 assignment, nprobe=2) —
+    // genuinely approximate, yet the whole index+probe path replays in the
+    // DuckDB oracle. The k-means variant (Ann.buildIvf) remains the
+    // library path when a fit is affordable.
     "q32_ivf_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      // train on half the corpus — cells only need to partition well, and at
-      // 100 TB the fit is always on a sample; assignment stays exact
-      val m = Ann.buildIvf(emb, "vec_id", "embedding", nlist = 8, trainFraction = 0.5)
+      val m = Ann.buildIvfSeeded(emb, "vec_id", "embedding", 0L until 8L)
       Ann.queryIvf(m.assigned, m, "vec_id", "embedding", headVec(emb, 0), 10,
-          nprobe = 2, space = "cosine")
+          nprobe = 2, space = "cosine", excludeIds = Seq(0L))
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
     // ANN: deterministic sign-random-projection buckets
@@ -742,8 +753,68 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
         |SELECT doc_id, lang, CAST((cum - n_tok) // 512 AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
-    // q30/q31/q32 intentionally omitted: MinHash/SimHash signatures depend on
-    // the engine hash function (xxhash64), and IVF on an MLlib k-means fit —
-    // covered by the rows-only check + unit tests (DedupSpec, AnnSpec).
+    // q30/q31: the dedup pipelines use the engine-portable StrHash
+    // (graft.expressions.StrHash), so the ENTIRE signature pipeline —
+    // shingling, hashing, permutations, banding, bucketing — replays in
+    // DuckDB. p = 2^31−1; perm_k = ((k·1103515245 + 12345) mod (p−1)) + 1,
+    // ((k·69069 + 362437) mod p), identical constants to Dedup.permA/B.
+    "q30_minhash_candidates" -> {
+      val P = 2147483647L
+      s"""WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks
+         |           FROM documents WHERE doc_id % 10 = 0),
+         |sh AS (SELECT id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) END) AS sh
+         |       FROM t),
+         |hh AS (SELECT id, list_sum(list_transform(range(length(sh)),
+         |         i -> ascii(substr(sh, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))) % $P AS h
+         |       FROM sh),
+         |sig AS (SELECT id, k,
+         |          MIN(((((k * 1103515245 + 12345) % ${P - 1}) + 1) * h + ((k * 69069 + 362437) % $P)) % $P) AS m
+         |        FROM hh, (SELECT unnest(range(16)) AS k) GROUP BY id, k),
+         |band AS (SELECT id, k // 2 AS band, list(m ORDER BY k ASC) AS rws FROM sig GROUP BY id, k // 2),
+         |big AS (SELECT band, rws FROM band GROUP BY band, rws HAVING COUNT(*) > 1000),
+         |pair AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM band a JOIN band b ON a.band = b.band AND a.rws = b.rws AND a.id < b.id
+         |         LEFT JOIN big ON big.band = a.band AND big.rws = a.rws
+         |         WHERE big.band IS NULL)
+         |SELECT id_a, id_b FROM pair ORDER BY id_a, id_b""".stripMargin
+    },
+    "q31_simhash" -> {
+      val P = 2147483647L
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+         |           FROM documents WHERE doc_id % 10 = 0),
+         |hh AS (SELECT doc_id, list_sum(list_transform(range(length(tk)),
+         |         i -> ascii(substr(tk, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))) % $P AS h
+         |       FROM t),
+         |b AS (SELECT doc_id, j,
+         |        SUM(CASE WHEN (((((j * 1103515245 + 12345) % ${P - 1}) + 1) * h + ((j * 69069 + 362437) % $P)) % $P) * 2 >= $P
+         |            THEN 1 ELSE -1 END) AS s
+         |      FROM hh, (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j),
+         |v AS (SELECT doc_id,
+         |        SUM(CASE WHEN s > 0 THEN
+         |          CASE WHEN j = 63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) END
+         |          ELSE 0 END) AS sh
+         |      FROM b GROUP BY doc_id)
+         |SELECT doc_id, CAST(sh AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+    },
+    // q32: replays the full seeded-IVF path — assignment (argmin L2, ties
+    // to lowest cell), probe choice (2 nearest cells to the query), and
+    // the exact top-k inside the pruned cells.
+    "q32_ivf_knn" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+         |d AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.cell AS cell,
+         |             ${sqlL2("e.embedding", "c.ce")} AS cd
+         |      FROM embeddings e, c),
+         |a AS (SELECT vec_id, embedding, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn FROM d)
+         |      WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pc AS (SELECT c.cell FROM c, q ORDER BY ${sqlL2("c.ce", "q.qe")}, c.cell LIMIT 2),
+         |cand AS (SELECT a.vec_id AS vec_id, a.embedding AS embedding FROM a
+         |         WHERE a.cell IN (SELECT cell FROM pc) AND a.vec_id <> 0),
+         |dd AS (SELECT vec_id, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
+         |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM dd
+         |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
   )
 }

@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[VectorDistance].getName, name),
         (children: Seq[Expression]) => GraftExtensions.build(space, children)))
     }
+    ext.injectFunction((
+      FunctionIdentifier("graft_strhash"),
+      new ExpressionInfo(classOf[StrHash].getName, "graft_strhash"),
+      (children: Seq[Expression]) => GraftExtensions.buildStrHash(children)))
     ext.injectOptimizerRule(session => new IvfPruneRule(session))
   }
 }
@@ -39,10 +43,19 @@ object GraftExtensions {
     VectorDistance(children.head, children(1), space)
   }
 
+  private def buildStrHash(children: Seq[Expression]): StrHash = {
+    require(children.length == 1, s"graft_strhash takes 1 arg, got ${children.length}")
+    StrHash(children.head)
+  }
+
   /** Column-level constructors (no registration needed). */
   def dist(space: String)(a: Column, b: Column): Column =
     GraftColumnShim.column(VectorDistance(
       GraftColumnShim.expression(a), GraftColumnShim.expression(b), space))
+
+  /** Engine-portable positional polynomial string hash (see [[StrHash]]). */
+  def strHash(s: Column): Column =
+    GraftColumnShim.column(StrHash(GraftColumnShim.expression(s)))
 
   /** Register the SQL functions + the IVF prune rule on a live session. */
   def register(spark: SparkSession): Unit = {
@@ -52,6 +65,8 @@ object GraftExtensions {
       registry.createOrReplaceTempFunction(
         name, (children: Seq[Expression]) => build(space, children), "scala_udf")
     }
+    registry.createOrReplaceTempFunction(
+      "graft_strhash", (children: Seq[Expression]) => buildStrHash(children), "scala_udf")
     if (!classic.experimental.extraOptimizations.exists(_.isInstanceOf[IvfPruneRule]))
       classic.experimental.extraOptimizations =
         classic.experimental.extraOptimizations :+ new IvfPruneRule(spark)

@@ -6,6 +6,7 @@ import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.GraftExtensions
 import graft.functions.Distances
 
 /** Approximate nearest-neighbor search — the scale path for the hydrated
@@ -56,6 +57,41 @@ object Ann {
     val assigned = model.transform(featurized).drop("__features")
     val cents = model.clusterCenters.zipWithIndex.map { case (v: Vector, i) => (i, v.toArray) }
     IvfModel(cents, assigned)
+  }
+
+  /** Deterministic IVF build: cell seeds are corpus rows (`seedIds`, in
+    * order — cell i gets the vector of seedIds(i)); assignment = argmin
+    * squared-L2 to the seed vectors, ties to the lowest cell id.
+    *
+    * Sampling corpus rows as cell seeds is the standard cheap IVF
+    * bootstrap at 100 TB (a k-means fit is always run on a sample anyway,
+    * and Lloyd iterations only polish partition quality) — and unlike a
+    * fit, the resulting index is reproducible in plain SQL on any engine,
+    * so the WHOLE approximate-search path (assignment, probe choice,
+    * pruned top-k) can be verified against an independent oracle.
+    */
+  def buildIvfSeeded(
+      corpus: DataFrame, idCol: String, vecCol: String, seedIds: Seq[Long]): IvfModel = {
+    val seedRows = corpus.filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cents = seedIds.zipWithIndex.map { case (sid, i) =>
+      (i, seedRows.getOrElse(sid, sys.error(s"IVF seed id $sid not in corpus")))
+    }.toArray
+    IvfModel(cents, assignCells(corpus, vecCol, cents))
+  }
+
+  /** Exact nearest-centroid cell assignment: one codegen'd L2 distance per
+    * centroid, argmin via struct ordering (ties → lowest cell). Narrow
+    * (no shuffle) — at 100 TB this is a map-only pass before the
+    * partitioned write. */
+  def assignCells(
+      corpus: DataFrame, vecCol: String, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val scored = cents.map { case (i, c) =>
+      struct(GraftExtensions.dist("l2")(col(vecCol), typedLit(c.toSeq)).as("d"),
+        lit(i).as("cell"))
+    }
+    corpus.withColumn("cell", array_min(array(scored.toIndexedSeq: _*)).getField("cell"))
   }
 
   /** Persist the assignment partitioned by cell: queries then prune at the
@@ -124,10 +160,11 @@ object Ann {
   def queryIvf(
       indexed: DataFrame, model: IvfModel, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, nprobe: Int,
-      space: String = "cosine", preFilter: Option[Column] = None): DataFrame = {
+      space: String = "cosine", preFilter: Option[Column] = None,
+      excludeIds: Seq[Any] = Nil): DataFrame = {
     val cells = nearestCells(model, query, nprobe)
     Knn.topK(indexed.filter(col("cell").isin(cells: _*)),
-      idCol, vecCol, query, k, space, preFilter)
+      idCol, vecCol, query, k, space, preFilter, excludeIds)
   }
 
   /** Deterministic sign-random-projection bucket (LSH prune alternative):

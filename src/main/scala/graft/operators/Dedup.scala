@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.GraftExtensions
 import graft.functions.Distances
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -53,14 +54,24 @@ object Dedup {
   private def permA(i: Int): Long = ((i * 1103515245L + 12345L) % (MinHashP - 1)) + 1
   private def permB(i: Int): Long = (i * 69069L + 362437L) % MinHashP
 
+  /** Default token/shingle hash: codegen'd xxhash64 (fast, good avalanche,
+    * engine-specific). Swap in [[portableHash]] when the pipeline must be
+    * verifiable bit-for-bit against a non-Spark oracle. */
+  val xxHash: Column => Column = c => xxhash64(c)
+
+  /** Engine-portable hash ([[graft.expressions.StrHash]]): same value is
+    * computable in plain SQL on any engine — the oracle-checked choice. */
+  val portableHash: Column => Column = c => GraftExtensions.strHash(c)
+
   /** MinHash signature as a single array Column: for each of `numHashes`
     * permutations i, min over shingles s of (a_i·xxhash64(s)+b_i) mod p.
     * Lambda-expression form — convenient but interpreted (no codegen); for
     * bulk signing prefer [[minHashSignatures]], which produces identical
     * values through whole-stage-codegen'd aggregation.
     */
-  def minHashSignature(shingles: Column, numHashes: Int): Column = {
-    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(MinHashP)))
+  def minHashSignature(shingles: Column, numHashes: Int,
+      hashFn: Column => Column = xxHash): Column = {
+    val hashed = transform(shingles, s => pmod(hashFn(s), lit(MinHashP)))
     val perms = sequence(lit(0), lit(numHashes - 1))
     transform(perms, i => {
       val a = pmod(i * lit(1103515245L) + lit(12345L), lit(MinHashP - 1)) + 1
@@ -80,10 +91,11 @@ object Dedup {
     */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, numHashes: Int): DataFrame = {
+      shingleSize: Int, numHashes: Int,
+      hashFn: Column => Column = xxHash): DataFrame = {
     val shingled = df.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), shingleSize)).as("sh"))
-    val hashed = shingled.withColumn("h", pmod(xxhash64(col("sh")), lit(MinHashP)))
+    val hashed = shingled.withColumn("h", pmod(hashFn(col("sh")), lit(MinHashP)))
     val minCols = (0 until numHashes).map { i =>
       min(pmod(lit(permA(i)) * col("h") + lit(permB(i)), lit(MinHashP))).as(s"m$i")
     }
@@ -98,22 +110,27 @@ object Dedup {
   def minHashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, hashFn: Column => Column = xxHash): DataFrame = {
     require(numBands >= 1 && numBands <= numHashes && numHashes % numBands == 0,
       s"numBands ($numBands) must divide numHashes ($numHashes) — a remainder would be " +
         "silently ignored, and numBands > numHashes degenerates every doc into the same buckets")
     val rowsPerBand = numHashes / numBands
-    val sig = minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
+    val sig = minHashSignatures(df, idCol, textCol, shingleSize, numHashes, hashFn)
+    // Bucket key = the band slice ITSELF (band index + rowsPerBand longs),
+    // not a hash of it: a hash collision between different slices would
+    // silently merge buckets (false candidates an oracle can't reproduce),
+    // and grouping on the raw key costs only a slightly wider shuffle key.
     val bands = sig.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => struct(b.as("band"), slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("rows")))))
-      .select(col("id"), hash(col("col.band"), col("col.rows")).as("bucket"))
-    // One signature pass + ONE shuffle (groupBy bucket), then pair expansion
-    // inside each bucket — never a self-join (which would recompute the whole
-    // signature pipeline for both sides) and never a global cross product.
-    // maxBucketSize guards against a degenerate hot bucket going quadratic.
-    val buckets = bands.groupBy("bucket").agg(collect_list(col("id")).as("ids"))
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("id"), col("pos").as("band"), col("col").as("rows"))
+    // One signature pass + ONE shuffle (groupBy band key), then pair
+    // expansion inside each bucket — never a self-join (which would
+    // recompute the whole signature pipeline for both sides) and never a
+    // global cross product. maxBucketSize guards a hot bucket going
+    // quadratic.
+    val buckets = bands.groupBy("band", "rows").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
     val sorted = sort_array(col("ids"))
     buckets.select(explode(flatten(transform(sorted, (x, i) =>
@@ -140,6 +157,41 @@ object Dedup {
   /** Hamming distance between two 64-bit SimHash values. */
   def hammingDist64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Per-bit sign term of bit `j` of SimHash, derived from a 31-bit token
+    * hash `h` by the fixed LCG permutation family: bit j of token =
+    * whether `(a_j·h+b_j) mod p` lands in the upper half of [0, p). */
+  private def simHashBitTerm(h: Column, j: Int): Column =
+    when(pmod(lit(permA(j)) * h + lit(permB(j)), lit(MinHashP)) * 2 >= MinHashP,
+      lit(1)).otherwise(lit(-1))
+
+  /** Bulk SimHash, relational + engine-portable form: explode tokens, hash
+    * each with [[portableHash]] (mod p), derive 64 pseudo-random bits per
+    * token from the `(a_j·h+b_j) mod p` permutation family, and take 64
+    * map-side-combinable conditional SUMs per document — the same
+    * one-pass-codegen shape as the language-ID and fingerprint operators.
+    * bit_j(doc) = 1 iff Σ_tokens (±1 per token) > 0.
+    *
+    * Unlike [[simHash]] (xxhash64 + interpreted lambdas), every value here
+    * is reproducible in plain SQL on any engine, and the plan is
+    * whole-stage-codegen end to end: the only shuffle is the partial-agg
+    * combine on `id`.
+    *
+    * @return (id, simhash BIGINT) — bit 63 maps to Long.MinValue.
+    */
+  def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\\s+")).as("tk"))
+    val hashed = tokens.withColumn("h", pmod(portableHash(col("tk")), lit(MinHashP)))
+    val sums = (0 until 64).map(j => sum(simHashBitTerm(col("h"), j)).as(s"s$j"))
+    val bitVals = (0 until 64).map(j =>
+      // distinct powers of two: SUM of terms == bitwise OR; bit 63 is the
+      // sign bit, representable only as Long.MinValue
+      when(col(s"s$j") > 0, lit(if (j == 63) Long.MinValue else 1L << j))
+        .otherwise(lit(0L)))
+    hashed.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"), bitVals.reduce(_ + _).as("simhash"))
+  }
 
   /** n-gram Jaccard similarity between two token-array columns. */
   def jaccard(a: Column, b: Column): Column = {

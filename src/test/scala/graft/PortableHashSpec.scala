@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.GraftExtensions
+import graft.operators.{Ann, Dedup, Knn}
+
+/** Specs for the engine-portable hash ([[graft.expressions.StrHash]]) and
+  * the oracle-checkable operator variants built on it (portable MinHash,
+  * relational SimHash, seeded IVF). */
+class PortableHashSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def refHash(s: String): Long = {
+    var h = 0L
+    for (i <- 0 until s.length) h += s.charAt(i).toLong * (((i * 131) % 997) + 1)
+    h
+  }
+
+  test("StrHash matches the reference formula (codegen path)") {
+    val samples = Seq("", "a", "the quick brown fox", "Zz 09 ~!@#", "x" * 2000)
+    val got = samples.toDF("s")
+      .select(GraftExtensions.strHash(col("s")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == samples.map(refHash))
+  }
+
+  test("StrHash null in, null out; registered as SQL graft_strhash") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT graft_strhash(CAST(NULL AS STRING)) n, graft_strhash('ab') h")
+      .collect().head
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) == refHash("ab"))
+  }
+
+  test("portable minHashSignatures equals the lambda form with the same hash") {
+    val docs = spark.read.parquet(sf("documents")).limit(50)
+    val lam = docs.select(col("doc_id"), Dedup.minHashSignature(
+        Dedup.wordShingles(col("text"), 3), 16, Dedup.portableHash).as("sig"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val rel = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 16, Dedup.portableHash)
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(lam.toSeq == rel.toSeq)
+  }
+
+  test("portable minHashCandidates surfaces an exact duplicate pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val pairs = Dedup.minHashCandidates(docs, "doc_id", "text",
+        numHashes = 16, numBands = 8, hashFn = Dedup.portableHash)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) || !pairs.contains((2L, 3L)))
+  }
+
+  test("relational simHashes: identical docs agree, near-dups are close") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "entirely unrelated text about spark catalyst partition pruning")).toDF("id", "t")
+    val hs = Dedup.simHashes(docs, "id", "t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(3L)) < ham(hs(1L), hs(4L)),
+      s"near-dup hamming ${ham(hs(1L), hs(3L))} should beat unrelated ${ham(hs(1L), hs(4L))}")
+  }
+
+  test("seeded IVF: seeds land in their own cells; full probe == brute force") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val m = Ann.buildIvfSeeded(emb, "vec_id", "embedding", 0L until 8L)
+    val seedCells = m.assigned.filter(col("vec_id") < 8)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    (0 until 8).foreach(i => assert(seedCells(i.toLong) == i))
+    val q = emb.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0)
+    val full = Ann.queryIvf(m.assigned, m, "vec_id", "embedding", q, 5,
+        nprobe = 8, space = "cosine", excludeIds = Seq(3L))
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Knn.topK(emb, "vec_id", "embedding", q, 5, "cosine", excludeIds = Seq(3L))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == brute)
+  }
+
+  test("seeded IVF pruning: nprobe cells only, subset of brute force universe") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val m = Ann.buildIvfSeeded(emb, "vec_id", "embedding", 0L until 8L)
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val cells = Ann.nearestCells(m, q, 2).toSet
+    val res = Ann.queryIvf(m.assigned, m, "vec_id", "embedding", q, 10,
+      nprobe = 2, space = "cosine", excludeIds = Seq(0L))
+    val resIds = res.select("vec_id").as[Long].collect().toSet
+    val allowed = m.assigned.filter(col("cell").isin(cells.toSeq: _*))
+      .select("vec_id").as[Long].collect().toSet
+    assert(resIds.subsetOf(allowed))
+  }
+}
