@@ -32,20 +32,28 @@ object Bench {
     val results = (1 to runs).map { _ =>
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          // sentinel, NOT elapsed-to-exception: a fast failure must not
+          // make the suite look faster than a passing run
+          name -> -1.0
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
     }.reduce { (a, b) =>
-      a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
+      a.zip(b).map { case ((n, x), (_, y)) =>
+        n -> (if (x < 0 || y < 0) -1.0 else math.min(x, y))
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // failures invalidate the total: sum only over passing queries, and the
+    // nonempty `failed` array marks the run as not comparable
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -158,8 +158,51 @@ object CollectionMeta {
       int("version").getOrElse(0), md, int("buckets").getOrElse(32))
   }
 
-  def read(dir: Path): CollectionMeta =
-    fromJson(new String(Files.readAllBytes(dir.resolve("meta.json")), StandardCharsets.UTF_8))
+  private[catalog] def claimFile(dir: Path, version: Int): Path =
+    dir.resolve(f"meta.v$version%06d.json")
+
+  private[catalog] def isClaimFile(p: Path): Boolean = {
+    val n = p.getFileName.toString
+    n.startsWith("meta.v") && n.endsWith(".json")
+  }
+
+  private[catalog] def claimVersionOf(p: Path): Int =
+    p.getFileName.toString.stripPrefix("meta.v").stripSuffix(".json").toInt
+
+  /** Current meta = the newer of the `meta.json` pointer and the newest
+    * version-claim file. A writer that crashed between claiming a version
+    * and refreshing the pointer therefore cannot lose its committed
+    * version — the claim file IS the commit record. Version ties prefer
+    * the pointer (rename refreshes only the pointer's `name`). */
+  def read(dir: Path): CollectionMeta = {
+    val pointerPath = dir.resolve("meta.json")
+    val pointer =
+      if (Files.exists(pointerPath))
+        Some(fromJson(new String(Files.readAllBytes(pointerPath), StandardCharsets.UTF_8)))
+      else None
+    val newestClaim = DirIO.list(dir)(_.filter(isClaimFile).toSeq)
+      .sortBy(claimVersionOf).lastOption
+      .map(p => fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    (pointer, newestClaim) match {
+      case (Some(m), Some(c)) => if (c.version > m.version) c else m
+      case (Some(m), None)    => m
+      case (None, Some(c))    => c
+      case (None, None) => throw new java.nio.file.NoSuchFileException(pointerPath.toString)
+    }
+  }
+
+  /** Atomically claim `meta.version`: move a (writer-unique) temp file onto
+    * the version-numbered claim file WITHOUT `REPLACE_EXISTING` — of two
+    * racing writers exactly one move succeeds; the loser gets
+    * `FileAlreadyExistsException`. This is the one true serialization
+    * point of the copy-on-write commit protocol. */
+  private[catalog] def claimVersion(dir: Path, meta: CollectionMeta): Unit = {
+    val tmp = Files.createTempFile(dir, "meta.claim.", ".tmp")
+    try {
+      Files.write(tmp, toJson(meta).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, claimFile(dir, meta.version))
+    } finally Files.deleteIfExists(tmp)
+  }
 
   def atomicWrite(dir: Path, meta: CollectionMeta): Unit = {
     val tmp = dir.resolve("meta.json.tmp")
@@ -208,16 +251,24 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   private def currentWithPt: DataFrame =
     spark.read.option("mergeSchema", "true").parquet(currentData.get.toString)
 
-  /** Best-effort single-writer check: the meta version read at the start of
-    * a mutation must still be current at swap time, or another writer won
-    * the race and committing would silently drop its rows. A true lock
-    * needs an external coordinator; this CAS turns the silent loss into a
-    * loud failure. */
+  /** Single-writer commit: the version-claim file move is the atomic CAS
+    * (`Files.move` without `REPLACE_EXISTING` — exactly one of two racing
+    * writers succeeds; the loser fails LOUDLY instead of silently dropping
+    * the winner's rows). The early version check is a fast-fail courtesy;
+    * the claim is what actually serializes. `meta.json` is then refreshed
+    * as a fast-path pointer; `read()` recovers from a crash between claim
+    * and pointer refresh by taking the newest claim. */
   private def casSwap(expected: CollectionMeta): Unit = {
     val now = meta
     if (now.version != expected.version) throw new java.util.ConcurrentModificationException(
       s"collection '${now.name}' advanced v${expected.version}->v${now.version} during this mutation; retry")
-    CollectionMeta.atomicWrite(dir, expected.copy(version = expected.version + 1))
+    val next = expected.copy(version = expected.version + 1)
+    try CollectionMeta.claimVersion(dir, next)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new java.util.ConcurrentModificationException(
+        s"collection '${now.name}' v${next.version} was claimed by a concurrent writer; retry")
+    }
+    CollectionMeta.atomicWrite(dir, next)
   }
 
   /** Full rewrite into a fresh version (first write / fallback). */
@@ -275,7 +326,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   def add(batch: DataFrame): Unit = {
     val withinDup = batch.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
     if (withinDup.nonEmpty)
-      throw new IllegalArgumentException(s"duplicate id in batch: ${withinDup.head.getString(0)}")
+      throw new IllegalArgumentException(s"duplicate id in batch: ${String.valueOf(withinDup.head.get(0))}")
     currentData match {
       case None => writeVersion(batch)
       case Some(_) =>
@@ -285,7 +336,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         val curAffected = currentWithPt.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
         val clash = batch.join(curAffected.select("id"), Seq("id"), "left_semi").limit(1).collect()
         if (clash.nonEmpty)
-          throw new IllegalArgumentException(s"id already exists: ${clash.head.getString(0)}")
+          throw new IllegalArgumentException(s"id already exists: ${String.valueOf(clash.head.get(0))}")
         writeMergedVersion(
           curAffected.unionByName(batch, allowMissingColumns = true), affected)
     }
@@ -319,7 +370,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   def update(batch: DataFrame): Unit = currentData.foreach { _ =>
     val dup = batch.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
     if (dup.nonEmpty) throw new IllegalArgumentException(
-      s"duplicate id in update batch: ${dup.head.getString(0)} — the left join would fan out")
+      s"duplicate id in update batch: ${String.valueOf(dup.head.get(0))} — the left join would fan out")
     val affected = bucketsOf(batch.select("id"))
     val cur = currentWithPt.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
     val upd = batch.columns.filter(_ != "id")
@@ -428,6 +479,11 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         .filter(_.getFileName.toString.stripPrefix("data_v").toInt < cutoff)
         .toSeq)
     dead.foreach(DirIO.deleteRecursively)
+    // retired version-claim files (cutoff <= current, so the commit record
+    // of the live version always survives)
+    DirIO.list(dir)(_.filter(CollectionMeta.isClaimFile)
+      .filter(CollectionMeta.claimVersionOf(_) < cutoff).toSeq)
+      .foreach(Files.deleteIfExists(_))
     dead.size
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnShim}
 import org.apache.spark.sql.functions._
 
 /** The Chroma `where` / `where_document` filter language, translated to
@@ -31,12 +31,36 @@ object ChromaFilter {
     final def toColumn: Column = toColumnWith(col)
   }
 
+  private def isNumericLit(v: Any): Boolean = v match {
+    case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double => true
+    case _: java.math.BigDecimal => true
+    case _: BigDecimal => true
+    case _ => false
+  }
+
+  private def isMapLookup(c: Column): Boolean =
+    GraftColumnShim.isFunctionCall(c, Set("element_at", "try_element_at"))
+
+  /** Ordering-comparison operands, Chroma-typed. Chroma compares typed
+    * metadata numerically; on the `MAP<STRING,STRING>` layout the stored
+    * value is a string, so a numeric filter literal makes BOTH sides
+    * try-cast to double — rows whose value doesn't parse simply don't
+    * match (Chroma's typed behavior), instead of Spark's default
+    * coercion, which orders lexicographically in the worst case
+    * ("10" < "9") and can throw under ANSI on unparsable strings.
+    * Typed flat columns keep the native comparison so the predicate still
+    * reaches the parquet scan as a PushedFilter; string literals against
+    * map values intentionally stay string-ordered (documented). */
+  private def ordSides(c: Column, v: Any): (Column, Column) =
+    if (isNumericLit(v) && isMapLookup(c)) (c.try_cast("double"), lit(v).cast("double"))
+    else (c, lit(v))
+
   final case class Eq(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = r(key) === lit(v) }
   final case class Ne(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = r(key) =!= lit(v) }
-  final case class Gt(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = r(key) > lit(v) }
-  final case class Gte(key: String, v: Any) extends Where { def toColumnWith(r: KeyResolver): Column = r(key) >= lit(v) }
-  final case class Lt(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = r(key) < lit(v) }
-  final case class Lte(key: String, v: Any) extends Where { def toColumnWith(r: KeyResolver): Column = r(key) <= lit(v) }
+  final case class Gt(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = { val (l, rr) = ordSides(r(key), v); l > rr } }
+  final case class Gte(key: String, v: Any) extends Where { def toColumnWith(r: KeyResolver): Column = { val (l, rr) = ordSides(r(key), v); l >= rr } }
+  final case class Lt(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = { val (l, rr) = ordSides(r(key), v); l < rr } }
+  final case class Lte(key: String, v: Any) extends Where { def toColumnWith(r: KeyResolver): Column = { val (l, rr) = ordSides(r(key), v); l <= rr } }
   final case class In(key: String, vs: Seq[Any])  extends Where { def toColumnWith(r: KeyResolver): Column = r(key).isin(vs: _*) }
   final case class Nin(key: String, vs: Seq[Any]) extends Where { def toColumnWith(r: KeyResolver): Column = !r(key).isin(vs: _*) }
   final case class And(cs: Seq[Where]) extends Where { def toColumnWith(r: KeyResolver): Column = cs.map(_.toColumnWith(r)).reduce(_ && _) }

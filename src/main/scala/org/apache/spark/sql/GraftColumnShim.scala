@@ -12,4 +12,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Whether `c` is syntactically a call to one of `names` (lower-case).
+    * Spark 4 Columns carry a ColumnNode AST (`UnresolvedFunction` for the
+    * `functions._` builders), only convertible to Catalyst at analysis —
+    * so callers that need to special-case e.g. a map `element_at` lookup
+    * must inspect the node, not the Catalyst expression. */
+  def isFunctionCall(c: Column, names: Set[String]): Boolean = c.node match {
+    case f: internal.UnresolvedFunction => names.contains(f.functionName.toLowerCase)
+    case _ => false
+  }
 }

@@ -39,6 +39,25 @@ class ChromaFilterSpec extends SparkTestBase {
     assert(dids(OrDoc(Seq(Contains("bonjour"), Contains("hola")))) == Set("b", "d"))
   }
 
+  test("ordering ops on MAP-backed metadata compare numerically, never throw") {
+    import org.apache.spark.sql.functions.element_at
+    val m = Seq(
+      ("a", Map("rating" -> "9.1")),
+      ("b", Map("rating" -> "10")),
+      ("c", Map("rating" -> "2")),
+      ("d", Map("rating" -> "not-a-number"))).toDF("id", "metadata")
+    val r: KeyResolver = k => element_at(col("metadata"), k)
+    def got(w: Where): Set[String] =
+      m.filter(w.toColumnWith(r)).select("id").as[String].collect().toSet
+    // numeric literal: "10" > 3 (not lexicographic "10" < "9"-style order),
+    // unparsable values simply don't match, and ANSI does not throw
+    assert(got(Gt("rating", 3)) == Set("a", "b"))
+    assert(got(Lte("rating", 9.1)) == Set("a", "c"))
+    // string literal: documented string ordering on the string layout
+    // ("9.1" > "3" and "not-a-number" > "3"; "10" and "2" sort below)
+    assert(got(Gt("rating", "3")) == Set("a", "d"))
+  }
+
   test("predicate combines where and where_document") {
     val p = predicate(Some(Eq("lang", "en")), Some(Contains("table")), col("doc")).get
     assert(df.filter(p).select("id").as[String].collect().toSeq == Seq("c"))

@@ -1,0 +1,51 @@
+package graft.catalog
+
+import java.nio.file.{Files, FileAlreadyExistsException}
+
+/** The copy-on-write commit protocol's serialization point: the
+  * version-claim file move. A pure read-check-write CAS lets two racing
+  * writers both pass the version check and both "commit" — the loser's
+  * rows silently vanish. The claim move is first-writer-wins at the
+  * filesystem level. */
+class CatalogCasSpec extends graft.SparkTestBase {
+
+  test("version claim is first-writer-wins (second claim fails loudly)") {
+    val dir = Files.createTempDirectory("graft-cas")
+    val m = CollectionMeta("c", "l2", 1, Map.empty)
+    CollectionMeta.claimVersion(dir, m)
+    intercept[FileAlreadyExistsException] {
+      CollectionMeta.claimVersion(dir, m)
+    }
+    // a different version still claims fine
+    CollectionMeta.claimVersion(dir, m.copy(version = 2))
+  }
+
+  test("read() recovers the newest claim when the pointer refresh was lost") {
+    val dir = Files.createTempDirectory("graft-cas2")
+    CollectionMeta.atomicWrite(dir, CollectionMeta("c", "l2", 1, Map.empty))
+    // writer claimed v2 then crashed before refreshing meta.json
+    CollectionMeta.claimVersion(dir, CollectionMeta("c", "l2", 2, Map.empty))
+    assert(CollectionMeta.read(dir).version == 2)
+  }
+
+  test("read() prefers the pointer on version ties (rename refreshes only it)") {
+    val dir = Files.createTempDirectory("graft-cas3")
+    CollectionMeta.claimVersion(dir, CollectionMeta("old", "l2", 3, Map.empty))
+    CollectionMeta.atomicWrite(dir, CollectionMeta("renamed", "l2", 3, Map.empty))
+    assert(CollectionMeta.read(dir).name == "renamed")
+  }
+
+  test("sequential mutations through separate handles advance versions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cas4").toString
+    val c1 = new CollectionCatalog(spark, root).getOrCreateCollection("t")
+    val c2 = new CollectionCatalog(spark, root).getOrCreateCollection("t")
+    c1.add(Seq(("a", "doc a")).toDF("id", "document")
+      .withColumn("embedding", typedLit(Seq(1.0f, 0.0f))))
+    c2.add(Seq(("b", "doc b")).toDF("id", "document")
+      .withColumn("embedding", typedLit(Seq(0.0f, 1.0f))))
+    assert(c1.count() == 2L)
+    assert(c1.meta.version == 2)
+  }
+}
