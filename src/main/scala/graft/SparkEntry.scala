@@ -197,6 +197,11 @@ object SparkEntry {
       val b1 = docs.select(col("doc_id"), col("text"), lit(1).as("batch"))
       val b2 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
         .select(col("doc_id"), upper(col("text")).as("text"), lit(2).as("batch"))
+      // latest-wins via row_number ≤ 1: Spark plans this as
+      // WindowGroupLimit, which prunes every group to its top row ON THE
+      // MAP SIDE before the shuffle — the scalable shape for a 100 TB
+      // upsert stream. (A max_by(struct(batch, text)) agg is NOT better:
+      // var-length buffers force SortAggregate, a full per-group sort.)
       val w = Window.partitionBy("doc_id").orderBy(col("batch").desc)
       b1.unionByName(b2)
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
@@ -357,21 +362,31 @@ object SparkEntry {
         .select(unix_micros(col("w.start")).as("ws"), col("event_type"),
           col("cnt"), col("sum_value"))
         .orderBy("ws", "event_type")),
-    // C4 TPC-H Q5-ish: 4 broadcast dims + fact scan, region prefilter
-    "q36_region_revenue" -> ((s, dir) =>
+    // C4 TPC-H Q5-ish with the selective-dim-first plan: region→nation→
+    // customer broadcasts reduce orders to the ASIA slice (~1/5), and that
+    // slice is itself broadcast to the lineitem scan — the fact table
+    // (the 100 TB side) is NEVER shuffled; every join on it is broadcast.
+    "q36_region_revenue" -> ((s, dir) => {
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      val asiaCust = t(s, dir, "customer")
+        .join(broadcast(asiaNations.select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+      val asiaOrders = t(s, dir, "orders")
+        .join(broadcast(asiaCust.select("c_custkey", "n_name")),
+          col("o_custkey") === col("c_custkey"))
       t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaOrders.select("o_orderkey", "n_name")),
+          col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-        .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
             .cast("double").as("revenue"),
           count(lit(1)).as("cnt"))
-        .orderBy("n_name")),
+        .orderBy("n_name")
+    }),
     // Skew mitigation: salted join must be result-identical to the plain join
     "q37_salted_join_agg" -> ((s, dir) => {
       val cust = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")

@@ -171,8 +171,17 @@ object Ann {
     * bit b of the bucket = sign of ⟨vec, r_b⟩ where
     * r_b[j] = ((1103515245·(b·dim+j) + 12345) mod 2001 − 1000)/1000 — a
     * fixed arithmetic pseudo-random sequence, reproducible anywhere.
-    */
+    * Codegen'd fused loop ([[graft.expressions.SrpBucket]]); values are
+    * bit-identical to [[srpBucketHof]] and the SQL oracle. */
   def srpBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    import org.apache.spark.sql.GraftColumnShim
+    GraftColumnShim.column(graft.expressions.SrpBucket(
+      GraftColumnShim.expression(vec), dim, nBits))
+  }
+
+  /** Expression-tree form of [[srpBucket]] (nBits·dim nodes): kept as the
+    * cross-check reference — the fused loop must reproduce it exactly. */
+  def srpBucketHof(vec: Column, dim: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { b =>
       val proj = (0 until dim).map { j =>
         val r = ((1103515245L * (b.toLong * dim + j) + 12345L) % 2001L - 1000L) / 1000.0

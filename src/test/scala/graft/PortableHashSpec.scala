@@ -70,6 +70,17 @@ class PortableHashSpec extends SparkTestBase {
       s"near-dup hamming ${ham(hs(1L), hs(3L))} should beat unrelated ${ham(hs(1L), hs(4L))}")
   }
 
+  test("codegen SrpBucket reproduces the expression-tree form exactly") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val native = emb.select(col("vec_id"),
+        Ann.srpBucket(col("embedding"), 64, 8).as("b")).orderBy("vec_id")
+      .collect().map(_.getLong(1)).toSeq
+    val hof = emb.select(col("vec_id"),
+        Ann.srpBucketHof(col("embedding"), 64, 8).as("b")).orderBy("vec_id")
+      .collect().map(_.getLong(1)).toSeq
+    assert(native == hof)
+  }
+
   test("seeded IVF: seeds land in their own cells; full probe == brute force") {
     val emb = spark.read.parquet(sf("embeddings"))
     val m = Ann.buildIvfSeeded(emb, "vec_id", "embedding", 0L until 8L)
