@@ -508,6 +508,46 @@ object SparkEntry {
           expr("(cum - n_tok) div 512").as("bin"))
         .orderBy("doc_id")
     }),
+    // B3 update: replace non-null fields for existing ids (join + coalesce,
+    // the Collection.update merge shape — null update fields leave the
+    // current value in place)
+    "q40_update_coalesce" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val upd = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), lit("xx").as("lang"),
+          lit(null).cast("string").as("source"))
+      docs.alias("c").join(upd.alias("u"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("u.lang"), col("c.lang")).as("lang"),
+          coalesce(col("u.source"), col("c.source")).as("source"),
+          col("c.n_chars").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // C6/C9 sliding window (1 h length, 30 min slide): every event lands
+    // in exactly two windows
+    "q51_sliding_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(timestamp_micros(col("us")), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("w.start")).as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")),
+    // Vocabulary build (LLM tokenizer prep): explode tokens → map-side
+    // combinable count → top-k. The orderBy+limit plans as
+    // TakeOrderedAndProject — no global sort of the vocabulary.
+    "q52_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(100)),
+    // C5 quantile binning per stratum (ntile) — curriculum/quality buckets
+    "q53_ntile_bins" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      t(s, dir, "documents").withColumn("bin", ntile(4).over(w))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("cnt"), max("n_chars").as("max_chars"))
+        .orderBy("lang", "bin")
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -768,6 +808,33 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
         |SELECT doc_id, lang, CAST((cum - n_tok) // 512 AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q40_update_coalesce" ->
+      """SELECT c.doc_id AS doc_id, COALESCE(u.lang, c.lang) AS lang,
+        |COALESCE(u.source, c.source) AS source, c.n_chars AS n_chars
+        |FROM documents c LEFT JOIN
+        |  (SELECT doc_id, 'xx' AS lang, CAST(NULL AS VARCHAR) AS source
+        |   FROM documents WHERE doc_id % 7 = 0) u
+        |  ON c.doc_id = u.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // sliding window starts are the two 30-min-aligned marks covering the
+    // event (epoch-aligned, matching Spark's window() origin)
+    "q51_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        |x AS (SELECT event_type, unnest([
+        |        (us // 1800000000) * 1800000000 - 1800000000,
+        |        (us // 1800000000) * 1800000000]) AS ws FROM e)
+        |SELECT ws, event_type, COUNT(*) AS cnt FROM x
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q52_vocab_topk" ->
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "q53_ntile_bins" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INTEGER) AS bin
+        |  FROM documents)
+        |SELECT lang, bin, COUNT(*) AS cnt, MAX(n_chars) AS max_chars
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     // q30/q31: the dedup pipelines use the engine-portable StrHash
     // (graft.expressions.StrHash), so the ENTIRE signature pipeline —
     // shingling, hashing, permutations, banding, bucketing — replays in
