@@ -169,40 +169,47 @@ object CollectionMeta {
   private[catalog] def claimVersionOf(p: Path): Int =
     p.getFileName.toString.stripPrefix("meta.v").stripSuffix(".json").toInt
 
-  /** Current meta = the newer of the `meta.json` pointer and the newest
-    * version-claim file. A writer that crashed between claiming a version
-    * and refreshing the pointer therefore cannot lose its committed
-    * version — the claim file IS the commit record. Version ties prefer
-    * the pointer (rename refreshes only the pointer's `name`). */
+  /** `data_v<N>/_graft_committed`: written after ALL data work for the
+    * version (parquet write + carried-over bucket links) — `_SUCCESS`
+    * alone is not enough, Spark writes it before the link pass. */
+  private[catalog] def commitMarker(dir: Path, version: Int): Path =
+    dir.resolve(f"data_v$version%06d").resolve("_graft_committed")
+
+  /** Current meta = the `meta.json` pointer, unless a newer COMMITTED
+    * claim exists (claim file + its version's completeness marker): a
+    * writer that crashed between the marker and the pointer refresh
+    * cannot lose its commit, and a claim whose data write never finished
+    * is never served. The common path compares claim-file NAMES only —
+    * no extra reads/parses when the pointer is current. Version ties
+    * prefer the pointer (rename refreshes only the pointer's `name`). */
   def read(dir: Path): CollectionMeta = {
     val pointerPath = dir.resolve("meta.json")
     val pointer =
       if (Files.exists(pointerPath))
         Some(fromJson(new String(Files.readAllBytes(pointerPath), StandardCharsets.UTF_8)))
       else None
-    val newestClaim = DirIO.list(dir)(_.filter(isClaimFile).toSeq)
-      .sortBy(claimVersionOf).lastOption
+    val floor = pointer.map(_.version).getOrElse(-1)
+    val adopted = DirIO.list(dir)(_.filter(isClaimFile).toSeq)
+      .filter(p => claimVersionOf(p) > floor)
+      .sortBy(claimVersionOf).reverse
+      .find(p => Files.exists(commitMarker(dir, claimVersionOf(p))))
       .map(p => fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
-    (pointer, newestClaim) match {
-      case (Some(m), Some(c)) => if (c.version > m.version) c else m
-      case (Some(m), None)    => m
-      case (None, Some(c))    => c
-      case (None, None) => throw new java.nio.file.NoSuchFileException(pointerPath.toString)
-    }
+    adopted.orElse(pointer).getOrElse(
+      throw new java.nio.file.NoSuchFileException(pointerPath.toString))
   }
 
-  /** Atomically claim `meta.version`: move a (writer-unique) temp file onto
-    * the version-numbered claim file WITHOUT `REPLACE_EXISTING` — of two
-    * racing writers exactly one move succeeds; the loser gets
-    * `FileAlreadyExistsException`. This is the one true serialization
-    * point of the copy-on-write commit protocol. */
-  private[catalog] def claimVersion(dir: Path, meta: CollectionMeta): Unit = {
-    val tmp = Files.createTempFile(dir, "meta.claim.", ".tmp")
-    try {
-      Files.write(tmp, toJson(meta).getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, claimFile(dir, meta.version))
-    } finally Files.deleteIfExists(tmp)
-  }
+  /** Atomically claim `meta.version`: `O_CREAT|O_EXCL` create of the
+    * version-numbered claim file — of two racing writers exactly one
+    * create succeeds; the loser gets `FileAlreadyExistsException`. (A
+    * `Files.move` without `REPLACE_EXISTING` is NOT a CAS on POSIX: the
+    * provider stat-checks then rename(2)s, and rename silently replaces.)
+    * This is the one true serialization point of the copy-on-write commit
+    * protocol, taken BEFORE any data write. Claim content is only parsed
+    * by readers after the commit marker exists, so the non-atomic content
+    * write is safe. */
+  private[catalog] def claimVersion(dir: Path, meta: CollectionMeta): Unit =
+    Files.write(claimFile(dir, meta.version), toJson(meta).getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
 
   def atomicWrite(dir: Path, meta: CollectionMeta): Unit = {
     val tmp = dir.resolve("meta.json.tmp")
@@ -252,33 +259,50 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     spark.read.option("mergeSchema", "true").parquet(currentData.get.toString)
 
   /** Single-writer commit: the version-claim file move is the atomic CAS
-    * (`Files.move` without `REPLACE_EXISTING` — exactly one of two racing
-    * writers succeeds; the loser fails LOUDLY instead of silently dropping
-    * the winner's rows). The early version check is a fast-fail courtesy;
-    * the claim is what actually serializes. `meta.json` is then refreshed
-    * as a fast-path pointer; `read()` recovers from a crash between claim
-    * and pointer refresh by taking the newest claim. */
-  private def casSwap(expected: CollectionMeta): Unit = {
-    val now = meta
-    if (now.version != expected.version) throw new java.util.ConcurrentModificationException(
-      s"collection '${now.name}' advanced v${expected.version}->v${now.version} during this mutation; retry")
+    * (an `O_CREAT|O_EXCL` create of the version-claim file — exactly one
+    * of two racing writers succeeds; the loser fails LOUDLY instead of
+    * silently dropping the winner's rows).
+    *
+    * ORDER MATTERS: the claim is taken BEFORE any data is written, so a
+    * losing writer cannot overwrite the winner's `data_v<N+1>` directory
+    * during its (multi-second) Spark write — it never starts it. Commit
+    * then = data write → `_graft_committed` marker → pointer refresh;
+    * `read()` only adopts a claim whose marker exists, so a half-written
+    * version is never served. A claim left by a writer that crashed
+    * mid-write blocks that version until `vacuum()`/manual cleanup —
+    * loud and recoverable, never silent corruption. */
+  private def claimNext(expected: CollectionMeta): CollectionMeta = {
+    if (meta.version != expected.version) throw new java.util.ConcurrentModificationException(
+      s"collection '${expected.name}' advanced past v${expected.version} during this mutation; retry")
     val next = expected.copy(version = expected.version + 1)
     try CollectionMeta.claimVersion(dir, next)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new java.util.ConcurrentModificationException(
-        s"collection '${now.name}' v${next.version} was claimed by a concurrent writer; retry")
+        s"collection '${expected.name}' v${next.version} was claimed by a concurrent writer; retry")
     }
+    next
+  }
+
+  /** Second half of the commit: completeness marker, then pointer. */
+  private def commit(next: CollectionMeta): Unit = {
+    Files.write(CollectionMeta.commitMarker(dir, next.version), Array.emptyByteArray)
     CollectionMeta.atomicWrite(dir, next)
   }
 
+  /** Drop a claim whose data write failed (nothing was committed — the
+    * marker does not exist — so the version number can be re-claimed). */
+  private def abandon(next: CollectionMeta): Unit =
+    Files.deleteIfExists(CollectionMeta.claimFile(dir, next.version))
+
   /** Full rewrite into a fresh version (first write / fallback). */
   private def writeVersion(df: DataFrame): Unit = {
-    val m = meta
-    val next = m.version + 1
-    bucketed(df).write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRowsPerFile)
-      .partitionBy("pt").parquet(dataDir(next).toString)
-    casSwap(m)
+    val next = claimNext(meta)
+    try {
+      bucketed(df).write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRowsPerFile)
+        .partitionBy("pt").parquet(dataDir(next.version).toString)
+    } catch { case e: Throwable => abandon(next); throw e }
+    commit(next)
   }
 
   /** Partition-pruned copy-on-write (SURVEY §7.4.3): rewrite ONLY the id-hash
@@ -293,27 +317,29 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     */
   private def writeMergedVersion(mergedAffected: DataFrame, affected: Set[Int]): Unit = {
     val m = meta
-    val next = m.version + 1
-    val newDir = dataDir(next)
-    bucketed(mergedAffected.drop("pt")).write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRowsPerFile)
-      .partitionBy("pt").parquet(newDir.toString)
-    val oldDir = dataDir(m.version)
-    val carryOver = DirIO.list(oldDir)(
-      _.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("pt="))
-        .filterNot(p => affected.contains(p.getFileName.toString.stripPrefix("pt=").toInt))
-        .toSeq)
-    carryOver.foreach { bucketDir =>
-      val target = newDir.resolve(bucketDir.getFileName.toString)
-      Files.createDirectories(target)
-      DirIO.list(bucketDir)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
-        val link = target.resolve(f.getFileName.toString)
-        try Files.createLink(link, f)
-        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-          Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
+    val next = claimNext(m)
+    val newDir = dataDir(next.version)
+    try {
+      bucketed(mergedAffected.drop("pt")).write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRowsPerFile)
+        .partitionBy("pt").parquet(newDir.toString)
+      val oldDir = dataDir(m.version)
+      val carryOver = DirIO.list(oldDir)(
+        _.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("pt="))
+          .filterNot(p => affected.contains(p.getFileName.toString.stripPrefix("pt=").toInt))
+          .toSeq)
+      carryOver.foreach { bucketDir =>
+        val target = newDir.resolve(bucketDir.getFileName.toString)
+        Files.createDirectories(target)
+        DirIO.list(bucketDir)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
+          val link = target.resolve(f.getFileName.toString)
+          try Files.createLink(link, f)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
+        }
       }
-    }
-    casSwap(m)
+    } catch { case e: Throwable => abandon(next); throw e }
+    commit(next)
   }
 
   /** Distinct id-hash buckets hit by a batch (small driver-side collect). */

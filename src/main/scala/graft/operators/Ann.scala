@@ -72,9 +72,11 @@ object Ann {
     */
   def buildIvfSeeded(
       corpus: DataFrame, idCol: String, vecCol: String, seedIds: Seq[Long]): IvfModel = {
+    // cast to array<double> in the query: the corpus may carry float OR
+    // double vectors (every other distance entry point accepts both)
     val seedRows = corpus.filter(col(idCol).isin(seedIds: _*))
-      .select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     val cents = seedIds.zipWithIndex.map { case (sid, i) =>
       (i, seedRows.getOrElse(sid, sys.error(s"IVF seed id $sid not in corpus")))
     }.toArray

@@ -38,8 +38,15 @@ object ChromaFilter {
     case _ => false
   }
 
+  /** Contract for [[KeyResolver]] implementations: a resolver that serves
+    * metadata from a string-valued MAP must build the lookup with
+    * `element_at`/`try_element_at`/`getItem`/`get` (the shapes detected
+    * here) so comparisons get Chroma's typed semantics. Flat typed
+    * columns resolve as plain references and keep native comparisons
+    * (and full scan pushdown). */
   private def isMapLookup(c: Column): Boolean =
-    GraftColumnShim.isFunctionCall(c, Set("element_at", "try_element_at"))
+    GraftColumnShim.isFunctionCall(c, Set("element_at", "try_element_at", "get")) ||
+      GraftColumnShim.isExtractValue(c)
 
   /** Ordering-comparison operands, Chroma-typed. Chroma compares typed
     * metadata numerically; on the `MAP<STRING,STRING>` layout the stored
@@ -55,14 +62,28 @@ object ChromaFilter {
     if (isNumericLit(v) && isMapLookup(c)) (c.try_cast("double"), lit(v).cast("double"))
     else (c, lit(v))
 
-  final case class Eq(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = r(key) === lit(v) }
-  final case class Ne(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = r(key) =!= lit(v) }
+  final case class Eq(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = { val (l, rr) = ordSides(r(key), v); l === rr } }
+  final case class Ne(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = { val (l, rr) = ordSides(r(key), v); l =!= rr } }
   final case class Gt(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = { val (l, rr) = ordSides(r(key), v); l > rr } }
   final case class Gte(key: String, v: Any) extends Where { def toColumnWith(r: KeyResolver): Column = { val (l, rr) = ordSides(r(key), v); l >= rr } }
   final case class Lt(key: String, v: Any)  extends Where { def toColumnWith(r: KeyResolver): Column = { val (l, rr) = ordSides(r(key), v); l < rr } }
   final case class Lte(key: String, v: Any) extends Where { def toColumnWith(r: KeyResolver): Column = { val (l, rr) = ordSides(r(key), v); l <= rr } }
-  final case class In(key: String, vs: Seq[Any])  extends Where { def toColumnWith(r: KeyResolver): Column = r(key).isin(vs: _*) }
-  final case class Nin(key: String, vs: Seq[Any]) extends Where { def toColumnWith(r: KeyResolver): Column = !r(key).isin(vs: _*) }
+  // $in/$nin: an all-numeric value list against a map-backed key compares
+  // numerically (same try_cast as the ordering ops); Chroma doesn't allow
+  // mixed-type lists, so a mixed list just takes the native path
+  private def toDouble(v: Any): Double = v match {
+    case b: BigDecimal => b.toDouble
+    case n: java.lang.Number => n.doubleValue
+    case other => sys.error(s"not numeric: $other")
+  }
+
+  private def inSides(c: Column, vs: Seq[Any]): Column =
+    if (vs.nonEmpty && vs.forall(isNumericLit) && isMapLookup(c))
+      c.try_cast("double").isin(vs.map(toDouble): _*)
+    else c.isin(vs: _*)
+
+  final case class In(key: String, vs: Seq[Any])  extends Where { def toColumnWith(r: KeyResolver): Column = inSides(r(key), vs) }
+  final case class Nin(key: String, vs: Seq[Any]) extends Where { def toColumnWith(r: KeyResolver): Column = !inSides(r(key), vs) }
   final case class And(cs: Seq[Where]) extends Where { def toColumnWith(r: KeyResolver): Column = cs.map(_.toColumnWith(r)).reduce(_ && _) }
   final case class Or(cs: Seq[Where])  extends Where { def toColumnWith(r: KeyResolver): Column = cs.map(_.toColumnWith(r)).reduce(_ || _) }
 

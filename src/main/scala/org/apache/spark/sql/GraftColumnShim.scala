@@ -22,4 +22,11 @@ object GraftColumnShim {
     case f: internal.UnresolvedFunction => names.contains(f.functionName.toLowerCase)
     case _ => false
   }
+
+  /** Whether `c` is an extraction (`col("m").getItem(k)` / `col("m")(k)` /
+    * `getField`) — the other syntactic shape of a map lookup. */
+  def isExtractValue(c: Column): Boolean = c.node match {
+    case _: internal.UnresolvedExtractValue => true
+    case _ => false
+  }
 }

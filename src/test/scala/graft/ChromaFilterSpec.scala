@@ -58,6 +58,26 @@ class ChromaFilterSpec extends SparkTestBase {
     assert(got(Gt("rating", "3")) == Set("a", "d"))
   }
 
+  test("Eq/Ne/In on MAP-backed metadata: numeric literals never throw under ANSI") {
+    import org.apache.spark.sql.functions.element_at
+    val m = Seq(
+      ("a", Map("rating" -> "5")),
+      ("b", Map("rating" -> "5.0")),
+      ("c", Map("rating" -> "7")),
+      ("d", Map("rating" -> "unknown"))).toDF("id", "metadata")
+    val r: KeyResolver = k => element_at(col("metadata"), k)
+    def got(w: Where): Set[String] =
+      m.filter(w.toColumnWith(r)).select("id").as[String].collect().toSet
+    assert(got(Eq("rating", 5)) == Set("a", "b"))     // "5.0" == 5 numerically
+    assert(got(Ne("rating", 5)) == Set("c"))          // unparsable -> no match
+    assert(got(In("rating", Seq(5, 7))) == Set("a", "b", "c"))
+    assert(got(Nin("rating", Seq(5))) == Set("c"))
+    // getItem shape resolves as a map lookup too
+    val r2: KeyResolver = k => col("metadata").getItem(k)
+    assert(m.filter(Gt("rating", 6).toColumnWith(r2))
+      .select("id").as[String].collect().toSet == Set("c"))
+  }
+
   test("predicate combines where and where_document") {
     val p = predicate(Some(Eq("lang", "en")), Some(Contains("table")), col("doc")).get
     assert(df.filter(p).select("id").as[String].collect().toSeq == Seq("c"))

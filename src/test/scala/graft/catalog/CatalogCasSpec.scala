@@ -20,12 +20,38 @@ class CatalogCasSpec extends graft.SparkTestBase {
     CollectionMeta.claimVersion(dir, m.copy(version = 2))
   }
 
-  test("read() recovers the newest claim when the pointer refresh was lost") {
+  test("read() recovers a COMMITTED claim when the pointer refresh was lost") {
     val dir = Files.createTempDirectory("graft-cas2")
     CollectionMeta.atomicWrite(dir, CollectionMeta("c", "l2", 1, Map.empty))
-    // writer claimed v2 then crashed before refreshing meta.json
+    // writer claimed v2, finished its data (marker), crashed before pointer
     CollectionMeta.claimVersion(dir, CollectionMeta("c", "l2", 2, Map.empty))
+    Files.createDirectories(CollectionMeta.commitMarker(dir, 2).getParent)
+    Files.write(CollectionMeta.commitMarker(dir, 2), Array.emptyByteArray)
     assert(CollectionMeta.read(dir).version == 2)
+  }
+
+  test("read() ignores a claim whose data write never finished (no marker)") {
+    val dir = Files.createTempDirectory("graft-cas2b")
+    CollectionMeta.atomicWrite(dir, CollectionMeta("c", "l2", 1, Map.empty))
+    // writer claimed v2 then died mid-write: half-written data must not serve
+    CollectionMeta.claimVersion(dir, CollectionMeta("c", "l2", 2, Map.empty))
+    assert(CollectionMeta.read(dir).version == 1)
+  }
+
+  test("failed data write abandons its claim so the version can be retried") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cas5").toString
+    val c = new CollectionCatalog(spark, root).getOrCreateCollection("t")
+    val good = Seq(("a", "doc")).toDF("id", "document")
+      .withColumn("embedding", typedLit(Seq(1.0f)))
+    // a batch whose WRITE fails mid-flight (runtime error inside the scan)
+    val bad = Seq(("b", "doc")).toDF("id", "document")
+      .withColumn("embedding", typedLit(Seq(1.0f)))
+      .withColumn("boom", expr("assert_true(id != 'b')"))
+    intercept[Throwable] { c.add(bad) }
+    c.add(good) // claim v1 must have been abandoned, not left blocking
+    assert(c.count() == 1L)
   }
 
   test("read() prefers the pointer on version ties (rename refreshes only it)") {
