@@ -548,6 +548,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), max("n_chars").as("max_chars"))
         .orderBy("lang", "bin")
     }),
+    // C2 end-to-end near-dedup: LSH candidates → shingle-Jaccard verify
+    // (≥ 0.7) → keep-min-id survivors; the full documents table
+    "q54_near_dedup" -> ((s, dir) =>
+      Dedup.nearDedup(t(s, dir, "documents"), "doc_id", "text", 0.7,
+          hashFn = Dedup.portableHash)
+        .select("doc_id").orderBy("doc_id")),
+    // C4 cube: all grouping-set combinations over (lang, source)
+    "q55_cube" -> ((s, dir) =>
+      t(s, dir, "documents").cube("lang", "source")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"), col("cnt"))
+        .orderBy("lang", "source")),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -879,6 +892,40 @@ object SparkEntry {
          |      FROM b GROUP BY doc_id)
          |SELECT doc_id, CAST(sh AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
     },
+    // q54: replays the WHOLE near-dedup pipeline — signatures, banding,
+    // bucket join, Jaccard verification (exact: integer set sizes, one
+    // IEEE division on both engines), keep-min-id anti join.
+    "q54_near_dedup" -> {
+      val P = 2147483647L
+      s"""WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+         |shl AS (SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(range(len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS shingles
+         |        FROM t),
+         |sh AS (SELECT id, unnest(shingles) AS sh FROM shl),
+         |hh AS (SELECT id, list_sum(list_transform(range(length(sh)),
+         |         i -> ascii(substr(sh, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))) % $P AS h
+         |       FROM sh),
+         |sig AS (SELECT id, k,
+         |          MIN(((((k * 1103515245 + 12345) % ${P - 1}) + 1) * h + ((k * 69069 + 362437) % $P)) % $P) AS m
+         |        FROM hh, (SELECT unnest(range(16)) AS k) GROUP BY id, k),
+         |band AS (SELECT id, k // 2 AS band, list(m ORDER BY k ASC) AS rws FROM sig GROUP BY id, k // 2),
+         |big AS (SELECT band, rws FROM band GROUP BY band, rws HAVING COUNT(*) > 1000),
+         |pair AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM band a JOIN band b ON a.band = b.band AND a.rws = b.rws AND a.id < b.id
+         |         LEFT JOIN big ON big.band = a.band AND big.rws = a.rws
+         |         WHERE big.band IS NULL),
+         |ds AS (SELECT id, list_distinct(shingles) AS dsh FROM shl),
+         |drp AS (SELECT DISTINCT id_b AS id FROM pair
+         |        JOIN ds x ON x.id = id_a JOIN ds y ON y.id = id_b
+         |        WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+         |              / (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))) >= 0.7)
+         |SELECT doc_id FROM documents LEFT JOIN drp ON doc_id = drp.id
+         |WHERE drp.id IS NULL ORDER BY doc_id""".stripMargin
+    },
+    "q55_cube" ->
+      """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+        |COUNT(*) AS cnt FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY lang, source""".stripMargin,
     // q32: replays the full seeded-IVF path — assignment (argmin L2, ties
     // to lowest cell), probe choice (2 nearest cells to the query), and
     // the exact top-k inside the pruned cells.

@@ -39,8 +39,19 @@ object Dedup {
     l.join(r, cond, "left_semi")
   }
 
-  /** Word-level shingles (n-grams) of a text column, as ARRAY<STRING>. */
+  /** Word-level shingles (n-grams) of a text column, as ARRAY<STRING>.
+    * Compiled single-call form ([[graft.expressions.StrShingles]]) —
+    * values identical to [[wordShinglesHof]], which pays ~one interpreted
+    * lambda per shingle and dominated the signature pass at corpus scale. */
   def wordShingles(textCol: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnShim
+    GraftColumnShim.column(graft.expressions.StrShingles(
+      GraftColumnShim.expression(textCol), n))
+  }
+
+  /** Expression-tree form of [[wordShingles]], kept as the cross-check
+    * reference for the compiled implementation. */
+  def wordShinglesHof(textCol: Column, n: Int): Column = {
     val tokens = split(textCol, "\\s+")
     val idx = sequence(lit(0), greatest(size(tokens) - n, lit(0)))
     when(size(tokens) < n, array(array_join(tokens, " ")))
@@ -199,6 +210,30 @@ object Dedup {
     val bd = array_distinct(b)
     val inter = size(array_intersect(ad, bd)).cast("double")
     inter / (size(ad) + size(bd) - inter)
+  }
+
+  /** End-to-end near-duplicate REMOVAL: MinHash+LSH candidate pairs →
+    * true shingle-set Jaccard verification → drop the higher id of each
+    * verified pair (greedy "keep first" policy — the standard large-scale
+    * approximation; a transitive chain a~b~c loses both b and c even if
+    * a≁c directly, which is the conservative direction for training-data
+    * cleaning). Cost shape: one signature pass + bucket join + a
+    * candidates-only verify join — never an O(n²) similarity matrix.
+    */
+  def nearDedup(
+      df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
+      shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 8,
+      maxBucketSize: Int = 1000, hashFn: Column => Column = xxHash): DataFrame = {
+    val cand = minHashCandidates(df, idCol, textCol, shingleSize, numHashes,
+      numBands, maxBucketSize, hashFn)
+    val sets = df.select(col(idCol).as("__nd_id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("__nd_sh"))
+    val verified = cand
+      .join(sets.select(col("__nd_id").as("id_a"), col("__nd_sh").as("__sha")), Seq("id_a"))
+      .join(sets.select(col("__nd_id").as("id_b"), col("__nd_sh").as("__shb")), Seq("id_b"))
+      .filter(jaccard(col("__sha"), col("__shb")) >= minJaccard)
+    val dropped = verified.select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-dup pairs above `minSim` within an id-bounded

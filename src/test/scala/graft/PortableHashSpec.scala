@@ -70,6 +70,39 @@ class PortableHashSpec extends SparkTestBase {
       s"near-dup hamming ${ham(hs(1L), hs(3L))} should beat unrelated ${ham(hs(1L), hs(4L))}")
   }
 
+  test("compiled StrShingles reproduces the HOF shingling exactly") {
+    val docs = spark.read.parquet(sf("documents"))
+    val fast = docs.select(Dedup.wordShingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    val hof = docs.select(Dedup.wordShinglesHof(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(fast == hof)
+    // short-text edge: fewer tokens than n -> one whole-text shingle
+    val short = Seq("one two").toDF("t")
+      .select(Dedup.wordShingles(col("t"), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(short == Seq("one two"))
+  }
+
+  test("nearDedup drops verified near-duplicates, keeps the min id") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta"),     // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),      // near-dup of 1
+      (4L, "utterly different content with no shared shingles here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearDedup(docs, "doc_id", "text", 0.5, hashFn = Dedup.portableHash)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(4L))
+    assert(!kept.contains(5L), "exact duplicate must be dropped")
+    // idempotence: running again on the survivors changes nothing
+    val again = Dedup.nearDedup(
+        docs.filter(col("doc_id").isin(kept.toSeq: _*)), "doc_id", "text", 0.5,
+        hashFn = Dedup.portableHash)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("codegen SrpBucket reproduces the expression-tree form exactly") {
     val emb = spark.read.parquet(sf("embeddings"))
     val native = emb.select(col("vec_id"),
