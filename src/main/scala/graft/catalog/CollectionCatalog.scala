@@ -491,6 +491,15 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     }
   }
 
+  /** Rewrite the current version into a fresh one with freshly-packed
+    * files: every point upsert/delete leaves one-or-few-row files in the
+    * touched buckets, and after thousands of mutations scan parallelism
+    * degrades into a small-files problem. Compaction is a normal commit
+    * (claim → rewrite all buckets → marker → pointer), so it is safe
+    * against concurrent writers and readers; follow with [[vacuum]] to
+    * reclaim the superseded bytes. */
+  def compact(): Unit = currentData.foreach { _ => writeVersion(toDF) }
+
   /** Drop superseded copy-on-write versions, keeping the current one plus
     * `keepHistory` predecessors. Hard-linked files shared with retained
     * versions survive (link count > 1) — only truly dead bytes are freed.

@@ -74,4 +74,27 @@ class CatalogCasSpec extends graft.SparkTestBase {
     assert(c1.count() == 2L)
     assert(c1.meta.version == 2)
   }
+
+  test("compact() repacks small files without changing contents") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact").toString
+    val c = new CollectionCatalog(spark, root, numBuckets = 4).getOrCreateCollection("t")
+    // many point upserts -> many tiny files in the touched buckets
+    (0 until 12).foreach { i =>
+      c.upsert(Seq((s"id$i", s"doc $i")).toDF("id", "document")
+        .withColumn("embedding", typedLit(Seq(i.toFloat))))
+    }
+    val before = c.get().orderBy("id").collect().toSeq
+    def nFiles = {
+      val v = c.meta.version
+      val dd = java.nio.file.Paths.get(root, "t", f"data_v$v%06d")
+      DirIO.walk(dd)(_.count(p => p.getFileName.toString.endsWith(".parquet")))
+    }
+    val filesBefore = nFiles
+    c.compact()
+    c.vacuum()
+    assert(c.get().orderBy("id").collect().toSeq == before)
+    assert(nFiles < filesBefore, s"expected fewer files after compact ($nFiles vs $filesBefore)")
+  }
 }
