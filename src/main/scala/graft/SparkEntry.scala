@@ -554,13 +554,23 @@ object SparkEntry {
       Dedup.nearDedup(t(s, dir, "documents"), "doc_id", "text", 0.7,
           hashFn = Dedup.portableHash)
         .select("doc_id").orderBy("doc_id")),
-    // C4 cube: all grouping-set combinations over (lang, source)
+    // C4 cube: all grouping-set combinations over (lang, source).
+    // GROUPING() flags (not COALESCE alone) distinguish a genuine NULL
+    // group from the subtotal row and restore a unique total-order key —
+    // COALESCE-only output has duplicate sort keys if the data ever
+    // carries NULLs, which breaks the determinism contract.
     "q55_cube" -> ((s, dir) =>
       t(s, dir, "documents").cube("lang", "source")
-        .agg(count(lit(1)).as("cnt"))
-        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
-          coalesce(col("source"), lit("ALL")).as("source"), col("cnt"))
-        .orderBy("lang", "source")),
+        .agg(count(lit(1)).as("cnt"),
+          grouping(col("lang")).cast("int").as("g_lang"),
+          grouping(col("source")).cast("int").as("g_source"))
+        .select(
+          when(col("g_lang") === 1, lit("ALL"))
+            .otherwise(coalesce(col("lang"), lit("<null>"))).as("lang"),
+          when(col("g_source") === 1, lit("ALL"))
+            .otherwise(coalesce(col("source"), lit("<null>"))).as("source"),
+          col("g_lang"), col("g_source"), col("cnt"))
+        .orderBy("g_lang", "g_source", "lang", "source")),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -860,8 +870,8 @@ object SparkEntry {
          |sh AS (SELECT id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
          |         ELSE list_transform(range(len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) END) AS sh
          |       FROM t),
-         |hh AS (SELECT id, list_sum(list_transform(range(length(sh)),
-         |         i -> ascii(substr(sh, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))) % $P AS h
+         |hh AS (SELECT id, COALESCE(list_sum(list_transform(range(length(sh)),
+         |         i -> ascii(substr(sh, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))), 0) % $P AS h
          |       FROM sh),
          |sig AS (SELECT id, k,
          |          MIN(((((k * 1103515245 + 12345) % ${P - 1}) + 1) * h + ((k * 69069 + 362437) % $P)) % $P) AS m
@@ -878,8 +888,8 @@ object SparkEntry {
       val P = 2147483647L
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
          |           FROM documents WHERE doc_id % 10 = 0),
-         |hh AS (SELECT doc_id, list_sum(list_transform(range(length(tk)),
-         |         i -> ascii(substr(tk, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))) % $P AS h
+         |hh AS (SELECT doc_id, COALESCE(list_sum(list_transform(range(length(tk)),
+         |         i -> ascii(substr(tk, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))), 0) % $P AS h
          |       FROM t),
          |b AS (SELECT doc_id, j,
          |        SUM(CASE WHEN (((((j * 1103515245 + 12345) % ${P - 1}) + 1) * h + ((j * 69069 + 362437) % $P)) % $P) * 2 >= $P
@@ -902,8 +912,8 @@ object SparkEntry {
          |         ELSE list_transform(range(len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS shingles
          |        FROM t),
          |sh AS (SELECT id, unnest(shingles) AS sh FROM shl),
-         |hh AS (SELECT id, list_sum(list_transform(range(length(sh)),
-         |         i -> ascii(substr(sh, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))) % $P AS h
+         |hh AS (SELECT id, COALESCE(list_sum(list_transform(range(length(sh)),
+         |         i -> ascii(substr(sh, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))), 0) % $P AS h
          |       FROM sh),
          |sig AS (SELECT id, k,
          |          MIN(((((k * 1103515245 + 12345) % ${P - 1}) + 1) * h + ((k * 69069 + 362437) % $P)) % $P) AS m
@@ -923,9 +933,13 @@ object SparkEntry {
          |WHERE drp.id IS NULL ORDER BY doc_id""".stripMargin
     },
     "q55_cube" ->
-      """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+      """SELECT
+        |CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE COALESCE(lang, '<null>') END AS lang,
+        |CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE COALESCE(source, '<null>') END AS source,
+        |CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+        |CAST(GROUPING(source) AS INTEGER) AS g_source,
         |COUNT(*) AS cnt FROM documents GROUP BY CUBE(lang, source)
-        |ORDER BY lang, source""".stripMargin,
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
     // q32: replays the full seeded-IVF path — assignment (argmin L2, ties
     // to lowest cell), probe choice (2 nearest cells to the query), and
     // the exact top-k inside the pruned cells.

@@ -234,10 +234,16 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   def space: String = meta.space
 
   private def dataDir(v: Int): Path = dir.resolve(f"data_v$v%06d")
-  private def currentData: Option[Path] = {
-    val p = dataDir(meta.version)
+
+  // Every mutation reads `meta` ONCE, derives its inputs from that
+  // snapshot, and passes the same snapshot to the commit as the expected
+  // CAS value — a fresh re-read at commit time would compare fresh
+  // against fresh and wave through a concurrent commit (lost update).
+  private def currentDataOf(m: CollectionMeta): Option[Path] = {
+    val p = dataDir(m.version)
     if (Files.exists(p)) Some(p) else None
   }
+  private def currentData: Option[Path] = currentDataOf(meta)
 
   private def bucketed(df: DataFrame): DataFrame =
     df.withColumn("pt", pmod(xxhash64(col("id")), lit(numBuckets)).cast("int"))
@@ -255,8 +261,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   }
 
   /** Current contents WITH the bucket column (internal merge path). */
-  private def currentWithPt: DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(currentData.get.toString)
+  private def currentWithPtOf(m: CollectionMeta): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dataDir(m.version).toString)
 
   /** Single-writer commit: the version-claim file move is the atomic CAS
     * (an `O_CREAT|O_EXCL` create of the version-claim file — exactly one
@@ -294,11 +300,18 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   private def abandon(next: CollectionMeta): Unit =
     Files.deleteIfExists(CollectionMeta.claimFile(dir, next.version))
 
-  /** Full rewrite into a fresh version (first write / fallback). */
-  private def writeVersion(df: DataFrame): Unit = {
-    val next = claimNext(meta)
+  /** Full rewrite into a fresh version (first write / fallback /
+    * compaction). `repack` routes every bucket to one task so the output
+    * is exactly one file chain per bucket — without it each read task
+    * emits a file per bucket it happens to hold (tasks x buckets files,
+    * the opposite of compaction). */
+  private def writeVersion(
+      df: DataFrame, expected: CollectionMeta, repack: Boolean = false): Unit = {
+    val next = claimNext(expected)
     try {
-      bucketed(df).write.mode("overwrite")
+      val b = bucketed(df)
+      val out = if (repack) b.repartition(numBuckets, col("pt")) else b
+      out.write.mode("overwrite")
         .option("maxRecordsPerFile", maxRowsPerFile)
         .partitionBy("pt").parquet(dataDir(next.version).toString)
     } catch { case e: Throwable => abandon(next); throw e }
@@ -315,8 +328,9 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * @param mergedAffected replacement rows for the affected buckets only
     *                       (must already be exactly those buckets' content)
     */
-  private def writeMergedVersion(mergedAffected: DataFrame, affected: Set[Int]): Unit = {
-    val m = meta
+  private def writeMergedVersion(
+      mergedAffected: DataFrame, affected: Set[Int], expected: CollectionMeta): Unit = {
+    val m = expected
     val next = claimNext(m)
     val newDir = dataDir(next.version)
     try {
@@ -353,18 +367,19 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val withinDup = batch.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
     if (withinDup.nonEmpty)
       throw new IllegalArgumentException(s"duplicate id in batch: ${String.valueOf(withinDup.head.get(0))}")
-    currentData match {
-      case None => writeVersion(batch)
+    val m = meta
+    currentDataOf(m) match {
+      case None => writeVersion(batch, m)
       case Some(_) =>
         // clashes can only live in the batch's own buckets — probe those,
         // not the whole collection (point-inserts must stay O(affected))
         val affected = bucketsOf(batch)
-        val curAffected = currentWithPt.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
+        val curAffected = currentWithPtOf(m).filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
         val clash = batch.join(curAffected.select("id"), Seq("id"), "left_semi").limit(1).collect()
         if (clash.nonEmpty)
           throw new IllegalArgumentException(s"id already exists: ${String.valueOf(clash.head.get(0))}")
         writeMergedVersion(
-          curAffected.unionByName(batch, allowMissingColumns = true), affected)
+          curAffected.unionByName(batch, allowMissingColumns = true), affected, m)
     }
   }
 
@@ -380,33 +395,34 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       .orderBy(orderCol.map(c => col(c).desc).getOrElse(contentOrder.desc))
     val dedupBatch = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    currentData match {
-      case None => writeVersion(dedupBatch)
+    val m = meta
+    currentDataOf(m) match {
+      case None => writeVersion(dedupBatch, m)
       case Some(_) =>
         val affected = bucketsOf(dedupBatch)
-        val curAffected = currentWithPt.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
+        val curAffected = currentWithPtOf(m).filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
         val merged = curAffected.join(dedupBatch.select("id"), Seq("id"), "left_anti")
           .unionByName(dedupBatch, allowMissingColumns = true)
-        writeMergedVersion(merged, affected)
+        writeMergedVersion(merged, affected, m)
     }
   }
 
   /** B3 update: replace non-null fields for EXISTING ids only. Only the
     * buckets containing updated ids are rewritten. */
-  def update(batch: DataFrame): Unit = currentData.foreach { _ =>
+  def update(batch: DataFrame): Unit = { val m = meta; currentDataOf(m).foreach { _ =>
     val dup = batch.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
     if (dup.nonEmpty) throw new IllegalArgumentException(
       s"duplicate id in update batch: ${String.valueOf(dup.head.get(0))} — the left join would fan out")
     val affected = bucketsOf(batch.select("id"))
-    val cur = currentWithPt.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
+    val cur = currentWithPtOf(m).filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
     val upd = batch.columns.filter(_ != "id")
     val joined = cur.alias("c").join(batch.alias("u"), Seq("id"), "left")
     val merged = joined.select(
       col("id") +: cur.columns.filter(_ != "id").map { c =>
         if (upd.contains(c)) coalesce(col(s"u.$c"), col(s"c.$c")).as(c) else col(s"c.$c").as(c)
       }: _*)
-    writeMergedVersion(merged, affected)
-  }
+    writeMergedVersion(merged, affected, m)
+  } }
 
   /** B4 delete by id list and/or metadata predicate. Conditions COMBINE
     * WITH AND (Chroma semantics, matching `get`): an id list plus a `where`
@@ -414,16 +430,21 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * would turn a caller's restriction into a mass delete. Affected buckets
     * are discovered with one pruned scan; only buckets losing rows rewrite. */
   def delete(ids: Seq[String] = Nil, where: Option[Where] = None,
-             whereDoc: Option[WhereDocument] = None): Unit = currentData.foreach { _ =>
-    val byIds: Option[Column] = if (ids.nonEmpty) Some(col("id").isin(ids: _*)) else None
-    val byPred = ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(toDF))
-    val cond = (byIds.toSeq ++ byPred.toSeq).reduceOption(_ && _)
-    cond.foreach { c =>
-      val affected = currentWithPt.filter(coalesce(c, lit(false)))
-        .select("pt").distinct().collect().map(_.getInt(0)).toSet
-      if (affected.nonEmpty) {
-        val cur = currentWithPt.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
-        writeMergedVersion(cur.filter(!coalesce(c, lit(false))), affected)
+             whereDoc: Option[WhereDocument] = None): Unit = {
+    val m = meta
+    currentDataOf(m).foreach { _ =>
+      val cur0 = currentWithPtOf(m)
+      val byIds: Option[Column] = if (ids.nonEmpty) Some(col("id").isin(ids: _*)) else None
+      val byPred = ChromaFilter.predicate(where, whereDoc, col("document"),
+        keyResolver(cur0.drop("pt")))
+      val cond = (byIds.toSeq ++ byPred.toSeq).reduceOption(_ && _)
+      cond.foreach { c =>
+        val affected = cur0.filter(coalesce(c, lit(false)))
+          .select("pt").distinct().collect().map(_.getInt(0)).toSet
+        if (affected.nonEmpty) {
+          val cur = cur0.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
+          writeMergedVersion(cur.filter(!coalesce(c, lit(false))), affected, m)
+        }
       }
     }
   }
@@ -498,7 +519,13 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * (claim → rewrite all buckets → marker → pointer), so it is safe
     * against concurrent writers and readers; follow with [[vacuum]] to
     * reclaim the superseded bytes. */
-  def compact(): Unit = currentData.foreach { _ => writeVersion(toDF) }
+  def compact(): Unit = {
+    val m = meta
+    currentDataOf(m).foreach { p =>
+      val df = spark.read.option("mergeSchema", "true").parquet(p.toString).drop("pt")
+      writeVersion(df, m, repack = true)
+    }
+  }
 
   /** Drop superseded copy-on-write versions, keeping the current one plus
     * `keepHistory` predecessors. Hard-linked files shared with retained

@@ -103,10 +103,17 @@ object Dedup {
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int,
+      hashFn: Column => Column = xxHash): DataFrame =
+    minHashSignaturesOver(
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles")),
+      numHashes, hashFn)
+
+  /** [[minHashSignatures]] over a pre-shingled `(id, shingles)` frame. */
+  def minHashSignaturesOver(
+      shingled: DataFrame, numHashes: Int,
       hashFn: Column => Column = xxHash): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), shingleSize)).as("sh"))
-    val hashed = shingled.withColumn("h", pmod(hashFn(col("sh")), lit(MinHashP)))
+    val hashed = shingled.select(col("id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", pmod(hashFn(col("sh")), lit(MinHashP)))
     val minCols = (0 until numHashes).map { i =>
       min(pmod(lit(permA(i)) * col("h") + lit(permB(i)), lit(MinHashP))).as(s"m$i")
     }
@@ -121,12 +128,24 @@ object Dedup {
   def minHashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4,
-      maxBucketSize: Int = 1000, hashFn: Column => Column = xxHash): DataFrame = {
+      maxBucketSize: Int = 1000, hashFn: Column => Column = xxHash): DataFrame =
+    minHashCandidatesOver(
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles")),
+      numHashes, numBands, maxBucketSize, hashFn)
+
+  /** [[minHashCandidates]] over a pre-shingled `(id, shingles)` frame —
+    * lets a caller that also needs the shingle sets downstream (e.g.
+    * [[nearDedup]]'s Jaccard verification) shingle the corpus ONCE.
+    * MinHash is duplicate-invariant (`min` over hashes), so distinct or
+    * raw shingle arrays give identical signatures. */
+  def minHashCandidatesOver(
+      shingled: DataFrame, numHashes: Int, numBands: Int,
+      maxBucketSize: Int, hashFn: Column => Column): DataFrame = {
     require(numBands >= 1 && numBands <= numHashes && numHashes % numBands == 0,
       s"numBands ($numBands) must divide numHashes ($numHashes) — a remainder would be " +
         "silently ignored, and numBands > numHashes degenerates every doc into the same buckets")
     val rowsPerBand = numHashes / numBands
-    val sig = minHashSignatures(df, idCol, textCol, shingleSize, numHashes, hashFn)
+    val sig = minHashSignaturesOver(shingled, numHashes, hashFn)
     // Bucket key = the band slice ITSELF (band index + rowsPerBand longs),
     // not a hash of it: a hash collision between different slices would
     // silently merge buckets (false candidates an oracle can't reproduce),
@@ -205,9 +224,13 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity between two token-array columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val ad = array_distinct(a)
-    val bd = array_distinct(b)
+  def jaccard(a: Column, b: Column): Column =
+    jaccardOfSets(array_distinct(a), array_distinct(b))
+
+  /** [[jaccard]] over arrays already known to be duplicate-free — skips
+    * the per-comparison array_distinct (pays off when one stored set is
+    * compared against many candidates). */
+  def jaccardOfSets(ad: Column, bd: Column): Column = {
     val inter = size(array_intersect(ad, bd)).cast("double")
     inter / (size(ad) + size(bd) - inter)
   }
@@ -224,14 +247,16 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
       shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 8,
       maxBucketSize: Int = 1000, hashFn: Column => Column = xxHash): DataFrame = {
-    val cand = minHashCandidates(df, idCol, textCol, shingleSize, numHashes,
-      numBands, maxBucketSize, hashFn)
-    val sets = df.select(col(idCol).as("__nd_id"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("__nd_sh"))
+    // shingle ONCE, pre-distincted: MinHash signatures are duplicate-
+    // invariant, and the verify stage then needs no per-pair
+    // array_distinct — jaccardOfSets compares the stored sets directly
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("shingles"))
+    val cand = minHashCandidatesOver(sets, numHashes, numBands, maxBucketSize, hashFn)
     val verified = cand
-      .join(sets.select(col("__nd_id").as("id_a"), col("__nd_sh").as("__sha")), Seq("id_a"))
-      .join(sets.select(col("__nd_id").as("id_b"), col("__nd_sh").as("__shb")), Seq("id_b"))
-      .filter(jaccard(col("__sha"), col("__shb")) >= minJaccard)
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("__sha")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("__shb")), Seq("id_b"))
+      .filter(jaccardOfSets(col("__sha"), col("__shb")) >= minJaccard)
     val dropped = verified.select(col("id_b").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }
