@@ -571,6 +571,24 @@ object SparkEntry {
             .otherwise(coalesce(col("source"), lit("<null>"))).as("source"),
           col("g_lang"), col("g_source"), col("cnt"))
         .orderBy("g_lang", "g_source", "lang", "source")),
+    // TF-IDF-shaped distinctive-term extraction: tf/df scoring (exact
+    // integer ratio — no log(), whose libm rounding differs across
+    // engines), document-frequency table broadcast back onto the
+    // token stream, top-3 terms per doc via WindowGroupLimit
+    "q56_distinctive_terms" -> ((s, dir) => {
+      val tokens = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tokens.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").cast("double").divide(col("df")).desc, col("term"))
+      tf.join(broadcast(dfq), Seq("term"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"),
+          round(col("tf").cast("double") / col("df"), 4).as("score"))
+        .orderBy("doc_id", "rnk")
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -858,6 +876,17 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, bin, COUNT(*) AS cnt, MAX(n_chars) AS max_chars
         |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q56_distinctive_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM
+        |         (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS INTEGER) AS rnk
+        |      FROM tf JOIN df ON tf.term = df.term)
+        |SELECT doc_id, rnk, term, ROUND(CAST(tf AS DOUBLE) / df, 4) AS score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     // q30/q31: the dedup pipelines use the engine-portable StrHash
     // (graft.expressions.StrHash), so the ENTIRE signature pipeline —
     // shingling, hashing, permutations, banding, bucketing — replays in
