@@ -1,0 +1,62 @@
+package graft
+
+/** Pins the PHYSICAL PLAN shapes the 100 TB design depends on. A change
+  * that silently turns a broadcast chain into a fact-table shuffle, drops
+  * a rank pushdown, or un-prunes a scan passes every value-level spec —
+  * these assertions make the plan itself part of the contract. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.collect() // materialize so AQE finalizes the executed plan
+    // AdaptiveSparkPlan.toString prints the Final AND the Initial plan —
+    // keep only the final one or every node would be counted twice
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("q36: the fact table joins only via broadcast — no lineitem shuffle") {
+    val p = plan("q36_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not sort-merge:\n$p")
+    // the only exchanges allowed are broadcast + the final tiny aggregation
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).size
+    assert(shuffles <= 1, s"expected at most the final agg shuffle, got $shuffles")
+  }
+
+  test("q11 kNN: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q11_knn_cosine")
+    assert(p.contains("TakeOrderedAndProject"), s"expected rank pushdown:\n$p")
+  }
+
+  test("q52 vocab: top-100 plans as TakeOrderedAndProject over the count agg") {
+    val p = plan("q52_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
+  test("q17 upsert: latest-wins prunes map-side via Partial WindowGroupLimit") {
+    val p = plan("q17_upsert_latest_wins")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected map-side group limit:\n$p")
+  }
+
+  test("q06 range filter reaches the parquet scan as PushedFilters") {
+    val p = plan("q06_filter_range")
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)"),
+      s"expected pushed range predicate:\n$p")
+  }
+
+  test("q01 projection prunes the scan to the selected columns") {
+    val p = plan("q01_scan_project_cast")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && !readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"expected pruned ReadSchema, got: $readSchema")
+  }
+
+  test("q56: the document-frequency side broadcasts back onto the token stream") {
+    val p = plan("q56_distinctive_terms")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast df join:\n$p")
+  }
+}
