@@ -479,6 +479,24 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df)))
   }
 
+  /** B6 batch form: Chroma's `query` accepts a LIST of query embeddings
+    * and returns per-query result sets. `qid` is the 0-based position of
+    * the query vector; results carry `(qid, rnk, id, dist, ...)`. One
+    * broadcast of the (tiny) query set against one corpus scan — never a
+    * per-query rescan. */
+  def queryBatch(queryVecs: Seq[Seq[Float]], k: Int, where: Option[Where] = None,
+                 whereDoc: Option[WhereDocument] = None): DataFrame = {
+    require(queryVecs.nonEmpty, "queryBatch needs at least one query vector")
+    val df = toDF
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val queries = queryVecs.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("qid", "qvec")
+    Knn.topKBatch(df, "id", "embedding", queries, "qid", "qvec", k, meta.space,
+      ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df)),
+      excludeSelf = false)
+  }
+
   /** B10 count / peek. */
   def count(): Long = currentData.fold(0L)(_ => toDF.count())
   def peek(n: Int = 10): DataFrame = toDF.orderBy("id").limit(n)

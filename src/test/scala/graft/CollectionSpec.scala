@@ -38,6 +38,20 @@ class CollectionSpec extends SparkTestBase {
     assert(c.get(ids = Seq("a")).select("document").as[String].head() == "doc a")
   }
 
+  test("queryBatch: per-query top-k matches per-vector query() results (B6 batch)") {
+    val c = freshCatalog().getOrCreateCollection("c", "cosine")
+    c.add(batch(("a", "d", Seq(1f, 0f)), ("b", "d", Seq(0.9f, 0.1f)),
+      ("c", "d", Seq(0f, 1f)), ("d", "d", Seq(0.1f, 0.9f))))
+    val qs = Seq(Seq(1f, 0f), Seq(0f, 1f))
+    val got = c.queryBatch(qs, k = 2)
+      .select("qid", "rnk", "id").as[(Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val single = c.query(q, 2).select("id").as[String].collect().toSeq
+      assert(got(i) == single, s"query $i batch/single mismatch")
+    }
+  }
+
   test("add rejects duplicate ids within batch and against collection (B1)") {
     val c = freshCatalog().getOrCreateCollection("c")
     intercept[IllegalArgumentException] {
