@@ -573,17 +573,20 @@ object SparkEntry {
         .orderBy("g_lang", "g_source", "lang", "source")),
     // TF-IDF-shaped distinctive-term extraction: tf/df scoring (exact
     // integer ratio — no log(), whose libm rounding differs across
-    // engines), document-frequency table broadcast back onto the
-    // token stream, top-3 terms per doc via WindowGroupLimit
+    // engines). Single-space split matches the q24/q25 token convention
+    // (and the oracle) exactly. df derives from the tf AGGREGATE — tf
+    // already holds one row per distinct (doc, term), so no second
+    // corpus pass. The df table is small relative to the corpus; AQE
+    // broadcasts it at this scale (PlanShapeSpec) and would shuffle-join
+    // past the broadcast limit at vocabulary extremes.
     "q56_distinctive_terms" -> ((s, dir) => {
       val tokens = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfq = tokens.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tf").cast("double").divide(col("df")).desc, col("term"))
-      tf.join(broadcast(dfq), Seq("term"))
+      tf.join(dfq, Seq("term"))
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk"), col("term"),
           round(col("tf").cast("double") / col("df"), 4).as("score"))
@@ -879,8 +882,7 @@ object SparkEntry {
     "q56_distinctive_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
-        |df AS (SELECT term, COUNT(*) AS df FROM
-        |         (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
         |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
         |        CAST(row_number() OVER (PARTITION BY tf.doc_id
         |          ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS INTEGER) AS rnk
@@ -894,7 +896,7 @@ object SparkEntry {
     // ((k·69069 + 362437) mod p), identical constants to Dedup.permA/B.
     "q30_minhash_candidates" -> {
       val P = 2147483647L
-      s"""WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks
+      s"""WITH t AS (SELECT doc_id AS id, string_split_regex(text, '\\s+') AS toks
          |           FROM documents WHERE doc_id % 10 = 0),
          |sh AS (SELECT id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
          |         ELSE list_transform(range(len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) END) AS sh
@@ -915,7 +917,7 @@ object SparkEntry {
     },
     "q31_simhash" -> {
       val P = 2147483647L
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tk
          |           FROM documents WHERE doc_id % 10 = 0),
          |hh AS (SELECT doc_id, COALESCE(list_sum(list_transform(range(length(tk)),
          |         i -> ascii(substr(tk, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))), 0) % $P AS h
@@ -936,7 +938,7 @@ object SparkEntry {
     // IEEE division on both engines), keep-min-id anti join.
     "q54_near_dedup" -> {
       val P = 2147483647L
-      s"""WITH t AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id AS id, string_split_regex(text, '\\s+') AS toks FROM documents),
          |shl AS (SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
          |         ELSE list_transform(range(len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS shingles
          |        FROM t),

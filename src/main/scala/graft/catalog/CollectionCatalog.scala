@@ -472,9 +472,29 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   }
 
   /** B6 query: top-k nearest neighbors with optional prefilters. */
+  /** Guard against the silent-garbage failure mode of a dimension
+    * mismatch: VectorDistance yields NULL when lengths differ, and a rank
+    * window sorts nulls first — the caller would get k arbitrary rows
+    * with null distances instead of an error. One-row probe, Chroma-add
+    * parity (Chroma rejects mismatched dimensions at query time too). */
+  private def requireDim(qdim: Int): Unit =
+    toDF.select(size(col("embedding")).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).foreach { d =>
+        require(d == qdim,
+          s"query vector dimension $qdim != collection dimension $d")
+      }
+
+  private def requireNoReserved(df: DataFrame, reserved: Seq[String]): Unit = {
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"collection columns ${clash.mkString(", ")} collide with kNN output names; rename them")
+  }
+
   def query(queryVec: Seq[Float], k: Int, where: Option[Where] = None,
             whereDoc: Option[WhereDocument] = None): DataFrame = {
     val df = toDF
+    requireDim(queryVec.length)
+    requireNoReserved(df, Seq("dist"))
     Knn.topK(df, "id", "embedding", queryVec, k, meta.space,
       ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df)))
   }
@@ -487,11 +507,14 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   def queryBatch(queryVecs: Seq[Seq[Float]], k: Int, where: Option[Where] = None,
                  whereDoc: Option[WhereDocument] = None): DataFrame = {
     require(queryVecs.nonEmpty, "queryBatch needs at least one query vector")
+    require(queryVecs.map(_.length).distinct.size == 1,
+      s"query vectors must share one dimension, got ${queryVecs.map(_.length).distinct}")
     val df = toDF
+    requireDim(queryVecs.head.length)
+    requireNoReserved(df, Seq("qid", "rnk", "dist", "__qvec", "__na", "__nq"))
     val spark0 = df.sparkSession
     import spark0.implicits._
-    val queries = queryVecs.zipWithIndex
-      .map { case (v, i) => (i, v) }.toDF("qid", "qvec")
+    val queries = queryVecs.zipWithIndex.map(_.swap).toDF("qid", "qvec")
     Knn.topKBatch(df, "id", "embedding", queries, "qid", "qvec", k, meta.space,
       ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df)),
       excludeSelf = false)
