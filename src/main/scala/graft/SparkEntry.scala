@@ -592,6 +592,29 @@ object SparkEntry {
           round(col("tf").cast("double") / col("df"), 4).as("score"))
         .orderBy("doc_id", "rnk")
     }),
+    // As-of (temporal) join via window, no join at all: for every click,
+    // the most recent strictly-earlier view by the same user — the
+    // last(ignoreNulls) over an unbounded-preceding frame is one sort per
+    // user partition, where a range-join formulation would be O(n²) per
+    // user at corpus scale
+    "q57_asof_prev_view" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("prev_view_us",
+          last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "us", "prev_view_us")
+        .orderBy("event_id")
+    }),
+    // Deterministic hash sampling: StrHash(id) mod 100 < rate — stable
+    // across runs/engines/partitionings (unlike RNG-based sample()), the
+    // reproducible-split primitive for train/eval carving at 100 TB
+    "q58_hash_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(pmod(graft.expressions.GraftExtensions.strHash(
+          col("doc_id").cast("string")), lit(100)) < 20)
+        .select("doc_id", "lang").orderBy("doc_id")),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -889,6 +912,18 @@ object SparkEntry {
         |      FROM tf JOIN df ON tf.term = df.term)
         |SELECT doc_id, rnk, term, ROUND(CAST(tf AS DOUBLE) / df, 4) AS score
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q57_asof_prev_view" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |last_value(CASE WHEN event_type = 'view' THEN epoch_us(ts) END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_us
+        |FROM events QUALIFY event_type = 'click' ORDER BY event_id""".stripMargin,
+    "q58_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE COALESCE(list_sum(list_transform(range(length(CAST(doc_id AS VARCHAR))),
+        |  i -> ascii(substr(CAST(doc_id AS VARCHAR), CAST(i + 1 AS INTEGER), 1))
+        |       * (((i * 131) % 997) + 1))), 0) % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
     // q30/q31: the dedup pipelines use the engine-portable StrHash
     // (graft.expressions.StrHash), so the ENTIRE signature pipeline —
     // shingling, hashing, permutations, banding, bucketing — replays in
