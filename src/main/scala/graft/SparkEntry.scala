@@ -615,6 +615,21 @@ object SparkEntry {
         .filter(pmod(graft.expressions.GraftExtensions.strHash(
           col("doc_id").cast("string")), lit(100)) < 20)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // Curation: clip per-language length tails (outside [p05, p95]) — the
+    // tiny quantile table broadcasts back onto the corpus scan. Quantiles
+    // are ROUNDed to 4 decimals BEFORE comparing so both engines build
+    // bit-identical fences (raw interpolated quantiles can differ in
+    // final ulps); int n_chars vs double fences compares exactly.
+    "q59_length_tail_clip" -> ((s, dir) => {
+      val stats = t(s, dir, "documents").groupBy("lang")
+        .agg(expr("percentile(n_chars, array(0.05D, 0.95D))").as("q"))
+        .select(col("lang"),
+          round(element_at(col("q"), 1), 4).as("p05"),
+          round(element_at(col("q"), 2), 4).as("p95"))
+      t(s, dir, "documents").join(broadcast(stats), Seq("lang"))
+        .filter(col("n_chars") < col("p05") || col("n_chars") > col("p95"))
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -923,6 +938,13 @@ object SparkEntry {
         |WHERE COALESCE(list_sum(list_transform(range(length(CAST(doc_id AS VARCHAR))),
         |  i -> ascii(substr(CAST(doc_id AS VARCHAR), CAST(i + 1 AS INTEGER), 1))
         |       * (((i * 131) % 997) + 1))), 0) % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
+    "q59_length_tail_clip" ->
+      """WITH st AS (SELECT lang, ROUND(quantile_cont(n_chars, 0.05), 4) AS p05,
+        |                   ROUND(quantile_cont(n_chars, 0.95), 4) AS p95
+        |            FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang AS lang, n_chars FROM documents d JOIN st ON d.lang = st.lang
+        |WHERE n_chars < p05 OR n_chars > p95
         |ORDER BY doc_id""".stripMargin,
     // q30/q31: the dedup pipelines use the engine-portable StrHash
     // (graft.expressions.StrHash), so the ENTIRE signature pipeline —
