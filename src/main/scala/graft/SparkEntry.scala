@@ -630,6 +630,23 @@ object SparkEntry {
         .filter(col("n_chars") < col("p05") || col("n_chars") > col("p95"))
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
+    // B6 at scale, END TO END through the collection store: hydrate the
+    // embeddings into a persistent collection, build the seeded IVF index
+    // (cell-partitioned sidecar layout), and answer kNN through the pruned
+    // read path — the q32 arithmetic, but exercising buildIndex/query on
+    // the artifact the reference's whole pipeline exists to produce.
+    "q60_collection_ivf_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = s"/root/repo/target/verify-collections/sf_${math.abs(dir.hashCode)}"
+      val cat = new CollectionCatalog(s, root)
+      cat.deleteCollection("ivfq")
+      val coll = cat.getOrCreateCollection("ivfq", "cosine")
+      coll.add(emb.select(col("vec_id").cast("string").as("id"),
+        col("embedding"), col("label")))
+      coll.buildIndexSeeded((0L until 8L).map(_.toString))
+      coll.query(headVec(emb, 0), 10, nprobe = 2)
+        .select(col("id"), round(col("dist"), 4).as("dist"))
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -1028,6 +1045,27 @@ object SparkEntry {
         |CAST(GROUPING(source) AS INTEGER) AS g_source,
         |COUNT(*) AS cnt FROM documents GROUP BY CUBE(lang, source)
         |ORDER BY g_lang, g_source, lang, source""".stripMargin,
+    // q60: q32's seeded-IVF arithmetic but through the collection store —
+    // string ids (the collection's id type: ties and the final ORDER BY
+    // sort lexicographically) and NO self-exclusion (Chroma's query()
+    // returns the query point itself when it is in the collection).
+    "q60_collection_ivf_knn" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+         |e0 AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings),
+         |d AS (SELECT e.id AS id, e.embedding AS embedding, c.cell AS cell,
+         |             ${sqlL2("e.embedding", "c.ce")} AS cd
+         |      FROM e0 e, c),
+         |a AS (SELECT id, embedding, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cd, cell) AS rn FROM d)
+         |      WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pc AS (SELECT c.cell FROM c, q ORDER BY ${sqlL2("c.ce", "q.qe")}, c.cell LIMIT 2),
+         |cand AS (SELECT a.id AS id, a.embedding AS embedding FROM a
+         |         WHERE a.cell IN (SELECT cell FROM pc)),
+         |dd AS (SELECT id, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
+         |SELECT id, ROUND(dist_raw, 4) AS dist FROM dd
+         |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
     // q32: replays the full seeded-IVF path — assignment (argmin L2, ties
     // to lowest cell), probe choice (2 nearest cells to the query), and
     // the exact top-k inside the pruned cells.

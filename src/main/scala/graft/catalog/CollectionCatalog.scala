@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ChromaFilter, Knn}
+import graft.operators.{Ann, ChromaFilter, Knn}
 
 /** fd-safe wrappers: `Files.list`/`Files.walk` hold an open directory fd
   * until closed — full iteration does NOT close them, so every call site
@@ -471,7 +471,87 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     limit.fold(df)(df.limit)
   }
 
-  /** B6 query: top-k nearest neighbors with optional prefilters. */
+  // ---- IVF index: the collection's kNN scale path (SURVEY §4.3.3) ----
+  //
+  // Chroma serves `query()` from a single-node HNSW segment; the Spark-
+  // native equivalent is a derived, CELL-partitioned copy of the data:
+  //
+  //   <dir>/index_v<V>/cell=<c>/...parquet   (V = the data version indexed)
+  //   <dir>/index_v<V>/_ivf_centroids.txt    (nlist-row sidecar)
+  //   <dir>/index_v<V>/_graft_committed      (written LAST)
+  //
+  // The index is valid only while meta.version == V: any mutation bumps the
+  // version and the read path silently falls back to the exact scan until
+  // `buildIndex` runs again — approximate answers are never served from
+  // stale data, and a crashed build (no marker) is never adopted. The base
+  // store stays id-hash (`pt`) partitioned so merges keep their O(affected-
+  // buckets) cost; the index pays one extra corpus copy, the normal price
+  // of any secondary index.
+
+  private def indexDir(v: Int): Path = dir.resolve(f"index_v$v%06d")
+
+  /** Committed index for the CURRENT version: (path, centroids), if any. */
+  private def currentIndex(m: CollectionMeta): Option[(Path, Array[(Int, Array[Double])])] = {
+    val p = indexDir(m.version)
+    if (!Files.exists(p.resolve("_graft_committed"))) None
+    else Ann.readCentroids(p.toString, spark.sparkContext.hadoopConfiguration)
+      .map(c => (p, c))
+  }
+
+  def hasIndex: Boolean = currentIndex(meta).isDefined
+
+  /** Build an IVF index over the current version with k-means centroids
+    * (fit on `trainFraction` of the corpus — at scale you never train on
+    * all of it; assignment is still exact for every row). */
+  def buildIndex(nlist: Int, seed: Long = 42L, trainFraction: Double = 1.0): Unit = {
+    val m = indexableMeta()
+    val df = currentWithPtOf(m).drop("pt")
+    writeIndex(Ann.buildIvf(df, "id", "embedding", nlist, seed, trainFraction), m.version)
+  }
+
+  /** Deterministic IVF build: cells seeded by existing row ids (cell i =
+    * the vector of seedIds(i)), argmin-L2 assignment, ties to the lowest
+    * cell — the reproducible-anywhere form ([[Ann.buildIvfSeeded]]). */
+  def buildIndexSeeded(seedIds: Seq[String]): Unit = {
+    val m = indexableMeta()
+    val df = currentWithPtOf(m).drop("pt")
+    val seedRows = df.filter(col("id").isin(seedIds: _*))
+      .select(col("id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = seedIds.zipWithIndex.map { case (sid, i) =>
+      (i, seedRows.getOrElse(sid, sys.error(s"IVF seed id '$sid' not in collection")))
+    }.toArray
+    writeIndex(Ann.IvfModel(cents, Ann.assignCells(df, "embedding", cents)), m.version)
+  }
+
+  private def indexableMeta(): CollectionMeta = {
+    val m = meta
+    require(currentDataOf(m).nonEmpty, s"collection '${m.name}' is empty — nothing to index")
+    require(!currentWithPtOf(m).columns.contains("cell"),
+      "collection has a 'cell' column, which collides with the index layout; rename it")
+    m
+  }
+
+  private def writeIndex(model: Ann.IvfModel, version: Int): Unit = {
+    val idxDir = indexDir(version)
+    if (Files.exists(idxDir)) DirIO.deleteRecursively(idxDir)
+    // one shuffle BY CELL at build time: without it every write task emits
+    // a file into every cell it happens to hold (tasks × nlist small files)
+    val packed = model.copy(assigned = model.assigned.repartition(col("cell")))
+    Ann.writeIvf(packed, idxDir.toString)
+    Files.write(idxDir.resolve("_graft_committed"), Array.emptyByteArray)
+  }
+
+  /** Drop the current version's index (reads fall back to the exact scan). */
+  def dropIndex(): Boolean = {
+    val p = indexDir(meta.version)
+    if (!Files.exists(p)) false else { DirIO.deleteRecursively(p); true }
+  }
+
+  /** B6 query: top-k nearest neighbors with optional prefilters. When a
+    * committed index matches the current version, the scan prunes to the
+    * `nprobe` nearest cells (Chroma parity: its HNSW read path is also
+    * approximate); `exact = true` forces the full brute-force scan. */
   /** Guard against the silent-garbage failure mode of a dimension
     * mismatch: VectorDistance yields NULL when lengths differ, and a rank
     * window sorts nulls first — the caller would get k arbitrary rows
@@ -491,12 +571,28 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   }
 
   def query(queryVec: Seq[Float], k: Int, where: Option[Where] = None,
-            whereDoc: Option[WhereDocument] = None): DataFrame = {
-    val df = toDF
+            whereDoc: Option[WhereDocument] = None, nprobe: Int = 4,
+            exact: Boolean = false): DataFrame = {
     requireDim(queryVec.length)
-    requireNoReserved(df, Seq("dist"))
-    Knn.topK(df, "id", "embedding", queryVec, k, meta.space,
-      ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df)))
+    val m = meta
+    (if (exact) None else currentIndex(m)) match {
+      case Some((idxPath, cents)) =>
+        val cells = Ann.nearestCellsOf(cents, queryVec, nprobe)
+        val indexed = spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
+        requireNoReserved(indexed.drop("cell"), Seq("dist"))
+        // `cell` is the index layout's partition column — the isin lands in
+        // the scan as a PartitionFilter, so only the probed cells' files
+        // are even listed (PlanShapeSpec pins this)
+        val pruned = indexed.filter(col("cell").isin(cells: _*))
+        Knn.topK(pruned, "id", "embedding", queryVec, k, m.space,
+          ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(indexed)))
+          .drop("cell")
+      case None =>
+        val df = toDF
+        requireNoReserved(df, Seq("dist"))
+        Knn.topK(df, "id", "embedding", queryVec, k, m.space,
+          ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df)))
+    }
   }
 
   /** B6 batch form: Chroma's `query` accepts a LIST of query embeddings
@@ -505,19 +601,50 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * broadcast of the (tiny) query set against one corpus scan — never a
     * per-query rescan. */
   def queryBatch(queryVecs: Seq[Seq[Float]], k: Int, where: Option[Where] = None,
-                 whereDoc: Option[WhereDocument] = None): DataFrame = {
+                 whereDoc: Option[WhereDocument] = None, nprobe: Int = 4,
+                 exact: Boolean = false): DataFrame = {
     require(queryVecs.nonEmpty, "queryBatch needs at least one query vector")
     require(queryVecs.map(_.length).distinct.size == 1,
       s"query vectors must share one dimension, got ${queryVecs.map(_.length).distinct}")
-    val df = toDF
     requireDim(queryVecs.head.length)
-    requireNoReserved(df, Seq("qid", "rnk", "dist", "__qvec", "__na", "__nq"))
-    val spark0 = df.sparkSession
-    import spark0.implicits._
-    val queries = queryVecs.zipWithIndex.map(_.swap).toDF("qid", "qvec")
-    Knn.topKBatch(df, "id", "embedding", queries, "qid", "qvec", k, meta.space,
-      ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df)),
-      excludeSelf = false)
+    val m = meta
+    (if (exact) None else currentIndex(m)) match {
+      case Some((idxPath, cents)) =>
+        // per-query probe sets, chosen driver-side from the tiny centroid
+        // table; the corpus scan prunes to the UNION of probed cells at the
+        // file-listing level, and the broadcast join condition then keeps
+        // each (query, row) pair only when the row's cell is in THAT
+        // query's probe set — one pruned scan serves the whole batch.
+        val cellsPerQ = queryVecs.map(v => Ann.nearestCellsOf(cents, v, nprobe))
+        val allCells = cellsPerQ.flatten.distinct
+        val indexed = spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
+        requireNoReserved(indexed.drop("cell"),
+          Seq("qid", "rnk", "dist", "__qvec", "__qcells", "__na", "__nq"))
+        val pruned = indexed.filter(col("cell").isin(allCells: _*))
+        ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(indexed))
+          .map(pruned.filter).getOrElse(pruned) match { case base =>
+            val spark0 = base.sparkSession
+            import spark0.implicits._
+            val queries = queryVecs.zipWithIndex
+              .map { case (v, i) => (i, v, cellsPerQ(i)) }.toDF("qid", "__qvec", "__qcells")
+            val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+            base.join(broadcast(queries), array_contains(col("__qcells"), col("cell")))
+              .withColumn("dist",
+                graft.functions.Distances.bySpace(m.space)(col("embedding"), col("__qvec")))
+              .withColumn("rnk", row_number().over(w))
+              .filter(col("rnk") <= k)
+              .drop("embedding", "__qvec", "__qcells", "cell")
+        }
+      case None =>
+        val df = toDF
+        requireNoReserved(df, Seq("qid", "rnk", "dist", "__qvec", "__na", "__nq"))
+        val spark0 = df.sparkSession
+        import spark0.implicits._
+        val queries = queryVecs.zipWithIndex.map(_.swap).toDF("qid", "qvec")
+        Knn.topKBatch(df, "id", "embedding", queries, "qid", "qvec", k, m.space,
+          ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df)),
+          excludeSelf = false)
+    }
   }
 
   /** B10 count / peek. */
@@ -578,8 +705,9 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val current = meta.version
     val cutoff = current - keepHistory
     val dead = DirIO.list(dir)(
-      _.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data_v"))
-        .filter(_.getFileName.toString.stripPrefix("data_v").toInt < cutoff)
+      _.filter(p => Files.isDirectory(p) && (p.getFileName.toString.startsWith("data_v")
+          || p.getFileName.toString.startsWith("index_v")))
+        .filter(p => p.getFileName.toString.dropWhile(!_.isDigit).toInt < cutoff)
         .toSeq)
     dead.foreach(DirIO.deleteRecursively)
     // retired version-claim files (cutoff <= current, so the commit record

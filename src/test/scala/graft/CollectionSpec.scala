@@ -316,4 +316,93 @@ class CollectionSpec extends SparkTestBase {
     // bucket partition column exists on disk but is hidden from readers
     assert(!c.toDF.columns.contains("pt"))
   }
+
+  // 16 vectors in 4 tight axis-aligned clusters — cluster membership is
+  // unambiguous, so the IVF assignment is stable under float noise
+  private def clusterBatch() = {
+    val axes = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))
+    val rows = for (cl <- 0 until 4; i <- 0 until 4) yield {
+      val v = axes(cl).zipWithIndex.map { case (x, j) =>
+        x + (if (j == (cl + 1) % 4) 0.01f * (i + 1) else 0f) }
+      (f"${cl * 4 + i}%02d", s"doc $cl$i", v)
+    }
+    batch(rows: _*)
+  }
+
+  test("IVF index: probing every cell reproduces the exact query bit-for-bit") {
+    val c = freshCatalog().getOrCreateCollection("c", "cosine")
+    c.add(clusterBatch())
+    c.buildIndexSeeded(Seq("00", "04", "08", "12"))
+    assert(c.hasIndex)
+    val q = Seq(0.9f, 0.1f, 0f, 0f)
+    val viaIndex = c.query(q, 5, nprobe = 4)
+      .select("id", "dist").as[(String, Double)].collect().toSeq
+    val exact = c.query(q, 5, exact = true)
+      .select("id", "dist").as[(String, Double)].collect().toSeq
+    assert(viaIndex == exact)
+  }
+
+  test("IVF index: nprobe=1 serves results from the nearest cell only") {
+    val c = freshCatalog().getOrCreateCollection("c", "l2")
+    c.add(clusterBatch())
+    c.buildIndexSeeded(Seq("00", "04", "08", "12"))
+    val got = c.query(Seq(1f, 0f, 0f, 0f), 8, nprobe = 1)
+      .select("id").as[String].collect().toSet
+    // cluster 0 = ids 00..03; a single probe cannot reach other cells
+    assert(got == Set("00", "01", "02", "03"))
+  }
+
+  test("IVF index: where prefilter applies on the pruned read path") {
+    val c = freshCatalog().getOrCreateCollection("c", "l2")
+    c.add(clusterBatch())
+    c.buildIndexSeeded(Seq("00", "04", "08", "12"))
+    val got = c.query(Seq(1f, 0f, 0f, 0f), 8, nprobe = 4,
+        where = Some(ChromaFilter.In("id", Seq("01", "05"))))
+      .select("id").as[String].collect().toSet
+    assert(got == Set("01", "05"))
+  }
+
+  test("IVF index: queryBatch through the index matches per-vector query()") {
+    val c = freshCatalog().getOrCreateCollection("c", "cosine")
+    c.add(clusterBatch())
+    c.buildIndexSeeded(Seq("00", "04", "08", "12"))
+    val qs = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+    val got = c.queryBatch(qs, k = 3, nprobe = 2)
+      .select("qid", "rnk", "id").as[(Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val single = c.query(q, 3, nprobe = 2).select("id").as[String].collect().toSeq
+      assert(got(i) == single, s"query $i batch/single mismatch through index")
+    }
+  }
+
+  test("IVF index: any mutation invalidates it; reads fall back to exact") {
+    val c = freshCatalog().getOrCreateCollection("c", "l2")
+    c.add(clusterBatch())
+    c.buildIndexSeeded(Seq("00", "04", "08", "12"))
+    assert(c.hasIndex)
+    // a new row nearly identical to the query vector
+    c.upsert(batch(("zz", "late", Seq(1f, 0.001f, 0f, 0f))))
+    assert(!c.hasIndex, "stale index must not serve the new version")
+    val top = c.query(Seq(1f, 0f, 0f, 0f), 1).select("id").as[String].head()
+    assert(top == "zz", "fallback must be the exact scan over CURRENT data")
+    // rebuild over the new version restores the pruned path
+    c.buildIndexSeeded(Seq("00", "04", "08", "12"))
+    assert(c.hasIndex)
+    assert(c.query(Seq(1f, 0f, 0f, 0f), 1, nprobe = 4)
+      .select("id").as[String].head() == "zz")
+  }
+
+  test("IVF index: k-means buildIndex variant answers queries (library path)") {
+    val c = freshCatalog().getOrCreateCollection("c", "l2")
+    c.add(clusterBatch())
+    c.buildIndex(nlist = 4)
+    val viaIndex = c.query(Seq(0f, 1f, 0f, 0f), 4, nprobe = 4)
+      .select("id").as[String].collect().toSeq
+    val exact = c.query(Seq(0f, 1f, 0f, 0f), 4, exact = true)
+      .select("id").as[String].collect().toSeq
+    assert(viaIndex == exact)
+    assert(c.dropIndex() && !c.hasIndex)
+  }
 }

@@ -61,4 +61,28 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q56_distinctive_terms")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast df join:\n$p")
   }
+
+  test("collection IVF query prunes the scan to the probed cells (PartitionFilters)") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "plan-ivf").toString
+    val cat = new graft.catalog.CollectionCatalog(spark, root, numBuckets = 4)
+    val c = cat.getOrCreateCollection("p", "cosine")
+    c.add(spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id").cast("string").as("id"), col("embedding")))
+    c.buildIndexSeeded((0L until 8L).map(_.toString))
+    val df = c.query(Seq.fill(64)(0.5f), 5, nprobe = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell") && scanLine.contains(" IN "),
+      s"expected the probed-cell IN filter at the file-listing level, got: $scanLine\n$p")
+    // ... and the pruned scan must not read the whole collection: only the
+    // 2 probed cells' directories survive the listing
+    val parts = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }
+    assert(parts.contains(2), s"expected 2 of 8 cell partitions selected, got $parts")
+  }
 }
