@@ -45,6 +45,14 @@ object SparkEntry {
     s"list_sum(list_transform(range(len($a)), j -> (CAST($a[j+1] AS DOUBLE) - CAST($b[j+1] AS DOUBLE)) * (CAST($a[j+1] AS DOUBLE) - CAST($b[j+1] AS DOUBLE))))"
   private def sqlIp(a: String, b: String): String = s"1 - ${sqlDot(a, b)}"
 
+  /** DuckDB replay of Ann.srpBucket's fixed projection arithmetic. */
+  private def sqlSrpBucket(v: String, dim: Int = 64, nBits: Int = 8): String =
+    s"""CAST(list_sum(list_transform(range($nBits), b ->
+       |  CASE WHEN list_sum(list_transform(range($dim), j ->
+       |         CAST($v[j+1] AS DOUBLE)
+       |         * (((1103515245 * (b*$dim + j) + 12345) % 2001 - 1000) / 1000.0))) >= 0
+       |       THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
   private def sqlKnnSingle(distSql: String, extraWhere: String = ""): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |d AS (SELECT e.vec_id AS vec_id, $distSql AS dist_raw
@@ -347,6 +355,14 @@ object SparkEntry {
           nprobe = 2, space = "cosine", excludeIds = Seq(0L))
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
+    // C2 embedding near-dup AT SCALE: SRP-LSH buckets confine the pair
+    // expansion (q29's all-pairs form stays a verify primitive); the whole
+    // bucket→pair→cosine path replays in the DuckDB oracle
+    "q61_embedding_neardup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minSim = 0.2, dim = 64, nBits = 8)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .orderBy("id_a", "id_b")),
     // ANN: deterministic sign-random-projection buckets
     "q33_srp_bucket" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -801,12 +817,21 @@ object SparkEntry {
          |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p ORDER BY id_a, id_b""".stripMargin
     },
     "q33_srp_bucket" ->
-      """SELECT vec_id, CAST(list_sum(list_transform(range(8), b ->
-        |  CASE WHEN list_sum(list_transform(range(64), j ->
-        |         CAST(embedding[j+1] AS DOUBLE)
-        |         * (((1103515245 * (b*64 + j) + 12345) % 2001 - 1000) / 1000.0))) >= 0
-        |       THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      s"""SELECT vec_id, ${sqlSrpBucket("embedding")} AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // q61: the LSH-bucketed embedding near-dup — bucket assignment (q33's
+    // arithmetic), hot-bucket exclusion, in-bucket pairs, cosine >= t.
+    "q61_embedding_neardup_lsh" -> {
+      val sim = s"${sqlDot("a.e", "c.e")} / (sqrt(${sqlDot("a.e", "a.e")}) * sqrt(${sqlDot("c.e", "c.e")}))"
+      s"""WITH b AS (SELECT vec_id AS id, embedding AS e,
+         |             ${sqlSrpBucket("embedding")} AS bucket FROM embeddings),
+         |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) BETWEEN 2 AND 1000),
+         |bb AS (SELECT b.id, b.e, b.bucket FROM b JOIN ok USING (bucket)),
+         |p AS (SELECT a.id AS id_a, c.id AS id_b, $sim AS sim
+         |      FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.id < c.id)
+         |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
+         |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
+    },
     // NOTE: byte-vs-codepoint parity of mean_byte relies on the fixture
     // text being ASCII (driver-generated, fixed); non-ASCII corpora would
     // need a bytes-based oracle (DuckDB lacks per-byte access on BLOB).

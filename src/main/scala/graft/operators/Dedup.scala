@@ -261,10 +261,11 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
-  /** Embedding-cosine near-dup pairs above `minSim` within an id-bounded
-    * candidate set (caller bounds candidates via LSH buckets or sampling —
-    * a raw self-join is O(n²) and only acceptable on small slices).
-    */
+  /** VERIFY PRIMITIVE ONLY — all-pairs embedding-cosine similarity over an
+    * already-bounded candidate set (a sample, or one LSH bucket's rows).
+    * The join is O(n²) in its input; the scale path for whole-corpus
+    * embedding near-dup is [[embeddingNearDupLsh]], which feeds THIS shape
+    * nothing bigger than a bucket. */
   def embeddingNearDup(
       df: DataFrame, idCol: String, vecCol: String, minSim: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
@@ -273,5 +274,50 @@ object Dedup {
       .withColumn("sim", Distances.cosineSim(col("va"), col("vb")))
       .filter(col("sim") >= minSim)
       .select("id_a", "id_b", "sim")
+  }
+
+  /** Embedding-cosine near-dup pairs AT SCALE: sign-random-projection LSH
+    * ([[Ann.srpBucket]], deterministic + engine-portable) confines the
+    * pair expansion to same-bucket rows — never a global O(n²) self-join.
+    *
+    * Cost shape at 100 TB: the bucket assignment is one codegen'd map-only
+    * pass; the bucket histogram is at most 2^nBits rows, so the hot-bucket
+    * allowlist BROADCASTS; the self-join shuffles both sides on `bucket`
+    * and expands pairs only inside buckets, with buckets past
+    * `maxBucketSize` excluded (same guard as [[minHashCandidatesOver]]).
+    * Recall/cost dial: fewer bits = bigger buckets = more recall and more
+    * pairs; `probes` > 1 additionally checks buckets at Hamming distance 1
+    * (bits 0..probes-2 flipped) — multi-probe recall without re-hashing.
+    *
+    * @param dim   embedding dimension (srpBucket needs it at plan time)
+    * @param nBits bucket width in bits (bucket space = 2^nBits)
+    */
+  def embeddingNearDupLsh(
+      df: DataFrame, idCol: String, vecCol: String, minSim: Double,
+      dim: Int, nBits: Int = 8, maxBucketSize: Int = 1000,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= nBits + 1,
+      s"probes must be in [1, nBits+1], got $probes (probe 1 = own bucket, probe p = bit p-2 flipped)")
+    val bk = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Ann.srpBucket(col(vecCol), dim, nBits).as("bucket"))
+    val ok = bk.groupBy("bucket").count()
+      .filter(col("count").between(2, maxBucketSize)).select("bucket")
+    val bounded = bk.join(broadcast(ok), Seq("bucket"))
+    // side a probes its own bucket plus `probes - 1` single-bit flips;
+    // side b stays at its own bucket, so every candidate pair differs by
+    // at most one projection sign between the two probe sets
+    val probed =
+      if (probes == 1) bounded.withColumn("pbucket", col("bucket"))
+      else bounded.withColumn("pbucket", explode(array(
+        col("bucket") +: (0 until probes - 1).map(b =>
+          col("bucket").bitwiseXOR(lit(1L << b))): _*)))
+    val a = probed.select(col("pbucket").as("jb"), col("id").as("id_a"), col("v").as("va"))
+    val b = bounded.select(col("bucket").as("jb"), col("id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("jb")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Distances.cosineSim(col("va"), col("vb")))
+      .filter(col("sim") >= minSim)
+      .select("id_a", "id_b", "sim")
+    // multi-probe can reach the same pair from both endpoints' flip sets
+    if (probes == 1) pairs else pairs.distinct()
   }
 }

@@ -106,4 +106,42 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  private lazy val embFixture =
+    spark.read.parquet(sf("embeddings")).select(col("vec_id"), col("embedding"))
+
+  test("LSH embedding near-dup = all-pairs result restricted to shared buckets") {
+    import graft.operators.Ann
+    val lsh = Dedup.embeddingNearDupLsh(embFixture, "vec_id", "embedding",
+        minSim = 0.2, dim = 64, nBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: all-pairs sim join, then keep only same-bucket pairs
+    val bk = embFixture.select(col("vec_id"),
+      Ann.srpBucket(col("embedding"), 64, 8).as("bucket"))
+    val expected = Dedup.embeddingNearDup(embFixture, "vec_id", "embedding", 0.2)
+      .join(bk.select(col("vec_id").as("id_a"), col("bucket").as("ba")), Seq("id_a"))
+      .join(bk.select(col("vec_id").as("id_b"), col("bucket").as("bb")), Seq("id_b"))
+      .filter(col("ba") === col("bb"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == expected, "bucketed form must equal the bucket-restricted all-pairs form")
+    assert(lsh.nonEmpty, "fixture should produce at least one in-bucket pair")
+  }
+
+  test("LSH embedding near-dup: multi-probe is a superset of single-probe") {
+    val p1 = Dedup.embeddingNearDupLsh(embFixture, "vec_id", "embedding",
+        minSim = 0.2, dim = 64, nBits = 8, probes = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val p3 = Dedup.embeddingNearDupLsh(embFixture, "vec_id", "embedding",
+        minSim = 0.2, dim = 64, nBits = 8, probes = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p1.subsetOf(p3), "probing neighbor buckets can only ADD candidate pairs")
+    assert(p3.size >= p1.size)
+  }
+
+  test("LSH embedding near-dup: hot buckets past maxBucketSize are excluded") {
+    // nBits = 1 funnels ~half the corpus into each of 2 buckets
+    val capped = Dedup.embeddingNearDupLsh(embFixture, "vec_id", "embedding",
+      minSim = -2.0, dim = 64, nBits = 1, maxBucketSize = 10)
+    assert(capped.count() == 0, "every bucket exceeds the cap, so no pairs may emerge")
+  }
 }
