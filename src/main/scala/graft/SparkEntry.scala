@@ -403,6 +403,27 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy("n_name")
     }),
+    // Fact⋈fact via BUCKETED tables (Bucketing.scala in anger): both sides
+    // are written bucketed+sorted by the join key, so the join itself plans
+    // with ZERO Exchange — the shuffle is paid once at ingestion, the shape
+    // that makes a repeated 100 TB fact⋈fact join affordable. PlanShapeSpec
+    // pins the exchange-free join; the oracle pins the result.
+    "q62_bucketed_join_revenue" -> ((s, dir) => {
+      import graft.sources.Bucketing
+      val tag = math.abs(dir.hashCode).toString
+      val (ot, lt) = (s"b_orders_$tag", s"b_lineitem_$tag")
+      Bucketing.rewriteBucketed(s, t(s, dir, "orders"), ot, "o_orderkey", 8)
+      Bucketing.rewriteBucketed(s,
+        t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        lt, "o_orderkey", 8)
+      Bucketing.colocatedJoin(s, ot, lt, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DecimalType(18, 4))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
     // Skew mitigation: salted join must be result-identical to the plain join
     "q37_salted_join_agg" -> ((s, dir) => {
       val cust = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
@@ -864,6 +885,12 @@ object SparkEntry {
         |COUNT(*) AS cnt
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q62_bucketed_join_revenue" ->
+      """SELECT o_orderpriority,
+        |CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |COUNT(*) AS cnt
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q44_sql_function_api" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
          |d AS (SELECT e.vec_id AS vec_id, ${sqlL2("e.embedding", "q.qe")} AS dist_raw

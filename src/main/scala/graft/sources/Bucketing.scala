@@ -24,6 +24,21 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** [[writeBucketed]] with idempotent re-create: drops the catalog entry
+    * AND clears an orphaned warehouse dir a previous session may have left
+    * behind (the in-memory catalog forgets tables on restart but their
+    * files remain, and CTAS refuses a non-empty location). */
+  def rewriteBucketed(
+      spark: SparkSession, df: DataFrame, table: String, key: String,
+      numBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    writeBucketed(df, table, key, numBuckets)
+  }
+
   /** Join two bucketed tables on their bucket key — shuffle-free when both
     * were written with the same bucket count. */
   def colocatedJoin(

@@ -62,6 +62,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast df join:\n$p")
   }
 
+  test("q62: bucketed fact⋈fact join is exchange-free; only the agg shuffles") {
+    // broadcast off: otherwise the small sf0.001 side broadcasts and the
+    // test would not prove the bucketed layout carries the join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q62_bucketed_join_revenue")
+      assert(p.contains("SortMergeJoin"), s"expected the co-located SMJ:\n$p")
+      val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(shuffles <= 1, s"join sides must read pre-bucketed (only the agg may shuffle), got $shuffles:\n$p")
+      assert(!p.contains("BroadcastHashJoin"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("collection IVF query prunes the scan to the probed cells (PartitionFilters)") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory(
