@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.catalog.{Collection, CollectionCatalog}
 import graft.operators.Assemble
@@ -105,17 +106,37 @@ object Hydrator {
     val input = readInput(spark, cfg.inputTable)
     val frame = Assemble.hydrationFrame(
       input, cfg.docId, cfg.textVar, cfg.embeddingPattern, cfg.metadataColumn)
-    // Chroma-faithful add-time invariant: uniform embedding dimension
-    Assemble.validateUniformDim(frame, "embedding")
+    // Single-scan hydration: the Chroma-faithful invariants (uniform
+    // embedding dimension, row count) ride the add's own scan as observe()
+    // metrics instead of paying dedicated validation passes — a separate
+    // `validateUniformDim` + `input.count()` would be two extra full reads
+    // of a 100 TB input. The dim check runs BEFORE the commit marker via
+    // the add's beforeCommit hook, so ragged data still never becomes
+    // visible (the claimed version is abandoned, Chroma-reject parity).
+    val obs = Observation()
+    val observed = frame.observe(obs,
+      count(lit(1)).as("n"),
+      min(size(col("embedding"))).as("dmin"),
+      max(size(col("embedding"))).as("dmax"),
+      sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("n_null"))
     // A14: accept reference-style `server:/path` references here too — a
     // raw Paths.get would otherwise create a literal './server:' directory
     val cat = new CollectionCatalog(spark, resolvePersistentPath(cfg.persistentPath),
       maxRowsPerFile = cfg.maxRowsPerFile)
     val coll = cat.getOrCreateCollection(cfg.collectionName, cfg.space)
     val before = coll.count()
-    coll.add(frame)
+    coll.add(observed, beforeCommit = () => {
+      val m = obs.get // first action over the batch has completed by now
+      if (m("n").asInstanceOf[Long] > 0) {
+        if (m("n_null").asInstanceOf[Long] > 0) throw new IllegalArgumentException(
+          "null embedding — Chroma add() requires a vector per row")
+        val (dmin, dmax) = (m("dmin").asInstanceOf[Int], m("dmax").asInstanceOf[Int])
+        if (dmin != dmax) throw new IllegalArgumentException(
+          s"ragged embedding dimensions [$dmin..$dmax] — Chroma add() requires uniform dim")
+      }
+    })
     val after = coll.count()
-    val added = input.count()
+    val added = obs.get("n").asInstanceOf[Long]
     // the reference's operational correctness signal: count conservation
     // (sas:134 pre-count, sas:193 post-count, README.md:93)
     require(after - before == added,

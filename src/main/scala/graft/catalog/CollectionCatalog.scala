@@ -306,7 +306,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * emits a file per bucket it happens to hold (tasks x buckets files,
     * the opposite of compaction). */
   private def writeVersion(
-      df: DataFrame, expected: CollectionMeta, repack: Boolean = false): Unit = {
+      df: DataFrame, expected: CollectionMeta, repack: Boolean = false,
+      beforeCommit: () => Unit = () => ()): Unit = {
     val next = claimNext(expected)
     try {
       val b = bucketed(df)
@@ -314,6 +315,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       out.write.mode("overwrite")
         .option("maxRecordsPerFile", maxRowsPerFile)
         .partitionBy("pt").parquet(dataDir(next.version).toString)
+      beforeCommit()
     } catch { case e: Throwable => abandon(next); throw e }
     commit(next)
   }
@@ -329,7 +331,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     *                       (must already be exactly those buckets' content)
     */
   private def writeMergedVersion(
-      mergedAffected: DataFrame, affected: Set[Int], expected: CollectionMeta): Unit = {
+      mergedAffected: DataFrame, affected: Set[Int], expected: CollectionMeta,
+      beforeCommit: () => Unit = () => ()): Unit = {
     val m = expected
     val next = claimNext(m)
     val newDir = dataDir(next.version)
@@ -352,6 +355,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
             Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
         }
       }
+      beforeCommit()
     } catch { case e: Throwable => abandon(next); throw e }
     commit(next)
   }
@@ -362,14 +366,22 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
 
   /** B1 add: batch insert; errors on duplicate ids (within the batch or vs
     * the collection) — Chroma `add()` semantics. Only the buckets receiving
-    * new rows are rewritten. */
-  def add(batch: DataFrame): Unit = {
+    * new rows are rewritten.
+    *
+    * @param beforeCommit invoked AFTER the data write but BEFORE the commit
+    *        marker: a throw abandons the version (nothing is ever served).
+    *        This is the hook for single-scan invariants — attach an
+    *        `observe()` to the batch, let the write be the scan, and reject
+    *        the commit from the collected metrics (see [[graft.Hydrator]])
+    *        instead of paying validation passes over the input up front.
+    */
+  def add(batch: DataFrame, beforeCommit: () => Unit = () => ()): Unit = {
     val withinDup = batch.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
     if (withinDup.nonEmpty)
       throw new IllegalArgumentException(s"duplicate id in batch: ${String.valueOf(withinDup.head.get(0))}")
     val m = meta
     currentDataOf(m) match {
-      case None => writeVersion(batch, m)
+      case None => writeVersion(batch, m, beforeCommit = beforeCommit)
       case Some(_) =>
         // clashes can only live in the batch's own buckets — probe those,
         // not the whole collection (point-inserts must stay O(affected))
@@ -379,7 +391,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         if (clash.nonEmpty)
           throw new IllegalArgumentException(s"id already exists: ${String.valueOf(clash.head.get(0))}")
         writeMergedVersion(
-          curAffected.unionByName(batch, allowMissingColumns = true), affected, m)
+          curAffected.unionByName(batch, allowMissingColumns = true), affected, m,
+          beforeCommit = beforeCommit)
     }
   }
 

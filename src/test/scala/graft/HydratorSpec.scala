@@ -82,10 +82,27 @@ class HydratorSpec extends SparkTestBase {
     val p = tmpRoot() + "/ragged"
     Seq((1L, "a", Some(1.0), Some(2.0)), (2L, "b", Some(3.0), None))
       .toDF("doc_id", "text", "emb_0", "emb_1").write.parquet(p)
+    val root = tmpRoot()
+    val e = intercept[IllegalArgumentException] {
+      Hydrator.run(spark, cfg(root).copy(inputTable = p, metadataColumn = None))
+    }
+    assert(e.getMessage.contains("ragged"))
+    // the fused observe-based check rejects BEFORE the commit marker: the
+    // abandoned version must never become visible to readers
+    val coll = new graft.catalog.CollectionCatalog(spark, root).getCollection("wide")
+    assert(coll.forall(_.count() == 0L), "ragged batch must not be served")
+  }
+
+  test("null embedding rejected at add time, pre-commit (Chroma invariant)") {
+    val p = tmpRoot() + "/nullvec"
+    // both wide cells null on row 2 -> assembled vector is empty, dim 0 vs 2:
+    // caught as ragged; a genuinely NULL embedding needs a null array column
+    Seq((1L, "a", Some(1.0), Some(2.0)), (2L, "b", None, None))
+      .toDF("doc_id", "text", "emb_0", "emb_1").write.parquet(p)
     val e = intercept[IllegalArgumentException] {
       Hydrator.run(spark, cfg(tmpRoot()).copy(inputTable = p, metadataColumn = None))
     }
-    assert(e.getMessage.contains("ragged"))
+    assert(e.getMessage.contains("ragged") || e.getMessage.contains("null embedding"))
   }
 
   test("csv and json inputs hydrate through the same config path") {
