@@ -684,6 +684,29 @@ object SparkEntry {
       coll.query(headVec(emb, 0), 10, nprobe = 2)
         .select(col("id"), round(col("dist"), 4).as("dist"))
     }),
+    // B1-B5 END TO END through the copy-on-write store: add a base batch,
+    // upsert (replacements + inserts), delete with ids AND a typed where
+    // (Chroma's AND semantics), then a filtered get reading back the
+    // parquet the store wrote — the commit protocol itself is under the
+    // oracle, not just scalatest.
+    "q63_collection_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = s"/root/repo/target/verify-collections/sf_${math.abs(dir.hashCode)}"
+      val cat = new CollectionCatalog(s, root)
+      cat.deleteCollection("rt")
+      val coll = cat.getOrCreateCollection("rt")
+      coll.add(docs.filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("string").as("id"), col("text").as("document"),
+          col("lang"), col("n_chars")))
+      coll.upsert(docs.filter(pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 260)
+        .select(col("doc_id").cast("string").as("id"), upper(col("text")).as("document"),
+          lit("xx").as("lang"), col("n_chars")))
+      coll.delete(ids = Seq("5", "10", "15", "20"),
+        where = Some(ChromaFilter.Gt("n_chars", 100)))
+      coll.get(where = Some(ChromaFilter.In("lang", Seq("en", "es", "xx"))))
+        .select(col("id"), col("lang"), col("n_chars"),
+          length(col("document")).cast("int").as("n_doc"))
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -1118,6 +1141,21 @@ object SparkEntry {
          |dd AS (SELECT id, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
          |SELECT id, ROUND(dist_raw, 4) AS dist FROM dd
          |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
+    // q63: replays the whole store round-trip relationally — upsert =
+    // batch ∪ (base anti batch); delete = NOT (ids AND where); get = the
+    // final filtered state, id-ordered (string order, the store's id type).
+    "q63_collection_roundtrip" ->
+      """WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id, text AS document, lang, n_chars
+        |              FROM documents WHERE doc_id < 200),
+        |ups AS (SELECT CAST(doc_id AS VARCHAR) AS id, upper(text) AS document,
+        |               'xx' AS lang, n_chars
+        |        FROM documents WHERE doc_id % 3 = 0 AND doc_id < 260),
+        |merged AS (SELECT * FROM ups UNION ALL
+        |           SELECT b.* FROM base b WHERE b.id NOT IN (SELECT id FROM ups)),
+        |kept AS (SELECT * FROM merged
+        |         WHERE NOT (id IN ('5', '10', '15', '20') AND n_chars > 100))
+        |SELECT id, lang, n_chars, CAST(length(document) AS INTEGER) AS n_doc
+        |FROM kept WHERE lang IN ('en', 'es', 'xx') ORDER BY id""".stripMargin,
     // q32: replays the full seeded-IVF path — assignment (argmin L2, ties
     // to lowest cell), probe choice (2 nearest cells to the query), and
     // the exact top-k inside the pruned cells.
