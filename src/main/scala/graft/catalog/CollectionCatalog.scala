@@ -660,6 +660,52 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     }
   }
 
+  /** Chroma result-SHAPE parity: `collection.query` returns parallel
+    * per-query lists (`ids`, and — under `include=` control — `documents`,
+    * `distances`, `metadatas`). This is a thin fold over [[queryBatch]]'s
+    * long form: one `collect_list` per query id (k elements each, never
+    * corpus-sized), rank-ordered via the struct's leading `rnk` field.
+    * Metadata = every stored column that isn't id/document/embedding,
+    * stringified into one map per hit (the flat typed columns stay the
+    * pushdown layout; this is presentation only).
+    */
+  def queryStruct(queryVecs: Seq[Seq[Float]], k: Int,
+                  where: Option[Where] = None,
+                  whereDoc: Option[WhereDocument] = None,
+                  include: Set[String] = Set("documents", "distances", "metadatas"),
+                  nprobe: Int = 4, exact: Boolean = false): DataFrame = {
+    val unknown = include.diff(Set("documents", "distances", "metadatas"))
+    require(unknown.isEmpty, s"unknown include entries: ${unknown.mkString(", ")}")
+    val long = queryBatch(queryVecs, k, where, whereDoc, nprobe, exact)
+    val hasDoc = long.columns.contains("document")
+    val metaCols = long.columns
+      .filterNot(Seq("qid", "rnk", "id", "dist", "document").contains).sorted
+    val payloadFields =
+      struct(col("rnk"), col("id")).as("key") +:
+      (if (include("documents") && hasDoc) Seq(col("document")) else Nil) ++:
+      (if (include("distances")) Seq(col("dist")) else Nil) ++:
+      (if (include("metadatas") && metaCols.nonEmpty)
+        Seq(map(metaCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("meta"))
+      else Nil)
+    val payload = struct(payloadFields: _*)
+    // explicit rank comparator: the default struct ordering cannot sort a
+    // payload carrying a MAP field, and rnk is a dense per-query
+    // row_number, so the difference is a valid total order
+    val grouped = long.groupBy("qid").agg(
+      array_sort(collect_list(payload), (l, r) =>
+        l.getField("key").getField("rnk") - r.getField("key").getField("rnk")).as("rows"))
+    val outCols =
+      col("qid") +:
+      transform(col("rows"), r => r.getField("key").getField("id")).as("ids") +:
+      (if (include("documents") && hasDoc)
+        Seq(transform(col("rows"), _.getField("document")).as("documents")) else Nil) ++:
+      (if (include("distances"))
+        Seq(transform(col("rows"), _.getField("dist")).as("distances")) else Nil) ++:
+      (if (include("metadatas") && metaCols.nonEmpty)
+        Seq(transform(col("rows"), _.getField("meta")).as("metadatas")) else Nil)
+    grouped.select(outCols: _*).orderBy("qid")
+  }
+
   /** B10 count / peek. */
   def count(): Long = currentData.fold(0L)(_ => toDF.count())
   def peek(n: Int = 10): DataFrame = toDF.orderBy("id").limit(n)

@@ -394,6 +394,42 @@ class CollectionSpec extends SparkTestBase {
       .select("id").as[String].head() == "zz")
   }
 
+  test("queryStruct: Chroma-shaped parallel lists match the long form; include filters") {
+    val c = freshCatalog().getOrCreateCollection("c", "cosine")
+    c.add(batch(("a", "d a", Seq(1f, 0f)), ("b", "d b", Seq(0.9f, 0.1f)),
+      ("c", "d c", Seq(0f, 1f)), ("d", "d d", Seq(0.1f, 0.9f))))
+    val qs = Seq(Seq(1f, 0f), Seq(0f, 1f))
+    val long = c.queryBatch(qs, k = 2)
+      .select("qid", "rnk", "id", "dist", "document")
+      .as[(Int, Int, String, Double, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val wide = c.queryStruct(qs, k = 2).orderBy("qid")
+      .select("qid", "ids", "documents", "distances")
+      .as[(Int, Seq[String], Seq[String], Seq[Double])].collect()
+    assert(wide.map(_._1).toSeq == Seq(0, 1))
+    wide.foreach { case (qid, ids, docs, dists) =>
+      assert(ids == long(qid).map(_._3).toSeq, s"ids mismatch for q$qid")
+      assert(docs == long(qid).map(_._5).toSeq, s"documents mismatch for q$qid")
+      assert(dists == long(qid).map(_._4).toSeq, s"distances mismatch for q$qid")
+    }
+    // include control: asking only for ids drops the other lists
+    val idsOnly = c.queryStruct(qs, k = 2, include = Set.empty)
+    assert(idsOnly.columns.toSeq == Seq("qid", "ids"))
+    intercept[IllegalArgumentException] {
+      c.queryStruct(qs, k = 2, include = Set("embeddings"))
+    }
+  }
+
+  test("queryStruct: metadatas come back as one string map per hit") {
+    val c = freshCatalog().getOrCreateCollection("c", "l2")
+    c.add(Seq(("a", "d", Seq(1f, 0f), 3, "en"), ("b", "d", Seq(0f, 1f), 5, "es"))
+      .toDF("id", "document", "embedding", "label", "lang"))
+    val m = c.queryStruct(Seq(Seq(1f, 0f)), k = 2)
+      .select("metadatas").as[Seq[Map[String, String]]].head()
+    assert(m == Seq(Map("label" -> "3", "lang" -> "en"),
+      Map("label" -> "5", "lang" -> "es")))
+  }
+
   test("IVF index: k-means buildIndex variant answers queries (library path)") {
     val c = freshCatalog().getOrCreateCollection("c", "l2")
     c.add(clusterBatch())

@@ -38,6 +38,39 @@ class StreamingSpec extends SparkTestBase {
     assert(coll.get(ids = Seq("b")).select("document").as[String].head() == "doc b v2")
   }
 
+  test("streaming/batch parity: AvailableNow micro-batched hydration equals batch add") {
+    implicit val sqlCtx = spark.sqlContext
+    // the same 500-row fixture hydrates once as ONE batch add and once as
+    // a MemoryStream drained in three microbatches; the stored artifacts
+    // must match bit-for-bit (count + order-free content hash)
+    val rows = spark.read.parquet(sf("documents"))
+      .join(spark.read.parquet(sf("embeddings")), col("doc_id") === col("vec_id"))
+      .select(col("doc_id").cast("string").as("id"), col("text").as("document"),
+        col("embedding"))
+    val batchCat = new CollectionCatalog(spark, tmp("parity-batch"), numBuckets = 4)
+    val batchColl = batchCat.getOrCreateCollection("p", "cosine")
+    batchColl.add(rows)
+
+    val streamCat = new CollectionCatalog(spark, tmp("parity-stream"), numBuckets = 4)
+    val streamColl = streamCat.getOrCreateCollection("p", "cosine")
+    val chunks = rows.select("id", "document", "embedding")
+      .as[(String, String, Seq[Float])].collect()
+    val mem = MemoryStream[(String, String, Seq[Float])]
+    chunks.grouped((chunks.length + 2) / 3).foreach(g => mem.addData(g.toSeq))
+    val q = StreamingHydrator.hydrate(
+      mem.toDF.toDF("id", "document", "embedding"), streamColl, tmp("parity-ckpt")).start()
+    q.awaitTermination(120000)
+
+    def fingerprint(c: graft.catalog.Collection): (Long, java.math.BigDecimal) = {
+      // decimal sum: an ANSI long sum of 500 xxhash64 values overflows
+      val h = c.toDF.select(xxhash64(col("id"), col("document"), col("embedding"))
+        .cast("decimal(38,0)").as("h"))
+      (c.count(), h.agg(sum("h")).head().getDecimal(0))
+    }
+    assert(fingerprint(streamColl) == fingerprint(batchColl),
+      "micro-batched hydration must equal the one-shot batch hydration")
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicate ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp, String)]
