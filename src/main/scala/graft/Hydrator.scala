@@ -125,6 +125,10 @@ object Hydrator {
       maxRowsPerFile = cfg.maxRowsPerFile)
     val coll = cat.getOrCreateCollection(cfg.collectionName, cfg.space)
     val before = coll.count()
+    // a uniform batch must ALSO match what the collection already holds —
+    // without this, hydrating dim-N into a dim-M collection commits a
+    // ragged store whose kNN reads return null-distance garbage
+    val existingDim = coll.dim()
     coll.add(observed, beforeCommit = () => {
       val m = obs.get // first action over the batch has completed by now
       if (m("n").asInstanceOf[Long] > 0) {
@@ -133,6 +137,10 @@ object Hydrator {
         val (dmin, dmax) = (m("dmin").asInstanceOf[Int], m("dmax").asInstanceOf[Int])
         if (dmin != dmax) throw new IllegalArgumentException(
           s"ragged embedding dimensions [$dmin..$dmax] — Chroma add() requires uniform dim")
+        existingDim.foreach { d =>
+          if (dmax != d) throw new IllegalArgumentException(
+            s"embedding dimension $dmax != collection dimension $d — Chroma add() rejects the batch")
+        }
       }
     })
     val after = coll.count()

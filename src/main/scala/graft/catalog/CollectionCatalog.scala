@@ -489,27 +489,54 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   // Chroma serves `query()` from a single-node HNSW segment; the Spark-
   // native equivalent is a derived, CELL-partitioned copy of the data:
   //
-  //   <dir>/index_v<V>/cell=<c>/...parquet   (V = the data version indexed)
-  //   <dir>/index_v<V>/_ivf_centroids.txt    (nlist-row sidecar)
-  //   <dir>/index_v<V>/_graft_committed      (written LAST)
+  //   <dir>/index_v<V>.b<B>/cell=<c>/...parquet  (V = data version indexed,
+  //   <dir>/index_v<V>.b<B>/_ivf_centroids.txt    B = build number)
+  //   <dir>/index_v<V>.b<B>/_graft_committed     (written LAST)
   //
   // The index is valid only while meta.version == V: any mutation bumps the
   // version and the read path silently falls back to the exact scan until
   // `buildIndex` runs again — approximate answers are never served from
-  // stale data, and a crashed build (no marker) is never adopted. The base
-  // store stays id-hash (`pt`) partitioned so merges keep their O(affected-
-  // buckets) cost; the index pays one extra corpus copy, the normal price
-  // of any secondary index.
+  // stale data, and a crashed build (no marker) is never adopted. Builds
+  // follow the same MVCC discipline as data versions: each `buildIndex`
+  // claims a FRESH build dir (`O_CREAT|O_EXCL` directory create = the CAS,
+  // racing builders get distinct dirs), readers adopt the highest
+  // marker-complete build, and nothing is ever deleted in place — a rebuild
+  // racing an in-flight reader of the previous build cannot pull files out
+  // from under its scan; superseded builds are reclaimed by [[vacuum]].
+  // The base store stays id-hash (`pt`) partitioned so merges keep their
+  // O(affected-buckets) cost; the index pays one extra corpus copy, the
+  // normal price of any secondary index.
 
-  private def indexDir(v: Int): Path = dir.resolve(f"index_v$v%06d")
+  private def indexPrefix(v: Int): String = f"index_v$v%06d"
+  private def indexBuildDir(v: Int, b: Int): Path =
+    dir.resolve(f"${indexPrefix(v)}.b$b%03d")
 
-  /** Committed index for the CURRENT version: (path, centroids), if any. */
-  private def currentIndex(m: CollectionMeta): Option[(Path, Array[(Int, Array[Double])])] = {
-    val p = indexDir(m.version)
-    if (!Files.exists(p.resolve("_graft_committed"))) None
-    else Ann.readCentroids(p.toString, spark.sparkContext.hadoopConfiguration)
-      .map(c => (p, c))
+  /** Build number of an index dir name; the legacy unsuffixed
+    * `index_v<V>` layout reads as build 0. */
+  private def buildNumberOf(p: Path): Int = {
+    val n = p.getFileName.toString
+    val dot = n.indexOf(".b")
+    if (dot < 0) 0 else n.substring(dot + 2).toInt
   }
+
+  private def indexBuildsOf(v: Int): Seq[Path] = DirIO.list(dir)(_.filter { p =>
+    val n = p.getFileName.toString
+    Files.isDirectory(p) &&
+      (n == indexPrefix(v) || n.startsWith(indexPrefix(v) + ".b"))
+  }.toSeq)
+
+  /** Committed index for the CURRENT version: (path, centroids), if any —
+    * the highest marker-complete build. Centroid sidecars are parsed once
+    * per committed build (they are immutable after the marker lands), not
+    * on every query. */
+  private def currentIndex(m: CollectionMeta): Option[(Path, Array[(Int, Array[Double])])] =
+    indexBuildsOf(m.version)
+      .filter(p => Files.exists(p.resolve("_graft_committed")))
+      .sortBy(buildNumberOf).lastOption
+      .flatMap { p =>
+        Collection.cachedCentroids(p, spark.sparkContext.hadoopConfiguration)
+          .map(c => (p, c))
+      }
 
   def hasIndex: Boolean = currentIndex(meta).isDefined
 
@@ -528,13 +555,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   def buildIndexSeeded(seedIds: Seq[String]): Unit = {
     val m = indexableMeta()
     val df = currentWithPtOf(m).drop("pt")
-    val seedRows = df.filter(col("id").isin(seedIds: _*))
-      .select(col("id"), col("embedding").cast("array<double>")).collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
-    val cents = seedIds.zipWithIndex.map { case (sid, i) =>
-      (i, seedRows.getOrElse(sid, sys.error(s"IVF seed id '$sid' not in collection")))
-    }.toArray
-    writeIndex(Ann.IvfModel(cents, Ann.assignCells(df, "embedding", cents)), m.version)
+    writeIndex(Ann.buildIvfSeededAny(df, "id", "embedding", seedIds), m.version)
   }
 
   private def indexableMeta(): CollectionMeta = {
@@ -546,19 +567,28 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   }
 
   private def writeIndex(model: Ann.IvfModel, version: Int): Unit = {
-    val idxDir = indexDir(version)
-    if (Files.exists(idxDir)) DirIO.deleteRecursively(idxDir)
+    // claim a fresh build dir: O_CREAT|O_EXCL directory create — of two
+    // racing builders each gets its own dir, and neither deletes anything
+    // an in-flight reader may be scanning
+    var b = indexBuildsOf(version).map(buildNumberOf).maxOption.fold(0)(_ + 1)
+    var claimed: Path = null
+    while (claimed == null) {
+      try { Files.createDirectory(indexBuildDir(version, b)); claimed = indexBuildDir(version, b) }
+      catch { case _: java.nio.file.FileAlreadyExistsException => b += 1 }
+    }
     // one shuffle BY CELL at build time: without it every write task emits
     // a file into every cell it happens to hold (tasks × nlist small files)
     val packed = model.copy(assigned = model.assigned.repartition(col("cell")))
-    Ann.writeIvf(packed, idxDir.toString)
-    Files.write(idxDir.resolve("_graft_committed"), Array.emptyByteArray)
+    Ann.writeIvf(packed, claimed.toString)
+    Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
   }
 
-  /** Drop the current version's index (reads fall back to the exact scan). */
+  /** Drop the current version's index builds (reads fall back to the exact
+    * scan). Explicit user intent — unlike rebuild, this DOES delete. */
   def dropIndex(): Boolean = {
-    val p = indexDir(meta.version)
-    if (!Files.exists(p)) false else { DirIO.deleteRecursively(p); true }
+    val builds = indexBuildsOf(meta.version)
+    builds.foreach(DirIO.deleteRecursively)
+    builds.nonEmpty
   }
 
   /** B6 query: top-k nearest neighbors with optional prefilters. When a
@@ -571,11 +601,17 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * with null distances instead of an error. One-row probe, Chroma-add
     * parity (Chroma rejects mismatched dimensions at query time too). */
   private def requireDim(qdim: Int): Unit =
-    toDF.select(size(col("embedding")).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).foreach { d =>
-        require(d == qdim,
-          s"query vector dimension $qdim != collection dimension $d")
-      }
+    dim().foreach { d =>
+      require(d == qdim,
+        s"query vector dimension $qdim != collection dimension $d")
+    }
+
+  /** The collection's embedding dimension (None while empty): a one-row
+    * probe, valid because add/hydrate enforce uniform dimensions. */
+  def dim(): Option[Int] =
+    currentData.flatMap(_ =>
+      toDF.select(size(col("embedding")).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0)))
 
   private def requireNoReserved(df: DataFrame, reserved: Seq[String]): Unit = {
     val clash = df.columns.intersect(reserved)
@@ -691,9 +727,17 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     // explicit rank comparator: the default struct ordering cannot sort a
     // payload carrying a MAP field, and rnk is a dense per-query
     // row_number, so the difference is a valid total order
-    val grouped = long.groupBy("qid").agg(
-      array_sort(collect_list(payload), (l, r) =>
-        l.getField("key").getField("rnk") - r.getField("key").getField("rnk")).as("rows"))
+    // Chroma returns one entry PER QUERY VECTOR — a query whose filter
+    // leaves zero hits gets empty lists, not a missing row (the groupBy
+    // alone would drop it and misalign positional zips in the caller)
+    val allQ = spark.range(queryVecs.size.toLong)
+      .select(col("id").cast("int").as("qid"))
+    val grouped = allQ.join(
+      long.groupBy("qid").agg(
+        array_sort(collect_list(payload), (l, r) =>
+          l.getField("key").getField("rnk") - r.getField("key").getField("rnk")).as("rows")),
+      Seq("qid"), "left")
+      .withColumn("rows", coalesce(col("rows"), array()))
     val outCols =
       col("qid") +:
       transform(col("rows"), r => r.getField("key").getField("id")).as("ids") +:
@@ -763,11 +807,23 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       s"keepHistory must be >= 0, got $keepHistory (negative would delete the LIVE version)")
     val current = meta.version
     val cutoff = current - keepHistory
-    val dead = DirIO.list(dir)(
+    def versionOf(p: Path): Int =
+      p.getFileName.toString.dropWhile(!_.isDigit).takeWhile(_.isDigit).toInt
+    val versioned = DirIO.list(dir)(
       _.filter(p => Files.isDirectory(p) && (p.getFileName.toString.startsWith("data_v")
           || p.getFileName.toString.startsWith("index_v")))
-        .filter(p => p.getFileName.toString.dropWhile(!_.isDigit).toInt < cutoff)
         .toSeq)
+    // retained versions still shed superseded/crashed index BUILDS — only
+    // the highest committed build (the one readers adopt) survives
+    val liveBuild: Map[Int, Int] = versioned
+      .filter(p => p.getFileName.toString.startsWith("index_v")
+        && Files.exists(p.resolve("_graft_committed")))
+      .groupBy(versionOf).view.mapValues(_.map(buildNumberOf).max).toMap
+    val dead = versioned.filter { p =>
+      val v = versionOf(p)
+      v < cutoff || (p.getFileName.toString.startsWith("index_v")
+        && liveBuild.get(v).exists(buildNumberOf(p) < _))
+    }
     dead.foreach(DirIO.deleteRecursively)
     // retired version-claim files (cutoff <= current, so the commit record
     // of the live version always survives)
@@ -775,5 +831,26 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       .filter(CollectionMeta.claimVersionOf(_) < cutoff).toSeq)
       .foreach(Files.deleteIfExists(_))
     dead.size
+  }
+}
+
+object Collection {
+  /** Centroid sidecars parsed once per committed build. A committed build
+    * dir is immutable, but a path CAN be reborn (drop collection →
+    * recreate → rebuild lands on the same name), so the cache key carries
+    * the commit marker's mtime as a nonce. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
+
+  private[catalog] def cachedCentroids(
+      build: java.nio.file.Path,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Option[Array[(Int, Array[Double])]] = {
+    val marker = build.resolve("_graft_committed")
+    val key = s"${build.toAbsolutePath}@${java.nio.file.Files.getLastModifiedTime(marker).toMillis}"
+    Option(centroidCache.get(key)).orElse {
+      val parsed = graft.operators.Ann.readCentroids(build.toString, hadoopConf)
+      parsed.foreach(centroidCache.put(key, _))
+      parsed
+    }
   }
 }

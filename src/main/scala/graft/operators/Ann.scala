@@ -71,14 +71,21 @@ object Ann {
     * pruned top-k) can be verified against an independent oracle.
     */
   def buildIvfSeeded(
-      corpus: DataFrame, idCol: String, vecCol: String, seedIds: Seq[Long]): IvfModel = {
+      corpus: DataFrame, idCol: String, vecCol: String, seedIds: Seq[Long]): IvfModel =
+    buildIvfSeededAny(corpus, idCol, vecCol, seedIds)
+
+  /** [[buildIvfSeeded]] over any id type (the collection store keys by
+    * STRING id): seed lookup compares both sides as strings, one shared
+    * implementation so seed-handling fixes cannot diverge by id type. */
+  def buildIvfSeededAny(
+      corpus: DataFrame, idCol: String, vecCol: String, seedIds: Seq[Any]): IvfModel = {
     // cast to array<double> in the query: the corpus may carry float OR
     // double vectors (every other distance entry point accepts both)
     val seedRows = corpus.filter(col(idCol).isin(seedIds: _*))
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      .select(col(idCol).cast("string"), col(vecCol).cast("array<double>")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
     val cents = seedIds.zipWithIndex.map { case (sid, i) =>
-      (i, seedRows.getOrElse(sid, sys.error(s"IVF seed id $sid not in corpus")))
+      (i, seedRows.getOrElse(String.valueOf(sid), sys.error(s"IVF seed id '$sid' not in corpus")))
     }.toArray
     IvfModel(cents, assignCells(corpus, vecCol, cents))
   }

@@ -300,8 +300,13 @@ object Dedup {
       s"probes must be in [1, nBits+1], got $probes (probe 1 = own bucket, probe p = bit p-2 flipped)")
     val bk = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       Ann.srpBucket(col(vecCol), dim, nBits).as("bucket"))
+    // singleton buckets can never form a SAME-bucket pair, so with a
+    // single probe they are pruned outright; under multi-probe a singleton
+    // can still pair across a bit-flip, so only the oversized-bucket guard
+    // may drop rows there
+    val minOccupancy = if (probes == 1) 2 else 1
     val ok = bk.groupBy("bucket").count()
-      .filter(col("count").between(2, maxBucketSize)).select("bucket")
+      .filter(col("count").between(minOccupancy, maxBucketSize)).select("bucket")
     val bounded = bk.join(broadcast(ok), Seq("bucket"))
     // side a probes its own bucket plus `probes - 1` single-bit flips;
     // side b stays at its own bucket, so every candidate pair differs by

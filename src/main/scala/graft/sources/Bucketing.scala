@@ -32,8 +32,12 @@ object Bucketing {
       spark: SparkSession, df: DataFrame, table: String, key: String,
       numBuckets: Int): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // resolve the orphan's location the way the catalog will: database-
+    // aware (`<warehouse>/<db>.db/<name>` when a USE is in effect), not a
+    // hand-built default-database path that misses everywhere else
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(ident))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     writeBucketed(df, table, key, numBuckets)

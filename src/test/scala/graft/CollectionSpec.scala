@@ -420,6 +420,44 @@ class CollectionSpec extends SparkTestBase {
     }
   }
 
+  test("queryStruct: a zero-hit query still gets its row, with empty lists") {
+    val c = freshCatalog().getOrCreateCollection("c", "cosine")
+    c.add(Seq(("a", "d a", Seq(1f, 0f), "en"), ("b", "d b", Seq(0f, 1f), "en"))
+      .toDF("id", "document", "embedding", "lang"))
+    // filter matches nothing: Chroma still returns one (empty) entry per query
+    val out = c.queryStruct(Seq(Seq(1f, 0f), Seq(0f, 1f)), k = 2,
+        where = Some(ChromaFilter.Eq("lang", "xx")))
+      .select("qid", "ids", "distances")
+      .as[(Int, Seq[String], Seq[Double])].collect().toSeq
+    assert(out == Seq((0, Nil, Nil), (1, Nil, Nil)),
+      "positional alignment with the query list must survive empty results")
+  }
+
+  test("IVF index: rebuilds never delete the adopted build in place; vacuum reclaims") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "coll-test").toString
+    val c = new CollectionCatalog(spark, root, numBuckets = 4)
+      .getOrCreateCollection("c", "l2")
+    c.add(clusterBatch())
+    c.buildIndexSeeded(Seq("00", "04", "08", "12"))
+    c.buildIndexSeeded(Seq("01", "05", "09", "13"))  // rebuild, same version
+    val idxDirs = Files.list(java.nio.file.Paths.get(root, "c")).iterator()
+    val builds = scala.jdk.CollectionConverters.IteratorHasAsScala(idxDirs).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("index_v")).toSeq.sorted
+    assert(builds.size == 2, s"a rebuild must claim a FRESH dir, got $builds")
+    // readers adopt the newest committed build and the query still answers
+    assert(c.hasIndex)
+    assert(c.query(Seq(1f, 0f, 0f, 0f), 1).select("id").as[String].head() == "01"
+      || c.query(Seq(1f, 0f, 0f, 0f), 1).select("id").as[String].head() == "00")
+    // vacuum reclaims the superseded build, keeps the adopted one
+    assert(c.vacuum() >= 1)
+    val after = Files.list(java.nio.file.Paths.get(root, "c")).iterator()
+    val left = scala.jdk.CollectionConverters.IteratorHasAsScala(after).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("index_v")).toSeq
+    assert(left == Seq(builds.max), s"only the adopted build survives, got $left")
+    assert(c.hasIndex, "vacuum must not break the live index")
+  }
+
   test("queryStruct: metadatas come back as one string map per hit") {
     val c = freshCatalog().getOrCreateCollection("c", "l2")
     c.add(Seq(("a", "d", Seq(1f, 0f), 3, "en"), ("b", "d", Seq(0f, 1f), 5, "es"))

@@ -138,6 +138,24 @@ class DedupSpec extends SparkTestBase {
     assert(p3.size >= p1.size)
   }
 
+  test("LSH embedding near-dup: multi-probe reaches pairs split across singleton buckets") {
+    import graft.operators.Ann
+    // two near-identical vectors straddling the single SRP hyperplane:
+    // each is the SOLE occupant of its bucket, so same-bucket pairing can
+    // never see them — only a bit-flip probe can
+    val vecs = Seq((1L, Seq(1f, -0.8f)), (2L, Seq(1f, -0.65f))).toDF("id", "v")
+    val bks = vecs.select(Ann.srpBucket(col("v"), 2, 1)).as[Long].collect().toSet
+    assert(bks.size == 2, s"fixture precondition: vectors must bucket apart, got $bks")
+    val p1 = Dedup.embeddingNearDupLsh(vecs, "id", "v",
+      minSim = 0.9, dim = 2, nBits = 1, probes = 1)
+    assert(p1.count() == 0, "single-probe cannot cross the hyperplane")
+    val p2 = Dedup.embeddingNearDupLsh(vecs, "id", "v",
+        minSim = 0.9, dim = 2, nBits = 1, probes = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p2 == Set((1L, 2L)),
+      "a singleton-bucket row must still be probe-able from the flipped bucket")
+  }
+
   test("LSH embedding near-dup: hot buckets past maxBucketSize are excluded") {
     // nBits = 1 funnels ~half the corpus into each of 2 buckets
     val capped = Dedup.embeddingNearDupLsh(embFixture, "vec_id", "embedding",

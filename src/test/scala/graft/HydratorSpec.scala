@@ -38,6 +38,23 @@ class HydratorSpec extends SparkTestBase {
     assert(knn.head == "1")
   }
 
+  test("second hydration with a different embedding dim is rejected pre-commit") {
+    val root = tmpRoot()
+    val coll = Hydrator.run(spark, cfg(root)).get   // dim-3 collection
+    val p2 = tmpRoot() + "/wide2"
+    Seq((9L, "late doc", 1.0, 0.1, 0.2))            // uniform, but dim-2
+      .toDF("doc_id", "text", "score", "emb_0", "emb_1")
+      .write.parquet(p2)
+    val e = intercept[IllegalArgumentException] {
+      Hydrator.run(spark, cfg(root).copy(inputTable = p2))
+    }
+    assert(e.getMessage.contains("dimension"))
+    assert(coll.count() == 3, "the mismatched batch must never become visible")
+    // the collection still answers dim-3 queries (no ragged rows snuck in)
+    assert(coll.query(Seq(0.1f, 0.2f, 0.3f), 1).select("dist")
+      .filter(col("dist").isNull).count() == 0)
+  }
+
   test("run trigger off -> no-op (sas:244-255 branch)") {
     val root = tmpRoot()
     assert(Hydrator.run(spark, cfg(root).copy(runTrigger = false)).isEmpty)
