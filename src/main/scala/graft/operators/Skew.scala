@@ -25,7 +25,14 @@ object Skew {
 
   /** The salt for one fact row: mixes row identity with the key so a hot
     * key spreads over all n salts. Exposed so tests exercise the SAME
-    * expression the join uses (a re-derived copy could silently drift). */
+    * expression the join uses (a re-derived copy could silently drift).
+    *
+    * `monotonically_increasing_id` is nondeterministic under task retries —
+    * a re-run task may salt the same row differently. That only moves the
+    * row to another salt partition; since the right side is replicated to
+    * EVERY salt, the join result is identical either way (SkewSpec pins
+    * result-equality with the unsalted join). Do not reuse this expression
+    * anywhere the salt value itself lands in the output. */
   def saltExpr(key: String, numSalts: Int): Column =
     pmod(hash(monotonically_increasing_id(), col(key)), lit(numSalts))
 
