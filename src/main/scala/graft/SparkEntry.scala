@@ -27,9 +27,19 @@ object SparkEntry {
     * (nanos) via this legacy flag; DuckDB truncates the same values to µs.
     * All event-time arithmetic therefore happens on integer MICROSECONDS on
     * both engines — exact parity, no float drift. */
+  /** Events with a canonical `us` (µs since epoch) column. Sources carry
+    * event time either as TIMESTAMP(NANOS) parquet — which `nanosAsLong`
+    * surfaces as a LONG of nanoseconds — or as a true timestamp column
+    * (e.g. the ScaleUp replica's micros round-trip); both land on the same
+    * integer-microsecond basis every event-time query computes on. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+    val raw = t(s, dir, "events")
+    val us = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts"))
+    }
+    raw.withColumn("us", us)
   }
 
   private def headVec(emb: DataFrame, id: Long): Seq[Float] =
@@ -363,6 +373,32 @@ object SparkEntry {
           minSim = 0.2, dim = 64, nBits = 8)
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")),
+    // Multi-probe recall dial: probes=2 additionally checks the bucket with
+    // bit 0 flipped, reaching near-dup pairs that straddle one SRP
+    // hyperplane (including rows that sit ALONE in their bucket) without
+    // re-hashing anything — cost grows by one probed copy of side a only
+    "q64_neardup_multiprobe" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minSim = 0.2, dim = 64, nBits = 8, probes = 2)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .orderBy("id_a", "id_b")),
+    // Grouped mean-pooling: ONE embedding per label (the doc-from-chunks /
+    // class-centroid primitive every training pipeline needs). posexplode →
+    // one shuffle on (label,pos) whose partial sums combine map-side (the
+    // shuffle carries groups, not rows), then a tiny labels×dim reassembly.
+    // Exact decimal sums + ONE double division: fold-order-free.
+    "q65_label_centroid" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy("label", "pos")
+        .agg((sum(col("e").cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"),
+          round(col("m"), 4).as("m")))).as("ps"))
+        .select(col("label"),
+          transform(col("ps"), p => p.getField("m")).as("centroid"))
+        .orderBy("label")),
     // ANN: deterministic sign-random-projection buckets
     "q33_srp_bucket" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -876,6 +912,33 @@ object SparkEntry {
          |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
          |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },
+    "q64_neardup_multiprobe" -> {
+      val sim = s"${sqlDot("a.e", "c.e")} / (sqrt(${sqlDot("a.e", "a.e")}) * sqrt(${sqlDot("c.e", "c.e")}))"
+      // probes=2: side a is unioned with its bit-0-flipped bucket; the
+      // occupancy floor drops to 1 (singletons stay reachable), DISTINCT
+      // folds pairs found from both endpoints' probe sets
+      s"""WITH b AS (SELECT vec_id AS id, embedding AS e,
+         |             ${sqlSrpBucket("embedding")} AS bucket FROM embeddings),
+         |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 1000),
+         |bb AS (SELECT b.id, b.e, b.bucket FROM b JOIN ok USING (bucket)),
+         |pa AS (SELECT id, e, bucket FROM bb
+         |       UNION ALL SELECT id, e, xor(bucket, 1) AS bucket FROM bb),
+         |p AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b, $sim AS sim
+         |      FROM pa a JOIN bb c ON a.bucket = c.bucket AND a.id < c.id)
+         |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
+         |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
+    },
+    "q65_label_centroid" ->
+      """WITH x AS (
+        |  SELECT label, i AS pos,
+        |    -- + 0.0 normalizes IEEE -0.0 (Spark's BigDecimal round drops
+        |    -- the sign of rounded-to-zero negatives; DuckDB keeps it)
+        |    ROUND(CAST(SUM(CAST(embedding[CAST(i+1 AS INTEGER)] AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*), 4) + 0.0 AS m
+        |  FROM embeddings, range(64) t(i)
+        |  GROUP BY label, i)
+        |SELECT label, list(m ORDER BY pos) AS centroid
+        |FROM x GROUP BY label ORDER BY label""".stripMargin,
     // NOTE: byte-vs-codepoint parity of mean_byte relies on the fixture
     // text being ASCII (driver-generated, fixed); non-ASCII corpora would
     // need a bytes-based oracle (DuckDB lacks per-byte access on BLOB).

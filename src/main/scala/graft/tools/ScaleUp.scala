@@ -77,9 +77,14 @@ object ScaleUp {
       Map("doc_id" -> strides("documents"))))
     write("embeddings", replicate(spark, t("embeddings"), factor,
       Map("vec_id" -> strides("embeddings"))))
-    // user_id stride = user cardinality, so events-per-user stays constant
+    // user_id stride = user cardinality, so events-per-user stays constant.
+    // ts reads as a LONG of nanos (nanosAsLong); writing it back raw would
+    // make the replica's column BIGINT — queries survive, but the DuckDB
+    // oracles (written for the fixture's TIMESTAMP) would not. Round-trip
+    // through a micros timestamp so the replica keeps the logical schema.
     write("events", replicate(spark, t("events"), factor,
-      Map("event_id" -> strides("events"), "user_id" -> strides("users"))))
+        Map("event_id" -> strides("events"), "user_id" -> strides("users")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
 
     spark.stop()
   }

@@ -12,7 +12,10 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for f in glob.glob(os.path.join(sfdir, "*.parquet")):
     name = os.path.basename(f)[:-len(".parquet")]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    # fixture tables are single files; Spark-written tables (e.g. the
+    # ScaleUp sf1 replica) are DIRECTORIES of part files
+    pat = os.path.join(f, "*.parquet") if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{pat}'")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
