@@ -26,12 +26,9 @@ object SparkEntry {
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a long
     * (nanos) via this legacy flag; DuckDB truncates the same values to µs.
     * All event-time arithmetic therefore happens on integer MICROSECONDS on
-    * both engines — exact parity, no float drift. */
-  /** Events with a canonical `us` (µs since epoch) column. Sources carry
-    * event time either as TIMESTAMP(NANOS) parquet — which `nanosAsLong`
-    * surfaces as a LONG of nanoseconds — or as a true timestamp column
-    * (e.g. the ScaleUp replica's micros round-trip); both land on the same
-    * integer-microsecond basis every event-time query computes on. */
+    * both engines — exact parity, no float drift. Sources may also carry a
+    * true timestamp column (e.g. the ScaleUp replica's micros round-trip);
+    * either physical type lands on the same canonical `us` basis. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, dir, "events")

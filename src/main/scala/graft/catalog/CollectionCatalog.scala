@@ -484,6 +484,46 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     limit.fold(df)(df.limit)
   }
 
+  /** Chroma result-SHAPE parity for `get`: ONE row of parallel id-ordered
+    * lists (`ids`, and under `include=` control `documents`, `embeddings`,
+    * `metadatas` — get has no distances). Same presentation-only fold as
+    * [[queryStruct]]; the page (`ids`/`where`/`limit`/`offset`) is bounded
+    * by construction, so the single collect_list row is never corpus-sized
+    * unless the caller asked for the whole corpus — exactly Chroma's own
+    * contract (its get() materializes the full result client-side too). */
+  def getStruct(ids: Seq[String] = Nil, where: Option[Where] = None,
+                whereDoc: Option[WhereDocument] = None,
+                limit: Option[Int] = None, offset: Int = 0,
+                include: Set[String] = Set("documents", "metadatas")): DataFrame = {
+    val unknown = include.diff(Set("documents", "embeddings", "metadatas"))
+    require(unknown.isEmpty, s"unknown include entries: ${unknown.mkString(", ")}")
+    val page = get(ids, where, whereDoc, limit, offset)
+    val metaCols = page.columns
+      .filterNot(Seq("id", "document", "embedding").contains).sorted
+    val payloadFields =
+      col("id") +:
+      (if (include("documents")) Seq(col("document")) else Nil) ++:
+      (if (include("embeddings")) Seq(col("embedding")) else Nil) ++:
+      (if (include("metadatas") && metaCols.nonEmpty)
+        Seq(map(metaCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("meta"))
+      else Nil)
+    // id leads the payload; the comparator sorts on it alone (ids are
+    // unique), so a MAP field later in the struct never gets compared
+    val grouped = page.agg(
+      array_sort(collect_list(struct(payloadFields: _*)),
+        (l, r) => when(l.getField("id") < r.getField("id"), -1)
+          .when(l.getField("id") > r.getField("id"), 1).otherwise(0)).as("rows"))
+    val outCols =
+      transform(col("rows"), _.getField("id")).as("ids") +:
+      (if (include("documents"))
+        Seq(transform(col("rows"), _.getField("document")).as("documents")) else Nil) ++:
+      (if (include("embeddings"))
+        Seq(transform(col("rows"), _.getField("embedding")).as("embeddings")) else Nil) ++:
+      (if (include("metadatas") && metaCols.nonEmpty)
+        Seq(transform(col("rows"), _.getField("meta")).as("metadatas")) else Nil)
+    grouped.select(outCols: _*)
+  }
+
   // ---- IVF index: the collection's kNN scale path (SURVEY §4.3.3) ----
   //
   // Chroma serves `query()` from a single-node HNSW segment; the Spark-

@@ -458,6 +458,28 @@ class CollectionSpec extends SparkTestBase {
     assert(c.hasIndex, "vacuum must not break the live index")
   }
 
+  test("getStruct: Chroma-shaped parallel lists match get(); include controls") {
+    val c = freshCatalog().getOrCreateCollection("c", "l2")
+    c.add(Seq(("b", "doc b", Seq(0f, 1f), "es"), ("a", "doc a", Seq(1f, 0f), "en"),
+      ("c", "doc c", Seq(1f, 1f), "en")).toDF("id", "document", "embedding", "lang"))
+    val long = c.get(where = Some(ChromaFilter.Eq("lang", "en")))
+      .select("id", "document").as[(String, String)].collect().toSeq
+    val (ids, docs, metas) = c.getStruct(where = Some(ChromaFilter.Eq("lang", "en")))
+      .select("ids", "documents", "metadatas")
+      .as[(Seq[String], Seq[String], Seq[Map[String, String]])].head()
+    assert(ids == long.map(_._1))          // id-ordered, like get()
+    assert(docs == long.map(_._2))
+    assert(metas == Seq(Map("lang" -> "en"), Map("lang" -> "en")))
+    // include=embeddings returns the vectors; empty include = ids only
+    val e = c.getStruct(ids = Seq("a"), include = Set("embeddings"))
+    assert(e.columns.toSeq == Seq("ids", "embeddings"))
+    assert(e.select("embeddings").as[Seq[Seq[Float]]].head() == Seq(Seq(1f, 0f)))
+    val zero = c.getStruct(where = Some(ChromaFilter.Eq("lang", "xx")))
+    assert(zero.select("ids").as[Seq[String]].head() == Nil,
+      "empty page still yields the single row with empty lists")
+    intercept[IllegalArgumentException] { c.getStruct(include = Set("distances")) }
+  }
+
   test("queryStruct: metadatas come back as one string map per hit") {
     val c = freshCatalog().getOrCreateCollection("c", "l2")
     c.add(Seq(("a", "d", Seq(1f, 0f), 3, "en"), ("b", "d", Seq(0f, 1f), 5, "es"))
