@@ -75,6 +75,22 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q65 mean-pooling: (label,pos) sums combine map-side before the shuffle") {
+    val p = plan("q65_label_centroid")
+    assert(p.contains("partial_sum"),
+      s"the exploded stream must partial-aggregate before shuffling:\n$p")
+    // generate → partial agg → one (label,pos) shuffle → final agg →
+    // one (label) reassembly shuffle → final sort; anything more means
+    // the 64x-exploded rows crossed the wire unreduced
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"expected (label,pos) + (label) shuffles only, got $shuffles:\n$p")
+  }
+
+  test("q64 multi-probe: the bucket allowlist broadcasts, pairs never sort-merge") {
+    val p = plan("q64_neardup_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), s"allowlist must broadcast:\n$p")
+  }
+
   test("collection IVF query prunes the scan to the probed cells (PartitionFilters)") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory(
