@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.catalog.CollectionCatalog
 import graft.functions.{Distances, TextAnalysis}
-import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Knn, Multimodal, Skew}
+import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Knn, Multimodal, Retrieval, Skew}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + the builder prompt.
   *
@@ -59,6 +59,34 @@ object SparkEntry {
        |         CAST($v[j+1] AS DOUBLE)
        |         * (((1103515245 * (b*$dim + j) + 12345) % 2001 - 1000) / 1000.0))) >= 0
        |       THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Retrieval.bm25TopK]] ending in a
+    * `kwtop(id, score, rnk)` CTE. Every numeric literal interpolates from
+    * the SAME Scala double the Spark side computes with (shortest-roundtrip
+    * toString), so both engines parse bit-identical constants — `k1 + 1`
+    * in particular sits on a rounding boundary a hand-written `2.2` could
+    * miss. The arithmetic parenthesization mirrors the Column expression
+    * token for token; only IEEE-exact ops appear (log-free idf). */
+  private def sqlBm25(n: Int, terms: Seq[String] = Seq("hash", "join", "stream"),
+                      k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id AS id,
+       |              unnest(string_split_regex(lower(text), '\\s+')) AS term
+       |              FROM documents),
+       |dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+       |tf AS (SELECT id, term, COUNT(*) AS tf FROM toks
+       |       WHERE term IN ($termList) GROUP BY id, term),
+       |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT tf.id,
+       |    ROUND((((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1}))
+       |      / (tf + $k1 * (${1 - b} + ($b * CAST(dl AS DOUBLE) * n_docs) / CAST(tot_dl AS DOUBLE))), 6) AS s
+       |    FROM tf JOIN dft USING (term) JOIN dl USING (id) CROSS JOIN stats),
+       |kws AS (SELECT id, CAST(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS score
+       |        FROM sc GROUP BY id),
+       |kwtop AS (SELECT id, score, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk
+       |          FROM kws ORDER BY score DESC, id LIMIT $n)""".stripMargin
+  }
 
   private def sqlKnnSingle(distSql: String, extraWhere: String = ""): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -396,6 +424,27 @@ object SparkEntry {
         .select(col("label"),
           transform(col("ps"), p => p.getField("m")).as("centroid"))
         .orderBy("label")),
+    // Keyword retrieval: BM25-style scoring (log-free idf — IEEE-exact,
+    // replayable), one explode pass, broadcast df/stats, decimal score fold
+    "q66_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "stream"), 20)
+        .select(col("id"), col("rnk"), round(col("score"), 4).as("score"))
+        .orderBy("rnk")),
+    // Hybrid retrieval: reciprocal-rank fusion of the keyword top-50 and
+    // the vector top-50 — the standard combiner, and pure rank arithmetic,
+    // so the fused scores replay exactly in the oracle
+    "q67_hybrid_rrf" -> ((s, dir) => {
+      val kw = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "stream"), 50).select(col("id"), col("rnk"))
+      val qv = headVec(t(s, dir, "embeddings"), 0)
+      val vr = Knn.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          qv, 50, "cosine", excludeIds = Seq(0))
+        .select(col("vec_id").as("id"), row_number().over(
+          Window.orderBy(col("dist"), col("vec_id"))).as("rnk"))
+      Retrieval.rrf(Seq(kw, vr), "id", "rnk")
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+    }),
     // ANN: deterministic sign-random-projection buckets
     "q33_srp_bucket" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -924,6 +973,22 @@ object SparkEntry {
          |      FROM pa a JOIN bb c ON a.bucket = c.bucket AND a.id < c.id)
          |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
          |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
+    },
+    "q66_bm25_topk" -> (sqlBm25(20) + "\nSELECT id, rnk, ROUND(score, 4) AS score FROM kwtop ORDER BY rnk"),
+    "q67_hybrid_rrf" -> {
+      // vector side mirrors q11's cosine shape at k=50; fusion is pure
+      // rank arithmetic (1/(60+rnk)), kw contribution folded first
+      val cos = s"1 - (${sqlDot("e.embedding", "q.qe")} / (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("q.qe", "q.qe")})))"
+      sqlBm25(50) + s""",
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vd AS (SELECT e.vec_id AS id, $cos AS dist
+         |       FROM embeddings e, q WHERE e.vec_id <> 0),
+         |vr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY dist, id) AS rnk
+         |       FROM vd ORDER BY dist, id LIMIT 50)
+         |SELECT COALESCE(k.id, v.id) AS id,
+         |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) AS rrf
+         |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
     },
     "q65_label_centroid" ->
       """WITH x AS (
