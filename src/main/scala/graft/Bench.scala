@@ -34,13 +34,19 @@ object Bench {
     try spark.range(8).write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
     // SPARK_GRAFT_BENCH_ONLY=q62,q63 restricts the suite (tuning loop);
-    // the driver never sets it, so graded runs always cover everything
+    // the driver never sets it, so graded runs always cover everything.
+    // A set-but-empty value means "run all" (a zero-query run would print
+    // a healthy-looking 0-second total); prefixes match only at a name
+    // boundary, so ONLY=q6 selects q6_* without also sweeping in q60-q67.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    def selected(name: String): Boolean = only.forall(_.exists(o =>
+      name == o || (name.startsWith(o) && name.charAt(o.length) == '_')))
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = (1 to runs).map { _ =>
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.forall(o => o.exists(name.startsWith)) }
+        .filter { case (name, _) => selected(name) }
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {

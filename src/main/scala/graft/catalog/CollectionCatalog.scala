@@ -498,30 +498,17 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val unknown = include.diff(Set("documents", "embeddings", "metadatas"))
     require(unknown.isEmpty, s"unknown include entries: ${unknown.mkString(", ")}")
     val page = get(ids, where, whereDoc, limit, offset)
-    val metaCols = page.columns
-      .filterNot(Seq("id", "document", "embedding").contains).sorted
-    val payloadFields =
-      col("id") +:
-      (if (include("documents")) Seq(col("document")) else Nil) ++:
-      (if (include("embeddings")) Seq(col("embedding")) else Nil) ++:
-      (if (include("metadatas") && metaCols.nonEmpty)
-        Seq(map(metaCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("meta"))
-      else Nil)
-    // id leads the payload; the comparator sorts on it alone (ids are
-    // unique), so a MAP field later in the struct never gets compared
-    val grouped = page.agg(
-      array_sort(collect_list(struct(payloadFields: _*)),
-        (l, r) => when(l.getField("id") < r.getField("id"), -1)
-          .when(l.getField("id") > r.getField("id"), 1).otherwise(0)).as("rows"))
-    val outCols =
-      transform(col("rows"), _.getField("id")).as("ids") +:
-      (if (include("documents"))
-        Seq(transform(col("rows"), _.getField("document")).as("documents")) else Nil) ++:
-      (if (include("embeddings"))
-        Seq(transform(col("rows"), _.getField("embedding")).as("embeddings")) else Nil) ++:
-      (if (include("metadatas") && metaCols.nonEmpty)
-        Seq(transform(col("rows"), _.getField("meta")).as("metadatas")) else Nil)
-    grouped.select(outCols: _*)
+    val fields: Seq[FoldField] =
+      ("id", "ids", col("id")) +:
+      (docField(page, include("documents")) ++
+        (if (include("embeddings")) Seq(("embedding", "embeddings", col("embedding"))) else Nil) ++
+        metaField(page, include("metadatas"),
+          exclude = Seq("id", "document", "embedding")))
+    // ids are unique, so a three-way string compare on the id alone is a
+    // valid total order (the MAP field never enters the comparator)
+    val rows = sortedRows(page, Nil, col("id"),
+      (l, r) => when(l < r, -1).when(l > r, 1).otherwise(0), fields)
+    extractLists(rows, Nil, fields)
   }
 
   // ---- IVF index: the collection's kNN scale path (SURVEY §4.3.3) ----
@@ -753,42 +740,74 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val unknown = include.diff(Set("documents", "distances", "metadatas"))
     require(unknown.isEmpty, s"unknown include entries: ${unknown.mkString(", ")}")
     val long = queryBatch(queryVecs, k, where, whereDoc, nprobe, exact)
-    val hasDoc = long.columns.contains("document")
-    val metaCols = long.columns
-      .filterNot(Seq("qid", "rnk", "id", "dist", "document").contains).sorted
-    val payloadFields =
-      struct(col("rnk"), col("id")).as("key") +:
-      (if (include("documents") && hasDoc) Seq(col("document")) else Nil) ++:
-      (if (include("distances")) Seq(col("dist")) else Nil) ++:
-      (if (include("metadatas") && metaCols.nonEmpty)
-        Seq(map(metaCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*).as("meta"))
-      else Nil)
-    val payload = struct(payloadFields: _*)
-    // explicit rank comparator: the default struct ordering cannot sort a
-    // payload carrying a MAP field, and rnk is a dense per-query
-    // row_number, so the difference is a valid total order
+    val fields: Seq[FoldField] =
+      ("id", "ids", col("id")) +:
+      (docField(long, include("documents")) ++
+        (if (include("distances")) Seq(("dist", "distances", col("dist"))) else Nil) ++
+        metaField(long, include("metadatas"),
+          exclude = Seq("qid", "rnk", "id", "dist", "document", "embedding")))
+    // rnk is a dense per-query row_number, so subtraction is a valid
+    // total-order comparator (the default struct ordering cannot sort a
+    // payload carrying a MAP field)
+    val rows = sortedRows(long, Seq("qid"), col("rnk"), (l, r) => l - r, fields)
     // Chroma returns one entry PER QUERY VECTOR — a query whose filter
     // leaves zero hits gets empty lists, not a missing row (the groupBy
     // alone would drop it and misalign positional zips in the caller)
     val allQ = spark.range(queryVecs.size.toLong)
       .select(col("id").cast("int").as("qid"))
-    val grouped = allQ.join(
-      long.groupBy("qid").agg(
-        array_sort(collect_list(payload), (l, r) =>
-          l.getField("key").getField("rnk") - r.getField("key").getField("rnk")).as("rows")),
-      Seq("qid"), "left")
+    val full = allQ.join(rows, Seq("qid"), "left")
       .withColumn("rows", coalesce(col("rows"), array()))
-    val outCols =
-      col("qid") +:
-      transform(col("rows"), r => r.getField("key").getField("id")).as("ids") +:
-      (if (include("documents") && hasDoc)
-        Seq(transform(col("rows"), _.getField("document")).as("documents")) else Nil) ++:
-      (if (include("distances"))
-        Seq(transform(col("rows"), _.getField("dist")).as("distances")) else Nil) ++:
-      (if (include("metadatas") && metaCols.nonEmpty)
-        Seq(transform(col("rows"), _.getField("meta")).as("metadatas")) else Nil)
-    grouped.select(outCols: _*).orderBy("qid")
+    extractLists(full, Seq("qid"), fields).orderBy("qid")
   }
+
+  // ---- shared presentation fold for queryStruct/getStruct ----
+  // (payload field name, output list name, source expression)
+  private type FoldField = (String, String, Column)
+
+  private def docField(df: DataFrame, on: Boolean): Seq[FoldField] =
+    if (on && df.columns.contains("document"))
+      Seq(("document", "documents", col("document"))) else Nil
+
+  /** The per-hit metadata map: a collection either flattens metadata into
+    * typed columns (stringified here) or carries Chroma's own
+    * MAP<STRING,STRING> `metadata` column (returned AS the map — callers
+    * get real key/values, not a stringified blob); both layouts may even
+    * coexist (map_concat, duplicate keys rejected by Spark's policy). */
+  private def metaField(df: DataFrame, on: Boolean,
+                        exclude: Seq[String]): Seq[FoldField] = {
+    if (!on) return Nil
+    val hasMap = df.schema.fields.exists(f =>
+      f.name == "metadata" && f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+    val flat = df.columns.filterNot((exclude :+ "metadata").contains).sorted
+    val flatMap =
+      if (flat.isEmpty) None
+      else Some(map(flat.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+    val m = (hasMap, flatMap) match {
+      case (true, Some(f)) => Some(map_concat(f, col("metadata").cast("map<string,string>")))
+      case (true, None)    => Some(col("metadata").cast("map<string,string>"))
+      case (false, f)      => f
+    }
+    m.map(("meta", "metadatas", _)).toSeq
+  }
+
+  /** Collect each group's rows into ONE array sorted by `sortKey` under
+    * `cmp`; returns `groupKeys :+ rows`. */
+  private def sortedRows(page: DataFrame, groupKeys: Seq[String],
+                         sortKey: Column, cmp: (Column, Column) => Column,
+                         fields: Seq[FoldField]): DataFrame = {
+    val payload = struct(sortKey.as("__k") +: fields.map { case (f, _, e) => e.as(f) }: _*)
+    val sorted = array_sort(collect_list(payload),
+      (l, r) => cmp(l.getField("__k"), r.getField("__k"))).as("rows")
+    if (groupKeys.isEmpty) page.agg(sorted)
+    else page.groupBy(groupKeys.map(col): _*).agg(sorted)
+  }
+
+  /** Re-extract parallel per-field lists from the sorted rows array. */
+  private def extractLists(grouped: DataFrame, groupKeys: Seq[String],
+                           fields: Seq[FoldField]): DataFrame =
+    grouped.select(groupKeys.map(col) ++ fields.map { case (f, o, _) =>
+      transform(col("rows"), _.getField(f)).as(o)
+    }: _*)
 
   /** B10 count / peek. */
   def count(): Long = currentData.fold(0L)(_ => toDF.count())

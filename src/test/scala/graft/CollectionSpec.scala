@@ -480,6 +480,22 @@ class CollectionSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { c.getStruct(include = Set("distances")) }
   }
 
+  test("struct surfaces return MAP-layout metadata as real key/value maps") {
+    // the hydrated layout (q00) carries Chroma's own MAP<STRING,STRING>
+    // `metadata` column — it must come back AS the map, not stringified
+    // into a {"metadata": "{k -> v}"} blob
+    val c = freshCatalog().getOrCreateCollection("c", "cosine")
+    c.add(Seq(("a", "d a", Seq(1f, 0f), Map("rating" -> "9.1")),
+      ("b", "d b", Seq(0f, 1f), Map("rating" -> "8.2")))
+      .toDF("id", "document", "embedding", "metadata"))
+    val g = c.getStruct().select("metadatas")
+      .as[Seq[Map[String, String]]].head()
+    assert(g == Seq(Map("rating" -> "9.1"), Map("rating" -> "8.2")))
+    val q = c.queryStruct(Seq(Seq(1f, 0f)), k = 1).select("metadatas")
+      .as[Seq[Map[String, String]]].head()
+    assert(q == Seq(Map("rating" -> "9.1")))
+  }
+
   test("queryStruct: metadatas come back as one string map per hit") {
     val c = freshCatalog().getOrCreateCollection("c", "l2")
     c.add(Seq(("a", "d", Seq(1f, 0f), 3, "en"), ("b", "d", Seq(0f, 1f), 5, "es"))

@@ -86,7 +86,10 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffles <= 2, s"expected (label,pos) + (label) shuffles only, got $shuffles:\n$p")
   }
 
-  test("q64 multi-probe: the bucket allowlist broadcasts, pairs never sort-merge") {
+  // NOTE: only the ALLOWLIST join shape is pinned. The pair self-join
+  // legitimately becomes a bucket-keyed shuffle join at scale — asserting
+  // its small-data broadcast form here would pin the wrong contract.
+  test("q64 multi-probe: the bucket allowlist joins via broadcast") {
     val p = plan("q64_neardup_multiprobe")
     assert(p.contains("BroadcastHashJoin"), s"allowlist must broadcast:\n$p")
   }
