@@ -445,6 +445,15 @@ object SparkEntry {
       Retrieval.rrf(Seq(kw, vr), "id", "rnk")
         .orderBy(col("rrf").desc, col("id")).limit(20)
     }),
+    // Benchmark decontamination: docs leaking any 8-gram of the "eval"
+    // slice (deterministic doc_id % 97 sample stands in for a benchmark).
+    // Eval shingles broadcast; corpus rows never shuffle.
+    "q68_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminated(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0).select(col("text")), "text", n = 8)
+        .orderBy("id")
+    }),
     // ANN: deterministic sign-random-projection buckets
     "q33_srp_bucket" -> ((s, dir) =>
       t(s, dir, "embeddings")
@@ -974,6 +983,14 @@ object SparkEntry {
          |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
          |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },
+    "q68_decontaminate" ->
+      """WITH t AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |shl AS (SELECT id, CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 7), i -> array_to_string(toks[i+1:i+8], ' ')) END AS shingles
+        |        FROM t),
+        |ev AS (SELECT DISTINCT unnest(shingles) AS sh FROM shl WHERE id % 97 = 0),
+        |cs AS (SELECT id, unnest(shingles) AS sh FROM shl)
+        |SELECT DISTINCT id FROM cs JOIN ev USING (sh) ORDER BY id""".stripMargin,
     "q66_bm25_topk" -> (sqlBm25(20) + "\nSELECT id, rnk, ROUND(score, 4) AS score FROM kwtop ORDER BY rnk"),
     "q67_hybrid_rrf" -> {
       // vector side mirrors q11's cosine shape at k=50; fusion is pure

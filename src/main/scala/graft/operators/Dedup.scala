@@ -261,6 +261,25 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: corpus documents sharing ANY word n-gram
+    * with an eval/benchmark set — the standard leakage check a training
+    * pipeline runs before a corpus ships (n=8..13 word-gram overlap is the
+    * usual published criterion).
+    *
+    * 100 TB shape: the eval side is tiny next to a training corpus, so its
+    * distinct shingle set BROADCASTS; the corpus pays ONE compiled shingle
+    * pass ([[wordShingles]]) and a map-side broadcast semi-join — corpus
+    * rows never shuffle; only the matched-id distinct (bounded by the
+    * contamination count, not the corpus) exchanges at the end. */
+  def contaminated(corpus: DataFrame, idCol: String, textCol: String,
+                   evalSet: DataFrame, evalTextCol: String, n: Int = 8): DataFrame = {
+    val cs = corpus.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), n)).as("sh"))
+    val es = evalSet
+      .select(explode(wordShingles(col(evalTextCol), n)).as("sh")).distinct()
+    cs.join(broadcast(es), Seq("sh"), "left_semi").select("id").distinct()
+  }
+
   /** VERIFY PRIMITIVE ONLY — all-pairs embedding-cosine similarity over an
     * already-bounded candidate set (a sample, or one LSH bucket's rows).
     * The join is O(n²) in its input; the scale path for whole-corpus

@@ -458,6 +458,26 @@ class CollectionSpec extends SparkTestBase {
     assert(c.hasIndex, "vacuum must not break the live index")
   }
 
+  test("racing index builds claim distinct dirs; both commit, reader adopts one") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "coll-race").toString
+    val c = new CollectionCatalog(spark, root, numBuckets = 4)
+      .getOrCreateCollection("c", "l2")
+    c.add(clusterBatch())
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map(_ => new Thread(() =>
+      try c.buildIndexSeeded(Seq("00", "04", "08", "12"))
+      catch { case e: Throwable => errs.add(e) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing builders must both succeed: ${errs.peek()}")
+    val builds = Files.list(java.nio.file.Paths.get(root, "c")).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(builds).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("index_v")).toSeq
+    assert(names.size == 2, s"each racer claims its own build dir, got $names")
+    assert(c.hasIndex)
+    assert(c.query(Seq(1f, 0f, 0f, 0f), 1).select("id").as[String].head() == "00")
+  }
+
   test("getStruct: Chroma-shaped parallel lists match get(); include controls") {
     val c = freshCatalog().getOrCreateCollection("c", "l2")
     c.add(Seq(("b", "doc b", Seq(0f, 1f), "es"), ("a", "doc a", Seq(1f, 0f), "en"),

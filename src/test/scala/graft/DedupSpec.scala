@@ -138,6 +138,17 @@ class DedupSpec extends SparkTestBase {
     assert(p3.size >= p1.size)
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with the eval set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // contains eval 3-gram
+      (2L, "quick brown wolf runs far"),   // shares words but no 3-gram
+      (3L, "an entirely different text")).toDF("doc_id", "text")
+    val evalSet = Seq("lazy dogs and the quick brown fox of lore").toDF("text")
+    val hit = Dedup.contaminated(corpus, "doc_id", "text", evalSet, "text", n = 3)
+      .as[Long].collect().toSeq
+    assert(hit == Seq(1L), s"only doc 1 shares a 3-gram, got $hit")
+  }
+
   test("LSH embedding near-dup: multi-probe reaches pairs split across singleton buckets") {
     import graft.operators.Ann
     // two near-identical vectors straddling the single SRP hyperplane:
