@@ -198,6 +198,18 @@ object SparkEntry {
           excludeIds = Seq(0L))
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))
     }),
+    // Quantized-corpus kNN (asymmetric: raw float query vs int8-
+    // dequantized corpus) — the 4×-smaller scan a 100 TB vector table
+    // wants; quantization arithmetic is IEEE-exact so the oracle replays
+    // codes, scales, and distances value-for-value
+    "q69_quantized_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dq = emb.select(col("vec_id"),
+        Ann.dequantizeInt8(Ann.quantizeInt8(col("embedding"))).as("embedding"))
+      Knn.topK(dq, "vec_id", "embedding", headVec(emb, 0), 10, "cosine",
+          excludeIds = Seq(0L))
+        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+    }),
     // B9 squared-L2 top-k
     "q12_knn_l2" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -838,6 +850,24 @@ object SparkEntry {
     "q10_get_limit_offset" ->
       "SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 10 OFFSET 5",
     "q11_knn_cosine" -> sqlKnnSingle(sqlCos("e.embedding", "q.qe")),
+    "q69_quantized_knn" -> {
+      // replay of Ann.quantizeInt8 ∘ dequantizeInt8: per-vector max-abs
+      // scale, away-from-zero integer rounding (both engines), then the
+      // q11 cosine shape over the reconstructed corpus
+      s"""WITH sc AS (SELECT vec_id, embedding,
+         |       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |     FROM embeddings),
+         |eq AS (SELECT vec_id,
+         |       list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) /
+         |         (CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END), 0)
+         |         * (CASE WHEN mx > 0 THEN mx / 127.0 ELSE 1.0 END)) AS de
+         |     FROM sc),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id AS vec_id, ${sqlCos("e.de", "q.qe")} AS dist_raw
+         |      FROM eq e, q WHERE e.vec_id <> 0)
+         |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM d
+         |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin
+    },
     "q12_knn_l2" -> sqlKnnSingle(sqlL2("e.embedding", "q.qe")),
     "q13_knn_ip" -> sqlKnnSingle(sqlIp("e.embedding", "q.qe")),
     "q14_knn_filtered" -> sqlKnnSingle(sqlCos("e.embedding", "q.qe"),

@@ -200,4 +200,36 @@ object Ann {
     }
     bits.reduce((a, c) => a.bitwiseOR(c))
   }
+
+  /** Scalar int8 quantization (training-free max-abs form): per vector,
+    * `scale = max|x|/127` and `code_j = round(x_j/scale)` — a 4× memory
+    * cut for a float32 corpus (the lever that keeps a 100 TB embedding
+    * table scannable), with reconstruction error ≤ scale/2 per element.
+    * Returns STRUCT(codes ARRAY<TINYINT>, scale DOUBLE). Deterministic
+    * IEEE arithmetic + away-from-zero rounding on both engines, so
+    * quantized pipelines stay oracle-replayable. */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(mx > 0, mx / 127.0).otherwise(lit(1.0))
+    struct(
+      transform(vec, x => round(x.cast("double") / scale, 0).cast("tinyint")).as("codes"),
+      scale.as("scale"))
+  }
+
+  /** Reconstruct `code_j * scale` as ARRAY<DOUBLE> — the asymmetric-
+    * distance read side (raw float query vs dequantized corpus). */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
+
+  /** recall@k of an approximate kNN result against the exact one (same
+    * query, same k): |approx ∩ exact| / |exact|. One row, `recall`
+    * column; both inputs are k-row frames, so this is driver-cheap. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, idCol: String): DataFrame = {
+    val hits = approx.select(col(idCol))
+      .join(exact.select(col(idCol)), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val tot = exact.agg(count(lit(1)).as("total"))
+    hits.crossJoin(tot)
+      .select((col("hits").cast("double") / col("total")).as("recall"))
+  }
 }

@@ -109,4 +109,43 @@ class AnnSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(b == b2)
   }
+
+  test("int8 quantization: per-element error <= scale/2; zero vector survives") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.037f, 0.99f)),
+      (2L, Seq(100f, -0.001f, 3.7f, -42f)),
+      (3L, Seq(0f, 0f, 0f, 0f))).toDF("id", "vec")
+    val rows = vecs.select(col("id"), col("vec"),
+        Ann.quantizeInt8(col("vec")).as("q"))
+      .select(col("id"), col("vec"),
+        Ann.dequantizeInt8(col("q")).as("de"), col("q.scale").as("s"))
+      .as[(Long, Seq[Float], Seq[Double], Double)].collect()
+    rows.foreach { case (id, v, de, s) =>
+      v.zip(de).foreach { case (x, d) =>
+        assert(math.abs(x.toDouble - d) <= s / 2 + 1e-12,
+          s"id=$id: |$x - $d| must be <= scale/2 = ${s / 2}")
+      }
+    }
+    assert(rows.find(_._1 == 3L).get._3 == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("recallAtK: exact-vs-exact is 1.0; disjoint lists are 0.0") {
+    val exact = Seq(1L, 2L, 3L).toDF("id")
+    assert(Ann.recallAtK(exact, exact, "id")
+      .as[Double].head() == 1.0)
+    assert(Ann.recallAtK(Seq(7L, 8L, 9L).toDF("id"), exact, "id")
+      .as[Double].head() == 0.0)
+    // quantized kNN keeps high recall vs the float corpus on the fixture
+    val emb = spark.read.parquet(sf("embeddings"))
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val dq = emb.select(col("vec_id"),
+      Ann.dequantizeInt8(Ann.quantizeInt8(col("embedding"))).as("embedding"))
+    val approx = graft.operators.Knn.topK(dq, "vec_id", "embedding", qv, 10,
+      "cosine", excludeIds = Seq(0L))
+    val exact10 = graft.operators.Knn.topK(emb, "vec_id", "embedding", qv, 10,
+      "cosine", excludeIds = Seq(0L))
+    val r = Ann.recallAtK(approx, exact10, "vec_id").as[Double].head()
+    assert(r >= 0.8, s"int8 recall@10 on the fixture should stay high, got $r")
+  }
 }
