@@ -221,6 +221,24 @@ object Ann {
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 
+  /** Materialize the int8-quantized corpus: (id, codes ARRAY<TINYINT>,
+    * scale DOUBLE) parquet — the ingestion-time form of [[quantizeInt8]];
+    * queries then pay the 4×-smaller scan instead of re-quantizing per
+    * query (what q69 simulates inline). Map-only write, no shuffle. */
+  def writeQuantized(df: DataFrame, idCol: String, vecCol: String,
+                     path: String): Unit =
+    df.select(col(idCol), quantizeInt8(col(vecCol)).as("q"))
+      .select(col(idCol), col("q.codes").as("codes"), col("q.scale").as("scale"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a [[writeQuantized]] table back as (id, `vecCol` ARRAY<DOUBLE>)
+    * — the dequantized asymmetric-distance read side. */
+  def readQuantized(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, vecCol: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col(idCol),
+        dequantizeInt8(struct(col("codes"), col("scale"))).as(vecCol))
+
   /** recall@k of an approximate kNN result against the exact one (same
     * query, same k): |approx ∩ exact| / |exact|. One row, `recall`
     * column; both inputs are k-row frames, so this is driver-cheap. */

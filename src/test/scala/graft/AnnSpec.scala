@@ -129,6 +129,23 @@ class AnnSpec extends SparkTestBase {
     assert(rows.find(_._1 == 3L).get._3 == Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("writeQuantized/readQuantized round-trip serves the same kNN as inline") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "quant").toString + "/emb"
+    Ann.writeQuantized(emb, "vec_id", "embedding", path)
+    val stored = Ann.readQuantized(spark, path, "vec_id", "embedding")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val inline = emb.select(col("vec_id"),
+      Ann.dequantizeInt8(Ann.quantizeInt8(col("embedding"))).as("embedding"))
+    def top(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Knn.topK(df, "vec_id", "embedding", qv, 10,
+        "cosine", excludeIds = Seq(0L)).select("vec_id").as[Long].collect().toSeq
+    assert(top(stored) == top(inline),
+      "the materialized int8 table must answer exactly like inline quantization")
+  }
+
   test("recallAtK: exact-vs-exact is 1.0; disjoint lists are 0.0") {
     val exact = Seq(1L, 2L, 3L).toDF("id")
     assert(Ann.recallAtK(exact, exact, "id")

@@ -117,4 +117,20 @@ class PropertySpec extends SparkTestBase {
       Dedup.jaccard(col("a.toks"), col("b.toks")) > 1).count()
     assert(rangeBad == 0)
   }
+
+  test("property: int8 quantization error <= scale/2 and codes in [-127,127]") {
+    import graft.operators.Ann
+    val q = vecDf.select(col("id"), col("vec"),
+        Ann.quantizeInt8(col("vec")).as("q"))
+      .select(col("vec"), Ann.dequantizeInt8(col("q")).as("de"),
+        col("q.scale").as("s"), col("q.codes").as("codes"))
+    // one job checks every generated vector: worst |x - de_j| vs scale/2,
+    // and the code range (round(x/scale) can only reach ±127 by design)
+    val bad = q.filter(
+      exists(zip_with(col("vec"), col("de"),
+          (x, d) => abs(x.cast("double") - d) > col("s") / 2 + lit(1e-12)),
+        identity) ||
+      exists(col("codes"), c => abs(c) > 127)).count()
+    assert(bad == 0)
+  }
 }
