@@ -204,8 +204,11 @@ object SparkEntry {
     // codes, scales, and distances value-for-value
     "q69_quantized_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val dq = emb.select(col("vec_id"),
-        Ann.dequantizeInt8(Ann.quantizeInt8(col("embedding"))).as("embedding"))
+      // frame form: the per-row scale projects ONCE (the single-Column
+      // composition re-evaluates the max-abs subtree per element)
+      val dq = Ann.quantizeInt8Frame(emb, "vec_id", "embedding")
+        .select(col("vec_id"),
+          Ann.dequantizeInt8(struct(col("codes"), col("scale"))).as("embedding"))
       Knn.topK(dq, "vec_id", "embedding", headVec(emb, 0), 10, "cosine",
           excludeIds = Seq(0L))
         .select(col("vec_id"), round(col("dist"), 4).as("dist"))

@@ -216,6 +216,22 @@ object Ann {
       scale.as("scale"))
   }
 
+  /** The SCAN-PATH form of [[quantizeInt8]]: (idCol, codes, scale) frame.
+    * The single-Column form embeds the max-abs subtree inside the codes
+    * lambda, and interpreted HOF lambdas re-evaluate it PER ELEMENT —
+    * O(d²) per vector. Here the scale is projected once per row first;
+    * its subtree is non-cheap, so CollapseProject keeps the boundary and
+    * the codes lambda references a bound attribute — O(d). */
+  def quantizeInt8Frame(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.select(col(idCol), col(vecCol),
+        when(mx > 0, mx / 127.0).otherwise(lit(1.0)).as("scale"))
+      .select(col(idCol),
+        transform(col(vecCol),
+          x => round(x.cast("double") / col("scale"), 0).cast("tinyint")).as("codes"),
+        col("scale"))
+  }
+
   /** Reconstruct `code_j * scale` as ARRAY<DOUBLE> — the asymmetric-
     * distance read side (raw float query vs dequantized corpus). */
   def dequantizeInt8(q: Column): Column =
@@ -227,8 +243,7 @@ object Ann {
     * query (what q69 simulates inline). Map-only write, no shuffle. */
   def writeQuantized(df: DataFrame, idCol: String, vecCol: String,
                      path: String): Unit =
-    df.select(col(idCol), quantizeInt8(col(vecCol)).as("q"))
-      .select(col(idCol), col("q.codes").as("codes"), col("q.scale").as("scale"))
+    quantizeInt8Frame(df, idCol, vecCol)
       .write.mode("overwrite").parquet(path)
 
   /** Read a [[writeQuantized]] table back as (id, `vecCol` ARRAY<DOUBLE>)
@@ -243,11 +258,15 @@ object Ann {
     * query, same k): |approx ∩ exact| / |exact|. One row, `recall`
     * column; both inputs are k-row frames, so this is driver-cheap. */
   def recallAtK(approx: DataFrame, exact: DataFrame, idCol: String): DataFrame = {
-    val hits = approx.select(col(idCol))
-      .join(exact.select(col(idCol)), Seq(idCol), "left_semi")
+    // distinct both sides: an undeduped approx list (e.g. a multi-probe
+    // union) must not count a hit twice and report recall > 1
+    val hits = approx.select(col(idCol)).distinct()
+      .join(exact.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
       .agg(count(lit(1)).as("hits"))
-    val tot = exact.agg(count(lit(1)).as("total"))
+    val tot = exact.select(col(idCol)).distinct().agg(count(lit(1)).as("total"))
     hits.crossJoin(tot)
-      .select((col("hits").cast("double") / col("total")).as("recall"))
+      // empty exact set: vacuously nothing to find — 1.0, not null
+      .select(when(col("total") === 0, lit(1.0))
+        .otherwise(col("hits").cast("double") / col("total")).as("recall"))
   }
 }
