@@ -460,6 +460,11 @@ object SparkEntry {
       Retrieval.rrf(Seq(kw, vr), "id", "rnk")
         .orderBy(col("rrf").desc, col("id")).limit(20)
     }),
+    // Chunking: overlapping token windows — the chunk→embed→hydrate
+    // precursor; map-only explode, every doc yields >= 1 chunk
+    "q70_chunking" -> ((s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text", 32, 8)
+        .orderBy("doc_id", "chunk_id")),
     // Benchmark decontamination: docs leaking any 8-gram of the "eval"
     // slice (deterministic doc_id % 97 sample stands in for a benchmark).
     // Eval shingles broadcast; corpus rows never shuffle.
@@ -1016,6 +1021,18 @@ object SparkEntry {
          |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
          |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },
+    "q70_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |        GREATEST(CAST(CEIL(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INTEGER), 1) AS nc FROM t),
+        |c AS (SELECT doc_id, unnest(list_transform(range(nc), i -> {
+        |        'cid': i,
+        |        'txt': array_to_string(toks[CAST(i*24 + 1 AS INTEGER):CAST(i*24 + 32 AS INTEGER)], ' '),
+        |        'nt':  LEAST(32, len(toks) - i*24)})) AS u
+        |      FROM n)
+        |SELECT doc_id, CAST(u.cid AS INTEGER) AS chunk_id, u.txt AS chunk_text,
+        |       CAST(u.nt AS INTEGER) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q68_decontaminate" ->
       """WITH t AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS toks FROM documents),
         |shl AS (SELECT id, CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]

@@ -156,4 +156,30 @@ object TextAnalysis {
       .agg(coalesce(sum(ascii(col("col")).cast("long")
         * (pmod(col("pos"), lit(7)) + 1)), lit(0L)).as("fp"))
   }
+
+  /** Split documents into overlapping token-window chunks — the chunk →
+    * embed → hydrate precursor every RAG / vector-collection pipeline
+    * runs before the embedding stage. One narrow pass (tokenize, per-row
+    * chunk count, explode) — a map-only width change, no shuffle.
+    *
+    * Chunk `i` covers tokens `[i·step, i·step + chunkTokens)` with
+    * `step = chunkTokens − overlap`; every document yields at least one
+    * chunk (short and empty docs become a single chunk of themselves).
+    * Output: (idCol, chunk_id INT, chunk_text STRING, n_tokens INT). */
+  def chunk(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunkTokens=$chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = split(col(textCol), "\\s+")
+    val nChunks = greatest(
+      ceil((size(toks) - lit(overlap)).cast("double") / step).cast("int"), lit(1))
+    df.select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__toks"), col("chunk_id") * step + 1,
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens),
+          size(col("__toks")) - col("chunk_id") * step).as("n_tokens"))
+  }
 }

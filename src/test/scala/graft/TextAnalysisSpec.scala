@@ -93,4 +93,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(a == 590L)
     assert(one[Long]("", TextAnalysis.fingerprint(col("text"))) == 0L)
   }
+
+  test("chunking: overlapping windows cover every token; short docs = 1 chunk") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  // 10 tokens
+      (2L, "a b")).toDF("doc_id", "text")       // shorter than one chunk
+    // chunkTokens=4, overlap=1 -> step=3 -> ceil((10-1)/3) = 3 chunks
+    val out = TextAnalysis.chunk(docs, "doc_id", "text", 4, 1)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4),
+      (1L, 1, "t4 t5 t6 t7", 4),
+      (1L, 2, "t7 t8 t9 t10", 4),
+      (2L, 0, "a b", 2)))
+    // adjacent chunks share exactly `overlap` tokens; union covers all
+    val c = out.filter(_._1 == 1L).map(_._3.split(" ").toSeq)
+    assert(c(0).takeRight(1) == c(1).take(1) && c(1).takeRight(1) == c(2).take(1))
+    assert(c.flatten.distinct.size == 10)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunk(docs, "doc_id", "text", 4, 4)
+    }
+  }
 }
