@@ -38,6 +38,36 @@ class HydratorSpec extends SparkTestBase {
     assert(knn.head == "1")
   }
 
+  test("RAG composition: chunk -> embed -> hydrate -> query, end to end") {
+    import graft.functions.TextAnalysis
+    val root = tmpRoot()
+    // chunk the corpus, attach a deterministic per-chunk "embedding"
+    // (fingerprint-derived 2-dim vector — a stand-in for a model), then
+    // hydrate the CHUNKS and serve kNN from the resulting collection:
+    // the full pipeline every vector application runs, through our store
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eta theta iota kappa")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(docs, "doc_id", "text", 3, 1)
+      .withColumn("chunk_key", concat(col("doc_id"), lit("#"), col("chunk_id")))
+      .withColumn("emb_0", (TextAnalysis.fingerprint(col("chunk_text")) % 97).cast("double"))
+      .withColumn("emb_1", (TextAnalysis.fingerprint(col("chunk_text")) % 89).cast("double"))
+    val p = tmpRoot() + "/chunks"
+    chunks.write.parquet(p)
+    val coll = Hydrator.run(spark, HydrateConfig(
+      inputTable = p, textVar = "chunk_text", docId = "chunk_key",
+      embeddingPattern = "emb_", metadataColumn = Some("doc_id"),
+      collectionName = "rag", persistentPath = root, space = "l2")).get
+    assert(coll.count() == chunks.count(), "one collection row per chunk")
+    // query with chunk (1,0)'s own vector: it must come back first, and
+    // its metadata must point back at the source document
+    val probe = chunks.filter(col("chunk_key") === "1#0")
+      .select("emb_0", "emb_1").head()
+    val top = coll.query(Seq(probe.getDouble(0).toFloat, probe.getDouble(1).toFloat), 1)
+    val row = top.head()
+    assert(row.getAs[String]("id") == "1#0")
+    assert(row.getAs[Map[String, String]]("metadata")("rating") == "1")
+  }
+
   test("second hydration with a different embedding dim is rejected pre-commit") {
     val root = tmpRoot()
     val coll = Hydrator.run(spark, cfg(root)).get   // dim-3 collection
