@@ -1022,7 +1022,7 @@ object SparkEntry {
          |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },
     "q70_chunking" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id, string_split_regex(COALESCE(text, ''), '\s+') AS toks FROM documents),
         |n AS (SELECT doc_id, toks,
         |        GREATEST(CAST(CEIL(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INTEGER), 1) AS nc FROM t),
         |c AS (SELECT doc_id, unnest(list_transform(range(nc), i -> {

@@ -164,14 +164,21 @@ object TextAnalysis {
     *
     * Chunk `i` covers tokens `[i·step, i·step + chunkTokens)` with
     * `step = chunkTokens − overlap`; every document yields at least one
-    * chunk (short and empty docs become a single chunk of themselves).
-    * Output: (idCol, chunk_id INT, chunk_text STRING, n_tokens INT). */
+    * chunk (short, empty, and NULL docs become a single chunk — null text
+    * is coalesced to "" so its chunk reports n_tokens = 1, the [""] split
+    * artifact, never a phantom full-width count).
+    * Output: (idCol, chunk_id INT, chunk_text STRING, n_tokens INT).
+    *
+    * Tokenizer note: splits on `\s+` — the same tokenizer as the shingle /
+    * retrieval stack (Dedup.wordShingles, Retrieval.bm25), NOT
+    * [[tokenCount]]'s literal-single-space split; on multi-space text the
+    * two counts differ by design. */
   def chunk(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
             chunkTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunkTokens=$chunkTokens")
     val step = chunkTokens - overlap
-    val toks = split(col(textCol), "\\s+")
+    val toks = split(coalesce(col(textCol), lit("")), "\\s+")
     val nChunks = greatest(
       ceil((size(toks) - lit(overlap)).cast("double") / step).cast("int"), lit(1))
     df.select(col(idCol), toks.as("__toks"),

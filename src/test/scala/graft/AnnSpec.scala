@@ -131,8 +131,7 @@ class AnnSpec extends SparkTestBase {
 
   test("writeQuantized/readQuantized round-trip serves the same kNN as inline") {
     val emb = spark.read.parquet(sf("embeddings"))
-    val path = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "quant").toString + "/emb"
+    val path = tmpDir("quant") + "/emb"
     Ann.writeQuantized(emb, "vec_id", "embedding", path)
     val stored = Ann.readQuantized(spark, path, "vec_id", "embedding")
     val qv = emb.filter(col("vec_id") === 0).select("embedding")

@@ -434,8 +434,7 @@ class CollectionSpec extends SparkTestBase {
   }
 
   test("IVF index: rebuilds never delete the adopted build in place; vacuum reclaims") {
-    val root = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "coll-test").toString
+    val root = tmpDir("coll-test")
     val c = new CollectionCatalog(spark, root, numBuckets = 4)
       .getOrCreateCollection("c", "l2")
     c.add(clusterBatch())
@@ -459,8 +458,7 @@ class CollectionSpec extends SparkTestBase {
   }
 
   test("racing index builds claim distinct dirs; both commit, reader adopts one") {
-    val root = Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), "coll-race").toString
+    val root = tmpDir("coll-race")
     val c = new CollectionCatalog(spark, root, numBuckets = 4)
       .getOrCreateCollection("c", "l2")
     c.add(clusterBatch())

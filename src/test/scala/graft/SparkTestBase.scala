@@ -8,6 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestBase.session
   def sf(name: String): String = s"/root/testdata/sf0.001/$name.parquet"
+
+  /** Scratch dir under target/ (inside the repo — the sandbox forbids
+    * writes elsewhere); one shared helper so every suite's temp handling
+    * can change in one place. */
+  def tmpDir(prefix: String): String = java.nio.file.Files
+    .createTempDirectory(java.nio.file.Paths.get("/root/repo/target"), prefix)
+    .toString
 }
 
 object SparkTestBase {
