@@ -425,20 +425,19 @@ object SparkEntry {
     // Grouped mean-pooling: ONE embedding per label (the doc-from-chunks /
     // class-centroid primitive every training pipeline needs). posexplode →
     // one shuffle on (label,pos) whose partial sums combine map-side (the
-    // shuffle carries groups, not rows), then a tiny labels×dim reassembly.
-    // Exact decimal sums + ONE double division: fold-order-free.
+    // shuffle carries groups, not rows). Exact decimal sums + ONE double
+    // division: fold-order-free. Oracled in LONG form (label,pos,m) — the
+    // driver's compare sorts rows value-wise, which an array column can't
+    // support; the array reassembly of the same numbers is spec-pinned
+    // (AnnSpec "label centroid: long form reassembles").
     "q65_label_centroid" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
         .groupBy("label", "pos")
         .agg((sum(col("e").cast(DecimalType(18, 6))).cast("double")
           / count(lit(1))).as("m"))
-        .groupBy("label")
-        .agg(array_sort(collect_list(struct(col("pos"),
-          round(col("m"), 4).as("m")))).as("ps"))
-        .select(col("label"),
-          transform(col("ps"), p => p.getField("m")).as("centroid"))
-        .orderBy("label")),
+        .select(col("label"), col("pos"), round(col("m"), 4).as("m"))
+        .orderBy("label", "pos")),
     // Keyword retrieval: BM25-style scoring (log-free idf — IEEE-exact,
     // replayable), one explode pass, broadcast df/stats, decimal score fold
     "q66_bm25_topk" -> ((s, dir) =>
@@ -1058,16 +1057,13 @@ object SparkEntry {
          |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
     },
     "q65_label_centroid" ->
-      """WITH x AS (
-        |  SELECT label, i AS pos,
-        |    -- + 0.0 normalizes IEEE -0.0 (Spark's BigDecimal round drops
-        |    -- the sign of rounded-to-zero negatives; DuckDB keeps it)
-        |    ROUND(CAST(SUM(CAST(embedding[CAST(i+1 AS INTEGER)] AS DECIMAL(18,6))) AS DOUBLE)
-        |      / COUNT(*), 4) + 0.0 AS m
-        |  FROM embeddings, range(64) t(i)
-        |  GROUP BY label, i)
-        |SELECT label, list(m ORDER BY pos) AS centroid
-        |FROM x GROUP BY label ORDER BY label""".stripMargin,
+      """SELECT label, i AS pos,
+        |  -- + 0.0 normalizes IEEE -0.0 (Spark's BigDecimal round drops
+        |  -- the sign of rounded-to-zero negatives; DuckDB keeps it)
+        |  ROUND(CAST(SUM(CAST(embedding[CAST(i+1 AS INTEGER)] AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*), 4) + 0.0 AS m
+        |FROM embeddings, range(64) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     // NOTE: byte-vs-codepoint parity of mean_byte relies on the fixture
     // text being ASCII (driver-generated, fixed); non-ASCII corpora would
     // need a bytes-based oracle (DuckDB lacks per-byte access on BLOB).
@@ -1331,7 +1327,9 @@ object SparkEntry {
          |cand AS (SELECT a.id AS id, a.embedding AS embedding FROM a
          |         WHERE a.cell IN (SELECT cell FROM pc)),
          |dd AS (SELECT id, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
-         |SELECT id, ROUND(dist_raw, 4) AS dist FROM dd
+         |-- + 0.0 normalizes IEEE -0.0 on the self-match row (DuckDB's ROUND
+         |-- keeps the sign of a rounded-to-zero negative; Spark's drops it)
+         |SELECT id, ROUND(dist_raw, 4) + 0.0 AS dist FROM dd
          |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
     // q63: replays the whole store round-trip relationally — upsert =
     // batch ∪ (base anti batch); delete = NOT (ids AND where); get = the

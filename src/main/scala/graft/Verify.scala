@@ -5,11 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: graft.Verify <sfDir> <outDir>")
+    if (args.length < 2 || args.length > 3) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [qNamePrefix,...]")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional comma-separated name-prefix filter for fast local iteration;
+    // the driver always runs with 2 args = the full suite
+    val keep: String => Boolean =
+      if (args.length == 3) { val ps = args(2).split(",").toSeq
+        name => ps.exists(name.startsWith)
+      } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,7 +27,7 @@ object Verify {
         try walk.iterator.asScala.toSeq.reverse.foreach(Files.delete)
         finally walk.close()
       }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       // remove any previous run's output FIRST — a query that now throws
       // must not leave stale parquet behind for the compare to "pass"
       deleteDir(Paths.get(outDir, name))
@@ -43,7 +49,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -164,4 +164,28 @@ class AnnSpec extends SparkTestBase {
     val r = Ann.recallAtK(approx, exact10, "vec_id").as[Double].head()
     assert(r >= 0.8, s"int8 recall@10 on the fixture should stay high, got $r")
   }
+
+  // q65 is oracled in LONG form (label,pos,m) — the driver's row-sorting
+  // compare can't order an array column. This pins the ARRAY form: the
+  // long output reassembles into exactly one dim-64 centroid per label,
+  // and the values are the per-position means of the raw vectors.
+  test("label centroid: long form reassembles into one dim-64 vector per label") {
+    val long = SparkEntry.queries("q65_label_centroid")(spark, "/root/testdata/sf0.001")
+    val wide = long.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("label"), transform(col("ps"), p => p.getField("m")).as("centroid"))
+    val cents = wide.collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Double](1)).toMap
+    assert(cents.values.forall(_.length == 64))
+    val raw = emb.select(col("label"), col("embedding")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getSeq[Float](1))
+    val byLabel = raw.groupBy(_._1)
+    assert(cents.keySet == byLabel.keySet)
+    for ((lab, vecs0) <- byLabel) {
+      val vecs = vecs0.map(_._2)
+      val mean0 = vecs.map(_.head.toDouble).sum / vecs.length
+      assert(math.abs(cents(lab).head - mean0) < 1e-3,
+        s"label $lab pos 0: ${cents(lab).head} vs $mean0")
+    }
+  }
 }
