@@ -53,6 +53,18 @@ object Bucketing {
     writeBucketed(df, table, key, numBuckets)
   }
 
+  /** [[rewriteBucketed]] unless the table already exists in this session's
+    * catalog — the bucketing contract is "shuffle paid ONCE at ingestion",
+    * so a repeated pipeline run over the same immutable source must reuse
+    * the layout, not re-ingest it. Only safe for content-stable inputs
+    * (the caller encodes the source identity in the table name); a source
+    * that can change between runs needs [[rewriteBucketed]]. */
+  def ensureBucketed(
+      spark: SparkSession, df: => DataFrame, table: String, key: String,
+      numBuckets: Int): Unit =
+    if (!spark.catalog.tableExists(table))
+      rewriteBucketed(spark, df, table, key, numBuckets)
+
   /** Join two bucketed tables on their bucket key — shuffle-free when both
     * were written with the same bucket count. */
   def colocatedJoin(
