@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,8 +49,11 @@ private[catalog] object DirIO {
   *  - Mutations are copy-on-write into a new `data_v<N>` dir; `meta.json` is
   *    swapped atomically (write temp + move) so readers never see a torn
   *    version. This replaces Chroma's single-writer SQLite transaction.
-  *  - `add` validates duplicate ids with one groupBy over the (small)
-  *    incoming batch + a broadcast-able left-semi probe of existing ids.
+  *  - `add` validates duplicate ids with ONE ≤numBuckets-row aggregate over
+  *    the incoming batch (per-bucket count vs distinct-count — an id repeat
+  *    always lands in one bucket); the clash-vs-existing check rides the
+  *    merge write itself as an `observe()` metric, so the affected buckets
+  *    are scanned once, not once to validate and again to write.
   */
 final class CollectionCatalog(
     spark: SparkSession, rootDir: String, numBuckets: Int = 32,
@@ -364,6 +367,25 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   private def bucketsOf(df: DataFrame): Set[Int] =
     bucketed(df).select("pt").distinct().collect().map(_.getInt(0)).toSet
 
+  /** ONE job for both facts every mutation needs about its batch: the
+    * id-hash buckets it touches (partition pruning) and whether any id
+    * repeats within it. A repeated id always hashes to the same bucket, so
+    * per-bucket `count vs count_distinct` detects the repeat without a
+    * per-id grouping — the collect is ≤numBuckets rows regardless of batch
+    * size. The offending id (error-path only) is looked up separately. */
+  private def bucketStats(df: DataFrame): (Set[Int], Boolean) = {
+    val rows = bucketed(df).groupBy("pt")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        countDistinct(col("id")).as("d")).collect()
+    (rows.map(_.getInt(0)).toSet, rows.exists(r => r.getLong(1) != r.getLong(2)))
+  }
+
+  /** Error path only: find one repeated id for the exception message. */
+  private def firstDupId(df: DataFrame): String = {
+    val d = df.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
+    String.valueOf(d.headOption.map(_.get(0)).orNull)
+  }
+
   /** B1 add: batch insert; errors on duplicate ids (within the batch or vs
     * the collection) — Chroma `add()` semantics. Only the buckets receiving
     * new rows are rewritten.
@@ -376,23 +398,43 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     *        instead of paying validation passes over the input up front.
     */
   def add(batch: DataFrame, beforeCommit: () => Unit = () => ()): Unit = {
-    val withinDup = batch.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
-    if (withinDup.nonEmpty)
-      throw new IllegalArgumentException(s"duplicate id in batch: ${String.valueOf(withinDup.head.get(0))}")
     val m = meta
+    val (affected, withinDup) = bucketStats(batch)
+    if (withinDup)
+      throw new IllegalArgumentException(s"duplicate id in batch: ${firstDupId(batch)}")
     currentDataOf(m) match {
       case None => writeVersion(batch, m, beforeCommit = beforeCommit)
       case Some(_) =>
         // clashes can only live in the batch's own buckets — probe those,
-        // not the whole collection (point-inserts must stay O(affected))
-        val affected = bucketsOf(batch)
+        // not the whole collection (point-inserts must stay O(affected)).
+        // The probe is an observe() metric on the merge's own join, so the
+        // pruned buckets are scanned exactly once: a clash abandons the
+        // claimed version pre-commit (never served), same outcome as the
+        // old pre-write check but one full pass cheaper.
         val curAffected = currentWithPtOf(m).filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
-        val clash = batch.join(curAffected.select("id"), Seq("id"), "left_semi").limit(1).collect()
-        if (clash.nonEmpty)
-          throw new IllegalArgumentException(s"id already exists: ${String.valueOf(clash.head.get(0))}")
+        // the batch appears ONCE in the write plan (callers may have hung an
+        // observe() on it — Hydrator does — and a second reference would
+        // re-fire its metrics); the probe side is the pruned current scan,
+        // column-pruned to id only
+        val obs = Observation()
+        val flaggedBatch = batch
+          .join(curAffected.select(col("id"), lit(1).as("__clash")), Seq("id"), "left")
+          .observe(obs, sum(col("__clash")).as("clashes"))
+          .drop("__clash")
         writeMergedVersion(
-          curAffected.unionByName(batch, allowMissingColumns = true), affected, m,
-          beforeCommit = beforeCommit)
+          curAffected.unionByName(flaggedBatch, allowMissingColumns = true), affected, m,
+          beforeCommit = () => {
+            val clashes = obs.get.get("clashes") match {
+              case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
+            }
+            if (clashes > 0L) {
+              val clash = batch.join(curAffected.select("id"), Seq("id"), "left_semi")
+                .limit(1).collect()
+              throw new IllegalArgumentException(
+                s"id already exists: ${String.valueOf(clash.headOption.map(_.get(0)).orNull)}")
+            }
+            beforeCommit()
+          })
     }
   }
 
@@ -412,7 +454,9 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     currentDataOf(m) match {
       case None => writeVersion(dedupBatch, m)
       case Some(_) =>
-        val affected = bucketsOf(dedupBatch)
+        // buckets of the RAW batch: the window dedup preserves the id set,
+        // so probing pre-dedup skips one computation of the window shuffle
+        val affected = bucketsOf(batch.select("id"))
         val curAffected = currentWithPtOf(m).filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
         val merged = curAffected.join(dedupBatch.select("id"), Seq("id"), "left_anti")
           .unionByName(dedupBatch, allowMissingColumns = true)
@@ -423,10 +467,9 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   /** B3 update: replace non-null fields for EXISTING ids only. Only the
     * buckets containing updated ids are rewritten. */
   def update(batch: DataFrame): Unit = { val m = meta; currentDataOf(m).foreach { _ =>
-    val dup = batch.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
-    if (dup.nonEmpty) throw new IllegalArgumentException(
-      s"duplicate id in update batch: ${String.valueOf(dup.head.get(0))} — the left join would fan out")
-    val affected = bucketsOf(batch.select("id"))
+    val (affected, dup) = bucketStats(batch.select("id"))
+    if (dup) throw new IllegalArgumentException(
+      s"duplicate id in update batch: ${firstDupId(batch)} — the left join would fan out")
     val cur = currentWithPtOf(m).filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
     val upd = batch.columns.filter(_ != "id")
     val joined = cur.alias("c").join(batch.alias("u"), Seq("id"), "left")
