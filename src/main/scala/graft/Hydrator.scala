@@ -151,4 +151,50 @@ object Hydrator {
       s"count conservation violated: before=$before after=$after added=$added")
     Some(coll)
   }
+
+  /** CDC-style delta: classify `incoming` against `current` into inserts
+    * (id unseen) and updates (id present but some compared column differs,
+    * null-safely); unchanged rows drop out entirely. The reference re-runs
+    * its whole bulk load on every trigger (sas:126-193) — at 100 TB the
+    * affordable shape is this ONE id-keyed left join (co-located when both
+    * sides are id-hash bucketed, e.g. the collection store's layout)
+    * followed by a write that touches only real changes.
+    *
+    * At scale, pass a stored content-fingerprint column as the single
+    * compare column instead of wide payloads: same plan, narrower scan.
+    *
+    * Output = changed `incoming` rows + an `action` column (insert/update).
+    */
+  def delta(current: DataFrame, incoming: DataFrame, idCol: String,
+            compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "delta needs at least one compare column")
+    val cur = current.select(col(idCol).cast("string").as("__cur_id") +:
+      compareCols.map(c => col(c).as(s"__cur_$c")): _*)
+    val changed = compareCols.map(c => !(col(c) <=> col(s"__cur_$c"))).reduce(_ || _)
+    incoming
+      .join(cur, col(idCol).cast("string") === col("__cur_id"), "left")
+      .withColumn("action",
+        when(col("__cur_id").isNull, lit("insert"))
+          .when(changed, lit("update")))
+      .filter(col("action").isNotNull)
+      .drop("__cur_id" +: compareCols.map(c => s"__cur_$c"): _*)
+  }
+
+  /** Incremental hydration: apply only the [[delta]] of `batch` against
+    * what `coll` already holds. When nothing changed, NO new store version
+    * is written — re-hydrating an unchanged source is a metadata no-op,
+    * which is the idempotence a scheduled 100 TB pipeline needs (the
+    * reference rewrites the collection every run). Returns
+    * (inserted, updated). */
+  def sync(coll: Collection, batch: DataFrame, compareCols: Seq[String]): (Long, Long) = {
+    val d = delta(coll.toDF, batch, "id", compareCols)
+    // tiny 2-row action census decides whether to write at all; the store
+    // upsert then re-derives the delta (callers hot-looping sync over a
+    // huge batch should persist `d` — one materialization, not three)
+    val counts = d.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (ins, upd) = (counts.getOrElse("insert", 0L), counts.getOrElse("update", 0L))
+    if (ins + upd > 0) coll.upsert(d.drop("action"))
+    (ins, upd)
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.catalog.CollectionCatalog
 import graft.functions.{Distances, TextAnalysis}
-import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Knn, Multimodal, Retrieval, Skew}
+import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Knn, Mixture, Multimodal, Retrieval, Skew}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + the builder prompt.
   *
@@ -51,6 +51,18 @@ object SparkEntry {
   private def sqlL2(a: String, b: String): String =
     s"list_sum(list_transform(range(len($a)), j -> (CAST($a[j+1] AS DOUBLE) - CAST($b[j+1] AS DOUBLE)) * (CAST($a[j+1] AS DOUBLE) - CAST($b[j+1] AS DOUBLE))))"
   private def sqlIp(a: String, b: String): String = s"1 - ${sqlDot(a, b)}"
+
+  /** DuckDB replay of [[graft.expressions.StrHash]] (the engine-portable
+    * id hash; same form as the q58 oracle). */
+  private def sqlStrHash(e: String): String =
+    s"COALESCE(list_sum(list_transform(range(length($e)), " +
+      s"i -> ascii(substr($e, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))), 0)"
+
+  /** DuckDB replay of Mixture's thresholdable spread of [[sqlStrHash]]
+    * (multiplicative mix — see Mixture.idHash for why the raw polynomial
+    * cannot be thresholded directly). */
+  private def sqlSpreadHash(e: String): String =
+    s"((${sqlStrHash(e)} * 2654435761) % 1000000007)"
 
   /** DuckDB replay of Ann.srpBucket's fixed projection arithmetic. */
   private def sqlSrpBucket(v: String, dim: Int = 64, nBits: Int = 8): String =
@@ -837,6 +849,57 @@ object SparkEntry {
         .select(col("id"), col("lang"), col("n_chars"),
           length(col("document")).cast("int").as("n_doc"))
     }),
+    // Curation: weighted source-mixture sampling to a token budget — the
+    // data-mixing step of training-corpus assembly. The per-source rate
+    // table broadcasts back onto the corpus scan (the corpus never
+    // shuffles); the keep decision is the portable id hash, so the whole
+    // mixture replays in the oracle.
+    "q71_source_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      Mixture.sampleToBudget(docs, "doc_id", "source", "n_tok",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budget = 2000L)
+        .select(col("doc_id"), col("source"), round(col("rate"), 4).as("rate"))
+        .orderBy("doc_id")
+    }),
+    // Curation: deterministic corpus shuffle into training shards — global
+    // order and shard assignment are pure functions of the id, so the
+    // shards are reproducible across runs/engines (and verifiable here)
+    "q72_reshard" -> ((s, dir) =>
+      Mixture.reshard(t(s, dir, "documents"), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
+    // Substring-level dedup signal (Lee et al. 2022): per-doc count of
+    // 5-token passages that recur in other documents
+    "q73_duplicate_passages" -> ((s, dir) =>
+      Dedup.duplicatePassages(t(s, dir, "documents"), "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_dup_passages"), col("max_spread"))
+        .orderBy("doc_id")),
+    // CDC delta hydration: classify an incoming batch against current
+    // contents; only real inserts/updates survive (the write an
+    // incremental 100 TB pipeline would then apply — Hydrator.sync does,
+    // spec-pinned; here the decision table itself is under the oracle)
+    "q74_incremental_hydrate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val current = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("string").as("id"),
+          col("text").as("document"), col("lang"))
+      val incoming = docs.filter(col("doc_id") < 260)
+        .select(col("doc_id").cast("string").as("id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, upper(col("text")))
+            .otherwise(col("text")).as("document"),
+          col("lang"))
+      Hydrator.delta(current, incoming, "id", Seq("document", "lang"))
+        .select(col("id"), col("action")).orderBy("id")
+    }),
+    // Curation: cluster-balanced diversity sample — ≤10 rows per seeded
+    // IVF cell (q32's deterministic assignment), chosen by portable hash
+    "q75_cluster_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val m = Ann.buildIvfSeeded(emb, "vec_id", "embedding", 0L until 8L)
+      Mixture.cellBalancedSample(m.assigned, "vec_id", perCell = 10)
+        .select(col("vec_id"), col("cell")).orderBy("vec_id")
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -1385,5 +1448,56 @@ object SparkEntry {
          |dd AS (SELECT vec_id, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
          |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM dd
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
+    "q71_source_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |tot AS (SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS tot FROM d GROUP BY source),
+         |r AS (SELECT source, LEAST(1.0, 2000.0 * (CASE source WHEN 'src0' THEN 0.5
+         |        WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2 ELSE 0.0 END) / tot) AS rate
+         |      FROM tot)
+         |SELECT d.doc_id AS doc_id, d.source AS source, ROUND(r.rate, 4) AS rate
+         |FROM d JOIN r ON d.source = r.source
+         |WHERE ${sqlSpreadHash("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate * 1e6
+         |ORDER BY doc_id""".stripMargin,
+    "q72_reshard" ->
+      s"""WITH h AS (SELECT doc_id, ${sqlSpreadHash("CAST(doc_id AS VARCHAR)")} AS hh
+         |           FROM documents)
+         |SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS INTEGER) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin,
+    "q73_duplicate_passages" ->
+      """WITH t AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT id, unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')) END) AS passage
+        |       FROM t),
+        |rec AS (SELECT passage, COUNT(DISTINCT id) AS n_docs FROM sh
+        |        GROUP BY passage HAVING COUNT(DISTINCT id) >= 2)
+        |SELECT sh.id AS doc_id, COUNT(*) AS n_dup_passages, MAX(rec.n_docs) AS max_spread
+        |FROM sh JOIN rec ON sh.passage = rec.passage
+        |GROUP BY sh.id ORDER BY doc_id""".stripMargin,
+    "q74_incremental_hydrate" ->
+      """WITH cur AS (SELECT CAST(doc_id AS VARCHAR) AS id, text AS document, lang
+        |             FROM documents WHERE doc_id < 200),
+        |inc AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+        |          CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS document, lang
+        |        FROM documents WHERE doc_id < 260)
+        |SELECT inc.id AS id, CASE WHEN cur.id IS NULL THEN 'insert' ELSE 'update' END AS action
+        |FROM inc LEFT JOIN cur ON inc.id = cur.id
+        |WHERE cur.id IS NULL OR inc.document IS DISTINCT FROM cur.document
+        |   OR inc.lang IS DISTINCT FROM cur.lang
+        |ORDER BY id""".stripMargin,
+    "q75_cluster_sample" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+         |d AS (SELECT e.vec_id AS vec_id, c.cell AS cell, ${sqlL2("e.embedding", "c.ce")} AS cd
+         |      FROM embeddings e, c),
+         |a AS (SELECT vec_id, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn FROM d)
+         |      WHERE rn = 1),
+         |h AS (SELECT vec_id, cell, ${sqlSpreadHash("CAST(vec_id AS VARCHAR)")} AS hh FROM a),
+         |s AS (SELECT vec_id, cell,
+         |        row_number() OVER (PARTITION BY cell ORDER BY hh, vec_id) AS rn FROM h)
+         |SELECT vec_id, cell FROM s WHERE rn <= 10 ORDER BY vec_id""".stripMargin,
   )
 }

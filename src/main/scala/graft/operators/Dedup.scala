@@ -261,6 +261,36 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Duplicate-passage detection — the substring-level dedup signal of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., 2022), relationalized: slide an n-token window over every
+    * document, count how many DISTINCT documents contain each passage,
+    * and report per document how many of its distinct passages recur
+    * elsewhere (plus the widest spread). Docs with a high duplicated-
+    * passage share are boilerplate/mirror candidates that doc-level
+    * near-dedup misses.
+    *
+    * 100 TB shape: one compiled shingle pass ([[wordShingles]]), then two
+    * hash-partitioned aggregates (by passage, then by doc) and a
+    * passage-keyed join whose right side holds only passages that
+    * actually recur — no suffix array, no driver state, no O(n²) stage.
+    * Skew guard: a passage's posting count is capped by `countDistinct`,
+    * not a collected list, so a boilerplate passage shared by millions of
+    * docs costs one combiner-friendly count, never a hot-key list build. */
+  def duplicatePassages(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingles(col(textCol), n))).as("passage"))
+    val recurring = sh.groupBy("passage")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    sh.join(recurring, Seq("passage"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_dup_passages"), max(col("n_docs")).as("max_spread"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing ANY word n-gram
     * with an eval/benchmark set — the standard leakage check a training
     * pipeline runs before a corpus ships (n=8..13 word-gram overlap is the

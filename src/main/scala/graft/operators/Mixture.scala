@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.GraftExtensions
+
+/** Corpus-curation operators that sit between "filtered documents" and
+  * "training shards" in a large-scale training-data pipeline: weighted
+  * source mixing to a token budget, deterministic global shuffling into
+  * shards, and cluster-balanced diversity sampling.
+  *
+  * All three key their sampling decisions off the engine-portable
+  * [[graft.expressions.StrHash]] of the row id, so the output is
+  * reproducible across runs, partition layouts and engines — re-running
+  * the pipeline yields identical shards (the property that makes training
+  * runs repeatable) — and every decision replays in a plain-SQL oracle.
+  *
+  * Reference context: the hydration step this engine generalizes
+  * (sas:126-193) bulk-loads one already-curated table; these operators
+  * produce that curated table from a raw corpus at scale.
+  */
+object Mixture {
+
+  /** Thresholdable id hash. The raw [[graft.expressions.StrHash]] is a
+    * positional polynomial whose MAGNITUDE tracks string length — a short
+    * id ("42") can never exceed ~25k, so comparing it against a rate
+    * threshold over 10^6 residues would keep everything. One multiplicative
+    * mix (Knuth constant, mod the 1e9+7 prime) decorrelates the residue
+    * from the id's length/prefix while staying exact 64-bit arithmetic on
+    * any engine (max product ≈ 2^31·2^31.3 < 2^63, no ANSI overflow). */
+  private def idHash(idCol: String) =
+    pmod(GraftExtensions.strHash(col(idCol).cast("string")) * lit(2654435761L),
+      lit(1000000007L))
+
+  /** Weighted mixture sampling: downsample each source so its kept cost
+    * (tokens, chars, bytes — whatever `costCol` measures) approaches
+    * `weights(source) × budget`. Per-source totals come from ONE tiny
+    * aggregate that broadcasts back onto the corpus scan — the corpus
+    * itself never shuffles, and the keep decision is a pure function of
+    * the row id (hash-threshold), so the sample is deterministic under
+    * task retries and repartitioning. A source whose total is below its
+    * target keeps every row (rate caps at 1): mixture weights are
+    * desiderata, not quotas. Sources absent from `weights` get rate 0.
+    *
+    * Output = kept rows plus their source's sampling `rate` column.
+    */
+  def sampleToBudget(
+      df: DataFrame, idCol: String, srcCol: String, costCol: String,
+      weights: Map[String, Double], budget: Long): DataFrame = {
+    require(weights.nonEmpty && weights.valuesIterator.forall(_ >= 0.0),
+      "mixture weights must be non-empty and non-negative")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val wlit = map(weights.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val rates = df.groupBy(col(srcCol))
+      .agg(sum(col(costCol)).cast("double").as("__tot"))
+      .withColumn("__w", coalesce(element_at(wlit, col(srcCol)), lit(0.0)))
+      .withColumn("rate",
+        least(lit(1.0), lit(budget.toDouble) * col("__w") / col("__tot")))
+      .select(col(srcCol), col("rate"))
+    // hash-threshold keep: uniform over the 10^6 hash residues, strictly
+    // below so rate 0 keeps nothing and rate 1 keeps everything
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(pmod(idHash(idCol), lit(1000000L)) < col("rate") * 1e6)
+  }
+
+  /** Deterministic corpus shuffle + shard assignment: global order = the
+    * portable id hash (ties broken by id), `shard` = hash mod `nShards`,
+    * `pos` = the row's position within its shard. ONE shuffle (the
+    * per-shard sort); at 100 TB this is `repartition($"shard")` +
+    * `sortWithinPartitions` + a partitioned write — randomized,
+    * evenly-sized, reproducible training shards with no driver-side
+    * state and no `orderBy` over the full corpus.
+    */
+  def reshard(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.withColumn("__h", idHash(idCol))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))))
+      .drop("__h")
+  }
+
+  /** Cluster-balanced ("diversity") sampling: keep at most `perCell` rows
+    * from each IVF cell, chosen by the portable id hash. A uniform sample
+    * over-represents the corpus's dense embedding-space modes; capping per
+    * cluster keeps every region represented — the standard cheap
+    * de-biasing step before training-set assembly. Input is
+    * [[Ann.assignCells]] output, so the map-only pass that builds the
+    * index also feeds the sample; the only shuffle is the per-cell
+    * window, which plans as a partial group-limit (rank ≤ k pushes into
+    * the map side), never a full per-cell sort spill.
+    */
+  def cellBalancedSample(assigned: DataFrame, idCol: String, perCell: Int): DataFrame = {
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    assigned
+      .withColumn("__h", idHash(idCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("__h"), col(idCol))))
+      .filter(col("__rn") <= perCell)
+      .drop("__h", "__rn")
+  }
+}

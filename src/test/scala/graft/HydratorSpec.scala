@@ -187,4 +187,36 @@ class HydratorSpec extends SparkTestBase {
     val coll = Hydrator.run(spark, cfg(root).copy(inputTable = p2)).get
     assert(coll.count() == 4)
   }
+
+  test("delta classifies insert/update/skip null-safely") {
+    val cur = Seq(("1", "a", "en"), ("2", "b", null), ("3", "c", "de"))
+      .toDF("id", "document", "lang")
+    val inc = Seq(
+      ("1", "a", "en"),   // identical -> skip
+      ("2", "b", null),   // identical with null field -> skip (null-safe)
+      ("3", "c", "fr"),   // lang changed -> update
+      ("4", "d", "en"))   // unseen -> insert
+      .toDF("id", "document", "lang")
+    val out = Hydrator.delta(cur, inc, "id", Seq("document", "lang"))
+      .select("id", "action").as[(String, String)].collect().toMap
+    assert(out == Map("3" -> "update", "4" -> "insert"))
+  }
+
+  test("sync applies only changes; an unchanged re-sync writes no version") {
+    val root = tmpRoot()
+    val cat = new graft.catalog.CollectionCatalog(spark, root, numBuckets = 4)
+    val c = cat.getOrCreateCollection("inc")
+    c.add(Seq(("1", "a"), ("2", "b")).toDF("id", "document"))
+    val v1 = c.meta.version
+    val batch = Seq(("2", "B"), ("3", "c")).toDF("id", "document")
+    assert(Hydrator.sync(c, batch, Seq("document")) == (1L, 1L))
+    assert(c.meta.version > v1)
+    val docs = c.toDF.select("id", "document").as[(String, String)].collect().toMap
+    assert(docs == Map("1" -> "a", "2" -> "B", "3" -> "c"))
+    // idempotence: the same batch again brings nothing new — and the store
+    // must not even write a version (re-hydration is a metadata no-op)
+    val v2 = c.meta.version
+    assert(Hydrator.sync(c, batch, Seq("document")) == (0L, 0L))
+    assert(c.meta.version == v2, "unchanged sync must not advance the store")
+  }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Mixture}
+
+class MixtureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus() = Seq(
+    ("a1", "s1", 100L), ("a2", "s1", 100L), ("a3", "s1", 100L), ("a4", "s1", 100L),
+    ("b1", "s2", 50L), ("b2", "s2", 50L),
+    ("c1", "s3", 10L)
+  ).toDF("id", "source", "cost")
+
+  test("sampleToBudget caps rate at 1 and drops unweighted sources") {
+    // s2 target = 1000*0.5 = 500 > its 100 total -> rate 1, all rows kept;
+    // s3 has no weight -> rate 0, nothing kept
+    val out = Mixture.sampleToBudget(corpus(), "id", "source", "cost",
+      Map("s1" -> 0.5, "s2" -> 0.5), budget = 1000L)
+    val kept = out.select("id", "rate").as[(String, Double)].collect().toMap
+    assert(kept.keySet.filter(_.startsWith("b")) == Set("b1", "b2"))
+    assert(kept("b1") == 1.0)
+    assert(!kept.keySet.exists(_.startsWith("c")), "unweighted source must drop")
+    // s1: rate = 1000*0.5/400 = 1.25 -> capped at 1 too
+    assert(kept.keySet.filter(_.startsWith("a")).size == 4)
+  }
+
+  test("sampleToBudget subsamples an over-budget source deterministically") {
+    val big = (0 until 200).map(i => (s"id$i", "s1", 10L)).toDF("id", "source", "cost")
+    val out = Mixture.sampleToBudget(big, "id", "source", "cost",
+      Map("s1" -> 1.0), budget = 500L) // rate = 500/2000 = 0.25
+    val ids = out.select("id").as[String].collect().sorted
+    assert(ids.nonEmpty && ids.length < 200, s"expected a strict subsample, got ${ids.length}")
+    val again = Mixture.sampleToBudget(big.repartition(7), "id", "source", "cost",
+      Map("s1" -> 1.0), budget = 500L).select("id").as[String].collect().sorted
+    assert(ids.sameElements(again), "sample must be layout-independent")
+  }
+
+  test("reshard: every row exactly once, pos contiguous from 1 per shard") {
+    val docs = spark.read.parquet(sf("documents"))
+    val out = Mixture.reshard(docs, "doc_id", 4).select("doc_id", "shard", "pos").cache()
+    try {
+      assert(out.count() == docs.count())
+      assert(out.select("doc_id").distinct().count() == docs.count())
+      val bad = out.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1).count()
+      assert(bad == 0, "pos must be 1..n within each shard")
+    } finally out.unpersist()
+  }
+
+  test("cellBalancedSample keeps at most perCell rows per cell, deterministically") {
+    val emb = spark.read.parquet(sf("embeddings"))
+    val m = Ann.buildIvfSeeded(emb, "vec_id", "embedding", 0L until 4L)
+    val out = Mixture.cellBalancedSample(m.assigned, "vec_id", perCell = 3)
+    val perCell = out.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(perCell.values.forall(_ <= 3))
+    val a = out.select("vec_id").as[Long].collect().sorted
+    val b = Mixture.cellBalancedSample(m.assigned.repartition(5), "vec_id", perCell = 3)
+      .select("vec_id").as[Long].collect().sorted
+    assert(a.sameElements(b), "sample must be layout-independent")
+  }
+
+  test("duplicatePassages finds only cross-doc recurring n-grams") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox jumps over nothing at all"),
+      (3L, "completely unrelated words here nothing shared with others")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.duplicatePassages(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // "quick brown fox jumps over" is the only shared 5-gram (docs 1,2)
+    assert(out.toSeq == Seq((1L, 1L, 2L), (2L, 1L, 2L)))
+  }
+
+  test("duplicatePassages counts a doc's repeated passage once") {
+    val docs = Seq(
+      (1L, "x y z w v x y z w v"), // internal repeat of "x y z w v"
+      (2L, "x y z w v and more tokens")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.duplicatePassages(docs, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.forall(_._2 >= 1))
+    // doc 1's self-repeat must not inflate its dup count for that passage
+    val doc1 = out.find(_._1 == 1L).get
+    assert(doc1._3 == 2L, "spread counts distinct docs, not occurrences")
+  }
+}

@@ -117,4 +117,20 @@ class PlanShapeSpec extends SparkTestBase {
     }
     assert(parts.contains(2), s"expected 2 of 8 cell partitions selected, got $parts")
   }
+
+  test("q71 mixture: the corpus never shuffles — rates broadcast back") {
+    val p = plan("q71_source_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast rate join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+    // one exchange for the tiny per-source aggregate is fine; the corpus
+    // scan side must not hash-partition (its only exchange is broadcast)
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"expected only the rate-agg shuffle, got $shuffles:\n$p")
+  }
+
+  test("q75 cluster sample: per-cell cap prunes map-side via WindowGroupLimit") {
+    val p = plan("q75_cluster_sample")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected map-side group limit (rank<=k pushdown):\n$p")
+  }
 }
