@@ -283,8 +283,10 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(wordShingles(col(textCol), n))).as("passage"))
+    // (id, passage) pairs are unique after the per-doc array_distinct, so a
+    // plain count IS the distinct-doc count — no distinct-agg expand phase
     val recurring = sh.groupBy("passage")
-      .agg(countDistinct(col("id")).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
     sh.join(recurring, Seq("passage"))
       .groupBy("id")
