@@ -185,16 +185,28 @@ object Hydrator {
     * is written — re-hydrating an unchanged source is a metadata no-op,
     * which is the idempotence a scheduled 100 TB pipeline needs (the
     * reference rewrites the collection every run). Returns
-    * (inserted, updated). */
-  def sync(coll: Collection, batch: DataFrame, compareCols: Seq[String]): (Long, Long) = {
-    val d = delta(coll.toDF, batch, "id", compareCols)
+    * (inserted, updated).
+    *
+    * A batch carrying several versions of one id (an at-least-once feed
+    * redelivering a stale row next to its correction) MUST pass `orderCol`:
+    * latest-wins resolves before the delta, so the stale copy cannot be
+    * classified as a fresh "update" and regress the stored value. */
+  def sync(coll: Collection, batch: DataFrame, compareCols: Seq[String],
+           orderCol: Option[String] = None): (Long, Long) = {
+    val b = orderCol.fold(batch) { oc =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col(oc).desc)
+      batch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    val d = delta(coll.toDF, b, "id", compareCols)
     // tiny 2-row action census decides whether to write at all; the store
     // upsert then re-derives the delta (callers hot-looping sync over a
     // huge batch should persist `d` — one materialization, not three)
     val counts = d.groupBy("action").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val (ins, upd) = (counts.getOrElse("insert", 0L), counts.getOrElse("update", 0L))
-    if (ins + upd > 0) coll.upsert(d.drop("action"))
+    if (ins + upd > 0) coll.upsert(d.drop("action"), orderCol)
     (ins, upd)
   }
 }

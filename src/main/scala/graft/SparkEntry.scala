@@ -900,6 +900,16 @@ object SparkEntry {
       Mixture.cellBalancedSample(m.assigned, "vec_id", perCell = 10)
         .select(col("vec_id"), col("cell")).orderBy("vec_id")
     }),
+    // Transitive dup clustering: connected components over the LSH
+    // near-dup pairs (q61's pipeline) — cluster = min id, the canonical
+    // representative cluster-level dedup keeps
+    "q76_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"),
+        "vec_id", "embedding", minSim = 0.2, dim = 64, nBits = 8)
+      Dedup.dupClusters(pairs, "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -1499,5 +1509,22 @@ object SparkEntry {
          |s AS (SELECT vec_id, cell,
          |        row_number() OVER (PARTITION BY cell ORDER BY hh, vec_id) AS rn FROM h)
          |SELECT vec_id, cell FROM s WHERE rn <= 10 ORDER BY vec_id""".stripMargin,
+    // q76: q61's pair pipeline, then connected components as a recursive
+    // reachability closure — cluster = LEAST(self, min reachable id)
+    "q76_dup_clusters" -> {
+      val sim = s"${sqlDot("a.e", "c.e")} / (sqrt(${sqlDot("a.e", "a.e")}) * sqrt(${sqlDot("c.e", "c.e")}))"
+      s"""WITH RECURSIVE b AS (SELECT vec_id AS id, embedding AS e,
+         |             ${sqlSrpBucket("embedding")} AS bucket FROM embeddings),
+         |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) BETWEEN 2 AND 1000),
+         |bb AS (SELECT b.id, b.e, b.bucket FROM b JOIN ok USING (bucket)),
+         |p AS (SELECT a.id AS id_a, c.id AS id_b FROM bb a
+         |      JOIN bb c ON a.bucket = c.bucket AND a.id < c.id
+         |      WHERE $sim >= 0.2),
+         |e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(s, t) AS (SELECT s, t FROM e
+         |                UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+         |SELECT s AS vec_id, LEAST(s, MIN(t)) AS cluster FROM reach
+         |GROUP BY s ORDER BY vec_id""".stripMargin
+    },
   )
 }

@@ -40,6 +40,27 @@ object StreamingHydrator {
         if (!batch.isEmpty) collection.upsert(batch, orderCol)
       }
 
+  /** Per-microbatch CDC sink: apply only each batch's [[graft.Hydrator.delta]]
+    * against current contents. Unlike [[hydrate]] (whose upsert rewrites the
+    * affected buckets even for identical redelivered rows), an unchanged or
+    * replayed microbatch writes NO store version at all — the strongest
+    * idempotence the store offers, and the right sink when the stream is a
+    * change-feed that may redeliver old snapshots. */
+  def sync(
+      rows: DataFrame,
+      collection: Collection,
+      checkpointDir: String,
+      compareCols: Seq[String],
+      orderCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.Hydrator.sync(collection, batch, compareCols, orderCol)
+        (): Unit
+      }
+
   /** Streaming unique-id enforcement: duplicates arriving within the
     * watermark horizon are dropped before the sink. */
   def dedupedRows(rows: DataFrame, tsCol: String, watermark: String): DataFrame =

@@ -173,4 +173,17 @@ class DedupSpec extends SparkTestBase {
       minSim = -2.0, dim = 64, nBits = 1, maxBucketSize = 10)
     assert(capped.count() == 0, "every bucket exceeds the cap, so no pairs may emerge")
   }
+
+  test("dupClusters: transitive components labeled by min id") {
+    val pairs = Seq((2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 2L, 3L -> 2L, 7L -> 2L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters: a long chain converges to the global min") {
+    val pairs = (0 until 12).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs, "id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.length == 13 && out.forall(_._2 == 0L))
+  }
 }

@@ -38,6 +38,43 @@ class StreamingSpec extends SparkTestBase {
     assert(coll.get(ids = Seq("b")).select("document").as[String].head() == "doc b v2")
   }
 
+  test("streaming sync: a replayed snapshot microbatch writes no store version") {
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new CollectionCatalog(spark, tmp("sync-cat"), numBuckets = 4)
+    val coll = cat.getOrCreateCollection("cdc")
+    // each snapshot is its own stream: a fresh checkpoint re-reads a
+    // MemoryStream from offset 0, so reusing one stream would smuggle
+    // STALE rows into later "snapshots" (covered by the orderCol case in
+    // the next assertion block instead)
+    def snapshot(rows: Seq[(String, String)], ck: String): Unit = {
+      val mem = MemoryStream[(String, String)]
+      mem.addData(rows: _*)
+      StreamingHydrator.sync(mem.toDF.toDF("id", "document"), coll, tmp(ck),
+        Seq("document")).start().awaitTermination(60000)
+    }
+    snapshot(Seq(("a", "doc a"), ("b", "doc b")), "sck1")
+    assert(coll.count() == 2)
+    val v1 = coll.meta.version
+    // the feed redelivers the same snapshot plus one real change: only the
+    // change may write — and the version advances exactly once
+    snapshot(Seq(("a", "doc a"), ("b", "doc b CHANGED")), "sck2")
+    assert(coll.get(ids = Seq("b")).select("document").as[String].head() == "doc b CHANGED")
+    assert(coll.meta.version == v1 + 1, "one changed row = exactly one new version")
+    // a pure replay (no change at all) must leave the store untouched
+    snapshot(Seq(("a", "doc a"), ("b", "doc b CHANGED")), "sck3")
+    assert(coll.meta.version == v1 + 1, "unchanged replay must not write a version")
+    // at-least-once redelivery: stale row NEXT TO its correction in one
+    // batch — orderCol resolves latest-wins BEFORE the delta, so the stale
+    // copy can neither regress the value nor force a spurious version
+    val mem = MemoryStream[(String, String, Long)]
+    mem.addData(("b", "doc b", 1L), ("b", "doc b CHANGED", 2L))
+    StreamingHydrator.sync(mem.toDF.toDF("id", "document", "ver"), coll,
+        tmp("sck4"), Seq("document"), orderCol = Some("ver"))
+      .start().awaitTermination(60000)
+    assert(coll.get(ids = Seq("b")).select("document").as[String].head() == "doc b CHANGED")
+    assert(coll.meta.version == v1 + 1, "resolved-stale redelivery must not write")
+  }
+
   test("streaming/batch parity: AvailableNow micro-batched hydration equals batch add") {
     implicit val sqlCtx = spark.sqlContext
     // the same 500-row fixture hydrates once as ONE batch add and once as
