@@ -90,6 +90,28 @@ object TextAnalysis {
   /** Quality signals: char length, token count, mean token length,
     * punctuation ratio, uppercase ratio, stopword ratio (en). */
   def qualityStruct(text: Column): Column = {
+    // ONE compiled scan per row (TextStats) + Catalyst arithmetic on the
+    // counts. The HOF form below is the cross-check reference: its token
+    // filter is CodegenFallback, which evicts the whole projection from
+    // codegen and re-evaluates split() per output column interpreted —
+    // the sf1 scale point measured that shape ballooning superlinearly.
+    import org.apache.spark.sql.GraftColumnShim
+    val st = GraftColumnShim.column(graft.expressions.TextStats(
+      GraftColumnShim.expression(text), stopwordList("en")))
+    val nChars = st.getField("n_chars").cast("double")
+    val nTok = st.getField("n_tokens").cast("double")
+    struct(
+      st.getField("n_chars").as("n_chars"),
+      st.getField("n_tokens").as("n_tokens"),
+      round(nChars / nTok, 4).as("mean_tok_len"),
+      round(st.getField("n_punct").cast("double") / nChars, 4).as("punct_ratio"),
+      round(st.getField("n_upper").cast("double") / nChars, 4).as("upper_ratio"),
+      round(st.getField("n_stopwords").cast("double") / nTok, 4).as("stopword_ratio"))
+  }
+
+  /** Expression-tree form of [[qualityStruct]], kept as the cross-check
+    * reference for the compiled [[graft.expressions.TextStats]] path. */
+  def qualityStructHof(text: Column): Column = {
     val tokens = split(text, " ")
     val nChars = length(text).cast("double")
     val nTok = size(tokens).cast("double")

@@ -133,4 +133,36 @@ class PropertySpec extends SparkTestBase {
       exists(col("codes"), c => abs(c) > 127)).count()
     assert(bad == 0)
   }
+
+  test("property: dupClusters matches a local BFS reference on random graphs") {
+    // one distributed run over the UNION of several random graphs (node ids
+    // offset per graph so components cannot bridge graphs) — one Spark job,
+    // many independent random cases
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 24)
+      m <- Gen.chooseNum(1, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+        if a != b
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield es.distinct
+    val graphs = sample(Gen.listOfN(12, edgeGen), 11L).zipWithIndex
+      .map { case (es, g) => es.map { case (a, b) => (a + g * 1000L, b + g * 1000L) } }
+    val allEdges = graphs.flatten
+    // local reference: union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    allEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    // find() roots are always component minima here because unions always
+    // point the larger root at the smaller — matching dupClusters' contract
+    val got = Dedup.dupClusters(allEdges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
 }

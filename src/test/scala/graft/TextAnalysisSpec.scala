@@ -115,4 +115,22 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.chunk(docs, "doc_id", "text", 4, 4)
     }
   }
+
+  test("compiled quality struct matches the HOF form on fixture + edge cases") {
+    import org.apache.spark.sql.functions.col
+    val fixture = spark.read.parquet(sf("documents")).select(col("text"))
+    // "" is outside the domain: ANSI divides n_punct/n_chars by zero in
+    // BOTH forms (the compiled path changes nothing there)
+    val edges = Seq(" ", "  ", "a", "The THE the", "x  y", "trailing ",
+      " leading", "ALL CAPS!!", "dots... and, punct; x:", null)
+      .toDF("text")
+    Seq(fixture, edges.toDF()).foreach { df =>
+      val both = df.select(
+        TextAnalysis.qualityStruct(col("text")).as("c"),
+        TextAnalysis.qualityStructHof(col("text")).as("h"))
+      val bad = both.filter(!(col("c") <=> col("h"))).count()
+      assert(bad == 0, s"compiled/HOF divergence:\n${
+        both.filter(!(col("c") <=> col("h"))).take(3).mkString("\n")}")
+    }
+  }
 }
