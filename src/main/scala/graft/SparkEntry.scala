@@ -910,6 +910,15 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy("vec_id")
     }),
+    // Curation: C4-style rule filter with per-rule drop reasons — the
+    // audit trail a corpus report needs, not a bare boolean
+    "q77_quality_filter" -> ((s, dir) => {
+      val f = TextAnalysis.qualityFilter(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          f.getField("keep").as("keep"),
+          array_join(f.getField("reasons"), ",").as("reasons"))
+        .orderBy("doc_id")
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -1509,6 +1518,29 @@ object SparkEntry {
          |s AS (SELECT vec_id, cell,
          |        row_number() OVER (PARTITION BY cell ORDER BY hh, vec_id) AS rn FROM h)
          |SELECT vec_id, cell FROM s WHERE rn <= 10 ORDER BY vec_id""".stripMargin,
+    // q77: replays the rule stack on the same q25-shape signals; reasons
+    // concatenate in rule order exactly like array_compact preserves it
+    "q77_quality_filter" ->
+      """WITH q AS (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+        |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |  ROUND(n_chars / n_tokens, 4) AS mtl,
+        |  ROUND(n_punct / n_chars, 4) AS pr,
+        |  ROUND(n_upper / n_chars, 4) AS ur FROM q),
+        |f AS (SELECT doc_id, list_filter([
+        |    CASE WHEN n_tokens < 5 THEN 'too_few_tokens' END,
+        |    CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+        |    CASE WHEN mtl < 2.0 THEN 'short_tokens' END,
+        |    CASE WHEN mtl > 12.0 THEN 'long_tokens' END,
+        |    CASE WHEN pr > 0.3 THEN 'punct_heavy' END,
+        |    CASE WHEN ur > 0.3 THEN 'upper_heavy' END], x -> x IS NOT NULL) AS rs
+        |  FROM r)
+        |SELECT doc_id, len(rs) = 0 AS keep, array_to_string(rs, ',') AS reasons
+        |FROM f ORDER BY doc_id""".stripMargin,
     // q76: q61's pair pipeline, then connected components as a recursive
     // reachability closure — cluster = LEAST(self, min reachable id)
     "q76_dup_clusters" -> {

@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_strhash"),
       new ExpressionInfo(classOf[StrHash].getName, "graft_strhash"),
       (children: Seq[Expression]) => GraftExtensions.buildStrHash(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[StrShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => GraftExtensions.buildShingles(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "graft_text_stats"),
+      (children: Seq[Expression]) => GraftExtensions.buildTextStats(children)))
     ext.injectOptimizerRule(session => new IvfPruneRule(session))
   }
 }
@@ -48,6 +56,23 @@ object GraftExtensions {
     StrHash(children.head)
   }
 
+  private def buildShingles(children: Seq[Expression]): StrShingles = {
+    require(children.length == 2, s"graft_shingles takes (text, n), got ${children.length} args")
+    val n = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_shingles n must be an integer literal, got $other")
+    }
+    StrShingles(children.head, n)
+  }
+
+  private def buildTextStats(children: Seq[Expression]): TextStats = {
+    require(children.length == 1, s"graft_text_stats takes 1 arg, got ${children.length}")
+    // SQL surface fixes the stopword list to English — the Column-level
+    // API (TextAnalysis.qualityStruct / TextStats direct) parameterizes it
+    TextStats(children.head, graft.functions.TextAnalysis.stopwordList("en"))
+  }
+
   /** Column-level constructors (no registration needed). */
   def dist(space: String)(a: Column, b: Column): Column =
     GraftColumnShim.column(VectorDistance(
@@ -67,6 +92,10 @@ object GraftExtensions {
     }
     registry.createOrReplaceTempFunction(
       "graft_strhash", (children: Seq[Expression]) => buildStrHash(children), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "graft_shingles", (children: Seq[Expression]) => buildShingles(children), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "graft_text_stats", (children: Seq[Expression]) => buildTextStats(children), "scala_udf")
     if (!classic.experimental.extraOptimizations.exists(_.isInstanceOf[IvfPruneRule]))
       classic.experimental.extraOptimizations =
         classic.experimental.extraOptimizations :+ new IvfPruneRule(spark)

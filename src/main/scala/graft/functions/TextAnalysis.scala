@@ -134,6 +134,35 @@ object TextAnalysis {
     round((lenScore + swScore + punctOk) / 3.0, 4)
   }
 
+  /** C4-style rule-based corpus filter (the cleaning-heuristic stack of
+    * Raffel et al. 2020, relationalized): each rule evaluates on the
+    * one-pass [[qualityStruct]] signals; returns a struct of
+    * (keep BOOLEAN, reasons ARRAY<STRING>). `keep` = no rule fired;
+    * `reasons` names every fired rule, because the drop-reason histogram
+    * is the first thing a corpus-curation report shows — a bare boolean
+    * filter cannot explain where the mass went. One compiled scan per
+    * row, no shuffle; thresholds are parameters with C4-ish defaults.
+    */
+  def qualityFilter(
+      text: Column,
+      minTokens: Int = 5, maxTokens: Int = 100000,
+      minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
+      maxPunctRatio: Double = 0.3, maxUpperRatio: Double = 0.3): Column = {
+    val q = qualityStruct(text)
+    val rules: Seq[(String, Column)] = Seq(
+      "too_few_tokens" -> (q.getField("n_tokens") < minTokens),
+      "too_many_tokens" -> (q.getField("n_tokens") > maxTokens),
+      "short_tokens" -> (q.getField("mean_tok_len") < minMeanTokLen),
+      "long_tokens" -> (q.getField("mean_tok_len") > maxMeanTokLen),
+      "punct_heavy" -> (q.getField("punct_ratio") > maxPunctRatio),
+      "upper_heavy" -> (q.getField("upper_ratio") > maxUpperRatio))
+    // when() without otherwise -> null for unfired rules; array_compact
+    // drops them, so `reasons` is exactly the fired-rule names in rule
+    // order and `keep` is its emptiness
+    val reasons = array_compact(array(rules.map { case (n, c) => when(c, lit(n)) }: _*))
+    struct((size(reasons) === 0).as("keep"), reasons.as("reasons"))
+  }
+
   /** Canonical text normalization for dedup/training: lowercase, strip
     * non-alphanumerics, collapse runs of spaces, trim. RE2-safe patterns. */
   def normalize(text: Column): Column =

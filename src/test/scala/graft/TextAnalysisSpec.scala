@@ -116,6 +116,36 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("qualityFilter: reasons name fired rules in order; keep = none fired") {
+    import org.apache.spark.sql.functions.{array_join, col}
+    val docs = Seq(
+      (1L, "the cat sat on the mat today fine."),      // clean -> keep
+      (2L, "a b"),                                     // too few + short tokens
+      (3L, "SHOUTING VERY LOUDLY ALWAYS HERE OK!!!"),  // upper_heavy
+      (4L, "w, x; y: z. q! r? s, t; u: v.")            // punct heavy + short
+    ).toDF("doc_id", "text")
+    val f = TextAnalysis.qualityFilter(col("text"))
+    val out = docs.select(col("doc_id"), f.getField("keep").as("k"),
+        array_join(f.getField("reasons"), ",").as("r"))
+      .as[(Long, Boolean, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, true, "")))
+    assert(out(1)._2 == false && out(1)._3 == "too_few_tokens,short_tokens")
+    assert(out(2)._2 == false && out(2)._3.contains("upper_heavy"))
+    assert(out(3)._2 == false && out(3)._3.contains("punct_heavy"))
+  }
+
+  test("graft_shingles and graft_text_stats are callable from SQL") {
+    graft.expressions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_shingles('a b c d', 3) AS sh, s.st.* FROM
+        |(SELECT graft_text_stats('The cat. X') AS st) s""".stripMargin)
+      .collect().head
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    // n_chars, n_tokens, n_punct, n_upper, n_stopwords ('The' hits 'the')
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      == ((10, 3, 1, 2, 1)))
+  }
+
   test("compiled quality struct matches the HOF form on fixture + edge cases") {
     import org.apache.spark.sql.functions.col
     val fixture = spark.read.parquet(sf("documents")).select(col("text"))
