@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.catalog.CollectionCatalog
 import graft.functions.{Distances, TextAnalysis}
-import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Knn, Mixture, Multimodal, Retrieval, Skew}
+import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Events, Knn, Mixture, Multimodal, Retrieval, Skew}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + the builder prompt.
   *
@@ -910,6 +910,21 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy("vec_id")
     }),
+    // Interval (range) join via time-axis binning: purchase→click
+    // attribution within a 1-hour lookback, equi-join on (user, bin) —
+    // never the per-user cross product a theta-join would plan
+    "q78_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("us").as("p_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"), col("us").as("c_us"))
+      Events.intervalJoin(purchases, clicks, Seq("user_id"),
+          "p_us", "c_us", 0L, 3600000000L)
+        .select(col("p_id"), col("c_id"), col("user_id"),
+          expr("(p_us - c_us) div 1000000").as("lag_s"))
+        .orderBy("p_id", "c_id")
+    }),
     // Curation: C4-style rule filter with per-rule drop reasons — the
     // audit trail a corpus report needs, not a bare boolean
     "q77_quality_filter" -> ((s, dir) => {
@@ -1518,6 +1533,16 @@ object SparkEntry {
          |s AS (SELECT vec_id, cell,
          |        row_number() OVER (PARTITION BY cell ORDER BY hh, vec_id) AS rn FROM h)
          |SELECT vec_id, cell FROM s WHERE rn <= 10 ORDER BY vec_id""".stripMargin,
+    // q78: the oracle can afford the direct inequality join (small data);
+    // the Spark side's binning must produce EXACTLY these pairs
+    "q78_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, us AS p_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, us AS c_us FROM e WHERE event_type = 'click')
+        |SELECT p_id, c_id, user_id, (p_us - c_us) // 1000000 AS lag_s
+        |FROM p JOIN c USING (user_id)
+        |WHERE p_us - c_us BETWEEN 0 AND 3600000000
+        |ORDER BY p_id, c_id""".stripMargin,
     // q77: replays the rule stack on the same q25-shape signals; reasons
     // concatenate in rule order exactly like array_compact preserves it
     "q77_quality_filter" ->

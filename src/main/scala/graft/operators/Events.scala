@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time interval operators. The reference has no event surface at
+  * all (its step ships one static table, sas:126-193); these cover the
+  * temporal joins an event-log corpus needs at scale.
+  */
+object Events {
+
+  /** Interval (range) join: every (left, right) pair sharing `keys` with
+    * `left.tsUs − right.tsUs ∈ [minDeltaUs, maxDeltaUs]`.
+    *
+    * A direct theta-join on the inequality plans as a per-key CROSS
+    * product — O(n²) per key, the classic range-join wall. Binning the
+    * time axis at the window span turns it into an EQUI-join: the right
+    * side keys on `(keys, bin)`, the left side probes the (at most two)
+    * bins its window can overlap, and the exact predicate prunes
+    * bin-mates outside the interval. Cost: one equi-shuffle per side on
+    * `(keys, bin)` + a doubled left side — never a per-key cross product.
+    * This is the bucketized range join streaming and batch engines use
+    * for exactly this shape.
+    *
+    * `leftTsUs`/`rightTsUs` must be simple LONG microsecond columns
+    * (positive epoch domain: bin arithmetic uses `div`, whose truncation
+    * equals floor for non-negative operands on every engine).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsUs: String, rightTsUs: String,
+      minDeltaUs: Long, maxDeltaUs: Long): DataFrame = {
+    require(maxDeltaUs >= minDeltaUs,
+      s"empty interval: [$minDeltaUs, $maxDeltaUs]")
+    val span = math.max(maxDeltaUs - minDeltaUs, 1L)
+    val rb = right.withColumn("__bin", expr(s"$rightTsUs div ${span}L"))
+    // the left window [ts−max, ts−min] spans ≤ span µs, so it overlaps at
+    // most two right bins; array_distinct folds them when they coincide
+    val lb = left
+      .withColumn("__bin", explode(array_distinct(array(
+        expr(s"($leftTsUs - ${maxDeltaUs}L) div ${span}L"),
+        expr(s"($leftTsUs - ${minDeltaUs}L) div ${span}L")))))
+    lb.join(rb, keys :+ "__bin")
+      .filter((col(leftTsUs) - col(rightTsUs)) >= minDeltaUs &&
+        (col(leftTsUs) - col(rightTsUs)) <= maxDeltaUs)
+      .drop("__bin")
+  }
+}

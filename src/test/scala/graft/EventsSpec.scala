@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Events
+
+class EventsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("intervalJoin equals the direct theta-join on random event sets") {
+    // timestamps drawn WIDER than the window so bins are exercised both
+    // within and across boundaries; several keys, duplicates allowed
+    val gen = Gen.listOfN(300, for {
+      k <- Gen.chooseNum(1, 5)
+      ts <- Gen.chooseNum(1000000L, 40000000L)
+    } yield (k, ts))
+    val rows = sample(gen, 3L).zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+    val l = rows.toDF("l_id", "k", "l_us")
+    val r = rows.map { case (i, k, ts) => (i + 1000L, k, ts) }.toDF("r_id", "k", "r_us")
+    val (lo, hi) = (0L, 5000000L)
+    val binned = Events.intervalJoin(l, r, Seq("k"), "l_us", "r_us", lo, hi)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val theta = l.join(r, Seq("k"))
+      .filter(col("l_us") - col("r_us") >= lo && col("l_us") - col("r_us") <= hi)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(binned == theta)
+    assert(theta.nonEmpty, "degenerate fixture: no pairs at all")
+  }
+
+  test("intervalJoin boundary deltas are inclusive; outside-by-1us excluded") {
+    val l = Seq((1L, 1, 10000000L)).toDF("l_id", "k", "l_us")
+    val r = Seq(
+      (10L, 1, 10000000L),           // delta 0       -> in
+      (11L, 1, 9000000L),            // delta 1s      -> in (== max)
+      (12L, 1, 8999999L),            // delta max+1us -> out
+      (13L, 1, 10000001L),           // delta -1us    -> out
+      (14L, 2, 10000000L))           // other key     -> out
+      .toDF("r_id", "k", "r_us")
+    val got = Events.intervalJoin(l, r, Seq("k"), "l_us", "r_us", 0L, 1000000L)
+      .select("r_id").as[Long].collect().toSet
+    assert(got == Set(10L, 11L))
+  }
+
+  test("intervalJoin with a negative-min window (future events) matches theta") {
+    val l = Seq((1L, 1, 10000000L), (2L, 1, 20000000L)).toDF("l_id", "k", "l_us")
+    val r = (0 until 40).map(i => (100L + i, 1, 9500000L + i * 300000L))
+      .toDF("r_id", "k", "r_us")
+    val (lo, hi) = (-2000000L, 2000000L)
+    val binned = Events.intervalJoin(l, r, Seq("k"), "l_us", "r_us", lo, hi)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val theta = l.join(r, Seq("k"))
+      .filter(col("l_us") - col("r_us") >= lo && col("l_us") - col("r_us") <= hi)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(binned == theta && theta.nonEmpty)
+  }
+}

@@ -133,4 +133,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"expected map-side group limit (rank<=k pushdown):\n$p")
   }
+
+  test("q78 interval join: binning plans an equi-join, never a cross product") {
+    val p = plan("q78_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must bin to an equi-join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected a keyed equi-join on (user, bin):\n$p")
+  }
+
+  test("q25 quality: the whole projection stays inside whole-stage codegen") {
+    // regression pin for the TextStats fix: one CodegenFallback lambda in
+    // this projection evicts it from codegen and re-runs split() per
+    // column interpreted (the sf1 x26 blowup). Codegen'd nodes print with
+    // a *(n) stage marker — an unstarred Project is the failure.
+    val p = plan("q25_quality_score")
+    val unstarred = p.linesIterator
+      .filter(l => l.contains(" Project [") || l.startsWith("Project ["))
+      .filterNot(_.contains(") Project ["))
+    assert(unstarred.isEmpty,
+      s"projection fell out of whole-stage codegen:\n${unstarred.mkString("\n")}\n$p")
+  }
 }
