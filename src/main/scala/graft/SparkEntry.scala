@@ -1563,9 +1563,14 @@ object SparkEntry {
         |    CASE WHEN mtl > 12.0 THEN 'long_tokens' END,
         |    CASE WHEN pr > 0.3 THEN 'punct_heavy' END,
         |    CASE WHEN ur > 0.3 THEN 'upper_heavy' END], x -> x IS NOT NULL) AS rs
-        |  FROM r)
+        |  FROM r),
+        |-- null/empty short-circuit, mirroring the operator's empty_text rule
+        |g AS (SELECT f.doc_id,
+        |        CASE WHEN d.text IS NULL OR length(d.text) = 0 THEN ['empty_text']
+        |             ELSE f.rs END AS rs
+        |      FROM f JOIN documents d ON f.doc_id = d.doc_id)
         |SELECT doc_id, len(rs) = 0 AS keep, array_to_string(rs, ',') AS reasons
-        |FROM f ORDER BY doc_id""".stripMargin,
+        |FROM g ORDER BY doc_id""".stripMargin,
     // q76: q61's pair pipeline, then connected components as a recursive
     // reachability closure — cluster = LEAST(self, min reachable id)
     "q76_dup_clusters" -> {

@@ -148,19 +148,45 @@ object TextAnalysis {
       minTokens: Int = 5, maxTokens: Int = 100000,
       minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
       maxPunctRatio: Double = 0.3, maxUpperRatio: Double = 0.3): Column = {
-    val q = qualityStruct(text)
+    // The signals are re-derived here with try_divide instead of reusing
+    // qualityStruct: the ratios must be UNCONDITIONALLY evaluable (null on
+    // a zero-length text rather than an ANSI divide-by-zero), because
+    // hiding them behind a CaseWhen empty-guard would also hide the shared
+    // TextStats scan from whole-stage-codegen subexpression elimination —
+    // each rule would then rescan the text (measured 4x on the sf1 point).
+    // Values are rounded exactly like qualityStruct, so the rule
+    // thresholds fire identically.
+    import org.apache.spark.sql.GraftColumnShim
+    val st = GraftColumnShim.column(graft.expressions.TextStats(
+      GraftColumnShim.expression(text), stopwordList("en")))
+    val nChars = st.getField("n_chars").cast("double")
+    val nTok = st.getField("n_tokens")
+    val mtl = round(try_divide(nChars, nTok.cast("double")), 4)
+    val pr = round(try_divide(st.getField("n_punct").cast("double"), nChars), 4)
+    val ur = round(try_divide(st.getField("n_upper").cast("double"), nChars), 4)
     val rules: Seq[(String, Column)] = Seq(
-      "too_few_tokens" -> (q.getField("n_tokens") < minTokens),
-      "too_many_tokens" -> (q.getField("n_tokens") > maxTokens),
-      "short_tokens" -> (q.getField("mean_tok_len") < minMeanTokLen),
-      "long_tokens" -> (q.getField("mean_tok_len") > maxMeanTokLen),
-      "punct_heavy" -> (q.getField("punct_ratio") > maxPunctRatio),
-      "upper_heavy" -> (q.getField("upper_ratio") > maxUpperRatio))
-    // when() without otherwise -> null for unfired rules; array_compact
-    // drops them, so `reasons` is exactly the fired-rule names in rule
-    // order and `keep` is its emptiness
-    val reasons = array_compact(array(rules.map { case (n, c) => when(c, lit(n)) }: _*))
-    struct((size(reasons) === 0).as("keep"), reasons.as("reasons"))
+      "too_few_tokens" -> (nTok < minTokens),
+      "too_many_tokens" -> (nTok > maxTokens),
+      "short_tokens" -> (mtl < minMeanTokLen),
+      "long_tokens" -> (mtl > maxMeanTokLen),
+      "punct_heavy" -> (pr > maxPunctRatio),
+      "upper_heavy" -> (ur > maxUpperRatio))
+    // reasons = concat of one-or-zero-element arrays per rule, NOT
+    // array_compact over nullable slots: array_compact desugars to a
+    // filter() LAMBDA, which is CodegenFallback — it would evict this
+    // whole projection from codegen and defeat the subexpression
+    // elimination that collapses the shared TextStats scan (measured 8x
+    // at the sf1 point, the same failure mode the q25 pin guards).
+    // null/empty text never reaches the rules (null comparisons cannot
+    // fire) — it maps to keep=false + 'empty_text' below, the one kind
+    // of garbage a quality filter must never wave through.
+    val none = array().cast("array<string>")
+    val reasons = concat(rules.map { case (n, c) =>
+      when(c, array(lit(n))).otherwise(none) }: _*)
+    val empty = text.isNull || length(text) === 0
+    struct(
+      (!empty && size(reasons) === 0).as("keep"),
+      when(empty, array(lit("empty_text"))).otherwise(reasons).as("reasons"))
   }
 
   /** Canonical text normalization for dedup/training: lowercase, strip

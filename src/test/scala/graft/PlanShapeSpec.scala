@@ -142,16 +142,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected a keyed equi-join on (user, bin):\n$p")
   }
 
-  test("q25 quality: the whole projection stays inside whole-stage codegen") {
-    // regression pin for the TextStats fix: one CodegenFallback lambda in
-    // this projection evicts it from codegen and re-runs split() per
-    // column interpreted (the sf1 x26 blowup). Codegen'd nodes print with
-    // a *(n) stage marker — an unstarred Project is the failure.
-    val p = plan("q25_quality_score")
-    val unstarred = p.linesIterator
-      .filter(l => l.contains(" Project [") || l.startsWith("Project ["))
-      .filterNot(_.contains(") Project ["))
-    assert(unstarred.isEmpty,
-      s"projection fell out of whole-stage codegen:\n${unstarred.mkString("\n")}\n$p")
-  }
+  // regression pin for the TextStats/lambda fixes: ONE CodegenFallback
+  // lambda (a HOF like filter(), or array_compact which desugars to one)
+  // evicts the whole projection from codegen, disabling the cross-column
+  // subexpression elimination that collapses the shared text scan — the
+  // sf1 point measured x26 (q25) and x8 (q77) from exactly this. Codegen'd
+  // nodes print with a *(n) stage marker — an unstarred Project fails.
+  for (q <- Seq("q25_quality_score", "q77_quality_filter"))
+    test(s"$q: the whole projection stays inside whole-stage codegen") {
+      val p = plan(q)
+      val unstarred = p.linesIterator
+        .filter(l => l.contains(" Project [") || l.startsWith("Project ["))
+        .filterNot(_.contains(") Project ["))
+      assert(unstarred.isEmpty,
+        s"projection fell out of whole-stage codegen:\n${unstarred.mkString("\n")}\n$p")
+    }
 }

@@ -122,7 +122,9 @@ class TextAnalysisSpec extends SparkTestBase {
       (1L, "the cat sat on the mat today fine."),      // clean -> keep
       (2L, "a b"),                                     // too few + short tokens
       (3L, "SHOUTING VERY LOUDLY ALWAYS HERE OK!!!"),  // upper_heavy
-      (4L, "w, x; y: z. q! r? s, t; u: v.")            // punct heavy + short
+      (4L, "w, x; y: z. q! r? s, t; u: v."),           // punct heavy + short
+      (5L, null.asInstanceOf[String]),                 // null -> empty_text
+      (6L, "")                                         // zero-length, no ANSI error
     ).toDF("doc_id", "text")
     val f = TextAnalysis.qualityFilter(col("text"))
     val out = docs.select(col("doc_id"), f.getField("keep").as("k"),
@@ -132,6 +134,8 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1)._2 == false && out(1)._3 == "too_few_tokens,short_tokens")
     assert(out(2)._2 == false && out(2)._3.contains("upper_heavy"))
     assert(out(3)._2 == false && out(3)._3.contains("punct_heavy"))
+    assert(out(4) == ((5L, false, "empty_text")), "null text must drop, not pass")
+    assert(out(5) == ((6L, false, "empty_text")), "empty text must drop without ANSI error")
   }
 
   test("graft_shingles and graft_text_stats are callable from SQL") {
