@@ -885,6 +885,66 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     }
   }
 
+  /** Committed versions still on disk, ascending — the time-travel axis.
+    * Copy-on-write already retains every superseded version until
+    * [[vacuum]]; this lists the ones whose commit marker AND data dir
+    * both survive (an uncommitted claim or a vacuumed dir is not
+    * readable history). */
+  def history(): Seq[Int] = DirIO.list(dir)(
+    _.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data_v"))
+      .map(p => p.getFileName.toString.stripPrefix("data_v").toInt)
+      .filter(v => Files.exists(CollectionMeta.commitMarker(dir, v)))
+      .toSeq.sorted)
+
+  /** Time-travel read: the collection exactly as committed at `version`.
+    * Free — the COW layout IS the snapshot; nothing is copied. */
+  def toDFAt(version: Int): DataFrame = {
+    require(Files.exists(dataDir(version)) &&
+        Files.exists(CollectionMeta.commitMarker(dir, version)),
+      s"version $version is not a committed on-disk version " +
+        s"(available: ${history().mkString(", ")})")
+    spark.read.option("mergeSchema", "true").parquet(dataDir(version).toString).drop("pt")
+  }
+
+  /** Roll back by rolling FORWARD: commit a NEW version whose content is
+    * `version`'s files, hard-linked (O(1) per file, no data movement).
+    * The claim protocol stays monotonic — readers never see the pointer
+    * move backwards, history keeps the bad versions for the audit trail,
+    * and a concurrent writer conflicts loudly instead of silently losing
+    * the rollback. Any index on the current version is NOT carried (it
+    * describes the rolled-back-FROM content); rebuild after rolling back. */
+  def rollbackTo(version: Int): Unit = {
+    val m = meta
+    require(version != m.version, s"already at version $version")
+    require(Files.exists(dataDir(version)) &&
+        Files.exists(CollectionMeta.commitMarker(dir, version)),
+      s"cannot roll back to non-committed/vacuumed version $version " +
+        s"(available: ${history().mkString(", ")})")
+    val next = claimNext(m)
+    val newDir = dataDir(next.version)
+    try {
+      Files.createDirectories(newDir)
+      val oldDir = dataDir(version)
+      def linkInto(src: Path, dst: Path): Unit = {
+        val link = dst.resolve(src.getFileName.toString)
+        try Files.createLink(link, src)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(src, link, StandardCopyOption.REPLACE_EXISTING) }
+      }
+      DirIO.list(oldDir)(_.filter(Files.isRegularFile(_)).toSeq)
+        .foreach(linkInto(_, newDir)) // _SUCCESS etc — exact layout parity
+      DirIO.list(oldDir)(
+        _.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("pt="))
+          .toSeq).foreach { bucketDir =>
+        val target = newDir.resolve(bucketDir.getFileName.toString)
+        Files.createDirectories(target)
+        DirIO.list(bucketDir)(_.filter(Files.isRegularFile(_)).toSeq)
+          .foreach(linkInto(_, target))
+      }
+    } catch { case e: Throwable => abandon(next); throw e }
+    commit(next)
+  }
+
   /** Rewrite the current version into a fresh one with freshly-packed
     * files: every point upsert/delete leaves one-or-few-row files in the
     * touched buckets, and after thousands of mutations scan parallelism

@@ -125,6 +125,38 @@ class CollectionSpec extends SparkTestBase {
     assert(c.count() == 1)
   }
 
+  test("time travel: history lists committed versions; toDFAt reads snapshots") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(batch(("a", "v1", Seq(1f)), ("b", "v1", Seq(2f))))
+    val v1 = c.meta.version
+    c.upsert(batch(("b", "v2", Seq(3f)), ("c", "new", Seq(4f))))
+    c.delete(ids = Seq("a"))
+    assert(c.history() == Seq(v1, v1 + 1, v1 + 2))
+    val snap = c.toDFAt(v1).select("id", "document").as[(String, String)].collect().toMap
+    assert(snap == Map("a" -> "v1", "b" -> "v1"))
+    assert(c.toDF.select("id").as[String].collect().toSet == Set("b", "c"))
+    intercept[IllegalArgumentException] { c.toDFAt(v1 + 99) }
+  }
+
+  test("rollback rolls FORWARD to a new version with the old content") {
+    val c = freshCatalog().getOrCreateCollection("c")
+    c.add(batch(("a", "good", Seq(1f))))
+    val good = c.meta.version
+    c.upsert(batch(("a", "BAD", Seq(9f)), ("z", "junk", Seq(0f))))
+    c.rollbackTo(good)
+    assert(c.meta.version == good + 2, "rollback must advance, not rewind, the pointer")
+    val docs = c.toDF.select("id", "document").as[(String, String)].collect().toMap
+    assert(docs == Map("a" -> "good"))
+    // the bad version stays in history for audit until vacuumed
+    assert(c.history().contains(good + 1))
+    assert(c.toDFAt(good + 1).count() == 2)
+    intercept[IllegalArgumentException] { c.rollbackTo(c.meta.version) }
+    // vacuum reclaims it; time travel to it then fails loudly
+    c.vacuum(0)
+    intercept[IllegalArgumentException] { c.toDFAt(good + 1) }
+    assert(c.count() == 1)
+  }
+
   test("metadata values with braces and newlines round-trip through meta.json") {
     val c = freshCatalog().getOrCreateCollection("c")
     val tricky = Map("note" -> "a}b{c", "desc" -> "line1\nline2", "quote" -> "say \"hi\"")
