@@ -910,6 +910,25 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy("vec_id")
     }),
+    // MVCC time travel UNDER THE ORACLE: snapshot-read the first committed
+    // version after later mutations — the snapshot must be bit-identical
+    // to the original batch, unaffected by the upsert and delete that
+    // followed it (the COW version dir IS the snapshot; nothing is copied)
+    "q79_time_travel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = s"/root/repo/target/verify-collections/sf_${math.abs(dir.hashCode)}"
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("tt")
+      val coll = cat.getOrCreateCollection("tt")
+      coll.add(docs.filter(col("doc_id") < 150)
+        .select(col("doc_id").cast("string").as("id"), col("lang"), col("n_chars")))
+      val v1 = coll.meta.version
+      coll.upsert(docs.filter(col("doc_id") < 180)
+        .select(col("doc_id").cast("string").as("id"),
+          lit("zz").as("lang"), col("n_chars")))
+      coll.delete(ids = Seq("1", "2", "3"))
+      coll.toDFAt(v1).select(col("id"), col("lang"), col("n_chars")).orderBy("id")
+    }),
     // Interval (range) join via time-axis binning: purchase→click
     // attribution within a 1-hour lookback, equi-join on (user, bin) —
     // never the per-user cross product a theta-join would plan
@@ -1533,6 +1552,11 @@ object SparkEntry {
          |s AS (SELECT vec_id, cell,
          |        row_number() OVER (PARTITION BY cell ORDER BY hh, vec_id) AS rn FROM h)
          |SELECT vec_id, cell FROM s WHERE rn <= 10 ORDER BY vec_id""".stripMargin,
+    // q79: the snapshot equals the first batch, full stop — the later
+    // upsert/delete must be invisible to the versioned read
+    "q79_time_travel" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, lang, n_chars FROM documents
+        |WHERE doc_id < 150 ORDER BY id""".stripMargin,
     // q78: the oracle can afford the direct inequality join (small data);
     // the Spark side's binning must produce EXACTLY these pairs
     "q78_interval_join" ->
