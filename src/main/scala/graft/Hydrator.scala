@@ -168,6 +168,11 @@ object Hydrator {
   def delta(current: DataFrame, incoming: DataFrame, idCol: String,
             compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "delta needs at least one compare column")
+    // 'action' is this function's output column: silently overwriting a
+    // payload column of the same name (and sync then dropping it) would
+    // null that field in every synced row
+    require(!incoming.columns.contains("action"),
+      "incoming batch may not carry a column named 'action' (reserved for the delta classification); rename it first")
     val cur = current.select(col(idCol).cast("string").as("__cur_id") +:
       compareCols.map(c => col(c).as(s"__cur_$c")): _*)
     val changed = compareCols.map(c => !(col(c) <=> col(s"__cur_$c"))).reduce(_ || _)
@@ -199,10 +204,11 @@ object Hydrator {
       batch.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
-    val d = delta(coll.toDF, b, "id", compareCols)
-    // tiny 2-row action census decides whether to write at all; the store
-    // upsert then re-derives the delta (callers hot-looping sync over a
-    // huge batch should persist `d` — one materialization, not three)
+    // ONE materialization of the delta join: the action census, the
+    // store's bucket probe, and the merged write all read the checkpoint
+    // instead of each re-running the id join over the collection scan
+    // (three passes over the CDC hot path otherwise)
+    val d = delta(coll.toDF, b, "id", compareCols).localCheckpoint()
     val counts = d.groupBy("action").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val (ins, upd) = (counts.getOrElse("insert", 0L), counts.getOrElse("update", 0L))

@@ -59,10 +59,11 @@ object SparkEntry {
       s"i -> ascii(substr($e, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))), 0)"
 
   /** DuckDB replay of Mixture's thresholdable spread of [[sqlStrHash]]
-    * (multiplicative mix — see Mixture.idHash for why the raw polynomial
-    * cannot be thresholded directly). */
+    * (31-bit clamp then multiplicative mix — see Mixture.idHash for why
+    * the raw polynomial can neither be thresholded directly nor multiplied
+    * unclamped). */
   private def sqlSpreadHash(e: String): String =
-    s"((${sqlStrHash(e)} * 2654435761) % 1000000007)"
+    s"(((${sqlStrHash(e)} % 2147483647) * 2654435761) % 1000000007)"
 
   /** DuckDB replay of Ann.srpBucket's fixed projection arithmetic. */
   private def sqlSrpBucket(v: String, dim: Int = 64, nBits: Int = 8): String =

@@ -299,9 +299,18 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   }
 
   /** Drop a claim whose data write failed (nothing was committed — the
-    * marker does not exist — so the version number can be re-claimed). */
-  private def abandon(next: CollectionMeta): Unit =
+    * marker does not exist — so the version number can be re-claimed).
+    * The partially-written data dir is deleted FIRST: it sits ABOVE the
+    * current version number, so vacuum (which only reclaims v < current)
+    * would never collect it — without this, every rejected write (id
+    * clash, ragged-dim abort) permanently leaked a full copy of the
+    * affected buckets. Claim release comes last so a concurrent writer
+    * cannot re-claim the number while the dead dir still exists. */
+  private def abandon(next: CollectionMeta): Unit = {
+    val dead = dataDir(next.version)
+    if (Files.exists(dead)) DirIO.deleteRecursively(dead)
     Files.deleteIfExists(CollectionMeta.claimFile(dir, next.version))
+  }
 
   /** Full rewrite into a fresh version (first write / fallback /
     * compaction). `repack` routes every bucket to one task so the output
@@ -374,9 +383,19 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * per-id grouping — the collect is ≤numBuckets rows regardless of batch
     * size. The offending id (error-path only) is looked up separately. */
   private def bucketStats(df: DataFrame): (Set[Int], Boolean) = {
+    // count(id) counts NON-NULL ids: comparing count(*) against the
+    // distinct count would misread a single null id as a "duplicate".
+    // Null ids are detected as n != total per bucket (xxhash64 hashes a
+    // NULL to a seed value, so a null id lands in an ordinary bucket) and
+    // rejected loudly: the old per-id grouping silently admitted them,
+    // and a keyed store with a null key corrupts every id-pruned read.
     val rows = bucketed(df).groupBy("pt")
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
-        countDistinct(col("id")).as("d")).collect()
+      .agg(org.apache.spark.sql.functions.count(col("id")).as("n"),
+        countDistinct(col("id")).as("d"),
+        org.apache.spark.sql.functions.count(lit(1)).as("tot")).collect()
+    if (rows.exists(r => r.getLong(1) != r.getLong(3)))
+      throw new IllegalArgumentException(
+        "null id in batch — collection ids must be non-null")
     (rows.map(_.getInt(0)).toSet, rows.exists(r => r.getLong(1) != r.getLong(2)))
   }
 

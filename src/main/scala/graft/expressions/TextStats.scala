@@ -81,13 +81,38 @@ object TextStats {
       var end = s.indexOf(' ', start)
       if (end < 0) end = s.length
       nTok += 1
+      // stopword hit iff lower(token) == stopword — the HOF reference's
+      // exact semantics. ASCII tokens fold inline; any non-ASCII char
+      // falls back to String.toLowerCase (what Spark's lower() uses under
+      // the hood), because per-char folding differs on full-case mappings
+      // (U+212A -> 'k', 'İ' -> "i̇") and would diverge from the
+      // cross-checked reference. regionMatches(ignoreCase) is NOT
+      // equivalent: it folds the stopword side too.
       val len = end - start
-      var k = 0
-      while (k < stopwords.length) {
-        val w = stopwords(k)
-        if (w.length == len && s.regionMatches(true, start, w, 0, len)) {
-          nSw += 1; k = stopwords.length
-        } else k += 1
+      var ascii = true
+      var j = start
+      while (j < end) { if (s.charAt(j) >= 128) { ascii = false; j = end } else j += 1 }
+      if (ascii) {
+        var k = 0
+        while (k < stopwords.length) {
+          val w = stopwords(k)
+          if (w.length == len) {
+            var m = 0
+            var same = true
+            while (same && m < len) {
+              val c = s.charAt(start + m)
+              val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+              if (lc != w.charAt(m)) same = false else m += 1
+            }
+            if (same) { nSw += 1; k = stopwords.length } else k += 1
+          } else k += 1
+        }
+      } else if (len > 0) {
+        val lowered = s.substring(start, end).toLowerCase
+        var k = 0
+        while (k < stopwords.length) {
+          if (stopwords(k) == lowered) { nSw += 1; k = stopwords.length } else k += 1
+        }
       }
       start = end + 1
     }

@@ -26,21 +26,22 @@ object TypedAggs {
   final class CentroidAgg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
     override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
 
-    private def addInto(acc: Array[Double], v: Seq[Float]): Array[Double] = {
-      if (acc.isEmpty) {
-        val out = new Array[Double](v.length)
-        var i = 0; while (i < v.length) { out(i) = v(i).toDouble; i += 1 }
-        out
-      } else {
-        require(acc.length == v.length,
-          s"ragged embedding dimensions: ${acc.length} vs ${v.length}")
-        var i = 0; while (i < acc.length) { acc(i) += v(i).toDouble; i += 1 }
-        acc
-      }
-    }
-
+    // initialization is keyed on the COUNT, not on the accumulator being
+    // empty: a zero-length input vector must not read as "uninitialized"
+    // (that made [empty, v] dilute the centroid while [v, empty] threw —
+    // same group, partition-order-dependent results)
     override def reduce(b: (Array[Double], Long), a: Seq[Float]): (Array[Double], Long) =
-      (addInto(b._1, a), b._2 + 1L)
+      if (b._2 == 0L) {
+        val out = new Array[Double](a.length)
+        var i = 0; while (i < a.length) { out(i) = a(i).toDouble; i += 1 }
+        (out, 1L)
+      } else {
+        require(b._1.length == a.length,
+          s"ragged embedding dimensions: ${b._1.length} vs ${a.length}")
+        val acc = b._1
+        var i = 0; while (i < acc.length) { acc(i) += a(i).toDouble; i += 1 }
+        (acc, b._2 + 1L)
+      }
 
     override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
       if (x._2 == 0L) y

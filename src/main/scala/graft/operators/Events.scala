@@ -32,6 +32,11 @@ object Events {
       minDeltaUs: Long, maxDeltaUs: Long): DataFrame = {
     require(maxDeltaUs >= minDeltaUs,
       s"empty interval: [$minDeltaUs, $maxDeltaUs]")
+    // the post-join filter references both columns by name — identical
+    // names would be AMBIGUOUS_REFERENCE at analysis time, so fail with
+    // an actionable message instead
+    require(leftTsUs != rightTsUs,
+      s"left and right timestamp columns are both named '$leftTsUs' — rename one side before joining")
     val span = math.max(maxDeltaUs - minDeltaUs, 1L)
     val rb = right.withColumn("__bin", expr(s"$rightTsUs div ${span}L"))
     // the left window [ts−max, ts−min] spans ≤ span µs, so it overlaps at

@@ -28,10 +28,14 @@ object Mixture {
     * id ("42") can never exceed ~25k, so comparing it against a rate
     * threshold over 10^6 residues would keep everything. One multiplicative
     * mix (Knuth constant, mod the 1e9+7 prime) decorrelates the residue
-    * from the id's length/prefix while staying exact 64-bit arithmetic on
-    * any engine (max product ≈ 2^31·2^31.3 < 2^63, no ANSI overflow). */
+    * from the id's length/prefix. The raw hash is clamped into 31 bits
+    * FIRST: long or non-BMP-heavy ids can push the polynomial past 2^31,
+    * and the unclamped product would then overflow a signed 64-bit —
+    * silently wrapping in Spark while the SQL oracle errors. Clamped, the
+    * product stays < 2^62.4 — exact on any engine. */
   private def idHash(idCol: String) =
-    pmod(GraftExtensions.strHash(col(idCol).cast("string")) * lit(2654435761L),
+    pmod(pmod(GraftExtensions.strHash(col(idCol).cast("string")),
+        lit(2147483647L)) * lit(2654435761L),
       lit(1000000007L))
 
   /** Weighted mixture sampling: downsample each source so its kept cost

@@ -125,6 +125,23 @@ class CollectionSpec extends SparkTestBase {
     assert(c.count() == 1)
   }
 
+  test("add rejects a null id loudly; a clash-rejected add leaves no orphan version dir") {
+    val cat = freshCatalog()
+    val c = cat.getOrCreateCollection("c")
+    val e = intercept[IllegalArgumentException] {
+      c.add(Seq((null.asInstanceOf[String], "x", Seq(1f)))
+        .toDF("id", "document", "embedding"))
+    }
+    assert(e.getMessage.contains("null id"))
+    c.add(batch(("a", "1", Seq(1f))))
+    val before = c.history()
+    intercept[IllegalArgumentException] { c.add(batch(("a", "2", Seq(2f)))) }
+    // the rejected write's claimed version dir must be cleaned up — it
+    // sits ABOVE the live version, where vacuum can never reclaim it
+    assert(c.history() == before, "clash-rejected add must not leave a version dir")
+    assert(c.count() == 1)
+  }
+
   test("time travel: history lists committed versions; toDFAt reads snapshots") {
     val c = freshCatalog().getOrCreateCollection("c")
     c.add(batch(("a", "v1", Seq(1f)), ("b", "v1", Seq(2f))))

@@ -32,6 +32,15 @@ class EventsSpec extends SparkTestBase {
     assert(theta.nonEmpty, "degenerate fixture: no pairs at all")
   }
 
+  test("intervalJoin rejects identically-named timestamp columns up front") {
+    val l = Seq((1L, 1, 10L)).toDF("l_id", "k", "us")
+    val r = Seq((2L, 1, 10L)).toDF("r_id", "k", "us")
+    val e = intercept[IllegalArgumentException] {
+      Events.intervalJoin(l, r, Seq("k"), "us", "us", 0L, 100L)
+    }
+    assert(e.getMessage.contains("rename"))
+  }
+
   test("intervalJoin boundary deltas are inclusive; outside-by-1us excluded") {
     val l = Seq((1L, 1, 10000000L)).toDF("l_id", "k", "l_us")
     val r = Seq(

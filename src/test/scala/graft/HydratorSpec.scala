@@ -200,6 +200,13 @@ class HydratorSpec extends SparkTestBase {
     val out = Hydrator.delta(cur, inc, "id", Seq("document", "lang"))
       .select("id", "action").as[(String, String)].collect().toMap
     assert(out == Map("3" -> "update", "4" -> "insert"))
+    // 'action' is the classification output — a payload column of that
+    // name would be silently overwritten (and later dropped by sync)
+    val clash = inc.withColumnRenamed("lang", "action")
+    val e = intercept[IllegalArgumentException] {
+      Hydrator.delta(cur.withColumnRenamed("lang", "action"), clash, "id", Seq("document"))
+    }
+    assert(e.getMessage.contains("action"))
   }
 
   test("sync applies only changes; an unchanged re-sync writes no version") {

@@ -38,4 +38,22 @@ class TypedAggsSpec extends SparkTestBase {
     assert(e.getMessage.contains("ragged") ||
       Option(e.getCause).exists(_.getMessage.contains("ragged")))
   }
+
+  test("typed centroid: empty vector in a group is ragged in EITHER order") {
+    // regression: an empty vector used to read as "uninitialized buffer",
+    // so [empty, v] silently diluted the centroid while [v, empty] threw
+    for (rows <- Seq(Seq((1, Seq.empty[Float]), (1, Seq(2f, 4f))),
+                     Seq((1, Seq(2f, 4f)), (1, Seq.empty[Float])))) {
+      val e = intercept[org.apache.spark.SparkException] {
+        rows.toDS().repartition(1).groupByKey(_._1).mapValues(_._2)
+          .agg(TypedAggs.centroid).collect()
+      }
+      assert(e.getMessage.contains("ragged") ||
+        Option(e.getCause).exists(_.getMessage.contains("ragged")))
+    }
+    // a group of ONLY empty vectors is well-defined: empty centroid
+    val ok = Seq((1, Seq.empty[Float]), (1, Seq.empty[Float])).toDS()
+      .groupByKey(_._1).mapValues(_._2).agg(TypedAggs.centroid).collect()
+    assert(ok.head._2 == Seq.empty[Double])
+  }
 }
