@@ -55,6 +55,26 @@ class EventsSpec extends SparkTestBase {
     assert(got == Set(10L, 11L))
   }
 
+  test("property: intervalJoin matches theta across random window shapes") {
+    val rows = sample(Gen.listOfN(200, for {
+      k <- Gen.chooseNum(1, 4)
+      ts <- Gen.chooseNum(100000000L, 130000000L)
+    } yield (k, ts)), 17L).zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+    val l = rows.toDF("l_id", "k", "l_us")
+    val r = rows.map { case (i, k, ts) => (i + 1000L, k, ts) }.toDF("r_id", "k", "r_us")
+    // windows spanning: tiny, zero-width, negative-lo, far-offset
+    val windows = Seq((0L, 1L), (5L, 5L), (-7000000L, 3000000L),
+      (10000000L, 11000000L), (-20000000L, -10000000L))
+    for ((lo, hi) <- windows) {
+      val binned = Events.intervalJoin(l, r, Seq("k"), "l_us", "r_us", lo, hi)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      val theta = l.join(r, Seq("k"))
+        .filter(col("l_us") - col("r_us") >= lo && col("l_us") - col("r_us") <= hi)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(binned == theta, s"window [$lo,$hi]: binned ${binned.size} != theta ${theta.size}")
+    }
+  }
+
   test("intervalJoin with a negative-min window (future events) matches theta") {
     val l = Seq((1L, 1, 10000000L), (2L, 1, 20000000L)).toDF("l_id", "k", "l_us")
     val r = (0 until 40).map(i => (100L + i, 1, 9500000L + i * 300000L))
