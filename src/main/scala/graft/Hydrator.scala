@@ -171,7 +171,9 @@ object Hydrator {
     // 'action' is this function's output column: silently overwriting a
     // payload column of the same name (and sync then dropping it) would
     // null that field in every synced row
-    require(!incoming.columns.contains("action"),
+    // case-INSENSITIVE: Spark's default resolver is case-insensitive, so
+    // withColumn("action", ...) would clobber a payload column 'Action'
+    require(!incoming.columns.exists(_.equalsIgnoreCase("action")),
       "incoming batch may not carry a column named 'action' (reserved for the delta classification); rename it first")
     val cur = current.select(col(idCol).cast("string").as("__cur_id") +:
       compareCols.map(c => col(c).as(s"__cur_$c")): _*)
@@ -205,14 +207,19 @@ object Hydrator {
         .filter(col("__rn") === 1).drop("__rn")
     }
     // ONE materialization of the delta join: the action census, the
-    // store's bucket probe, and the merged write all read the checkpoint
+    // store's bucket probe, and the merged write all read the cache
     // instead of each re-running the id join over the collection scan
-    // (three passes over the CDC hot path otherwise)
-    val d = delta(coll.toDF, b, "id", compareCols).localCheckpoint()
-    val counts = d.groupBy("action").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val (ins, upd) = (counts.getOrElse("insert", 0L), counts.getOrElse("update", 0L))
-    if (ins + upd > 0) coll.upsert(d.drop("action"), orderCol)
-    (ins, upd)
+    // (three passes over the CDC hot path otherwise). persist — not
+    // localCheckpoint — keeps the lineage, so a lost executor recomputes
+    // instead of failing the sync; released in finally so a hot loop
+    // cannot accumulate dead blocks.
+    val d = delta(coll.toDF, b, "id", compareCols).persist()
+    try {
+      val counts = d.groupBy("action").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (ins, upd) = (counts.getOrElse("insert", 0L), counts.getOrElse("update", 0L))
+      if (ins + upd > 0) coll.upsert(d.drop("action"), orderCol)
+      (ins, upd)
+    } finally d.unpersist(blocking = false)
   }
 }

@@ -23,6 +23,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Store root for the write-path queries (q60/q63/q79), keyed by the
+    * source dir so each scale gets its own artifacts. Unsigned-widened
+    * hash: math.abs would collide two dirs whose hashes differ only in
+    * sign (and is negative for Int.MinValue). */
+  private def verifyCollectionsRoot(dir: String): String =
+    s"/root/repo/target/verify-collections/sf_${dir.hashCode.toLong & 0xffffffffL}"
+
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a long
     * (nanos) via this legacy flag; DuckDB truncates the same values to µs.
     * All event-time arithmetic therefore happens on integer MICROSECONDS on
@@ -801,7 +808,7 @@ object SparkEntry {
     // the artifact the reference's whole pipeline exists to produce.
     "q60_collection_ivf_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val root = s"/root/repo/target/verify-collections/sf_${math.abs(dir.hashCode)}"
+      val root = verifyCollectionsRoot(dir)
       val cat = new CollectionCatalog(s, root)
       // Hydrate-once / query-many: the artifact this query produces is a
       // PERSISTENT indexed collection — rebuilding it per invocation would
@@ -831,7 +838,7 @@ object SparkEntry {
     // oracle, not just scalatest.
     "q63_collection_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val root = s"/root/repo/target/verify-collections/sf_${math.abs(dir.hashCode)}"
+      val root = verifyCollectionsRoot(dir)
       // the round-trip batch is ~260 rows regardless of sf (doc_id < 260):
       // 8 id-hash buckets right-sizes the file count for the store being
       // exercised; the commit protocol is identical at any bucket count
@@ -917,7 +924,7 @@ object SparkEntry {
     // followed it (the COW version dir IS the snapshot; nothing is copied)
     "q79_time_travel" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val root = s"/root/repo/target/verify-collections/sf_${math.abs(dir.hashCode)}"
+      val root = verifyCollectionsRoot(dir)
       val cat = new CollectionCatalog(s, root, numBuckets = 8)
       cat.deleteCollection("tt")
       val coll = cat.getOrCreateCollection("tt")

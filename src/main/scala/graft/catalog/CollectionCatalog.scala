@@ -307,9 +307,17 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * affected buckets. Claim release comes last so a concurrent writer
     * cannot re-claim the number while the dead dir still exists. */
   private def abandon(next: CollectionMeta): Unit = {
-    val dead = dataDir(next.version)
-    if (Files.exists(dead)) DirIO.deleteRecursively(dead)
-    Files.deleteIfExists(CollectionMeta.claimFile(dir, next.version))
+    // best-effort on the dir: abandon runs inside catch blocks that
+    // rethrow the ORIGINAL failure, and the claim release must happen
+    // even if the cleanup trips (a straggler task still flushing can race
+    // the walk) — a leftover dir is harmless (the next writer's
+    // mode(overwrite) replaces it) but a leaked claim wedges the
+    // collection permanently (vacuum only reclaims v < current)
+    try {
+      val dead = dataDir(next.version)
+      if (Files.exists(dead)) DirIO.deleteRecursively(dead)
+    } catch { case scala.util.control.NonFatal(_) => () }
+    finally Files.deleteIfExists(CollectionMeta.claimFile(dir, next.version))
   }
 
   /** Full rewrite into a fresh version (first write / fallback /
@@ -470,12 +478,16 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val dedupBatch = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val m = meta
+    // bucketStats, not bucketsOf: its null-id rejection must cover the
+    // upsert path too (a null-keyed row would survive every later
+    // left_anti merge — null == null never matches — and accumulate).
+    // Its dup flag is ignored: within-batch dups are upsert's JOB to
+    // resolve. Probing the RAW batch skips one window computation — the
+    // dedup preserves the id set, so the buckets are identical.
+    val (affected, _) = bucketStats(batch.select("id"))
     currentDataOf(m) match {
       case None => writeVersion(dedupBatch, m)
       case Some(_) =>
-        // buckets of the RAW batch: the window dedup preserves the id set,
-        // so probing pre-dedup skips one computation of the window shuffle
-        val affected = bucketsOf(batch.select("id"))
         val curAffected = currentWithPtOf(m).filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
         val merged = curAffected.join(dedupBatch.select("id"), Seq("id"), "left_anti")
           .unionByName(dedupBatch, allowMissingColumns = true)

@@ -32,11 +32,15 @@ object Events {
       minDeltaUs: Long, maxDeltaUs: Long): DataFrame = {
     require(maxDeltaUs >= minDeltaUs,
       s"empty interval: [$minDeltaUs, $maxDeltaUs]")
-    // the post-join filter references both columns by name — identical
-    // names would be AMBIGUOUS_REFERENCE at analysis time, so fail with
-    // an actionable message instead
-    require(leftTsUs != rightTsUs,
+    // the post-join filter references both ts columns by name — any
+    // cross-side collision (Spark's default resolver is case-INSENSITIVE)
+    // would be AMBIGUOUS_REFERENCE at analysis time; fail with an
+    // actionable message instead
+    require(!leftTsUs.equalsIgnoreCase(rightTsUs),
       s"left and right timestamp columns are both named '$leftTsUs' — rename one side before joining")
+    require(!right.columns.exists(_.equalsIgnoreCase(leftTsUs)) &&
+        !left.columns.exists(_.equalsIgnoreCase(rightTsUs)),
+      s"'$leftTsUs'/'$rightTsUs' must each exist on ONE side only — rename the colliding column before joining")
     val span = math.max(maxDeltaUs - minDeltaUs, 1L)
     val rb = right.withColumn("__bin", expr(s"$rightTsUs div ${span}L"))
     // the left window [ts−max, ts−min] spans ≤ span µs, so it overlaps at

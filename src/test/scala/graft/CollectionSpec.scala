@@ -133,6 +133,13 @@ class CollectionSpec extends SparkTestBase {
         .toDF("id", "document", "embedding"))
     }
     assert(e.getMessage.contains("null id"))
+    // the upsert path must reject it too: a null-keyed row would survive
+    // every later left_anti merge (null == null never matches)
+    val e2 = intercept[IllegalArgumentException] {
+      c.upsert(Seq((null.asInstanceOf[String], "x", Seq(1f)))
+        .toDF("id", "document", "embedding"))
+    }
+    assert(e2.getMessage.contains("null id"))
     c.add(batch(("a", "1", Seq(1f))))
     val before = c.history()
     intercept[IllegalArgumentException] { c.add(batch(("a", "2", Seq(2f)))) }
