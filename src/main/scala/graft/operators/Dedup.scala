@@ -293,20 +293,29 @@ object Dedup {
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       // gather-min from neighbors; one join + one combiner-friendly
-      // min-aggregate per round. (A pointer-jumping variant — label ←
-      // label's label, O(log diameter) rounds — was measured SLOWER here:
+      // min-aggregate per round. Pointer jumping (label ← label's label,
+      // O(log diameter) rounds) measured SLOWER as an every-round step —
       // near-dup components are dense and shallow, so the extra self-join
-      // and materialization per round outweigh the saved rounds. Revisit
-      // only for graphs with genuinely long chains.)
+      // outweighs the saved rounds — but still-converging after 8 rounds
+      // means a genuinely long chain is present, and from there the jump
+      // turns the remaining O(diameter) rounds into O(log diameter):
+      // dense graphs never pay for it, chains cannot exhaust maxIter.
       val nbrMin = e.join(labels.select(col("id").as("t"), col("lbl").as("nlbl")), Seq("t"))
         .groupBy(col("s").as("id")).agg(min(col("nlbl")).as("nmin"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("plbl"))
+      val stepped =
+        if (iter < 8) prop.select(col("id"), col("lbl"), col("plbl").as("nlbl"))
+        else prop
+          .join(prop.select(col("id").as("plbl"), col("plbl").as("jlbl")), Seq("plbl"), "left")
+          .select(col("id"), col("lbl"),
+            least(col("plbl"), coalesce(col("jlbl"), col("plbl"))).as("nlbl"))
       // the changed-row count rides the checkpoint's own materialization
       // as an observe() metric — one job per round, not a count job plus
       // a checkpoint job
       val obs = org.apache.spark.sql.Observation()
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("nlbl"))
+      val next = stepped
         .observe(obs, sum(when(col("nlbl") < col("lbl"), 1L).otherwise(0L)).as("chg"))
         .localCheckpoint()
       changed = obs.get.get("chg") match {

@@ -186,4 +186,13 @@ class DedupSpec extends SparkTestBase {
     val out = Dedup.dupClusters(pairs, "id_a", "id_b").as[(Long, Long)].collect()
     assert(out.length == 13 && out.forall(_._2 == 0L))
   }
+
+  test("dupClusters: a 300-node chain converges within 30 rounds (adaptive jump)") {
+    // propagate-only needs ~diameter rounds — 300 would exhaust maxIter;
+    // the pointer jump engaging after round 8 must close it in O(log n)
+    val pairs = (0 until 299).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs, "id_a", "id_b", maxIter = 30)
+      .as[(Long, Long)].collect()
+    assert(out.length == 300 && out.forall(_._2 == 0L))
+  }
 }
