@@ -540,7 +540,7 @@ object SparkEntry {
     // pins the exchange-free join; the oracle pins the result.
     "q62_bucketed_join_revenue" -> ((s, dir) => {
       import graft.sources.Bucketing
-      val tag = math.abs(dir.hashCode).toString
+      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
       val (ot, lt) = (s"b_orders_$tag", s"b_lineitem_$tag")
       // ensure, not rewrite: the fixtures are immutable and the table names
       // carry the source identity (dir hash), so repeat runs in one session

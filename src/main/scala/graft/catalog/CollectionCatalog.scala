@@ -451,8 +451,14 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         writeMergedVersion(
           curAffected.unionByName(flaggedBatch, allowMissingColumns = true), affected, m,
           beforeCommit = () => {
+            // fail CLOSED: only an empty batch (sum over zero rows = null)
+            // may read as "no clash" — a missing or mistyped metric must
+            // abort the commit, not silently admit a duplicate id
             val clashes = obs.get.get("clashes") match {
-              case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
+              case Some(l: java.lang.Long) => l.longValue()
+              case Some(null) => 0L
+              case other => throw new IllegalStateException(
+                s"clash-probe metric missing or mistyped: $other")
             }
             if (clashes > 0L) {
               val clash = batch.join(curAffected.select("id"), Seq("id"), "left_semi")

@@ -318,8 +318,14 @@ object Dedup {
       val next = stepped
         .observe(obs, sum(when(col("nlbl") < col("lbl"), 1L).otherwise(0L)).as("chg"))
         .localCheckpoint()
+      // fail CLOSED: only an empty edge set (sum over zero rows = null)
+      // may read as "converged" — a missing or mistyped metric would
+      // otherwise return wrong clusters as premature convergence
       changed = obs.get.get("chg") match {
-        case Some(l: java.lang.Long) => l.longValue(); case _ => 0L
+        case Some(l: java.lang.Long) => l.longValue()
+        case Some(null) => 0L
+        case other => throw new IllegalStateException(
+          s"convergence metric missing or mistyped: $other")
       }
       labels = next.select(col("id"), col("nlbl").as("lbl"))
       iter += 1

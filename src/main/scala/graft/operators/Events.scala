@@ -41,17 +41,24 @@ object Events {
     require(!right.columns.exists(_.equalsIgnoreCase(leftTsUs)) &&
         !left.columns.exists(_.equalsIgnoreCase(rightTsUs)),
       s"'$leftTsUs'/'$rightTsUs' must each exist on ONE side only — rename the colliding column before joining")
+    require(!(left.columns ++ right.columns).exists(_.equalsIgnoreCase("__bin")),
+      "inputs must not carry a '__bin' column — it is reserved for the internal bin key")
     val span = math.max(maxDeltaUs - minDeltaUs, 1L)
-    val rb = right.withColumn("__bin", expr(s"$rightTsUs div ${span}L"))
+    // the bin key is built in expr() SQL for exact integer `div`; quote
+    // the ts identifiers so names needing backticks (dots, spaces,
+    // hyphens) parse — a raw splice would fail at analysis despite
+    // passing the guards above
+    def q(name: String): String = "`" + name.replace("`", "``") + "`"
+    val rb = right.withColumn("__bin", expr(s"${q(rightTsUs)} div ${span}L"))
     // the left window [ts−max, ts−min] spans ≤ span µs, so it overlaps at
     // most two right bins; array_distinct folds them when they coincide
     val lb = left
       .withColumn("__bin", explode(array_distinct(array(
-        expr(s"($leftTsUs - ${maxDeltaUs}L) div ${span}L"),
-        expr(s"($leftTsUs - ${minDeltaUs}L) div ${span}L")))))
+        expr(s"(${q(leftTsUs)} - ${maxDeltaUs}L) div ${span}L"),
+        expr(s"(${q(leftTsUs)} - ${minDeltaUs}L) div ${span}L")))))
     lb.join(rb, keys :+ "__bin")
-      .filter((col(leftTsUs) - col(rightTsUs)) >= minDeltaUs &&
-        (col(leftTsUs) - col(rightTsUs)) <= maxDeltaUs)
+      .filter((col(q(leftTsUs)) - col(q(rightTsUs))) >= minDeltaUs &&
+        (col(q(leftTsUs)) - col(q(rightTsUs))) <= maxDeltaUs)
       .drop("__bin")
   }
 }

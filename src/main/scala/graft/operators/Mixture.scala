@@ -60,8 +60,14 @@ object Mixture {
     val rates = df.groupBy(col(srcCol))
       .agg(sum(col(costCol)).cast("double").as("__tot"))
       .withColumn("__w", coalesce(element_at(wlit, col(srcCol)), lit(0.0)))
+      // w=0 must pin rate to 0 BEFORE the division: with __tot also 0 the
+      // quotient is 0/0 = NaN, and least() would pick 1.0 (NaN sorts
+      // greatest) — an unweighted zero-cost source would keep every row.
+      // With __tot=0 but w>0 the quotient is +Inf and least caps at 1
+      // (zero-cost source is trivially under target), which is intended.
       .withColumn("rate",
-        least(lit(1.0), lit(budget.toDouble) * col("__w") / col("__tot")))
+        when(col("__w") === 0.0, lit(0.0))
+          .otherwise(least(lit(1.0), lit(budget.toDouble) * col("__w") / col("__tot"))))
       .select(col(srcCol), col("rate"))
     // hash-threshold keep: uniform over the 10^6 hash residues, strictly
     // below so rate 0 keeps nothing and rate 1 keeps everything

@@ -41,6 +41,25 @@ class EventsSpec extends SparkTestBase {
     assert(e.getMessage.contains("rename"))
   }
 
+  test("intervalJoin handles ts column names that need backtick quoting") {
+    // dotted names parse as nested-field access unless quoted — the bin
+    // expressions and the post-join filter must both survive them
+    val l = Seq((1L, 1, 10000000L), (2L, 1, 20000000L)).toDF("l_id", "k", "l.us")
+    val r = Seq((10L, 1, 9000000L), (11L, 1, 25000000L)).toDF("r_id", "k", "r us")
+    val got = Events.intervalJoin(l, r, Seq("k"), "l.us", "r us", 0L, 2000000L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("intervalJoin rejects inputs already carrying a __bin column") {
+    val l = Seq((1L, 1, 10L, 0L)).toDF("l_id", "k", "l_us", "__bin")
+    val r = Seq((2L, 1, 10L)).toDF("r_id", "k", "r_us")
+    val e = intercept[IllegalArgumentException] {
+      Events.intervalJoin(l, r, Seq("k"), "l_us", "r_us", 0L, 100L)
+    }
+    assert(e.getMessage.contains("__bin"))
+  }
+
   test("intervalJoin boundary deltas are inclusive; outside-by-1us excluded") {
     val l = Seq((1L, 1, 10000000L)).toDF("l_id", "k", "l_us")
     val r = Seq(

@@ -26,6 +26,19 @@ class MixtureSpec extends SparkTestBase {
     assert(kept.keySet.filter(_.startsWith("a")).size == 4)
   }
 
+  test("sampleToBudget drops an UNWEIGHTED all-zero-cost source (0/0 guard)") {
+    // s3 has weight 0 and total cost 0: the raw rate is 0/0 = NaN, and
+    // least(1.0, NaN) = 1.0 (NaN sorts greatest) would keep every row —
+    // the when(w === 0, 0.0) guard must fire first
+    val zeroCost = corpus().withColumn("cost",
+      when(col("source") === "s3", lit(0L)).otherwise(col("cost")))
+    val out = Mixture.sampleToBudget(zeroCost, "id", "source", "cost",
+      Map("s1" -> 0.5, "s2" -> 0.5), budget = 1000L)
+    val kept = out.select("id").as[String].collect().toSet
+    assert(!kept.exists(_.startsWith("c")), "unweighted zero-cost source must drop")
+    assert(kept.count(_.startsWith("b")) == 2, "weighted sources unaffected by the guard")
+  }
+
   test("sampleToBudget subsamples an over-budget source deterministically") {
     val big = (0 until 200).map(i => (s"id$i", "s1", 10L)).toDF("id", "source", "cost")
     val out = Mixture.sampleToBudget(big, "id", "source", "cost",
