@@ -71,7 +71,27 @@ object Bench {
     // failures invalidate the total: sum only over passing queries, and the
     // nonempty `failed` array marks the run as not comparable
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // measured recall of the approximate paths vs their exact counterparts
+    // (untimed — a trust metric, not a speed one). Skipped on filtered runs
+    // (the approx queries may not have run); a probe failure drops the
+    // block rather than the whole bench line.
+    val recallJson =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_RECALL").contains("0")) ""
+      else {
+        val rs = try Recall.measure(spark, sfDir) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] recall probe FAILED: ${e.getMessage}"); Nil
+        }
+        val excl = try Some(Recall.lshExcluded(spark, sfDir)) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] lsh-excluded audit FAILED: ${e.getMessage}"); None
+        }
+        (if (rs.isEmpty) ""
+         else rs.map { case (k, v) => "\"" + k + "\":" + v }
+           .mkString(""","recall":{""", ",", "}")) +
+          excl.map(n => s""","lsh_excluded_rows":$n""").getOrElse("")
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$recallJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

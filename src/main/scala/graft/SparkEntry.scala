@@ -20,7 +20,7 @@ import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Events, Knn, Mixture
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Store root for the write-path queries (q60/q63/q79), keyed by the
@@ -46,7 +46,7 @@ object SparkEntry {
     raw.withColumn("us", us)
   }
 
-  private def headVec(emb: DataFrame, id: Long): Seq[Float] =
+  private[graft] def headVec(emb: DataFrame, id: Long): Seq[Float] =
     emb.filter(col("vec_id") === id).select("embedding").head().getSeq[Float](0)
 
   // ---- DuckDB-side distance SQL, mirroring graft.functions.Distances ----
@@ -73,11 +73,12 @@ object SparkEntry {
     s"(((${sqlStrHash(e)} % 2147483647) * 2654435761) % 1000000007)"
 
   /** DuckDB replay of Ann.srpBucket's fixed projection arithmetic. */
-  private def sqlSrpBucket(v: String, dim: Int = 64, nBits: Int = 8): String =
+  private def sqlSrpBucket(v: String, dim: Int = 64, nBits: Int = 8,
+      off: String = "0"): String =
     s"""CAST(list_sum(list_transform(range($nBits), b ->
        |  CASE WHEN list_sum(list_transform(range($dim), j ->
        |         CAST($v[j+1] AS DOUBLE)
-       |         * (((1103515245 * (b*$dim + j) + 12345) % 2001 - 1000) / 1000.0))) >= 0
+       |         * (((1103515245 * ((b + $off)*$dim + j) + 12345) % 2001 - 1000) / 1000.0))) >= 0
        |       THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Retrieval.bm25TopK]] ending in a
@@ -440,6 +441,17 @@ object SparkEntry {
     "q64_neardup_multiprobe" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
           minSim = 0.2, dim = 64, nBits = 8, probes = 2)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .orderBy("id_a", "id_b")),
+    // Multi-TABLE recall dial: L=4 independent SRP tables (disjoint runs of
+    // the projection sequence) union their candidate pairs — recall
+    // 1−(1−p^nBits)^L, the standard LSH amplification for true near-dups
+    // (p→1) while random pairs stay excluded. The whole per-table
+    // bucket→union→cosine path replays in the oracle; measured recall for
+    // all three SRP configurations lands in the bench recall block.
+    "q82_neardup_multitable" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minSim = 0.2, dim = 64, nBits = 8, tables = 4)
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")),
     // Grouped mean-pooling: ONE embedding per label (the doc-from-chunks /
@@ -1161,6 +1173,23 @@ object SparkEntry {
          |       UNION ALL SELECT id, e, xor(bucket, 1) AS bucket FROM bb),
          |p AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b, $sim AS sim
          |      FROM pa a JOIN bb c ON a.bucket = c.bucket AND a.id < c.id)
+         |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
+         |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
+    },
+    "q82_neardup_multitable" -> {
+      val sim = s"${sqlDot("a.e", "c.e")} / (sqrt(${sqlDot("a.e", "a.e")}) * sqrt(${sqlDot("c.e", "c.e")}))"
+      // tables=4: each row hashes once per table with the table's own run
+      // of the projection sequence (offset tbl*nBits); pairs join within
+      // (tbl, bucket), DISTINCT folds pairs co-located in several tables
+      // (their sim is the same double on both engines, so it collapses)
+      s"""WITH b AS (SELECT vec_id AS id, embedding AS e, t.tbl AS tbl,
+         |             ${sqlSrpBucket("embedding", off = "t.tbl*8")} AS bucket
+         |           FROM embeddings, (SELECT range AS tbl FROM range(4)) t),
+         |ok AS (SELECT tbl, bucket FROM b GROUP BY tbl, bucket
+         |       HAVING COUNT(*) BETWEEN 2 AND 1000),
+         |bb AS (SELECT b.id, b.e, b.tbl, b.bucket FROM b JOIN ok USING (tbl, bucket)),
+         |p AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b, $sim AS sim
+         |      FROM bb a JOIN bb c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.id < c.id)
          |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
          |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },

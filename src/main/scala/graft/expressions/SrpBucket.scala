@@ -8,8 +8,11 @@ import org.apache.spark.sql.types._
 
 /** Codegen'd deterministic sign-random-projection LSH bucket.
   *
-  * bit b of the bucket = sign of ⟨vec, r_b⟩ where
+  * bit b of the bucket = sign of ⟨vec, r_(bitOffset+b)⟩ where
   *   r_b[j] = ((1103515245·(b·dim+j) + 12345) mod 2001 − 1000) / 1000
+  * `bitOffset` selects a disjoint run of the same projection sequence, so
+  * table t of a multi-table LSH uses bits t·nBits .. (t+1)·nBits−1 —
+  * L independent hash tables from one formula, no extra state
   * — a fixed arithmetic pseudo-random sequence, reproducible on any engine
   * (the DuckDB oracle replays it with list arithmetic).
   *
@@ -23,11 +26,12 @@ import org.apache.spark.sql.types._
   * form silently zeroed that bit — an unreliable signature; loud null is
   * the safer semantics, and fixtures carry no null elements).
   */
-case class SrpBucket(child: Expression, dim: Int, nBits: Int)
+case class SrpBucket(child: Expression, dim: Int, nBits: Int, bitOffset: Int = 0)
     extends UnaryExpression {
 
   require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")
   require(dim >= 1, s"dim must be positive, got $dim")
+  require(bitOffset >= 0, s"bitOffset must be non-negative, got $bitOffset")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -53,7 +57,7 @@ case class SrpBucket(child: Expression, dim: Int, nBits: Int)
       while (j < n) {
         if (a.isNullAt(j)) return null
         val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
-        val r = ((1103515245L * (b.toLong * dim + j) + 12345L) % 2001L - 1000L) / 1000.0
+        val r = ((1103515245L * ((bitOffset + b).toLong * dim + j) + 12345L) % 2001L - 1000L) / 1000.0
         proj += x * r
         j += 1
       }
@@ -77,7 +81,7 @@ case class SrpBucket(child: Expression, dim: Int, nBits: Int)
          |  for (int $j = 0; $j < $n; $j++) {
          |    if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
          |    double $x = $getX;
-         |    double $r = ((1103515245L * ((long) $b * $dim + $j) + 12345L) % 2001L - 1000L) / 1000.0;
+         |    double $r = ((1103515245L * ((long) ($bitOffset + $b) * $dim + $j) + 12345L) % 2001L - 1000L) / 1000.0;
          |    $proj += $x * $r;
          |  }
          |  if (!${ev.isNull} && $proj >= 0) $bucket |= 1L << $b;

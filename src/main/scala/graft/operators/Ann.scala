@@ -182,18 +182,18 @@ object Ann {
     * fixed arithmetic pseudo-random sequence, reproducible anywhere.
     * Codegen'd fused loop ([[graft.expressions.SrpBucket]]); values are
     * bit-identical to [[srpBucketHof]] and the SQL oracle. */
-  def srpBucket(vec: Column, dim: Int, nBits: Int): Column = {
+  def srpBucket(vec: Column, dim: Int, nBits: Int, bitOffset: Int = 0): Column = {
     import org.apache.spark.sql.GraftColumnShim
     GraftColumnShim.column(graft.expressions.SrpBucket(
-      GraftColumnShim.expression(vec), dim, nBits))
+      GraftColumnShim.expression(vec), dim, nBits, bitOffset))
   }
 
   /** Expression-tree form of [[srpBucket]] (nBits·dim nodes): kept as the
     * cross-check reference — the fused loop must reproduce it exactly. */
-  def srpBucketHof(vec: Column, dim: Int, nBits: Int): Column = {
+  def srpBucketHof(vec: Column, dim: Int, nBits: Int, bitOffset: Int = 0): Column = {
     val bits = (0 until nBits).map { b =>
       val proj = (0 until dim).map { j =>
-        val r = ((1103515245L * (b.toLong * dim + j) + 12345L) % 2001L - 1000L) / 1000.0
+        val r = ((1103515245L * ((bitOffset + b).toLong * dim + j) + 12345L) % 2001L - 1000L) / 1000.0
         element_at(vec, j + 1).cast("double") * lit(r)
       }.reduce(_ + _)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))

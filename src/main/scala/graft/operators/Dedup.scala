@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.GraftExtensions
@@ -128,40 +128,40 @@ object Dedup {
   def minHashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4,
-      maxBucketSize: Int = 1000, hashFn: Column => Column = xxHash): DataFrame =
+      maxBucketSize: Int = 1000, hashFn: Column => Column = xxHash,
+      dropObs: Option[Observation] = None): DataFrame =
     minHashCandidatesOver(
       df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles")),
-      numHashes, numBands, maxBucketSize, hashFn)
+      numHashes, numBands, maxBucketSize, hashFn, dropObs)
 
   /** [[minHashCandidates]] over a pre-shingled `(id, shingles)` frame —
     * lets a caller that also needs the shingle sets downstream (e.g.
     * [[nearDedup]]'s Jaccard verification) shingle the corpus ONCE.
     * MinHash is duplicate-invariant (`min` over hashes), so distinct or
-    * raw shingle arrays give identical signatures. */
+    * raw shingle arrays give identical signatures.
+    *
+    * No silent caps: pass `dropObs` to observe `excluded_rows` — the total
+    * bucket-membership mass the `maxBucketSize` guard drops (a doc counts
+    * once per oversized band bucket it lands in); rides the bucket
+    * aggregate's own materialization, no extra pass. Same caveat as
+    * [[embeddingNearDupLsh]]'s dropObs: a missing key means the observed
+    * subtree was pruned with an empty result (indeterminate) — audit with
+    * [[minHashExcludedRows]], never assume zero. */
   def minHashCandidatesOver(
       shingled: DataFrame, numHashes: Int, numBands: Int,
-      maxBucketSize: Int, hashFn: Column => Column): DataFrame = {
-    require(numBands >= 1 && numBands <= numHashes && numHashes % numBands == 0,
-      s"numBands ($numBands) must divide numHashes ($numHashes) — a remainder would be " +
-        "silently ignored, and numBands > numHashes degenerates every doc into the same buckets")
-    val rowsPerBand = numHashes / numBands
-    val sig = minHashSignaturesOver(shingled, numHashes, hashFn)
-    // Bucket key = the band slice ITSELF (band index + rowsPerBand longs),
-    // not a hash of it: a hash collision between different slices would
-    // silently merge buckets (false candidates an oracle can't reproduce),
-    // and grouping on the raw key costs only a slightly wider shuffle key.
-    val bands = sig.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select(col("id"), col("pos").as("band"), col("col").as("rows"))
+      maxBucketSize: Int, hashFn: Column => Column,
+      dropObs: Option[Observation] = None): DataFrame = {
+    val bands = bandKeyRows(shingled, numHashes, numBands, hashFn)
     // One signature pass + ONE shuffle (groupBy band key), then pair
     // expansion inside each bucket — never a self-join (which would
     // recompute the whole signature pipeline for both sides) and never a
     // global cross product. maxBucketSize guards a hot bucket going
     // quadratic.
-    val buckets = bands.groupBy("band", "rows").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
+    val grouped = bands.groupBy("band", "rows").agg(collect_list(col("id")).as("ids"))
+    val groupedObs = dropObs.map(o => grouped.observe(o,
+      sum(when(size(col("ids")) > maxBucketSize, size(col("ids")).cast("long"))
+        .otherwise(0L)).as("excluded_rows"))).getOrElse(grouped)
+    val buckets = groupedObs.filter(size(col("ids")).between(2, maxBucketSize))
     val sorted = sort_array(col("ids"))
     buckets.select(explode(flatten(transform(sorted, (x, i) =>
         transform(slice(sorted, i + 2, size(sorted)), y =>
@@ -406,33 +406,61 @@ object Dedup {
     * pair expansion to same-bucket rows — never a global O(n²) self-join.
     *
     * Cost shape at 100 TB: the bucket assignment is one codegen'd map-only
-    * pass; the bucket histogram is at most 2^nBits rows, so the hot-bucket
-    * allowlist BROADCASTS; the self-join shuffles both sides on `bucket`
-    * and expands pairs only inside buckets, with buckets past
-    * `maxBucketSize` excluded (same guard as [[minHashCandidatesOver]]).
-    * Recall/cost dial: fewer bits = bigger buckets = more recall and more
-    * pairs; `probes` > 1 additionally checks buckets at Hamming distance 1
-    * (bits 0..probes-2 flipped) — multi-probe recall without re-hashing.
+    * pass; the bucket histogram is at most tables·2^nBits rows, so the
+    * hot-bucket allowlist BROADCASTS; the self-join shuffles both sides on
+    * `(tbl, bucket)` and expands pairs only inside buckets, with buckets
+    * past `maxBucketSize` excluded (same guard as
+    * [[minHashCandidatesOver]]).
+    *
+    * Recall/cost dials (P(bit match) = 1 − θ/π per projection):
+    *  - fewer bits → bigger buckets → more recall AND more candidate pairs
+    *  - `probes` > 1 additionally checks buckets at Hamming distance 1
+    *    (bits 0..probes-2 flipped) — multi-probe recall without re-hashing
+    *  - `tables` > 1 hashes each row into L INDEPENDENT tables (disjoint
+    *    runs of the projection sequence via [[Ann.srpBucket]]'s bitOffset)
+    *    and unions candidates: recall 1−(1−p^nBits)^L — the standard LSH
+    *    amplification, and the lever that reaches high recall on true
+    *    near-dups (p→1) while random pairs (p≈0.5) stay excluded. Cost is
+    *    one exploded copy of the bucket-assignment stream per table; the
+    *    corpus itself is still never self-joined outside buckets.
+    *
+    * No silent caps: pass `dropObs` to observe `excluded_rows` — the total
+    * bucket-membership mass dropped by the `maxBucketSize` guard (a row
+    * counts once per oversized (tbl, bucket) it lands in). At 100 TB a
+    * popular boilerplate bucket overflowing is exactly where the
+    * duplicates are; the metric makes that loss visible. It rides the
+    * histogram's own materialization — no extra pass — BUT Spark only
+    * reports observed metrics for plan subtrees that survive in the final
+    * adaptive plan: a run whose RESULT is empty (e.g. every bucket
+    * overflowed) prunes the observed histogram with it (AQE
+    * empty-relation propagation), so a MISSING `excluded_rows` key means
+    * "indeterminate — audit with [[lshExcludedRows]]", never "zero".
     *
     * @param dim   embedding dimension (srpBucket needs it at plan time)
-    * @param nBits bucket width in bits (bucket space = 2^nBits)
+    * @param nBits bucket width in bits (bucket space = 2^nBits per table)
     */
   def embeddingNearDupLsh(
       df: DataFrame, idCol: String, vecCol: String, minSim: Double,
       dim: Int, nBits: Int = 8, maxBucketSize: Int = 1000,
-      probes: Int = 1): DataFrame = {
+      probes: Int = 1, tables: Int = 1,
+      dropObs: Option[Observation] = None): DataFrame = {
     require(probes >= 1 && probes <= nBits + 1,
       s"probes must be in [1, nBits+1], got $probes (probe 1 = own bucket, probe p = bit p-2 flipped)")
-    val bk = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Ann.srpBucket(col(vecCol), dim, nBits).as("bucket"))
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val bk = srpTableBuckets(df, idCol, vecCol, dim, nBits, tables)
     // singleton buckets can never form a SAME-bucket pair, so with a
     // single probe they are pruned outright; under multi-probe a singleton
     // can still pair across a bit-flip, so only the oversized-bucket guard
-    // may drop rows there
+    // may drop rows there (per table: a row pruned in one table still
+    // pairs through its other tables)
     val minOccupancy = if (probes == 1) 2 else 1
-    val ok = bk.groupBy("bucket").count()
-      .filter(col("count").between(minOccupancy, maxBucketSize)).select("bucket")
-    val bounded = bk.join(broadcast(ok), Seq("bucket"))
+    val hist = bk.groupBy("tbl", "bucket").count()
+    val histObs = dropObs.map(o => hist.observe(o,
+      sum(when(col("count") > maxBucketSize, col("count")).otherwise(0L))
+        .as("excluded_rows"))).getOrElse(hist)
+    val ok = histObs
+      .filter(col("count").between(minOccupancy, maxBucketSize)).select("tbl", "bucket")
+    val bounded = bk.join(broadcast(ok), Seq("tbl", "bucket"))
     // side a probes its own bucket plus `probes - 1` single-bit flips;
     // side b stays at its own bucket, so every candidate pair differs by
     // at most one projection sign between the two probe sets
@@ -441,13 +469,82 @@ object Dedup {
       else bounded.withColumn("pbucket", explode(array(
         col("bucket") +: (0 until probes - 1).map(b =>
           col("bucket").bitwiseXOR(lit(1L << b))): _*)))
-    val a = probed.select(col("pbucket").as("jb"), col("id").as("id_a"), col("v").as("va"))
-    val b = bounded.select(col("bucket").as("jb"), col("id").as("id_b"), col("v").as("vb"))
-    val pairs = a.join(b, Seq("jb")).filter(col("id_a") < col("id_b"))
+    val a = probed.select(col("tbl"), col("pbucket").as("jb"),
+      col("id").as("id_a"), col("v").as("va"))
+    val b = bounded.select(col("tbl"), col("bucket").as("jb"),
+      col("id").as("id_b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("tbl", "jb")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", Distances.cosineSim(col("va"), col("vb")))
       .filter(col("sim") >= minSim)
       .select("id_a", "id_b", "sim")
-    // multi-probe can reach the same pair from both endpoints' flip sets
-    if (probes == 1) pairs else pairs.distinct()
+    // multi-probe can reach the same pair from both endpoints' flip sets;
+    // multi-table reaches it once per co-located table
+    if (probes == 1 && tables == 1) pairs else pairs.distinct()
   }
+
+  /** Per-(table, bucket) SRP assignment stream: one row per (input row,
+    * table). Shared by [[embeddingNearDupLsh]] and [[lshExcludedRows]] so
+    * the audit sees exactly the buckets the join saw. */
+  private def srpTableBuckets(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nBits: Int, tables: Int): DataFrame =
+    if (tables == 1)
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        lit(0).as("tbl"), Ann.srpBucket(col(vecCol), dim, nBits).as("bucket"))
+    else
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array((0 until tables).map(t => struct(lit(t).as("tbl"),
+          Ann.srpBucket(col(vecCol), dim, nBits, t * nBits).as("bucket"))): _*)).as("tb"))
+        .select(col("id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+
+  /** Exact audit of [[embeddingNearDupLsh]]'s `maxBucketSize` guard: the
+    * total bucket-membership mass sitting in overflowing buckets, as its
+    * own job (one map-only assignment pass + a ≤ tables·2^nBits-row agg).
+    * This is the reliable form of the `dropObs` metric — use it whenever
+    * the observation comes back without the `excluded_rows` key (see the
+    * caveat there); at 100 TB it costs one extra corpus scan, which is
+    * the price of a trustworthy answer to "what did the cap drop?". */
+  def lshExcludedRows(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nBits: Int = 8, maxBucketSize: Int = 1000, tables: Int = 1): Long =
+    srpTableBuckets(df, idCol, vecCol, dim, nBits, tables)
+      .groupBy("tbl", "bucket").count()
+      .filter(col("count") > maxBucketSize)
+      .agg(coalesce(sum(col("count")), lit(0L)).as("excluded"))
+      .head().getLong(0)
+
+  /** (id, band, rows) band-bucket keys of the minHash signature pipeline.
+    * Bucket key = the band slice ITSELF (band index + rowsPerBand longs),
+    * not a hash of it: a hash collision between different slices would
+    * silently merge buckets (false candidates an oracle can't reproduce),
+    * and grouping on the raw key costs only a slightly wider shuffle key.
+    * Shared by [[minHashCandidatesOver]] and [[minHashExcludedRows]]. */
+  private def bandKeyRows(
+      shingled: DataFrame, numHashes: Int, numBands: Int,
+      hashFn: Column => Column): DataFrame = {
+    require(numBands >= 1 && numBands <= numHashes && numHashes % numBands == 0,
+      s"numBands ($numBands) must divide numHashes ($numHashes) — a remainder would be " +
+        "silently ignored, and numBands > numHashes degenerates every doc into the same buckets")
+    val rowsPerBand = numHashes / numBands
+    minHashSignaturesOver(shingled, numHashes, hashFn).select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("id"), col("pos").as("band"), col("col").as("rows"))
+  }
+
+  /** Exact audit of the minHash band-bucket cap, mirroring
+    * [[lshExcludedRows]]: total (doc, band) memberships in overflowing
+    * band buckets — its own job over the signature pipeline. */
+  def minHashExcludedRows(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4,
+      maxBucketSize: Int = 1000, hashFn: Column => Column = xxHash): Long =
+    bandKeyRows(
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("shingles")),
+      numHashes, numBands, hashFn)
+      .groupBy("band", "rows").count()
+      .filter(col("count") > maxBucketSize)
+      .agg(coalesce(sum(col("count")), lit(0L)).as("excluded"))
+      .head().getLong(0)
 }

@@ -145,6 +145,31 @@ class AnnSpec extends SparkTestBase {
       "the materialized int8 table must answer exactly like inline quantization")
   }
 
+  test("seeded IVF at nprobe=2 (the q32/q60 config) keeps recall@10 >= 0.9") {
+    val m = Ann.buildIvfSeeded(emb, "vec_id", "embedding", 0L until 8L)
+    val q = emb.filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val exact = Knn.topK(emb, "vec_id", "embedding", q, 10, "cosine",
+      excludeIds = Seq(0L))
+    val approx = Ann.queryIvf(m.assigned, m, "vec_id", "embedding", q, 10,
+      nprobe = 2, space = "cosine", excludeIds = Seq(0L))
+    val r = Ann.recallAtK(approx, exact, "vec_id").as[Double].head()
+    assert(r >= 0.9, s"nprobe=2 recall@10 must stay >= 0.9, got $r")
+  }
+
+  test("Recall.measure reports recall in [0,1] for every approximate suite entry") {
+    val rs = Recall.measure(spark, "/root/testdata/sf0.001")
+    assert(rs.map(_._1).toSet == Set(
+      "q32_ivf_knn", "q69_quantized_knn", "q60_collection_ivf_knn",
+      "q61_embedding_neardup_lsh", "q64_neardup_multiprobe", "q82_neardup_multitable"))
+    rs.foreach { case (n, v) =>
+      assert(v >= 0.0 && v <= 1.0, s"$n recall out of range: $v") }
+    val m = rs.toMap
+    // the top-k approximate paths are near-exact on the fixture (pinned so
+    // an nprobe/assignment regression surfaces here, not in the bench JSON)
+    assert(m("q32_ivf_knn") >= 0.9 && m("q60_collection_ivf_knn") >= 0.9,
+      s"IVF nprobe=2 recall must stay >= 0.9, got $m")
+  }
+
   test("recallAtK: exact-vs-exact is 1.0; disjoint lists are 0.0") {
     val exact = Seq(1L, 2L, 3L).toDF("id")
     assert(Ann.recallAtK(exact, exact, "id")

@@ -174,6 +174,98 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() == 0, "every bucket exceeds the cap, so no pairs may emerge")
   }
 
+  test("LSH hot-bucket exclusion is never silent: observe fires, audit is exact") {
+    import org.apache.spark.sql.Observation
+    import graft.operators.Ann
+    // TOTAL overflow: every bucket past the cap, result empty. AQE prunes
+    // the observed histogram with the empty result, so the observation is
+    // allowed to come back WITHOUT the key (indeterminate — documented);
+    // the audit job must still report the full mass.
+    val n = embFixture.count()
+    val obs = Observation()
+    Dedup.embeddingNearDupLsh(embFixture, "vec_id", "embedding",
+      minSim = -2.0, dim = 64, nBits = 1, maxBucketSize = 10,
+      dropObs = Some(obs)).write.mode("overwrite").format("noop").save()
+    obs.get.get("excluded_rows") match {
+      case None => () // pruned with the empty result: indeterminate, not zero
+      case Some(v) => assert(v == n, s"if reported, the metric must be exact: got $v, want $n")
+    }
+    assert(Dedup.lshExcludedRows(embFixture, "vec_id", "embedding",
+      dim = 64, nBits = 1, maxBucketSize = 10) == n,
+      "the audit must account for every row when every bucket overflows")
+    // PARTIAL overflow: cap chosen from the real histogram so at least one
+    // bucket overflows while pairs still survive — the observed plan lives,
+    // and the zero-cost metric must equal the audit exactly.
+    val sizes = embFixture.select(Ann.srpBucket(col("embedding"), 64, 2).as("b"))
+      .groupBy("b").count().as[(Long, Long)].collect().map(_._2).sorted
+    assert(sizes.length >= 2 && sizes.head >= 2 && sizes.last > sizes.head,
+      s"fixture precondition: want a splittable histogram, got ${sizes.toSeq}")
+    val cap = sizes.head.toInt
+    val obs2 = Observation()
+    val survived = Dedup.embeddingNearDupLsh(embFixture, "vec_id", "embedding",
+      minSim = -2.0, dim = 64, nBits = 2, maxBucketSize = cap,
+      dropObs = Some(obs2)).count()
+    assert(survived > 0, "fixture precondition: the under-cap bucket must yield pairs")
+    val audited = Dedup.lshExcludedRows(embFixture, "vec_id", "embedding",
+      dim = 64, nBits = 2, maxBucketSize = cap)
+    assert(audited > 0, "at least one bucket must overflow the cap")
+    assert(obs2.get("excluded_rows") == audited,
+      s"live metric ${obs2.get} must equal the audit $audited")
+    // no overflow → metric present and zero
+    val obs3 = Observation()
+    Dedup.embeddingNearDupLsh(embFixture, "vec_id", "embedding",
+      minSim = 0.2, dim = 64, nBits = 8, maxBucketSize = 1000,
+      dropObs = Some(obs3)).write.mode("overwrite").format("noop").save()
+    assert(obs3.get("excluded_rows") == 0L)
+  }
+
+  test("minHash hot-bucket exclusion: observe matches the audit when pairs survive") {
+    import org.apache.spark.sql.Observation
+    // 5 identical 'a' docs overflow cap 3 in all 4 bands (mass 20);
+    // 2 identical 'c' docs stay under it and yield a surviving pair, so
+    // the observed plan is not pruned
+    val docs = ((0 until 5).map(i => (i.toLong, "alpha text shared by every alpha doc")) ++
+      Seq((10L, "camel text shared by both camel docs"),
+          (11L, "camel text shared by both camel docs"))).toDF("doc_id", "text")
+    val obs = Observation()
+    val out = Dedup.minHashCandidates(docs, "doc_id", "text",
+      maxBucketSize = 3, dropObs = Some(obs))
+    assert(out.count() == 1, "the under-cap pair must survive")
+    assert(obs.get("excluded_rows") == 20L,
+      s"expected 5 docs x 4 bands excluded, got ${obs.get}")
+    assert(Dedup.minHashExcludedRows(docs, "doc_id", "text", maxBucketSize = 3) == 20L)
+    // total overflow: the audit still answers when the observation can't
+    assert(Dedup.minHashExcludedRows(docs.filter(col("doc_id") < 5L), "doc_id", "text",
+      maxBucketSize = 1) == 20L)
+  }
+
+  test("multi-table LSH recovers planted near-dups single-table SRP misses") {
+    import graft.operators.Ann
+    // plant a perturbed copy of every fixture vector: v' = v + noise with
+    // deterministic per-element noise sized so cos(v, v') ≈ 0.95 — true
+    // near-dups, the regime the tables dial exists for
+    val base = embFixture.select(col("vec_id"), col("embedding"))
+    val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, j) => x + (pmod(col("vec_id") * 7 + j.cast("long"), lit(9L)) - 4L)
+          .cast("float") * lit(0.11f)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val exact = Dedup.embeddingNearDup(corpus, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 20, s"fixture precondition: want >= 20 planted pairs, got ${exact.size}")
+    def recallOf(tables: Int): Double = {
+      val got = Dedup.embeddingNearDupLsh(corpus, "vec_id", "embedding",
+          minSim = 0.9, dim = 64, nBits = 8, tables = tables)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.subsetOf(exact), "LSH pairs must be a subset of the exact pairs")
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recallOf(1)
+    val r8 = recallOf(8)
+    assert(r8 > r1, s"8 tables must beat 1 table, got $r1 -> $r8")
+    assert(r8 >= 0.9, s"8x8-bit tables should recall >= 0.9 of sim>=0.9 pairs, got $r8")
+  }
+
   test("dupClusters: transitive components labeled by min id") {
     val pairs = Seq((2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.dupClusters(pairs, "id_a", "id_b")

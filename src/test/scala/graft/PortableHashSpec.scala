@@ -103,6 +103,25 @@ class PortableHashSpec extends SparkTestBase {
     assert(again == kept)
   }
 
+  test("SrpBucket bitOffset: codegen matches the tree form, tables are independent") {
+    import graft.operators.Ann
+    val emb = spark.read.parquet(sf("embeddings"))
+    for (off <- Seq(8, 24)) {
+      val fused = emb.select(col("vec_id"),
+        Ann.srpBucket(col("embedding"), 64, 8, off).as("b")).orderBy("vec_id")
+        .as[(Long, Long)].collect().toSeq
+      val tree = emb.select(col("vec_id"),
+        Ann.srpBucketHof(col("embedding"), 64, 8, off).as("b")).orderBy("vec_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(fused == tree, s"offset $off: fused loop must equal the tree form")
+    }
+    // different offsets = different projections: buckets must not all agree
+    val b0 = emb.select(Ann.srpBucket(col("embedding"), 64, 8, 0)).as[Long].collect()
+    val b8 = emb.select(Ann.srpBucket(col("embedding"), 64, 8, 8)).as[Long].collect()
+    assert(b0.zip(b8).exists { case (x, y) => x != y },
+      "offset tables hashing identically would make multi-table LSH a no-op")
+  }
+
   test("codegen SrpBucket reproduces the expression-tree form exactly") {
     val emb = spark.read.parquet(sf("embeddings"))
     val native = emb.select(col("vec_id"),
