@@ -869,6 +869,53 @@ object SparkEntry {
         .select(col("id"), col("lang"), col("n_chars"),
           length(col("document")).cast("int").as("n_doc"))
     }),
+    // C9 END TO END: streaming hydration through the collection store —
+    // a MemoryStream drained in THREE microbatches (overlapping ids across
+    // batches, within-batch duplicate versions, one late old-version row),
+    // committed per-microbatch by the foreachBatch upsert sink. The oracle
+    // replays the sink's semantics in SQL: within a batch latest-ver wins
+    // (the upsert's orderCol), across batches the LAST batch containing an
+    // id wins (upsert = last-writer-wins, which is why the late row
+    // REPLACES — the documented at-least-once contract of the sink).
+    "q80_streaming_hydrate" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingHydrator
+      import s.implicits._
+      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("stream80")
+      val coll = cat.getOrCreateCollection("stream80")
+      // bounded driver-side fixture (120 rows at any sf — MemoryStream is
+      // driver-fed by design); ids sorted so batch slicing is stable
+      val base = t(s, dir, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("doc"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      def rows(lo: Long, hi: Long, pre: String, ver: Long, b: Int) =
+        base.filter { case (n, _) => n >= lo && n < hi }
+          .map { case (n, doc) => (n.toString, s"$pre:$doc", ver, b) }
+      val mem = MemoryStream[(String, String, Long, Int)]
+      val ckpt = s"$root/q80_ckpt"
+      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+      ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckptPath, true)
+      val q = StreamingHydrator.hydrate(
+        mem.toDF().toDF("id", "document", "ver", "src_batch"),
+        coll, ckpt, orderCol = Some("ver"),
+        trigger = Trigger.ProcessingTime(0L)).start()
+      try {
+        mem.addData(rows(0, 60, "b1", 10, 1): _*)
+        q.processAllAvailable()
+        // overlap 30-89 + a within-batch duplicate (ids 30-34 at ver 21)
+        mem.addData(rows(30, 90, "b2", 20, 2) ++ rows(30, 35, "b2r", 21, 2): _*)
+        q.processAllAvailable()
+        // overlap 60-119 + one LATE row: id 0 resurfaces with an OLD ver
+        mem.addData(rows(60, 120, "b3", 30, 3) ++ rows(0, 1, "late", 5, 3): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      coll.get().select(col("id"), col("document"), col("ver"), col("src_batch"))
+        .orderBy(col("id").cast("long"))
+    }),
     // Curation: weighted source-mixture sampling to a token budget — the
     // data-mixing step of training-corpus assembly. The per-source rate
     // table broadcasts back onto the corpus scan (the corpus never
@@ -948,6 +995,34 @@ object SparkEntry {
           lit("zz").as("lang"), col("n_chars")))
       coll.delete(ids = Seq("1", "2", "3"))
       coll.toDFAt(v1).select(col("id"), col("lang"), col("n_chars")).orderBy("id")
+    }),
+    // MVCC storage hygiene END TO END: four mutations accumulate COW
+    // versions and small files; compact() repacks into a fresh commit and
+    // vacuum(keepHistory=1) drops everything older than the pre-compaction
+    // snapshot. The result reads BOTH surviving states — the compacted
+    // current and the retained snapshot — tagged and unioned, so the
+    // oracle pins that compaction changed nothing and vacuum kept exactly
+    // the history it promised.
+    "q81_compact_vacuum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("cv")
+      val coll = cat.getOrCreateCollection("cv")
+      coll.add(docs.filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("string").as("id"), col("lang"), col("n_chars")))
+      coll.upsert(docs.filter(col("doc_id") < 40)
+        .select(col("doc_id").cast("string").as("id"), lit("aa").as("lang"), col("n_chars")))
+      coll.delete(ids = Seq("7", "8"))
+      coll.upsert(docs.filter(col("doc_id").between(90, 119))
+        .select(col("doc_id").cast("string").as("id"), lit("bb").as("lang"), col("n_chars")))
+      val snapshot = coll.meta.version
+      coll.compact()
+      coll.vacuum(keepHistory = 1)
+      coll.get().select(lit("current").as("src"), col("id"), col("lang"), col("n_chars"))
+        .unionByName(coll.toDFAt(snapshot)
+          .select(lit("snapshot").as("src"), col("id"), col("lang"), col("n_chars")))
+        .orderBy(col("src"), col("id").cast("long"))
     }),
     // Interval (range) join via time-axis binning: purchase→click
     // attribution within a 1-hour lookback, equi-join on (user, bin) —
@@ -1519,6 +1594,29 @@ object SparkEntry {
         |         WHERE NOT (id IN ('5', '10', '15', '20') AND n_chars > 100))
         |SELECT id, lang, n_chars, CAST(length(document) AS INTEGER) AS n_doc
         |FROM kept WHERE lang IN ('en', 'es', 'xx') ORDER BY id""".stripMargin,
+    // q80: the streaming upsert sink's semantics in SQL — within a
+    // microbatch the highest `ver` wins (upsert orderCol); across batches
+    // the LAST batch containing an id wins (last-writer upsert, so the
+    // late old-version row in batch 3 replaces batch 1's row for id 0)
+    "q80_streaming_hydrate" ->
+      """WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS n,
+        |                     COALESCE(text, '') AS doc
+        |              FROM documents WHERE doc_id < 120),
+        |src AS (
+        |  SELECT id, 'b1:' || doc AS document, CAST(10 AS BIGINT) AS ver,
+        |         1 AS src_batch FROM base WHERE n < 60
+        |  UNION ALL SELECT id, 'b2:' || doc, 20, 2 FROM base WHERE n BETWEEN 30 AND 89
+        |  UNION ALL SELECT id, 'b2r:' || doc, 21, 2 FROM base WHERE n BETWEEN 30 AND 34
+        |  UNION ALL SELECT id, 'b3:' || doc, 30, 3 FROM base WHERE n BETWEEN 60 AND 119
+        |  UNION ALL SELECT id, 'late:' || doc, 5, 3 FROM base WHERE n = 0),
+        |inb AS (SELECT id, document, ver, src_batch,
+        |          row_number() OVER (PARTITION BY id, src_batch ORDER BY ver DESC) AS rn
+        |        FROM src),
+        |w AS (SELECT id, document, ver, src_batch FROM inb WHERE rn = 1),
+        |last AS (SELECT id, MAX(src_batch) AS mb FROM w GROUP BY id)
+        |SELECT w.id, w.document, w.ver, w.src_batch FROM w
+        |JOIN last ON w.id = last.id AND w.src_batch = last.mb
+        |ORDER BY CAST(w.id AS BIGINT)""".stripMargin,
     // q32: replays the full seeded-IVF path — assignment (argmin L2, ties
     // to lowest cell), probe choice (2 nearest cells to the query), and
     // the exact top-k inside the pruned cells.
@@ -1594,6 +1692,23 @@ object SparkEntry {
     "q79_time_travel" ->
       """SELECT CAST(doc_id AS VARCHAR) AS id, lang, n_chars FROM documents
         |WHERE doc_id < 150 ORDER BY id""".stripMargin,
+    // q81: the mutation sequence replayed relationally; the same final
+    // state appears TWICE (current after compact+vacuum, and the retained
+    // pre-compaction snapshot) because compaction must not change content
+    "q81_compact_vacuum" ->
+      """WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS n, lang, n_chars
+        |              FROM documents WHERE doc_id < 100),
+        |u1 AS (SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS n, 'aa' AS lang, n_chars
+        |       FROM documents WHERE doc_id < 40),
+        |m1 AS (SELECT * FROM u1 UNION ALL SELECT b.* FROM base b WHERE b.n >= 40),
+        |m2 AS (SELECT * FROM m1 WHERE id NOT IN ('7', '8')),
+        |u2 AS (SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS n, 'bb' AS lang, n_chars
+        |       FROM documents WHERE doc_id BETWEEN 90 AND 119),
+        |fin AS (SELECT id, n, lang, n_chars FROM u2
+        |        UNION ALL SELECT m2.* FROM m2 WHERE m2.n < 90)
+        |SELECT s.src, fin.id, fin.lang, fin.n_chars
+        |FROM fin, (SELECT 'current' AS src UNION ALL SELECT 'snapshot') s
+        |ORDER BY s.src, fin.n""".stripMargin,
     // q78: the oracle can afford the direct inequality join (small data);
     // the Spark side's binning must produce EXACTLY these pairs
     "q78_interval_join" ->

@@ -26,16 +26,19 @@ object StreamingHydrator {
   /** Per-microbatch upsert sink. Caller starts/stops the returned writer.
     * Pass `orderCol` (e.g. an event version/timestamp) when a redelivered
     * batch can contain multiple versions of one id — latest-wins then
-    * resolves by that column instead of the content-hash fallback. */
+    * resolves by that column instead of the content-hash fallback.
+    * `trigger` defaults to AvailableNow (drain-and-stop, the bulk-hydrate
+    * shape); pass ProcessingTime for a continuously-running sink. */
   def hydrate(
       rows: DataFrame,
       collection: Collection,
       checkpointDir: String,
-      orderCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+      orderCol: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) collection.upsert(batch, orderCol)
       }

@@ -181,6 +181,43 @@ class CollectionSpec extends SparkTestBase {
     assert(c.count() == 1)
   }
 
+  test("vacuum frees superseded bytes; retained snapshot and current stay readable") {
+    import java.nio.file.{Files, Path, Paths}
+    val rootDir = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "coll-vac").toString
+    val cat = new CollectionCatalog(spark, rootDir, numBuckets = 4)
+    val c = cat.getOrCreateCollection("c")
+    c.add(batch(("a", "v1", Seq(1f)), ("b", "v1", Seq(2f))))
+    (0 until 6).foreach { i => c.upsert(batch(("a", s"v${i + 2}", Seq(i.toFloat)))) }
+    val snapshot = c.meta.version
+    c.compact()
+    def pathBytes(p: Path): Long = {
+      val s = Files.walk(p)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally s.close()
+    }
+    val collDir = Paths.get(rootDir, "c")
+    val before = pathBytes(collDir)
+    val dropped = c.vacuum(keepHistory = 1)
+    assert(dropped >= 5, s"six superseded versions existed, got $dropped dropped dirs")
+    val after = pathBytes(collDir)
+    assert(after < before, s"vacuum must free path bytes: $before -> $after")
+    // the promised history survives: current + exactly one predecessor
+    assert(c.history() == Seq(snapshot, snapshot + 1))
+    assert(c.toDFAt(snapshot).count() == c.count())
+    assert(c.toDF.select("id", "document").as[(String, String)].collect().toMap
+      == Map("a" -> "v7", "b" -> "v1"))
+    intercept[IllegalArgumentException] { c.toDFAt(snapshot - 1) }
+    // link-count awareness: roll back (hard-linked commit), vacuum away
+    // the link SOURCE version — the shared inodes must keep the rolled-
+    // forward current readable
+    c.rollbackTo(snapshot)
+    c.vacuum(keepHistory = 0)
+    assert(c.toDF.select("id", "document").as[(String, String)].collect().toMap
+      == Map("a" -> "v7", "b" -> "v1"),
+      "current must stay readable after its hard-link source is vacuumed")
+  }
+
   test("metadata values with braces and newlines round-trip through meta.json") {
     val c = freshCatalog().getOrCreateCollection("c")
     val tricky = Map("note" -> "a}b{c", "desc" -> "line1\nline2", "quote" -> "say \"hi\"")
