@@ -280,15 +280,25 @@ object Dedup {
     * the component's minimum id (deterministic canonical representative).
     */
   def dupClusters(pairs: DataFrame, idACol: String, idBCol: String,
-                  maxIter: Int = 50): DataFrame = {
+                  maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    // Per-round lineage truncation is mandatory (the iterative plan would
+    // otherwise grow without bound). The default localCheckpoint stores
+    // blocks on executors — cheapest, but on a real cluster a lost
+    // executor kills the job mid-iteration (no lineage left to
+    // recompute). Pass `checkpointDir` (an HDFS/S3/shared path; set as
+    // the session's checkpoint dir) to switch every round to RELIABLE
+    // checkpoints that survive executor loss — the right trade at 100 TB,
+    // where a long connected-components job WILL see failures.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // undirected edge list, both directions. No distinct: a duplicated
     // input pair only duplicates rows INTO the min-aggregate, it cannot
     // change the min — one shuffle saved per build.
-    val e = pairs.select(col(idACol).as("s"), col(idBCol).as("t"))
-      .union(pairs.select(col(idBCol).as("s"), col(idACol).as("t")))
-      .localCheckpoint()
-    var labels = e.select(col("s").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    val e = truncate(pairs.select(col(idACol).as("s"), col(idBCol).as("t"))
+      .union(pairs.select(col(idBCol).as("s"), col(idACol).as("t"))))
+    var labels = truncate(e.select(col("s").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -315,9 +325,8 @@ object Dedup {
       // as an observe() metric — one job per round, not a count job plus
       // a checkpoint job
       val obs = org.apache.spark.sql.Observation()
-      val next = stepped
-        .observe(obs, sum(when(col("nlbl") < col("lbl"), 1L).otherwise(0L)).as("chg"))
-        .localCheckpoint()
+      val next = truncate(stepped
+        .observe(obs, sum(when(col("nlbl") < col("lbl"), 1L).otherwise(0L)).as("chg")))
       // fail CLOSED: only an empty edge set (sum over zero rows = null)
       // may read as "converged" — a missing or mistyped metric would
       // otherwise return wrong clusters as premature convergence

@@ -57,15 +57,22 @@ object Retrieval {
         .cast(DecimalType(18, 6)).cast("double").as("score"))
   }
 
-  /** Top-n keyword hits: (id, rnk, score), rank ties broken by id. */
+  /** Top-n keyword hits: (id, rnk, score), rank ties broken by id.
+    *
+    * Shaped as orderBy+limit (TakeOrderedAndProject: per-partition top-n
+    * heaps, n·P rows merged on one reducer) rather than a global
+    * row_number window, which would sort the ENTIRE match stream through
+    * a single partition. The rank window that remains runs over the ≤ n
+    * survivors of the limit — bounded, never corpus-sized. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], n: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val top = bm25(docs, idCol, textCol, queryTerms, k1, b)
       .orderBy(col("score").desc, col("id"))
-    bm25(docs, idCol, textCol, queryTerms, k1, b)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= n)
+      .limit(n)
+    top.withColumn("rnk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("id"))))
+      .select(col("id"), col("rnk"), col("score"))
   }
 
   /** Reciprocal-rank fusion of independently ranked lists (the standard

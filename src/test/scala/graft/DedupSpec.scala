@@ -266,6 +266,22 @@ class DedupSpec extends SparkTestBase {
     assert(r8 >= 0.9, s"8x8-bit tables should recall >= 0.9 of sim>=0.9 pairs, got $r8")
   }
 
+  test("dupClusters with a reliable checkpoint dir matches the local form") {
+    val pairs = Seq((2L, 3L), (3L, 7L), (10L, 11L), (7L, 20L)).toDF("id_a", "id_b")
+    val local = Dedup.dupClusters(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val ckDir = tmpDir("dupck")
+    val reliable = Dedup.dupClusters(pairs, "id_a", "id_b",
+        checkpointDir = Some(ckDir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    // the reliable path must actually have written checkpoint state
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+    try assert(wrote.filter(java.nio.file.Files.isRegularFile(_)).count() > 0,
+      "reliable mode must persist checkpoint files")
+    finally wrote.close()
+  }
+
   test("dupClusters: transitive components labeled by min id") {
     val pairs = Seq((2L, 3L), (3L, 7L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.dupClusters(pairs, "id_a", "id_b")

@@ -35,6 +35,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
   }
 
+  test("q66 bm25: top-n plans as TakeOrderedAndProject; the only Window is over the limited survivors") {
+    val p = plan("q66_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-n must heap-select, not globally sort:\n$p")
+    // the rank Window may exist, but only ABOVE the TakeOrdered (bounded
+    // input): the unbounded score stream must never feed a
+    // single-partition Window sort
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val takeIdx = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(winIdx >= 0 && takeIdx > winIdx,
+      s"the Window must sit above the TakeOrderedAndProject (bounded rows):\n$p")
+  }
+
   test("q17 upsert: latest-wins prunes map-side via Partial WindowGroupLimit") {
     val p = plan("q17_upsert_latest_wins")
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
