@@ -247,17 +247,37 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, minJaccard: Double,
       shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 8,
       maxBucketSize: Int = 1000, hashFn: Column => Column = xxHash): DataFrame = {
-    // shingle ONCE, pre-distincted: MinHash signatures are duplicate-
-    // invariant, and the verify stage then needs no per-pair
-    // array_distinct — jaccardOfSets compares the stored sets directly
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("shingles"))
+    // EXACT pre-collapse (r5, caught by the sf10 scale audit): verbatim
+    // copies are trivially near-dups — identical shingle sets share every
+    // band bucket and verify at Jaccard 1 — so they must never reach the
+    // signature pipeline: a corpus that is mostly copies (the web-crawl
+    // reality, and the 100× replica's construction) otherwise pays
+    // C(copies, 2) candidate pairs PER GROUP. Each text group collapses
+    // to its min id first; the representative carries the group through
+    // LSH, the other members drop unconditionally — exactly the rows the
+    // uncollapsed pipeline drops, at linear instead of quadratic cost
+    // (sf10: q54 134 s → linear in the unique-text count). Shingling also
+    // now runs once per UNIQUE text. With a bucket cap the collapsed form
+    // is strictly better: copies can no longer overflow a bucket and
+    // silently suppress their own drops. Null-text rows never shingle, so
+    // they bypass collapse and survive, as before. The text-keyed shuffle
+    // is one exact-dedup pass; at real scale key it by a 128-bit content
+    // hash instead of the raw text (kept raw here for oracle replay).
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("__txt"))
+    val reps = keyed.filter(col("__txt").isNotNull)
+      .groupBy("__txt").agg(min(col("id")).as("id"))
+    val sets = reps.select(col("id"),
+      array_distinct(wordShingles(col("__txt"), shingleSize)).as("shingles"))
     val cand = minHashCandidatesOver(sets, numHashes, numBands, maxBucketSize, hashFn)
     val verified = cand
       .join(sets.select(col("id").as("id_a"), col("shingles").as("__sha")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("shingles").as("__shb")), Seq("id_b"))
       .filter(jaccardOfSets(col("__sha"), col("__shb")) >= minJaccard)
-    val dropped = verified.select(col("id_b").as(idCol)).distinct()
+    val nonReps = keyed.filter(col("__txt").isNotNull)
+      .join(reps.select(col("__txt"), col("id").as("__rid")), Seq("__txt"))
+      .filter(col("id") =!= col("__rid")).select(col("id"))
+    val dropped = verified.select(col("id_b").as("id")).unionByName(nonReps)
+      .distinct().select(col("id").as(idCol))
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
