@@ -575,15 +575,16 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
                 whereDoc: Option[WhereDocument] = None,
                 limit: Option[Int] = None, offset: Int = 0,
                 include: Set[String] = Set("documents", "metadatas")): DataFrame = {
-    val unknown = include.diff(Set("documents", "embeddings", "metadatas"))
+    val unknown = include.diff(Set("documents", "embeddings", "metadatas", "uris", "data"))
     require(unknown.isEmpty, s"unknown include entries: ${unknown.mkString(", ")}")
     val page = get(ids, where, whereDoc, limit, offset)
     val fields: Seq[FoldField] =
       ("id", "ids", col("id")) +:
       (docField(page, include("documents")) ++
         (if (include("embeddings")) Seq(("embedding", "embeddings", col("embedding"))) else Nil) ++
+        uriDataFields(page, include) ++
         metaField(page, include("metadatas"),
-          exclude = Seq("id", "document", "embedding")))
+          exclude = Seq("id", "document", "embedding", "uri", "data")))
     // ids are unique, so a three-way string compare on the id alone is a
     // valid total order (the MAP field never enters the comparator)
     val rows = sortedRows(page, Nil, col("id"),
@@ -817,15 +818,16 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
                   whereDoc: Option[WhereDocument] = None,
                   include: Set[String] = Set("documents", "distances", "metadatas"),
                   nprobe: Int = 4, exact: Boolean = false): DataFrame = {
-    val unknown = include.diff(Set("documents", "distances", "metadatas"))
+    val unknown = include.diff(Set("documents", "distances", "metadatas", "uris", "data"))
     require(unknown.isEmpty, s"unknown include entries: ${unknown.mkString(", ")}")
     val long = queryBatch(queryVecs, k, where, whereDoc, nprobe, exact)
     val fields: Seq[FoldField] =
       ("id", "ids", col("id")) +:
       (docField(long, include("documents")) ++
         (if (include("distances")) Seq(("dist", "distances", col("dist"))) else Nil) ++
+        uriDataFields(long, include) ++
         metaField(long, include("metadatas"),
-          exclude = Seq("qid", "rnk", "id", "dist", "document", "embedding")))
+          exclude = Seq("qid", "rnk", "id", "dist", "document", "embedding", "uri", "data")))
     // rnk is a dense per-query row_number, so subtraction is a valid
     // total-order comparator (the default struct ordering cannot sort a
     // payload carrying a MAP field)
@@ -843,6 +845,18 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   // ---- shared presentation fold for queryStruct/getStruct ----
   // (payload field name, output list name, source expression)
   private type FoldField = (String, String, Column)
+
+  /** Chroma's multimodal record fields (`include=["uris","data"]`): `uris`
+    * surfaces a `uri` column, `data` a binary `data` column. A collection
+    * without the column still answers the include — with nulls, exactly
+    * like a Chroma collection whose records carry no uri/data. */
+  private def uriDataFields(df: DataFrame, include: Set[String]): Seq[FoldField] = {
+    def f(colName: String, listName: String, tpe: String): Seq[FoldField] =
+      if (!include(listName)) Nil
+      else if (df.columns.contains(colName)) Seq((colName, listName, col(colName)))
+      else Seq((colName, listName, lit(null).cast(tpe)))
+    f("uri", "uris", "string") ++ f("data", "data", "binary")
+  }
 
   private def docField(df: DataFrame, on: Boolean): Seq[FoldField] =
     if (on && df.columns.contains("document"))

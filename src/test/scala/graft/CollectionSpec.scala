@@ -591,6 +591,36 @@ class CollectionSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { c.getStruct(include = Set("distances")) }
   }
 
+  test("include uris/data: real columns come back; absent ones answer with nulls") {
+    val c = freshCatalog().getOrCreateCollection("c", "l2")
+    c.add(Seq(
+      ("a", "doc a", Seq(1f, 0f), "s3://bucket/a.png", Array[Byte](1, 2), "en"),
+      ("b", "doc b", Seq(0f, 1f), "s3://bucket/b.png", Array[Byte](3), "es"))
+      .toDF("id", "document", "embedding", "uri", "data", "lang"))
+    val got = c.getStruct(include = Set("uris", "data"))
+      .select("ids", "uris", "data")
+      .as[(Seq[String], Seq[String], Seq[Array[Byte]])].head()
+    assert(got._1 == Seq("a", "b"))
+    assert(got._2 == Seq("s3://bucket/a.png", "s3://bucket/b.png"))
+    assert(got._3.map(_.toSeq) == Seq(Seq[Byte](1, 2), Seq[Byte](3)))
+    // uri/data are record FIELDS in Chroma, not metadata — they must not
+    // leak into the metadata map as stringified keys
+    val metas = c.getStruct(include = Set("metadatas"))
+      .select("metadatas").as[Seq[Map[String, String]]].head()
+    assert(metas == Seq(Map("lang" -> "en"), Map("lang" -> "es")), s"got $metas")
+    // the query surface carries them per hit too
+    val q = c.queryStruct(Seq(Seq(1f, 0f)), k = 1, include = Set("uris"))
+      .select("uris").as[Seq[String]].head()
+    assert(q == Seq("s3://bucket/a.png"))
+    // a collection without the columns still answers — with nulls, like a
+    // Chroma collection whose records carry no uri/data
+    val bare = freshCatalog().getOrCreateCollection("bare", "l2")
+    bare.add(Seq(("x", "doc x", Seq(1f, 0f))).toDF("id", "document", "embedding"))
+    val nulls = bare.getStruct(include = Set("uris", "data"))
+      .select("uris", "data").as[(Seq[String], Seq[Array[Byte]])].head()
+    assert(nulls._1 == Seq(null) && nulls._2 == Seq(null))
+  }
+
   test("struct surfaces return MAP-layout metadata as real key/value maps") {
     // the hydrated layout (q00) carries Chroma's own MAP<STRING,STRING>
     // `metadata` column — it must come back AS the map, not stringified
