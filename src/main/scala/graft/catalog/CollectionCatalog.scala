@@ -67,11 +67,26 @@ final class CollectionCatalog(
   private val root: Path = Paths.get(rootDir)
   Files.createDirectories(root)
 
-  def getOrCreateCollection(name: String, space: String = "l2"): Collection = {
+  /** get-or-create (A9). `metadata` is stored at CREATION only (an
+    * existing collection keeps its own — Chroma's get_or_create contract);
+    * Chroma's `hnsw:space` metadata convention is honored as the space
+    * when the `space` parameter is left at its default, and index-tuning
+    * keys (`ivf:nlist`, `ivf:nprobe` — our IVF analog of Chroma's
+    * `hnsw:construction_ef`/`hnsw:search_ef`) become the collection's
+    * build/query defaults (see [[Collection.buildIndex]] / `query`). */
+  def getOrCreateCollection(name: String, space: String = "l2",
+                            metadata: Map[String, String] = Map.empty): Collection = {
     val dir = root.resolve(name)
     if (!Files.exists(dir.resolve("meta.json"))) {
       Files.createDirectories(dir)
-      writeMeta(dir, CollectionMeta(name, space, 0, Map.empty, numBuckets))
+      val effSpace = metadata.get("hnsw:space") match {
+        case Some(s) if space == "l2" || space == s => s
+        case Some(s) =>
+          throw new IllegalArgumentException(
+            s"conflicting spaces: parameter '$space' vs metadata hnsw:space '$s'")
+        case None => space
+      }
+      writeMeta(dir, CollectionMeta(name, effSpace, 0, metadata, numBuckets))
     }
     new Collection(spark, dir, maxRowsPerFile)
   }
@@ -657,6 +672,16 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     writeIndex(Ann.buildIvf(df, "id", "embedding", nlist, seed, trainFraction), m.version)
   }
 
+  /** [[buildIndex]] sized by the collection's `ivf:nlist` metadata —
+    * Chroma-style collection-level index tuning (their analog:
+    * `hnsw:construction_ef`/`hnsw:M` on the collection). Loud when the
+    * key is absent: a silent default here would build a mis-sized index. */
+  def buildIndex(): Unit = buildIndex(
+    meta.metadata.get("ivf:nlist")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
+      .getOrElse(throw new IllegalArgumentException(
+        "collection carries no ivf:nlist metadata — pass nlist explicitly")))
+
   /** Deterministic IVF build: cells seeded by existing row ids (cell i =
     * the vector of seedIds(i)), argmin-L2 assignment, ties to the lowest
     * cell — the reproducible-anywhere form ([[Ann.buildIvfSeeded]]). */
@@ -721,6 +746,17 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       toDF.select(size(col("embedding")).as("d")).limit(1).collect()
         .headOption.map(_.getInt(0)))
 
+  /** Per-call nprobe resolution: a positive value wins; 0 (the default)
+    * falls back to the collection's `ivf:nprobe` metadata (Chroma-style
+    * collection-level tuning, our analog of `hnsw:search_ef`), then 4. */
+  private def resolveNprobe(m: CollectionMeta, nprobe: Int): Int = {
+    require(nprobe >= 0, s"nprobe must be >= 0 (0 = collection default), got $nprobe")
+    if (nprobe > 0) nprobe
+    else m.metadata.get("ivf:nprobe")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
+      .getOrElse(4)
+  }
+
   private def requireNoReserved(df: DataFrame, reserved: Seq[String]): Unit = {
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
@@ -728,13 +764,13 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   }
 
   def query(queryVec: Seq[Float], k: Int, where: Option[Where] = None,
-            whereDoc: Option[WhereDocument] = None, nprobe: Int = 4,
+            whereDoc: Option[WhereDocument] = None, nprobe: Int = 0,
             exact: Boolean = false): DataFrame = {
     requireDim(queryVec.length)
     val m = meta
     (if (exact) None else currentIndex(m)) match {
       case Some((idxPath, cents)) =>
-        val cells = Ann.nearestCellsOf(cents, queryVec, nprobe)
+        val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
         val indexed = spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
         requireNoReserved(indexed.drop("cell"), Seq("dist"))
         // `cell` is the index layout's partition column — the isin lands in
@@ -758,7 +794,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * broadcast of the (tiny) query set against one corpus scan — never a
     * per-query rescan. */
   def queryBatch(queryVecs: Seq[Seq[Float]], k: Int, where: Option[Where] = None,
-                 whereDoc: Option[WhereDocument] = None, nprobe: Int = 4,
+                 whereDoc: Option[WhereDocument] = None, nprobe: Int = 0,
                  exact: Boolean = false): DataFrame = {
     require(queryVecs.nonEmpty, "queryBatch needs at least one query vector")
     require(queryVecs.map(_.length).distinct.size == 1,
@@ -772,7 +808,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         // file-listing level, and the broadcast join condition then keeps
         // each (query, row) pair only when the row's cell is in THAT
         // query's probe set — one pruned scan serves the whole batch.
-        val cellsPerQ = queryVecs.map(v => Ann.nearestCellsOf(cents, v, nprobe))
+        val cellsPerQ = queryVecs.map(v => Ann.nearestCellsOf(cents, v, resolveNprobe(m, nprobe)))
         val allCells = cellsPerQ.flatten.distinct
         val indexed = spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
         requireNoReserved(indexed.drop("cell"),
@@ -817,7 +853,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
                   where: Option[Where] = None,
                   whereDoc: Option[WhereDocument] = None,
                   include: Set[String] = Set("documents", "distances", "metadatas"),
-                  nprobe: Int = 4, exact: Boolean = false): DataFrame = {
+                  nprobe: Int = 0, exact: Boolean = false): DataFrame = {
     val unknown = include.diff(Set("documents", "distances", "metadatas", "uris", "data"))
     require(unknown.isEmpty, s"unknown include entries: ${unknown.mkString(", ")}")
     val long = queryBatch(queryVecs, k, where, whereDoc, nprobe, exact)

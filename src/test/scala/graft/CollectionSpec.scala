@@ -591,6 +591,35 @@ class CollectionSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { c.getStruct(include = Set("distances")) }
   }
 
+  test("collection tuning metadata: hnsw:space sets the space; ivf:nlist/nprobe set index defaults") {
+    val cat = freshCatalog()
+    // Chroma's metadata-driven space convention
+    val c = cat.getOrCreateCollection("tuned",
+      metadata = Map("hnsw:space" -> "cosine", "ivf:nlist" -> "4", "ivf:nprobe" -> "4"))
+    assert(c.meta.space == "cosine")
+    intercept[IllegalArgumentException] {
+      cat.getOrCreateCollection("clash", space = "ip", metadata = Map("hnsw:space" -> "cosine"))
+    }
+    // get_or_create on an existing collection keeps its own metadata
+    assert(cat.getOrCreateCollection("tuned", metadata = Map("x" -> "y"))
+      .meta.metadata.get("x").isEmpty)
+    c.add((0 until 12).map(i => (s"id$i", s"doc $i", Seq(i.toFloat, (12 - i).toFloat)))
+      .toDF("id", "document", "embedding"))
+    // buildIndex() sizes itself from ivf:nlist
+    c.buildIndex()
+    assert(c.hasIndex)
+    // nprobe default comes from ivf:nprobe=4 (all cells) → equals exact
+    val exact = c.query(Seq(1f, 11f), k = 3, exact = true)
+      .select("id").as[String].collect().toSeq
+    val viaMeta = c.query(Seq(1f, 11f), k = 3).select("id").as[String].collect().toSeq
+    assert(viaMeta == exact, "nprobe=nlist from metadata must reproduce the exact scan")
+    // a collection WITHOUT ivf:nlist refuses the no-arg build loudly
+    val bare = cat.getOrCreateCollection("bare2")
+    bare.add(Seq(("a", "d", Seq(1f, 0f))).toDF("id", "document", "embedding"))
+    val e = intercept[IllegalArgumentException] { bare.buildIndex() }
+    assert(e.getMessage.contains("ivf:nlist"))
+  }
+
   test("include uris/data: real columns come back; absent ones answer with nulls") {
     val c = freshCatalog().getOrCreateCollection("c", "l2")
     c.add(Seq(
