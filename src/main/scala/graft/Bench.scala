@@ -82,14 +82,15 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] recall probe FAILED: ${e.getMessage}"); Nil
         }
-        val excl = try Some(Recall.lshExcluded(spark, sfDir)) catch {
+        val excl = try Recall.lshExcluded(spark, sfDir) catch {
           case e: Throwable =>
-            System.err.println(s"[bench] lsh-excluded audit FAILED: ${e.getMessage}"); None
+            System.err.println(s"[bench] lsh-excluded audit FAILED: ${e.getMessage}"); Nil
         }
         (if (rs.isEmpty) ""
          else rs.map { case (k, v) => "\"" + k + "\":" + v }
-           .mkString(""","recall":{""", ",", "}")) +
-          excl.map(n => s""","lsh_excluded_rows":$n""").getOrElse("")
+           .mkString(""","recall":{""", ",", "}") +
+           s""","recall_pair_cap":${Recall.PairCap}""") +
+          excl.map { case (k, n) => s""","$k":$n""" }.mkString
       }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$recallJson,"sf":"$sfDir"}""")
     spark.stop()

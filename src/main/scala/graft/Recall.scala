@@ -27,7 +27,7 @@ import graft.operators.{Ann, Dedup, Knn}
 object Recall {
 
   /** (query name, recall in [0,1]) for each approximate suite entry. */
-  def measure(spark: SparkSession, dir: String, pairCap: Int = 5000): Seq[(String, Double)] = {
+  def measure(spark: SparkSession, dir: String, pairCap: Int = PairCap): Seq[(String, Double)] = {
     val emb = SparkEntry.t(spark, dir, "embeddings")
     val q0 = SparkEntry.headVec(emb, 0)
     // q32/q69 exclude the query row; q60 does not (the collection query
@@ -71,12 +71,24 @@ object Recall {
   private def pairKey(df: DataFrame): DataFrame =
     df.select(concat_ws("_", col("id_a"), col("id_b")).as("pair"))
 
-  /** Excluded-mass audit for the suite's LSH configuration (the
-    * q61/q64/q82 parameters) at the bench scale — the no-silent-caps
-    * number the bench JSON reports alongside recall. Uses the exact
-    * audit job, not the observation, so an all-excluded run still
-    * reports its loss (see [[Dedup.lshExcludedRows]]). */
-  def lshExcluded(spark: SparkSession, dir: String): Long =
-    Dedup.lshExcludedRows(SparkEntry.t(spark, dir, "embeddings"),
-      "vec_id", "embedding", dim = 64, nBits = 8, maxBucketSize = 1000)
+  /** The pair-recall bound: both sides of the q61/q64/q82 recall
+    * measurement restrict to vec_id < this, keeping the exact all-pairs
+    * side at fixed cost across scales. Reported in the bench JSON so the
+    * subset basis is never silent. */
+  val PairCap: Int = 5000
+
+  /** Excluded-mass audits for the suite's LSH configurations at the bench
+    * scale — the no-silent-caps numbers the bench JSON reports alongside
+    * recall, one per configuration (q61/q64 share the single-table
+    * histogram; q82's four tables have their own). Uses the exact audit
+    * job, not the observation, so an all-excluded run still reports its
+    * loss (see [[Dedup.lshExcludedRows]]). */
+  def lshExcluded(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val emb = SparkEntry.t(spark, dir, "embeddings")
+    Seq(
+      "lsh_excluded_rows" -> Dedup.lshExcludedRows(emb, "vec_id", "embedding",
+        dim = 64, nBits = 8, maxBucketSize = 1000),
+      "lsh_excluded_rows_t4" -> Dedup.lshExcludedRows(emb, "vec_id", "embedding",
+        dim = 64, nBits = 8, maxBucketSize = 1000, tables = 4))
+  }
 }

@@ -1518,12 +1518,20 @@ object SparkEntry {
          |      FROM b GROUP BY doc_id)
          |SELECT doc_id, CAST(sh AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
     },
-    // q54: replays the WHOLE near-dedup pipeline — signatures, banding,
-    // bucket join, Jaccard verification (exact: integer set sizes, one
-    // IEEE division on both engines), keep-min-id anti join.
+    // q54: replays the WHOLE near-dedup pipeline — exact pre-collapse
+    // (text groups fold to their min id; the other members drop
+    // unconditionally), then signatures, banding, bucket join, Jaccard
+    // verification (exact: integer set sizes, one IEEE division on both
+    // engines), keep-min-id anti join. The collapse is replayed so the
+    // oracle matches the implementation's cap semantics on ANY data, not
+    // only on corpora whose buckets stay under maxBucketSize.
     "q54_near_dedup" -> {
       val P = 2147483647L
-      s"""WITH t AS (SELECT doc_id AS id, string_split_regex(text, '\\s+') AS toks FROM documents),
+      s"""WITH rep AS (SELECT MIN(doc_id) AS id, text FROM documents
+         |             WHERE text IS NOT NULL GROUP BY text),
+         |nonrep AS (SELECT d.doc_id AS id FROM documents d
+         |           JOIN rep r ON d.text = r.text WHERE d.doc_id <> r.id),
+         |t AS (SELECT id, string_split_regex(text, '\\s+') AS toks FROM rep),
          |shl AS (SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
          |         ELSE list_transform(range(len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS shingles
          |        FROM t),
@@ -1544,7 +1552,8 @@ object SparkEntry {
          |drp AS (SELECT DISTINCT id_b AS id FROM pair
          |        JOIN ds x ON x.id = id_a JOIN ds y ON y.id = id_b
          |        WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
-         |              / (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))) >= 0.7)
+         |              / (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))) >= 0.7
+         |        UNION SELECT id FROM nonrep)
          |SELECT doc_id FROM documents LEFT JOIN drp ON doc_id = drp.id
          |WHERE drp.id IS NULL ORDER BY doc_id""".stripMargin
     },

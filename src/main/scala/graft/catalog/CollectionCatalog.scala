@@ -78,7 +78,8 @@ final class CollectionCatalog(
                             metadata: Map[String, String] = Map.empty): Collection = {
     val dir = root.resolve(name)
     if (!Files.exists(dir.resolve("meta.json"))) {
-      Files.createDirectories(dir)
+      // validate BEFORE touching the filesystem: a conflict must not
+      // leave a meta-less collection dir behind
       val effSpace = metadata.get("hnsw:space") match {
         case Some(s) if space == "l2" || space == s => s
         case Some(s) =>
@@ -86,6 +87,7 @@ final class CollectionCatalog(
             s"conflicting spaces: parameter '$space' vs metadata hnsw:space '$s'")
         case None => space
       }
+      Files.createDirectories(dir)
       writeMeta(dir, CollectionMeta(name, effSpace, 0, metadata, numBuckets))
     }
     new Collection(spark, dir, maxRowsPerFile)
@@ -677,9 +679,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * `hnsw:construction_ef`/`hnsw:M` on the collection). Loud when the
     * key is absent: a silent default here would build a mis-sized index. */
   def buildIndex(): Unit = buildIndex(
-    meta.metadata.get("ivf:nlist")
-      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
-      .getOrElse(throw new IllegalArgumentException(
+    metaPositiveInt(meta, "ivf:nlist").getOrElse(
+      throw new IllegalArgumentException(
         "collection carries no ivf:nlist metadata — pass nlist explicitly")))
 
   /** Deterministic IVF build: cells seeded by existing row ids (cell i =
@@ -746,15 +747,24 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       toDF.select(size(col("embedding")).as("d")).limit(1).collect()
         .headOption.map(_.getInt(0)))
 
+  /** A positive-integer tuning key from collection metadata. LOUD on a
+    * present-but-malformed value: silently falling back to a default on a
+    * typo'd `ivf:nprobe` would be an invisible recall regression. */
+  private def metaPositiveInt(m: CollectionMeta, key: String): Option[Int] =
+    m.metadata.get(key).map { raw =>
+      val v = scala.util.Try(raw.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"collection metadata $key='$raw' is not an integer"))
+      require(v > 0, s"collection metadata $key must be positive, got $v")
+      v
+    }
+
   /** Per-call nprobe resolution: a positive value wins; 0 (the default)
     * falls back to the collection's `ivf:nprobe` metadata (Chroma-style
     * collection-level tuning, our analog of `hnsw:search_ef`), then 4. */
   private def resolveNprobe(m: CollectionMeta, nprobe: Int): Int = {
     require(nprobe >= 0, s"nprobe must be >= 0 (0 = collection default), got $nprobe")
-    if (nprobe > 0) nprobe
-    else m.metadata.get("ivf:nprobe")
-      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
-      .getOrElse(4)
+    if (nprobe > 0) nprobe else metaPositiveInt(m, "ivf:nprobe").getOrElse(4)
   }
 
   private def requireNoReserved(df: DataFrame, reserved: Seq[String]): Unit = {
@@ -808,7 +818,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         // file-listing level, and the broadcast join condition then keeps
         // each (query, row) pair only when the row's cell is in THAT
         // query's probe set — one pruned scan serves the whole batch.
-        val cellsPerQ = queryVecs.map(v => Ann.nearestCellsOf(cents, v, resolveNprobe(m, nprobe)))
+        val np = resolveNprobe(m, nprobe)
+        val cellsPerQ = queryVecs.map(v => Ann.nearestCellsOf(cents, v, np))
         val allCells = cellsPerQ.flatten.distinct
         val indexed = spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
         requireNoReserved(indexed.drop("cell"),
@@ -946,6 +957,12 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   /** B11 modify: rename is a catalog move; metadata is a meta.json update. */
   def modifyMetadata(kv: Map[String, String]): Unit = {
     val m = meta
+    // the creation-time space/hnsw:space consistency check must not be
+    // bypassable through the mutation path: a collection advertising one
+    // space in Chroma-convention metadata while querying with another is
+    // exactly the inconsistency it exists to prevent
+    kv.get("hnsw:space").foreach(s => require(s == m.space,
+      s"hnsw:space '$s' conflicts with the collection's space '${m.space}'"))
     CollectionMeta.atomicWrite(dir, m.copy(metadata = m.metadata ++ kv))
   }
 

@@ -310,8 +310,22 @@ object Dedup {
     // checkpoints that survive executor loss — the right trade at 100 TB,
     // where a long connected-components job WILL see failures.
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // Reliable mode persists BEFORE checkpointing: the eager checkpoint
+    // runs one job to compute the round (populating the cache) and a
+    // second to write the files — without the cache that second job
+    // recomputes the whole round lineage. The cache drops as soon as the
+    // checkpoint is materialized. Checkpoint files accumulate under
+    // `checkpointDir` for the run's duration (the returned frame reads
+    // the last one); the caller owns the directory's cleanup after
+    // consuming the result — standard Spark reliable-checkpoint hygiene.
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isEmpty) df.localCheckpoint()
+      else {
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ck = cached.checkpoint()
+        cached.unpersist()
+        ck
+      }
     // undirected edge list, both directions. No distinct: a duplicated
     // input pair only duplicates rows INTO the min-aggregate, it cannot
     // change the min — one shuffle saved per build.
