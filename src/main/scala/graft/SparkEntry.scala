@@ -454,6 +454,15 @@ object SparkEntry {
           minSim = 0.2, dim = 64, nBits = 8, tables = 4)
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")),
+    // Gopher repetition filters (Rae et al. 2021 table A1): top-{2,3}-gram
+    // char fraction + duplicate-5-gram char fraction per doc. Grams are
+    // built map-side (zip of shifted slices — no window, no HOF lambda);
+    // ONE counting shuffle on (doc, n, gram), one per-doc rollup. Char
+    // sums stay integral until a single final division, so the double
+    // output is fold-order-free on both engines.
+    "q83_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // Grouped mean-pooling: ONE embedding per label (the doc-from-chunks /
     // class-centroid primitive every training pipeline needs). posexplode →
     // one shuffle on (label,pos) whose partial sums combine map-side (the
@@ -1268,6 +1277,36 @@ object SparkEntry {
          |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
          |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },
+    // q83: the zip-built grams replayed as 1-based list slicing; counts and
+    // char sums stay integral, one final division per signal (identical
+    // IEEE division of exact integers on both engines — no rounding needed).
+    "q83_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, 2 AS n,
+        |             unnest(list_transform(range(1, GREATEST(len(w) - 1, 0) + 1),
+        |                    i -> w[i] || ' ' || w[i+1])) AS gram FROM t
+        |      UNION ALL
+        |      SELECT doc_id, 3,
+        |             unnest(list_transform(range(1, GREATEST(len(w) - 2, 0) + 1),
+        |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) FROM t
+        |      UNION ALL
+        |      SELECT doc_id, 5,
+        |             unnest(list_transform(range(1, GREATEST(len(w) - 4, 0) + 1),
+        |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) FROM t),
+        |c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt,
+        |             COUNT(*) * length(gram) AS chars
+        |      FROM g GROUP BY doc_id, n, gram),
+        |a AS (SELECT doc_id,
+        |             MAX(CASE WHEN n = 2 THEN chars END) AS t2,
+        |             MAX(CASE WHEN n = 3 THEN chars END) AS t3,
+        |             SUM(CASE WHEN n = 5 AND cnt >= 2 THEN chars ELSE 0 END) AS d5
+        |      FROM c GROUP BY doc_id),
+        |nc AS (SELECT doc_id, length(COALESCE(text, '')) AS nc FROM documents)
+        |SELECT nc.doc_id,
+        |  CASE WHEN nc.nc = 0 THEN 0.0 ELSE COALESCE(t2, 0) / CAST(nc.nc AS DOUBLE) END AS top2_frac,
+        |  CASE WHEN nc.nc = 0 THEN 0.0 ELSE COALESCE(t3, 0) / CAST(nc.nc AS DOUBLE) END AS top3_frac,
+        |  CASE WHEN nc.nc = 0 THEN 0.0 ELSE COALESCE(d5, 0) / CAST(nc.nc AS DOUBLE) END AS dup5_frac
+        |FROM nc LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q70_chunking" ->
       """WITH t AS (SELECT doc_id, string_split_regex(COALESCE(text, ''), '\s+') AS toks FROM documents),
         |n AS (SELECT doc_id, toks,

@@ -266,4 +266,76 @@ object TextAnalysis {
         least(lit(chunkTokens),
           size(col("__toks")) - col("chunk_id") * step).as("n_tokens"))
   }
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * "Scaling Language Models", table A1): per document,
+    *
+    *  - `top{n}_frac` for each n in `topNs`: characters covered by ALL
+    *    occurrences of the single most frequent word n-gram, divided by
+    *    `length(text)`. Ties on count are resolved by taking the maximum
+    *    of occurrences×length over grams — gram identity never matters,
+    *    so the result is deterministic.
+    *  - `dup{n}_frac` for each n in `dupNs`: characters covered by every
+    *    occurrence of every word n-gram that occurs ≥ 2 times, divided by
+    *    `length(text)`. (The occurrence-sum form — overlapping duplicate
+    *    grams are counted per occurrence, the standard relational
+    *    approximation of Gopher's coverage measure; it can exceed 1 on
+    *    pathologically repetitive text, which is exactly what the filter
+    *    is for.)
+    *
+    * High `top2_frac`/`top3_frac` flags boilerplate headers; high
+    * `dup5_frac`+ flags templated or machine-looped text. Typical Gopher
+    * cutoffs: top2 ≤ 0.20, top3 ≤ 0.18, dup5 ≤ 0.15 (words, not our
+    * synthetic fixture's distribution).
+    *
+    * Tokenizer: literal single-space split (the q24/q25 convention).
+    * NULL/empty text yields all-zero fractions. Docs too short to form an
+    * n-gram get 0.0 for that n.
+    *
+    * 100 TB shape: n-grams are built map-side by zipping shifted
+    * `slice`s of the token array (no window, no HOF lambda — `arrays_zip`/
+    * `slice`/`concat_ws` are all codegen'd), one explode pass per n over
+    * the input scan, then exactly TWO shuffles: a partial-aggregating
+    * count on (id, n, gram) and the per-doc rollup on id. All char
+    * arithmetic stays integral until one final division, so the double
+    * output is order-independent. Cache `df` upstream if the extra scans
+    * per n matter.
+    */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        topNs: Seq[Int] = Seq(2, 3),
+                        dupNs: Seq[Int] = Seq(5)): org.apache.spark.sql.DataFrame = {
+    require(topNs.nonEmpty || dupNs.nonEmpty, "need at least one n")
+    require((topNs ++ dupNs).forall(_ >= 2), s"n-grams need n >= 2, got ${topNs ++ dupNs}")
+    val allNs = (topNs ++ dupNs).distinct.sorted
+    val text = coalesce(col(textCol), lit(""))
+    // raw gram stream for one n: (id, n, gram) — map-only
+    def gramRows(n: Int) = {
+      val m = greatest(size(col("__w")) - lit(n - 1), lit(0))
+      val zipped = arrays_zip((1 to n).map(i => slice(col("__w"), lit(i), m)): _*)
+      df.select(col(idCol), split(text, " ").as("__w"))
+        .select(col(idCol), lit(n).as("__n"), explode(zipped).as("__g"))
+        .select(col(idCol), col("__n"),
+          concat_ws(" ", (0 until n).map(i => col(s"__g.$i")): _*).as("__gram"))
+    }
+    val counts = allNs.map(gramRows).reduce(_ unionByName _)
+      .groupBy(col(idCol), col("__n"), col("__gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col(idCol), col("__n"), col("__cnt"),
+        (col("__cnt") * length(col("__gram")).cast("long")).as("__chars"))
+    val aggs =
+      topNs.map(n => max(when(col("__n") === n, col("__chars")))
+        .as(s"top${n}_chars")) ++
+      dupNs.map(n => sum(when(col("__n") === n && col("__cnt") >= 2, col("__chars"))
+        .otherwise(0L)).as(s"dup${n}_chars"))
+    val perDoc = counts.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val fracs = (topNs.map(n => s"top${n}") ++ dupNs.map(n => s"dup${n}")).map { p =>
+      when(col("__nc") === 0L, 0.0)
+        .otherwise(coalesce(col(s"${p}_chars"), lit(0L)).cast("double") / col("__nc"))
+        .as(s"${p}_frac")
+    }
+    df.select(col(idCol), length(text).cast("long").as("__nc"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol) +: fracs: _*)
+  }
 }

@@ -444,6 +444,27 @@ object Dedup {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Bucket-width sizing for the SRP LSH paths: the smallest nBits that
+    * keeps EXPECTED bucket occupancy ≤ `targetBucket` under a uniform
+    * spread — ceil(log2(n / targetBucket)), floored at 1.
+    *
+    * Within-bucket pair work grows with occupancy², so occupancy — not
+    * data size — is the scale knob: the sf10 audit measured
+    * [[embeddingNearDupLsh]] at ×32 for 100× data with nBits pinned at 8,
+    * all of it candidate-pair inflation. Re-sizing nBits as the corpus
+    * grows keeps per-bucket work flat; the recall lost to narrower
+    * buckets is bought back with `tables` (amplification multiplies
+    * recall across tables at linear cost) rather than a coarser bucket
+    * space (which pays quadratically). The count that feeds this is one
+    * cheap row-count scan — at 100 TB, drive it from table statistics
+    * instead. */
+  def nBitsFor(n: Long, targetBucket: Int): Int = {
+    require(n >= 0 && targetBucket >= 1,
+      s"need n >= 0 and targetBucket >= 1, got n=$n targetBucket=$targetBucket")
+    val buckets = math.ceil(n.toDouble / targetBucket)
+    math.max(1, math.ceil(math.log(math.max(buckets, 1.0)) / math.log(2.0)).toInt)
+  }
+
   /** Embedding-cosine near-dup pairs AT SCALE: sign-random-projection LSH
     * ([[Ann.srpBucket]], deterministic + engine-portable) confines the
     * pair expansion to same-bucket rows — never a global O(n²) self-join.
@@ -480,7 +501,13 @@ object Dedup {
     * "indeterminate — audit with [[lshExcludedRows]]", never "zero".
     *
     * @param dim   embedding dimension (srpBucket needs it at plan time)
-    * @param nBits bucket width in bits (bucket space = 2^nBits per table)
+    * @param nBits bucket width in bits (bucket space = 2^nBits per table).
+    *              FIXED nBits does not survive a big scale-up: the sf10
+    *              replica (100× sf0.1) measured ×32 wall on this operator
+    *              because 2^8 buckets at 100× occupancy quadratically
+    *              inflates within-bucket pair work. Size it from the
+    *              corpus with [[nBitsFor]] and buy recall back with
+    *              `tables`, not with a coarser bucket space.
     */
   def embeddingNearDupLsh(
       df: DataFrame, idCol: String, vecCol: String, minSim: Double,

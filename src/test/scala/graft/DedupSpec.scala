@@ -303,4 +303,17 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect()
     assert(out.length == 300 && out.forall(_._2 == 0L))
   }
+
+  test("nBitsFor sizes the bucket space to hold expected occupancy flat") {
+    // occupancy-targeted widths: 2^nBits buckets >= n / targetBucket
+    assert(Dedup.nBitsFor(6000, 100) == 6)    // 60 buckets -> 64
+    assert(Dedup.nBitsFor(600000, 100) == 13) // the sf10 q61 case: 8 was x32
+    assert(Dedup.nBitsFor(0, 100) == 1)       // floor: degenerate inputs
+    assert(Dedup.nBitsFor(1, 100) == 1)
+    // monotone in n for fixed target — growing a corpus never narrows it
+    val widths = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+      .map(Dedup.nBitsFor(_, 50))
+    assert(widths == widths.sorted)
+    intercept[IllegalArgumentException](Dedup.nBitsFor(10, 0))
+  }
 }

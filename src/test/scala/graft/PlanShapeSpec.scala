@@ -162,7 +162,14 @@ class PlanShapeSpec extends SparkTestBase {
   // subexpression elimination that collapses the shared text scan — the
   // sf1 point measured x26 (q25) and x8 (q77) from exactly this. Codegen'd
   // nodes print with a *(n) stage marker — an unstarred Project fails.
-  for (q <- Seq("q25_quality_score", "q77_quality_filter"))
+  test("q83 repetition: grams build map-side — no Window; counts combine before the shuffle") {
+    val p = plan("q83_repetition")
+    assert(!p.contains("Window"), s"gram build must be a zip, never a window sort:\n$p")
+    assert(p.contains("partial_count"),
+      s"gram counting must partial-aggregate map-side:\n$p")
+  }
+
+  for (q <- Seq("q25_quality_score", "q77_quality_filter", "q83_repetition"))
     test(s"$q: the whole projection stays inside whole-stage codegen") {
       val p = plan(q)
       val unstarred = p.linesIterator

@@ -167,4 +167,34 @@ class TextAnalysisSpec extends SparkTestBase {
         both.filter(!(col("c") <=> col("h"))).take(3).mkString("\n")}")
     }
   }
+
+  test("repetitionSignals: Gopher top/dup n-gram char fractions by hand") {
+    val docs = Seq(
+      (1L, "a b a b a b"),     // "a b"x3 (9 ch), "a b a"x2 (10 ch), no dup 5-gram
+      (2L, "x y z w v"),       // all distinct; single 5-gram occurs once
+      (3L, "c c c c c c c"),   // degenerate repetition: fractions exceed 1
+      (4L, "solo"),            // too short for any gram
+      (5L, ""),                // empty -> all zero, no div-by-zero
+      (6L, null: String)       // null -> all zero
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double, Double, Double)].collect()
+    assert(r(0) == ((1L, 9.0 / 11, 10.0 / 11, 0.0)))
+    assert(r(1) == ((2L, 3.0 / 9, 5.0 / 9, 0.0)))
+    assert(r(2) == ((3L, 18.0 / 13, 25.0 / 13, 27.0 / 13)))
+    assert(r(3) == ((4L, 0.0, 0.0, 0.0)))
+    assert(r(4) == ((5L, 0.0, 0.0, 0.0)))
+    assert(r(5) == ((6L, 0.0, 0.0, 0.0)))
+  }
+
+  test("repetitionSignals: custom ns drive the output column set") {
+    val docs = Seq((1L, "p q p q")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text",
+      topNs = Seq(2), dupNs = Seq(2, 3))
+    assert(r.columns.toSeq == Seq("doc_id", "top2_frac", "dup2_frac", "dup3_frac"))
+    val row = r.head()
+    // "p q"x2 = 6 chars of 7; trigrams "p q p"/"q p q" both unique
+    assert(row.getDouble(1) == 6.0 / 7 && row.getDouble(2) == 6.0 / 7
+      && row.getDouble(3) == 0.0)
+  }
 }
