@@ -455,11 +455,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")),
     // Gopher repetition filters (Rae et al. 2021 table A1): top-{2,3}-gram
-    // char fraction + duplicate-5-gram char fraction per doc. Grams are
-    // built map-side (zip of shifted slices — no window, no HOF lambda);
-    // ONE counting shuffle on (doc, n, gram), one per-doc rollup. Char
-    // sums stay integral until a single final division, so the double
-    // output is fold-order-free on both engines.
+    // char fraction + duplicate-5-gram char fraction per doc. Repetition
+    // is per-document, so grams are counted in ONE compiled scan
+    // (RepetitionStats) — ZERO shuffle; the explode→count→rollup form is
+    // kept as the spec cross-check (its gram-string exchange measured ×34
+    // at the sf10 step). Char sums stay integral until a single final
+    // division, so the double output is fold-order-free on both engines.
     "q83_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),

@@ -292,16 +292,43 @@ object TextAnalysis {
     * NULL/empty text yields all-zero fractions. Docs too short to form an
     * n-gram get 0.0 for that n.
     *
-    * 100 TB shape: n-grams are built map-side by zipping shifted
-    * `slice`s of the token array (no window, no HOF lambda — `arrays_zip`/
-    * `slice`/`concat_ws` are all codegen'd), one explode pass per n over
-    * the input scan, then exactly TWO shuffles: a partial-aggregating
-    * count on (id, n, gram) and the per-doc rollup on id. All char
-    * arithmetic stays integral until one final division, so the double
-    * output is order-independent. Cache `df` upstream if the extra scans
-    * per n matter.
+    * 100 TB shape: repetition is intrinsically PER-DOCUMENT, so each
+    * doc's grams are counted in ONE compiled scan
+    * ([[graft.expressions.RepetitionStats]]) with per-row bounded
+    * memory — zero shuffle, embarrassingly parallel, linear at any
+    * corpus size. The first cut was the idiomatic explode → count →
+    * rollup (kept below as [[repetitionSignalsExploded]], the
+    * cross-check reference): correct, but its counting exchange carries
+    * ~every gram as a STRING (diverse text defeats partial aggregation),
+    * and the sf10 scale point measured ×34 wall for the sf1→sf10 step,
+    * all of it gram-shuffle spill. Same lesson as TextStats/StrShingles:
+    * per-document text work belongs in a compiled expression, not a
+    * shuffle. All char arithmetic stays integral until one final
+    * division, so the double output is fold-order-free.
     */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        topNs: Seq[Int] = Seq(2, 3),
+                        dupNs: Seq[Int] = Seq(5)): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim
+    val text = coalesce(col(textCol), lit(""))
+    val st = GraftColumnShim.column(graft.expressions.RepetitionStats(
+      GraftColumnShim.expression(text), topNs, dupNs))
+    val nc = length(text).cast("long")
+    val fracs = (topNs.map(n => s"top$n") ++ dupNs.map(n => s"dup$n")).map { p =>
+      when(nc === 0L, 0.0)
+        .otherwise(st.getField(s"${p}_chars").cast("double") / nc)
+        .as(s"${p}_frac")
+    }
+    df.select(col(idCol) +: fracs: _*)
+  }
+
+  /** Relational (explode → count → rollup) form of [[repetitionSignals]],
+    * kept as the cross-check reference for the compiled
+    * [[graft.expressions.RepetitionStats]] path — and as the shape you'd
+    * use if the gram COUNTS themselves (not per-doc fractions) were the
+    * product. Two shuffles; the counting exchange carries gram strings. */
+  def repetitionSignalsExploded(df: org.apache.spark.sql.DataFrame,
                         idCol: String, textCol: String,
                         topNs: Seq[Int] = Seq(2, 3),
                         dupNs: Seq[Int] = Seq(5)): org.apache.spark.sql.DataFrame = {

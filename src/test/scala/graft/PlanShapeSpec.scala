@@ -162,11 +162,13 @@ class PlanShapeSpec extends SparkTestBase {
   // subexpression elimination that collapses the shared text scan — the
   // sf1 point measured x26 (q25) and x8 (q77) from exactly this. Codegen'd
   // nodes print with a *(n) stage marker — an unstarred Project fails.
-  test("q83 repetition: grams build map-side — no Window; counts combine before the shuffle") {
+  test("q83 repetition: one compiled scan, zero shuffle — only the orderBy exchanges") {
     val p = plan("q83_repetition")
-    assert(!p.contains("Window"), s"gram build must be a zip, never a window sort:\n$p")
-    assert(p.contains("partial_count"),
-      s"gram counting must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"gram counting must never window-sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-doc repetition must not shuffle grams (RepetitionStats is per-row):\n$p")
+    assert(p.contains("graft_repetition_stats") || p.contains("RepetitionStats"),
+      s"expected the compiled RepetitionStats scan:\n$p")
   }
 
   for (q <- Seq("q25_quality_score", "q77_quality_filter", "q83_repetition"))

@@ -165,4 +165,40 @@ class PropertySpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got == want)
   }
+
+  test("property: repetitionSignals matches a brute-force reference on random token streams") {
+    // small vocab forces real repetition; lengths 0..12 hit every
+    // too-short-for-n edge (0,1 tokens; exactly n tokens; n-1 tokens)
+    val docGen = Gen.chooseNum(0, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "bb", "ccc", "d")).map(_.mkString(" ")))
+    val docs = sample(Gen.listOfN(80, docGen), 13L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    def grams(text: String, n: Int): Seq[String] = {
+      val w = text.split(" ", -1) // Spark split keeps trailing empties
+      if (w.length < n) Seq.empty
+      else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" "))
+    }
+    def topFrac(text: String, n: Int): Double =
+      if (text.isEmpty) 0.0
+      else {
+        val cs = grams(text, n).groupBy(identity)
+          .map { case (g, o) => o.length.toLong * g.length }
+        if (cs.isEmpty) 0.0 else cs.max.toDouble / text.length
+      }
+    def dupFrac(text: String, n: Int): Double =
+      if (text.isEmpty) 0.0
+      else grams(text, n).groupBy(identity).collect {
+        case (g, o) if o.length >= 2 => o.length.toLong * g.length
+      }.sum.toDouble / text.length
+    val want = docs.map { case (id, t) =>
+      id -> ((topFrac(t, 2), topFrac(t, 3), dupFrac(t, 5)))
+    }.toMap
+    val got = graft.functions.TextAnalysis
+      .repetitionSignals(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Double, Double, Double)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(got.keySet == want.keySet)
+    val bad = want.collect { case (id, w) if got(id) != w => (id, docs(id.toInt)._2, w, got(id)) }
+    assert(bad.isEmpty, s"divergences: ${bad.take(5).mkString("\n")}")
+  }
 }

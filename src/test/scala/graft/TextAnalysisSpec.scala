@@ -187,6 +187,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(5) == ((6L, 0.0, 0.0, 0.0)))
   }
 
+  test("repetitionSignals: compiled scan matches the relational explode form") {
+    val fixture = spark.read.parquet(sf("documents"))
+      .select(col("doc_id"), col("text"))
+    val edges = Seq((1000L, " "), (1001L, "  "), (1002L, "a  b a  b"),
+      (1003L, "trailing "), (1004L, " leading"), (1005L, "𝕏 y 𝕏 y 𝕏"),
+      (1006L, null: String), (1007L, ""), (1008L, "x x x x x x"))
+      .toDF("doc_id", "text")
+    Seq(fixture, edges.toDF()).foreach { df =>
+      val c = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      val h = TextAnalysis.repetitionSignalsExploded(df, "doc_id", "text")
+      val diff = c.as("c").join(h.as("h"), "doc_id")
+        .filter(!(col("c.top2_frac") <=> col("h.top2_frac")) ||
+                !(col("c.top3_frac") <=> col("h.top3_frac")) ||
+                !(col("c.dup5_frac") <=> col("h.dup5_frac")))
+      assert(c.count() == h.count() && diff.count() == 0,
+        s"compiled/relational divergence:\n${diff.take(3).mkString("\n")}")
+    }
+  }
+
   test("repetitionSignals: custom ns drive the output column set") {
     val docs = Seq((1L, "p q p q")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text",
