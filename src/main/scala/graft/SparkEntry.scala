@@ -464,6 +464,16 @@ object SparkEntry {
     "q83_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Token-budget sequence packing (concat-then-chunk causal-LM layout):
+    // docs laid out in reshard order, each doc assigned to the sequence
+    // its first token lands in. ONE per-shard window, integral `div`
+    // math end to end — the assignment replays exactly in any engine.
+    "q84_sequence_packing" -> ((s, dir) =>
+      Mixture.packSequences(
+        t(s, dir, "documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "n_tokens", budget = 2048, nShards = 8)
+        .orderBy("shard", "seq")),
     // Grouped mean-pooling: ONE embedding per label (the doc-from-chunks /
     // class-centroid primitive every training pipeline needs). posexplode →
     // one shuffle on (label,pos) whose partial sums combine map-side (the
@@ -1703,6 +1713,20 @@ object SparkEntry {
          |SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
          |       CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS INTEGER) AS pos
          |FROM h ORDER BY shard, pos""".stripMargin,
+    // q84: the packing layout replayed — same spread hash + per-shard
+    // running token sum; integral // division, HUGEINT sums cast back
+    "q84_sequence_packing" ->
+      s"""WITH n AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |             ${sqlSpreadHash("CAST(doc_id AS VARCHAR)")} AS hh
+         |           FROM documents),
+         |c AS (SELECT CAST(hh % 8 AS INTEGER) AS shard, nt,
+         |             CAST(SUM(nt) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+         |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM n)
+         |SELECT shard, CAST((cum - nt) // 2048 AS BIGINT) AS seq,
+         |       COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS seq_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY shard, seq""".stripMargin,
     "q73_duplicate_passages" ->
       """WITH t AS (SELECT doc_id AS id, string_split_regex(text, '\s+') AS toks FROM documents),
         |sh AS (SELECT DISTINCT id, unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]

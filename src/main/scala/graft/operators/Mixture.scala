@@ -92,6 +92,42 @@ object Mixture {
       .drop("__h")
   }
 
+  /** Token-budget sequence packing: assign documents to fixed-budget
+    * training sequences with concat-then-chunk semantics — documents are
+    * laid out in the [[reshard]] order (portable hash, ties by id) and a
+    * document belongs to the sequence its FIRST token lands in; a
+    * document longer than the remaining room straddles the boundary
+    * (standard causal-LM packing, where attention masks handle the seam).
+    * A document longer than `budget` spans whole sequences — the
+    * assignment skips the fully-covered sequence ids, by construction.
+    *
+    * Output: one row per non-empty (shard, seq): `n_docs`, `seq_tokens`
+    * (sum of member token counts — can exceed `budget` via the straddle).
+    *
+    * 100 TB shape: ONE shuffle (the per-shard window, identical to
+    * [[reshard]]'s — pack and reshard share a sort when composed);
+    * per-shard cumulative sums run in parallel across shards, and all
+    * arithmetic is integral (`div`), so the assignment replays exactly
+    * in any SQL engine. Sequence ids stay exact past 2^53 where a
+    * double-division would drift.
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+                    budget: Int, nShards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__h", idHash(idCol))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("__nt", col(nTokensCol).cast("long"))
+      .withColumn("__cum", sum(col("__nt")).over(w))
+      // start offset of this doc in its shard's token stream → integral
+      // division (internal fixed names spliced, never caller names)
+      .withColumn("seq", expr(s"(__cum - __nt) div ${budget.toLong}"))
+      .groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("seq_tokens"))
+  }
+
   /** Cluster-balanced ("diversity") sampling: keep at most `perCell` rows
     * from each IVF cell, chosen by the portable id hash. A uniform sample
     * over-represents the corpus's dense embedding-space modes; capping per

@@ -99,4 +99,45 @@ class MixtureSpec extends SparkTestBase {
     val doc1 = out.find(_._1 == 1L).get
     assert(doc1._3 == 2L, "spread counts distinct docs, not occurrences")
   }
+
+  test("packSequences replays a local packing over reshard's own order") {
+    val docs = (0L until 200L).map(i =>
+      (i, ("w " * (1 + (i % 37).toInt)).trim)).toDF("doc_id", "text")
+      .withColumn("n_tokens",
+        graft.functions.TextAnalysis.tokenCount(col("text")))
+    val budget = 50
+    val nShards = 4
+    val got = Mixture.packSequences(docs, "doc_id", "n_tokens", budget, nShards)
+      .as[(Int, Long, Long, Long)].collect()
+      .map { case (s, q, d, t) => (s, q) -> ((d, t)) }.toMap
+    // reference: walk reshard's public (shard, pos) order, accumulate
+    val order = Mixture.reshard(docs, "doc_id", nShards)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    val nt = docs.select("doc_id", "n_tokens").as[(Long, Int)].collect().toMap
+    val want = scala.collection.mutable.Map[(Int, Long), (Long, Long)]()
+    order.groupBy(_._2).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_._3).foreach { case (id, _, _) =>
+        val n = nt(id).toLong
+        val seq = cum / budget // start-offset assignment
+        cum += n
+        val (d, t) = want.getOrElse((shard, seq), (0L, 0L))
+        want((shard, seq)) = (d + 1, t + n)
+      }
+    }
+    assert(got == want.toMap)
+    // conservation: every token lands in exactly one sequence
+    assert(got.values.map(_._2).sum == nt.values.map(_.toLong).sum)
+  }
+
+  test("packSequences: an over-budget doc owns its start and skips covered seqs") {
+    val docs = Seq((1L, 30), (2L, 5), (3L, 7)).toDF("doc_id", "n_tokens")
+    val out = Mixture.packSequences(docs, "doc_id", "n_tokens",
+      budget = 10, nShards = 1).as[(Int, Long, Long, Long)].collect().sortBy(_._2)
+    // whatever the hash order, 42 tokens pack into starts at offsets
+    // {0, a, b} with a<b<42; seq ids are start div 10 — verify totals
+    assert(out.map(_._3).sum == 3 && out.map(_._4).sum == 42L)
+    // the 30-token doc covers >= 2 full sequences: max seq id >= 2
+    assert(out.map(_._2).max >= 2L)
+  }
 }
