@@ -471,7 +471,8 @@ object SparkEntry {
     "q84_sequence_packing" -> ((s, dir) =>
       Mixture.packSequences(
         t(s, dir, "documents")
-          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+          .withColumn("n_tokens",
+            TextAnalysis.tokenCount(coalesce(col("text"), lit("")))),
         "doc_id", "n_tokens", budget = 2048, nShards = 8)
         .orderBy("shard", "seq")),
     // Grouped mean-pooling: ONE embedding per label (the doc-from-chunks /
@@ -1304,18 +1305,18 @@ object SparkEntry {
         |      SELECT doc_id, 5,
         |             unnest(list_transform(range(1, GREATEST(len(w) - 4, 0) + 1),
         |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) FROM t),
-        |c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt,
+        |c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt, length(gram) AS glen,
         |             COUNT(*) * length(gram) AS chars
         |      FROM g GROUP BY doc_id, n, gram),
         |a AS (SELECT doc_id,
-        |             MAX(CASE WHEN n = 2 THEN chars END) AS t2,
-        |             MAX(CASE WHEN n = 3 THEN chars END) AS t3,
+        |             MAX(CASE WHEN n = 2 THEN {'c': cnt, 'l': glen} END) AS s2,
+        |             MAX(CASE WHEN n = 3 THEN {'c': cnt, 'l': glen} END) AS s3,
         |             SUM(CASE WHEN n = 5 AND cnt >= 2 THEN chars ELSE 0 END) AS d5
         |      FROM c GROUP BY doc_id),
         |nc AS (SELECT doc_id, length(COALESCE(text, '')) AS nc FROM documents)
         |SELECT nc.doc_id,
-        |  CASE WHEN nc.nc = 0 THEN 0.0 ELSE COALESCE(t2, 0) / CAST(nc.nc AS DOUBLE) END AS top2_frac,
-        |  CASE WHEN nc.nc = 0 THEN 0.0 ELSE COALESCE(t3, 0) / CAST(nc.nc AS DOUBLE) END AS top3_frac,
+        |  CASE WHEN nc.nc = 0 THEN 0.0 ELSE COALESCE(s2.c * s2.l, 0) / CAST(nc.nc AS DOUBLE) END AS top2_frac,
+        |  CASE WHEN nc.nc = 0 THEN 0.0 ELSE COALESCE(s3.c * s3.l, 0) / CAST(nc.nc AS DOUBLE) END AS top3_frac,
         |  CASE WHEN nc.nc = 0 THEN 0.0 ELSE COALESCE(d5, 0) / CAST(nc.nc AS DOUBLE) END AS dup5_frac
         |FROM nc LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q70_chunking" ->
@@ -1717,7 +1718,7 @@ object SparkEntry {
     // running token sum; integral // division, HUGEINT sums cast back
     "q84_sequence_packing" ->
       s"""WITH n AS (SELECT doc_id,
-         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |             CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS nt,
          |             ${sqlSpreadHash("CAST(doc_id AS VARCHAR)")} AS hh
          |           FROM documents),
          |c AS (SELECT CAST(hh % 8 AS INTEGER) AS shard, nt,

@@ -9,8 +9,9 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd single-pass Gopher repetition counters: for each n in
-  * `topNs`, the character mass of the most frequent word n-gram
-  * (occurrences × code-point length, ties irrelevant by construction);
+  * `topNs`, the character mass (occurrences × code-point length) of the
+  * MOST FREQUENT word n-gram — among equally frequent grams the longest
+  * wins, so the result is deterministic without ever naming the gram;
   * for each n in `dupNs`, the character mass of ALL n-grams occurring
   * ≥ 2 times. Tokenization is the single-space split with trailing
   * empties (`split(text, " ")` semantics), gram length counts code
@@ -100,16 +101,21 @@ object RepetitionStats {
       else e(0) += 1
       i += 1
     }
-    var top = 0L
+    // argmax by (count, length): the most frequent gram, ties to the
+    // longest — NOT max of count×length, where a long rare gram could
+    // outweigh the most frequent one (Gopher counts the top gram only)
+    var bestCnt = 0L
+    var bestLen = 0L
     var dup = 0L
     val it = counts.values.iterator
     while (it.hasNext) {
       val e = it.next()
-      val chars = e(0) * e(1)
-      if (chars > top) top = chars
-      if (e(0) >= 2L) dup += chars
+      if (e(0) > bestCnt || (e(0) == bestCnt && e(1) > bestLen)) {
+        bestCnt = e(0); bestLen = e(1)
+      }
+      if (e(0) >= 2L) dup += e(0) * e(1)
     }
-    Array(top, dup)
+    Array(bestCnt * bestLen, dup)
   }
 
   def compute(u: UTF8String, topNs: Array[Int], dupNs: Array[Int]): InternalRow = {

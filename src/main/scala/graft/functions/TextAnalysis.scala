@@ -271,10 +271,9 @@ object TextAnalysis {
     * "Scaling Language Models", table A1): per document,
     *
     *  - `top{n}_frac` for each n in `topNs`: characters covered by ALL
-    *    occurrences of the single most frequent word n-gram, divided by
-    *    `length(text)`. Ties on count are resolved by taking the maximum
-    *    of occurrences×length over grams — gram identity never matters,
-    *    so the result is deterministic.
+    *    occurrences of the single MOST FREQUENT word n-gram, divided by
+    *    `length(text)`. Ties on count resolve to the longest gram, so
+    *    the result is deterministic without ever naming the gram.
     *  - `dup{n}_frac` for each n in `dupNs`: characters covered by every
     *    occurrence of every word n-gram that occurs ≥ 2 times, divided by
     *    `length(text)`. (The occurrence-sum form — overlapping duplicate
@@ -349,18 +348,28 @@ object TextAnalysis {
       .groupBy(col(idCol), col("__n"), col("__gram"))
       .agg(count(lit(1)).as("__cnt"))
       .select(col(idCol), col("__n"), col("__cnt"),
-        (col("__cnt") * length(col("__gram")).cast("long")).as("__chars"))
+        length(col("__gram")).cast("long").as("__glen"))
+      .withColumn("__chars", col("__cnt") * col("__glen"))
+    // top = argmax by (count, length): struct max is lexicographic, so
+    // the most frequent gram wins and ties resolve to the longest —
+    // matching RepetitionStats, never max(count×length)
     val aggs =
-      topNs.map(n => max(when(col("__n") === n, col("__chars")))
-        .as(s"top${n}_chars")) ++
+      topNs.map(n => max(when(col("__n") === n,
+        struct(col("__cnt"), col("__glen")))).as(s"top${n}_sel")) ++
       dupNs.map(n => sum(when(col("__n") === n && col("__cnt") >= 2, col("__chars"))
         .otherwise(0L)).as(s"dup${n}_chars"))
     val perDoc = counts.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val fracs = (topNs.map(n => s"top${n}") ++ dupNs.map(n => s"dup${n}")).map { p =>
-      when(col("__nc") === 0L, 0.0)
-        .otherwise(coalesce(col(s"${p}_chars"), lit(0L)).cast("double") / col("__nc"))
-        .as(s"${p}_frac")
-    }
+    val fracs =
+      topNs.map(n =>
+        when(col("__nc") === 0L, 0.0)
+          .otherwise(coalesce(
+            col(s"top${n}_sel.__cnt") * col(s"top${n}_sel.__glen"), lit(0L))
+            .cast("double") / col("__nc"))
+          .as(s"top${n}_frac")) ++
+      dupNs.map(n =>
+        when(col("__nc") === 0L, 0.0)
+          .otherwise(coalesce(col(s"dup${n}_chars"), lit(0L)).cast("double") / col("__nc"))
+          .as(s"dup${n}_frac"))
     df.select(col(idCol), length(text).cast("long").as("__nc"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol) +: fracs: _*)

@@ -109,7 +109,9 @@ object Mixture {
     * per-shard cumulative sums run in parallel across shards, and all
     * arithmetic is integral (`div`), so the assignment replays exactly
     * in any SQL engine. Sequence ids stay exact past 2^53 where a
-    * double-division would drift.
+    * double-division would drift. NULL token counts pack as zero-width
+    * docs (they take a position, consume no budget) rather than
+    * poisoning the running sum with NULL.
     */
   def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
                     budget: Int, nShards: Int): DataFrame = {
@@ -119,7 +121,7 @@ object Mixture {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__h", idHash(idCol))
       .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
-      .withColumn("__nt", col(nTokensCol).cast("long"))
+      .withColumn("__nt", coalesce(col(nTokensCol).cast("long"), lit(0L)))
       .withColumn("__cum", sum(col("__nt")).over(w))
       // start offset of this doc in its shard's token stream → integral
       // division (internal fixed names spliced, never caller names)

@@ -130,14 +130,31 @@ class MixtureSpec extends SparkTestBase {
     assert(got.values.map(_._2).sum == nt.values.map(_.toLong).sum)
   }
 
-  test("packSequences: an over-budget doc owns its start and skips covered seqs") {
+  test("packSequences: an over-budget doc straddles; assignment matches the replay") {
     val docs = Seq((1L, 30), (2L, 5), (3L, 7)).toDF("doc_id", "n_tokens")
     val out = Mixture.packSequences(docs, "doc_id", "n_tokens",
-      budget = 10, nShards = 1).as[(Int, Long, Long, Long)].collect().sortBy(_._2)
-    // whatever the hash order, 42 tokens pack into starts at offsets
-    // {0, a, b} with a<b<42; seq ids are start div 10 — verify totals
+      budget = 10, nShards = 1).as[(Int, Long, Long, Long)].collect()
     assert(out.map(_._3).sum == 3 && out.map(_._4).sum == 42L)
-    // the 30-token doc covers >= 2 full sequences: max seq id >= 2
-    assert(out.map(_._2).max >= 2L)
+    // replay over reshard's public order (hash-order-independent check)
+    val order = Mixture.reshard(docs, "doc_id", nShards = 1)
+      .select("doc_id", "pos").as[(Long, Int)].collect().sortBy(_._2).map(_._1)
+    val nt = Map(1L -> 30L, 2L -> 5L, 3L -> 7L)
+    var cum = 0L
+    val want = order.map { id => val s = cum / 10; cum += nt(id); (s, nt(id)) }
+      .groupBy(_._1).map { case (s, xs) => s -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    assert(out.map(t => t._2 -> ((t._3, t._4))).toMap == want)
+    // whatever the order, the last doc starts at offset >= 12 (the two
+    // smaller docs total 12), so the 30-token straddle forces seq >= 1
+    assert(out.map(_._2).max >= 1L)
+  }
+
+  test("packSequences: null token counts pack as zero-width docs") {
+    val docs = Seq((1L, Some(5)), (2L, None), (3L, Some(6)))
+      .toDF("doc_id", "n_tokens")
+    val out = Mixture.packSequences(docs, "doc_id", "n_tokens",
+      budget = 10, nShards = 1).as[(Int, Long, Long, Long)].collect()
+    assert(out.map(_._3).sum == 3, "the null-count doc still takes a slot")
+    assert(out.map(_._4).sum == 11L, "null contributes zero tokens, not NULL")
+    assert(out.forall(_._2 >= 0L), "no NULL/negative sequence ids")
   }
 }

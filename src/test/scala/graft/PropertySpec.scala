@@ -181,9 +181,13 @@ class PropertySpec extends SparkTestBase {
     def topFrac(text: String, n: Int): Double =
       if (text.isEmpty) 0.0
       else {
-        val cs = grams(text, n).groupBy(identity)
-          .map { case (g, o) => o.length.toLong * g.length }
-        if (cs.isEmpty) 0.0 else cs.max.toDouble / text.length
+        // most frequent gram; ties on count -> longest gram. NOTE: toSeq
+        // first — mapping a Map to (cnt, len) pairs would collapse grams
+        // that share a count into one entry
+        val cs = grams(text, n).groupBy(identity).toSeq
+          .map { case (g, o) => (o.length.toLong, g.length.toLong) }
+        if (cs.isEmpty) 0.0
+        else { val (c, l) = cs.max; (c * l).toDouble / text.length }
       }
     def dupFrac(text: String, n: Int): Double =
       if (text.isEmpty) 0.0

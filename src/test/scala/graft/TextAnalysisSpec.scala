@@ -175,7 +175,10 @@ class TextAnalysisSpec extends SparkTestBase {
       (3L, "c c c c c c c"),   // degenerate repetition: fractions exceed 1
       (4L, "solo"),            // too short for any gram
       (5L, ""),                // empty -> all zero, no div-by-zero
-      (6L, null: String)       // null -> all zero
+      (6L, null: String),      // null -> all zero
+      // MOST FREQUENT wins, not max char mass: "a a"x3 (9 ch) beats
+      // "ccc ccc"x2 (14 ch) because 3 > 2 occurrences
+      (7L, "a a a a ccc ccc ccc")
     ).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
       .orderBy("doc_id").as[(Long, Double, Double, Double)].collect()
@@ -185,6 +188,10 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(3) == ((4L, 0.0, 0.0, 0.0)))
     assert(r(4) == ((5L, 0.0, 0.0, 0.0)))
     assert(r(5) == ((6L, 0.0, 0.0, 0.0)))
+    // doc 7: 19 chars; top2 = "a a" 3x3=9; top3 = "a a a" 2x5=10 (ties
+    // "a a ccc"? no — that occurs once; "ccc ccc ccc" occurs once);
+    // dup5: "a a a ccc ccc"? occurs once; no 5-gram repeats -> 0
+    assert(r(6) == ((7L, 9.0 / 19, 10.0 / 19, 0.0)))
   }
 
   test("repetitionSignals: compiled scan matches the relational explode form") {
