@@ -475,6 +475,16 @@ object SparkEntry {
             TextAnalysis.tokenCount(coalesce(col("text"), lit("")))),
         "doc_id", "n_tokens", budget = 2048, nShards = 8)
         .orderBy("shard", "seq")),
+    // The repetition gate: q83's signals composed into a keep/drop
+    // decision with per-rule reasons at the published Gopher cutoffs.
+    // Same zero-shuffle compiled scan; ~10% of the fixture drops.
+    "q85_repetition_filter" -> ((s, dir) => {
+      val f = TextAnalysis.repetitionFilter(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          f.getField("keep").as("keep"),
+          array_join(f.getField("reasons"), ",").as("reasons"))
+        .orderBy("doc_id")
+    }),
     // Grouped mean-pooling: ONE embedding per label (the doc-from-chunks /
     // class-centroid primitive every training pipeline needs). posexplode →
     // one shuffle on (label,pos) whose partial sums combine map-side (the
@@ -1319,6 +1329,46 @@ object SparkEntry {
         |  CASE WHEN nc.nc = 0 THEN 0.0 ELSE COALESCE(s3.c * s3.l, 0) / CAST(nc.nc AS DOUBLE) END AS top3_frac,
         |  CASE WHEN nc.nc = 0 THEN 0.0 ELSE COALESCE(d5, 0) / CAST(nc.nc AS DOUBLE) END AS dup5_frac
         |FROM nc LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q85: q83's frac pipeline -> rule list -> empty-text short-circuit,
+    // exactly the q77 oracle pattern
+    "q85_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, 2 AS n,
+        |             unnest(list_transform(range(1, GREATEST(len(w) - 1, 0) + 1),
+        |                    i -> w[i] || ' ' || w[i+1])) AS gram FROM t
+        |      UNION ALL
+        |      SELECT doc_id, 3,
+        |             unnest(list_transform(range(1, GREATEST(len(w) - 2, 0) + 1),
+        |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) FROM t
+        |      UNION ALL
+        |      SELECT doc_id, 5,
+        |             unnest(list_transform(range(1, GREATEST(len(w) - 4, 0) + 1),
+        |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) FROM t),
+        |c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt, length(gram) AS glen,
+        |             COUNT(*) * length(gram) AS chars
+        |      FROM g GROUP BY doc_id, n, gram),
+        |a AS (SELECT doc_id,
+        |             MAX(CASE WHEN n = 2 THEN {'c': cnt, 'l': glen} END) AS s2,
+        |             MAX(CASE WHEN n = 3 THEN {'c': cnt, 'l': glen} END) AS s3,
+        |             SUM(CASE WHEN n = 5 AND cnt >= 2 THEN chars ELSE 0 END) AS d5
+        |      FROM c GROUP BY doc_id),
+        |nc AS (SELECT doc_id, length(COALESCE(text, '')) AS nc FROM documents),
+        |fr AS (SELECT nc.doc_id,
+        |  COALESCE(s2.c * s2.l, 0) / CAST(nc.nc AS DOUBLE) AS t2,
+        |  COALESCE(s3.c * s3.l, 0) / CAST(nc.nc AS DOUBLE) AS t3,
+        |  COALESCE(d5, 0) / CAST(nc.nc AS DOUBLE) AS d5f
+        |  FROM nc LEFT JOIN a USING (doc_id) WHERE nc.nc > 0),
+        |r AS (SELECT doc_id, list_filter([
+        |    CASE WHEN t2 > 0.20 THEN 'top2_repetitive' END,
+        |    CASE WHEN t3 > 0.18 THEN 'top3_repetitive' END,
+        |    CASE WHEN d5f > 0.15 THEN 'dup5_repetitive' END], x -> x IS NOT NULL) AS rs
+        |  FROM fr),
+        |f AS (SELECT d.doc_id,
+        |        CASE WHEN d.text IS NULL OR length(d.text) = 0 THEN ['empty_text']
+        |             ELSE r.rs END AS rs
+        |      FROM documents d LEFT JOIN r USING (doc_id))
+        |SELECT doc_id, len(rs) = 0 AS keep, COALESCE(array_to_string(rs, ','), '') AS reasons
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q70_chunking" ->
       """WITH t AS (SELECT doc_id, string_split_regex(COALESCE(text, ''), '\s+') AS toks FROM documents),
         |n AS (SELECT doc_id, toks,
@@ -1819,7 +1869,7 @@ object SparkEntry {
         |        CASE WHEN d.text IS NULL OR length(d.text) = 0 THEN ['empty_text']
         |             ELSE f.rs END AS rs
         |      FROM f JOIN documents d ON f.doc_id = d.doc_id)
-        |SELECT doc_id, len(rs) = 0 AS keep, array_to_string(rs, ',') AS reasons
+        |SELECT doc_id, len(rs) = 0 AS keep, COALESCE(array_to_string(rs, ','), '') AS reasons
         |FROM g ORDER BY doc_id""".stripMargin,
     // q76: q61's pair pipeline, then connected components as a recursive
     // reachability closure — cluster = LEAST(self, min reachable id)

@@ -189,6 +189,45 @@ object TextAnalysis {
       when(empty, array(lit("empty_text"))).otherwise(reasons).as("reasons"))
   }
 
+  /** Gopher repetition gate (Rae et al. 2021 table A1 cutoffs as the
+    * defaults): drop documents whose top-bigram / top-trigram /
+    * duplicate-5-gram character fractions ([[repetitionSignals]]
+    * semantics exactly) exceed the thresholds. Output mirrors
+    * [[qualityFilter]]: `struct(keep, reasons)`, with null/empty text
+    * mapped to keep=false + "empty_text".
+    *
+    * One compiled [[graft.expressions.RepetitionStats]] scan feeds all
+    * three rules (whole-stage codegen CSE collapses the repeated
+    * references), `try_divide` keeps the fractions unconditionally
+    * evaluable, and reason assembly is lambda-free — the same three
+    * codegen rules qualityFilter documents. Zero shuffle.
+    *
+    * Published-cutoff caveat: the Gopher numbers assume real prose of
+    * typical web-document length; very short texts have inherently high
+    * fractions (a 2-word doc's top bigram IS the doc). Gate length with
+    * [[qualityFilter]]'s token rules first, or loosen these cutoffs.
+    */
+  def repetitionFilter(text: Column, maxTop2: Double = 0.20,
+      maxTop3: Double = 0.18, maxDup5: Double = 0.15): Column = {
+    import org.apache.spark.sql.GraftColumnShim
+    val t = coalesce(text, lit(""))
+    val st = GraftColumnShim.column(graft.expressions.RepetitionStats(
+      GraftColumnShim.expression(t), Seq(2, 3), Seq(5)))
+    val nc = length(t).cast("double")
+    def frac(f: String) = try_divide(st.getField(f).cast("double"), nc)
+    val rules: Seq[(String, Column)] = Seq(
+      "top2_repetitive" -> (frac("top2_chars") > maxTop2),
+      "top3_repetitive" -> (frac("top3_chars") > maxTop3),
+      "dup5_repetitive" -> (frac("dup5_chars") > maxDup5))
+    val none = array().cast("array<string>")
+    val reasons = concat(rules.map { case (n, c) =>
+      when(c, array(lit(n))).otherwise(none) }: _*)
+    val empty = text.isNull || length(text) === 0
+    struct(
+      (!empty && size(reasons) === 0).as("keep"),
+      when(empty, array(lit("empty_text"))).otherwise(reasons).as("reasons"))
+  }
+
   /** Canonical text normalization for dedup/training: lowercase, strip
     * non-alphanumerics, collapse runs of spaces, trim. RE2-safe patterns. */
   def normalize(text: Column): Column =

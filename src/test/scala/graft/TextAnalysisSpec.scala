@@ -213,6 +213,23 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("repetitionFilter gates on Gopher cutoffs with per-rule reasons") {
+    val docs = Seq(
+      (1L, "c c c c c c c"), // top2 18/13, top3 25/13, dup5 27/13: all fire
+      (2L, (0 until 30).map(i => f"w$i%02d").mkString(" ")), // diverse: keep
+      (3L, ""),              // empty -> empty_text, never a keep
+      (4L, null: String)     // null  -> empty_text
+    ).toDF("doc_id", "text")
+    val f = TextAnalysis.repetitionFilter(col("text"))
+    val r = docs.select(col("doc_id"), f.getField("keep"),
+        array_join(f.getField("reasons"), ","))
+      .orderBy("doc_id").as[(Long, Boolean, String)].collect()
+    assert(r(0) == ((1L, false, "top2_repetitive,top3_repetitive,dup5_repetitive")))
+    assert(r(1) == ((2L, true, "")))
+    assert(r(2) == ((3L, false, "empty_text")))
+    assert(r(3) == ((4L, false, "empty_text")))
+  }
+
   test("repetitionSignals: custom ns drive the output column set") {
     val docs = Seq((1L, "p q p q")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text",
