@@ -171,7 +171,23 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the compiled RepetitionStats scan:\n$p")
   }
 
-  for (q <- Seq("q25_quality_score", "q77_quality_filter", "q83_repetition"))
+  test("q84 packing: the running sum windows per shard, never globally") {
+    val p = plan("q84_sequence_packing")
+    assert(p.contains("windowspecdefinition(shard"),
+      s"the cumulative token sum must partition by shard (a global window " +
+        s"single-partitions the corpus at scale):\n$p")
+  }
+
+  test("q85 repetition gate: one compiled scan, zero shuffle — only the orderBy exchanges") {
+    val p = plan("q85_repetition_filter")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the gate is per-row (RepetitionStats); nothing may shuffle:\n$p")
+    assert(p.contains("graft_repetition_stats") || p.contains("RepetitionStats"),
+      s"expected the compiled RepetitionStats scan:\n$p")
+  }
+
+  for (q <- Seq("q25_quality_score", "q77_quality_filter", "q83_repetition",
+      "q85_repetition_filter"))
     test(s"$q: the whole projection stays inside whole-stage codegen") {
       val p = plan(q)
       val unstarred = p.linesIterator
