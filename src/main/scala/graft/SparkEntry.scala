@@ -454,6 +454,30 @@ object SparkEntry {
           minSim = 0.2, dim = 64, nBits = 8, tables = 4)
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")),
+    // SemDeDup (Abbas et al. 2023): seeded centroid cells (same
+    // SQL-replayable assignment as q32/q60) confine the within-cell
+    // pairwise cosine; a row drops iff a smaller-id cell-mate reaches
+    // minSim. Cells, pairs and every keep decision replay in the oracle.
+    "q86_semdedup" -> ((s, dir) => {
+      val m = Ann.buildIvfSeeded(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0L until 16L)
+      Dedup.semDedup(m.assigned, "vec_id", "embedding", minSim = 0.3)
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+    // Embedding-space decontamination: the paraphrase-leakage check beside
+    // q68's verbatim n-gram form. Eval vectors (label 0) BROADCAST; the
+    // corpus side (labels != 0) pays one map-side nested-loop pass and
+    // never shuffles; only the flagged aggregate exchanges.
+    "q88_decontaminate_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.contaminatedEmbeddings(
+          emb.filter(col("label") =!= 0), "vec_id", "embedding",
+          emb.filter(col("label") === 0), "embedding", minSim = 0.3)
+        .select(col("id").as("vec_id"), col("n_eval_hits"),
+          round(col("max_sim"), 4).as("max_sim"))
+        .orderBy("vec_id")
+    }),
     // Gopher repetition filters (Rae et al. 2021 table A1): top-{2,3}-gram
     // char fraction + duplicate-5-gram char fraction per doc. Repetition
     // is per-document, so grams are counted in ONE compiled scan
@@ -1746,6 +1770,34 @@ object SparkEntry {
          |dd AS (SELECT vec_id, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
          |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM dd
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
+    // q86: the seeded-cell assignment replayed (q32's `c`/`d`/`a` CTEs),
+    // then SemDeDup's keep rule — drop iff a smaller-id cell-mate reaches
+    // cosine sim 0.3 (sim = 1 − the cosine DISTANCE the helper builds)
+    "q86_semdedup" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 0 AND 15),
+         |d AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.cell AS cell,
+         |             ${sqlL2("e.embedding", "c.ce")} AS cd
+         |      FROM embeddings e, c),
+         |a AS (SELECT vec_id, embedding, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn FROM d)
+         |      WHERE rn = 1),
+         |drops AS (SELECT DISTINCT x.vec_id AS vec_id FROM a x JOIN a y
+         |          ON x.cell = y.cell AND y.vec_id < x.vec_id
+         |          WHERE (1 - (${sqlCos("x.embedding", "y.embedding")})) >= 0.3)
+         |SELECT a.vec_id AS vec_id, a.cell AS cell FROM a
+         |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.vec_id = a.vec_id)
+         |ORDER BY vec_id""".stripMargin,
+    // q88: eval side = label 0, corpus side = the rest; per-corpus-row
+    // hit count and max similarity against any eval vector
+    "q88_decontaminate_embedding" ->
+      s"""WITH ev AS (SELECT embedding AS ev FROM embeddings WHERE label = 0),
+         |hits AS (SELECT e.vec_id AS vec_id,
+         |                (1 - (${sqlCos("e.embedding", "ev.ev")})) AS sim
+         |         FROM embeddings e, ev WHERE e.label <> 0),
+         |flagged AS (SELECT vec_id, sim FROM hits WHERE sim >= 0.3)
+         |SELECT vec_id, COUNT(*) AS n_eval_hits, ROUND(MAX(sim), 4) AS max_sim
+         |FROM flagged GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q71_source_mixture" ->
       s"""WITH d AS (SELECT doc_id, source,
          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

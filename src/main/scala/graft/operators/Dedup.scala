@@ -617,4 +617,69 @@ object Dedup {
       .filter(col("count") > maxBucketSize)
       .agg(coalesce(sum(col("count")), lit(0L)).as("excluded"))
       .head().getLong(0)
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): drop semantically
+    * near-identical rows from an embedded corpus. Rows arrive already
+    * partitioned into centroid cells (a `cell` column —
+    * [[Ann.assignCells]] / [[Ann.buildIvfSeeded]] output); within each
+    * cell, a row is dropped iff some SMALLER-id same-cell row reaches
+    * cosine `minSim` (keep-min-id, the representative rule shared with
+    * [[exactDedup]]). Cross-cell pairs are never examined — that
+    * approximation IS the algorithm (it bounds the pair expansion), and
+    * with centroid-partitioned cells, near-identical embeddings only
+    * separate when they straddle a centroid boundary.
+    *
+    * 100 TB shape: both self-join sides shuffle ONCE on `cell`; pair work
+    * is O(occupancy²) per cell, so cell occupancy — nlist at build time,
+    * ≈ n / target — is the scale knob, the same sizing rule [[nBitsFor]]
+    * applies to SRP buckets. Unlike the LSH candidate paths, no cell is
+    * ever skipped by a cap: dropping a bucket there only loses candidate
+    * pairs, but skipping a cell here would flip KEEP decisions — size
+    * cells, don't cap them. With seeded assignment the cells, the pair
+    * set, and every keep decision replay in a plain-SQL oracle (q86).
+    */
+  def semDedup(assigned: DataFrame, idCol: String, vecCol: String,
+               minSim: Double): DataFrame = {
+    require(assigned.columns.contains("cell"),
+      "semDedup input must carry a `cell` column (Ann.assignCells / buildIvfSeeded output)")
+    val a = assigned.select(col("cell"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
+    val b = assigned.select(col("cell"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("__id_b") < col("__id_a") &&
+        Distances.cosineSim(col("__va"), col("__vb")) >= minSim)
+      .select(col("__id_a").as(idCol)).distinct()
+    // left_anti on the drop list: null ids never match an anti key, so a
+    // null-id row is retained (it cannot have been a drop candidate — the
+    // `<` comparison is null-rejecting on both sides)
+    assigned.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Embedding-space decontamination: corpus rows whose cosine similarity
+    * to ANY eval/benchmark embedding reaches `minSim`, with per-row hit
+    * count and max similarity. The n-gram form ([[contaminated]]) catches
+    * verbatim leakage; this form catches paraphrased leakage — the two
+    * run side by side in a modern pre-training pipeline.
+    *
+    * 100 TB shape: the eval side is tiny next to a training corpus, so
+    * its (id, vec) rows BROADCAST; the corpus pays one map-side
+    * broadcast nested-loop pass (corpus rows never shuffle) and only the
+    * flagged-row aggregate — bounded by the contamination mass, not the
+    * corpus — exchanges at the end. Cost is O(|corpus|·|eval|·d) exact;
+    * when the eval set outgrows a broadcast, prune with the SRP buckets
+    * ([[embeddingNearDupLsh]]'s machinery) first.
+    *
+    * Output: (id, n_eval_hits, max_sim) per contaminated corpus row.
+    */
+  def contaminatedEmbeddings(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      evalSet: DataFrame, evalVecCol: String, minSim: Double): DataFrame = {
+    val ev = evalSet.select(col(evalVecCol).as("__ev"))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(ev))
+      .withColumn("__sim", Distances.cosineSim(col("__v"), col("__ev")))
+      .filter(col("__sim") >= minSim)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("__sim")).as("max_sim"))
+  }
 }

@@ -304,6 +304,55 @@ class DedupSpec extends SparkTestBase {
     assert(out.length == 300 && out.forall(_._2 == 0L))
   }
 
+  test("semDedup: drops larger-id near-identical cell-mates, keeps representatives") {
+    import graft.operators.Ann
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f, 0.0f)), // near-dup of 0, lands in cell 0
+      (3L, Seq(0.0f, 0.98f, 0.05f, 0.0f)), // near-dup of 1, lands in cell 1
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f))    // own direction: kept wherever it lands
+    ).toDF("vec_id", "embedding")
+    val m = Ann.buildIvfSeeded(rows, "vec_id", "embedding", Seq(0L, 1L))
+    val kept = Dedup.semDedup(m.assigned, "vec_id", "embedding", minSim = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 4L))
+    // idempotent: the survivors have no near-dup cell-mates left
+    val again = Dedup.semDedup(
+        Ann.assignCells(m.assigned.filter(col("vec_id").isin(kept.toSeq: _*))
+          .drop("cell"), "embedding", m.centroids),
+        "vec_id", "embedding", minSim = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
+  test("semDedup requires a cell column") {
+    intercept[IllegalArgumentException] {
+      Dedup.semDedup(Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 0.9)
+    }
+  }
+
+  test("contaminatedEmbeddings: hit count and max sim against the eval set") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),  // hits both eval-A vectors
+      (11L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),  // orthogonal to all eval rows
+      (12L, Seq(0.0f, 0.99f, 0.01f, 0.0f)) // hits eval-B only
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.05f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("eval_id", "embedding")
+    val out = Dedup.contaminatedEmbeddings(corpus, "vec_id", "embedding",
+        eval, "embedding", minSim = 0.9)
+      .select("id", "n_eval_hits", "max_sim")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((10L, 2L), (12L, 1L)))
+    assert(math.abs(out(0)._3 - 1.0) < 1e-9)        // exact self-similarity
+    assert(out(1)._3 > 0.98 && out(1)._3 < 1.0)     // near but not exact
+  }
+
   test("nBitsFor sizes the bucket space to hold expected occupancy flat") {
     // occupancy-targeted widths: 2^nBits buckets >= n / targetBucket
     assert(Dedup.nBitsFor(6000, 100) == 6)    // 60 buckets -> 64
