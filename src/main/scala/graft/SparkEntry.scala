@@ -509,6 +509,17 @@ object SparkEntry {
           array_join(f.getField("reasons"), ",").as("reasons"))
         .orderBy("doc_id")
     }),
+    // Origin-level curation: per-source mean quality score gates whole
+    // sources — the domain-gate counterpart of q77's per-row rules (bad
+    // origins whose individual pages squeak past row filters). The
+    // per-source aggregate collapses map-side to ~|sources| rows and the
+    // surviving-source table broadcasts back; the corpus never shuffles.
+    "q87_source_quality_gate" -> ((s, dir) =>
+      TextAnalysis.sourceQualityGate(t(s, dir, "documents"), "doc_id", "text",
+          "source", minMeanScore = 0.71)
+        .select(col("doc_id"), col("source"),
+          round(col("src_score"), 4).as("src_score"))
+        .orderBy("doc_id")),
     // Grouped mean-pooling: ONE embedding per label (the doc-from-chunks /
     // class-centroid primitive every training pipeline needs). posexplode →
     // one shuffle on (label,pos) whose partial sums combine map-side (the
@@ -1244,6 +1255,32 @@ object SparkEntry {
          |  ROUND((LEAST(n_tokens / 20.0, 1.0) + LEAST(stopword_ratio * 5.0, 1.0)
          |        + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) / 3.0, 4) AS score
          |FROM r ORDER BY doc_id""".stripMargin,
+    // q87: q25's per-doc score chain + a per-source decimal-mean gate;
+    // the mean is an exact decimal sum with one final double division,
+    // so the >= comparison replays bit-for-bit
+    "q87_source_quality_gate" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |       tk -> lower(tk) IN ${sqlInList(enStop)})) AS DOUBLE) AS sw_hits,
+         |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct
+         |  FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  ROUND(n_punct / n_chars, 4) AS punct_ratio,
+         |  ROUND(sw_hits / n_tokens, 4) AS stopword_ratio,
+         |  n_tokens FROM q),
+         |s AS (SELECT doc_id, source,
+         |  ROUND((LEAST(n_tokens / 20.0, 1.0) + LEAST(stopword_ratio * 5.0, 1.0)
+         |        + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) / 3.0, 4) AS score
+         |  FROM r),
+         |m AS (SELECT source,
+         |        CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS src_score
+         |      FROM s GROUP BY source)
+         |SELECT s.doc_id AS doc_id, s.source AS source,
+         |       ROUND(m.src_score, 4) AS src_score
+         |FROM s JOIN m ON s.source = m.source
+         |WHERE m.src_score >= 0.71 ORDER BY doc_id""".stripMargin,
     "q26_langid" -> {
       val langs = TextAnalysis.languages // sorted ascending
       val hits = langs.map { l =>

@@ -413,4 +413,33 @@ object TextAnalysis {
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol) +: fracs: _*)
   }
+
+  /** Source-level quality gate: keep documents whose SOURCE (domain, host,
+    * crawl bucket — whatever `srcCol` groups) has mean [[qualityScore]] ≥
+    * `minMeanScore`. Per-document filters miss systematically-bad origins
+    * whose individual pages squeak past the row rules; aggregating to the
+    * origin and gating the whole group is the standard counterpart (the
+    * C4/Gopher pipelines apply both). Output = surviving rows plus their
+    * source's `src_score`, so the caller can report what the gate kept.
+    *
+    * 100 TB shape: the per-source aggregate is a hash agg on a LOW-
+    * cardinality key (domains, not documents) — partial aggregation
+    * collapses each task's rows to one row per source, so the exchange
+    * carries ~|sources| rows; the surviving-source table then BROADCASTS
+    * back onto a second corpus scan (corpus rows never shuffle). Mean is
+    * an exact decimal sum with ONE final double division — fold-order-free
+    * on any engine, so the gate decision replays in the SQL oracle (q87).
+    */
+  def sourceQualityGate(df: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String, srcCol: String,
+                        minMeanScore: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val means = df
+      .select(col(srcCol), qualityScore(col(textCol)).as("__score"))
+      .groupBy(col(srcCol))
+      .agg((sum(col("__score").cast(DecimalType(18, 6))).cast("double")
+        / count(lit(1))).as("src_score"))
+      .filter(col("src_score") >= minMeanScore)
+    df.join(broadcast(means), Seq(srcCol))
+  }
 }

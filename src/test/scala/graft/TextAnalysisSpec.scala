@@ -230,6 +230,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(3) == ((4L, false, "empty_text")))
   }
 
+  test("sourceQualityGate drops the whole source, good pages included") {
+    val good = "the quick brown fox jumps over the lazy dog and it was a " +
+      "good day for all of them to be out in the park with friends"
+    val bad = "!!! ??? ;;; ::: !!!"
+    val df = Seq(
+      (1L, good, "goodsrc"), (2L, good, "goodsrc"),
+      // badsrc mean = (1.0 + 0.25) / 2 = 0.625 < 0.7: doc 4 is itself
+      // fine but its ORIGIN fails the gate — group semantics, not row
+      (3L, bad, "badsrc"), (4L, good, "badsrc")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceQualityGate(df, "doc_id", "text", "source", 0.7)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    val score = out.select("src_score").as[Double].head()
+    assert(score >= 0.7 && score <= 1.0)
+    // threshold below both means: everything survives, scores attached
+    assert(TextAnalysis.sourceQualityGate(df, "doc_id", "text", "source", 0.5)
+      .count() == 4)
+  }
+
   test("repetitionSignals: custom ns drive the output column set") {
     val docs = Seq((1L, "p q p q")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text",
