@@ -520,6 +520,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           round(col("src_score"), 4).as("src_score"))
         .orderBy("doc_id")),
+    // Corpus length-distribution report: exact per-lang percentiles over
+    // the VALUE HISTOGRAM — the exchange carries distinct lengths, not
+    // rows (Spark's own percentile agg buffers every row's value in its
+    // aggregation state); one interpolation at the end, oracle-replayed.
+    "q89_length_percentiles" -> ((s, dir) =>
+      TextAnalysis.percentileProfile(t(s, dir, "documents"), "lang", "n_chars")
+        .select(col("lang"), col("n"),
+          round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
+          round(col("p75"), 4).as("p75"), round(col("p95"), 4).as("p95"))
+        .orderBy("lang")),
     // Grouped mean-pooling: ONE embedding per label (the doc-from-chunks /
     // class-centroid primitive every training pipeline needs). posexplode →
     // one shuffle on (label,pos) whose partial sums combine map-side (the
@@ -1281,6 +1291,30 @@ object SparkEntry {
          |       ROUND(m.src_score, 4) AS src_score
          |FROM s JOIN m ON s.source = m.source
          |WHERE m.src_score >= 0.71 ORDER BY doc_id""".stripMargin,
+    // q89: the histogram-percentile chain replayed — per-lang cumulative
+    // counts over distinct lengths, bracketing values per fraction, one
+    // p·(n−1) interpolation (identical arithmetic to the Spark side)
+    "q89_length_percentiles" -> {
+      val ps = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75, "95" -> 0.95)
+      val brackets = ps.map { case (nm, p) =>
+        s"""MIN(CASE WHEN cum >= FLOOR($p*(n-1))+1 THEN v END) AS lo$nm,
+           |        MIN(CASE WHEN cum >= CEIL($p*(n-1))+1 THEN v END) AS hi$nm""".stripMargin
+      }.mkString(",\n        ")
+      val outs = ps.map { case (nm, p) =>
+        s"ROUND(lo$nm + ($p*(n-1) - FLOOR($p*(n-1))) * (hi$nm - lo$nm), 4) AS p$nm"
+      }.mkString(",\n       ")
+      s"""WITH h AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v, COUNT(*) AS c
+         |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+         |cum AS (SELECT lang, v, c,
+         |          SUM(c) OVER (PARTITION BY lang ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         |          SUM(c) OVER (PARTITION BY lang) AS n FROM h),
+         |a AS (SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+         |        $brackets
+         |      FROM cum GROUP BY lang)
+         |SELECT lang, n,
+         |       $outs
+         |FROM a ORDER BY lang""".stripMargin
+    },
     "q26_langid" -> {
       val langs = TextAnalysis.languages // sorted ascending
       val hits = langs.map { l =>

@@ -442,4 +442,69 @@ object TextAnalysis {
       .filter(col("src_score") >= minMeanScore)
     df.join(broadcast(means), Seq(srcCol))
   }
+
+  /** Exact per-group percentile profile of a numeric column (the corpus
+    * length-distribution report every curation run starts from), computed
+    * over the VALUE HISTOGRAM rather than the value stream: rows collapse
+    * map-side to (group, value) counts, a per-group cumulative sum ranks
+    * the distinct values, and each requested percentile interpolates
+    * between the two bracketing values (the p·(n−1) linear-interpolation
+    * definition — what both Spark `percentile` and DuckDB `quantile_cont`
+    * compute).
+    *
+    * 100 TB shape: the only full-width work is the map-side (group, value)
+    * collapse — the exchange carries distinct values per group, not rows,
+    * so a 10¹¹-row corpus with ~10⁴ distinct lengths shuffles ~10⁴ rows
+    * per group where Spark's own `percentile` aggregate would buffer every
+    * row's value in the aggregation state. For genuinely continuous
+    * metrics, bucket first (round/width_bucket) or reach for
+    * `approx_percentile`; for the integral metrics a corpus report cares
+    * about (chars, tokens, scores rounded to 4), this form is exact,
+    * linear, and — all arithmetic integral until one interpolation —
+    * replays bit-for-bit in a SQL oracle (q89).
+    *
+    * Output: (grpCol, n, p{25,50,75,95}… one column per requested
+    * fraction, named by percent with a fractional part only when needed).
+    * NULL values are excluded (SQL aggregate convention); a group that is
+    * all-NULL vanishes with them.
+    */
+  def percentileProfile(df: org.apache.spark.sql.DataFrame,
+                        grpCol: String, valCol: String,
+                        ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95))
+      : org.apache.spark.sql.DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentile fractions must be within [0, 1], got $ps")
+    def pname(p: Double): String = {
+      val pct = p * 100
+      if (pct == pct.floor) s"p${pct.toInt}"
+      else s"p${pct}".replace('.', '_')
+    }
+    require(ps.map(pname).distinct.size == ps.size,
+      s"duplicate percentile fractions: $ps")
+    import org.apache.spark.sql.expressions.Window
+    val h = df.filter(col(valCol).isNotNull)
+      .groupBy(col(grpCol), col(valCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val byV = Window.partitionBy(col(grpCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(grpCol))
+    val cum = h.withColumn("__cum", sum(col("__c")).over(byV))
+      .withColumn("__n", sum(col("__c")).over(whole))
+    // bracketing values as aggregates: value at 0-based rank r is the
+    // first distinct value whose cumulative count reaches r+1
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      val idx = lit(p) * (col("__n") - 1).cast("double")
+      Seq(
+        min(when(col("__cum") >= floor(idx) + 1, col("__v"))).as(s"__lo_$i"),
+        min(when(col("__cum") >= ceil(idx) + 1, col("__v"))).as(s"__hi_$i"))
+    }
+    val agged = cum.groupBy(col(grpCol))
+      .agg(max(col("__n")).as("n"), aggs: _*)
+    val outCols = ps.zipWithIndex.map { case (p, i) =>
+      val idx = lit(p) * (col("n") - 1).cast("double")
+      (col(s"__lo_$i") + (idx - floor(idx)) * (col(s"__hi_$i") - col(s"__lo_$i")))
+        .as(pname(p))
+    }
+    agged.select(col(grpCol) +: col("n") +: outCols: _*)
+  }
 }

@@ -249,6 +249,49 @@ class TextAnalysisSpec extends SparkTestBase {
       .count() == 4)
   }
 
+  test("percentileProfile matches Spark's percentile aggregate exactly") {
+    // duplicates, skew, and a non-trivial group mix — the histogram form
+    // must reproduce the p·(n−1) interpolation bit-for-bit
+    val rows = (1 to 97).map(i => ("a", (i * i % 37).toLong)) ++
+      (1 to 13).map(i => ("b", (i * 7 % 5).toLong)) ++ Seq(("c", 42L))
+    val df = rows.toDF("g", "v")
+    val ours = TextAnalysis.percentileProfile(df, "g", "v",
+        Seq(0.25, 0.5, 0.75, 0.95))
+      .orderBy("g").collect()
+    val ref = df.groupBy("g")
+      .agg(expr("percentile(v, array(0.25, 0.5, 0.75, 0.95))").as("ps"),
+        count(lit(1)).as("n"))
+      .orderBy("g").collect()
+    ours.zip(ref).foreach { case (o, r) =>
+      assert(o.getString(0) == r.getString(0))
+      assert(o.getLong(1) == r.getLong(2))
+      val refPs = r.getSeq[Double](1)
+      Seq(2, 3, 4, 5).zipWithIndex.foreach { case (c, i) =>
+        assert(o.getDouble(c) == refPs(i),
+          s"group ${o.getString(0)} p${Seq(25, 50, 75, 95)(i)}: " +
+            s"${o.getDouble(c)} != ${refPs(i)}")
+      }
+    }
+  }
+
+  test("percentileProfile: null exclusion, single-row group, bounds") {
+    val df = Seq(("a", Some(10L)), ("a", None), ("a", Some(20L)),
+      ("b", Some(5L)), ("c", None)).toDF("g", "v")
+    val out = TextAnalysis.percentileProfile(df, "g", "v", Seq(0.0, 0.5, 1.0))
+      .orderBy("g").collect()
+    // group c was all-NULL: gone; a has n=2 (null excluded); b is one row
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(out(0).getLong(1) == 2 && out(0).getDouble(2) == 10.0 &&
+      out(0).getDouble(3) == 15.0 && out(0).getDouble(4) == 20.0)
+    assert(out(1).getLong(1) == 1 && out(1).getDouble(3) == 5.0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.percentileProfile(df, "g", "v", Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.percentileProfile(df, "g", "v", Nil)
+    }
+  }
+
   test("repetitionSignals: custom ns drive the output column set") {
     val docs = Seq((1L, "p q p q")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionSignals(docs, "doc_id", "text",
