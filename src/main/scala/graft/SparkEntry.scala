@@ -1005,6 +1005,26 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), round(col("rate"), 4).as("rate"))
         .orderBy("doc_id")
     }),
+    // Temperature-scaled mixture (the multilingual-sampling rule): source
+    // weights derived IN-ENGINE as sqrt(total tokens), normalized via an
+    // order-free decimal sum — small sources upweighted, no giant source
+    // dominating, and the whole rate computation replays in the oracle.
+    "q90_temperature_mixture" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      Mixture.sampleTemperature(docs, "doc_id", "source", "n_tok",
+          alpha = 0.5, budget = 2000L)
+        .select(col("doc_id"), col("source"), round(col("rate"), 4).as("rate"))
+        .orderBy("doc_id")
+    }),
+    // Leakage-safe train/val/test assignment: the split is a pure hash of
+    // the SOURCE, so every document of an origin lands in the same split
+    // (i.i.d. row splits leak near-dups across the boundary). Map-only.
+    "q91_group_split" -> ((s, dir) =>
+      Mixture.groupSplit(t(s, dir, "documents"), "source",
+          Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id")),
     // Curation: deterministic corpus shuffle into training shards — global
     // order and shard assignment are pure functions of the id, so the
     // shards are reproducible across runs/engines (and verifiable here)
@@ -1881,6 +1901,33 @@ object SparkEntry {
          |FROM d JOIN r ON d.source = r.source
          |WHERE ${sqlSpreadHash("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate * 1e6
          |ORDER BY doc_id""".stripMargin,
+    // q90: the temperature-rate chain replayed — integral token totals,
+    // IEEE sqrt weights, decimal-summed normalizer, then the same
+    // budget·(w/wsum)/tot parenthesization as the Spark side
+    "q90_temperature_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |tot AS (SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS tot FROM d GROUP BY source),
+         |ws AS (SELECT CAST(SUM(CAST(sqrt(tot) AS DECIMAL(38,18))) AS DOUBLE) AS wsum FROM tot),
+         |r AS (SELECT source,
+         |        CASE WHEN sqrt(tot) = 0.0 OR wsum = 0.0 THEN 0.0
+         |             ELSE LEAST(1.0, 2000.0 * (sqrt(tot) / wsum) / tot) END AS rate
+         |      FROM tot, ws)
+         |SELECT d.doc_id AS doc_id, d.source AS source, ROUND(r.rate, 4) AS rate
+         |FROM d JOIN r ON d.source = r.source
+         |WHERE ${sqlSpreadHash("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate * 1e6
+         |ORDER BY doc_id""".stripMargin,
+    // q91: same spread hash over the GROUP key; thresholds are the very
+    // doubles the Scala side folded (spliced, not re-derived in SQL)
+    "q91_group_split" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |             ${sqlSpreadHash("source")} % 1000000 AS hh FROM documents)
+         |SELECT doc_id, source,
+         |       CASE WHEN hh < ${0.6 * 1e6} THEN 'train'
+         |            WHEN hh < ${(0.6 + 0.2) * 1e6} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
     "q72_reshard" ->
       s"""WITH h AS (SELECT doc_id, ${sqlSpreadHash("CAST(doc_id AS VARCHAR)")} AS hh
          |           FROM documents)

@@ -33,8 +33,10 @@ object Mixture {
     * and the unclamped product would then overflow a signed 64-bit —
     * silently wrapping in Spark while the SQL oracle errors. Clamped, the
     * product stays < 2^62.4 — exact on any engine. */
-  private def idHash(idCol: String) =
-    pmod(pmod(GraftExtensions.strHash(col(idCol).cast("string")),
+  private def idHash(idCol: String): org.apache.spark.sql.Column = idHash(col(idCol))
+
+  private def idHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(GraftExtensions.strHash(id.cast("string")),
         lit(2147483647L)) * lit(2654435761L),
       lit(1000000007L))
 
@@ -128,6 +130,95 @@ object Mixture {
       .withColumn("seq", expr(s"(__cum - __nt) div ${budget.toLong}"))
       .groupBy(col("shard"), col("seq"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("seq_tokens"))
+  }
+
+  /** Temperature-scaled mixture sampling: like [[sampleToBudget]], but the
+    * per-source weights are DERIVED from the source totals instead of
+    * hand-specified — weight ∝ total^alpha, normalized. alpha = 1
+    * reproduces natural proportions, alpha = 0 gives every source equal
+    * budget share, and the usual 0 < alpha < 1 band (0.3–0.7 in the
+    * multilingual-sampling literature) upweights small sources without
+    * letting any single giant source dominate the mixture.
+    *
+    * Everything stays relational: totals, weights and rates are computed
+    * in-engine from two tiny aggregates (≈|sources| rows) that broadcast
+    * back onto the corpus scan — the corpus itself never shuffles, and
+    * the keep decision is the same deterministic hash-threshold as
+    * [[sampleToBudget]]. For alpha ∈ {0, 0.5, 1} the weight arithmetic is
+    * IEEE-exact on any engine (identity / sqrt / constant), so those
+    * settings — sqrt being the common default — replay in a SQL oracle
+    * (q90); other alphas go through pow(), whose last ulp is libm-specific.
+    *
+    * Output = kept rows plus their source's sampling `rate`.
+    */
+  def sampleTemperature(
+      df: DataFrame, idCol: String, srcCol: String, costCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be non-negative, got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val totals = df.groupBy(col(srcCol))
+      .agg(sum(col(costCol)).cast("double").as("__tot"))
+      // exact-replay forms first; pow() only for the exotic alphas
+      .withColumn("__w", alpha match {
+        case 0.0 => lit(1.0)
+        case 0.5 => sqrt(col("__tot"))
+        case 1.0 => col("__tot")
+        case a   => pow(col("__tot"), lit(a))
+      })
+    // normalizer: one scalar row, joined back onto the |sources|-row
+    // table. The sum goes through an exact decimal so it is independent
+    // of aggregation order (a double fold's last ulp varies with
+    // partition order, and the rate threshold comparison must not)
+    val wsum = totals.agg(
+      sum(col("__w").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double").as("__wsum"))
+    val rates = totals.crossJoin(broadcast(wsum))
+      // same NaN discipline as sampleToBudget: a zero-weight source (or a
+      // degenerate all-zero corpus, where __wsum is 0) must rate 0, not
+      // ride a 0/0 = NaN through least()
+      .withColumn("rate",
+        when(col("__w") === 0.0 || col("__wsum") === 0.0, lit(0.0))
+          .otherwise(least(lit(1.0),
+            lit(budget.toDouble) * (col("__w") / col("__wsum")) / col("__tot"))))
+      .select(col(srcCol), col("rate"))
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(pmod(idHash(idCol), lit(1000000L)) < col("rate") * 1e6)
+  }
+
+  /** Leakage-safe split assignment: every row of a GROUP (source, host,
+    * document family — whatever `grpCol` names) lands in the same split,
+    * decided by the portable hash of the group key against cumulative
+    * fraction thresholds. Splitting rows i.i.d. leaks near-duplicate
+    * content from one origin across train/validation — group-keyed
+    * hashing is the standard fix, and the hash makes it deterministic
+    * across runs, partition layouts and engines.
+    *
+    * Map-only (the hash is a pure function of the group column — no
+    * shuffle, no group table); fractions must sum to 1 and every group
+    * lands in exactly one split by construction of the cumulative
+    * thresholds over the 10^6 hash residues. Exact-fraction caveat: the
+    * split SIZES track the fractions only in expectation over many
+    * groups — with few groups the rounding is coarse; that is inherent
+    * to group-atomic splitting, not the hash.
+    */
+  def groupSplit(df: DataFrame, grpCol: String,
+                 fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0.0),
+      s"split fractions must be non-empty and positive, got $fractions")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"duplicate split names: $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val cums = fractions.scanLeft(0.0)(_ + _._2).tail
+    val h = pmod(idHash(col(grpCol)), lit(1000000L))
+    // the last bucket takes everything below 10^6 outright: the cumulative
+    // threshold is 1.0·10^6 only up to float rounding, and a residue
+    // falling in that crack would otherwise get a NULL split
+    val split = fractions.init.zip(cums.init)
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), lit(""))) {
+        case (acc, ((name, _), cum)) => acc.when(h < cum * 1e6, lit(name))
+      }.otherwise(lit(fractions.last._1))
+    df.withColumn("split", split)
   }
 
   /** Cluster-balanced ("diversity") sampling: keep at most `perCell` rows

@@ -50,6 +50,65 @@ class MixtureSpec extends SparkTestBase {
     assert(ids.sameElements(again), "sample must be layout-independent")
   }
 
+  test("sampleTemperature: alpha flattens the mixture toward small sources") {
+    // totals: s1=400, s2=100, s3=10 (sum 510). At alpha=1 every source
+    // keeps the same rate B/510 (natural proportions); at alpha=0 each
+    // source gets an equal budget share; sqrt sits strictly between.
+    // Rates are read off SURVIVING rows, so each source carries enough
+    // rows that the deterministic hash keeps at least one at every rate.
+    val df = ((1 to 200).map(i => (s"a$i", "s1", 2L)) ++
+      (1 to 100).map(i => (s"b$i", "s2", 1L)) ++
+      (1 to 10).map(i => (s"c$i", "s3", 1L))).toDF("id", "source", "cost")
+    def ratesAt(alpha: Double): Map[String, Double] =
+      Mixture.sampleTemperature(df, "id", "source", "cost", alpha, budget = 100L)
+        .select("source", "rate").distinct().as[(String, Double)].collect().toMap
+    val nat = ratesAt(1.0); val mid = ratesAt(0.5); val flat = ratesAt(0.0)
+    // B·(tot/wsum)/tot is B/wsum mathematically but rounds per source —
+    // equal to within an ulp, not bit-equal
+    assert(nat.values.forall(r => math.abs(r - 100.0 / 510.0) < 1e-12))
+    assert(math.abs(nat("s1") - 100.0 / 510.0) < 1e-12)
+    // equal shares at alpha=0: s1 rate = (100/3)/400, s3 capped at 1
+    assert(math.abs(flat("s1") - 100.0 / 3.0 / 400.0) < 1e-12)
+    assert(flat("s3") == 1.0)
+    // big source: flat < sqrt < natural; small source: natural < sqrt
+    assert(flat("s1") < mid("s1") && mid("s1") < nat("s1"))
+    assert(nat("s3") < mid("s3") && mid("s3") < flat("s3"))
+  }
+
+  test("sampleTemperature: zero-cost source rates 0, never NaN") {
+    val df = Seq(("x1", "s1", 0L), ("x2", "s2", 100L)).toDF("id", "source", "cost")
+    val out = Mixture.sampleTemperature(df, "id", "source", "cost",
+      alpha = 0.5, budget = 10L)
+    assert(!out.select("id").as[String].collect().contains("x1"))
+    intercept[IllegalArgumentException] {
+      Mixture.sampleTemperature(df, "id", "source", "cost", alpha = -0.1, budget = 10L)
+    }
+  }
+
+  test("groupSplit: group-atomic, total, deterministic") {
+    val df = (1 to 200).map(i => (i.toLong, s"src${i % 23}")).toDF("id", "source")
+    val out = Mixture.groupSplit(df, "source",
+      Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+    // every row got a split; every source maps to exactly one split
+    assert(out.filter(col("split").isNull).count() == 0)
+    val perSrc = out.groupBy("source").agg(countDistinct(col("split")).as("k"))
+    assert(perSrc.filter(col("k") =!= 1).count() == 0)
+    // deterministic across evaluations
+    val a = out.select("id", "split").as[(Long, String)].collect().toMap
+    val b = Mixture.groupSplit(df, "source",
+        Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // all three splits non-empty over 23 sources (hash-spread sanity)
+    assert(out.select("split").distinct().count() == 3)
+    intercept[IllegalArgumentException] {
+      Mixture.groupSplit(df, "source", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.groupSplit(df, "source", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
   test("reshard: every row exactly once, pos contiguous from 1 per shard") {
     val docs = spark.read.parquet(sf("documents"))
     val out = Mixture.reshard(docs, "doc_id", 4).select("doc_id", "shard", "pos").cache()
