@@ -466,14 +466,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
     // Embedding-space decontamination: the paraphrase-leakage check beside
-    // q68's verbatim n-gram form. Eval vectors (label 0) BROADCAST; the
-    // corpus side (labels != 0) pays one map-side nested-loop pass and
-    // never shuffles; only the flagged aggregate exchanges.
+    // q68's verbatim n-gram form. Eval vectors BROADCAST; the corpus side
+    // pays one map-side nested-loop pass and never shuffles; only the
+    // flagged aggregate exchanges. The eval set is label 0 CAPPED to the
+    // first 500 ids — an eval/benchmark suite is FIXED-SIZE no matter how
+    // far the corpus scales (the sf1 replica measured ×28 when both sides
+    // grew with sf; with the cap the pass is linear in the corpus, which
+    // is the real 100 TB shape).
     "q88_decontaminate_embedding" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Dedup.contaminatedEmbeddings(
           emb.filter(col("label") =!= 0), "vec_id", "embedding",
-          emb.filter(col("label") === 0), "embedding", minSim = 0.3)
+          emb.filter(col("label") === 0 && col("vec_id") < 500), "embedding",
+          minSim = 0.3)
         .select(col("id").as("vec_id"), col("n_eval_hits"),
           round(col("max_sim"), 4).as("max_sim"))
         .orderBy("vec_id")
@@ -1879,10 +1884,12 @@ object SparkEntry {
          |SELECT a.vec_id AS vec_id, a.cell AS cell FROM a
          |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.vec_id = a.vec_id)
          |ORDER BY vec_id""".stripMargin,
-    // q88: eval side = label 0, corpus side = the rest; per-corpus-row
-    // hit count and max similarity against any eval vector
+    // q88: eval side = label 0 capped to the first 500 ids (fixed-size
+    // benchmark suite), corpus side = the rest; per-corpus-row hit count
+    // and max similarity against any eval vector
     "q88_decontaminate_embedding" ->
-      s"""WITH ev AS (SELECT embedding AS ev FROM embeddings WHERE label = 0),
+      s"""WITH ev AS (SELECT embedding AS ev FROM embeddings
+         |            WHERE label = 0 AND vec_id < 500),
          |hits AS (SELECT e.vec_id AS vec_id,
          |                (1 - (${sqlCos("e.embedding", "ev.ev")})) AS sim
          |         FROM embeddings e, ev WHERE e.label <> 0),

@@ -142,6 +142,70 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffles <= 1, s"expected only the rate-agg shuffle, got $shuffles:\n$p")
   }
 
+  test("q87 source gate: the corpus never shuffles — source means broadcast back") {
+    val p = plan("q87_source_quality_gate")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast gate join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+    // one exchange for the ~|sources|-row mean aggregate; the corpus scan
+    // side's only exchange is the broadcast
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"expected only the mean-agg shuffle, got $shuffles:\n$p")
+  }
+
+  test("q90 temperature mixture: corpus side only ever joins broadcasts") {
+    val p = plan("q90_temperature_mixture")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast rate join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+    // the totals aggregate may shuffle (twice — the rates table and the
+    // wsum scalar both consume it; AQE reuses the stage), but every hash
+    // exchange must partition on the TINY agg key, never the corpus rows
+    val badEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("source"))
+    assert(badEx.isEmpty, s"corpus-keyed exchange found: ${badEx.mkString("; ")}\n$p")
+  }
+
+  test("q88 embedding decontamination: eval side broadcasts, corpus never shuffles pre-agg") {
+    val p = plan("q88_decontaminate_embedding")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast nested-loop against the eval set:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus must not shuffle into the eval comparison:\n$p")
+    // the only hash exchange is the flagged-row aggregate
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"expected only the hit-agg shuffle, got $shuffles:\n$p")
+  }
+
+  test("q91 group split: map-only — no exchange except the output order") {
+    val p = plan("q91_group_split")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"split assignment is a pure hash of the group column:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Join")),
+      s"no group table, no join:\n$p")
+  }
+
+  test("q89 percentiles: rows collapse to the value histogram before any window") {
+    val p = plan("q89_length_percentiles")
+    // the partial (group, value) count must combine map-side: a partial
+    // HashAggregate below the exchange is the whole point of the
+    // histogram form (the exchange carries distinct values, not rows)
+    val lines = p.linesIterator.toSeq
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val partialBelow = lines.drop(exIdx + 1)
+      .exists(l => l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(exIdx >= 0 && partialBelow,
+      s"expected a map-side partial count under the first exchange:\n$p")
+  }
+
+  test("q86 semdedup: pair expansion joins on cell — no broadcast of the corpus, no cartesian") {
+    val p = plan("q86_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairs must come from an equi-join on cell:\n$p")
+    // drop-list anti-join: the drop ids are bounded by the corpus and the
+    // anti side may broadcast; the pair join itself is the cell equi-join
+    assert(p.contains("Join") && p.contains("cell"),
+      s"expected the cell equi-join in the plan:\n$p")
+  }
+
   test("q75 cluster sample: per-cell cap prunes map-side via WindowGroupLimit") {
     val p = plan("q75_cluster_sample")
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
