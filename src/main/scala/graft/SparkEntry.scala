@@ -454,6 +454,20 @@ object SparkEntry {
           minSim = 0.2, dim = 64, nBits = 8, tables = 4)
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")),
+    // Ingest-time dedup gate: a batch (doc_id % 5 = 0) classified against
+    // the already-stored corpus (the rest) — dup_exact / dup_near (LSH
+    // band match + Jaccard >= 0.7) / kept. Every corpus pass is map-side
+    // against a broadcast batch derivative; the corpus never shuffles.
+    "q92_ingest_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupAgainstCorpus(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          "doc_id", "text", minJaccard = 0.7,
+          hashFn = Dedup.portableHash)
+        .select(col("doc_id"), col("verdict"))
+        .orderBy("doc_id")
+    }),
     // SemDeDup (Abbas et al. 2023): seeded centroid cells (same
     // SQL-replayable assignment as q32/q60) confine the within-cell
     // pairwise cosine; a row drops iff a smaller-id cell-mate reaches
@@ -1866,6 +1880,50 @@ object SparkEntry {
          |dd AS (SELECT vec_id, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
          |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM dd
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
+    // q92: the cross-frame minhash/banding chain replayed per side (the
+    // q54 machinery with batch/corpus sources), exact precedence over
+    // near, the matched-bucket cap mirrored
+    "q92_ingest_dedup" -> {
+      val P = 2147483647L
+      def side(n: String, pred: String) =
+        s"""${n}_t AS (SELECT doc_id AS id, string_split_regex(text, '\\s+') AS toks
+           |           FROM documents WHERE $pred),
+           |${n}_shl AS (SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           |         ELSE list_transform(range(len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) END AS shingles
+           |        FROM ${n}_t),
+           |${n}_sh AS (SELECT id, unnest(shingles) AS sh FROM ${n}_shl),
+           |${n}_hh AS (SELECT id, COALESCE(list_sum(list_transform(range(length(sh)),
+           |         i -> ascii(substr(sh, CAST(i + 1 AS INTEGER), 1)) * (((i * 131) % 997) + 1))), 0) % $P AS h
+           |       FROM ${n}_sh),
+           |${n}_sig AS (SELECT id, k,
+           |          MIN(((((k * 1103515245 + 12345) % ${P - 1}) + 1) * h + ((k * 69069 + 362437) % $P)) % $P) AS m
+           |        FROM ${n}_hh, (SELECT unnest(range(16)) AS k) GROUP BY id, k),
+           |${n}_band AS (SELECT id, k // 2 AS band, list(m ORDER BY k ASC) AS rws FROM ${n}_sig GROUP BY id, k // 2),
+           |${n}_ds AS (SELECT id, list_distinct(shingles) AS dsh FROM ${n}_shl)""".stripMargin
+      s"""WITH ${side("b", "doc_id % 5 = 0")},
+         |${side("c", "doc_id % 5 <> 0")},
+         |ex AS (SELECT DISTINCT b.doc_id AS bid FROM documents b JOIN documents c
+         |       ON b.text = c.text AND b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+         |big AS (SELECT c.band, c.rws FROM c_band c
+         |        JOIN (SELECT DISTINCT band, rws FROM b_band) bb
+         |          ON c.band = bb.band AND c.rws = bb.rws
+         |        GROUP BY c.band, c.rws HAVING COUNT(*) > 1000),
+         |pair AS (SELECT DISTINCT c.id AS cid, b.id AS bid
+         |         FROM c_band c JOIN b_band b ON c.band = b.band AND c.rws = b.rws
+         |         LEFT JOIN big ON big.band = c.band AND big.rws = c.rws
+         |         WHERE big.band IS NULL),
+         |near AS (SELECT DISTINCT bid FROM pair
+         |         JOIN c_ds x ON x.id = cid JOIN b_ds y ON y.id = bid
+         |         WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+         |               / (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))) >= 0.7)
+         |SELECT d.doc_id AS doc_id,
+         |       CASE WHEN ex.bid IS NOT NULL THEN 'dup_exact'
+         |            WHEN near.bid IS NOT NULL THEN 'dup_near'
+         |            ELSE 'kept' END AS verdict
+         |FROM documents d LEFT JOIN ex ON ex.bid = d.doc_id
+         |LEFT JOIN near ON near.bid = d.doc_id
+         |WHERE d.doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
+    },
     // q86: the seeded-cell assignment replayed (q32's `c`/`d`/`a` CTEs),
     // then SemDeDup's keep rule — drop iff a smaller-id cell-mate reaches
     // cosine sim 0.3 (sim = 1 − the cosine DISTANCE the helper builds)

@@ -618,6 +618,70 @@ object Dedup {
       .agg(coalesce(sum(col("count")), lit(0L)).as("excluded"))
       .head().getLong(0)
 
+  /** Ingest-time dedup gate: classify an incoming BATCH against the
+    * EXISTING corpus — `dup_exact` (text already stored verbatim),
+    * `dup_near` (MinHash-LSH band match with shingle-Jaccard ≥
+    * `minJaccard` against any corpus doc), else `kept`. This is the gate
+    * a continuously-hydrated collection runs on every increment: the
+    * ingest-side counterpart of the within-corpus [[nearDedup]], with
+    * exact precedence over near (a verbatim copy reports as exact even
+    * when it also band-matches).
+    *
+    * 100 TB shape: the corpus is the big side and NEVER shuffles — every
+    * corpus pass is map-side against a BROADCAST batch derivative
+    * (texts, band keys, candidate pairs: all bounded by the batch). The
+    * exact probe, the band-key match, and the Jaccard verify each stream
+    * the corpus once; the only exchanges are batch-bounded distincts. A
+    * matched corpus band bucket larger than `maxBucketSize` is excluded
+    * (the [[minHashCandidatesOver]] guard, computed only over matched
+    * buckets — counting them is a map-side partial agg on few keys, so
+    * even a boilerplate mega-bucket costs a count, not a pair
+    * explosion). At real scale, persist the corpus band keys at ingest —
+    * they are exactly the signature table this function recomputes — and
+    * the gate touches no corpus text outside the verified candidates.
+    */
+  def dedupAgainstCorpus(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.7, shingleSize: Int = 3,
+      numHashes: Int = 16, numBands: Int = 8, maxBucketSize: Int = 1000,
+      hashFn: Column => Column = xxHash): DataFrame = {
+    // exact: corpus text stream probes the broadcast batch texts
+    val bTexts = batch.select(col(idCol).as("__bid"), col(textCol).as("__t"))
+    val exact = corpus.select(col(textCol).as("__t"))
+      .join(broadcast(bTexts), Seq("__t"))
+      .select(col("__bid")).distinct()
+    // near: band keys both sides; the batch side broadcasts throughout
+    val bSh = batch.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+    val cSh = corpus.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize).as("shingles"))
+    val bKeys = bandKeyRows(bSh, numHashes, numBands, hashFn)
+      .select(col("id").as("__nbid"), col("band"), col("rows"))
+    val cMatched = bandKeyRows(cSh, numHashes, numBands, hashFn)
+      .join(broadcast(bKeys.select("band", "rows").distinct()), Seq("band", "rows"))
+    val ok = cMatched.groupBy("band", "rows").count()
+      .filter(col("count") <= maxBucketSize).select("band", "rows")
+    val pairs = cMatched.join(broadcast(ok), Seq("band", "rows"))
+      .join(broadcast(bKeys), Seq("band", "rows"))
+      .select(col("id").as("__cid"), col("__nbid")).distinct()
+    val bDs = bSh.select(col("id").as("__nbid"), array_distinct(col("shingles")).as("__bdsh"))
+    val near = cSh.select(col("id").as("__cid"), array_distinct(col("shingles")).as("__cdsh"))
+      .join(broadcast(pairs), Seq("__cid"))
+      .join(broadcast(bDs), Seq("__nbid"))
+      .filter(jaccardOfSets(col("__cdsh"), col("__bdsh")) >= minJaccard)
+      .select(col("__nbid")).distinct()
+    batch
+      .join(broadcast(exact.select(col("__bid").as(idCol), lit(1).as("__ex"))),
+        Seq(idCol), "left")
+      .join(broadcast(near.select(col("__nbid").as(idCol), lit(1).as("__nr"))),
+        Seq(idCol), "left")
+      .withColumn("verdict",
+        when(col("__ex") === 1, "dup_exact")
+          .when(col("__nr") === 1, "dup_near")
+          .otherwise("kept"))
+      .drop("__ex", "__nr")
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): drop semantically
     * near-identical rows from an embedded corpus. Rows arrive already

@@ -304,6 +304,46 @@ class DedupSpec extends SparkTestBase {
     assert(out.length == 300 && out.forall(_._2 == 0L))
   }
 
+  test("dedupAgainstCorpus: exact beats near; near needs band match AND jaccard") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different corpus content about spark engines"),
+      (3L, "short text")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),  // exact
+      (11L, "the quick brown fox jumps over the lazy dog now"),    // near of 1
+      (12L, "entirely novel material nothing like the corpus")     // kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text",
+        minJaccard = 0.5)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(out == Map(10L -> "dup_exact", 11L -> "dup_near", 12L -> "kept"))
+  }
+
+  test("dedupAgainstCorpus: an oversized matched bucket is excluded from near") {
+    // 1200 corpus docs share one text -> every band bucket they form
+    // exceeds maxBucketSize=1000 and the batch near-dup goes undetected
+    // (the guard trades that recall for bounded pair work); the EXACT
+    // probe is unaffected — a verbatim copy still reports dup_exact
+    val corpus = (1 to 1200).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (5000L, "alpha beta gamma delta epsilon zeta"),      // exact, cap-immune
+      (5001L, "alpha beta gamma delta epsilon eta")        // near, capped away
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text",
+        minJaccard = 0.3)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(out(5000L) == "dup_exact")
+    assert(out(5001L) == "kept")
+    // with the cap lifted the same near-dup IS found
+    val uncapped = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text",
+        minJaccard = 0.3, maxBucketSize = 5000)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(uncapped(5001L) == "dup_near")
+  }
+
   test("semDedup: drops larger-id near-identical cell-mates, keeps representatives") {
     import graft.operators.Ann
     val rows = Seq(
