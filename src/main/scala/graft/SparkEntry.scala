@@ -539,6 +539,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           round(col("src_score"), 4).as("src_score"))
         .orderBy("doc_id")),
+    // Vocabulary-coverage signal: per-doc OOV rate against the corpus's
+    // own top-1000 vocabulary (deterministic ties) — the vocab broadcasts,
+    // the per-doc aggregate's exchange carries docs, never tokens.
+    "q93_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 1000)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("oov_rate"), 4).as("oov_rate"))
+        .orderBy("doc_id")),
     // Corpus length-distribution report: exact per-lang percentiles over
     // the VALUE HISTOGRAM — the exchange carries distinct lengths, not
     // rows (Spark's own percentile agg buffers every row's value in its
@@ -1330,6 +1339,19 @@ object SparkEntry {
          |       ROUND(m.src_score, 4) AS src_score
          |FROM s JOIN m ON s.source = m.source
          |WHERE m.src_score >= 0.71 ORDER BY doc_id""".stripMargin,
+    // q93: top-1000 vocab (count desc, token asc at the boundary), then
+    // per-doc OOV via the same left-join count
+    "q93_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |voc AS (SELECT token FROM (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+        |        ORDER BY cnt DESC, token LIMIT 1000)),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |               SUM(CASE WHEN voc.token IS NULL THEN 1 ELSE 0 END) AS oov
+        |        FROM tok LEFT JOIN voc ON tok.token = voc.token GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       ROUND(CAST(agg.oov AS DOUBLE) / agg.n_tokens, 4) AS oov_rate
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // q89: the histogram-percentile chain replayed — per-lang cumulative
     // counts over distinct lengths, bracketing values per fraction, one
     // p·(n−1) interpolation (identical arithmetic to the Spark side)

@@ -443,6 +443,45 @@ object TextAnalysis {
     df.join(broadcast(means), Seq(srcCol))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top-k
+    * vocabulary — the coverage signal tokenizer and curation work read
+    * before training (a doc full of tokens the vocabulary lacks is
+    * usually boilerplate, another language, or binary junk).
+    *
+    * Two-phase, both scale-shaped: (1) the vocabulary is a token count
+    * (partial agg collapses the exchange to distinct tokens) topped by a
+    * TakeOrdered heap — k rows, ties at the boundary broken by token
+    * ascending so the vocabulary is deterministic; (2) the token stream
+    * probes the BROADCAST vocabulary map-side, then the per-doc
+    * aggregate — keyed by doc id alone, so map-side combine collapses
+    * each task to one row per doc — carries ~|docs| rows to its
+    * exchange, never tokens (the q83 rule: a per-doc exchange must not
+    * carry per-token strings; here the per-token work all happens before
+    * the combine).
+    *
+    * Tokenizer: literal single-space split (the q24/q25 convention).
+    * NULL text → zero tokens → NULL oov_rate. Output: (idCol, n_tokens,
+    * oov_rate).
+    */
+  def oovRate(df: org.apache.spark.sql.DataFrame,
+              idCol: String, textCol: String,
+              vocabSize: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val tok = df.select(col(idCol).as("__id"),
+      explode(split(col(textCol), " ")).as("__tk"))
+    val vocab = tok.groupBy("__tk").agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tk")).limit(vocabSize)
+      .select(col("__tk"), lit(1).as("__in"))
+    val agg = tok.join(broadcast(vocab), Seq("__tk"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("__oov"))
+    df.join(agg, df(idCol) === agg("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        try_divide(col("__oov").cast("double"), col("n_tokens")).as("oov_rate"))
+  }
+
   /** Exact per-group percentile profile of a numeric column (the corpus
     * length-distribution report every curation run starts from), computed
     * over the VALUE HISTOGRAM rather than the value stream: rows collapse

@@ -249,6 +249,30 @@ class TextAnalysisSpec extends SparkTestBase {
       .count() == 4)
   }
 
+  test("oovRate: vocab boundary deterministic, rates exact, null text -> null rate") {
+    // corpus counts: a=4, z=4, b=3, c=1, x=1, y=1 -> top-2 vocab = {a, z}
+    val df = Seq(
+      (1L, "a a a b b c"),   // in-vocab a,a,a -> 3/6 OOV
+      (2L, "a b x y"),       // in-vocab a -> 3/4 OOV
+      (3L, "z z z z"),       // fully in-vocab
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 6L), (2L, 4L), (3L, 4L), (4L, 0L)))
+    assert(out(0).getDouble(2) == 0.5)
+    assert(out(1).getDouble(2) == 0.75)
+    assert(out(2).getDouble(2) == 0.0)
+    assert(out(3).isNullAt(2))
+    // tie at the boundary: c and d both count 1 with vocabSize=3 -> token
+    // ascending keeps c; d is OOV
+    val tie = Seq((1L, "a a b b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.oovRate(tie, "doc_id", "text", vocabSize = 3)
+      .head()
+    assert(r.getDouble(2) == 1.0 / 6)
+  }
+
   test("percentileProfile matches Spark's percentile aggregate exactly") {
     // duplicates, skew, and a non-trivial group mix — the histogram form
     // must reproduce the p·(n−1) interpolation bit-for-bit
