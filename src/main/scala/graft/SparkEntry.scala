@@ -548,6 +548,70 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"),
           round(col("oov_rate"), 4).as("oov_rate"))
         .orderBy("doc_id")),
+    // PII scrub audit: the fixture text carries no PII, so the query
+    // PLANTS deterministic PII (email on ids ≡0 mod 3, phone mod 5, IPv4
+    // mod 7 — all pure functions of fixture columns, replayed verbatim by
+    // the oracle) and then detects + redacts it. Map-only: counts and the
+    // scrubbed text come from codegen'd regexp expressions, no shuffle.
+    "q94_pii_scrub" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact "), col("source"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call 555-"), lpad(col("doc_id").cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+            .otherwise(lit(""))).as("ptext"))
+      val st = TextAnalysis.piiStats(col("ptext"))
+      planted.select(col("doc_id"),
+          st.getField("n_emails").cast("long").as("n_emails"),
+          st.getField("n_phones").cast("long").as("n_phones"),
+          st.getField("n_ips").cast("long").as("n_ips"),
+          TextAnalysis.piiScrub(col("ptext")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+    // Domain blocklist: URLs derived from fixture columns, blocklist
+    // derived IN-ENGINE (spread-hash of the source ⇒ deterministic across
+    // scales and engines), then the broadcast anti-join drop. The corpus
+    // never shuffles — the 100 TB shape of every UT1-style domain filter.
+    "q95_domain_blocklist" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+          col("doc_id").cast("string")))
+      val blocked = d.select(col("source")).distinct()
+        .filter(Mixture.spreadHash(col("source")) % 5 < 2)
+        .select(concat(col("source"), lit(".example.com")).as("domain"))
+      TextAnalysis.blockByDomain(d, "url", blocked)
+        .select(col("doc_id"), col("domain"))
+        .orderBy("doc_id")
+    }),
+    // Dedup DECISION end-to-end: LSH pairs → connected components → keep
+    // the highest-quality member per cluster (ties → smallest id) via one
+    // struct-max aggregate — no per-cluster window sort anywhere.
+    "q96_cluster_reps" -> ((s, dir) => {
+      val pairs = Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"),
+        "vec_id", "embedding", minSim = 0.2, dim = 64, nBits = 8)
+      val clusters = Dedup.dupClusters(pairs, "id_a", "id_b")
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      Dedup.clusterRepresentatives(clusters, "id", "cluster",
+          scored, "doc_id", "score")
+        .select(col("cluster"), col("n_members"), col("rep_id"),
+          round(col("rep_score"), 4).as("rep_score"))
+        .orderBy("cluster")
+    }),
+    // DSIR-style data selection: rank every doc by hashed-unigram
+    // affinity to the English subset. Bucket table ≤256 rows, broadcasts;
+    // per-doc exchange carries docs, never tokens.
+    "q97_target_affinity" -> ((s, dir) =>
+      TextAnalysis.targetAffinity(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", buckets = 256)
+        .select(col("doc_id"), col("n_tokens"), col("s_t"), col("s_r"),
+          round(col("affinity"), 6).as("affinity"))
+        .orderBy("doc_id")),
     // Corpus length-distribution report: exact per-lang percentiles over
     // the VALUE HISTOGRAM — the exchange carries distinct lengths, not
     // rows (Spark's own percentile agg buffers every row's value in its
@@ -1352,6 +1416,57 @@ object SparkEntry {
         |       ROUND(CAST(agg.oov AS DOUBLE) / agg.n_tokens, 4) AS oov_rate
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // q94: the identical plant (mod-3/5/7 on doc_id), identical regex
+    // texts (interpolated from the SAME Scala constants the Spark side
+    // compiles), identical replace order email → ip → phone
+    "q94_pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source || '@example.com' ELSE '' END
+         |  || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ELSE '' END
+         |  || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS ptext
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(ptext, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(ptext, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(ptext, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(ptext,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+         |FROM p ORDER BY doc_id""".stripMargin,
+    // q95: same in-engine blocklist rule (spread-hash of source mod 5),
+    // same authority-extraction regex
+    "q95_domain_blocklist" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents),
+         |bl AS (SELECT source || '.example.com' AS domain
+         |       FROM (SELECT DISTINCT source FROM documents)
+         |       WHERE ${sqlSpreadHash("source")} % 5 < 2),
+         |x AS (SELECT doc_id,
+         |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS domain
+         |      FROM d)
+         |SELECT doc_id, domain FROM x
+         |WHERE domain NOT IN (SELECT domain FROM bl) ORDER BY doc_id""".stripMargin,
+    // q97: same spread-hash bucketing, same division order
+    // (s/T/n left-assoc), +0.0 normalizes IEEE -0.0 after ROUND
+    "q97_target_affinity" ->
+      s"""WITH tok AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+         |             ${sqlSpreadHash("tk")} % 256 AS b
+         |             FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk
+         |                   FROM documents)),
+         |bt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr, CAST(SUM(t) AS BIGINT) AS ct
+         |       FROM tok GROUP BY b),
+         |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt FROM bt),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |               CAST(SUM(bt.ct) AS BIGINT) AS s_t, CAST(SUM(bt.cr) AS BIGINT) AS s_r
+         |        FROM tok JOIN bt USING (b) GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens,
+         |       agg.s_t AS s_t, agg.s_r AS s_r,
+         |       ROUND(CAST(agg.s_t AS DOUBLE) / tot.tt / agg.n_tokens
+         |             - CAST(agg.s_r AS DOUBLE) / tot.tr / agg.n_tokens, 6) + 0.0 AS affinity
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id CROSS JOIN tot
+         |ORDER BY doc_id""".stripMargin,
     // q89: the histogram-percentile chain replayed — per-lang cumulative
     // counts over distinct lengths, bracketing values per fraction, one
     // p·(n−1) interpolation (identical arithmetic to the Spark side)
@@ -2144,6 +2259,48 @@ object SparkEntry {
          |                UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
          |SELECT s AS vec_id, LEAST(s, MIN(t)) AS cluster FROM reach
          |GROUP BY s ORDER BY vec_id""".stripMargin
+    },
+    // q96: the q76 component chain (same LSH buckets, same recursive
+    // closure) joined to the q25 quality chain (same rounded ratios),
+    // argmax via lexicographic struct MAX — ties break to smallest id
+    // because the struct carries -id
+    "q96_cluster_reps" -> {
+      val sim = s"${sqlDot("a.e", "c.e")} / (sqrt(${sqlDot("a.e", "a.e")}) * sqrt(${sqlDot("c.e", "c.e")}))"
+      s"""WITH RECURSIVE b AS (SELECT vec_id AS id, embedding AS e,
+         |             ${sqlSrpBucket("embedding")} AS bucket FROM embeddings),
+         |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) BETWEEN 2 AND 1000),
+         |bb AS (SELECT b.id, b.e, b.bucket FROM b JOIN ok USING (bucket)),
+         |p AS (SELECT a.id AS id_a, c.id AS id_b FROM bb a
+         |      JOIN bb c ON a.bucket = c.bucket AND a.id < c.id
+         |      WHERE $sim >= 0.2),
+         |e AS (SELECT id_a AS s, id_b AS t FROM p UNION SELECT id_b, id_a FROM p),
+         |reach(s, t) AS (SELECT s, t FROM e
+         |                UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+         |memb AS (SELECT s AS id, LEAST(s, MIN(t)) AS cluster FROM reach GROUP BY s),
+         |sq AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |       tk -> lower(tk) IN ${sqlInList(enStop)})) AS DOUBLE) AS sw_hits,
+         |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct
+         |  FROM documents),
+         |sr AS (SELECT doc_id,
+         |  ROUND(n_punct / n_chars, 4) AS punct_ratio,
+         |  ROUND(sw_hits / n_tokens, 4) AS stopword_ratio,
+         |  n_tokens FROM sq),
+         |score AS (SELECT doc_id,
+         |  ROUND((LEAST(n_tokens / 20.0, 1.0) + LEAST(stopword_ratio * 5.0, 1.0)
+         |        + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) / 3.0, 4) AS s
+         |  FROM sr),
+         |j AS (SELECT m.cluster, m.id,
+         |             COALESCE(score.s, CAST('-infinity' AS DOUBLE)) AS s
+         |      FROM memb m LEFT JOIN score ON m.id = score.doc_id),
+         |a2 AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |              MAX({'s': s, 'i': -id}) AS best
+         |       FROM j GROUP BY cluster)
+         |SELECT cluster, n_members, CAST(-(best.i) AS BIGINT) AS rep_id,
+         |       ROUND(best.s, 4) AS rep_score
+         |FROM a2 ORDER BY cluster""".stripMargin
     },
   )
 }

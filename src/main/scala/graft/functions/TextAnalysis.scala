@@ -238,6 +238,64 @@ object TextAnalysis {
   def maskPattern(text: Column, pattern: String, replacement: String): Column =
     regexp_replace(text, pattern, replacement)
 
+  // ---- PII detection / redaction -----------------------------------------
+  // The canonical pre-training scrub: emails, phone-shaped digit runs and
+  // IPv4 literals replaced by typed placeholder tokens. Patterns are
+  // RE2-safe (no lookaround, no backrefs) so the identical regex text runs
+  // under Java (Spark) and RE2 (DuckDB/Go) engines.
+
+  /** RFC-casual email shape — local part then a dotted domain with a ≥2
+    * letter TLD. Deliberately no anchors: emails sit mid-sentence. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** NANP-style short dial fragment `NNN-NNNN` on word boundaries. */
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  /** Dotted-quad IPv4 literal on word boundaries. */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-document PII hit counts (struct n_emails / n_phones / n_ips) —
+    * the audit signal a scrub run reports before committing. Counts, not
+    * booleans, so downstream thresholds ("drop if >5 emails") compose.
+    * Map-only, codegen'd `RegExpCount`; no shuffle. */
+  def piiStats(text: Column): Column = struct(
+    regexp_count(text, lit(EmailRe)).as("n_emails"),
+    regexp_count(text, lit(PhoneRe)).as("n_phones"),
+    regexp_count(text, lit(Ipv4Re)).as("n_ips"))
+
+  /** Redact all three PII shapes with typed placeholders. Email first
+    * (its domain tail would otherwise survive as a dotted token), then
+    * IPv4, then phones — the order is part of the contract and the oracle
+    * replays it verbatim. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  // ---- URL / domain filtering --------------------------------------------
+
+  /** Authority (host[:port]) of a URL — the key domain-level curation
+    * decisions hang off. Empty string when the value isn't URL-shaped
+    * (regexp_extract's no-match convention), never null. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Drop every row whose URL's domain appears in `blocked` (single
+    * `domain` column — a UT1-style blocklist). The blocklist is small by
+    * construction (domains, not URLs) and BROADCASTS; the corpus never
+    * shuffles — at 100 TB this is a map-side anti probe, the only shape
+    * that survives. Output keeps the extracted `domain` column for audit.
+    */
+  def blockByDomain(df: org.apache.spark.sql.DataFrame, urlCol: String,
+                    blocked: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    require(blocked.columns.contains("domain"),
+      s"blocklist needs a 'domain' column, got ${blocked.columns.mkString(", ")}")
+    val withDom = df.withColumn("__domain", urlDomain(col(urlCol)))
+    withDom.join(broadcast(blocked.select(col("domain").as("__blocked"))),
+        withDom("__domain") === col("__blocked"), "left_anti")
+      .withColumnRenamed("__domain", "domain")
+  }
+
   /** Repetition signal: distinct-token ratio in (0, 1]. Heavily repeated
     * boilerplate scores low — a standard filter for generated/spam text. */
   def distinctTokenRatio(text: Column): Column = {
@@ -480,6 +538,55 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         try_divide(col("__oov").cast("double"), col("n_tokens")).as("oov_rate"))
+  }
+
+  /** DSIR-style target-affinity score over hashed unigram features
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling" — the linear-weight variant: per-token mean of
+    * p̂_target(bucket) − p̂_corpus(bucket), which ranks documents by how
+    * target-like their token distribution is without the log-likelihood
+    * form, keeping every operation IEEE-exact and oracle-replayable —
+    * this engine's "no transcendentals in oracled outputs" rule, same
+    * reason BM25 uses a log-free idf).
+    *
+    * `targetCol` marks the rows that define the target distribution (a
+    * boolean over df's columns, e.g. lang = 'en'). Features are the
+    * spread-hash of each token mod `buckets` — fixed-width, vocabulary-
+    * free, so the feature table is ≤ `buckets` rows no matter the corpus.
+    *
+    * Scale shape: one token pass builds the bucket table (partial agg
+    * collapses the exchange to ≤ buckets rows), which then BROADCASTS —
+    * with its 1-row grand total — back onto the token stream; the per-doc
+    * aggregate keys on the id alone so its exchange carries docs, never
+    * tokens. The corpus is scanned twice and shuffled never.
+    *
+    * Output: (idCol, n_tokens, s_t, s_r, affinity) where s_t/s_r are the
+    * doc's summed target/corpus bucket counts (exact longs) and affinity
+    * = s_t/T_t/n − s_r/T_r/n, null for empty/null text.
+    */
+  def targetAffinity(df: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String, targetCol: Column,
+                     buckets: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val tok = df.select(col(idCol).as("__id"), targetCol.cast("boolean").as("__t"),
+        explode(split(col(textCol), " ")).as("__tk"))
+      .withColumn("__b", graft.operators.Mixture.spreadHash(col("__tk")) % buckets)
+    val bt = tok.groupBy("__b").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+    val tot = bt.agg(sum("__cr").as("__tr"), sum("__ct").as("__tt"))
+    val perDoc = tok.join(broadcast(bt), Seq("__b"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("__ct").as("s_t"), sum("__cr").as("s_r"))
+      .crossJoin(broadcast(tot))
+      .withColumn("affinity",
+        col("s_t").cast("double") / col("__tt") / col("n_tokens")
+          - col("s_r").cast("double") / col("__tr") / col("n_tokens"))
+    df.join(perDoc, df(idCol) === perDoc("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("s_t"), col("s_r"), col("affinity"))
   }
 
   /** Exact per-group percentile profile of a numeric column (the corpus

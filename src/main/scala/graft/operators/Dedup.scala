@@ -378,6 +378,41 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
+  /** Pick the kept document per duplicate cluster — the step that turns
+    * [[dupClusters]]'s labels into a dedup DECISION: of each cluster keep
+    * the highest-quality member (ties broken by smallest id, so the pick
+    * is deterministic under any partitioning). `members` is (id, cluster)
+    * as dupClusters emits; `scored` maps ids to a quality score (any
+    * orderable double — composite quality, length, recency).
+    *
+    * The argmax is a single max over (score, −id) structs — lexicographic
+    * struct ordering IS the tie rule, so one combiner-friendly aggregate
+    * replaces the window-rank idiom (which would sort every cluster's
+    * members; at 100 TB the boilerplate cluster with 10⁷ members makes
+    * that sort the job). Members missing from `scored` stay in the count
+    * but score −∞ — they can be kept only if the whole cluster is
+    * unscored, never silently dropped.
+    *
+    * Output: (cluster, n_members, rep_id, rep_score).
+    */
+  def clusterRepresentatives(
+      members: DataFrame, idCol: String, clusterCol: String,
+      scored: DataFrame, scoredIdCol: String, scoreCol: String): DataFrame = {
+    val m = members.select(col(idCol).cast("long").as("__id"),
+      col(clusterCol).cast("long").as("cluster"))
+    val sc = scored.select(col(scoredIdCol).cast("long").as("__sid"),
+      col(scoreCol).cast("double").as("__score"))
+    m.join(sc, m("__id") === sc("__sid"), "left")
+      .select(col("cluster"), col("__id"),
+        coalesce(col("__score"), lit(Double.NegativeInfinity)).as("__score"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("__score").as("s"), (-col("__id")).as("i"))).as("__best"))
+      .select(col("cluster"), col("n_members"),
+        (-col("__best").getField("i")).as("rep_id"),
+        col("__best").getField("s").as("rep_score"))
+  }
+
   /** Duplicate-passage detection — the substring-level dedup signal of
     * "Deduplicating Training Data Makes Language Models Better" (Lee et
     * al., 2022), relationalized: slide an n-token window over every

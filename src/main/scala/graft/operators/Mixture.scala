@@ -40,6 +40,12 @@ object Mixture {
         lit(2147483647L)) * lit(2654435761L),
       lit(1000000007L))
 
+  /** The same length-decorrelated hash, shared with the other curation
+    * operators (feature bucketing, blocklist selection) so every
+    * hash-keyed decision in the pipeline replays with ONE oracle form. */
+  private[graft] def spreadHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    idHash(id)
+
   /** Weighted mixture sampling: downsample each source so its kept cost
     * (tokens, chars, bytes — whatever `costCol` measures) approaches
     * `weights(source) × budget`. Per-source totals come from ONE tiny

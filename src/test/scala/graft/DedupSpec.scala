@@ -295,6 +295,25 @@ class DedupSpec extends SparkTestBase {
     assert(out.length == 13 && out.forall(_._2 == 0L))
   }
 
+  test("clusterRepresentatives: best score wins, ties break to smallest id, unscored lose") {
+    val members = Seq(
+      (10L, 1L), (11L, 1L), (12L, 1L),   // cluster 1: scores 0.5, 0.9, 0.9
+      (20L, 2L), (21L, 2L),              // cluster 2: 21 unscored (-inf)
+      (30L, 3L)                          // cluster 3: singleton, unscored
+    ).toDF("id", "cluster")
+    val scored = Seq((10L, 0.5), (11L, 0.9), (12L, 0.9), (20L, 0.1))
+      .toDF("doc_id", "score")
+    val out = Dedup.clusterRepresentatives(members, "id", "cluster",
+        scored, "doc_id", "score")
+      .orderBy("cluster").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 11L), (2L, 2L, 20L), (3L, 1L, 30L)))
+    assert(out(0).getDouble(3) == 0.9)
+    assert(out(1).getDouble(3) == 0.1)
+    // a fully-unscored cluster still yields its smallest id, score -inf
+    assert(out(2).getLong(2) == 30L && out(2).getDouble(3).isNegInfinity)
+  }
+
   test("dupClusters: a 300-node chain converges within 30 rounds (adaptive jump)") {
     // propagate-only needs ~diameter rounds — 300 would exhaust maxIter;
     // the pointer jump engaging after round 8 must close it in O(log n)

@@ -273,6 +273,62 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getDouble(2) == 1.0 / 6)
   }
 
+  test("piiStats counts and piiScrub redacts all three shapes; clean text untouched") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@sub.example.org and jo@a.io, dial 555-0192, host 10.0.255.1"),
+      (2L, "no pii here at all"),
+      (3L, "ip 192.168.1.1 then 555-1234 then 555-12345")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.piiStats(col("text")).as("st"),
+      TextAnalysis.piiScrub(col("text")).as("scrubbed")).orderBy("id").collect()
+    assert(out(0).getStruct(1).toSeq == Seq(2, 1, 1))
+    assert(out(0).getString(2) ==
+      "mail <EMAIL> and <EMAIL>, dial <PHONE>, host <IP>")
+    assert(out(1).getStruct(1).toSeq == Seq(0, 0, 0))
+    assert(out(1).getString(2) == "no pii here at all")
+    // 555-12345 must NOT match \d{3}-\d{4}\b (trailing digit breaks the
+    // boundary) — the count pins the word-boundary semantics
+    assert(out(2).getStruct(1).toSeq == Seq(0, 1, 1))
+    assert(out(2).getString(2) == "ip <IP> then <PHONE> then 555-12345")
+  }
+
+  test("urlDomain extracts the authority; blockByDomain anti-joins and keeps audit col") {
+    val docs = Seq(
+      (1L, "https://bad.example.com/a/b"),
+      (2L, "http://good.example.com/"),
+      (3L, "https://bad.example.com:8443/x"),  // port ⇒ different authority
+      (4L, "not a url")
+    ).toDF("id", "url")
+    val blocked = Seq("bad.example.com").toDF("domain")
+    val kept = TextAnalysis.blockByDomain(docs, "url", blocked)
+      .select("id", "domain").orderBy("id").collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    assert(kept(0).getString(1) == "good.example.com")
+    assert(kept(1).getString(1) == "bad.example.com:8443")
+    assert(kept(2).getString(1) == "")  // non-URL ⇒ empty authority, kept
+  }
+
+  test("targetAffinity: target-only tokens score above corpus-average, exact sums") {
+    // buckets wide enough that the 4 distinct tokens never collide
+    val df = Seq(
+      (1L, "aa aa", true),   // pure target-side tokens
+      (2L, "zz zz", false),  // pure non-target tokens
+      (3L, "aa zz", false)   // mixed
+    ).toDF("id", "text", "is_t")
+    val out = TextAnalysis.targetAffinity(df, "id", "text", col("is_t"),
+      buckets = 65536).orderBy("id").collect()
+    // token totals: T_r = 6; target rows contribute T_t = 2 (both 'aa')
+    // bucket counts: aa → (cr=3, ct=2), zz → (cr=3, ct=0)
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 2L, 4L, 6L), (2L, 2L, 0L, 6L), (3L, 2L, 2L, 6L)))
+    val aff = out.map(_.getDouble(4))
+    assert(aff(0) == 4.0 / 2 / 2 - 6.0 / 6 / 2)   // +0.5
+    assert(aff(1) == 0.0 / 2 / 2 - 6.0 / 6 / 2)   // -0.5
+    assert(aff(2) == 2.0 / 2 / 2 - 6.0 / 6 / 2)   // 0.0
+    assert(aff(0) > aff(2) && aff(2) > aff(1))
+  }
+
   test("percentileProfile matches Spark's percentile aggregate exactly") {
     // duplicates, skew, and a non-trivial group mix — the histogram form
     // must reproduce the p·(n−1) interpolation bit-for-bit
