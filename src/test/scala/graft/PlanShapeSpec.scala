@@ -250,6 +250,47 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the compiled RepetitionStats scan:\n$p")
   }
 
+  test("q94 pii scrub: map-only — no join, no exchange except the output order") {
+    val p = plan("q94_pii_scrub")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"PII detect/redact is per-row regexp work; nothing may shuffle:\n$p")
+    assert(!p.linesIterator.exists(_.contains("Join")),
+      s"no lookup table, no join:\n$p")
+  }
+
+  test("q95 blocklist: the corpus anti-joins a broadcast — never sort-merges") {
+    val p = plan("q95_domain_blocklist")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the domain blocklist must broadcast into an anti probe:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+    // one exchange builds the distinct-source blocklist (collapsed by a
+    // map-side partial agg); the corpus side's only exchange is broadcast
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"expected only the blocklist distinct, got $shuffles:\n$p")
+  }
+
+  test("q96 cluster reps: the per-cluster argmax is an aggregate, never a window sort") {
+    val p = plan("q96_cluster_reps")
+    assert(!p.contains("Window"),
+      s"rep selection must be the struct-max aggregate (a per-cluster sort " +
+        s"dies on the 10^7-member boilerplate cluster):\n$p")
+    assert(!p.contains("CartesianProduct"), s"pairs stay bucket-confined:\n$p")
+  }
+
+  test("q97 affinity: bucket stats broadcast back; the token exchange is histogram-sized") {
+    val p = plan("q97_target_affinity")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=buckets-row feature table must broadcast onto the tokens:\n$p")
+    // the bucket-count aggregate must combine map-side so its exchange
+    // carries <=buckets rows, not the token stream (same pin as q89)
+    val lines = p.linesIterator.toSeq
+    val exIdx = lines.indexWhere(l => l.contains("Exchange hashpartitioning") && l.contains("__b"))
+    val partialBelow = lines.drop(exIdx + 1)
+      .exists(l => l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(exIdx >= 0 && partialBelow,
+      s"expected a map-side partial count under the bucket exchange:\n$p")
+  }
+
   for (q <- Seq("q25_quality_score", "q77_quality_filter", "q83_repetition",
       "q85_repetition_filter"))
     test(s"$q: the whole projection stays inside whole-stage codegen") {
