@@ -612,6 +612,66 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("s_t"), col("s_r"),
           round(col("affinity"), 6).as("affinity"))
         .orderBy("doc_id")),
+    // C4 line filtering: the fixture has no newlines, so the query PLANTS
+    // lines (newline every 7 tokens, terminal '.' on lines ending in a
+    // chosen word set — both pure regex on fixture columns, replayed
+    // verbatim by the oracle), then applies the compiled line rules.
+    // Map-only: one LineFilterStats scan, no shuffle.
+    "q98_c4_line_filter" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "((?:\\S+ ){6}\\S+) ", "$1\n"),
+          "(data|join|merge|table)(\n|$)", "$1.$2").as("ptext"))
+      val st = TextAnalysis.c4LineFilter(col("ptext"), minWords = 3,
+        blocked = Seq("slow"))
+      planted.select(col("doc_id"),
+          st.getField("n_lines").as("n_lines"),
+          st.getField("n_kept").as("n_kept"),
+          st.getField("n_blocked").as("n_blocked"),
+          st.getField("n_short").as("n_short"),
+          st.getField("n_nopunct").as("n_nopunct"),
+          st.getField("cleaned").as("cleaned"))
+        .orderBy("doc_id")
+    }),
+    // Corpus-level line dedup (CCNet shape): 3-token planted lines give
+    // ~19% cross-document duplicate mass on the fixture; keep-first is
+    // the min (doc, idx) struct per line key, docs rebuild via the
+    // compiled LinesAt scan. Line strings never cross an exchange.
+    "q99_line_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "((?:\\S+ ){2}\\S+) ", "$1\n").as("ptext"))
+      Dedup.dedupLinesAcrossCorpus(planted, "doc_id", "ptext")
+        .orderBy("doc_id")
+    }),
+    // Curation funnel audit: cumulative survivor counts + token mass per
+    // gate, ONE corpus scan collapsing to a single row that explodes into
+    // the per-stage table. The "no silent caps" report.
+    "q100_curation_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.curationFunnel(d, Seq(
+          "all" -> lit(true),
+          "lang" -> col("lang").isin("en", "de"),
+          "quality" -> (TextAnalysis.qualityScore(col("text")) >= 0.5),
+          "length" -> size(split(col("text"), " ")).between(25, 90),
+          "clean" -> !col("text").contains("slow")),
+        metric = size(split(col("text"), " ")).cast("long"))
+        .orderBy("stage_idx")
+    }),
+    // URL canonicalization + dedup: planted URLs vary case, default port,
+    // tracking params and fragments over a shared 100-path space; the
+    // regex canonical form collapses them and exactDedup keeps the first.
+    "q101_url_canon_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), concat(
+          lit("HTTPS://WWW.Example.COM"),
+          when(col("doc_id") % 4 === 0, ":443").otherwise(""),
+          lit("/doc/"), (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_source=feed&ref="), col("source"))).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("#sec")).otherwise(lit(""))).as("url"))
+        .select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("url")).as("canon"))
+      Dedup.exactDedup(d, Seq("canon"), "doc_id")
+        .select(col("doc_id"), col("canon")).orderBy("doc_id")
+    }),
     // Corpus length-distribution report: exact per-lang percentiles over
     // the VALUE HISTOGRAM — the exchange carries distinct lengths, not
     // rows (Spark's own percentile agg buffers every row's value in its
@@ -1467,6 +1527,116 @@ object SparkEntry {
          |             - CAST(agg.s_r AS DOUBLE) / tot.tr / agg.n_tokens, 6) + 0.0 AS affinity
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id CROSS JOIN tot
          |ORDER BY doc_id""".stripMargin,
+    // q98: the identical plant (7-token lines, '.' on the same word set),
+    // then the line rules as an index-lambda CASE chain with the same
+    // precedence blocked → short → no-punct; rtrim replays the trailing-
+    // punctuation strip before the blocklist lookup
+    "q98_c4_line_filter" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    regexp_replace(
+         |      regexp_replace(text, '((?:\\S+ ){6}\\S+) ', '\\1' || chr(10), 'g'),
+         |      '(data|join|merge|table)(\\n|$$)', '\\1.\\2', 'g') AS ptext
+         |    FROM documents),
+         |l AS (SELECT doc_id, string_split(ptext, chr(10)) AS lines FROM p),
+         |c AS (SELECT doc_id, lines, list_transform(lines, ln ->
+         |      CASE WHEN len(list_filter(string_split(ln, ' '),
+         |                     w -> rtrim(lower(w), '.!?"') = 'slow')) > 0 THEN 1
+         |           WHEN len(list_filter(string_split(ln, ' '), w -> w <> '')) < 3 THEN 2
+         |           WHEN right(ln, 1) NOT IN ('.', '!', '?', '"') THEN 3
+         |           ELSE 0 END) AS cats FROM l)
+         |SELECT doc_id,
+         |  CAST(len(cats) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(cats, x -> x = 0)) AS BIGINT) AS n_kept,
+         |  CAST(len(list_filter(cats, x -> x = 1)) AS BIGINT) AS n_blocked,
+         |  CAST(len(list_filter(cats, x -> x = 2)) AS BIGINT) AS n_short,
+         |  CAST(len(list_filter(cats, x -> x = 3)) AS BIGINT) AS n_nopunct,
+         |  COALESCE(array_to_string(list_filter(lines, (ln, i) -> cats[i] = 0),
+         |           chr(10)), '') AS cleaned
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // q99: identical plant, identical (h1, h2) line key (spread hash of
+    // the line and its reverse), keep-first via lexicographic struct MIN,
+    // reconstruction by indexing the split list with the sorted kept idxs
+    "q99_line_dedup" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    regexp_replace(text, '((?:\\S+ ){2}\\S+) ', '\\1' || chr(10), 'g') AS pt
+         |    FROM documents),
+         |l AS (SELECT doc_id, unnest(list_transform(string_split(pt, chr(10)),
+         |             (x, i) -> {'idx': i - 1, 'line': x}), recursive := true)
+         |      FROM p),
+         |k AS (SELECT doc_id, idx, ${sqlSpreadHash("line")} AS h1,
+         |             ${sqlSpreadHash("reverse(line)")} AS h2 FROM l),
+         |kp AS (SELECT MIN({'d': doc_id, 'i': idx}) AS m FROM k GROUP BY h1, h2),
+         |ag AS (SELECT m.d AS doc_id, list_sort(list(m.i)) AS idxs,
+         |              CAST(COUNT(*) AS BIGINT) AS n_kept FROM kp GROUP BY m.d)
+         |SELECT p.doc_id AS doc_id,
+         |  CAST(len(string_split(p.pt, chr(10))) AS BIGINT) AS n_lines,
+         |  COALESCE(a.n_kept, 0) AS n_kept,
+         |  COALESCE(array_to_string(list_transform(a.idxs,
+         |    i -> string_split(p.pt, chr(10))[i + 1]), chr(10)), '') AS cleaned
+         |FROM p LEFT JOIN ag a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q100: the q25 qualityScore chain (same rounded ratios) feeding the
+    // cumulative stage flags; each stage is a CASE-guarded sum over ONE
+    // pass, UNION ALL'd into the funnel table
+    "q100_curation_funnel" ->
+      s"""WITH sq AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |       tk -> lower(tk) IN ${sqlInList(enStop)})) AS DOUBLE) AS sw_hits,
+         |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct
+         |  FROM documents),
+         |sr AS (SELECT doc_id,
+         |  ROUND(n_punct / n_chars, 4) AS punct_ratio,
+         |  ROUND(sw_hits / n_tokens, 4) AS stopword_ratio, n_tokens FROM sq),
+         |score AS (SELECT doc_id,
+         |  ROUND((LEAST(n_tokens / 20.0, 1.0) + LEAST(stopword_ratio * 5.0, 1.0)
+         |        + CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END) / 3.0, 4) AS s
+         |  FROM sr),
+         |g AS (SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+         |             d.lang IN ('en', 'de') AS c2,
+         |             d.lang IN ('en', 'de') AND score.s >= 0.5 AS c3,
+         |             d.lang IN ('en', 'de') AND score.s >= 0.5
+         |               AND len(string_split(d.text, ' ')) BETWEEN 25 AND 90 AS c4,
+         |             d.lang IN ('en', 'de') AND score.s >= 0.5
+         |               AND len(string_split(d.text, ' ')) BETWEEN 25 AND 90
+         |               AND NOT contains(d.text, 'slow') AS c5
+         |      FROM documents d JOIN score ON d.doc_id = score.doc_id)
+         |SELECT 1 AS stage_idx, 'all' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(nt) AS BIGINT) AS metric_sum FROM g
+         |UNION ALL SELECT 2, 'lang', CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT),
+         |       CAST(SUM(CASE WHEN c2 THEN nt ELSE 0 END) AS BIGINT) FROM g
+         |UNION ALL SELECT 3, 'quality', CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT),
+         |       CAST(SUM(CASE WHEN c3 THEN nt ELSE 0 END) AS BIGINT) FROM g
+         |UNION ALL SELECT 4, 'length', CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT),
+         |       CAST(SUM(CASE WHEN c4 THEN nt ELSE 0 END) AS BIGINT) FROM g
+         |UNION ALL SELECT 5, 'clean', CAST(SUM(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT),
+         |       CAST(SUM(CASE WHEN c5 THEN nt ELSE 0 END) AS BIGINT) FROM g
+         |ORDER BY stage_idx""".stripMargin,
+    // q101: identical plant, identical regex chain in the same order
+    // (fragment → tracking+repair → lowercase authority → default ports →
+    // trailing slash), keep-first via MIN per canonical form
+    "q101_url_canon_dedup" ->
+      s"""WITH u AS (SELECT doc_id,
+         |    'HTTPS://WWW.Example.COM'
+         |    || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+         |    || '/doc/' || CAST(doc_id % 100 AS VARCHAR)
+         |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=' || source ELSE '' END
+         |    || CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END AS url
+         |    FROM documents),
+         |t1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS x FROM u),
+         |t2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(x,
+         |         '([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '\\1', 'g'),
+         |         '([?&])&+', '\\1', 'g'), '[?&]$$', '') AS x FROM t1),
+         |t3 AS (SELECT doc_id,
+         |         lower(regexp_extract(x, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+         |         || regexp_extract(x, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS x FROM t2),
+         |t4 AS (SELECT doc_id, regexp_replace(regexp_replace(x,
+         |         '^(https://[^/:?#]+):443([/?#].*)?$$', '\\1\\2'),
+         |         '^(http://[^/:?#]+):80([/?#].*)?$$', '\\1\\2') AS x FROM t3),
+         |c AS (SELECT doc_id,
+         |        regexp_replace(x, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)/$$', '\\1') AS canon
+         |      FROM t4)
+         |SELECT MIN(doc_id) AS doc_id, canon FROM c GROUP BY canon ORDER BY doc_id""".stripMargin,
     // q89: the histogram-percentile chain replayed — per-lang cumulative
     // counts over distinct lengths, bracketing values per fraction, one
     // p·(n−1) interpolation (identical arithmetic to the Spark side)

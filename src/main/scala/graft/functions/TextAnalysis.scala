@@ -296,6 +296,84 @@ object TextAnalysis {
       .withColumnRenamed("__domain", "domain")
   }
 
+  // ---- C4-style line filtering -------------------------------------------
+
+  /** C4 line rules (Raffel et al. 2020 §2.2) in one compiled scan: keep
+    * lines with no blocklisted word, ≥ `minWords` words, and a terminal-
+    * punctuation ending. Returns struct(cleaned, n_lines, n_kept,
+    * n_blocked, n_short, n_nopunct) — cleaned is the kept lines re-joined
+    * with newlines, and the drop counts always sum to n_lines − n_kept
+    * (fixed precedence blocked → short → no-punct).
+    *
+    * One [[graft.expressions.LineFilterStats]] scan per row: zero
+    * shuffle — the relational explode/re-aggregate form would ship every
+    * line string through a doc-keyed exchange (the q83 lesson). */
+  def c4LineFilter(text: Column, minWords: Int = 3,
+      blocked: Seq[String] = Seq.empty): Column = {
+    import org.apache.spark.sql.GraftColumnShim
+    GraftColumnShim.column(graft.expressions.LineFilterStats(
+      GraftColumnShim.expression(text), minWords, blocked))
+  }
+
+  /** Canonicalize a URL for dedup/blocklist keying: strip the fragment,
+    * drop tracking parameters (`utm_*`, `fbclid`, `gclid`) with separator
+    * repair, lowercase the scheme+authority, remove default ports
+    * (`:80` http / `:443` https) and a bare trailing slash. Values that
+    * are not URL-shaped pass through unchanged. Pure codegen'd regexp
+    * chain — map-only, engine-portable (RE2-safe: no lookaround), so the
+    * full canonicalize→dedup pipeline oracles.
+    *
+    * Deliberately conservative: path case, param ORDER and percent-
+    * encoding are preserved (normalizing those changes identity for some
+    * sites; the standard crawl-dedup tradeoff). */
+  def canonicalizeUrl(url: Column): Column = {
+    val isUrl = url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    // fragment, then tracking params (+ separator repair), then case/ports
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(regexp_replace(regexp_replace(
+        noFrag, "([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", "$1"),
+      "([?&])&+", "$1"), "[?&]$", "")
+    val lowered = concat(
+      lower(regexp_extract(noTrack, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+      regexp_extract(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)", 1))
+    val noPort = regexp_replace(regexp_replace(
+        lowered, "^(https://[^/:?#]+):443([/?#].*)?$", "$1$2"),
+      "^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
+    val noSlash = regexp_replace(noPort, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)/$", "$1")
+    when(isUrl, noSlash).otherwise(url)
+  }
+
+  /** Cumulative curation funnel: for each named stage, how many rows —
+    * and how much of `metric` (tokens, bytes) — survive ALL stages up to
+    * and including it. The audit table every curation run should emit
+    * before committing a drop decision ("no silent caps"): a stage that
+    * unexpectedly halves the corpus is visible here, not discovered in
+    * training.
+    *
+    * One corpus scan: every stage's (count, metric) pair partial-
+    * aggregates map-side into a single row, which then explodes into the
+    * per-stage rows — the corpus is never shuffled and never re-scanned
+    * per stage. Output: (stage_idx from 1, stage, n_rows, metric_sum).
+    */
+  def curationFunnel(df: org.apache.spark.sql.DataFrame,
+      stages: Seq[(String, Column)], metric: Column): org.apache.spark.sql.DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      s"duplicate stage names: ${stages.map(_._1).mkString(", ")}")
+    val conds = stages.map(_._2).scanLeft(lit(true))(_ && _).tail
+    val aggs = conds.zipWithIndex.flatMap { case (c, i) => Seq(
+      sum(when(c, 1L).otherwise(0L)).as(s"__n_$i"),
+      sum(when(c, metric.cast("long")).otherwise(0L)).as(s"__m_$i")) }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val arr = array(stages.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+        coalesce(col(s"__n_$i"), lit(0L)).as("n_rows"),
+        coalesce(col(s"__m_$i"), lit(0L)).as("metric_sum")) }: _*)
+    row.select(explode(arr).as("__s"))
+      .select(col("__s.stage_idx").as("stage_idx"), col("__s.stage").as("stage"),
+        col("__s.n_rows").as("n_rows"), col("__s.metric_sum").as("metric_sum"))
+  }
+
   /** Repetition signal: distinct-token ratio in (0, 1]. Heavily repeated
     * boilerplate scores low — a standard filter for generated/spam text. */
   def distinctTokenRatio(text: Column): Column = {

@@ -413,6 +413,57 @@ object Dedup {
         col("__best").getField("s").as("rep_score"))
   }
 
+  /** Corpus-level line dedup (the CCNet paragraph-dedup shape, Wenzek et
+    * al. 2020): across the WHOLE corpus, keep only the first occurrence of
+    * every distinct line — first = smallest (id, line-index) — and rebuild
+    * each document from its surviving lines. The standard kill for
+    * navigation chrome, cookie banners and boilerplate headers that
+    * repeat across millions of pages.
+    *
+    * Scale shape: lines reduce map-side to fixed-width keys — (h1, h2) =
+    * `hash` of the line and of its reverse — so the dedup exchange
+    * carries ~24-byte long tuples, never line strings; the keeper per key
+    * IS the group's min (id, idx) struct, so there is no join back; the
+    * per-doc index list re-aggregates on the id (longs again); and
+    * [[graft.expressions.LinesAt]] rebuilds the text at scan time from
+    * the original document joined on id. Line text never crosses an
+    * exchange. (The q83 lesson applied corpus-wide: mostly-unique keys
+    * defeat partial aggregation, so what the exchange CARRIES is the
+    * whole cost — ship longs, not strings.)
+    *
+    * `hash` defaults to the engine-portable spread hash so the full chain
+    * oracles; its ~30-bit range pairs to ~60 bits here, which collides
+    * eventually — at real corpus scale pass `xxhash64(_)` (the collision
+    * note on [[graft.expressions.StrHash]]).
+    *
+    * Output: (idCol, n_lines, n_kept, cleaned) — `cleaned` keeps document
+    * line order; a doc whose every line occurred earlier elsewhere comes
+    * back empty, never null.
+    */
+  def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
+      hash: Column => Column = graft.operators.Mixture.spreadHash): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim
+    val lines = df.select(col(idCol).cast("long").as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
+      .select(col("__id"), col("__idx"),
+        hash(col("__line")).as("__h1"), hash(reverse(col("__line"))).as("__h2"))
+    val keepers = lines.groupBy("__h1", "__h2")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__keep"))
+      .select(col("__keep.__id").as("__id"), col("__keep.__idx").as("__idx"))
+    val perDoc = keepers.groupBy("__id")
+      .agg(sort_array(collect_list(col("__idx"))).as("__idxs"),
+        count(lit(1)).as("n_kept"))
+    val joined = df.join(perDoc, df(idCol).cast("long") === perDoc("__id"), "left")
+    val cleaned = GraftColumnShim.column(graft.expressions.LinesAt(
+      GraftColumnShim.expression(col(textCol)),
+      GraftColumnShim.expression(coalesce(col("__idxs"),
+        array().cast("array<int>")))))
+    joined.select(col(idCol),
+      size(split(col(textCol), "\n")).cast("long").as("n_lines"),
+      coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+      cleaned.as("cleaned"))
+  }
+
   /** Duplicate-passage detection — the substring-level dedup signal of
     * "Deduplicating Training Data Makes Language Models Better" (Lee et
     * al., 2022), relationalized: slide an n-token window over every

@@ -314,6 +314,25 @@ class DedupSpec extends SparkTestBase {
     assert(out(2).getLong(2) == 30L && out(2).getDouble(3).isNegInfinity)
   }
 
+  test("dedupLinesAcrossCorpus: keep-first across docs AND within a doc, order preserved") {
+    val docs = Seq(
+      (1L, "a\nb\nc"),
+      (2L, "b\nd"),        // b seen in doc 1 -> only d survives
+      (3L, "c\na\ne\ne"),  // c,a seen; first e kept, second e is a within-doc dup
+      (4L, "a")            // fully duplicate doc -> empty, not null
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossCorpus(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq ==
+      Seq((1L, 3L, 3L, "a\nb\nc"), (2L, 2L, 1L, "d"),
+          (3L, 4L, 1L, "e"), (4L, 1L, 0L, "")))
+    // the 64-bit production hash yields the same decisions here
+    val out2 = Dedup.dedupLinesAcrossCorpus(docs, "doc_id", "text",
+      hash = org.apache.spark.sql.functions.xxhash64(_))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
+  }
+
   test("dupClusters: a 300-node chain converges within 30 rounds (adaptive jump)") {
     // propagate-only needs ~diameter rounds — 300 would exhaust maxIter;
     // the pointer jump engaging after round 8 must close it in O(log n)

@@ -291,8 +291,36 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected a map-side partial count under the bucket exchange:\n$p")
   }
 
+  test("q98 line filter: map-only — no join, no exchange except the output order") {
+    val p = plan("q98_c4_line_filter")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"line filtering is one compiled scan; nothing may shuffle:\n$p")
+    assert(!p.linesIterator.exists(_.contains("Join")), s"no join:\n$p")
+    assert(p.contains("graft_line_filter_stats") || p.contains("LineFilterStats"),
+      s"expected the compiled LineFilterStats scan:\n$p")
+  }
+
+  test("q99 line dedup: keys partial-aggregate map-side; docs rebuild via the compiled scan") {
+    val p = plan("q99_line_dedup")
+    assert(p.contains("graft_lines_at") || p.contains("LinesAt"),
+      s"reconstruction must be the compiled LinesAt scan (line strings " +
+        s"never cross an exchange):\n$p")
+    assert(p.contains("partial_min"),
+      s"the keep-first struct-min must combine map-side:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"no window sort, no cross product:\n$p")
+  }
+
+  test("q100 funnel: every stage folds into ONE corpus scan") {
+    val p = plan("q100_curation_funnel")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single documents scan, got $scans:\n$p")
+    assert(!p.linesIterator.exists(_.contains("Join")),
+      s"stage flags are one pass, not per-stage scans:\n$p")
+  }
+
   for (q <- Seq("q25_quality_score", "q77_quality_filter", "q83_repetition",
-      "q85_repetition_filter"))
+      "q85_repetition_filter", "q98_c4_line_filter"))
     test(s"$q: the whole projection stays inside whole-stage codegen") {
       val p = plan(q)
       val unstarred = p.linesIterator

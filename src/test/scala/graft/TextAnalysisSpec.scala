@@ -329,6 +329,67 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(aff(0) > aff(2) && aff(2) > aff(1))
   }
 
+  test("c4LineFilter: rule precedence, punctuation-stripped blocklist, count conservation") {
+    val df = Seq(
+      // kept, blocked (slow. strips to slow), short, no-punct, kept
+      (1L, "the quick brown fox runs.\nthis line is slow.\ntiny one\nno punctuation here at all\nanother good line stays!"),
+      (2L, ""),                       // one empty line -> short
+      (3L, "a slow b\nslow"),         // blocked beats short: both have 'slow'
+      (4L, "ends with quote \"")      // terminal quote counts as punctuation
+    ).toDF("id", "text")
+    val st = TextAnalysis.c4LineFilter(col("text"), minWords = 3, blocked = Seq("slow"))
+    val out = df.select(col("id"), st.as("st")).orderBy("id").collect()
+    def s(i: Int) = out(i).getStruct(1)
+    assert(s(0).toSeq.drop(1) == Seq(5L, 2L, 1L, 1L, 1L))
+    assert(s(0).getString(0) ==
+      "the quick brown fox runs.\nanother good line stays!")
+    assert(s(1).toSeq.drop(1) == Seq(1L, 0L, 0L, 1L, 0L) && s(1).getString(0) == "")
+    // blocked is checked before short: the bare 'slow' line counts blocked
+    assert(s(2).toSeq.drop(1) == Seq(2L, 0L, 2L, 0L, 0L))
+    assert(s(3).toSeq.drop(1) == Seq(1L, 1L, 0L, 0L, 0L))
+    // counts conserve on every row
+    out.foreach { r =>
+      val t = r.getStruct(1)
+      assert(t.getLong(1) == t.getLong(2) + t.getLong(3) + t.getLong(4) + t.getLong(5))
+    }
+  }
+
+  test("canonicalizeUrl: fragment, tracking params, case, default ports, root slash") {
+    val cases = Seq(
+      "https://a.com/p#sec" -> "https://a.com/p",
+      "https://a.com/p?utm_source=x&q=1&utm_b=2" -> "https://a.com/p?q=1",
+      "https://a.com/p?utm_a=1" -> "https://a.com/p",
+      "HTTP://WWW.EXAMPLE.com/Path" -> "http://www.example.com/Path", // path case kept
+      "https://a.com:443/x" -> "https://a.com/x",
+      "http://a.com:80?q=1" -> "http://a.com?q=1",
+      "https://a.com:8443/x" -> "https://a.com:8443/x",  // non-default port kept
+      "https://a.com/" -> "https://a.com",
+      "https://a.com/p/" -> "https://a.com/p/",          // only the bare root slash
+      "not a url" -> "not a url")
+    val out = cases.zipWithIndex.map { case ((u, _), i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("curationFunnel: cumulative stages, metric mass, empty input yields zero rows") {
+    val df = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "de", 40L), (4L, "fr", 80L)
+    ).toDF("id", "lang", "toks")
+    val out = TextAnalysis.curationFunnel(df, Seq(
+        "all" -> lit(true),
+        "lang" -> col("lang").isin("en", "de"),
+        "big" -> (col("toks") >= 20L)),
+      metric = col("toks")).orderBy("stage_idx").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1, "all", 4L, 150L), (2, "lang", 3L, 70L), (3, "big", 2L, 60L)))
+    // stages compose cumulatively: a row failing 'lang' never reaches 'big'
+    val empty = TextAnalysis.curationFunnel(df.filter(lit(false)),
+      Seq("all" -> lit(true)), metric = col("toks")).collect()
+    assert(empty.map(r => (r.getLong(2), r.getLong(3))).toSeq == Seq((0L, 0L)))
+  }
+
   test("percentileProfile matches Spark's percentile aggregate exactly") {
     // duplicates, skew, and a non-trivial group mix — the histogram form
     // must reproduce the p·(n−1) interpolation bit-for-bit
