@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.catalog.CollectionCatalog
 import graft.functions.{Distances, TextAnalysis}
-import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Events, Knn, Mixture, Multimodal, Retrieval, Skew}
+import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Events, Knn, Mixture, Multimodal, Retrieval, Sketches, Skew}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + the builder prompt.
   *
@@ -671,6 +671,40 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("url")).as("canon"))
       Dedup.exactDedup(d, Seq("canon"), "doc_id")
         .select(col("doc_id"), col("canon")).orderBy("doc_id")
+    }),
+    // Winnowing fingerprints (MOSS): the position-robust sketch — shared
+    // substrings ≥ k+w−1 chars guarantee a common entry. Map-only
+    // compiled scan; the oracle replays gram hashing, rightmost-min
+    // window selection and the distinct-sort in pure list SQL.
+    "q102_winnow_fingerprints" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.winnowFingerprints(col("text"), k = 12, w = 4).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"), col("fps"))
+        .orderBy("doc_id")),
+    // KMV distinct-token estimate per lang: the oracled sketch path for
+    // 100 TB cardinality — distinct (lang, hash) partial-aggregates,
+    // rank ≤ k prunes map-side (WindowGroupLimit), the final exchange
+    // carries ≤ k rows per group. k=16 < the fixture vocab so the
+    // estimator branch (not the exact fallback) is what's pinned.
+    "q103_kmv_distinct" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tk"))
+      Sketches.kmvDistinct(tok, "lang", col("tk"), k = 16).orderBy("lang")
+    }),
+    // Winnowing overlap pairs — the MOSS decision surface. DECLARED
+    // BOUNDED VERIFY PRIMITIVE (like q28/q29): all-pairs over a mod-50
+    // sample verifies the sketch-intersection semantics; the scale path
+    // is explode + join on the fingerprint (bucket-confined), the same
+    // shape as the LSH candidate paths.
+    "q104_winnow_overlap" -> ((s, dir) => {
+      val f = t(s, dir, "documents").filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("id"),
+          TextAnalysis.winnowFingerprints(col("text"), k = 12, w = 4).as("fps"))
+      f.as("a").join(f.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          size(array_intersect(col("a.fps"), col("b.fps"))).cast("long").as("n_shared"))
+        .filter(col("n_shared") >= 1)
+        .orderBy("id_a", "id_b")
     }),
     // Corpus length-distribution report: exact per-lang percentiles over
     // the VALUE HISTOGRAM — the exchange carries distinct lengths, not
@@ -1637,6 +1671,61 @@ object SparkEntry {
          |        regexp_replace(x, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)/$$', '\\1') AS canon
          |      FROM t4)
          |SELECT MIN(doc_id) AS doc_id, canon FROM c GROUP BY canon ORDER BY doc_id""".stripMargin,
+    // q102: gram hashes are the per-gram positional polynomial; the
+    // rightmost minimal of window i is found via list_position on the
+    // REVERSED slice (first hit in reverse = rightmost in order); short
+    // docs collapse to one window of all grams (win = min(w, n_grams))
+    "q102_winnow_fingerprints" ->
+      s"""WITH g AS (SELECT doc_id, list_transform(range(length(text) - 12 + 1),
+         |    i -> list_sum(list_transform(range(12),
+         |         j -> ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1))
+         |              * (((j * 131) % 997) + 1)))) AS gh
+         |    FROM documents),
+         |w2 AS (SELECT doc_id, gh, LEAST(4, len(gh)) AS win FROM g),
+         |f AS (SELECT doc_id, CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+         |        ELSE list_sort(list_distinct(list_transform(
+         |          range(len(gh) - win + 1), i ->
+         |            CAST(gh[i + win - list_position(list_reverse(gh[i+1:i+win]),
+         |                 list_min(gh[i+1:i+win])) + 1] AS BIGINT)))) END AS fps
+         |      FROM w2)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps
+         |FROM f ORDER BY doc_id""".stripMargin,
+    // q103: same spread hash, same rank-≤k minimum set, and the estimator
+    // constant (k−1)·M interpolates from the SAME Scala double so both
+    // engines divide bit-identical values
+    "q103_kmv_distinct" ->
+      s"""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tk
+         |             FROM documents),
+         |dh AS (SELECT DISTINCT lang, ${sqlSpreadHash("tk")} AS h FROM tok),
+         |rn AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
+         |       FROM dh),
+         |kk AS (SELECT lang, h FROM rn WHERE r <= 16),
+         |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_k
+         |      FROM kk GROUP BY lang)
+         |SELECT lang, n_kept, h_k,
+         |  CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE)
+         |       ELSE ROUND(${15.0 * 1000000007.0} / CAST(h_k AS DOUBLE), 6) END AS est
+         |FROM a ORDER BY lang""".stripMargin,
+    // q104: the q102 fingerprint chain over the sampled docs, then
+    // list_intersect sizes on a.id < b.id pairs
+    "q104_winnow_overlap" ->
+      s"""WITH g AS (SELECT doc_id, list_transform(range(length(text) - 12 + 1),
+         |    i -> list_sum(list_transform(range(12),
+         |         j -> ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1))
+         |              * (((j * 131) % 997) + 1)))) AS gh
+         |    FROM documents WHERE doc_id % 50 = 0),
+         |w2 AS (SELECT doc_id, gh, LEAST(4, len(gh)) AS win FROM g),
+         |f AS (SELECT doc_id, CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+         |        ELSE list_sort(list_distinct(list_transform(
+         |          range(len(gh) - win + 1), i ->
+         |            CAST(gh[i + win - list_position(list_reverse(gh[i+1:i+win]),
+         |                 list_min(gh[i+1:i+win])) + 1] AS BIGINT)))) END AS fps
+         |      FROM w2)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS n_shared
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.fps, b.fps)) >= 1
+         |ORDER BY id_a, id_b""".stripMargin,
     // q89: the histogram-percentile chain replayed — per-lang cumulative
     // counts over distinct lengths, bracketing values per fraction, one
     // p·(n−1) interpolation (identical arithmetic to the Spark side)

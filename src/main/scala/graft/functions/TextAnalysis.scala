@@ -315,6 +315,18 @@ object TextAnalysis {
       GraftColumnShim.expression(text), minWords, blocked))
   }
 
+  /** Winnowing fingerprint sketch (Schleimer et al. 2003 — MOSS): sorted
+    * distinct selected k-gram hashes; any shared substring of length
+    * ≥ k + w − 1 between two documents yields at least one common entry.
+    * One compiled [[graft.expressions.WinnowFingerprints]] scan, zero
+    * shuffle; overlap candidates then explode + join on the fingerprint
+    * (bucket-confined pairs, the same shape as the LSH paths). */
+  def winnowFingerprints(text: Column, k: Int = 12, w: Int = 4): Column = {
+    import org.apache.spark.sql.GraftColumnShim
+    GraftColumnShim.column(graft.expressions.WinnowFingerprints(
+      GraftColumnShim.expression(text), k, w))
+  }
+
   /** Canonicalize a URL for dedup/blocklist keying: strip the fragment,
     * drop tracking parameters (`utm_*`, `fbclid`, `gclid`) with separator
     * repair, lowercase the scheme+authority, remove default ports

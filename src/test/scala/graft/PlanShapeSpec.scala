@@ -311,6 +311,21 @@ class PlanShapeSpec extends SparkTestBase {
       s"no window sort, no cross product:\n$p")
   }
 
+  test("q102 winnowing: map-only — the sketch never shuffles") {
+    val p = plan("q102_winnow_fingerprints")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fingerprinting is one compiled scan; nothing may shuffle:\n$p")
+    assert(p.contains("graft_winnow_fingerprints") || p.contains("WinnowFingerprints"),
+      s"expected the compiled WinnowFingerprints scan:\n$p")
+  }
+
+  test("q103 kmv: the rank <= k prunes map-side via Partial WindowGroupLimit") {
+    val p = plan("q103_kmv_distinct")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"the k-minimum set must prune under the exchange (<= k rows per " +
+        s"group cross the wire):\n$p")
+  }
+
   test("q100 funnel: every stage folds into ONE corpus scan") {
     val p = plan("q100_curation_funnel")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))

@@ -390,6 +390,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(empty.map(r => (r.getLong(2), r.getLong(3))).toSeq == Seq((0L, 0L)))
   }
 
+  test("winnowFingerprints: overlap guarantee, uniform-text collapse, short-text edges") {
+    val k = 5; val w = 4
+    val shared = "the winnowing guarantee holds here"  // >= k+w-1 = 8 chars
+    val df = Seq(
+      (1L, s"prefix one blah $shared and a tail x"),
+      (2L, s"completely different head $shared other end"),
+      (3L, "aaaaaaaaaaaaaaaaaaaa"),  // uniform: every gram identical
+      (4L, "abc"),                   // shorter than k -> empty sketch
+      (5L, "abcdefg")                // k <= len < k+w-1 -> one window
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.winnowFingerprints(col("text"), k, w).as("fps"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    // any shared substring of length >= k+w-1 yields a common fingerprint
+    assert(out(0).toSet.intersect(out(1).toSet).nonEmpty)
+    // uniform text: all grams hash equal -> exactly one distinct entry
+    assert(out(2).length == 1)
+    assert(out(3).isEmpty)
+    assert(out(4).length == 1)
+    // sketches are sorted distinct
+    out.foreach(f => assert(f == f.distinct.sorted))
+  }
+
   test("percentileProfile matches Spark's percentile aggregate exactly") {
     // duplicates, skew, and a non-trivial group mix — the histogram form
     // must reproduce the p·(n−1) interpolation bit-for-bit
