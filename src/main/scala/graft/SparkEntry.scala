@@ -41,6 +41,12 @@ object SparkEntry {
     val raw = t(s, dir, "events")
     val us = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      // naive timestamps (timestamp[us] parquet with no tz) land as NTZ;
+      // the session tz is pinned UTC (GraftSession), so the cast to
+      // TIMESTAMP reinterprets the same wall-clock instant DuckDB's
+      // epoch_us reads — exact micros parity
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
       case _ => unix_micros(col("ts"))
     }
     raw.withColumn("us", us)
@@ -675,11 +681,15 @@ object SparkEntry {
     // Winnowing fingerprints (MOSS): the position-robust sketch — shared
     // substrings ≥ k+w−1 chars guarantee a common entry. Map-only
     // compiled scan; the oracle replays gram hashing, rightmost-min
-    // window selection and the distinct-sort in pure list SQL.
+    // window selection and the distinct-sort in pure list SQL. The
+    // sorted fingerprint list is emitted as a comma-joined STRING —
+    // the driver's value-sort compare cannot hash an array column
+    // (the same constraint that put q65 in long form).
     "q102_winnow_fingerprints" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.winnowFingerprints(col("text"), k = 12, w = 4).as("fps"))
-        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"), col("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+          array_join(col("fps").cast("array<string>"), ",").as("fps"))
         .orderBy("doc_id")),
     // KMV distinct-token estimate per lang: the oracled sketch path for
     // 100 TB cardinality — distinct (lang, hash) partial-aggregates,
@@ -1688,7 +1698,8 @@ object SparkEntry {
          |            CAST(gh[i + win - list_position(list_reverse(gh[i+1:i+win]),
          |                 list_min(gh[i+1:i+win])) + 1] AS BIGINT)))) END AS fps
          |      FROM w2)
-         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+         |       COALESCE(array_to_string(fps, ','), '') AS fps
          |FROM f ORDER BY doc_id""".stripMargin,
     // q103: same spread hash, same rank-≤k minimum set, and the estimator
     // constant (k−1)·M interpolates from the SAME Scala double so both
@@ -1700,7 +1711,8 @@ object SparkEntry {
          |rn AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
          |       FROM dh),
          |kk AS (SELECT lang, h FROM rn WHERE r <= 16),
-         |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_k
+         |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |        CAST(MAX(h) AS BIGINT) AS h_k
          |      FROM kk GROUP BY lang)
          |SELECT lang, n_kept, h_k,
          |  CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE)

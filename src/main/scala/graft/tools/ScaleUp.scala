@@ -78,13 +78,19 @@ object ScaleUp {
     write("embeddings", replicate(spark, t("embeddings"), factor,
       Map("vec_id" -> strides("embeddings"))))
     // user_id stride = user cardinality, so events-per-user stays constant.
-    // ts reads as a LONG of nanos (nanosAsLong); writing it back raw would
-    // make the replica's column BIGINT — queries survive, but the DuckDB
-    // oracles (written for the fixture's TIMESTAMP) would not. Round-trip
-    // through a micros timestamp so the replica keeps the logical schema.
-    write("events", replicate(spark, t("events"), factor,
-        Map("event_id" -> strides("events"), "user_id" -> strides("users")))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    // A TIMESTAMP(NANOS) fixture reads as a LONG of nanos (nanosAsLong);
+    // writing it back raw would make the replica's column BIGINT — queries
+    // survive, but the DuckDB oracles (written for a TIMESTAMP column)
+    // would not. Round-trip through a micros timestamp so the replica
+    // keeps the logical schema. A micros fixture already reads as a
+    // timestamp type and passes through unchanged.
+    val ev = replicate(spark, t("events"), factor,
+      Map("event_id" -> strides("events"), "user_id" -> strides("users")))
+    write("events", ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => ev
+    })
 
     spark.stop()
   }
