@@ -78,10 +78,13 @@ object Bench {
     val recallJson =
       if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_RECALL").contains("0")) ""
       else {
-        val rs = try Recall.measure(spark, sfDir) catch {
+        val rs = (try Recall.measure(spark, sfDir) catch {
           case e: Throwable =>
             System.err.println(s"[bench] recall probe FAILED: ${e.getMessage}"); Nil
-        }
+        }) ++ (try Recall.plantedPairRecall(spark, sfDir) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] planted-recall probe FAILED: ${e.getMessage}"); Nil
+        })
         val excl = try Recall.lshExcluded(spark, sfDir) catch {
           case e: Throwable =>
             System.err.println(s"[bench] lsh-excluded audit FAILED: ${e.getMessage}"); Nil

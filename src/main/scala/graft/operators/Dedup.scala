@@ -293,7 +293,11 @@ object Dedup {
     * O(component diameter) rounds — boilerplate families are dense, so
     * real diameters are small. `localCheckpoint` truncates the growing
     * lineage each round (the classic iterative-algorithm failure mode:
-    * round N replans rounds 1..N-1). Throws if `maxIter` rounds don't
+    * round N replans rounds 1..N-1). Scale note: localCheckpoint stores
+    * blocks on executors with NO lineage to recompute them — on a real
+    * cluster a lost executor kills the job mid-iteration; there, swap in
+    * reliable `checkpoint()` (HDFS/object-store backed) at the same call
+    * site. Throws if `maxIter` rounds don't
     * converge — a silently-partial clustering would merge nothing loudly.
     *
     * Output: (id, cluster) for every id appearing in `pairs`, cluster =

@@ -170,6 +170,40 @@ class AnnSpec extends SparkTestBase {
       s"IVF nprobe=2 recall must stay >= 0.9, got $m")
   }
 
+  test("planted-pair recall: twins sit at cosine >= 0.9 and the LSH dials climb") {
+    val rs = Recall.plantedPairRecall(spark, "/root/testdata/sf0.001").toMap
+    assert(rs.keySet == Set("planted_single", "planted_multiprobe",
+      "planted_multitable"))
+    rs.foreach { case (n, v) =>
+      assert(v >= 0.0 && v <= 1.0, s"$n recall out of range: $v") }
+    // the construction must land in the regime the probe claims: every
+    // planted twin is a genuine near-dup of its source (cosine >= 0.9 —
+    // checked exactly, not via the LSH path under test)
+    val emb = spark.read.parquet(sf("embeddings"))
+      .filter(col("vec_id") < 2000).select("vec_id", "embedding")
+    val planted = Recall.plantedUnion(emb)
+      .filter(col("vec_id") >= Recall.PlantStride)
+      .select((col("vec_id") - Recall.PlantStride).as("vec_id"),
+        col("embedding").as("twin"))
+    val sims = emb.join(planted, "vec_id")
+      .select(graft.functions.Distances.cosineDist(
+        col("embedding"), col("twin")).as("d"))
+      .agg(org.apache.spark.sql.functions.max("d")).as[Double].head()
+    assert(sims <= 0.1, s"worst planted twin cosine distance $sims > 0.1")
+    // single-table 8-bit SRP at cosine ~0.97 collides per-bit with
+    // p ≈ 0.92 → p^8 ≈ 0.5; a broken bucket path would read ~0 here
+    assert(rs("planted_single") >= 0.3,
+      s"single-table planted recall collapsed: ${rs("planted_single")}")
+    // the recall dials must actually dial: 4 tables ≈ 1−(1−p8)^4 far
+    // above one table; one extra probe strictly no worse
+    assert(rs("planted_multitable") >= rs("planted_single"),
+      s"multitable below single: $rs")
+    assert(rs("planted_multiprobe") >= rs("planted_single"),
+      s"multiprobe below single: $rs")
+    assert(rs("planted_multitable") >= 0.75,
+      s"4-table planted recall must reach 0.75: ${rs("planted_multitable")}")
+  }
+
   test("recallAtK: exact-vs-exact is 1.0; disjoint lists are 0.0") {
     val exact = Seq(1L, 2L, 3L).toDF("id")
     assert(Ann.recallAtK(exact, exact, "id")
