@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.catalog.CollectionCatalog
 import graft.functions.{Distances, TextAnalysis}
-import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Events, Knn, Mixture, Multimodal, Retrieval, Sketches, Skew}
+import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Events, Knn, Lm, Mixture, Multimodal, Retrieval, Sketches, Skew}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + the builder prompt.
   *
@@ -716,6 +716,37 @@ object SparkEntry {
         .filter(col("n_shared") >= 1)
         .orderBy("id_a", "id_b")
     }),
+    // Bigram LM predictability (the CCNet perplexity-filter primitive,
+    // log-free so it oracles): corpus bigram/unigram counts on hashed
+    // tokens, per-doc count-weighted mean of P(w_i | w_{i-1}). Every
+    // exchange carries (id, h1, h2, k) longs, never token strings.
+    "q105_bigram_lm" -> ((s, dir) =>
+      Lm.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // One BPE training step: top-20 adjacent char pairs weighted by word
+    // frequency — counted over the VOCAB (corpus collapses to (word, f)
+    // first), the shape that makes iterated BPE affordable at 100 TB.
+    "q106_bpe_merges" -> ((s, dir) =>
+      Lm.bpeMergeCandidates(t(s, dir, "documents"), "text", topN = 20)
+        .orderBy("rank")),
+    // KMV pairwise overlap: per-lang k-min sketches → per-pair union /
+    // Jaccard / intersection estimates — cross-source coverage at 100 TB
+    // without any exact pairwise distinct-count. Same spread hash and
+    // estimator constant as q103, so the whole chain replays.
+    "q107_kmv_overlap" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tk"))
+      Sketches.kmvPairwiseOverlap(tok, "lang", col("tk"), k = 16)
+        .select(col("g_a").as("lang_a"), col("g_b").as("lang_b"),
+          col("n_union_sketch"), col("j"), col("union_est"), col("inter_est"))
+        .orderBy("lang_a", "lang_b")
+    }),
+    // Retention triangle over the event log: cohort = first-activity
+    // day; the only corpus-sized exchange is the distinct (user, day)
+    // collapse — bounded by users × days, not events.
+    "q108_retention" -> ((s, dir) =>
+      Events.retentionCohorts(events(s, dir), "user_id", "us")
+        .orderBy("cohort_day", "day_offset")),
     // Corpus length-distribution report: exact per-lang percentiles over
     // the VALUE HISTOGRAM — the exchange carries distinct lengths, not
     // rows (Spark's own percentile agg buffers every row's value in its
@@ -1738,6 +1769,84 @@ object SparkEntry {
          |FROM f a JOIN f b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.fps, b.fps)) >= 1
          |ORDER BY id_a, id_b""".stripMargin,
+    // q105: the bigram-LM chain replayed — hashed token lists, lateral
+    // bigram unnest, per-doc distinct-bigram counts, corpus c2/c1 joins,
+    // the ratio rounded to 6 BEFORE the exact decimal weighted fold, one
+    // final double division (identical order of operations to Lm)
+    "q105_bigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, list_transform(
+         |      string_split(COALESCE(text, ''), ' '),
+         |      tk -> CAST(${sqlSpreadHash("tk")} AS BIGINT)) AS hs FROM documents),
+         |u AS (SELECT unnest(hs) AS h1 FROM tok),
+         |c1 AS (SELECT h1, COUNT(*) AS c1 FROM u GROUP BY h1),
+         |bp AS (SELECT doc_id, unnest(range(len(hs) - 1)) AS i, hs FROM tok),
+         |bg AS (SELECT doc_id, hs[i+1] AS h1, hs[i+2] AS h2 FROM bp),
+         |pd AS (SELECT doc_id, h1, h2, COUNT(*) AS k FROM bg GROUP BY 1, 2, 3),
+         |c2 AS (SELECT h1, h2, SUM(k) AS c2 FROM pd GROUP BY 1, 2),
+         |j AS (SELECT pd.doc_id, pd.k,
+         |        CAST(ROUND(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE), 6)
+         |             AS DECIMAL(18,6)) AS r
+         |      FROM pd JOIN c2 USING (h1, h2) JOIN c1 USING (h1)),
+         |s AS (SELECT doc_id, SUM(r * k) AS sr, SUM(k) AS n FROM j GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bigrams,
+         |       ROUND(CAST(s.sr AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS lm_score
+         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q106: word-frequency vocab, per-word char-pair unnest weighted by
+    // f, count-desc/pair-asc rank — both engines compare pair strings as
+    // raw bytes, so the tiebreak is identical
+    "q106_bpe_merges" ->
+      """WITH t AS (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w
+        |           FROM documents),
+        |v AS (SELECT w, COUNT(*) AS f FROM t WHERE length(w) >= 2 GROUP BY w),
+        |cx AS (SELECT f, string_split(w, '') AS cs FROM v),
+        |px AS (SELECT f, unnest(range(len(cs) - 1)) AS i, cs FROM cx),
+        |p AS (SELECT cs[i+1] || '+' || cs[i+2] AS pair, f FROM px),
+        |c AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt FROM p GROUP BY pair),
+        |r AS (SELECT pair, cnt,
+        |        ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank FROM c)
+        |SELECT CAST(rank AS INTEGER) AS rank, pair, cnt FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // q107: q103's k-min sets per lang, then per-pair merged sketch,
+    // KMV Jaccard and the same (k−1)·M estimator on the union's k-th min
+    "q107_kmv_overlap" ->
+      s"""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tk
+         |             FROM documents),
+         |dh AS (SELECT DISTINCT lang, CAST(${sqlSpreadHash("tk")} AS BIGINT) AS h
+         |       FROM tok),
+         |rn AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
+         |       FROM dh),
+         |mins AS (SELECT lang, list(h ORDER BY h) AS hs FROM rn WHERE r <= 16
+         |         GROUP BY lang),
+         |pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |         list_sort(list_distinct(a.hs || b.hs))[1:16] AS u,
+         |         a.hs AS ha, b.hs AS hb
+         |       FROM mins a JOIN mins b ON a.lang < b.lang),
+         |e AS (SELECT lang_a, lang_b, CAST(len(u) AS BIGINT) AS n_union_sketch,
+         |        ROUND(CAST(len(list_intersect(list_intersect(u, ha), hb)) AS DOUBLE)
+         |              / CAST(len(u) AS DOUBLE), 6) AS j,
+         |        CASE WHEN len(u) < 16 THEN CAST(len(u) AS DOUBLE)
+         |             ELSE ROUND(${15.0 * 1000000007.0} / CAST(u[len(u)] AS DOUBLE), 6)
+         |        END AS union_est
+         |      FROM pr)
+         |SELECT lang_a, lang_b, n_union_sketch, j, union_est,
+         |       ROUND(j * union_est, 6) AS inter_est
+         |FROM e ORDER BY lang_a, lang_b""".stripMargin,
+    // q108: distinct (user, day) first, per-user min day = cohort, then
+    // cohort sizes and per-offset activity — `//` on positive epoch
+    // micros matches Spark's `div` exactly
+    "q108_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |              epoch_us(ts) // 86400000000 AS d FROM events),
+        |f AS (SELECT u, MIN(d) AS cohort_day FROM ud GROUP BY u),
+        |sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n
+        |       FROM f GROUP BY cohort_day),
+        |a AS (SELECT f.cohort_day, ud.d - f.cohort_day AS day_offset,
+        |        CAST(COUNT(*) AS BIGINT) AS n_active
+        |      FROM ud JOIN f USING (u) GROUP BY 1, 2)
+        |SELECT a.cohort_day, a.day_offset, sz.cohort_n, a.n_active,
+        |       ROUND(CAST(a.n_active AS DOUBLE) / CAST(sz.cohort_n AS DOUBLE), 6)
+        |         AS retention
+        |FROM a JOIN sz USING (cohort_day) ORDER BY cohort_day, day_offset""".stripMargin,
     // q89: the histogram-percentile chain replayed — per-lang cumulative
     // counts over distinct lengths, bracketing values per fraction, one
     // p·(n−1) interpolation (identical arithmetic to the Spark side)

@@ -61,4 +61,42 @@ object Events {
         (col(q(leftTsUs)) - col(q(rightTsUs))) <= maxDeltaUs)
       .drop("__bin")
   }
+
+  /** Cohort retention: group users by first-activity day (their cohort),
+    * then for every (cohort, day offset) report how many of the cohort's
+    * users were active that day and the retained fraction — the standard
+    * product-analytics retention triangle, over an event log.
+    *
+    * `usCol` must be a LONG microseconds column (positive epoch domain:
+    * `div` truncation = floor). Day = us div 86 400 000 000.
+    *
+    * 100 TB shape: the event stream collapses to DISTINCT (user, day)
+    * FIRST — that aggregate partial-combines map-side, so the only
+    * corpus-sized exchange carries (long, long) pairs, bounded by
+    * users × active-days, not by events. Everything after (per-user min,
+    * cohort sizes, activity counts) operates on that table, joined on the
+    * user key it is already partitioned by. Retention is one IEEE
+    * division per output row, rounded to 6 — replayable.
+    *
+    * Output: (cohort_day, day_offset, cohort_n, n_active, retention),
+    * one row per (cohort, offset) with n_active ≥ 1; day_offset 0 rows
+    * carry retention 1.0 by construction (every cohort member is active
+    * on their first day).
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      usCol: String): DataFrame = {
+    val ud = events.select(col(userCol).as("__u"),
+        expr(s"`$usCol` div 86400000000").as("__d"))
+      .distinct()
+    val first = ud.groupBy("__u").agg(min(col("__d")).as("cohort_day"))
+    val sizes = first.groupBy("cohort_day").agg(count(lit(1)).as("cohort_n"))
+    val act = ud.join(first, "__u")
+      .groupBy(col("cohort_day"), (col("__d") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    act.join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("cohort_n"),
+        col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_n").cast("double"), 6)
+          .as("retention"))
+  }
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus language-model operators for training-data curation: the
+  * CCNet-style LM predictability score (the perplexity-filter primitive,
+  * Wenzek et al. 2020 §4.3) and the BPE merge-candidate step (Sennrich et
+  * al. 2016) — both built so every number replays exactly on an
+  * independent SQL engine (no `log`, whose last-ulp behavior differs
+  * across libm implementations; ratios, integer counts and exact decimal
+  * folds only).
+  */
+object Lm {
+
+  /** Per-document bigram predictability: train bigram counts on the WHOLE
+    * corpus (the scored doc included — one corpus, one pass, no
+    * train/apply split), then score each document by the count-weighted
+    * mean of P(w_i | w_{i-1}) = c(w_{i-1}, w_i) / c(w_{i-1}) over its
+    * bigram positions. High score = predictable, natural-language-like
+    * text; gibberish and boilerplate-free noise score near zero. This is
+    * the log-free stand-in for the CCNet perplexity filter: monotone in
+    * the same per-position conditional probabilities, but every operation
+    * (integer counts, one IEEE division per distinct bigram rounded to 6,
+    * exact decimal weighted sum, one final division) replays
+    * bit-identically in the DuckDB oracle, which `exp(mean log p)` would
+    * not.
+    *
+    * 100 TB shape: tokens hash to longs map-side (`hash`, default the
+    * engine-portable spread hash — pass xxhash64 at real scale, collision
+    * note on [[graft.expressions.StrHash]]), and the first aggregate is
+    * per-document distinct bigrams, so every exchange carries fixed-width
+    * (id, h1, h2, count) rows — never token strings (the q83/q99 lesson).
+    * The bigram-count table is distinct-bigram-sized and the unigram
+    * table vocab-sized; both join on long keys. The corpus itself shuffles
+    * once (its per-doc distinct bigrams), the model tables are the small
+    * sides — at bounded vocab the unigram side is broadcastable, but the
+    * bigram join dominates and stays a shuffle join by design.
+    *
+    * Output: (idCol, n_bigrams, lm_score); a document with fewer than two
+    * tokens has n_bigrams = 0 and a NULL score (the mean is undefined —
+    * never silently 0, which would look like measured gibberish).
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      hash: Column => Column = Mixture.spreadHash): DataFrame = {
+    val hs = df.select(col(idCol).as("__id"),
+      transform(split(coalesce(col(textCol), lit("")), " "), t => hash(t))
+        .as("__hs"))
+    // adjacent pairs via two aligned slices (map-only; length guard keeps
+    // one-token docs at zero pairs instead of a negative slice length)
+    val m = greatest(size(col("__hs")) - lit(1), lit(0))
+    val bg = hs.select(col("__id"),
+        explode(arrays_zip(slice(col("__hs"), lit(1), m),
+          slice(col("__hs"), lit(2), m))).as("__p"))
+      .select(col("__id"), col("__p.0").as("h1"), col("__p.1").as("h2"))
+    // per-doc distinct bigrams FIRST: the corpus-sized exchange carries
+    // (id, h1, h2, k), and the model tables below are aggregates of it
+    val perDoc = bg.groupBy("__id", "h1", "h2").agg(count(lit(1)).as("k"))
+    val c2 = perDoc.groupBy("h1", "h2").agg(sum(col("k")).as("c2"))
+    val c1 = hs.select(explode(col("__hs")).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).as("c1"))
+    val scored = perDoc
+      .join(c2, Seq("h1", "h2"))
+      .join(c1, Seq("h1"))
+      .withColumn("__r",
+        round(col("c2").cast("double") / col("c1").cast("double"), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("__id")
+      .agg(sum(col("__r") * col("k")).as("__s"), sum(col("k")).as("n_bigrams"))
+    df.select(col(idCol))
+      .join(scored, df(idCol) === scored("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("lm_score"))
+  }
+
+  /** One BPE training step: the `topN` most frequent adjacent character
+    * pairs across the corpus, weighted by word frequency — the candidates
+    * the next merge would pick from. Ties break to the lexicographically
+    * smallest pair so the ranking is total and replayable.
+    *
+    * 100 TB shape: pair counting runs over the VOCABULARY, not the
+    * corpus — the corpus collapses to a (word, freq) table first (one
+    * exchange whose partial aggregates do the heavy lifting map-side),
+    * and the character-pair explosion multiplies the vocab table only.
+    * At web scale vocab ≪ corpus by 4-5 orders of magnitude, which is
+    * what makes iterated BPE training affordable at all; the final
+    * pair-count exchange is alphabet²-bounded. The top-n is an
+    * orderBy+limit (TakeOrderedAndProject: per-partition heaps), never a
+    * global window sort.
+    *
+    * Output: (rank, pair, cnt) — `pair` rendered "a+b".
+    */
+  def bpeMergeCandidates(df: DataFrame, textCol: String,
+      topN: Int = 20): DataFrame = {
+    val vocab = df
+      .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val chars = split(col("w"), "")
+    val m = greatest(size(chars) - lit(1), lit(0))
+    val pairs = vocab.select(col("f"),
+        explode(arrays_zip(slice(chars, lit(1), m), slice(chars, lit(2), m)))
+          .as("__p"))
+      // Java's zero-width split can emit a trailing "" element that
+      // DuckDB's by-codepoint split never produces — drop any pair
+      // touching it so both engines count identical pairs. (Both split
+      // BMP characters identically; astral chars would differ — UTF-16
+      // surrogates vs codepoints — which the fixture does not contain.)
+      .filter(col("__p.0") =!= "" && col("__p.1") =!= "")
+      .select(concat(col("__p.0"), lit("+"), col("__p.1")).as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("cnt"))
+    val top = pairs.orderBy(col("cnt").desc, col("pair")).limit(topN)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair"))))
+      .select(col("rank"), col("pair"), col("cnt"))
+  }
+}

@@ -47,4 +47,57 @@ object Sketches {
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(round(lit(scale) / col("h_k").cast("double"), 6)))
   }
+
+  /** Pairwise distinct-set overlap between groups from KMV sketches
+    * (Beyer et al. SIGMOD 2007 §4): for every group pair (a < b),
+    * estimate |A ∪ B| from the MERGED sketch (the k smallest distinct
+    * hashes of the union — computable from the two k-min lists alone) and
+    * Jaccard as the fraction of merged-sketch members present in BOTH
+    * input sketches; |A ∩ B| ≈ J · |A ∪ B|. The 100 TB use: "how much of
+    * source A's vocabulary/url-space/doc-hash-space does source B
+    * already cover?" across N sources WITHOUT any exact pairwise
+    * distinct-count over corpus-sized sets.
+    *
+    * Scale shape: identical to [[kmvDistinct]] up to the per-group k-min
+    * lists (distinct partial-aggregates map-side, WindowGroupLimit prunes
+    * to ≤ k rows per group under the exchange); the pair stage then
+    * operates on ONE k-length array per group — G·(G−1)/2 pairs of
+    * k-element list merges, group-count-sized, never corpus-sized. When a
+    * merged sketch has fewer than k values both inputs were exhaustive,
+    * so union/intersection sizes are EXACT (the estimator branch is
+    * bypassed, same contract as [[kmvDistinct]]).
+    *
+    * Estimator arithmetic: integer ranks and intersections, one divide
+    * for J, one for the union estimate, one multiply — all IEEE-exact, so
+    * the whole surface oracles. Output per pair (g_a < g_b):
+    * (g_a, g_b, n_union_sketch, j, union_est, inter_est), j/ests rounded
+    * to 6.
+    */
+  def kmvPairwiseOverlap(df: DataFrame, groupCol: String, valueCol: Column,
+      k: Int, hash: Column => Column = Mixture.spreadHash,
+      hashSpace: Double = 1000000007.0): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val dh = df.select(col(groupCol).as("g"), hash(valueCol).as("__h")).distinct()
+    val mins = dh.withColumn("__rn",
+        row_number().over(Window.partitionBy("g").orderBy("__h")))
+      .filter(col("__rn") <= k)
+    val sketches = mins.groupBy("g")
+      .agg(sort_array(collect_list(col("__h"))).as("hs"))
+    val scale = (k - 1).toDouble * hashSpace
+    val merged = array_sort(array_distinct(concat(col("a.hs"), col("b.hs"))))
+    sketches.as("a").join(sketches.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("g_a"), col("b.g").as("g_b"),
+        slice(merged, 1, k).as("__u"),
+        col("a.hs").as("__ha"), col("b.hs").as("__hb"))
+      .select(col("g_a"), col("g_b"),
+        size(col("__u")).cast("long").as("n_union_sketch"),
+        round(size(array_intersect(array_intersect(col("__u"), col("__ha")),
+            col("__hb"))).cast("double")
+          / size(col("__u")).cast("double"), 6).as("j"),
+        when(size(col("__u")) < k, size(col("__u")).cast("double"))
+          .otherwise(round(lit(scale)
+            / element_at(col("__u"), size(col("__u"))).cast("double"), 6))
+          .as("union_est"))
+      .withColumn("inter_est", round(col("j") * col("union_est"), 6))
+  }
 }

@@ -106,4 +106,24 @@ class EventsSpec extends SparkTestBase {
       .select("l_id", "r_id").as[(Long, Long)].collect().toSet
     assert(binned == theta && theta.nonEmpty)
   }
+
+  test("retentionCohorts: hand-built triangle; re-activity within a day counts once") {
+    val day = 86400000000L
+    // u1: days 0,1 (twice on day 0 — must count once)
+    // u2: day 0 only;  u3: days 1,2
+    val ev = Seq(
+      (1L, 0L * day + 5L), (1L, 0L * day + 99L), (1L, 1L * day + 1L),
+      (2L, 0L * day + 7L),
+      (3L, 1L * day + 3L), (3L, 2L * day + 3L)
+    ).toDF("user_id", "us")
+    val rs = Events.retentionCohorts(ev, "user_id", "us")
+      .orderBy("cohort_day", "day_offset")
+      .select("cohort_day", "day_offset", "cohort_n", "n_active", "retention")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rs == Seq(
+      (0L, 0L, 2L, 2L, 1.0),  // u1, u2
+      (0L, 1L, 2L, 1L, 0.5),  // u1
+      (1L, 0L, 1L, 1L, 1.0),  // u3
+      (1L, 1L, 1L, 1L, 1.0))) // u3
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Lm
+
+class LmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bigramLmScore: hand-computed conditional probabilities") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams ab, ba, ab
+      (2L, "a b"),     // bigram ab
+      (3L, "x")        // no bigrams
+    ).toDF("doc_id", "text")
+    // c1: a=3, b=3, x=1; c2: ab=3, ba=1
+    // P(ab)=3/3=1.0, P(ba)=1/3=0.333333 (rounded to 6)
+    // doc1 = (2*1.0 + 1*0.333333)/3 = 0.777778; doc2 = 1.0; doc3 = null
+    val rs = Lm.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "lm_score")
+      .collect()
+    assert(rs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (2L, 1L), (3L, 0L)))
+    assert(rs(0).getDouble(2) == 0.777778)
+    assert(rs(1).getDouble(2) == 1.0)
+    assert(rs(2).isNullAt(2), "a doc without bigrams must score NULL, not 0")
+  }
+
+  test("bigramLmScore: null and empty text behave like no bigrams") {
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "w w"))
+      .toDF("doc_id", "text")
+    val rs = Lm.bigramLmScore(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(rs(0).getLong(1) == 0L && rs(0).isNullAt(2))
+    assert(rs(1).getLong(1) == 0L && rs(1).isNullAt(2))
+    // "w w": c2(ww)=1, c1(w)=2 -> 0.5
+    assert(rs(2).getLong(1) == 1L && rs(2).getDouble(2) == 0.5)
+  }
+
+  test("bpeMergeCandidates: vocab-weighted pair counts, ties break to the smaller pair") {
+    val docs = Seq((1L, "aab aab c"), (2L, "bc aab")).toDF("doc_id", "text")
+    // vocab (len >= 2): aab f=3, bc f=1; "c" is single-char -> excluded
+    // pairs: a+a 3, a+b 3, b+c 1
+    val rs = Lm.bpeMergeCandidates(docs, "text", topN = 20)
+      .select("rank", "pair", "cnt").as[(Int, String, Long)].collect().toSeq
+    assert(rs == Seq((1, "a+a", 3L), (2, "a+b", 3L), (3, "b+c", 1L)))
+  }
+
+  test("bpeMergeCandidates: counts characters, not bytes (multibyte-safe)") {
+    val docs = Seq((1L, "中文 中文")).toDF("doc_id", "text")
+    val rs = Lm.bpeMergeCandidates(docs, "text")
+      .select("pair", "cnt").as[(String, Long)].collect().toSeq
+    assert(rs == Seq(("中+文", 2L)))
+  }
+}

@@ -344,4 +344,33 @@ class PlanShapeSpec extends SparkTestBase {
       assert(unstarred.isEmpty,
         s"projection fell out of whole-stage codegen:\n${unstarred.mkString("\n")}\n$p")
     }
+
+  test("q105 bigram LM: model joins stay key-joins — no cross product, no corpus broadcast") {
+    val p = plan("q105_bigram_lm")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bigram/unigram model joins must be equi-joins on hash keys:\n$p")
+  }
+
+  test("q106 BPE: pair top-n heap-selects; the rank window sits above the bounded limit") {
+    val p = plan("q106_bpe_merges")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab pair top-n must heap-select, not globally sort:\n$p")
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val takeIdx = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(winIdx >= 0 && takeIdx > winIdx,
+      s"the rank Window must sit above the TakeOrderedAndProject:\n$p")
+  }
+
+  test("q107 kmv overlap: rank <= k prunes map-side; only sketch rows reach the pair stage") {
+    val p = plan("q107_kmv_overlap")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"the k-minimum set must prune under the exchange:\n$p")
+  }
+
+  test("q108 retention: aggregates only — no window sort, no cross product") {
+    val p = plan("q108_retention")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"cohorting is min-agg + counts, never a per-user window sort:\n$p")
+  }
 }

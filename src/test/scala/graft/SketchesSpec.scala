@@ -29,4 +29,43 @@ class SketchesSpec extends SparkTestBase {
       .orderBy("g").collect()
     assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
   }
+
+  test("kmvPairwiseOverlap: exact branch below k reports true union/intersection") {
+    // g1 = {a,b,c}, g2 = {b,c,d}, g3 = {x}: all sketches exhaustive at
+    // k=16, so the estimator branch is bypassed and sizes are exact
+    val df = Seq("g1" -> "a", "g1" -> "b", "g1" -> "c",
+      "g2" -> "b", "g2" -> "c", "g2" -> "d", "g3" -> "x",
+      "g1" -> "a" /* dup must not count */).toDF("g", "v")
+    val out = Sketches.kmvPairwiseOverlap(df, "g", col("v"), k = 16)
+      .orderBy("g_a", "g_b").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("g1", "g2"), ("g1", "g3"), ("g2", "g3")))
+    val r12 = out(0)
+    assert(r12.getLong(2) == 4L, "union sketch must hold all 4 distinct")
+    assert(r12.getDouble(3) == 0.5, s"J({a,b,c},{b,c,d}) = 2/4, got $r12")
+    assert(r12.getDouble(4) == 4.0 && r12.getDouble(5) == 2.0)
+    val r13 = out(1)
+    assert(r13.getDouble(3) == 0.0 && r13.getDouble(4) == 4.0
+      && r13.getDouble(5) == 0.0)
+  }
+
+  test("kmvPairwiseOverlap: estimator branch tracks true overlap within KMV error") {
+    // two 4000-value sets sharing half their values -> J = 1/3,
+    // |union| = 6000; k=64 keeps the sketch well below the set sizes.
+    // Long value strings: the default spread hash is a positional
+    // polynomial whose range collapses on very short strings (the same
+    // reason kmvDistinct's spec uses "value_%d" — and the scaladoc says
+    // to use xxhash64 in production)
+    val a = (0 until 4000).map(i => ("a", s"value_$i"))
+    val b = (2000 until 6000).map(i => ("b", s"value_$i"))
+    val out = Sketches.kmvPairwiseOverlap((a ++ b).toDF("g", "v"),
+      "g", col("v"), k = 64).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(2) == 64L, "union sketch must be full at k")
+    val (j, u, inter) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(math.abs(j - 1.0 / 3) < 0.2, s"J estimate $j too far from 1/3")
+    assert(math.abs(u - 6000.0) / 6000.0 < 0.5, s"union estimate $u too far")
+    assert(math.abs(inter - 2000.0) / 2000.0 < 0.7, s"inter estimate $inter too far")
+  }
 }
