@@ -1789,7 +1789,8 @@ object SparkEntry {
          |      FROM pd JOIN c2 USING (h1, h2) JOIN c1 USING (h1)),
          |s AS (SELECT doc_id, SUM(r * k) AS sr, SUM(k) AS n FROM j GROUP BY 1)
          |SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bigrams,
-         |       ROUND(CAST(s.sr AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS lm_score
+         |       CAST(CAST(s.sr * 1000000 AS BIGINT) // s.n AS DOUBLE) / 1000000.0
+         |         AS lm_score
          |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q106: word-frequency vocab, per-word char-pair unnest weighted by
     // f, count-desc/pair-asc rank — both engines compare pair strings as

@@ -43,10 +43,19 @@ object Lm {
     * never silently 0, which would look like measured gibberish).
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
-      hash: Column => Column = Mixture.spreadHash): DataFrame = {
-    val hs = df.select(col(idCol).as("__id"),
-      transform(split(coalesce(col(textCol), lit("")), " "), t => hash(t))
-        .as("__hs"))
+      hash: Option[Column => Column] = None): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim
+    val text = coalesce(col(textCol), lit(""))
+    // default path: ONE compiled scan (TokenSpreadHashes) — the
+    // transform() lambda form is CodegenFallback and would evict the
+    // projection from whole-stage codegen (the pinned q25/q77 lesson);
+    // a custom hash (e.g. xxhash64 at production scale) takes the HOF
+    val hashed = hash match {
+      case Some(h) => transform(split(text, " "), t => h(t))
+      case None => GraftColumnShim.column(graft.expressions.TokenSpreadHashes(
+        GraftColumnShim.expression(text)))
+    }
+    val hs = df.select(col(idCol).as("__id"), hashed.as("__hs"))
     // adjacent pairs via two aligned slices (map-only; length guard keeps
     // one-token docs at zero pairs instead of a negative slice length)
     val m = greatest(size(col("__hs")) - lit(1), lit(0))
@@ -70,9 +79,16 @@ object Lm {
       .agg(sum(col("__r") * col("k")).as("__s"), sum(col("k")).as("n_bigrams"))
     df.select(col(idCol))
       .join(scored, df(idCol) === scored("__id"), "left")
+      // the mean lands on 6 decimals via integer MICRO-UNITS: the decimal
+      // weighted sum is an exact integer of millionths, `div` floors it
+      // per bigram count, and the only floating op is one final /1e6 on
+      // identical operands. A double ROUND here sat exactly on IEEE half
+      // boundaries that Spark (exact decimal half-up) and DuckDB
+      // (float-multiply) break differently — 3 docs in 50k at sf0.1.
+      .withColumn("__sm", (col("__s") * lit(1000000)).cast("long"))
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(col("__s").cast("double") / col("n_bigrams").cast("double"), 6)
+        (expr("__sm div n_bigrams").cast("double") / lit(1000000.0))
           .as("lm_score"))
   }
 

@@ -15,14 +15,15 @@ class LmSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
     // c1: a=3, b=3, x=1; c2: ab=3, ba=1
     // P(ab)=3/3=1.0, P(ba)=1/3=0.333333 (rounded to 6)
-    // doc1 = (2*1.0 + 1*0.333333)/3 = 0.777778; doc2 = 1.0; doc3 = null
+    // doc1 = floor((2*1.0 + 1*0.333333)*1e6 / 3)/1e6 = 0.777777 (micro-unit
+    // floor -- see Lm's half-boundary note); doc2 = 1.0; doc3 = null
     val rs = Lm.bigramLmScore(docs, "doc_id", "text")
       .orderBy("doc_id")
       .select("doc_id", "n_bigrams", "lm_score")
       .collect()
     assert(rs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 3L), (2L, 1L), (3L, 0L)))
-    assert(rs(0).getDouble(2) == 0.777778)
+    assert(rs(0).getDouble(2) == 0.777777)
     assert(rs(1).getDouble(2) == 1.0)
     assert(rs(2).isNullAt(2), "a doc without bigrams must score NULL, not 0")
   }
@@ -35,6 +36,23 @@ class LmSpec extends SparkTestBase {
     assert(rs(1).getLong(1) == 0L && rs(1).isNullAt(2))
     // "w w": c2(ww)=1, c1(w)=2 -> 0.5
     assert(rs(2).getLong(1) == 1L && rs(2).getDouble(2) == 0.5)
+  }
+
+  test("TokenSpreadHashes: compiled scan equals split+spreadHash on edge shapes") {
+    import org.apache.spark.sql.GraftColumnShim
+    // leading/interior/trailing/consecutive spaces, empty, unicode —
+    // the compiled pass must reproduce split(" ", limit -1) exactly
+    val docs = Seq("a b", " a", "a ", "a  b", "", "中文 x", "solo")
+      .toDF("text")
+    val compiled = docs.select(GraftColumnShim.column(
+      graft.expressions.TokenSpreadHashes(
+        GraftColumnShim.expression(col("text")))).as("hs"))
+    val hof = docs.select(transform(split(col("text"), " "),
+      t => GraftColumnShim.column(graft.expressions.StrHash(
+          GraftColumnShim.expression(t)))
+        .mod(2147483647L).multiply(2654435761L).mod(1000000007L)).as("hs"))
+    assert(compiled.collect().map(_.getSeq[Long](0)).toSeq ==
+      hof.collect().map(_.getSeq[Long](0)).toSeq)
   }
 
   test("bpeMergeCandidates: vocab-weighted pair counts, ties break to the smaller pair") {

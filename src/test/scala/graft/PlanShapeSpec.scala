@@ -349,6 +349,8 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q105_bigram_lm")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"bigram/unigram model joins must be equi-joins on hash keys:\n$p")
+    assert(p.contains("graft_token_spread_hashes"),
+      s"token hashing must be the compiled one-pass scan, not a transform() lambda:\n$p")
   }
 
   test("q106 BPE: pair top-n heap-selects; the rank window sits above the bounded limit") {
