@@ -702,12 +702,15 @@ object SparkEntry {
       Sketches.kmvDistinct(tok, "lang", col("tk"), k = 16).orderBy("lang")
     }),
     // Winnowing overlap pairs — the MOSS decision surface. DECLARED
-    // BOUNDED VERIFY PRIMITIVE (like q28/q29): all-pairs over a mod-50
-    // sample verifies the sketch-intersection semantics; the scale path
-    // is explode + join on the fingerprint (bucket-confined), the same
-    // shape as the LSH candidate paths.
+    // BOUNDED VERIFY PRIMITIVE (like q28/q29): all-pairs over a FIXED
+    // sample (mod-50 within doc_id < 5000 — the q88 lesson: a sample
+    // that grows with the corpus makes all-pairs quadratic, ×16.7 at the
+    // 10× replica before the cap) verifies the sketch-intersection
+    // semantics; the scale path is explode + join on the fingerprint
+    // (bucket-confined), the same shape as the LSH candidate paths.
     "q104_winnow_overlap" -> ((s, dir) => {
-      val f = t(s, dir, "documents").filter(pmod(col("doc_id"), lit(50)) === 0)
+      val f = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(50)) === 0 && col("doc_id") < 5000)
         .select(col("doc_id").as("id"),
           TextAnalysis.winnowFingerprints(col("text"), k = 12, w = 4).as("fps"))
       f.as("a").join(f.as("b"), col("a.id") < col("b.id"))
@@ -1756,7 +1759,7 @@ object SparkEntry {
          |    i -> list_sum(list_transform(range(12),
          |         j -> ascii(substr(text, CAST(i + j + 1 AS INTEGER), 1))
          |              * (((j * 131) % 997) + 1)))) AS gh
-         |    FROM documents WHERE doc_id % 50 = 0),
+         |    FROM documents WHERE doc_id % 50 = 0 AND doc_id < 5000),
          |w2 AS (SELECT doc_id, gh, LEAST(4, len(gh)) AS win FROM g),
          |f AS (SELECT doc_id, CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
          |        ELSE list_sort(list_distinct(list_transform(
