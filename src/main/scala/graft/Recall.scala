@@ -126,13 +126,17 @@ object Recall {
     * spec can verify the twins' exact cosine independently of the LSH
     * path under test. */
   private[graft] def plantedUnion(emb: DataFrame): DataFrame = {
-    val planted = emb.select(
-      (col("vec_id") + lit(PlantStride)).as("vec_id"),
-      transform(col("embedding"), (x, j) =>
-        (x.cast("double") * (lit(1.0) + lit(0.4) *
-          (((lit(1103515245L) * (col("vec_id") * lit(64L) + j.cast("long"))
-            + lit(12345L)) % lit(2001L) - lit(1000L)).cast("double")
-            / lit(1000.0)))).cast("float")).as("embedding"))
+    // the jitter seeds from the SOURCE vec_id — renamed first, because a
+    // same-select reference to "vec_id" next to the `+ stride` alias
+    // resolves to the ALIAS (Spark's lateral column alias precedence),
+    // which silently shifted every seed by the stride
+    val planted = emb.select(col("vec_id").as("__src"), col("embedding"))
+      .select((col("__src") + lit(PlantStride)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x.cast("double") * (lit(1.0) + lit(0.4) *
+            (((lit(1103515245L) * (col("__src") * lit(64L) + j.cast("long"))
+              + lit(12345L)) % lit(2001L) - lit(1000L)).cast("double")
+              / lit(1000.0)))).cast("float")).as("embedding"))
     emb.unionByName(planted)
   }
 

@@ -750,6 +750,20 @@ object SparkEntry {
     "q108_retention" -> ((s, dir) =>
       Events.retentionCohorts(events(s, dir), "user_id", "us")
         .orderBy("cohort_day", "day_offset")),
+    // The planted-twin ground-truth eval, ORACLED: Recall.plantedUnion's
+    // deterministic jittered twins (cosine ≈ 0.97) union the fixture,
+    // and the 4-table SRP near-dup path must recover the (v, twin)
+    // pairs at minSim = 0.9 — the bench's trust metric as a
+    // hash-checked query. FIXED id cap (vec_id < 500): the eval set
+    // must not grow with the corpus (the q88/q104 lesson).
+    "q109_planted_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      Dedup.embeddingNearDupLsh(Recall.plantedUnion(emb), "vec_id",
+          "embedding", minSim = 0.9, dim = 64, nBits = 8, tables = 4)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
     // Corpus length-distribution report: exact per-lang percentiles over
     // the VALUE HISTOGRAM — the exchange carries distinct lengths, not
     // rows (Spark's own percentile agg buffers every row's value in its
@@ -1851,6 +1865,31 @@ object SparkEntry {
         |       ROUND(CAST(a.n_active AS DOUBLE) / CAST(sz.cohort_n AS DOUBLE), 6)
         |         AS retention
         |FROM a JOIN sz USING (cohort_day) ORDER BY cohort_day, day_offset""".stripMargin,
+    // q109: the twin construction replayed digit-for-digit (integer LCG
+    // jitter, same double op order, REAL cast), then q82's multi-table
+    // bucket→pair→cosine chain at the near-dup threshold
+    "q109_planted_neardup" -> {
+      val sim = s"${sqlDot("a.e", "c.e")} / (sqrt(${sqlDot("a.e", "a.e")}) * sqrt(${sqlDot("c.e", "c.e")}))"
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+         |twin AS (SELECT b.vec_id + 10000000 AS vec_id,
+         |           list_transform(range(64), j -> CAST(
+         |             CAST(b.embedding[j+1] AS DOUBLE) * (1.0 + 0.4 *
+         |               (CAST((1103515245*(b.vec_id*64 + j) + 12345) % 2001
+         |                     - 1000 AS DOUBLE) / 1000.0))
+         |             AS REAL)) AS embedding
+         |         FROM base b),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+         |b AS (SELECT vec_id AS id, embedding AS e, t.tbl AS tbl,
+         |             ${sqlSrpBucket("embedding", off = "t.tbl*8")} AS bucket
+         |      FROM u, (SELECT range AS tbl FROM range(4)) t),
+         |ok AS (SELECT tbl, bucket FROM b GROUP BY tbl, bucket
+         |       HAVING COUNT(*) BETWEEN 2 AND 1000),
+         |bb AS (SELECT b.id, b.e, b.tbl, b.bucket FROM b JOIN ok USING (tbl, bucket)),
+         |p AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b, $sim AS sim
+         |      FROM bb a JOIN bb c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.id < c.id)
+         |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
+         |WHERE sim >= 0.9 ORDER BY id_a, id_b""".stripMargin
+    },
     // q89: the histogram-percentile chain replayed — per-lang cumulative
     // counts over distinct lengths, bracketing values per fraction, one
     // p·(n−1) interpolation (identical arithmetic to the Spark side)
