@@ -205,4 +205,96 @@ class PropertySpec extends SparkTestBase {
     val bad = want.collect { case (id, w) if got(id) != w => (id, docs(id.toInt)._2, w, got(id)) }
     assert(bad.isEmpty, s"divergences: ${bad.take(5).mkString("\n")}")
   }
+
+  // local replica of the engine-portable spread hash (StrHash + 31-bit
+  // clamp + multiplicative mix) — the reference side of the sketch/LM
+  // properties below hashes with the SAME formula, so collisions fold
+  // identically on both sides
+  private def localSpread(s: String): Long = {
+    val raw = s.zipWithIndex.map { case (c, i) =>
+      c.toLong * (((i * 131) % 997) + 1)
+    }.sum
+    ((raw % 2147483647L) * 2654435761L) % 1000000007L
+  }
+
+  test("property: retentionCohorts matches a local reference on random event sets") {
+    val day = 86400000000L
+    val evGen = for {
+      u <- Gen.chooseNum(0L, 19L)
+      d <- Gen.chooseNum(0L, 9L)
+      off <- Gen.chooseNum(0L, day - 1)
+    } yield (u, d * day + off)
+    val events = sample(Gen.listOfN(300, evGen), 17L)
+    val ud = events.map { case (u, us) => (u, us / day) }.distinct
+    val cohort = ud.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val sizes = cohort.groupBy(_._2).map { case (d, us) => d -> us.size.toLong }
+    val want = ud.groupBy { case (u, d) => (cohort(u), d - cohort(u)) }
+      .map { case ((c, off), rows) =>
+        val nAct = rows.size.toLong
+        (c, off) -> ((sizes(c), nAct,
+          BigDecimal.valueOf(nAct.toDouble / sizes(c).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    val got = graft.operators.Events
+      .retentionCohorts(events.toDF("user_id", "us"), "user_id", "us")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (c, off, n, a, r) => (c, off) -> ((n, a, r)) }.toMap
+    assert(got == want, s"retention divergence: ${(got.toSet diff want.toSet).take(3)}")
+  }
+
+  test("property: kmvPairwiseOverlap exact branch equals naive set ops on random groups") {
+    // value pool of 20 << k = 32: every sketch is exhaustive, so union /
+    // jaccard / intersection must be EXACT (over hashed values — the
+    // reference hashes identically so collisions cancel)
+    val rowGen = for {
+      g <- Gen.oneOf("g0", "g1", "g2", "g3")
+      v <- Gen.chooseNum(0, 19).map(i => s"value_$i")
+    } yield (g, v)
+    val rows = sample(Gen.listOfN(200, rowGen), 19L)
+    val sets = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => localSpread(r._2)).toSet }
+    val want = sets.keys.toSeq.sorted.combinations(2).map { case Seq(a, b) =>
+      val (u, i) = (sets(a) union sets(b), sets(a) intersect sets(b))
+      val j = BigDecimal.valueOf(i.size.toDouble / u.size.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val uEst = u.size.toDouble
+      (a, b) -> ((u.size.toLong, j, uEst,
+        BigDecimal.valueOf(j * uEst)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = graft.operators.Sketches
+      .kmvPairwiseOverlap(rows.toDF("g", "v"), "g", col("v"), k = 32)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map { case (a, b, n, j, u, i) => (a, b) -> ((n, j, u, i)) }.toMap
+    assert(got == want, s"overlap divergence: ${(got.toSet diff want.toSet).take(3)}")
+  }
+
+  test("property: bigramLmScore matches a local reference on random token docs") {
+    val docGen = Gen.chooseNum(0, 10).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "bb", "ccc", "d", "ee")).map(_.mkString(" ")))
+    val docs = sample(Gen.listOfN(60, docGen), 23L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val hashed = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq.map(localSpread) }
+    val c1 = hashed.flatMap(_._2).groupBy(identity).map { case (h, o) => h -> o.size.toLong }
+    val bgs = hashed.map { case (id, hs) => id -> hs.zip(hs.drop(1)) }
+    val c2 = bgs.flatMap(_._2).groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+    val want = bgs.map { case (id, bg) =>
+      if (bg.isEmpty) id -> ((0L, None: Option[Double]))
+      else {
+        val sr = bg.map { p =>
+          BigDecimal.valueOf(c2(p).toDouble / c1(p._1).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        val sm = (sr * BigDecimal(1000000)).toLongExact
+        id -> ((bg.size.toLong,
+          Some((sm / bg.size).toDouble / 1000000.0)))
+      }
+    }.toMap
+    val got = graft.operators.Lm
+      .bigramLmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    assert(got == want,
+      s"LM divergence: ${(got.toSet diff want.toSet).take(3)} vs ${(want.toSet diff got.toSet).take(3)}")
+  }
 }
