@@ -63,20 +63,26 @@ object Lm {
         explode(arrays_zip(slice(col("__hs"), lit(1), m),
           slice(col("__hs"), lit(2), m))).as("__p"))
       .select(col("__id"), col("__p.0").as("h1"), col("__p.1").as("h2"))
-    // per-doc distinct bigrams FIRST: the corpus-sized exchange carries
-    // (id, h1, h2, k), and the model tables below are aggregates of it
-    val perDoc = bg.groupBy("__id", "h1", "h2").agg(count(lit(1)).as("k"))
-    val c2 = perDoc.groupBy("h1", "h2").agg(sum(col("k")).as("c2"))
+    // model tables aggregate the RAW streams: the bigram/token counts are
+    // zipfian, so partial aggregation collapses the head map-side. The
+    // occurrence stream joins the models directly — a per-doc distinct
+    // pre-aggregate would key on (id, h1, h2), which is mostly UNIQUE
+    // (the q83 lesson: near-unique keys defeat partial aggregation), so
+    // it would add a full corpus-sized exchange while shrinking nothing;
+    // dropping it cut the 100× replica wall by ~40%. The map-only scan
+    // re-runs once per consumer — one extra compiled pass is cheaper
+    // than one extra 25M-row exchange.
+    val c2 = bg.groupBy("h1", "h2").agg(count(lit(1)).as("c2"))
     val c1 = hs.select(explode(col("__hs")).as("h1"))
       .groupBy("h1").agg(count(lit(1)).as("c1"))
-    val scored = perDoc
+    val scored = bg
       .join(c2, Seq("h1", "h2"))
       .join(c1, Seq("h1"))
       .withColumn("__r",
         round(col("c2").cast("double") / col("c1").cast("double"), 6)
           .cast(DecimalType(18, 6)))
       .groupBy("__id")
-      .agg(sum(col("__r") * col("k")).as("__s"), sum(col("k")).as("n_bigrams"))
+      .agg(sum(col("__r")).as("__s"), count(lit(1)).as("n_bigrams"))
     df.select(col(idCol))
       .join(scored, df(idCol) === scored("__id"), "left")
       // the mean lands on 6 decimals via integer MICRO-UNITS: the decimal
