@@ -750,6 +750,25 @@ object SparkEntry {
     "q108_retention" -> ((s, dir) =>
       Events.retentionCohorts(events(s, dir), "user_id", "us")
         .orderBy("cohort_day", "day_offset")),
+    // JSONL ingest round-trip: the corpus exports to line-delimited JSON
+    // (the entry format of most LLM corpora) once per scale, then the
+    // query reads it back with an EXPLICIT schema (no inference pass —
+    // at 100 TB schema inference is a full extra scan) and aggregates.
+    // The oracle aggregates the ORIGINAL table: a hash match proves the
+    // write→read loop is lossless byte-for-byte through JSON escaping
+    // (newlines, quotes, CJK) — not merely self-consistent.
+    "q110_jsonl_roundtrip" -> ((s, dir) => {
+      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      val path = s"/root/repo/target/verify-jsonl/sf_$tag"
+      if (!new java.io.File(path).exists())
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+          .write.mode("overwrite").json(path)
+      s.read.schema("doc_id LONG, lang STRING, text STRING").json(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+        .orderBy("lang")
+    }),
     // The planted-twin ground-truth eval, ORACLED: Recall.plantedUnion's
     // deterministic jittered twins (cosine ≈ 0.97) union the fixture,
     // and the 4-table SRP near-dup path must recover the (v, twin)
@@ -1865,6 +1884,12 @@ object SparkEntry {
         |       ROUND(CAST(a.n_active AS DOUBLE) / CAST(sz.cohort_n AS DOUBLE), 6)
         |         AS retention
         |FROM a JOIN sz USING (cohort_day) ORDER BY cohort_day, day_offset""".stripMargin,
+    // q110: the oracle reads the ORIGINAL table — matching the Spark
+    // side's export→import aggregate proves the JSONL loop lossless
+    "q110_jsonl_roundtrip" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // q109: the twin construction replayed digit-for-digit (integer LCG
     // jitter, same double op order, REAL cast), then q82's multi-table
     // bucket→pair→cosine chain at the near-dup threshold
