@@ -1208,6 +1208,50 @@ object SparkEntry {
         .select(col("id"), col("lang"), col("n_chars"),
           length(col("document")).cast("int").as("n_doc"))
     }),
+    // C9 watermark semantics, ORACLED: three microbatches through a
+    // 1-hour-watermark tumbling window in APPEND mode. Timestamps are a
+    // pure function of event_id (3 min apart — identical at every sf;
+    // the fixture's own event times change density per scale), so batch
+    // 1 (events 0-99, spanning ~5 h) leaves the watermark at ~3.95 h,
+    // and batch 2's LATE copies of events 0-9 (windows ending <= 1 h)
+    // hit evicted state and MUST drop — if either engine counted them
+    // the per-window counts would differ. A final pusher row (+30 h)
+    // flushes every real window; its own window never closes, so it
+    // appears in no output. The oracle is the plain windowed count of
+    // the 200 real events: the late-drop and the append-mode emission
+    // set are exactly what the hash pins.
+    "q111_streaming_watermark" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingHydrator
+      import s.implicits._
+      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = t(s, dir, "events").filter(col("event_id") < 200)
+        .select(col("event_id"), col("event_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      def rows(lo: Long, hi: Long) = base
+        .filter { case (i, _) => i >= lo && i < hi }
+        .map { case (i, t) => (new java.sql.Timestamp(i * 180000L), t) }
+      val mem = MemoryStream[(java.sql.Timestamp, String)]
+      val qn = s"q111_out_${dir.hashCode.toLong & 0xffffffffL}"
+      s.catalog.dropTempView(qn)
+      val out = StreamingHydrator.windowedCounts(
+        mem.toDF().toDF("ts", "event_type"), "ts", "1 hour", "1 hour")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+      try {
+        mem.addData(rows(0, 100): _*)
+        q.processAllAvailable()
+        mem.addData(rows(100, 200) ++ rows(0, 10): _*) // 0-9 = late copies
+        q.processAllAvailable()
+        mem.addData(Seq((new java.sql.Timestamp(30L * 3600000L), "___push")): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+        .select(expr("unix_micros(window_start) div 3600000000").as("hr"),
+          col("event_type"), col("cnt"))
+        .orderBy("hr", "event_type")
+    }),
     // C9 END TO END: streaming hydration through the collection store —
     // a MemoryStream drained in THREE microbatches (overlapping ids across
     // batches, within-batch duplicate versions, one late old-version row),
@@ -1884,6 +1928,14 @@ object SparkEntry {
         |       ROUND(CAST(a.n_active AS DOUBLE) / CAST(sz.cohort_n AS DOUBLE), 6)
         |         AS retention
         |FROM a JOIN sz USING (cohort_day) ORDER BY cohort_day, day_offset""".stripMargin,
+    // q111: the oracle counts the 200 real events per (hour, type) —
+    // no late copies (their drop is the pinned semantic), no pusher
+    // (its window never closes under the final watermark)
+    "q111_streaming_watermark" ->
+      """SELECT (event_id * 180000000) // 3600000000 AS hr, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events WHERE event_id < 200
+        |GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
     // q110: the oracle reads the ORIGINAL table — matching the Spark
     // side's export→import aggregate proves the JSONL loop lossless
     "q110_jsonl_roundtrip" ->
