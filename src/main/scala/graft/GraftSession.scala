@@ -26,6 +26,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
+      // Spark 4's streaming checkpoint checksum layer doubles every WAL
+      // file op (offsets/commits each get a sidecar checksum write) and
+      // allocates a named thread pool PER checkpoint-file-manager instance
+      // — across a many-query suite these pools accumulated to hundreds of
+      // idle threads (measured r7: ~850 by suite end), and the extra
+      // serial file ops land on exactly the latency-sensitive path
+      // (per-microbatch commit). Corruption detection on a local/HDFS
+      // checkpoint dir is a deployment choice, not an engine semantic —
+      // re-enable it per-job where the checkpoint store warrants it.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
 
   /** Get-or-create with graft functions registered even when an existing
     * session (built elsewhere, e.g. by the driver) is returned. */

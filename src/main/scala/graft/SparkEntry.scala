@@ -440,6 +440,21 @@ object SparkEntry {
           minSim = 0.2, dim = 64, nBits = 8)
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")),
+    // The nBitsFor AUTO-SIZING dial under the oracle: bucket width sized
+    // from the live corpus count (ceil-div + bit-length, integer-exact —
+    // see nBitsFor's no-log rationale), then the same SRP pipeline as
+    // q61. The emitted n_bits column pins the dial's own output, and the
+    // oracle recomputes it from COUNT(*) with integer shifts — proving
+    // the sizing rule itself is portable, not just one frozen width.
+    "q113_autosized_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val nb = Dedup.nBitsFor(emb.count(), targetBucket = 50)
+      Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding",
+          minSim = 0.2, dim = 64, nBits = nb)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"),
+          lit(nb).as("n_bits"))
+        .orderBy("id_a", "id_b")
+    }),
     // Multi-probe recall dial: probes=2 additionally checks the bucket with
     // bit 0 flipped, reaching near-dup pairs that straddle one SRP
     // hyperplane (including rows that sit ALONE in their bucket) without
@@ -758,9 +773,23 @@ object SparkEntry {
     // write→read loop is lossless byte-for-byte through JSON escaping
     // (newlines, quotes, CJK) — not merely self-consistent.
     "q110_jsonl_roundtrip" -> ((s, dir) => {
-      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      // Export-cache key = fixture CONTENT (documents.parquet mtime+size),
+      // not the dir-path hash: a regenerated fixture (as happened in r6)
+      // or a colliding path hash must never silently reuse a stale export.
+      // All probes go through Hadoop FS, not java.io.File — the verify dir
+      // may be remote one day (same rationale as Ann.writeIvf).
+      import org.apache.hadoop.fs.Path
+      val hconf = s.sparkContext.hadoopConfiguration
+      val src = new Path(s"$dir/documents.parquet")
+      val st = src.getFileSystem(hconf).getFileStatus(src)
+      val tag = java.lang.Long.toHexString(
+        st.getModificationTime ^ (st.getLen * 1315423911L))
       val path = s"/root/repo/target/verify-jsonl/sf_$tag"
-      if (!new java.io.File(path).exists())
+      val outFs = new Path(path).getFileSystem(hconf)
+      // trust the cache only on a COMPLETE export: the _SUCCESS marker is
+      // written last by the committer, so a killed half-written export
+      // re-exports instead of producing a confusing hash mismatch
+      if (!outFs.exists(new Path(path, "_SUCCESS")))
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
           .write.mode("overwrite").json(path)
       s.read.schema("doc_id LONG, lang STRING, text STRING").json(path)
@@ -1298,6 +1327,64 @@ object SparkEntry {
       } finally q.stop()
       coll.get().select(col("id"), col("document"), col("ver"), col("src_batch"))
         .orderBy(col("id").cast("long"))
+    }),
+    // B8 SCALE PATH: `get(where_document=$contains)` served through the
+    // persisted trigram-postings index (DocIndex) — candidates come from
+    // the gp-pruned postings read, then the verbatim contains re-check
+    // runs on the confined set, so the hash must equal the plain-scan
+    // oracle. Hydrate-once with the q60 fingerprint discipline: the
+    // artifact is a persistent INDEXED collection; rebuilding per call
+    // would measure ingestion forever and the index path never.
+    "q112_docindex_contains" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      val fp = s"fmt1|$dir|n=${docs.count()}"
+      val reusable = cat.getCollection("dix").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasDocIndex)
+      val coll = if (reusable) cat.getCollection("dix").get else {
+        cat.deleteCollection("dix")
+        val c = cat.getOrCreateCollection("dix")
+        c.add(docs.select(col("doc_id").cast("string").as("id"),
+          col("text").as("document"), col("lang"), col("n_chars")))
+        c.buildDocIndex()
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      require(coll.hasDocIndex, "q112 must exercise the postings index")
+      coll.get(whereDoc = Some(ChromaFilter.Contains("vector table")))
+        .select(col("id"), col("lang"),
+          length(col("document")).cast("int").as("n_doc"))
+    }),
+    // B7×B8 COMPOSED through the store surface: one `get` combining $nin +
+    // $or + numeric-vs-map comparison + a where_document AND — the
+    // ChromaFilter.predicate path over MAP-typed metadata (keyResolver →
+    // element_at; numeric literals take the try_cast-double route). The
+    // pieces are oracled individually in q04-q09; this pins their
+    // composition and the map-lookup typing rules.
+    "q114_composite_filter_get" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("cf")
+      val coll = cat.getOrCreateCollection("cf")
+      coll.add(docs.filter(col("doc_id") < 400)
+        .select(col("doc_id").cast("string").as("id"), col("text").as("document"),
+          map(lit("lang"), col("lang"),
+            lit("n_chars"), col("n_chars").cast("string")).as("metadata")))
+      coll.get(
+          where = Some(ChromaFilter.And(Seq(
+            ChromaFilter.Nin("lang", Seq("de", "fr")),
+            ChromaFilter.Or(Seq(
+              ChromaFilter.Gt("n_chars", 150),
+              ChromaFilter.Eq("lang", "en")))))),
+          whereDoc = Some(ChromaFilter.AndDoc(Seq(
+            ChromaFilter.Contains("table"),
+            ChromaFilter.NotContains("slow")))))
+        .select(col("id"),
+          element_at(col("metadata"), "lang").as("lang"),
+          element_at(col("metadata"), "n_chars").cast("int").as("n_chars"),
+          length(col("document")).cast("int").as("n_doc"))
     }),
     // Curation: weighted source-mixture sampling to a token budget — the
     // data-mixing step of training-corpus assembly. The per-source rate
@@ -2037,6 +2124,30 @@ object SparkEntry {
          |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
          |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },
+    "q113_autosized_lsh" -> {
+      val sim = s"${sqlDot("a.e", "c.e")} / (sqrt(${sqlDot("a.e", "a.e")}) * sqrt(${sqlDot("c.e", "c.e")}))"
+      // nb replayed INTEGER-EXACT from COUNT(*): ceil-div via (+49)//50,
+      // bit-length via the smallest k with 2^k >= buckets (shift compare,
+      // no log — the libm-ceil trap nBitsFor's scaladoc documents)
+      s"""WITH nbv AS (SELECT ((COUNT(*) + 49) // 50) AS buckets FROM embeddings),
+         |nbx AS (SELECT CASE WHEN buckets <= 2 THEN 1
+         |               ELSE (SELECT MIN(k) FROM range(1,63) s(k)
+         |                     WHERE (CAST(1 AS BIGINT) << CAST(k AS INT)) >= buckets) END AS nb
+         |        FROM nbv),
+         |b AS (SELECT vec_id AS id, embedding AS e,
+         |        CAST(list_sum(list_transform(range((SELECT nb FROM nbx)), b ->
+         |          CASE WHEN list_sum(list_transform(range(64), j ->
+         |                 CAST(embedding[j+1] AS DOUBLE)
+         |                 * (((1103515245 * (b*64 + j) + 12345) % 2001 - 1000) / 1000.0))) >= 0
+         |               THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+         |      FROM embeddings),
+         |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) BETWEEN 2 AND 1000),
+         |bb AS (SELECT b.id, b.e, b.bucket FROM b JOIN ok USING (bucket)),
+         |p AS (SELECT a.id AS id_a, c.id AS id_b, $sim AS sim
+         |      FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.id < c.id)
+         |SELECT id_a, id_b, ROUND(sim, 4) AS sim, CAST((SELECT nb FROM nbx) AS INT) AS n_bits
+         |FROM p WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
+    },
     "q64_neardup_multiprobe" -> {
       val sim = s"${sqlDot("a.e", "c.e")} / (sqrt(${sqlDot("a.e", "a.e")}) * sqrt(${sqlDot("c.e", "c.e")}))"
       // probes=2: side a is unioned with its bit-0-flipped bucket; the
@@ -2475,6 +2586,27 @@ object SparkEntry {
         |         WHERE NOT (id IN ('5', '10', '15', '20') AND n_chars > 100))
         |SELECT id, lang, n_chars, CAST(length(document) AS INTEGER) AS n_doc
         |FROM kept WHERE lang IN ('en', 'es', 'xx') ORDER BY id""".stripMargin,
+    // q112: the postings-INDEX path must hash-match the plain scan — the
+    // index is a superset prefilter + verbatim re-check by construction,
+    // so the oracle is simply the linear-scan semantics.
+    "q112_docindex_contains" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, lang,
+        |CAST(length(text) AS INTEGER) AS n_doc
+        |FROM documents WHERE contains(text, 'vector table') ORDER BY id""".stripMargin,
+    // q114: the composed B7×B8 predicate through Collection.get over
+    // MAP-typed metadata. The map stores n_chars as a STRING; the numeric
+    // $gt literal makes the engine try_cast both sides to double, which
+    // on integer-valued strings is exactly the native integer comparison
+    // replayed here.
+    "q114_composite_filter_get" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, lang,
+        |CAST(n_chars AS INTEGER) AS n_chars,
+        |CAST(length(text) AS INTEGER) AS n_doc
+        |FROM documents
+        |WHERE doc_id < 400 AND NOT lang IN ('de', 'fr')
+        |  AND (n_chars > 150 OR lang = 'en')
+        |  AND contains(text, 'table') AND NOT contains(text, 'slow')
+        |ORDER BY id""".stripMargin,
     // q80: the streaming upsert sink's semantics in SQL — within a
     // microbatch the highest `ver` wins (upsert orderCol); across batches
     // the LAST batch containing an id wins (last-writer upsert, so the

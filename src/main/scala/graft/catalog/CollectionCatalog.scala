@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, ChromaFilter, Knn}
+import graft.operators.{Ann, ChromaFilter, DocIndex, Knn}
 
 /** fd-safe wrappers: `Files.list`/`Files.walk` hold an open directory fd
   * until closed — full iteration does NOT close them, so every call site
@@ -568,12 +568,31 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     else col(key)
   }
 
-  /** B5 get: point/filtered retrieval, deterministically paged by id. */
+  /** B5 get: point/filtered retrieval, deterministically paged by id.
+    *
+    * When a committed [[buildDocIndex postings index]] matches the current
+    * version and `whereDoc` is gram-confinable, the scan is first confined
+    * to the index's candidate ids (a left-semi join against the pruned
+    * postings read); the verbatim predicate is ALWAYS still applied, so
+    * the index can only shrink IO, never change the result. */
   def get(ids: Seq[String] = Nil, where: Option[Where] = None,
           whereDoc: Option[WhereDocument] = None,
           limit: Option[Int] = None, offset: Int = 0): DataFrame = {
-    var df = toDF
+    // one meta snapshot for BOTH the data read and the index adoption: a
+    // fresh re-read for the index could adopt a newer version than the
+    // data scan and confine it with the wrong posting lists
+    val m = meta
+    var df = currentDataOf(m) match {
+      case Some(p) => spark.read.option("mergeSchema", "true").parquet(p.toString).drop("pt")
+      case None => toDF // canonical empty frame
+    }
     if (ids.nonEmpty) df = df.filter(col("id").isin(ids: _*))
+    for {
+      wd <- whereDoc
+      idx <- currentDocIndex(m)
+      sets <- DocIndex.gramSets(wd)
+    } df = df.join(
+      DocIndex.candidates(spark, idx.toString, sets), Seq("id"), "left_semi")
     ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df))
       .foreach(p => df = df.filter(p))
     df = df.orderBy("id")
@@ -721,6 +740,58 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * scan). Explicit user intent — unlike rebuild, this DOES delete. */
   def dropIndex(): Boolean = {
     val builds = indexBuildsOf(meta.version)
+    builds.foreach(DirIO.deleteRecursively)
+    builds.nonEmpty
+  }
+
+  // ---- where_document postings index (SURVEY §2.B B8's scale path) ----
+  //
+  // Same MVCC discipline as the IVF index: version-pinned build dirs
+  // (`docindex_v<V>.b<B>/`, committed by `_graft_committed`), claimed via
+  // O_CREAT|O_EXCL directory create, adopted only while meta.version == V,
+  // superseded builds reclaimed by [[vacuum]]. Layout + query semantics:
+  // [[graft.operators.DocIndex]] (trigram postings; index answers are
+  // superset-prefilter + verbatim re-check, bit-identical to the scan).
+
+  private def docIndexPrefix(v: Int): String = f"docindex_v$v%06d"
+  private def docIndexBuildDir(v: Int, b: Int): Path =
+    dir.resolve(f"${docIndexPrefix(v)}.b$b%03d")
+
+  private def docIndexBuildsOf(v: Int): Seq[Path] = DirIO.list(dir)(_.filter { p =>
+    val n = p.getFileName.toString
+    Files.isDirectory(p) &&
+      (n == docIndexPrefix(v) || n.startsWith(docIndexPrefix(v) + ".b"))
+  }.toSeq)
+
+  private def currentDocIndex(m: CollectionMeta): Option[Path] =
+    docIndexBuildsOf(m.version)
+      .filter(p => Files.exists(p.resolve("_graft_committed")))
+      .sortBy(buildNumberOf).lastOption
+
+  def hasDocIndex: Boolean = currentDocIndex(meta).isDefined
+
+  /** Build the `where_document` postings index over the current version. */
+  def buildDocIndex(): Unit = {
+    val m = meta
+    require(currentDataOf(m).nonEmpty,
+      s"collection '${m.name}' is empty — nothing to index")
+    val data = currentWithPtOf(m)
+    require(data.columns.contains("document"),
+      s"collection '${m.name}' carries no document column — nothing to index")
+    var b = docIndexBuildsOf(m.version).map(buildNumberOf).maxOption.fold(0)(_ + 1)
+    var claimed: Path = null
+    while (claimed == null) {
+      try { Files.createDirectory(docIndexBuildDir(m.version, b)); claimed = docIndexBuildDir(m.version, b) }
+      catch { case _: java.nio.file.FileAlreadyExistsException => b += 1 }
+    }
+    DocIndex.write(data.select(col("id"), col("document")), "id", "document",
+      claimed.toString, maxRowsPerFile)
+    Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
+  }
+
+  /** Drop the current version's postings-index builds. */
+  def dropDocIndex(): Boolean = {
+    val builds = docIndexBuildsOf(meta.version)
     builds.foreach(DirIO.deleteRecursively)
     builds.nonEmpty
   }
@@ -1075,20 +1146,32 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val cutoff = current - keepHistory
     def versionOf(p: Path): Int =
       p.getFileName.toString.dropWhile(!_.isDigit).takeWhile(_.isDigit).toInt
+    // both index KINDS (IVF `index_v`, postings `docindex_v`) follow the
+    // same build discipline and are vacuumed alike; live-build tracking is
+    // keyed (kind, version) so the kinds never shadow each other.
+    // ORDER MATTERS in kindOf: "docindex_v" would also prefix-match a
+    // startsWith("index_v")==false, but keep the longer prefix first
+    // anyway so the intent is explicit.
+    def kindOf(p: Path): Option[String] = {
+      val n = p.getFileName.toString
+      if (n.startsWith("docindex_v")) Some("docindex")
+      else if (n.startsWith("index_v")) Some("index")
+      else None
+    }
     val versioned = DirIO.list(dir)(
       _.filter(p => Files.isDirectory(p) && (p.getFileName.toString.startsWith("data_v")
-          || p.getFileName.toString.startsWith("index_v")))
+          || kindOf(p).isDefined))
         .toSeq)
     // retained versions still shed superseded/crashed index BUILDS — only
     // the highest committed build (the one readers adopt) survives
-    val liveBuild: Map[Int, Int] = versioned
-      .filter(p => p.getFileName.toString.startsWith("index_v")
-        && Files.exists(p.resolve("_graft_committed")))
-      .groupBy(versionOf).view.mapValues(_.map(buildNumberOf).max).toMap
+    val liveBuild: Map[(String, Int), Int] = versioned
+      .filter(p => kindOf(p).isDefined && Files.exists(p.resolve("_graft_committed")))
+      .groupBy(p => (kindOf(p).get, versionOf(p)))
+      .view.mapValues(_.map(buildNumberOf).max).toMap
     val dead = versioned.filter { p =>
       val v = versionOf(p)
-      v < cutoff || (p.getFileName.toString.startsWith("index_v")
-        && liveBuild.get(v).exists(buildNumberOf(p) < _))
+      v < cutoff || kindOf(p).exists(k =>
+        liveBuild.get((k, v)).exists(buildNumberOf(p) < _))
     }
     dead.foreach(DirIO.deleteRecursively)
     // retired version-claim files (cutoff <= current, so the commit record

@@ -551,8 +551,15 @@ object Dedup {
   def nBitsFor(n: Long, targetBucket: Int): Int = {
     require(n >= 0 && targetBucket >= 1,
       s"need n >= 0 and targetBucket >= 1, got n=$n targetBucket=$targetBucket")
-    val buckets = math.ceil(n.toDouble / targetBucket)
-    math.max(1, math.ceil(math.log(math.max(buckets, 1.0)) / math.log(2.0)).toInt)
+    // INTEGER-EXACT on purpose (ceil-div then bit-length), not
+    // ceil(log(x)/log(2)): the libm ratio sits on an exact integer
+    // whenever buckets is a power of two, where last-ulp differences
+    // between runtimes flip the ceil — this dial must compute the same
+    // width on every engine that replays it (the q113 oracle does, via
+    // `<<` comparisons; see also the Lm scaladoc's no-log rationale).
+    val buckets = (n + targetBucket - 1) / targetBucket
+    if (buckets <= 2) 1
+    else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
   }
 
   /** Embedding-cosine near-dup pairs AT SCALE: sign-random-projection LSH

@@ -29,14 +29,19 @@ object Lm {
     *
     * 100 TB shape: tokens hash to longs map-side (`hash`, default the
     * engine-portable spread hash — pass xxhash64 at real scale, collision
-    * note on [[graft.expressions.StrHash]]), and the first aggregate is
-    * per-document distinct bigrams, so every exchange carries fixed-width
-    * (id, h1, h2, count) rows — never token strings (the q83/q99 lesson).
-    * The bigram-count table is distinct-bigram-sized and the unigram
-    * table vocab-sized; both join on long keys. The corpus itself shuffles
-    * once (its per-doc distinct bigrams), the model tables are the small
-    * sides — at bounded vocab the unigram side is broadcastable, but the
-    * bigram join dominates and stays a shuffle join by design.
+    * note on [[graft.expressions.StrHash]]), so every exchange carries
+    * fixed-width (id, h1, h2) rows — never token strings (the q83/q99
+    * lesson). The raw occurrence stream feeds the model aggregates AND
+    * joins them directly — there is deliberately NO per-document distinct
+    * pre-aggregate (its (id, h1, h2) key is mostly unique, so it would
+    * add a full corpus-sized exchange while shrinking nothing; removing
+    * it cut the 100x replica wall ~40%, see the inline comment below).
+    * Exchange profile: two corpus-sized shuffles total — the bigram-model
+    * groupBy and the score join — plus the vocab-sized unigram exchange;
+    * the zipfian head collapses map-side in both model aggregates. The
+    * model tables join back on long keys; at bounded vocab the unigram
+    * side is broadcastable, but the bigram join dominates and stays a
+    * shuffle join by design.
     *
     * Output: (idCol, n_bigrams, lm_score); a document with fewer than two
     * tokens has n_bigrams = 0 and a NULL score (the mean is undefined —

@@ -29,4 +29,12 @@ object GraftColumnShim {
     case _: internal.UnresolvedExtractValue => true
     case _ => false
   }
+
+  /** Unload every loaded state-store provider (and the files + checkpoint
+    * -manager pool each holds). `StateStore` is `private[sql]`; suite
+    * drivers that run many stateful streaming queries in one JVM call this
+    * between queries instead of waiting on the lazy maintenance eviction.
+    * Providers reload transparently on the next stateful query. */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
 }

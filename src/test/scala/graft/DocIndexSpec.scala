@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.catalog.CollectionCatalog
+import graft.operators.{ChromaFilter, DocIndex}
+import graft.operators.ChromaFilter._
+
+/** The where_document postings index (B8's scale path): gram algebra,
+  * candidate superset soundness, index-vs-scan result equality through
+  * Collection.get, plan confinement (partition pruning on gp), and the
+  * MVCC lifecycle (stale index never consulted, vacuum reclaims builds). */
+class DocIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    ("1", "the quick brown fox jumps"),
+    ("2", "pack my box with five dozen jugs"),
+    ("3", "quick boxes are brown"),
+    ("4", "ox"), // shorter than a gram — candidate for nothing
+    ("5", "slow brown turtle"),
+    ("6", null: String))
+
+  private def freshCatalog(): CollectionCatalog = {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "dix-test").toString
+    new CollectionCatalog(spark, root, numBuckets = 4)
+  }
+
+  private def hydrated(): graft.catalog.Collection = {
+    val c = freshCatalog().getOrCreateCollection("d")
+    c.add(corpus.toDF("id", "document"))
+    c
+  }
+
+  test("gramSets: OR-of-AND confinement algebra") {
+    assert(DocIndex.gramSets(Contains("brown")) ==
+      Some(Seq(Seq("bro", "row", "own"))))
+    assert(DocIndex.gramSets(Contains("ox")).isEmpty)       // too short
+    assert(DocIndex.gramSets(NotContains("brown")).isEmpty) // not confinable
+    // AND: NotContains contributes nothing, Contains children intersect
+    assert(DocIndex.gramSets(AndDoc(Seq(Contains("bro"), NotContains("x")))) ==
+      Some(Seq(Seq("bro"))))
+    assert(DocIndex.gramSets(AndDoc(Seq(Contains("bro"), Contains("own")))) ==
+      Some(Seq(Seq("bro", "own"))))
+    // OR: confinable only when every branch is
+    assert(DocIndex.gramSets(OrDoc(Seq(Contains("bro"), Contains("jug")))) ==
+      Some(Seq(Seq("bro"), Seq("jug"))))
+    assert(DocIndex.gramSets(OrDoc(Seq(Contains("bro"), Contains("ox")))).isEmpty)
+    assert(DocIndex.gramSets(OrDoc(Seq(Contains("bro"), NotContains("x")))).isEmpty)
+  }
+
+  test("candidates are a superset of true matches, and get() hash-matches the scan") {
+    val c = hydrated()
+    val scan = c.get(whereDoc = Some(Contains("brown")))
+      .select("id").as[String].collect().toSet
+    assert(scan == Set("1", "3", "5"))
+    c.buildDocIndex()
+    assert(c.hasDocIndex)
+    val indexed = c.get(whereDoc = Some(Contains("brown")))
+      .select("id").as[String].collect().toSet
+    assert(indexed == scan)
+    // substring straddling word boundary (grams include the space)
+    assert(c.get(whereDoc = Some(Contains("quick b")))
+      .select("id").as[String].collect().toSet == Set("1", "3"))
+    // not-contains re-check still applies on the confined set
+    assert(c.get(whereDoc = Some(AndDoc(Seq(Contains("brown"), NotContains("slow")))))
+      .select("id").as[String].collect().toSet == Set("1", "3"))
+    // unconfinable predicates fall back to the scan unchanged
+    assert(c.get(whereDoc = Some(NotContains("brown")))
+      .select("id").as[String].collect().toSet == Set("2", "4"))
+  }
+
+  test("index path is gp-partition-confined in the plan") {
+    val c = hydrated()
+    c.buildDocIndex()
+    val plan = c.get(whereDoc = Some(Contains("brown")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("docindex_v"), "the postings read must appear in the plan")
+    // the literal gp IN (...) list must reach the scan's partition filters
+    assert(plan.contains("PartitionFilters") && plan.contains("gp"),
+      s"expected gp partition pruning in:\n$plan")
+  }
+
+  test("mutation invalidates the index (stale postings never consulted)") {
+    val c = hydrated()
+    c.buildDocIndex()
+    assert(c.hasDocIndex)
+    c.upsert(Seq(("7", "a brand new brown bear")).toDF("id", "document"))
+    assert(!c.hasDocIndex) // version moved past the build
+    // falls back to the scan and still sees the new row
+    assert(c.get(whereDoc = Some(Contains("brown")))
+      .select("id").as[String].collect().toSet == Set("1", "3", "5", "7"))
+    // rebuild re-adopts on the new version
+    c.buildDocIndex()
+    assert(c.hasDocIndex)
+    assert(c.get(whereDoc = Some(Contains("brown")))
+      .select("id").as[String].collect().toSet == Set("1", "3", "5", "7"))
+  }
+
+  test("vacuum reclaims superseded doc-index builds but keeps the live one") {
+    val c = hydrated()
+    c.buildDocIndex()
+    c.buildDocIndex() // superseded build of the same version
+    c.upsert(Seq(("8", "more text here")).toDF("id", "document"))
+    c.buildDocIndex()
+    val reclaimed = c.vacuum()
+    assert(reclaimed >= 2) // old data version + at least the stale builds
+    assert(c.hasDocIndex)
+    assert(c.get(whereDoc = Some(Contains("brown")))
+      .select("id").as[String].collect().toSet == Set("1", "3", "5"))
+  }
+
+  test("short-doc and null-doc rows index to nothing but scan correctly") {
+    val c = hydrated()
+    c.buildDocIndex()
+    // "ox" appears as a substring in docs 1/2/3 ("fox", "box", "boxes") but
+    // the query is sub-gram — must take the scan path and still be right
+    assert(c.get(whereDoc = Some(Contains("ox")))
+      .select("id").as[String].collect().toSet == Set("1", "2", "3", "4"))
+  }
+}
