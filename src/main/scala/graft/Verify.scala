@@ -20,6 +20,26 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture parity guard: several oracles assume Spark (UTF-16-unit
+    // `length`/`substring`) and DuckDB (codepoint) agree, which holds only
+    // while no document carries astral-plane characters (> 0xFFFF: emoji,
+    // rare CJK). Today's fixtures satisfy this; if a regeneration ever
+    // breaks it, fail LOUDLY here instead of letting q105/q106-style
+    // hashes diverge silently mid-round. One cheap aggregate at dump time.
+    try {
+      import org.apache.spark.sql.functions._
+      val astral = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("text").rlike("[\\x{10000}-\\x{10FFFF}]")).count()
+      if (astral > 0) {
+        System.err.println(s"[verify] FATAL: $astral documents contain " +
+          "astral-plane codepoints; UTF-16-unit vs codepoint oracle parity " +
+          "(bpeMergeCandidates, TokenSpreadHashes) no longer holds — " +
+          "re-pin those oracles before trusting this dump")
+        sys.exit(3)
+      }
+    } catch { case e: Throwable if !e.isInstanceOf[scala.util.control.ControlThrowable] =>
+      System.err.println(s"[verify] astral-plane guard skipped: ${e.getMessage}")
+    }
     def deleteDir(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._

@@ -587,12 +587,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       case None => toDF // canonical empty frame
     }
     if (ids.nonEmpty) df = df.filter(col("id").isin(ids: _*))
-    for {
-      wd <- whereDoc
-      idx <- currentDocIndex(m)
-      sets <- DocIndex.gramSets(wd)
-    } df = df.join(
-      DocIndex.candidates(spark, idx.toString, sets), Seq("id"), "left_semi")
+    df = docIndexConfine(df, m, whereDoc)
     ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df))
       .foreach(p => df = df.filter(p))
     df = df.orderBy("id")
@@ -796,6 +791,22 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     builds.nonEmpty
   }
 
+  /** Confine `df` to the postings index's candidate ids when a committed
+    * index matches snapshot `m` and `whereDoc` is gram-confinable; no-op
+    * otherwise. Callers ALWAYS still apply the verbatim predicate — the
+    * index shrinks IO, never changes answers. Shared by get/query/
+    * queryBatch so every read surface takes the same scale path. */
+  private def docIndexConfine(
+      df: DataFrame, m: CollectionMeta,
+      whereDoc: Option[WhereDocument]): DataFrame =
+    (for {
+      wd <- whereDoc
+      idx <- currentDocIndex(m)
+      sets <- DocIndex.gramSets(wd)
+    } yield df.join(
+      DocIndex.candidates(spark, idx.toString, sets), Seq("id"), "left_semi"))
+      .getOrElse(df)
+
   /** B6 query: top-k nearest neighbors with optional prefilters. When a
     * committed index matches the current version, the scan prunes to the
     * `nprobe` nearest cells (Chroma parity: its HNSW read path is also
@@ -857,12 +868,13 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         // `cell` is the index layout's partition column — the isin lands in
         // the scan as a PartitionFilter, so only the probed cells' files
         // are even listed (PlanShapeSpec pins this)
-        val pruned = indexed.filter(col("cell").isin(cells: _*))
+        val pruned = docIndexConfine(
+          indexed.filter(col("cell").isin(cells: _*)), m, whereDoc)
         Knn.topK(pruned, "id", "embedding", queryVec, k, m.space,
           ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(indexed)))
           .drop("cell")
       case None =>
-        val df = toDF
+        val df = docIndexConfine(toDF, m, whereDoc)
         requireNoReserved(df, Seq("dist"))
         Knn.topK(df, "id", "embedding", queryVec, k, m.space,
           ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df)))
@@ -895,7 +907,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         val indexed = spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
         requireNoReserved(indexed.drop("cell"),
           Seq("qid", "rnk", "dist", "__qvec", "__qcells", "__na", "__nq"))
-        val pruned = indexed.filter(col("cell").isin(allCells: _*))
+        val pruned = docIndexConfine(
+          indexed.filter(col("cell").isin(allCells: _*)), m, whereDoc)
         ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(indexed))
           .map(pruned.filter).getOrElse(pruned) match { case base =>
             val spark0 = base.sparkSession
@@ -911,7 +924,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
               .drop("embedding", "__qvec", "__qcells", "cell")
         }
       case None =>
-        val df = toDF
+        val df = docIndexConfine(toDF, m, whereDoc)
         requireNoReserved(df, Seq("qid", "rnk", "dist", "__qvec", "__na", "__nq"))
         val spark0 = df.sparkSession
         import spark0.implicits._

@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.catalog.CollectionCatalog
+import graft.operators.ChromaFilter
+
+/** Scale evidence for the where_document postings index: hydrate the
+  * documents table into a collection, then time `get($contains)` as a
+  * LINEAR SCAN vs through the TRIGRAM POSTINGS INDEX (steady min of
+  * `runs` each, count() consumption), plus the one-time index build
+  * cost. Run at sf0.1 and the 10x replica to show the scan grows with
+  * the corpus while the index path grows with the match set.
+  *
+  * Usage: DocIndexAudit <sfDir> [runs]
+  */
+object DocIndexAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cat = new CollectionCatalog(spark, "/root/repo/target/docindex-audit", numBuckets = 8)
+    cat.deleteCollection("dxa")
+    val coll = cat.getOrCreateCollection("dxa")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"), col("text").as("document"))
+    coll.add(docs)
+    val n = coll.count()
+    def secMin(f: => Long): (Double, Long) = {
+      var best = Double.MaxValue; var rows = 0L
+      (1 to runs).foreach { _ =>
+        val t0 = System.nanoTime(); rows = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, rows)
+    }
+    val phrase = "vector table"
+    val wd = Some(ChromaFilter.Contains(phrase): ChromaFilter.WhereDocument)
+    val (scanS, scanRows) = secMin(coll.get(whereDoc = wd).count())
+    val t0 = System.nanoTime()
+    coll.buildDocIndex()
+    val buildS = (System.nanoTime() - t0) / 1e9
+    val (idxS, idxRows) = secMin(coll.get(whereDoc = wd).count())
+    require(scanRows == idxRows, s"index changed answers: $scanRows vs $idxRows")
+    // IO-confinement facts — the 100 TB argument wall-clock cannot show at
+    // fixture scale (where one full scan is milliseconds of IO and the
+    // index path pays more FIXED stage setup): the scan touches every
+    // corpus row on every call; the index path touches only the query
+    // grams' gp partitions and their postings rows, independent of the
+    // rest of the corpus.
+    import graft.operators.DocIndex
+    import graft.expressions.CharGrams
+    val grams = CharGrams.gramsOf(phrase, DocIndex.N)
+    val gps = grams.map(DocIndex.gpOf).distinct
+    val idxDir = java.nio.file.Files.list(
+        java.nio.file.Paths.get("/root/repo/target/docindex-audit/dxa"))
+    val postingsPath = try {
+      import scala.jdk.CollectionConverters._
+      idxDir.iterator.asScala.filter(_.getFileName.toString.startsWith("docindex_v"))
+        .toSeq.sortBy(_.getFileName.toString).last.toString
+    } finally idxDir.close()
+    val postings = spark.read.parquet(postingsPath)
+    val totalPostings = postings.count()
+    val readPostings = postings
+      .filter(col("gp").isin(gps: _*)).filter(col("gram").isin(grams: _*)).count()
+    println(f"""{"docindex_audit":{"sf":"$sfDir","corpus_rows":$n,"match_rows":$scanRows,"scan_s":$scanS%.3f,"build_s":$buildS%.3f,"indexed_s":$idxS%.3f,"postings_rows_total":$totalPostings,"postings_rows_read":$readPostings,"gp_partitions_read":${gps.size},"gp_partitions_total":${DocIndex.GpCount},"runs":$runs}}""")
+    cat.deleteCollection("dxa")
+    spark.stop()
+  }
+}
