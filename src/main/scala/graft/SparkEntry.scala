@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.catalog.CollectionCatalog
 import graft.functions.{Distances, TextAnalysis}
-import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Events, Knn, Lm, Mixture, Multimodal, Retrieval, Sketches, Skew}
+import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Events, HashingEmbedder, Knn, Lm, Mixture, Multimodal, Retrieval, Sketches, Skew}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + the builder prompt.
   *
@@ -1386,6 +1386,45 @@ object SparkEntry {
           element_at(col("metadata"), "n_chars").cast("int").as("n_chars"),
           length(col("document")).cast("int").as("n_doc"))
     }),
+    // The EMBEDDING-FUNCTION surface end-to-end (the one public chromadb
+    // call shape the reference never uses, sas:177-190 always passes
+    // vectors): `add(documents=...)` embeds server-side inside the write
+    // scan (compiled HashEmbed — portable signed feature hashing), the
+    // function binding is recorded in collection metadata, and
+    // `query(query_texts=...)` resolves the SAME function for the query
+    // side. The oracle recomputes every stored vector AND both query
+    // vectors from raw text in SQL, then replays the filtered cosine
+    // top-k — so storage, binding, and both embedding paths are all
+    // hash-pinned.
+    "q115_embedding_function" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("ef")
+      val coll = cat.getOrCreateCollection("ef", space = "cosine")
+      coll.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
+        col("text").as("document"), col("lang")), HashingEmbedder(16))
+      coll.queryText(
+          Seq("vector database search index", "streaming join throughput"),
+          k = 10, where = Some(ChromaFilter.In("lang", Seq("en", "es"))))
+        .select(col("qid"), col("rnk"), col("id"),
+          round(col("dist"), 4).as("dist"), col("lang"))
+        .orderBy("qid", "rnk")
+    }),
+    // Diversity-aware top-k: Maximal Marginal Relevance (Carbonell &
+    // Goldstein 1998), the re-rank every RAG stack layers over plain kNN.
+    // The candidate fetch is the distributed part (one scan → TakeOrdered
+    // top-40); the greedy phase is a bounded driver-side primitive over
+    // exactly those 40 rows. Selection ORDER and scores both hash-pin
+    // against an unrolled per-step SQL replay — argmax, tie-break, and
+    // the max-redundancy update all verified step by step.
+    "q116_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Retrieval.mmr(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          headVec(emb, 0), k = 8, fetchN = 40, lambda = 0.5)
+        .select(col("rnk"), col("vec_id"), round(col("score"), 4).as("score"))
+        .orderBy("rnk")
+    }),
     // Curation: weighted source-mixture sampling to a token budget — the
     // data-mixing step of training-corpus assembly. The per-source rate
     // table broadcasts back onto the corpus scan (the corpus never
@@ -2607,6 +2646,80 @@ object SparkEntry {
         |  AND (n_chars > 150 OR lang = 'en')
         |  AND contains(text, 'table') AND NOT contains(text, 'slow')
         |ORDER BY id""".stripMargin,
+    // q115: the server-side embedding function replayed from RAW TEXT on
+    // both the storage and the query side — signed feature hashing
+    // (bucket = strhash % 16, sign = parity of strhash // 16) built into
+    // per-doc vectors via a dense (doc × bucket) grid, then the filtered
+    // cosine top-k. Vector values are integral counts, so the engine's
+    // float32 storage and this DOUBLE replay agree bit-for-bit.
+    "q115_embedding_function" -> {
+      val hash = sqlStrHash("tm")
+      s"""WITH qt AS (SELECT * FROM (VALUES (0, 'vector database search index'),
+         |                                  (1, 'streaming join throughput')) AS q(qid, qtext)),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |         FROM documents),
+         |tk AS (SELECT doc_id, $hash AS h FROM toks WHERE length(tm) > 0),
+         |sums AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
+         |                SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |         FROM tk GROUP BY doc_id, b),
+         |grid AS (SELECT dd.doc_id, bb.b FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |         CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |vecs AS (SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |         FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.b
+         |         GROUP BY g.doc_id),
+         |qtoks AS (SELECT qid, unnest(string_split_regex(lower(qtext), '\\s+')) AS tm FROM qt),
+         |qtk AS (SELECT qid, $hash AS h FROM qtoks WHERE length(tm) > 0),
+         |qsums AS (SELECT qid, CAST(h % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY qid, b),
+         |qgrid AS (SELECT qq.qid, bb.b FROM (SELECT DISTINCT qid FROM qt) qq
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |qvecs AS (SELECT g.qid, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+         |          FROM qgrid g LEFT JOIN qsums s ON s.qid = g.qid AND s.b = g.b
+         |          GROUP BY g.qid),
+         |cd AS (SELECT q.qid, v.doc_id, d.lang, ${sqlCos("v.v", "q.qv")} AS dist_raw
+         |       FROM vecs v JOIN documents d ON d.doc_id = v.doc_id
+         |       CROSS JOIN qvecs q WHERE d.lang IN ('en', 'es')),
+         |r AS (SELECT qid, doc_id, lang, dist_raw, ROW_NUMBER() OVER
+         |        (PARTITION BY qid ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
+         |      FROM cd)
+         |SELECT qid, rnk, CAST(doc_id AS VARCHAR) AS id,
+         |       ROUND(dist_raw, 4) AS dist, lang
+         |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+    },
+    // q116: MMR's greedy trace unrolled — one (red, sc, sel, picked) CTE
+    // block per rank, each stage's argmax computed from the SAME candidate
+    // and pairwise-sim tables the engine's incremental max-redundancy
+    // walks. Selection order, tie-breaks AND scores all hash-pin.
+    // MATERIALIZED is load-bearing: each stage references picked_{i-1}
+    // twice and DuckDB inlines CTEs by default — unrolled over 8 ranks
+    // that's 2^8 re-evaluations of the candidate scan (minutes, not ms).
+    "q116_mmr_rerank" -> {
+      def sim(a: String, b: String) =
+        s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+      val stages = (2 to 8).map { i =>
+        s"""red_$i AS (SELECT p.ai AS vec_id, MAX(p.s) AS red FROM pairs p
+           |  JOIN picked_${i - 1} pk ON p.bi = pk.vec_id GROUP BY p.ai),
+           |sc_$i AS (SELECT c.vec_id, (0.5 * c.simq) - (0.5 * r.red) AS sc
+           |  FROM cand c JOIN red_$i r ON r.vec_id = c.vec_id
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM picked_${i - 1})),
+           |sel_$i AS (SELECT vec_id, $i AS rnk, sc FROM sc_$i
+           |  ORDER BY sc DESC, vec_id LIMIT 1),
+           |picked_$i AS MATERIALIZED (SELECT * FROM picked_${i - 1} UNION ALL SELECT * FROM sel_$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (SELECT e.vec_id, e.embedding AS v, ${sim("e.embedding", "q.qe")} AS simq
+         |         FROM embeddings e, q WHERE e.vec_id <> 0
+         |         ORDER BY simq DESC, e.vec_id LIMIT 40),
+         |pairs AS MATERIALIZED (SELECT a.vec_id AS ai, b.vec_id AS bi, ${sim("a.v", "b.v")} AS s
+         |          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |picked_1 AS MATERIALIZED (SELECT vec_id, 1 AS rnk, (0.5 * simq) - (0.5 * 0.0) AS sc
+         |             FROM cand ORDER BY simq DESC, vec_id LIMIT 1),
+         |$stages
+         |SELECT rnk, vec_id, ROUND(sc, 4) AS score FROM picked_8 ORDER BY rnk"""
+        .stripMargin
+    },
     // q80: the streaming upsert sink's semantics in SQL — within a
     // microbatch the highest `ver` wins (upsert orderCol); across batches
     // the LAST batch containing an id wins (last-writer upsert, so the

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, ChromaFilter, DocIndex, Knn}
+import graft.operators.{Ann, ChromaFilter, DocIndex, Embedder, EmbeddingFunction, Knn, Retrieval}
 
 /** fd-safe wrappers: `Files.list`/`Files.walk` hold an open directory fd
   * until closed — full iteration does NOT close them, so every call site
@@ -486,6 +486,99 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
             beforeCommit()
           })
     }
+  }
+
+  /** Server-side embedding add — `collection.add(documents=...)` WITHOUT
+    * precomputed vectors, the one public chromadb call shape the reference
+    * never exercises (it always passes vectors, sas:177-190). The
+    * embedding is a compiled per-row expression ([[graft.expressions
+    * .HashEmbed]]) riding the add's own write scan: no extra pass, no
+    * shuffle. The function's name is recorded in collection metadata
+    * (`embedding_function`), chromadb-style, so [[queryText]] later
+    * resolves the exact same function — and a second addDocuments with a
+    * DIFFERENT function is rejected (vectors from two functions in one
+    * collection compare as garbage, silently).
+    *
+    * Cosine space rejects zero-vector documents pre-commit (cosine is
+    * undefined on them; Chroma's normalization raises the same way) via an
+    * `observe()` on the write scan — detection costs no extra pass and a
+    * rejection abandons the claimed version, nothing is ever served. */
+  def addDocuments(batch: DataFrame, ef: EmbeddingFunction,
+                   beforeCommit: () => Unit = () => ()): Unit = {
+    require(!batch.columns.contains("embedding"),
+      "addDocuments embeds server-side — use add() for precomputed vectors")
+    require(batch.columns.contains("document"),
+      "addDocuments needs a 'document' column to embed")
+    meta.metadata.get("embedding_function") match {
+      case Some(n) => require(n == ef.name,
+        s"collection '$name' is bound to embedding function '$n', got '${ef.name}'")
+      case None => modifyMetadata(Map("embedding_function" -> ef.name))
+    }
+    val embedded = batch.withColumn("embedding", ef.embedText(col("document")))
+    if (space == "cosine") {
+      val obs = Observation()
+      val zeroVec = not(exists(col("embedding"), x => x =!= lit(0.0f)))
+      add(embedded.observe(obs, sum(when(zeroVec, 1L).otherwise(0L)).as("zero_vecs")),
+        beforeCommit = () => {
+          // fail CLOSED, like the add clash probe: a missing metric aborts
+          val zeros = obs.get.get("zero_vecs") match {
+            case Some(l: java.lang.Long) => l.longValue()
+            case Some(null) => 0L
+            case other => throw new IllegalStateException(
+              s"zero-vector probe metric missing or mistyped: $other")
+          }
+          require(zeros == 0L,
+            s"$zeros document(s) embed to the zero vector — cosine distance is undefined; " +
+              "drop them or use l2/ip space")
+          beforeCommit()
+        })
+    } else add(embedded, beforeCommit)
+  }
+
+  /** `query(query_texts=...)`: embed the texts driver-side with the
+    * collection's RECORDED embedding function (never a caller-supplied
+    * one — the binding is what guarantees query vectors and stored
+    * vectors come from the same function), then the standard vector read
+    * path: index-pruned, prefiltered, batched. */
+  def queryText(texts: Seq[String], k: Int, where: Option[Where] = None,
+                whereDoc: Option[WhereDocument] = None, nprobe: Int = 0,
+                exact: Boolean = false): DataFrame = {
+    require(texts.nonEmpty, "queryText needs at least one query text")
+    val efName = meta.metadata.getOrElse("embedding_function",
+      throw new IllegalStateException(
+        s"collection '$name' has no registered embedding function — " +
+          "hydrate via addDocuments, or query with explicit vectors"))
+    val ef = Embedder.fromName(efName)
+    queryBatch(texts.map(t => ef.embedOne(t)), k, where, whereDoc, nprobe, exact)
+  }
+
+  /** Diversity-aware top-k (Maximal Marginal Relevance) over the store:
+    * the candidate fetch takes the SAME pruned path as [[query]] (IVF
+    * cells when a committed index matches, postings-confined whereDoc,
+    * verbatim prefilters), then [[Retrieval.mmr]]'s bounded greedy
+    * re-ranks the fetchN survivors. Cosine-space only — MMR's redundancy
+    * term is a similarity, and mixing it with l2/ip relevance has no
+    * standard semantics. */
+  def queryMmr(queryVec: Seq[Float], k: Int, fetchN: Int = 100,
+               lambda: Double = 0.5, where: Option[Where] = None,
+               whereDoc: Option[WhereDocument] = None, nprobe: Int = 0,
+               exact: Boolean = false): DataFrame = {
+    require(space == "cosine",
+      s"queryMmr requires a cosine-space collection, got '$space'")
+    requireDim(queryVec.length)
+    val m = meta
+    val base = (if (exact) None else currentIndex(m)) match {
+      case Some((idxPath, cents)) =>
+        val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
+        spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
+          .filter(col("cell").isin(cells: _*)).drop("cell")
+      case None => toDF
+    }
+    val confined = docIndexConfine(base, m, whereDoc)
+    val filtered = ChromaFilter.predicate(where, whereDoc, col("document"),
+      keyResolver(confined)).map(confined.filter).getOrElse(confined)
+    Retrieval.mmr(filtered, "id", "embedding", queryVec, k, fetchN, lambda)
+      .withColumnRenamed("score", "mmr_score")
   }
 
   /** B2 upsert: insert-or-replace by id; within-batch duplicates resolve

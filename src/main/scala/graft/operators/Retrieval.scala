@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -93,5 +95,108 @@ object Retrieval {
       .map(i => coalesce(col(s"c$i"), lit(0.0)))
       .reduce(_ + _)
     merged.select(col("id"), round(total, 6).as("rrf"))
+  }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998) — the
+    * diversity-aware top-k every RAG stack layers over plain kNN (e.g.
+    * LangChain's `max_marginal_relevance_search` on its Chroma wrapper):
+    * greedily select k of the `fetchN` most query-similar candidates,
+    * each pick maximizing
+    *
+    *   λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    *
+    * over cosine similarity, ties broken by id ascending; the first pick
+    * (empty selected set) is pure relevance with a redundancy term of 0.
+    *
+    * 100 TB shape: the DISTRIBUTED part is the candidate fetch — one
+    * corpus scan computing sim(q, ·) into a TakeOrdered top-fetchN (heap
+    * per partition, fetchN·P rows to one reducer, never a global sort).
+    * The greedy phase is a DECLARED BOUNDED driver-side primitive over
+    * exactly fetchN rows (fetchN·dim floats — KBs): MMR's selection is
+    * inherently sequential in k, and k·fetchN ≪ any distribution
+    * overhead. Corpus size never reaches the driver.
+    *
+    * Determinism: sims and scores use only IEEE-exact ops folded in
+    * element order (the same sequential fold as the codegen'd distance
+    * expressions), so the whole greedy trace replays in SQL — q116
+    * hash-pins selection order AND scores against an unrolled oracle.
+    */
+  def mmr(df: DataFrame, idCol: String, embCol: String, queryVec: Seq[Float],
+          k: Int, fetchN: Int, lambda: Double = 0.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = df.sparkSession
+    val q = typedLit(queryVec)
+    val cands = df
+      .select(col(idCol), col(embCol),
+        graft.functions.Distances.cosineSim(col(embCol), q).as("__simq"))
+      .orderBy(col("__simq").desc, col(idCol))
+      .limit(fetchN)
+      .collect() // bounded: exactly ≤ fetchN rows by construction
+    val n = cands.length
+    val ids = cands.map(_.get(0))
+    val embs = cands.map(_.getSeq[Float](1).toArray)
+    val simq = cands.map(_.getDouble(2))
+    // incremental max-redundancy: after each pick p, red(c) ← max(red(c),
+    // sim(c, p)) — the O(k·n) form of the arg-max over the selected set.
+    // Initialized to −∞, NOT 0: cosine similarity is signed, and a 0 floor
+    // would silently clamp the redundancy of anti-correlated candidates
+    // (exactly the ones MMR should favor). Rank 1's empty-set term is 0 by
+    // the MMR convention, handled explicitly.
+    val red = Array.fill(n)(Double.NegativeInfinity)
+    val taken = Array.fill(n)(false)
+    val out = Seq.newBuilder[(Int, Any, Double)]
+    for (rank <- 1 to math.min(k, n)) {
+      var best = -1
+      var bestSc = 0.0
+      for (c <- 0 until n if !taken(c)) {
+        val sc = lambda * simq(c) - (1 - lambda) * (if (rank == 1) 0.0 else red(c))
+        // candidate array order is (simq desc, id) — NOT id order — so an
+        // exact score tie must compare ids explicitly (oracle: sc DESC, id)
+        if (best < 0 || sc > bestSc || (sc == bestSc && idLt(ids(c), ids(best))))
+        { best = c; bestSc = sc }
+      }
+      taken(best) = true
+      out += ((rank, ids(best), bestSc))
+      for (c <- 0 until n if !taken(c)) {
+        val s = cosSimArrays(embs(c), embs(best))
+        if (s > red(c)) red(c) = s
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rnk",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      df.schema(idCol).copy(name = idCol),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      out.result().map { case (r, id, sc) =>
+        org.apache.spark.sql.Row(r, id, sc) }.asJava, schema)
+  }
+
+  /** Id ascending for the mmr tie-break — typed, LOUD on an id type the
+    * comparison doesn't cover (a silent toString order would diverge from
+    * the oracle's numeric order exactly when it matters). */
+  private def idLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Int, y: Int) => x < y
+    case (x: String, y: String) => x.compareTo(y) < 0
+    case _ => throw new IllegalArgumentException(
+      s"unsupported mmr id type: ${a.getClass.getName}")
+  }
+
+  /** Driver-side cosine similarity with the SAME element-order sequential
+    * double fold as the codegen'd distance expressions / `list_sum` — the
+    * bit-parity contract the mmr oracle depends on. */
+  private[graft] def cosSimArrays(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }

@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.CollectionCatalog
+import graft.expressions.HashEmbed
+import graft.operators.{ChromaFilter, Embedder, HashingEmbedder, Retrieval}
+
+/** The server-side embedding surface (`add(documents=...)` /
+  * `query(query_texts=...)`) and the MMR re-rank: hash-embedder
+  * determinism + distributed-vs-driver parity, the collection function
+  * binding, zero-vector rejection, and the greedy MMR trace. */
+class EmbedderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshCatalog(): CollectionCatalog = {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ef-test").toString
+    new CollectionCatalog(spark, root, numBuckets = 4)
+  }
+
+  // ---- HashEmbed / HashingEmbedder ----
+
+  test("embedText (distributed) == embedOne (driver) on varied inputs") {
+    val ef = HashingEmbedder(8)
+    val texts = Seq(
+      "the quick brown fox", "  leading and   multiple   spaces ",
+      "tabs\tand\nnewlines", "UPPER Mixed loWer", "one", "",
+      "café über naïve", "a b a b a")
+    val dist = texts.toDF("t")
+      .select(ef.embedText(col("t")).as("v")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+    val drv = texts.map(t => ef.embedOne(t).toSeq)
+    assert(dist == drv)
+  }
+
+  test("embedding is signed-count valued, dim-wide, tokenization-exact") {
+    val ef = HashingEmbedder(4)
+    val v = ef.embedOne("x y x")
+    assert(v.length == 4)
+    // integral values, |sum of magnitudes| ≤ token count
+    assert(v.forall(f => f == f.toInt.toFloat))
+    assert(v.map(f => math.abs(f.toInt)).sum <= 3)
+    // whitespace runs and empties don't contribute
+    assert(ef.embedOne(" x  y \t x \n") == v)
+    // case-insensitive
+    assert(ef.embedOne("X Y x") == v)
+  }
+
+  test("HashEmbed matches the documented strhash/bucket/sign arithmetic") {
+    def strhash(s: String): Long =
+      s.zipWithIndex.map { case (c, i) => c.toLong * (((i * 131) % 997) + 1) }.sum
+    val dim = 8
+    val tok = "fox"
+    val h = strhash(tok)
+    val expected = Array.fill(dim)(0f)
+    expected((h % dim).toInt) = if ((h / dim) % 2 == 0) 1f else -1f
+    assert(HashEmbed.embed(tok, dim).toSeq == expected.toSeq)
+  }
+
+  test("Embedder.fromName round-trips and rejects unknown names") {
+    val ef = HashingEmbedder(32)
+    assert(Embedder.fromName(ef.name) == ef)
+    intercept[IllegalArgumentException](Embedder.fromName("all-MiniLM-L6-v2"))
+    intercept[IllegalArgumentException](Embedder.fromName("graft-hash-v1/abc"))
+  }
+
+  // ---- collection binding ----
+
+  test("addDocuments embeds, records the binding, and queryText round-trips") {
+    val coll = freshCatalog().getOrCreateCollection("ef", space = "cosine")
+    val docs = Seq(
+      ("1", "spark shuffles partitions", "en"),
+      ("2", "ducks swim on the pond", "en"),
+      ("3", "spark shuffles partitions wildly", "en"),
+      ("4", "rien ne va plus", "fr")).toDF("id", "document", "lang")
+    coll.addDocuments(docs, HashingEmbedder(16))
+    assert(coll.meta.metadata("embedding_function") == "graft-hash-v1/16")
+    assert(coll.count() == 4)
+    // stored vectors are the embedder's output
+    val stored = coll.get(ids = Seq("2")).select("embedding")
+      .head().getSeq[Float](0).toSeq
+    assert(stored == HashingEmbedder(16).embedOne("ducks swim on the pond"))
+    // querying WITH the exact text of doc 1 must rank doc 1 first (cosine 0)
+    val hits = coll.queryText(Seq("spark shuffles partitions"), k = 2)
+      .orderBy("rnk").select("id").as[String].collect()
+    assert(hits.head == "1")
+    // prefilter composes
+    val fr = coll.queryText(Seq("rien ne va"), k = 4,
+      where = Some(ChromaFilter.Eq("lang", "fr")))
+    assert(fr.select("id").as[String].collect().toSeq == Seq("4"))
+  }
+
+  test("a second addDocuments with a different function is rejected") {
+    val coll = freshCatalog().getOrCreateCollection("ef2", space = "cosine")
+    coll.addDocuments(Seq(("1", "a b c")).toDF("id", "document"), HashingEmbedder(8))
+    val e = intercept[IllegalArgumentException] {
+      coll.addDocuments(Seq(("2", "d e f")).toDF("id", "document"), HashingEmbedder(16))
+    }
+    assert(e.getMessage.contains("bound to embedding function"))
+    // same function is fine
+    coll.addDocuments(Seq(("2", "d e f")).toDF("id", "document"), HashingEmbedder(8))
+    assert(coll.count() == 2)
+  }
+
+  test("queryText without a recorded function fails loudly") {
+    val coll = freshCatalog().getOrCreateCollection("ef3", space = "cosine")
+    coll.add(Seq(("1", "doc", Seq(1f, 2f))).toDF("id", "document", "embedding"))
+    val e = intercept[IllegalStateException](coll.queryText(Seq("doc"), k = 1))
+    assert(e.getMessage.contains("no registered embedding function"))
+  }
+
+  test("cosine-space zero-vector documents are rejected pre-commit") {
+    val coll = freshCatalog().getOrCreateCollection("ef4", space = "cosine")
+    // whitespace-only text → no tokens → zero vector
+    val e = intercept[Exception] {
+      coll.addDocuments(Seq(("1", "ok doc"), ("2", "   ")).toDF("id", "document"),
+        HashingEmbedder(8))
+    }
+    assert(e.getMessage.contains("zero vector"))
+    // the rejected version was abandoned: nothing committed
+    assert(coll.count() == 0)
+    // l2 space admits the same batch (distance defined everywhere)
+    val l2 = freshCatalog().getOrCreateCollection("ef5", space = "l2")
+    l2.addDocuments(Seq(("1", "ok doc"), ("2", "   ")).toDF("id", "document"),
+      HashingEmbedder(8))
+    assert(l2.count() == 2)
+  }
+
+  // ---- MMR ----
+
+  test("mmr trades relevance for diversity and breaks ties by id") {
+    // query q; a,b nearly parallel to q (redundant pair); c moderately
+    // relevant but ANTI-correlated with a on the y-axis, so its marginal
+    // score beats b's (whose redundancy with a eats its whole relevance)
+    val q = Seq(1f, 0f, 0f)
+    val rows = Seq(
+      (1L, Seq(1f, 0.1f, 0f)),    // sim ~0.995
+      (2L, Seq(1f, 0.11f, 0f)),   // sim ~0.994, redundant with 1
+      (3L, Seq(0.3f, -0.9f, 0f))  // sim ~0.316, diverse
+    ).toDF("id", "embedding")
+    val plain = Retrieval.mmr(rows, "id", "embedding", q,
+      k = 2, fetchN = 3, lambda = 1.0) // λ=1: pure relevance
+    assert(plain.select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+    val diverse = Retrieval.mmr(rows, "id", "embedding", q,
+      k = 2, fetchN = 3, lambda = 0.5)
+    assert(diverse.select("id").as[Long].collect().toSeq == Seq(1L, 3L))
+    // ranks are 1-based and ordered
+    assert(diverse.select("rnk").as[Int].collect().toSeq == Seq(1, 2))
+  }
+
+  test("mmr yields at most candidate-count rows and validates args") {
+    val rows = Seq((1L, Seq(1f, 0f))).toDF("id", "embedding")
+    val r = Retrieval.mmr(rows, "id", "embedding", Seq(1f, 0f), k = 5, fetchN = 5)
+    assert(r.count() == 1)
+    intercept[IllegalArgumentException](
+      Retrieval.mmr(rows, "id", "embedding", Seq(1f, 0f), k = 3, fetchN = 2))
+    intercept[IllegalArgumentException](
+      Retrieval.mmr(rows, "id", "embedding", Seq(1f, 0f), k = 0, fetchN = 2))
+    intercept[IllegalArgumentException](
+      Retrieval.mmr(rows, "id", "embedding", Seq(1f, 0f), k = 1, fetchN = 1, lambda = 1.5))
+  }
+
+  test("Collection.queryMmr == Retrieval.mmr over the same contents") {
+    val coll = freshCatalog().getOrCreateCollection("mmr", space = "cosine")
+    val batch = (0 until 20).map { i =>
+      (i.toString, s"doc $i", Seq(math.cos(i * 0.3).toFloat,
+        math.sin(i * 0.3).toFloat, (i % 5).toFloat))
+    }.toDF("id", "document", "embedding")
+    coll.add(batch)
+    val q = Seq(1f, 0f, 1f)
+    val viaColl = coll.queryMmr(q, k = 4, fetchN = 10)
+      .select("rnk", "id", "mmr_score").collect().toSeq
+    val direct = Retrieval.mmr(coll.toDF, "id", "embedding", q, k = 4, fetchN = 10)
+      .select("rnk", "id", "score").collect().toSeq
+    assert(viaColl == direct)
+    // l2 collections reject MMR
+    val l2 = freshCatalog().getOrCreateCollection("mmr2", space = "l2")
+    l2.add(batch)
+    intercept[IllegalArgumentException](l2.queryMmr(q, k = 2, fetchN = 4))
+  }
+}
