@@ -798,6 +798,63 @@ object SparkEntry {
           sum(length(col("text"))).cast("long").as("n_chars"))
         .orderBy("lang")
     }),
+    // CSV ingest round-trip, q110's pattern with the quoting semantics CSV
+    // adds: the fixture text has no embedded newlines/quotes/commas, so a
+    // constructed `gnarly` column (comma + double-quote + newline prefix)
+    // forces the writer through quoting + escape + multi-line records. The
+    // oracle aggregates the ORIGINAL table with the same construction — a
+    // hash match proves write→multiLine-read lossless where CSV is
+    // actually hard. Same content-keyed export cache, Hadoop-FS probes.
+    "q118_csv_roundtrip" -> ((s, dir) => {
+      import org.apache.hadoop.fs.Path
+      val hconf = s.sparkContext.hadoopConfiguration
+      val src = new Path(s"$dir/documents.parquet")
+      val st = src.getFileSystem(hconf).getFileStatus(src)
+      val tag = java.lang.Long.toHexString(
+        st.getModificationTime ^ (st.getLen * 1315423911L))
+      val path = s"/root/repo/target/verify-csv/sf_$tag"
+      val outFs = new Path(path).getFileSystem(hconf)
+      if (!outFs.exists(new Path(path, "_SUCCESS")))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            concat(lit("x,\"y\"\n"), col("text")).as("gnarly"))
+          .write.mode("overwrite").csv(path)
+      s.read.schema("doc_id LONG, lang STRING, text STRING, gnarly STRING")
+        .option("multiLine", "true").csv(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          sum(length(col("gnarly"))).cast("long").as("n_gnarly"))
+        .orderBy("lang")
+    }),
+    // ORC ingest round-trip — the TYPED columnar sibling of q110/q118,
+    // through the nested ARRAY<FLOAT> column: read back with an explicit
+    // schema and aggregate with the q65 per-(label,pos) DECIMAL-mean fold
+    // (pinned cross-engine at all four scales). The oracle runs the same
+    // fold on the ORIGINAL parquet. NOT one whole-label element sum: the
+    // per-element float→DECIMAL cast rounds differently between engines
+    // on rare boundary values, and a 10⁵-element sum accumulates that
+    // into the 4th decimal (measured on the sf1 replica's jittered
+    // copies); per-(label,pos) means divide the same noise below ROUND(4).
+    "q119_orc_roundtrip" -> ((s, dir) => {
+      import org.apache.hadoop.fs.Path
+      val hconf = s.sparkContext.hadoopConfiguration
+      val src = new Path(s"$dir/embeddings.parquet")
+      val st = src.getFileSystem(hconf).getFileStatus(src)
+      val tag = java.lang.Long.toHexString(
+        st.getModificationTime ^ (st.getLen * 1315423911L))
+      val path = s"/root/repo/target/verify-orc/sf_$tag"
+      val outFs = new Path(path).getFileSystem(hconf)
+      if (!outFs.exists(new Path(path, "_SUCCESS")))
+        t(s, dir, "embeddings").write.mode("overwrite").orc(path)
+      s.read.schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT").orc(path)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("e").cast(DecimalType(18, 6))).cast("double")
+            / count(lit(1)), 4).as("m"))
+        .orderBy("label", "pos")
+    }),
     // The planted-twin ground-truth eval, ORACLED: Recall.plantedUnion's
     // deterministic jittered twins (cosine ≈ 0.97) union the fixture,
     // and the 4-table SRP near-dup path must recover the (v, twin)
@@ -1424,6 +1481,46 @@ object SparkEntry {
           headVec(emb, 0), k = 8, fetchN = 40, lambda = 0.5)
         .select(col("rnk"), col("vec_id"), round(col("score"), 4).as("score"))
         .orderBy("rnk")
+    }),
+    // Zero-copy collection FORK through the MVCC store: the fork is born
+    // as a hard-linked snapshot of the source's current version, then
+    // DIVERGES (upsert + delete rewrite only the fork's own buckets) while
+    // the source must stay bit-identical. Both sides read back through
+    // get(); the oracle replays base vs base+mutations — isolation AND
+    // divergence hash-pinned.
+    "q120_collection_fork" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("fk"); cat.deleteCollection("fk2")
+      val src = cat.getOrCreateCollection("fk")
+      src.add(docs.filter(col("doc_id") < 300).select(
+        col("doc_id").cast("string").as("id"), col("text").as("document"),
+        col("lang"), col("n_chars")))
+      val dst = cat.forkCollection("fk", "fk2")
+      dst.upsert(docs.filter(col("doc_id") < 300 && col("doc_id") % 5 === 0)
+        .select(col("doc_id").cast("string").as("id"),
+          upper(col("text")).as("document"), lit("xx").as("lang"), col("n_chars")))
+      dst.delete(ids = Seq("7", "11"))
+      src.get().select(lit("src").as("side"), col("id"), col("lang"),
+          length(col("document")).cast("int").as("n_doc"))
+        .unionByName(dst.get().select(lit("fork").as("side"), col("id"),
+          col("lang"), length(col("document")).cast("int").as("n_doc")))
+        .orderBy("side", "id")
+    }),
+    // Hard-negative mining (DPR-style): per query vector, the top-5
+    // nearest corpus vectors with a DIFFERENT label — the negative-
+    // sampling step of contrastive retriever training. One broadcast of
+    // the 3-query table against one corpus scan; the label-mismatch
+    // predicate applies before the rank window.
+    "q117_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+      Knn.hardNegatives(emb, "vec_id", "embedding", "label",
+          queries, "vec_id", "embedding", "label", k = 5, space = "cosine")
+        .select(col("qid"), col("rnk"), col("vec_id"),
+          round(col("dist"), 4).as("dist"), col("label"))
+        .orderBy("qid", "rnk")
     }),
     // Curation: weighted source-mixture sampling to a token budget — the
     // data-mixing step of training-corpus assembly. The per-source rate
@@ -2068,6 +2165,21 @@ object SparkEntry {
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // q118/q119: the oracle aggregates the ORIGINAL table — the engine
+    // side aggregates after a csv/orc write→read loop, so matching hashes
+    // prove the loop lossless (quoting/escape/multi-line for CSV; nested
+    // array-of-float bits for ORC).
+    "q118_csv_roundtrip" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |       CAST(SUM(length('x,"y"' || chr(10) || text)) AS BIGINT) AS n_gnarly
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q119_orc_roundtrip" ->
+      """SELECT label, i AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(embedding[CAST(i+1 AS INTEGER)] AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*), 4) + 0.0 AS m
+        |FROM embeddings, range(64) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     // q109: the twin construction replayed digit-for-digit (integer LCG
     // jitter, same double op order, REAL cast), then q82's multi-table
     // bucket→pair→cosine chain at the near-dup threshold
@@ -2720,6 +2832,35 @@ object SparkEntry {
          |SELECT rnk, vec_id, ROUND(sc, 4) AS score FROM picked_8 ORDER BY rnk"""
         .stripMargin
     },
+    // q120: fork isolation + divergence — 'src' rows are the untouched
+    // base, 'fork' rows are base with the upsert applied and two ids
+    // deleted.
+    "q120_collection_fork" ->
+      """WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id, text, lang
+        |              FROM documents WHERE doc_id < 300),
+        |ups AS (SELECT CAST(doc_id AS VARCHAR) AS id, upper(text) AS text,
+        |               'xx' AS lang
+        |        FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0),
+        |forked AS (SELECT * FROM ups UNION ALL
+        |           SELECT b.* FROM base b WHERE b.id NOT IN (SELECT id FROM ups)),
+        |fkept AS (SELECT * FROM forked WHERE id NOT IN ('7', '11'))
+        |SELECT 'src' AS side, id, lang, CAST(length(text) AS INTEGER) AS n_doc FROM base
+        |UNION ALL
+        |SELECT 'fork' AS side, id, lang, CAST(length(text) AS INTEGER) AS n_doc FROM fkept
+        |ORDER BY side, id""".stripMargin,
+    // q117: hard negatives — nearest different-label rows per query; the
+    // cosine arithmetic and (dist, id) tie-break replay exactly as in the
+    // kNN oracles, with the label-mismatch predicate in the pair stage.
+    "q117_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+         |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |d AS (SELECT q.qid, e.vec_id, e.label,
+         |             ${sqlCos("e.embedding", "q.qv")} AS dist_raw
+         |      FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlabel),
+         |r AS (SELECT qid, vec_id, label, dist_raw, ROW_NUMBER() OVER
+         |        (PARTITION BY qid ORDER BY dist_raw, vec_id) AS rnk FROM d)
+         |SELECT qid, rnk, vec_id, ROUND(dist_raw, 4) AS dist, label
+         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // q80: the streaming upsert sink's semantics in SQL — within a
     // microbatch the highest `ver` wins (upsert orderCol); across batches
     // the LAST batch containing an id wins (last-writer upsert, so the

@@ -114,6 +114,59 @@ final class CollectionCatalog(
     }
   }
 
+  /** Zero-copy collection fork: `to` is born at version 1 holding
+    * `from`'s CURRENT snapshot with every data file HARD-LINKED —
+    * O(#files), no bytes moved. Safe because committed COW versions are
+    * immutable: the first mutation of either side rewrites only its own
+    * affected buckets into its own next version, so the two collections
+    * diverge without ever touching shared inodes (same mechanism as
+    * [[Collection.vacuum]]'s retained snapshots). The 100 TB use case:
+    * dev/experiment copies of a production collection for the cost of a
+    * directory walk. Chroma parity: chromadb's `collection.fork()`.
+    *
+    * Sidecar indexes (IVF, DocIndex) are NOT carried — they are bound to
+    * source version numbers; the fork rebuilds them on demand. Lineage is
+    * recorded as `forked_from = <src>@v<N>` in the fork's metadata.
+    * Caveat (same as time travel): a concurrent writer+vacuum on the
+    * source can reclaim the snapshot mid-walk; fork under that race
+    * fails loudly on the missing file, never links half a version
+    * silently (the commit marker is written only after a complete walk). */
+  def forkCollection(from: String, to: String): Collection = {
+    val srcDir = root.resolve(from)
+    require(Files.exists(srcDir.resolve("meta.json")), s"no such collection: $from")
+    val dstDir = root.resolve(to)
+    require(!Files.exists(dstDir), s"collection '$to' already exists")
+    val src = CollectionMeta.read(srcDir)
+    val lineage = s"${src.name}@v${src.version}"
+    Files.createDirectories(dstDir)
+    val srcData = srcDir.resolve(f"data_v${src.version}%06d")
+    if (!Files.exists(srcData)) {
+      // never-written source → an empty fork, lineage still recorded
+      writeMeta(dstDir, CollectionMeta(to, src.space, 0,
+        src.metadata + ("forked_from" -> lineage), src.buckets))
+    } else {
+      val dst = CollectionMeta(to, src.space, 1,
+        src.metadata + ("forked_from" -> lineage), src.buckets)
+      CollectionMeta.claimVersion(dstDir, dst)
+      val dstData = dstDir.resolve(f"data_v${1}%06d")
+      Files.createDirectories(dstData)
+      DirIO.list(srcData)(_.filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("pt=")).toSeq).foreach { bucketDir =>
+        val target = dstData.resolve(bucketDir.getFileName.toString)
+        Files.createDirectories(target)
+        DirIO.list(bucketDir)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
+          val link = target.resolve(f.getFileName.toString)
+          try Files.createLink(link, f)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
+        }
+      }
+      Files.write(CollectionMeta.commitMarker(dstDir, 1), Array.emptyByteArray)
+      CollectionMeta.atomicWrite(dstDir, dst)
+    }
+    new Collection(spark, dstDir, maxRowsPerFile)
+  }
+
   /** B11 rename: catalog-level move + meta.json name update (atomic dir
     * move on the same filesystem; data files untouched). */
   def renameCollection(from: String, to: String): Boolean = {

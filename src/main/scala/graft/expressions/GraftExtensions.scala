@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "graft_text_stats"),
       (children: Seq[Expression]) => GraftExtensions.buildTextStats(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash_embed"),
+      new ExpressionInfo(classOf[HashEmbed].getName, "graft_hash_embed"),
+      (children: Seq[Expression]) => GraftExtensions.buildHashEmbed(children)))
     ext.injectOptimizerRule(session => new IvfPruneRule(session))
   }
 }
@@ -73,6 +77,17 @@ object GraftExtensions {
     TextStats(children.head, graft.functions.TextAnalysis.stopwordList("en"))
   }
 
+  private def buildHashEmbed(children: Seq[Expression]): HashEmbed = {
+    require(children.length == 2,
+      s"graft_hash_embed takes (lowered_text, dim), got ${children.length} args")
+    val dim = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_hash_embed dim must be an integer literal, got $other")
+    }
+    HashEmbed(children.head, dim)
+  }
+
   /** Column-level constructors (no registration needed). */
   def dist(space: String)(a: Column, b: Column): Column =
     GraftColumnShim.column(VectorDistance(
@@ -96,6 +111,8 @@ object GraftExtensions {
       "graft_shingles", (children: Seq[Expression]) => buildShingles(children), "scala_udf")
     registry.createOrReplaceTempFunction(
       "graft_text_stats", (children: Seq[Expression]) => buildTextStats(children), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "graft_hash_embed", (children: Seq[Expression]) => buildHashEmbed(children), "scala_udf")
     if (!classic.experimental.extraOptimizations.exists(_.isInstanceOf[IvfPruneRule]))
       classic.experimental.extraOptimizations =
         classic.experimental.extraOptimizations :+ new IvfPruneRule(spark)

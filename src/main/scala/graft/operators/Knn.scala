@@ -96,4 +96,39 @@ object Knn {
       .filter(col("rnk") <= k)
       .drop(vecCol, "__qvec", "__na", "__nq")
   }
+
+  /** Hard-negative mining: per query, the top-k NEAREST corpus rows whose
+    * label differs from the query's — the negative-sampling step of
+    * contrastive retriever training (DPR, Karpukhin et al. 2020: "hard"
+    * negatives are near misses, far more informative than random ones).
+    *
+    * Same 100 TB shape as [[topKBatch]]: the tiny (qid, qvec, qlabel)
+    * table broadcasts onto ONE corpus scan; the label-mismatch predicate
+    * lands pre-rank so the window only ranks eligible pairs, and the
+    * per-group `rnk <= k` takes Spark's WindowGroupLimit path (per-
+    * partition top-k heaps, never a full per-query sort).
+    *
+    * @param queries small table of (qidCol, qvecCol, qlabelCol)
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      qlabelCol: String,
+      k: Int,
+      space: String = "cosine"): DataFrame = {
+    val right = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).as("__qvec"), col(qlabelCol).as("__qlabel"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    corpus.crossJoin(broadcast(right))
+      .filter(col(labelCol) =!= col("__qlabel"))
+      .withColumn("dist", Distances.bySpace(space)(col(vecCol), col("__qvec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .drop(vecCol, "__qvec", "__qlabel")
+  }
 }

@@ -687,4 +687,36 @@ class CollectionSpec extends SparkTestBase {
     assert(viaIndex == exact)
     assert(c.dropIndex() && !c.hasIndex)
   }
+
+  test("forkCollection: hard-linked snapshot, isolated divergence, lineage") {
+    val cat = freshCatalog()
+    val src = cat.getOrCreateCollection("f", space = "cosine",
+      metadata = Map("k" -> "v"))
+    src.add(batch(("1", "a", Seq(1f, 0f)), ("2", "b", Seq(0f, 1f)),
+      ("3", "c", Seq(1f, 1f))))
+    val dst = cat.forkCollection("f", "f2")
+    // fork carries content, space, metadata + lineage
+    assert(dst.count() == 3)
+    assert(dst.space == "cosine")
+    assert(dst.meta.metadata("k") == "v")
+    assert(dst.meta.metadata("forked_from") == "f@v1")
+    // diverge the fork; the source must not move
+    dst.upsert(batch(("2", "B", Seq(0f, 2f))))
+    dst.delete(ids = Seq("3"))
+    assert(dst.count() == 2)
+    assert(src.count() == 3)
+    assert(src.get(ids = Seq("2")).select("document").head().getString(0) == "b")
+    assert(dst.get(ids = Seq("2")).select("document").head().getString(0) == "B")
+    // ...and mutating the source must not move the fork
+    src.upsert(batch(("1", "A2", Seq(2f, 0f))))
+    assert(dst.get(ids = Seq("1")).select("document").head().getString(0) == "a")
+    // double-fork and unknown-source are rejected
+    intercept[IllegalArgumentException](cat.forkCollection("f", "f2"))
+    intercept[IllegalArgumentException](cat.forkCollection("nope", "f3"))
+    // forking an empty collection yields an empty fork with lineage
+    cat.getOrCreateCollection("e")
+    val ef = cat.forkCollection("e", "e2")
+    assert(ef.count() == 0)
+    assert(ef.meta.metadata("forked_from") == "e@v0")
+  }
 }

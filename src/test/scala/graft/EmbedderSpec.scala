@@ -60,6 +60,24 @@ class EmbedderSpec extends SparkTestBase {
     assert(HashEmbed.embed(tok, dim).toSeq == expected.toSeq)
   }
 
+  test("embedText stays inside whole-stage codegen; SQL surface registered") {
+    val ef = HashingEmbedder(8)
+    val df = spark.range(100).selectExpr("CAST(id AS STRING) AS t")
+      .select(ef.embedText(col("t")).as("v"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val unstarred = p.linesIterator
+      .filter(l => l.contains(" Project [") || l.startsWith("Project ["))
+      .filterNot(_.contains(") Project ["))
+    assert(unstarred.isEmpty,
+      s"embedding projection fell out of whole-stage codegen:\n$p")
+    // native SQL function surface (the q44 route), live-session registration
+    graft.expressions.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT graft_hash_embed(lower('A b A'), 4) AS v")
+      .head().getSeq[Float](0).toSeq
+    assert(viaSql == HashingEmbedder(4).embedOne("A b A").toSeq)
+  }
+
   test("Embedder.fromName round-trips and rejects unknown names") {
     val ef = HashingEmbedder(32)
     assert(Embedder.fromName(ef.name) == ef)

@@ -69,4 +69,22 @@ class KnnSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), s"expected broadcast join in plan:\n$plan")
   }
+
+  test("hardNegatives: nearest DIFFERENT-label rows per query, broadcast") {
+    val labeled = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0), // query 1's own class
+      (3L, Seq(0.95f, 0.05f), 1),                     // near miss, other class
+      (4L, Seq(0f, 1f), 1), (5L, Seq(-1f, 0f), 2)
+    ).toDF("id", "vec", "label")
+    val q = labeled.filter(col("id") === 1)
+    val res = Knn.hardNegatives(labeled, "id", "vec", "label",
+        q, "id", "vec", "label", k = 2)
+      .orderBy("rnk").select("id", "label").as[(Long, Int)].collect()
+    // same-label 1/2 excluded; 3 is the hard negative, then 4
+    assert(res.toSeq == Seq((3L, 1), (4L, 1)))
+    val plan = Knn.hardNegatives(labeled, "id", "vec", "label",
+        q, "id", "vec", "label", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"expected broadcast join in plan:\n$plan")
+  }
 }
