@@ -21,6 +21,14 @@ import graft.operators.Assemble
   * @param space            distance space of the collection (Chroma hnsw:space)
   * @param runTrigger       the step's run-time gate                (sas:527-538)
   * @param maxRowsPerFile   parquet file-size cap for collection writes
+  * @param embeddingFunction when set (an [[graft.operators.Embedder]] name,
+  *                          e.g. `graft-hash-v1/16`), the input carries NO
+  *                          embedding columns: vectors are computed
+  *                          server-side inside the add's write scan and the
+  *                          binding is recorded on the collection
+  *                          (chromadb's `add(documents=...)` route — the
+  *                          one public call shape the reference never
+  *                          uses). `embeddingPattern` is ignored.
   */
 final case class HydrateConfig(
     inputTable: String,
@@ -32,7 +40,8 @@ final case class HydrateConfig(
     persistentPath: String,
     space: String = "l2",
     runTrigger: Boolean = true,
-    maxRowsPerFile: Long = 1L << 20)
+    maxRowsPerFile: Long = 1L << 20,
+    embeddingFunction: Option[String] = None)
 
 /** The reference's whole life, Spark-first: validate → project/assemble →
   * add → count check (sas:423-511 orchestration + sas:126-193 payload).
@@ -78,8 +87,15 @@ object Hydrator {
       if (!cols.contains(cfg.docId)) errs += s"id column '${cfg.docId}' not in input"
       cfg.metadataColumn.foreach { m =>
         if (!cols.contains(m)) errs += s"metadata column '$m' not in input" }
-      if (Assemble.columnsLike(df, cfg.embeddingPattern).isEmpty)
+      // with a server-side embedding function there ARE no wide columns to
+      // match — the pattern gate applies only to the reference's route
+      if (cfg.embeddingFunction.isEmpty &&
+          Assemble.columnsLike(df, cfg.embeddingPattern).isEmpty)
         errs += s"no columns match embedding pattern '${cfg.embeddingPattern}'"
+    }
+    cfg.embeddingFunction.foreach { n =>
+      try graft.operators.Embedder.fromName(n)
+      catch { case e: IllegalArgumentException => errs += e.getMessage }
     }
     errs.result()
   }
@@ -104,6 +120,10 @@ object Hydrator {
     if (errs.nonEmpty)
       throw new IllegalArgumentException(s"hydration config invalid: ${errs.mkString("; ")}")
     val input = readInput(spark, cfg.inputTable)
+    cfg.embeddingFunction.foreach { efName =>
+      return Some(runWithEmbedder(spark, cfg, input,
+        graft.operators.Embedder.fromName(efName)))
+    }
     val frame = Assemble.hydrationFrame(
       input, cfg.docId, cfg.textVar, cfg.embeddingPattern, cfg.metadataColumn)
     // Single-scan hydration: the Chroma-faithful invariants (uniform
@@ -150,6 +170,34 @@ object Hydrator {
     require(after - before == added,
       s"count conservation violated: before=$before after=$after added=$added")
     Some(coll)
+  }
+
+  /** The server-side-embedding route: documents-only projection, vectors
+    * computed in the add's own write scan, binding recorded on the
+    * collection ([[graft.catalog.Collection.addDocuments]] — which also
+    * carries the cosine zero-vector gate). The ragged-dim observe of the
+    * wide route is unnecessary here (the function emits one fixed dim);
+    * what CAN still go wrong is hydrating into a collection of a different
+    * dimension, checked up front. Count conservation as in the main route. */
+  private def runWithEmbedder(spark: SparkSession, cfg: HydrateConfig,
+      input: DataFrame, ef: graft.operators.EmbeddingFunction): Collection = {
+    val frame = Assemble.documentsFrame(input, cfg.docId, cfg.textVar, cfg.metadataColumn)
+    val obs = Observation()
+    val observed = frame.observe(obs, count(lit(1)).as("n"))
+    val cat = new CollectionCatalog(spark, resolvePersistentPath(cfg.persistentPath),
+      maxRowsPerFile = cfg.maxRowsPerFile)
+    val coll = cat.getOrCreateCollection(cfg.collectionName, cfg.space)
+    coll.dim().foreach { d =>
+      require(d == ef.dim,
+        s"embedding function dim ${ef.dim} != collection dimension $d")
+    }
+    val before = coll.count()
+    coll.addDocuments(observed, ef)
+    val after = coll.count()
+    val added = obs.get("n").asInstanceOf[Long]
+    require(after - before == added,
+      s"count conservation violated: before=$before after=$after added=$added")
+    coll
   }
 
   /** CDC-style delta: classify `incoming` against `current` into inserts

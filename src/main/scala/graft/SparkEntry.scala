@@ -1482,6 +1482,31 @@ object SparkEntry {
         .select(col("rnk"), col("vec_id"), round(col("score"), 4).as("score"))
         .orderBy("rnk")
     }),
+    // The reference's CONFIG surface driving the server-side-embedding
+    // route end-to-end: HydrateConfig with `embeddingFunction` set (no
+    // wide columns, pattern ignored), the A15 validation gates, the
+    // documents-only projection with the reference's single-key metadata
+    // map (sas:181 — key 'rating' wrapping the chosen column), count
+    // conservation, then queryText through the recorded binding with a
+    // metadata-map prefilter. The oracle recomputes storage + query
+    // vectors from raw text and replays the filtered cosine top-k.
+    "q121_hydrate_embed" -> ((s, dir) => {
+      val root = verifyCollectionsRoot(dir)
+      t(s, dir, "documents").createOrReplaceTempView("q121_docs")
+      val cat = new CollectionCatalog(s, root)
+      cat.deleteCollection("hef")
+      val coll = Hydrator.run(s, HydrateConfig(
+        inputTable = "q121_docs", textVar = "text", docId = "doc_id",
+        embeddingPattern = "", metadataColumn = Some("lang"),
+        collectionName = "hef", persistentPath = s"sasserver:$root",
+        space = "cosine", embeddingFunction = Some("graft-hash-v1/16"))).get
+      coll.queryText(Seq("distributed hash join"), k = 8,
+          where = Some(ChromaFilter.Eq("rating", "en")))
+        .select(col("qid"), col("rnk"), col("id"),
+          round(col("dist"), 4).as("dist"),
+          element_at(col("metadata"), "rating").as("rating"))
+        .orderBy("rnk")
+    }),
     // Zero-copy collection FORK through the MVCC store: the fork is born
     // as a hard-linked snapshot of the source's current version, then
     // DIVERGES (upsert + delete rewrite only the fork's own buckets) while
@@ -2831,6 +2856,39 @@ object SparkEntry {
          |$stages
          |SELECT rnk, vec_id, ROUND(sc, 4) AS score FROM picked_8 ORDER BY rnk"""
         .stripMargin
+    },
+    // q121: the Hydrator's embedding-function route — same signed
+    // feature-hash replay as q115, one query text, metadata-map ('rating'
+    // wraps lang, the reference's single-key quirk) prefilter.
+    "q121_hydrate_embed" -> {
+      val hash = sqlStrHash("tm")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |              FROM documents),
+         |tk AS (SELECT doc_id, $hash AS h FROM toks WHERE length(tm) > 0),
+         |sums AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
+         |                SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |         FROM tk GROUP BY doc_id, b),
+         |grid AS (SELECT dd.doc_id, bb.b FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |         CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |vecs AS (SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |         FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.b
+         |         GROUP BY g.doc_id),
+         |qtoks AS (SELECT unnest(string_split_regex(lower('distributed hash join'), '\\s+')) AS tm),
+         |qtk AS (SELECT $hash AS h FROM qtoks WHERE length(tm) > 0),
+         |qsums AS (SELECT CAST(h % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY b),
+         |qvec AS (SELECT list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY bb.b) AS qv
+         |         FROM (SELECT unnest(range(16)) AS b) bb
+         |         LEFT JOIN qsums s ON s.b = bb.b),
+         |cd AS (SELECT v.doc_id, d.lang, ${sqlCos("v.v", "q.qv")} AS dist_raw
+         |       FROM vecs v JOIN documents d ON d.doc_id = v.doc_id
+         |       CROSS JOIN qvec q WHERE d.lang = 'en'),
+         |r AS (SELECT doc_id, lang, dist_raw, ROW_NUMBER() OVER
+         |        (ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk FROM cd)
+         |SELECT 0 AS qid, rnk, CAST(doc_id AS VARCHAR) AS id,
+         |       ROUND(dist_raw, 4) AS dist, lang AS rating
+         |FROM r WHERE rnk <= 8 ORDER BY rnk""".stripMargin
     },
     // q120: fork isolation + divergence — 'src' rows are the untouched
     // base, 'fork' rows are base with the upsert applied and two ids

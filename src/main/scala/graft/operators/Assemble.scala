@@ -72,6 +72,23 @@ object Assemble {
       meta.as("metadata"))
   }
 
+  /** Documents-only hydration projection — the input shape of server-side
+    * -embedding hydration (`add(documents=...)`, the public chromadb route
+    * the reference never uses, sas:177-190 always passes vectors): no wide
+    * columns, the embedding is computed by the collection's registered
+    * [[graft.operators.EmbeddingFunction]] inside the add's write scan. */
+  def documentsFrame(
+      input: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      metadataCol: Option[String] = None): DataFrame = {
+    val meta = metadataCol.fold(lit(null).cast("map<string,string>"))(metadataMap(_))
+    input.select(
+      idAsString(docIdCol),
+      col(textCol).as("document"),
+      meta.as("metadata"))
+  }
+
   /** Uniform-dimension validation (Chroma add-time invariant, SURVEY §7.4.1):
     * returns the single dimension, or throws listing offending dims.
     * One map-side `size()` agg — no data movement beyond a tiny agg shuffle.

@@ -226,4 +226,39 @@ class HydratorSpec extends SparkTestBase {
     assert(Hydrator.sync(c, batch, Seq("document")) == (0L, 0L))
     assert(c.meta.version == v2, "unchanged sync must not advance the store")
   }
+
+  test("embedding-function route: documents-only hydration, binding + metadata map") {
+    val root = tmpRoot()
+    val c = Hydrator.run(spark, HydrateConfig(
+      inputTable = widePath, textVar = "text", docId = "doc_id",
+      embeddingPattern = "ignored", metadataColumn = Some("score"),
+      collectionName = "hef", persistentPath = root,
+      space = "cosine", embeddingFunction = Some("graft-hash-v1/8"))).get
+    assert(c.count() == 3)
+    assert(c.meta.metadata("embedding_function") == "graft-hash-v1/8")
+    // vectors are the embedder's output; metadata keeps the 'rating' quirk
+    val row = c.get(ids = Seq("2")).select("embedding", "metadata").head()
+    assert(row.getSeq[Float](0).toSeq ==
+      graft.operators.HashingEmbedder(8).embedOne("second doc").toSeq)
+    assert(row.getMap[String, String](1)("rating") == "8.2")
+    // queryText resolves the recorded function; exact text ranks first
+    assert(c.queryText(Seq("second doc"), k = 1)
+      .select("id").head().getString(0) == "2")
+    // dim mismatch vs the existing collection is rejected up front
+    val e = intercept[IllegalArgumentException] {
+      Hydrator.run(spark, HydrateConfig(
+        inputTable = widePath, textVar = "text", docId = "doc_id",
+        embeddingPattern = "", metadataColumn = None,
+        collectionName = "hef", persistentPath = root,
+        space = "cosine", embeddingFunction = Some("graft-hash-v1/16")))
+    }
+    assert(e.getMessage.contains("dim"))
+    // unknown function names are validation errors, not crashes
+    val v = Hydrator.validate(spark, HydrateConfig(
+      inputTable = widePath, textVar = "text", docId = "doc_id",
+      embeddingPattern = "", metadataColumn = None,
+      collectionName = "x", persistentPath = root,
+      embeddingFunction = Some("all-MiniLM-L6-v2")))
+    assert(v.exists(_.contains("unknown embedding function")))
+  }
 }

@@ -297,4 +297,47 @@ class PropertySpec extends SparkTestBase {
     assert(got == want,
       s"LM divergence: ${(got.toSet diff want.toSet).take(3)} vs ${(want.toSet diff got.toSet).take(3)}")
   }
+
+  test("property: hash-embed is a signed token count — L1 ≤ tokens, local ref agrees") {
+    import graft.expressions.HashEmbed
+    val textGen = Gen.listOfN(12,
+      Gen.oneOf("alpha", "beta", "Gamma", "DELTA", "x", "yz", "", " ")).map(_.mkString(" "))
+    val texts = sample(Gen.listOfN(50, textGen), 11L)
+    // local reference: per-token strhash/bucket/sign, independently coded
+    def ref(t: String, dim: Int): Seq[Float] = {
+      val acc = new Array[Int](dim)
+      t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        val h = tok.zipWithIndex.map { case (c, i) => c.toLong * (((i * 131) % 997) + 1) }.sum
+        acc((h % dim).toInt) += (if ((h / dim) % 2 == 0) 1 else -1)
+      }
+      acc.map(_.toFloat).toSeq
+    }
+    texts.foreach { t =>
+      val v = HashEmbed.embed(t, 16).toSeq
+      assert(v == ref(t, 16), s"embed mismatch on '$t'")
+      val nTok = t.split("\\s+").count(_.nonEmpty)
+      assert(v.map(f => math.abs(f.toInt)).sum <= nTok)
+    }
+  }
+
+  test("property: mmr with λ=1 IS the plain similarity top-k; selection ⊆ candidates") {
+    import graft.operators.Retrieval
+    val q = sample(nonZeroVecGen, 23L)
+    val relevance = Retrieval.mmr(vecDf, "id", "vec", q, k = 10, fetchN = 20, lambda = 1.0)
+      .orderBy("rnk").select("id").as[Long].collect().toSeq
+    val plainTopK = vecDf
+      .select(col("id"), Distances.cosineSim(col("vec"), typedLit(q)).as("s"))
+      .orderBy(col("s").desc, col("id")).limit(10)
+      .select("id").as[Long].collect().toSeq
+    assert(relevance == plainTopK)
+    // any λ: selected ids are distinct and drawn from the top-fetchN pool
+    val pool = vecDf
+      .select(col("id"), Distances.cosineSim(col("vec"), typedLit(q)).as("s"))
+      .orderBy(col("s").desc, col("id")).limit(20)
+      .select("id").as[Long].collect().toSet
+    val diverse = Retrieval.mmr(vecDf, "id", "vec", q, k = 10, fetchN = 20, lambda = 0.3)
+      .select("id").as[Long].collect().toSeq
+    assert(diverse.distinct.size == diverse.size)
+    assert(diverse.toSet.subsetOf(pool))
+  }
 }
