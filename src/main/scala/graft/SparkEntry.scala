@@ -1482,6 +1482,15 @@ object SparkEntry {
         .select(col("rnk"), col("vec_id"), round(col("score"), 4).as("score"))
         .orderBy("rnk")
     }),
+    // ITERATED BPE training (Sennrich et al. 2016) — five greedy merge
+    // rounds over the word-frequency vocabulary, each round's counts
+    // computed over the PREVIOUS round's merged symbols, so the whole
+    // train loop (counts → argmax → apply → recount) is hash-pinned by
+    // the oracle's five unrolled stages. Corpus collapses to the vocab
+    // first; the driver holds one best-pair row per round.
+    "q122_bpe_train" -> ((s, dir) =>
+      Lm.bpeTrain(t(s, dir, "documents"), "text", rounds = 5)
+        .orderBy("rank")),
     // The reference's CONFIG surface driving the server-side-embedding
     // route end-to-end: HydrateConfig with `embeddingFunction` set (no
     // wide columns, pattern ignored), the A15 validation gates, the
@@ -2856,6 +2865,44 @@ object SparkEntry {
          |$stages
          |SELECT rnk, vec_id, ROUND(sc, 4) AS score FROM picked_8 ORDER BY rnk"""
         .stripMargin
+    },
+    // q122: the BPE train loop unrolled — per round: adjacent-pair counts
+    // over the previous vocabulary, argmax with (cnt DESC, a, b) ties,
+    // then ONE left-to-right non-overlapping replace applying the merge
+    // (identical semantics in both engines; see Lm.bpeTrain's scaladoc).
+    // v_r and best_r are each referenced twice → MATERIALIZED (the q116
+    // inlining lesson).
+    "q122_bpe_train" -> {
+      val stages = (1 to 5).map { r =>
+        s"""p_$r AS (SELECT sp[CAST(i+1 AS INTEGER)] AS a, sp[CAST(i+2 AS INTEGER)] AS b,
+           |               SUM(f) AS cnt
+           |        FROM (SELECT string_split(s, ' ') AS sp, f FROM v_${r - 1}) t,
+           |             range(64) ix(i)
+           |        WHERE i < len(sp) - 1 GROUP BY a, b),
+           |best_$r AS MATERIALIZED (SELECT a, b, cnt FROM p_$r
+           |                         ORDER BY cnt DESC, a, b LIMIT 1),
+           |v_$r AS MATERIALIZED (
+           |  SELECT trim(replace(' ' || v.s || ' ',
+           |                      ' ' || bb.a || ' ' || bb.b || ' ',
+           |                      ' ' || bb.a || bb.b || ' ')) AS s, v.f
+           |  FROM v_${r - 1} v, best_$r bb)""".stripMargin
+      }.mkString(",\n")
+      val mergeRows = (1 to 5).map(r =>
+        s"SELECT $r AS rank, a || '+' || b AS pair, CAST(cnt AS BIGINT) AS cnt FROM best_$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH v_0 AS MATERIALIZED (
+         |  SELECT array_to_string(list_transform(range(length(w)),
+         |           i -> substr(w, CAST(i+1 AS INTEGER), 1)), ' ') AS s, f
+         |  FROM (SELECT w, COUNT(*) AS f
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |        WHERE length(w) >= 2 AND length(w) < 64 GROUP BY w)),
+         |$stages
+         |SELECT * FROM (
+         |$mergeRows
+         |UNION ALL
+         |SELECT 6 AS rank, '__symbols' AS pair,
+         |       CAST(SUM(f * len(string_split(s, ' '))) AS BIGINT) AS cnt FROM v_5
+         |) ORDER BY rank""".stripMargin
     },
     // q121: the Hydrator's embedding-function route — same signed
     // feature-hash replay as q115, one query text, metadata-map ('rating'

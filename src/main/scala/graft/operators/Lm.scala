@@ -145,4 +145,75 @@ object Lm {
           .orderBy(col("cnt").desc, col("pair"))))
       .select(col("rank"), col("pair"), col("cnt"))
   }
+
+  /** ITERATED BPE training (Sennrich et al. 2016): `rounds` greedy merge
+    * rounds over the word-frequency vocabulary — the real training loop
+    * whose single step [[bpeMergeCandidates]] previews. Returns one row
+    * per learned merge `(rank, pair, cnt)` plus a final
+    * `(rounds+1, "__symbols", Σ f·|symbols|)` summary row proving the
+    * merge APPLICATION (not just the picks) ran correctly — though the
+    * picks alone already pin it, since every round's counts are computed
+    * over the PREVIOUS round's merged vocabulary.
+    *
+    * 100 TB shape: the corpus collapses to the (word, freq) vocabulary
+    * FIRST (the q106 insight — iterated BPE over raw text would rescan
+    * the corpus per round; over the vocab each round touches |vocab|
+    * rows). The driver loop holds only the single best pair per round
+    * (a 1-row collect); the vocabulary itself stays distributed, with a
+    * localCheckpoint per round so round r doesn't replay rounds 1..r-1.
+    *
+    * Merge application semantics (engine-portable, documented): the
+    * learned pair is applied by ONE left-to-right non-overlapping
+    * string replace over the space-joined symbol string — identical in
+    * Spark (`UTF8String.replace`) and any standard `replace()`. For a
+    * symbol repeated ≥4 times consecutively this merges fewer
+    * occurrences than the canonical longest-first BPE apply (the shared
+    * boundary space is consumed); on natural-language vocabularies the
+    * two coincide. Determinism: integer counts, ties broken by (a, b).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    var vocab = df
+      .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .filter(length(col("w")) >= 2 && length(col("w")) < 64)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      // symbol string: chars joined by spaces (words contain no spaces by
+      // construction, so the representation is unambiguous); the empty
+      // trailing element of Java's zero-width split is dropped, matching
+      // a by-codepoint oracle split (BMP fixtures — q106's guard)
+      .select(concat_ws(" ",
+        filter(split(col("w"), ""), x => x =!= lit(""))).as("s"), col("f"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val sp = split(col("s"), " ")
+      val m = greatest(size(sp) - lit(1), lit(0))
+      val best = vocab
+        .select(col("f"),
+          explode(arrays_zip(slice(sp, lit(1), m), slice(sp, lit(2), m))).as("__p"))
+        .select(col("__p.0").as("a"), col("__p.1").as("b"), col("f"))
+        .groupBy("a", "b").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // exactly one row — the round's winning pair
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        merges += ((r, s"$a+$b", cnt))
+        vocab = vocab
+          .withColumn("s", trim(replace(
+            concat(lit(" "), col("s"), lit(" ")),
+            lit(s" $a $b "), lit(s" $a$b "))))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    val summary = vocab
+      .agg(sum(col("f") * size(split(col("s"), " "))).as("cnt"))
+      .select(lit(rounds + 1).as("rank"), lit("__symbols").as("pair"), col("cnt"))
+    import spark.implicits._
+    merges.result().toDF("rank", "pair", "cnt").unionByName(summary)
+  }
 }

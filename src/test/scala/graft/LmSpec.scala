@@ -70,4 +70,26 @@ class LmSpec extends SparkTestBase {
       .select("pair", "cnt").as[(String, Long)].collect().toSeq
     assert(rs == Seq(("中+文", 2L)))
   }
+
+  test("bpeTrain: counts recompute over MERGED vocab; early exhaustion; summary row") {
+    val docs = Seq((1L, "aab aab c"), (2L, "bc aab")).toDF("doc_id", "text")
+    // vocab: aab f=3, bc f=1. Hand trace: r1 (a,a)3 -> 'aa b'; r2 (aa,b)3
+    // -> 'aab'; r3 (b,c)1 -> 'bc'; r4 no pairs left -> stop early. Final
+    // vocab is two single-symbol words -> weighted symbol count 4.
+    val rs = Lm.bpeTrain(docs, "text", rounds = 5)
+      .orderBy("rank").as[(Int, String, Long)].collect().toSeq
+    assert(rs == Seq((1, "a+a", 3L), (2, "aa+b", 3L), (3, "b+c", 1L),
+      (6, "__symbols", 4L)))
+  }
+
+  test("bpeTrain: single-pass replace semantics on a symbol run (documented)") {
+    // 'aaaa' -> 'a a a a'. One non-overlapping pass merges ONE (a,a)
+    // (the shared boundary space is consumed): 'aa a a' — canonical BPE
+    // would merge two. Round 2 then merges the remaining (a,a) tie-win
+    // ('a' < 'aa'): 'aa aa'. The spec pins this documented divergence.
+    val run = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val rs = Lm.bpeTrain(run, "text", rounds = 2)
+      .orderBy("rank").as[(Int, String, Long)].collect().toSeq
+    assert(rs == Seq((1, "a+a", 3L), (2, "a+a", 1L), (3, "__symbols", 2L)))
+  }
 }
