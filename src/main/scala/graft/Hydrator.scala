@@ -175,10 +175,10 @@ object Hydrator {
   /** The server-side-embedding route: documents-only projection, vectors
     * computed in the add's own write scan, binding recorded on the
     * collection ([[graft.catalog.Collection.addDocuments]] — which also
-    * carries the cosine zero-vector gate). The ragged-dim observe of the
-    * wide route is unnecessary here (the function emits one fixed dim);
-    * what CAN still go wrong is hydrating into a collection of a different
-    * dimension, checked up front. Count conservation as in the main route. */
+    * carries the cosine zero-vector gate AND the dim-vs-existing-collection
+    * guard). The ragged-dim observe of the wide route is unnecessary here —
+    * the function emits one fixed dim. Count conservation as in the main
+    * route. */
   private def runWithEmbedder(spark: SparkSession, cfg: HydrateConfig,
       input: DataFrame, ef: graft.operators.EmbeddingFunction): Collection = {
     val frame = Assemble.documentsFrame(input, cfg.docId, cfg.textVar, cfg.metadataColumn)
@@ -187,10 +187,8 @@ object Hydrator {
     val cat = new CollectionCatalog(spark, resolvePersistentPath(cfg.persistentPath),
       maxRowsPerFile = cfg.maxRowsPerFile)
     val coll = cat.getOrCreateCollection(cfg.collectionName, cfg.space)
-    coll.dim().foreach { d =>
-      require(d == ef.dim,
-        s"embedding function dim ${ef.dim} != collection dimension $d")
-    }
+    // dim-vs-existing-collection and the cosine zero-vector gate are
+    // enforced by addDocuments itself (single source of truth)
     val before = coll.count()
     coll.addDocuments(observed, ef)
     val after = coll.count()

@@ -55,6 +55,28 @@ object SparkEntry {
   private[graft] def headVec(emb: DataFrame, id: Long): Seq[Float] =
     emb.filter(col("vec_id") === id).select("embedding").head().getSeq[Float](0)
 
+  /** Shared export cache for the round-trip queries (q110/q118/q119): one
+    * export per (fixture content, kind). Key = source CONTENT (mtime+size),
+    * not the dir-path hash — a regenerated fixture or a colliding path
+    * hash must never silently reuse a stale export; completeness = the
+    * `_SUCCESS` marker (written last by the committer), so a killed
+    * half-written export re-exports instead of hash-mismatching. All
+    * probes through Hadoop FS, never java.io.File (the verify dir may be
+    * remote one day — Ann.writeIvf's rationale). */
+  private def cachedExport(s: SparkSession, dir: String, table: String,
+                           kind: String)(write: String => Unit): String = {
+    import org.apache.hadoop.fs.Path
+    val hconf = s.sparkContext.hadoopConfiguration
+    val src = new Path(s"$dir/$table.parquet")
+    val st = src.getFileSystem(hconf).getFileStatus(src)
+    val tag = java.lang.Long.toHexString(
+      st.getModificationTime ^ (st.getLen * 1315423911L))
+    val path = s"/root/repo/target/verify-$kind/sf_$tag"
+    if (!new Path(path).getFileSystem(hconf).exists(new Path(path, "_SUCCESS")))
+      write(path)
+    path
+  }
+
   // ---- DuckDB-side distance SQL, mirroring graft.functions.Distances ----
   // (same Double casts, same index order, same 1 - dot/(sqrt*sqrt) shape)
   private def sqlDot(a: String, b: String): String =
@@ -773,25 +795,10 @@ object SparkEntry {
     // write→read loop is lossless byte-for-byte through JSON escaping
     // (newlines, quotes, CJK) — not merely self-consistent.
     "q110_jsonl_roundtrip" -> ((s, dir) => {
-      // Export-cache key = fixture CONTENT (documents.parquet mtime+size),
-      // not the dir-path hash: a regenerated fixture (as happened in r6)
-      // or a colliding path hash must never silently reuse a stale export.
-      // All probes go through Hadoop FS, not java.io.File — the verify dir
-      // may be remote one day (same rationale as Ann.writeIvf).
-      import org.apache.hadoop.fs.Path
-      val hconf = s.sparkContext.hadoopConfiguration
-      val src = new Path(s"$dir/documents.parquet")
-      val st = src.getFileSystem(hconf).getFileStatus(src)
-      val tag = java.lang.Long.toHexString(
-        st.getModificationTime ^ (st.getLen * 1315423911L))
-      val path = s"/root/repo/target/verify-jsonl/sf_$tag"
-      val outFs = new Path(path).getFileSystem(hconf)
-      // trust the cache only on a COMPLETE export: the _SUCCESS marker is
-      // written last by the committer, so a killed half-written export
-      // re-exports instead of producing a confusing hash mismatch
-      if (!outFs.exists(new Path(path, "_SUCCESS")))
+      val path = cachedExport(s, dir, "documents", "jsonl") { p =>
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
-          .write.mode("overwrite").json(path)
+          .write.mode("overwrite").json(p)
+      }
       s.read.schema("doc_id LONG, lang STRING, text STRING").json(path)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -806,19 +813,12 @@ object SparkEntry {
     // hash match proves write→multiLine-read lossless where CSV is
     // actually hard. Same content-keyed export cache, Hadoop-FS probes.
     "q118_csv_roundtrip" -> ((s, dir) => {
-      import org.apache.hadoop.fs.Path
-      val hconf = s.sparkContext.hadoopConfiguration
-      val src = new Path(s"$dir/documents.parquet")
-      val st = src.getFileSystem(hconf).getFileStatus(src)
-      val tag = java.lang.Long.toHexString(
-        st.getModificationTime ^ (st.getLen * 1315423911L))
-      val path = s"/root/repo/target/verify-csv/sf_$tag"
-      val outFs = new Path(path).getFileSystem(hconf)
-      if (!outFs.exists(new Path(path, "_SUCCESS")))
+      val path = cachedExport(s, dir, "documents", "csv") { p =>
         t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("text"),
             concat(lit("x,\"y\"\n"), col("text")).as("gnarly"))
-          .write.mode("overwrite").csv(path)
+          .write.mode("overwrite").csv(p)
+      }
       s.read.schema("doc_id LONG, lang STRING, text STRING, gnarly STRING")
         .option("multiLine", "true").csv(path)
         .groupBy("lang")
@@ -837,16 +837,9 @@ object SparkEntry {
     // into the 4th decimal (measured on the sf1 replica's jittered
     // copies); per-(label,pos) means divide the same noise below ROUND(4).
     "q119_orc_roundtrip" -> ((s, dir) => {
-      import org.apache.hadoop.fs.Path
-      val hconf = s.sparkContext.hadoopConfiguration
-      val src = new Path(s"$dir/embeddings.parquet")
-      val st = src.getFileSystem(hconf).getFileStatus(src)
-      val tag = java.lang.Long.toHexString(
-        st.getModificationTime ^ (st.getLen * 1315423911L))
-      val path = s"/root/repo/target/verify-orc/sf_$tag"
-      val outFs = new Path(path).getFileSystem(hconf)
-      if (!outFs.exists(new Path(path, "_SUCCESS")))
-        t(s, dir, "embeddings").write.mode("overwrite").orc(path)
+      val path = cachedExport(s, dir, "embeddings", "orc") { p =>
+        t(s, dir, "embeddings").write.mode("overwrite").orc(p)
+      }
       s.read.schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT").orc(path)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
         .groupBy("label", "pos")
@@ -2871,7 +2864,11 @@ object SparkEntry {
     // then ONE left-to-right non-overlapping replace applying the merge
     // (identical semantics in both engines; see Lm.bpeTrain's scaladoc).
     // v_r and best_r are each referenced twice → MATERIALIZED (the q116
-    // inlining lesson).
+    // inlining lesson). The apply stage LEFT-JOINs its best pair: an
+    // exhausted round (no pairs left — engine stops gracefully) must pass
+    // the vocabulary through unchanged, not annihilate it via a cross
+    // join against an empty best; the COALESCE'd empty-pair pattern
+    // ('   ') can never match a single-spaced symbol string.
     "q122_bpe_train" -> {
       val stages = (1 to 5).map { r =>
         s"""p_$r AS (SELECT sp[CAST(i+1 AS INTEGER)] AS a, sp[CAST(i+2 AS INTEGER)] AS b,
@@ -2883,9 +2880,9 @@ object SparkEntry {
            |                         ORDER BY cnt DESC, a, b LIMIT 1),
            |v_$r AS MATERIALIZED (
            |  SELECT trim(replace(' ' || v.s || ' ',
-           |                      ' ' || bb.a || ' ' || bb.b || ' ',
-           |                      ' ' || bb.a || bb.b || ' ')) AS s, v.f
-           |  FROM v_${r - 1} v, best_$r bb)""".stripMargin
+           |                      ' ' || COALESCE(bb.a, '') || ' ' || COALESCE(bb.b, '') || ' ',
+           |                      ' ' || COALESCE(bb.a, '') || COALESCE(bb.b, '') || ' ')) AS s, v.f
+           |  FROM v_${r - 1} v LEFT JOIN best_$r bb ON TRUE)""".stripMargin
       }.mkString(",\n")
       val mergeRows = (1 to 5).map(r =>
         s"SELECT $r AS rank, a || '+' || b AS pair, CAST(cnt AS BIGINT) AS cnt FROM best_$r")

@@ -337,6 +337,16 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   private def currentWithPtOf(m: CollectionMeta): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dataDir(m.version).toString)
 
+  /** Contents of ONE meta snapshot (empty canonical frame if never
+    * written). Every read surface that also consults snapshot-bound
+    * sidecars (IVF cells, posting lists) must scan THIS, not [[toDF]] —
+    * toDF re-reads meta, and a commit landing in between would pair
+    * version-N+1 data with version-N index artifacts. */
+  private def snapshotDF(m: CollectionMeta): DataFrame = currentDataOf(m) match {
+    case Some(p) => spark.read.option("mergeSchema", "true").parquet(p.toString).drop("pt")
+    case None => toDF // canonical empty frame (meta re-read harmless: no data)
+  }
+
   /** Single-writer commit: the version-claim file move is the atomic CAS
     * (an `O_CREAT|O_EXCL` create of the version-claim file — exactly one
     * of two racing writers succeeds; the loser fails LOUDLY instead of
@@ -562,10 +572,19 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       "addDocuments embeds server-side — use add() for precomputed vectors")
     require(batch.columns.contains("document"),
       "addDocuments needs a 'document' column to embed")
-    meta.metadata.get("embedding_function") match {
-      case Some(n) => require(n == ef.name,
-        s"collection '$name' is bound to embedding function '$n', got '${ef.name}'")
-      case None => modifyMetadata(Map("embedding_function" -> ef.name))
+    val hadBinding = meta.metadata.get("embedding_function") match {
+      case Some(n) =>
+        require(n == ef.name,
+          s"collection '$name' is bound to embedding function '$n', got '${ef.name}'")
+        true
+      case None => false
+    }
+    // the same guard add() enforces for explicit vectors, checked BEFORE
+    // any embedding work: a function of a different dimension would commit
+    // a ragged store whose kNN reads return null-distance garbage
+    dim().foreach { d =>
+      require(d == ef.dim,
+        s"embedding function dim ${ef.dim} != collection dimension $d")
     }
     val embedded = batch.withColumn("embedding", ef.embedText(col("document")))
     if (space == "cosine") {
@@ -586,6 +605,12 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
           beforeCommit()
         })
     } else add(embedded, beforeCommit)
+    // binding recorded only AFTER a successful add: a rejected batch
+    // (zero vectors, id clash) must not leave a permanent function
+    // binding on a collection that stored nothing. Single-writer store
+    // (the commit protocol serializes writers), so the stamp cannot race
+    // another function's successful add.
+    if (!hadBinding) modifyMetadata(Map("embedding_function" -> ef.name))
   }
 
   /** `query(query_texts=...)`: embed the texts driver-side with the
@@ -602,7 +627,15 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         s"collection '$name' has no registered embedding function — " +
           "hydrate via addDocuments, or query with explicit vectors"))
     val ef = Embedder.fromName(efName)
-    queryBatch(texts.map(t => ef.embedOne(t)), k, where, whereDoc, nprobe, exact)
+    val vecs = texts.map(t => ef.embedOne(t))
+    // mirror the add-side gate: a zero query vector in cosine space would
+    // make every distance NaN and the rank window would return k
+    // arbitrary rows — reject loudly instead (symmetry with addDocuments)
+    if (space == "cosine") vecs.zip(texts).foreach { case (v, t) =>
+      require(v.exists(_ != 0f),
+        s"query text '$t' embeds to the zero vector — cosine distance is undefined")
+    }
+    queryBatch(vecs, k, where, whereDoc, nprobe, exact)
   }
 
   /** Diversity-aware top-k (Maximal Marginal Relevance) over the store:
@@ -625,7 +658,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
         spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
           .filter(col("cell").isin(cells: _*)).drop("cell")
-      case None => toDF
+      case None => snapshotDF(m)
     }
     val confined = docIndexConfine(base, m, whereDoc)
     val filtered = ChromaFilter.predicate(where, whereDoc, col("document"),
@@ -728,10 +761,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     // fresh re-read for the index could adopt a newer version than the
     // data scan and confine it with the wrong posting lists
     val m = meta
-    var df = currentDataOf(m) match {
-      case Some(p) => spark.read.option("mergeSchema", "true").parquet(p.toString).drop("pt")
-      case None => toDF // canonical empty frame
-    }
+    var df = snapshotDF(m)
     if (ids.nonEmpty) df = df.filter(col("id").isin(ids: _*))
     df = docIndexConfine(df, m, whereDoc)
     ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df))
@@ -1020,7 +1050,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
           ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(indexed)))
           .drop("cell")
       case None =>
-        val df = docIndexConfine(toDF, m, whereDoc)
+        val df = docIndexConfine(snapshotDF(m), m, whereDoc)
         requireNoReserved(df, Seq("dist"))
         Knn.topK(df, "id", "embedding", queryVec, k, m.space,
           ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df)))
@@ -1070,7 +1100,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
               .drop("embedding", "__qvec", "__qcells", "cell")
         }
       case None =>
-        val df = docIndexConfine(toDF, m, whereDoc)
+        val df = docIndexConfine(snapshotDF(m), m, whereDoc)
         requireNoReserved(df, Seq("qid", "rnk", "dist", "__qvec", "__na", "__nq"))
         val spark0 = df.sparkSession
         import spark0.implicits._

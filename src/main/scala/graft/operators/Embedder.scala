@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.util.Locale
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnShim
 import org.apache.spark.sql.functions._
@@ -50,9 +48,15 @@ final case class HashingEmbedder(dim: Int) extends EmbeddingFunction {
       HashEmbed(GraftColumnShim.expression(lower(text)), dim))
 
   override def embedOne(text: String): Seq[Float] = {
-    // Locale.ROOT mirrors Spark's locale-independent lower(); query texts
-    // and fixture documents are BMP (Verify guards the fixture side)
-    HashEmbed.embed(text.toLowerCase(Locale.ROOT), dim).toSeq
+    // lowercase through UTF8String — the EXACT routine Spark's `lower()`
+    // applies in embedText (UTF8String.toLowerCase: ASCII fast path,
+    // String.toLowerCase() slow path). A JVM-side Locale.ROOT
+    // toLowerCase is NOT bit-identical to it under every default locale
+    // (e.g. tr-TR dotted/dotless I), and stored-vs-query vectors from
+    // different case mappings is exactly what the binding must prevent.
+    HashEmbed.embed(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text)
+        .toLowerCase.toString, dim).toSeq
   }
 }
 

@@ -108,6 +108,11 @@ object Knn {
     * per-group `rnk <= k` takes Spark's WindowGroupLimit path (per-
     * partition top-k heaps, never a full per-query sort).
     *
+    * NULL labels are EXCLUDED on both sides, explicitly: a null-labeled
+    * corpus row is of unknown class — it could be a positive, and mining
+    * it as a "hard negative" would poison the training pairs. (SQL `<>`
+    * drops the same rows, so an engine-vs-oracle comparison agrees.)
+    *
     * @param queries small table of (qidCol, qvecCol, qlabelCol)
     */
   def hardNegatives(
@@ -125,7 +130,8 @@ object Knn {
       col(qvecCol).as("__qvec"), col(qlabelCol).as("__qlabel"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
     corpus.crossJoin(broadcast(right))
-      .filter(col(labelCol) =!= col("__qlabel"))
+      .filter(col(labelCol).isNotNull && col("__qlabel").isNotNull &&
+        col(labelCol) =!= col("__qlabel"))
       .withColumn("dist", Distances.bySpace(space)(col(vecCol), col("__qvec")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -138,13 +138,35 @@ class EmbedderSpec extends SparkTestBase {
         HashingEmbedder(8))
     }
     assert(e.getMessage.contains("zero vector"))
-    // the rejected version was abandoned: nothing committed
+    // the rejected version was abandoned: nothing committed, and NO
+    // function binding left behind on the empty collection
     assert(coll.count() == 0)
-    // l2 space admits the same batch (distance defined everywhere)
+    assert(!coll.meta.metadata.contains("embedding_function"))
+    // ...so a retry with a different function is allowed
+    coll.addDocuments(Seq(("1", "ok doc")).toDF("id", "document"), HashingEmbedder(16))
+    assert(coll.meta.metadata("embedding_function") == "graft-hash-v1/16")
+    // l2 space admits the zero-vector batch (distance defined everywhere)
     val l2 = freshCatalog().getOrCreateCollection("ef5", space = "l2")
     l2.addDocuments(Seq(("1", "ok doc"), ("2", "   ")).toDF("id", "document"),
       HashingEmbedder(8))
     assert(l2.count() == 2)
+  }
+
+  test("addDocuments rejects a function whose dim mismatches existing vectors") {
+    val coll = freshCatalog().getOrCreateCollection("ef6", space = "cosine")
+    coll.add(Seq(("1", "doc", Seq(1f, 2f))).toDF("id", "document", "embedding"))
+    val e = intercept[IllegalArgumentException] {
+      coll.addDocuments(Seq(("2", "more")).toDF("id", "document"), HashingEmbedder(8))
+    }
+    assert(e.getMessage.contains("dim"))
+    assert(coll.count() == 1)
+  }
+
+  test("queryText rejects a zero-vector query text in cosine space") {
+    val coll = freshCatalog().getOrCreateCollection("ef7", space = "cosine")
+    coll.addDocuments(Seq(("1", "a b c")).toDF("id", "document"), HashingEmbedder(8))
+    val e = intercept[IllegalArgumentException](coll.queryText(Seq("   "), k = 1))
+    assert(e.getMessage.contains("zero vector"))
   }
 
   // ---- MMR ----

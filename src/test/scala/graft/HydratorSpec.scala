@@ -244,7 +244,10 @@ class HydratorSpec extends SparkTestBase {
     // queryText resolves the recorded function; exact text ranks first
     assert(c.queryText(Seq("second doc"), k = 1)
       .select("id").head().getString(0) == "2")
-    // dim mismatch vs the existing collection is rejected up front
+    // a different function against the bound collection is rejected up
+    // front (the binding check fires before the dim check — this
+    // collection records its function; a raw-vector collection of another
+    // dim hits the dim guard instead, EmbedderSpec pins that path)
     val e = intercept[IllegalArgumentException] {
       Hydrator.run(spark, HydrateConfig(
         inputTable = widePath, textVar = "text", docId = "doc_id",
@@ -252,7 +255,7 @@ class HydratorSpec extends SparkTestBase {
         collectionName = "hef", persistentPath = root,
         space = "cosine", embeddingFunction = Some("graft-hash-v1/16")))
     }
-    assert(e.getMessage.contains("dim"))
+    assert(e.getMessage.contains("bound to embedding function"))
     // unknown function names are validation errors, not crashes
     val v = Hydrator.validate(spark, HydrateConfig(
       inputTable = widePath, textVar = "text", docId = "doc_id",
