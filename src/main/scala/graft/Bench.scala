@@ -45,7 +45,13 @@ object Bench {
       name == o || (name.startsWith(o) && name.charAt(o.length) == '_')))
     // SPARK_GRAFT_BENCH_DIAG=1: per-query stderr line with JVM/session
     // state (heap, persisted-RDD blocks, live threads) — the tool that
-    // located the r6 suite-context litter inflating q80/q81 8x.
+    // located the r6 suite-context litter inflating q80/q81 8x. The
+    // SNAPSHOT itself is taken for EVERY query regardless of the flag
+    // (it is three cheap JVM reads) and attached to the slowest-10
+    // entries of bench_summary: two rounds running, the driver bench
+    // has manufactured contention bursts (r6 q80/q81, r7 q35-q37) that
+    // the record couldn't self-explain because diagnostics were opt-in
+    // and the driver never opts in. Now the evidence rides the artifact.
     val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
     // Per-query session hygiene (default ON; SPARK_GRAFT_BENCH_CLEAN=0
     // disables for A/B). A ~110-query single-JVM suite accumulates
@@ -70,13 +76,25 @@ object Bench {
         org.apache.spark.sql.GraftColumnShim.unloadStateStores()
       } catch { case _: Throwable => () }
     }
-    def diagLine(name: String, sec: Double): Unit = {
+    // (heapMB, live threads, persisted RDDs, 1-min system load) right
+    // after a query finishes — the burst signature the r6/r7 anomalies
+    // needed: a load far above the suite's own thread count names the
+    // machine, a heap/thread spike names the engine.
+    def snapshot(): (Long, Int, Int, Double) = {
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
       val rdds = spark.sparkContext.getPersistentRDDs.size
       val threads = Thread.getAllStackTraces.keySet.size
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      (heapMb, threads, rdds, load)
+    }
+    val diags = scala.collection.mutable.LinkedHashMap[String, (Long, Int, Int, Double)]()
+    val worstSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def diagLine(name: String, sec: Double): Unit = {
+      val (heapMb, threads, rdds, load) = diags(name)
       System.err.println(
-        f"[diag] $name sec=$sec%.3f heapMB=$heapMb rdds=$rdds threads=$threads")
+        f"[diag] $name sec=$sec%.3f heapMB=$heapMb rdds=$rdds threads=$threads load=$load%.1f")
     }
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = (1 to runs).map { _ =>
@@ -93,6 +111,14 @@ object Bench {
           // sentinel, NOT elapsed-to-exception: a fast failure must not
           // make the suite look faster than a passing run
           name -> -1.0
+        }
+        // keep the snapshot of the SLOWEST run of each query: min-time
+        // reduce keeps fast timings, but the diagnostic question is
+        // always about the slow outlier (a failure counts as slowest)
+        val effSec = if (r._2 < 0) Double.MaxValue else r._2
+        if (effSec >= worstSec.getOrElse(name, -1.0)) {
+          worstSec(name) = effSec
+          diags(name) = snapshot()
         }
         if (diag) diagLine(name, r._2)
         if (clean) cleanup()
@@ -133,7 +159,19 @@ object Bench {
            s""","recall_pair_cap":${Recall.PairCap}""") +
           excl.map { case (k, n) => s""","$k":$n""" }.mkString
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$recallJson,"sf":"$sfDir"}""")
+    // Machine attribution in BOTH lines (VERDICT r7 #7): two rounds of
+    // driver-bench contention bursts were adjudicated "environmental"
+    // from history alone; load-average + physical memory in the record
+    // make a global slowdown machine-attributable from the artifact.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAvg = f"${osBean.getSystemLoadAverage}%.2f"
+    val physMemGb = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        f"${b.getTotalMemorySize / (1024.0 * 1024 * 1024)}%.1f"
+      case _ => "-1"
+    }
+    val envJson = s""""cpus":${Runtime.getRuntime.availableProcessors},"load_avg":$loadAvg,"phys_mem_gb":$physMemGb"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson$recallJson,$envJson,"sf":"$sfDir"}""")
     // The record of a graded run keeps only the LAST 2000 chars of stdout,
     // which truncates the head of the (long) line above — alphabetically
     // early keys vanish from the record. This second, compact line is
@@ -143,7 +181,13 @@ object Bench {
     // one line.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"""\":${v}%.2f""" }.mkString("{", ",", "}")
-    println(s"""{"bench_summary":{"total_sec":${f"$total%.2f"},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest10":$slowest,"runs":$runs,"clean":$clean,"sf":"$sfDir"}}""")
+    // per-query post-run JVM/machine state for the slowest 10 — the
+    // in-record evidence the r6/r7 burst adjudications lacked
+    val slowDiag = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .flatMap { case (k, _) => diags.get(k).map { case (h, t, r, l) =>
+        "\"" + k + s"""\":{"heap_mb":$h,"threads":$t,"rdds":$r,"load":${f"$l%.1f"}}""" } }
+      .mkString("{", ",", "}")
+    println(s"""{"bench_summary":{"total_sec":${f"$total%.2f"},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest10":$slowest,"slowest10_diag":$slowDiag,"runs":$runs,"clean":$clean,$envJson,"sf":"$sfDir"}}""")
     spark.stop()
   }
 }
