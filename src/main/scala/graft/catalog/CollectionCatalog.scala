@@ -102,7 +102,10 @@ final class CollectionCatalog(
 
   def listCollections(): Seq[String] =
     if (!Files.exists(root)) Nil
-    else DirIO.list(root)(_.filter(p => Files.exists(p.resolve("meta.json")))
+    // dot-prefixed dirs are in-flight build temps (fork), never
+    // collections — a crashed fork temp must not list as one
+    else DirIO.list(root)(_.filter(p => Files.exists(p.resolve("meta.json"))
+        && !p.getFileName.toString.startsWith("."))
       .map(_.getFileName.toString).toSeq.sorted)
 
   def deleteCollection(name: String): Boolean = {
@@ -136,19 +139,29 @@ final class CollectionCatalog(
     require(Files.exists(srcDir.resolve("meta.json")), s"no such collection: $from")
     val dstDir = root.resolve(to)
     require(!Files.exists(dstDir), s"collection '$to' already exists")
+    // Crash-safe adoption: the fork is BUILT in a temp sibling and lands
+    // via ONE atomic rename (the same pattern meta.json's atomicWrite
+    // uses). The old in-place build had unretryable crash residue: a
+    // death between createDirectories(dstDir) and the final meta write
+    // left a meta-less dstDir holding a stale version claim — a retry
+    // hit "already exists", and getOrCreateCollection would lay a v0
+    // meta over orphaned v1 data. Now a crash leaves only the temp
+    // (reclaimed on retry below); dstDir is either absent or complete.
+    val tmpDir = root.resolve(s".fork-tmp-$to")
+    if (Files.exists(tmpDir)) DirIO.deleteRecursively(tmpDir)
     val src = CollectionMeta.read(srcDir)
     val lineage = s"${src.name}@v${src.version}"
-    Files.createDirectories(dstDir)
+    Files.createDirectories(tmpDir)
     val srcData = srcDir.resolve(f"data_v${src.version}%06d")
     if (!Files.exists(srcData)) {
       // never-written source → an empty fork, lineage still recorded
-      writeMeta(dstDir, CollectionMeta(to, src.space, 0,
+      writeMeta(tmpDir, CollectionMeta(to, src.space, 0,
         src.metadata + ("forked_from" -> lineage), src.buckets))
     } else {
       val dst = CollectionMeta(to, src.space, 1,
         src.metadata + ("forked_from" -> lineage), src.buckets)
-      CollectionMeta.claimVersion(dstDir, dst)
-      val dstData = dstDir.resolve(f"data_v${1}%06d")
+      CollectionMeta.claimVersion(tmpDir, dst)
+      val dstData = tmpDir.resolve(f"data_v${1}%06d")
       Files.createDirectories(dstData)
       DirIO.list(srcData)(_.filter(p => Files.isDirectory(p) &&
           p.getFileName.toString.startsWith("pt=")).toSeq).foreach { bucketDir =>
@@ -161,9 +174,10 @@ final class CollectionCatalog(
             Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
         }
       }
-      Files.write(CollectionMeta.commitMarker(dstDir, 1), Array.emptyByteArray)
-      CollectionMeta.atomicWrite(dstDir, dst)
+      Files.write(CollectionMeta.commitMarker(tmpDir, 1), Array.emptyByteArray)
+      CollectionMeta.atomicWrite(tmpDir, dst)
     }
+    Files.move(tmpDir, dstDir, StandardCopyOption.ATOMIC_MOVE)
     new Collection(spark, dstDir, maxRowsPerFile)
   }
 
@@ -587,24 +601,46 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         s"embedding function dim ${ef.dim} != collection dimension $d")
     }
     val embedded = batch.withColumn("embedding", ef.embedText(col("document")))
+    // Null-document gate for EVERY space (chromadb raises on None
+    // documents too): HashEmbed is null-safe, so a null document would
+    // otherwise commit a null embedding silently — and null distances
+    // sort NULLS FIRST under the ascending kNN order, so ONE such row
+    // poisons the top-k of every later query. Same single-scan observe
+    // discipline as the clash probe: detection rides the write, a
+    // rejection abandons the claimed version pre-commit.
+    val obs = Observation()
+    val nullEmb = sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("null_embeds")
+    // zero-vector probe must not trip on nulls (exists(NULL) -> NULL):
+    // nulls are counted — and rejected — by their own metric
+    val zeroVec = col("embedding").isNotNull &&
+      not(exists(col("embedding"), x => x =!= lit(0.0f)))
+    val zeroCnt = sum(when(zeroVec, 1L).otherwise(0L)).as("zero_vecs")
+    // fail CLOSED, like the add clash probe: a missing metric aborts;
+    // only an empty batch (sum over zero rows = null) reads as clean
+    def metric(name: String): Long = obs.get.get(name) match {
+      case Some(l: java.lang.Long) => l.longValue()
+      case Some(null) => 0L
+      case other => throw new IllegalStateException(
+        s"$name probe metric missing or mistyped: $other")
+    }
+    def gateNulls(): Unit = {
+      val nulls = metric("null_embeds")
+      require(nulls == 0L,
+        s"$nulls document(s) are null — collection documents must be non-null " +
+          "(chromadb add() rejects None documents the same way)")
+    }
     if (space == "cosine") {
-      val obs = Observation()
-      val zeroVec = not(exists(col("embedding"), x => x =!= lit(0.0f)))
-      add(embedded.observe(obs, sum(when(zeroVec, 1L).otherwise(0L)).as("zero_vecs")),
+      add(embedded.observe(obs, nullEmb, zeroCnt),
         beforeCommit = () => {
-          // fail CLOSED, like the add clash probe: a missing metric aborts
-          val zeros = obs.get.get("zero_vecs") match {
-            case Some(l: java.lang.Long) => l.longValue()
-            case Some(null) => 0L
-            case other => throw new IllegalStateException(
-              s"zero-vector probe metric missing or mistyped: $other")
-          }
+          gateNulls()
+          val zeros = metric("zero_vecs")
           require(zeros == 0L,
             s"$zeros document(s) embed to the zero vector — cosine distance is undefined; " +
               "drop them or use l2/ip space")
           beforeCommit()
         })
-    } else add(embedded, beforeCommit)
+    } else add(embedded.observe(obs, nullEmb),
+      beforeCommit = () => { gateNulls(); beforeCommit() })
     // binding recorded only AFTER a successful add: a rejected batch
     // (zero vectors, id clash) must not leave a permanent function
     // binding on a collection that stored nothing. Single-writer store

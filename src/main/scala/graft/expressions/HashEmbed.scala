@@ -71,7 +71,16 @@ object HashEmbed {
     new GenericArrayData(embed(s.toString, dim))
 
   /** Whitespace per Java's `\s` — the class Spark's `split(_, "\\s+")`
-    * matches, so in-expression tokenization ≡ split-then-filter-empty. */
+    * matches, so in-expression tokenization ≡ split-then-filter-empty.
+    *
+    * ORACLE-PARITY FIXTURE CONSTRAINT (q115/q121/q124): the DuckDB
+    * replay tokenizes with RE2's `\s` (space/\t/\n/\f/\r — NO vertical
+    * tab U+000B) and hashes chars via codepoint-based `ascii()`, while
+    * this loop walks UTF-16 code units. Both diverge only on text
+    * containing U+000B or non-BMP (astral) characters; the driver
+    * fixtures are ASCII, which satisfies both. A non-ASCII corpus needs
+    * either this class aligned to RE2's `\s` + codepoint iteration, or
+    * an oracle that replays Java semantics. */
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 

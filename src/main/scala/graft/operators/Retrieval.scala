@@ -121,16 +121,40 @@ object Retrieval {
     * expressions), so the whole greedy trace replays in SQL — q116
     * hash-pins selection order AND scores against an unrolled oracle.
     */
+  /** LOUD upper bound on the driver-side candidate set: the greedy phase
+    * collects exactly ≤ fetchN rows BY CONTRACT, and this cap makes that
+    * contract enforced rather than advisory — fetchN=10⁷ throws instead
+    * of collecting 10⁷ rows to the driver (same pattern as
+    * [[DocIndex.MaxGramSets]]). 2¹⁶ candidates × a 1k-float embedding is
+    * ~256 MB transient driver heap, the sane ceiling; MMR's O(k·fetchN)
+    * greedy phase is itself unusable far below it. */
+  val MaxFetchN = 65536
+
   def mmr(df: DataFrame, idCol: String, embCol: String, queryVec: Seq[Float],
           k: Int, fetchN: Int, lambda: Double = 0.5): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    require(fetchN <= MaxFetchN,
+      s"fetchN ($fetchN) exceeds MaxFetchN ($MaxFetchN) — the greedy re-rank " +
+        "is a bounded DRIVER-side primitive; re-rank that many candidates distributed " +
+        "(query + a smaller fetchN) instead of collecting them")
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
     val spark = df.sparkSession
     val q = typedLit(queryVec)
+    // a zero vector (plain add() does not gate them) has no defined
+    // cosine: under ANSI the raw divide would THROW on it, non-ANSI
+    // yields NaN — which Spark's desc ordering ranks ABOVE every real
+    // number, so the garbage row would be picked at rank 1 and its NaN
+    // score would keep winning every later comparison. (Plain query is
+    // shielded: NaN dist sorts LAST under asc.) try_divide turns the
+    // zero-norm case into NULL, and the filter drops it along with
+    // null/ragged embeddings; !isnan covers NaN payload values.
+    import graft.functions.Distances.{dot, normSq}
+    val simCol = try_divide(dot(col(embCol), q),
+      sqrt(normSq(col(embCol))) * sqrt(normSq(q)))
     val cands = df
-      .select(col(idCol), col(embCol),
-        graft.functions.Distances.cosineSim(col(embCol), q).as("__simq"))
+      .select(col(idCol), col(embCol), simCol.as("__simq"))
+      .filter(col("__simq").isNotNull && !isnan(col("__simq")))
       .orderBy(col("__simq").desc, col(idCol))
       .limit(fetchN)
       .collect() // bounded: exactly ≤ fetchN rows by construction

@@ -719,4 +719,24 @@ class CollectionSpec extends SparkTestBase {
     assert(ef.count() == 0)
     assert(ef.meta.metadata("forked_from") == "e@v0")
   }
+
+  test("forkCollection is crash-safe: temp-sibling residue is reclaimed, never listed") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "coll-test")
+    val cat = new CollectionCatalog(spark, root.toString, numBuckets = 4)
+    val src = cat.getOrCreateCollection("cs", space = "l2")
+    src.add(batch(("1", "a", Seq(1f, 0f)), ("2", "b", Seq(0f, 1f))))
+    // simulate a crashed earlier fork: a half-built temp sibling with
+    // claimed version + linked data but no completed adoption
+    val tmp = root.resolve(".fork-tmp-cs2")
+    Files.createDirectories(tmp.resolve("data_v000001"))
+    Files.write(tmp.resolve("stale.bin"), Array[Byte](1, 2, 3))
+    // residue must not surface as a collection
+    assert(cat.listCollections() == Seq("cs"))
+    // a retry reclaims the temp and completes: dstDir is absent-or-complete
+    val dst = cat.forkCollection("cs", "cs2")
+    assert(dst.count() == 2)
+    assert(cat.listCollections() == Seq("cs", "cs2"))
+    assert(!Files.exists(tmp), "stale temp must be reclaimed by the retry")
+  }
 }

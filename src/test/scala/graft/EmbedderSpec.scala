@@ -152,6 +152,23 @@ class EmbedderSpec extends SparkTestBase {
     assert(l2.count() == 2)
   }
 
+  test("null documents are rejected pre-commit in EVERY space") {
+    // a null document embeds to a null vector (HashEmbed is null-safe),
+    // and null distances sort NULLS FIRST under ascending kNN order —
+    // one committed null row would poison the top-k of every later
+    // query. chromadb's add() raises on None documents the same way.
+    for (space <- Seq("cosine", "l2", "ip")) {
+      val coll = freshCatalog().getOrCreateCollection(s"nd-$space", space = space)
+      val batch = Seq(("1", Some("ok doc")), ("2", None))
+        .toDF("id", "document")
+      val e = intercept[Exception](coll.addDocuments(batch, HashingEmbedder(8)))
+      assert(e.getMessage.contains("null"), s"space=$space got: ${e.getMessage}")
+      // abandoned pre-commit: nothing served, no binding left behind
+      assert(coll.count() == 0)
+      assert(!coll.meta.metadata.contains("embedding_function"))
+    }
+  }
+
   test("addDocuments rejects a function whose dim mismatches existing vectors") {
     val coll = freshCatalog().getOrCreateCollection("ef6", space = "cosine")
     coll.add(Seq(("1", "doc", Seq(1f, 2f))).toDF("id", "document", "embedding"))

@@ -313,7 +313,12 @@ class PropertySpec extends SparkTestBase {
       acc.map(_.toFloat).toSeq
     }
     texts.foreach { t =>
-      val v = HashEmbed.embed(t, 16).toSeq
+      // exercise the CALLER path (embedOne lowercases, then embeds) so
+      // subject and reference agree by construction: raw HashEmbed.embed
+      // does NOT lowercase, and comparing it against a lowercasing ref
+      // only passed by modular coincidence ('a'-'A' = 32 ≡ 0 mod 16 and
+      // shifts h/16 by an even amount — any dim not dividing 32 breaks)
+      val v = graft.operators.HashingEmbedder(16).embedOne(t)
       assert(v == ref(t, 16), s"embed mismatch on '$t'")
       val nTok = t.split("\\s+").count(_.nonEmpty)
       assert(v.map(f => math.abs(f.toInt)).sum <= nTok)

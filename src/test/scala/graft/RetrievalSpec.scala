@@ -39,6 +39,30 @@ class RetrievalSpec extends SparkTestBase {
     assert(fused(2)._2 == r6(1.0 / 62))
   }
 
+  test("mmr excludes NaN-similarity candidates (zero vectors) instead of ranking them first") {
+    // cosine(0-vec, q) = 0/0 = NaN, and Spark's desc ordering ranks NaN
+    // ABOVE every real number — unfiltered, the garbage row would be
+    // picked at rank 1 with a NaN score that keeps winning. plain query
+    // is shielded (NaN dist sorts LAST under asc); mmr must filter.
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(0.6f, 0.8f)))
+      .toDF("id", "vec")
+    val picked = Retrieval.mmr(vecs, "id", "vec", Seq(1f, 0f), k = 3, fetchN = 10)
+      .orderBy("rnk").select("id").as[Long].collect().toSeq
+    assert(picked == Seq(1L, 3L), s"zero vector must be unrankable, got $picked")
+  }
+
+  test("mmr fetchN above MaxFetchN throws instead of collecting") {
+    val vecs = Seq((1L, Seq(1f, 0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException](
+      Retrieval.mmr(vecs, "id", "vec", Seq(1f, 0f),
+        k = 1, fetchN = Retrieval.MaxFetchN + 1))
+    assert(e.getMessage.contains("MaxFetchN"))
+    // the boundary itself is admitted
+    assert(Retrieval.mmr(vecs, "id", "vec", Seq(1f, 0f),
+      k = 1, fetchN = Retrieval.MaxFetchN).count() == 1)
+  }
+
   test("bm25 rejects an empty query; rrf rejects a single list") {
     intercept[IllegalArgumentException] {
       Retrieval.bm25(corpus, "doc_id", "text", Nil)
