@@ -1461,6 +1461,40 @@ object SparkEntry {
           round(col("dist"), 4).as("dist"), col("lang"))
         .orderBy("qid", "rnk")
     }),
+    // r7's two features COMPOSED (the one pairwise composition r7 left
+    // un-pinned): `query(query_texts=..., where_document=$contains)` —
+    // the query text embeds through the collection's RECORDED embedding
+    // function while the contains prefilter is served INDEX-CONFINED
+    // through the trigram postings (DocIndex). Confinement is a superset
+    // prefilter + verbatim re-check, so the hash must equal the
+    // scan-semantics oracle, which replays BOTH the embedding (from raw
+    // text, q115-style) and the contains filter. Hydrate-once with the
+    // q112 fingerprint discipline — the artifact is a persistent indexed
+    // collection, not per-call ingestion.
+    "q124_querytext_docindex" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      val fp = s"fmt1|$dir|n=${docs.count()}"
+      val reusable = cat.getCollection("qtd").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasDocIndex)
+      val coll = if (reusable) cat.getCollection("qtd").get else {
+        cat.deleteCollection("qtd")
+        val c = cat.getOrCreateCollection("qtd", space = "cosine")
+        c.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
+          col("text").as("document"), col("lang")), HashingEmbedder(16))
+        c.buildDocIndex()
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      require(coll.hasDocIndex, "q124 must exercise the postings index")
+      coll.queryText(
+          Seq("vector database search index", "streaming join throughput"),
+          k = 10, whereDoc = Some(ChromaFilter.Contains("vector table")))
+        .select(col("qid"), col("rnk"), col("id"),
+          round(col("dist"), 4).as("dist"), col("lang"))
+        .orderBy("qid", "rnk")
+    }),
     // Diversity-aware top-k: Maximal Marginal Relevance (Carbonell &
     // Goldstein 1998), the re-rank every RAG stack layers over plain kNN.
     // The candidate fetch is the distributed part (one scan → TakeOrdered
@@ -2819,6 +2853,48 @@ object SparkEntry {
          |cd AS (SELECT q.qid, v.doc_id, d.lang, ${sqlCos("v.v", "q.qv")} AS dist_raw
          |       FROM vecs v JOIN documents d ON d.doc_id = v.doc_id
          |       CROSS JOIN qvecs q WHERE d.lang IN ('en', 'es')),
+         |r AS (SELECT qid, doc_id, lang, dist_raw, ROW_NUMBER() OVER
+         |        (PARTITION BY qid ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
+         |      FROM cd)
+         |SELECT qid, rnk, CAST(doc_id AS VARCHAR) AS id,
+         |       ROUND(dist_raw, 4) AS dist, lang
+         |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+    },
+    // q124: q115's embed replay × q112's contains semantics — the
+    // engine serves the contains through the postings index (superset
+    // prefilter + verbatim re-check), so scan semantics ARE the oracle;
+    // restricting the corpus CTE up front is valid because a document's
+    // embedding depends only on its own text.
+    "q124_querytext_docindex" -> {
+      val hash = sqlStrHash("tm")
+      s"""WITH qt AS (SELECT * FROM (VALUES (0, 'vector database search index'),
+         |                                  (1, 'streaming join throughput')) AS q(qid, qtext)),
+         |d AS (SELECT doc_id, text, lang FROM documents
+         |      WHERE contains(text, 'vector table')),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |         FROM d),
+         |tk AS (SELECT doc_id, $hash AS h FROM toks WHERE length(tm) > 0),
+         |sums AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
+         |                SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |         FROM tk GROUP BY doc_id, b),
+         |grid AS (SELECT dd.doc_id, bb.b FROM (SELECT doc_id FROM d) dd
+         |         CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |vecs AS (SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |         FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.b
+         |         GROUP BY g.doc_id),
+         |qtoks AS (SELECT qid, unnest(string_split_regex(lower(qtext), '\\s+')) AS tm FROM qt),
+         |qtk AS (SELECT qid, $hash AS h FROM qtoks WHERE length(tm) > 0),
+         |qsums AS (SELECT qid, CAST(h % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY qid, b),
+         |qgrid AS (SELECT qq.qid, bb.b FROM (SELECT DISTINCT qid FROM qt) qq
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |qvecs AS (SELECT g.qid, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+         |          FROM qgrid g LEFT JOIN qsums s ON s.qid = g.qid AND s.b = g.b
+         |          GROUP BY g.qid),
+         |cd AS (SELECT q.qid, v.doc_id, d.lang, ${sqlCos("v.v", "q.qv")} AS dist_raw
+         |       FROM vecs v JOIN d ON d.doc_id = v.doc_id
+         |       CROSS JOIN qvecs q),
          |r AS (SELECT qid, doc_id, lang, dist_raw, ROW_NUMBER() OVER
          |        (PARTITION BY qid ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
          |      FROM cd)
