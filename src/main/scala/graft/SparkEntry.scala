@@ -1735,6 +1735,23 @@ object SparkEntry {
           array_join(f.getField("reasons"), ",").as("reasons"))
         .orderBy("doc_id")
     }),
+    // Multimodal with a REAL codec (no stub): payloads are genuine PNG
+    // byte streams (deterministic pixel formula → javax.imageio encode),
+    // and the query runs an ACTUAL ImageIO decode per row in the
+    // per-partition batch shape, then per-channel raster means. PNG is
+    // lossless on 8-bit RGB, so the oracle replays the features straight
+    // from the pixel formula — the decode is verified end-to-end: any
+    // codec corruption, channel swap, or dimension bug hash-mismatches.
+    "q123_image_decode" -> ((s, dir) => {
+      val media = Multimodal.syntheticPngFrame(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.decodeImages(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("media_id")
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -2517,6 +2534,25 @@ object SparkEntry {
         |ROUND(CAST(list_sum(list_transform(range(length(text)),
         |  i -> ascii(substr(text, CAST(i+1 AS INTEGER), 1)))) AS DOUBLE) / length(text), 4) AS mean_byte
         |FROM documents ORDER BY media_id""".stripMargin,
+    // q123: the real-PNG decode replayed from the shared pixel formula
+    // (PNG is lossless on 8-bit RGB, so decode∘encode = identity and the
+    // formula IS the decoded raster). Integer pixel sums are exact in
+    // both engines; ONE division by the fixed per-image pixel count
+    // before ROUND(4) — group size never grows with the corpus.
+    "q123_image_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, x.i AS x, y.i AS y
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(40)) AS i) x
+        |  CROSS JOIN (SELECT unnest(range(16)) AS i) y
+        |  WHERE x.i < 16 + (d.doc_id % 4) * 8)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 + (doc_id % 4) * 8 AS INTEGER) AS width,
+        |  CAST(16 AS INTEGER) AS height,
+        |  ROUND(CAST(SUM((7 * doc_id + 3 * x + 5 * y) % 256) AS DOUBLE) / COUNT(*), 4) AS mean_r,
+        |  ROUND(CAST(SUM((11 * doc_id + 13 * x + y) % 256) AS DOUBLE) / COUNT(*), 4) AS mean_g,
+        |  ROUND(CAST(SUM((doc_id + x + 17 * y) % 256) AS DOUBLE) / COUNT(*), 4) AS mean_b
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "q35_tumbling_window" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws, event_type,
         |COUNT(*) AS cnt,

@@ -39,6 +39,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("real PNG decode: ImageIO round-trip recovers the pixel formula exactly") {
+    val ids = Seq(0L, 1L, 3L, 1000L, 123456789L).toDF("doc_id")
+    val png = Multimodal.syntheticPngFrame(ids, "doc_id")
+    // the payloads are REAL PNGs (magic bytes), not formula bytes
+    png.collect().foreach { r =>
+      assert(r.payload.take(4).sameElements(
+        Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
+        s"media_id=${r.media_id} payload is not a PNG stream")
+      assert(r.kind == "image")
+    }
+    val feats = Multimodal.decodeImages(png).collect().map(f => f.media_id -> f).toMap
+    assert(feats.keySet == Set(0L, 1L, 3L, 1000L, 123456789L))
+    feats.foreach { case (id, f) =>
+      val w = 16 + (id % 4).toInt * 8
+      assert(f.width == w && f.height == 16, s"decoded dims for $id")
+      // independent replay of the formula (same arithmetic the oracle runs)
+      def mean(px: (Long, Int, Int) => Int): Double = {
+        var s = 0L
+        for (y <- 0 until 16; x <- 0 until w) s += px(id, x, y)
+        s.toDouble / (w * 16)
+      }
+      assert(f.mean_r == mean(Multimodal.pxR), s"mean_r for $id")
+      assert(f.mean_g == mean(Multimodal.pxG), s"mean_g for $id")
+      assert(f.mean_b == mean(Multimodal.pxB), s"mean_b for $id")
+    }
+  }
+
+  test("real decode fails loudly on an undecodable payload") {
+    val bad = Seq(Multimodal.MediaRow(7L, "image", Array[Byte](1, 2, 3),
+      1, 1, 0, 0L)).toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.decodeImages(bad).collect())
+    assert(e.getMessage.contains("media_id=7") ||
+      Option(e.getCause).exists(_.getMessage.contains("media_id=7")))
+  }
+
   test("resize stub rewrites image dims and payload, leaves other kinds alone") {
     val resized = Multimodal.resizeStub(media, 32, 32)
     assert(resized.count() == media.count())
