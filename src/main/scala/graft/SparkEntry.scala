@@ -1389,15 +1389,26 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val root = verifyCollectionsRoot(dir)
       val cat = new CollectionCatalog(s, root, numBuckets = 8)
-      val fp = s"fmt1|$dir|n=${docs.count()}"
+      val fp = s"fmt2|$dir|n=${docs.count()}"
       val reusable = cat.getCollection("dix").exists(c =>
         c.meta.metadata.get("source_fp").contains(fp) && c.hasDocIndex)
       val coll = if (reusable) cat.getCollection("dix").get else {
         cat.deleteCollection("dix")
         val c = cat.getOrCreateCollection("dix")
-        c.add(docs.select(col("doc_id").cast("string").as("id"),
-          col("text").as("document"), col("lang"), col("n_chars")))
+        val all = docs.select(col("doc_id").cast("string").as("id"),
+          col("text").as("document"), col("lang"), col("n_chars"))
+        // hydrate in two stages THROUGH the incremental-refresh path
+        // (r8): index the bulk, then upsert a slice and refreshDocIndex —
+        // only the touched id buckets re-derive postings, the rest
+        // hard-link from the previous build. Final content = the full
+        // corpus either way, so the scan-semantics oracle is unchanged;
+        // what's newly pinned is that a REFRESHED index still answers
+        // bit-identically to the scan.
+        c.add(all.filter(col("id").cast("long") % 7 =!= 3))
         c.buildDocIndex()
+        c.upsert(all.filter(col("id").cast("long") % 7 === 3))
+        val rebuilt = c.refreshDocIndex()
+        require(rebuilt > 0, "q112 must exercise an incremental refresh")
         c.modifyMetadata(Map("source_fp" -> fp))
         c
       }

@@ -977,7 +977,10 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
 
   def hasDocIndex: Boolean = currentDocIndex(meta).isDefined
 
-  /** Build the `where_document` postings index over the current version. */
+  /** Build the `where_document` postings index over the current version.
+    * Postings are sliced by the store's own id bucket (`gp=<g>/pb=<b>`)
+    * so later [[refreshDocIndex]] calls can carry unchanged slices
+    * forward instead of re-deriving the whole corpus. */
   def buildDocIndex(): Unit = {
     val m = meta
     require(currentDataOf(m).nonEmpty,
@@ -985,15 +988,114 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val data = currentWithPtOf(m)
     require(data.columns.contains("document"),
       s"collection '${m.name}' carries no document column — nothing to index")
-    var b = docIndexBuildsOf(m.version).map(buildNumberOf).maxOption.fold(0)(_ + 1)
+    val claimed = claimDocIndexBuild(m.version)
+    DocIndex.writeWithPb(data.select(col("id"), col("document"), col("pt")),
+      "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
+    Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
+  }
+
+  private def claimDocIndexBuild(version: Int): Path = {
+    var b = docIndexBuildsOf(version).map(buildNumberOf).maxOption.fold(0)(_ + 1)
     var claimed: Path = null
     while (claimed == null) {
-      try { Files.createDirectory(docIndexBuildDir(m.version, b)); claimed = docIndexBuildDir(m.version, b) }
+      try { Files.createDirectory(docIndexBuildDir(version, b)); claimed = docIndexBuildDir(version, b) }
       catch { case _: java.nio.file.FileAlreadyExistsException => b += 1 }
     }
-    DocIndex.write(data.select(col("id"), col("document")), "id", "document",
-      claimed.toString, maxRowsPerFile)
-    Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
+    claimed
+  }
+
+  /** Version number encoded in an index build dir name
+    * (`docindex_v<V>[.b<B>]` / `index_v<V>[.b<B>]`). */
+  private def indexVersionOf(p: Path): Int =
+    p.getFileName.toString.dropWhile(!_.isDigit).takeWhile(_.isDigit).toInt
+
+  /** Per-bucket file-name sets of one committed DATA version — the
+    * carry-over detector: [[writeMergedVersion]] hard-links untouched
+    * buckets' files under their ORIGINAL names, while a rewritten bucket
+    * gets fresh task-UUID names, so two versions' bucket file-name sets
+    * are equal iff the bucket's content is byte-identical carry-over. */
+  private def bucketFileNames(vdir: Path): Map[Int, Set[String]] =
+    DirIO.list(vdir)(_.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("pt=")).toSeq)
+      .map { p =>
+        p.getFileName.toString.stripPrefix("pt=").toInt ->
+          DirIO.list(p)(_.filter(Files.isRegularFile(_))
+            .map(_.getFileName.toString).toSet)
+      }.toMap
+
+  private def hasPbLayout(build: Path): Boolean =
+    DirIO.list(build)(_.find(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("gp="))).exists(g =>
+      DirIO.list(g)(_.exists(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("pb="))))
+
+  /** Incrementally refresh the postings index to the CURRENT version:
+    * rebuild postings ONLY for the id buckets whose data changed since
+    * the last committed build's version; every other `gp=<g>/pb=<b>`
+    * slice is hard-linked from that build — O(touched data) compute +
+    * O(#files) links, instead of the O(corpus) full re-derivation that
+    * made every point-upsert pay a whole-index rebuild at scale.
+    *
+    * Changed buckets are detected from the COW layout itself (no extra
+    * bookkeeping): merge commits hard-link untouched buckets' files
+    * under their original names, so a bucket changed iff its file-name
+    * set differs between the indexed version and the current one.
+    * Falls back to a full [[buildDocIndex]] when there is no usable
+    * prior build (none committed, legacy un-sliced layout, or the
+    * indexed version's data dir was vacuumed away).
+    *
+    * Returns the number of buckets rebuilt (numBuckets for the full-
+    * rebuild fallback, 0 when the index is already current). Same MVCC
+    * discipline as every build: fresh claimed dir, marker written LAST,
+    * readers adopt only marker-complete builds of the current version.
+    */
+  def refreshDocIndex(): Int = {
+    val m = meta
+    require(currentDataOf(m).nonEmpty,
+      s"collection '${m.name}' is empty — nothing to index")
+    val prior = DirIO.list(dir)(_.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("docindex_v")).toSeq)
+      .filter(p => Files.exists(p.resolve("_graft_committed")))
+      .sortBy(p => (indexVersionOf(p), buildNumberOf(p))).lastOption
+    prior match {
+      case Some(old) if indexVersionOf(old) == m.version =>
+        0 // a committed build already serves this version
+      case Some(old) if hasPbLayout(old) && Files.exists(dataDir(indexVersionOf(old))) =>
+        val oldFiles = bucketFileNames(dataDir(indexVersionOf(old)))
+        val newFiles = bucketFileNames(dataDir(m.version))
+        val changed = (oldFiles.keySet ++ newFiles.keySet)
+          .filter(b => oldFiles.get(b) != newFiles.get(b))
+        val claimed = claimDocIndexBuild(m.version)
+        if (changed.nonEmpty)
+          DocIndex.writeWithPb(
+            currentWithPtOf(m).filter(col("pt").isin(changed.toSeq: _*))
+              .select(col("id"), col("document"), col("pt")),
+            "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
+        // carry forward unchanged slices: hard-link gp=*/pb=<b> for
+        // every b whose data bucket is byte-identical carry-over
+        DirIO.list(old)(_.filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("gp=")).toSeq).foreach { gpDir =>
+          DirIO.list(gpDir)(_.filter { p =>
+            Files.isDirectory(p) && p.getFileName.toString.startsWith("pb=") &&
+              !changed.contains(p.getFileName.toString.stripPrefix("pb=").toInt)
+          }.toSeq).foreach { pbDir =>
+            val target = claimed.resolve(gpDir.getFileName.toString)
+              .resolve(pbDir.getFileName.toString)
+            Files.createDirectories(target)
+            DirIO.list(pbDir)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
+              val link = target.resolve(f.getFileName.toString)
+              try Files.createLink(link, f)
+              catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+                Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
+            }
+          }
+        }
+        Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
+        changed.size
+      case _ =>
+        buildDocIndex()
+        numBuckets
+    }
   }
 
   /** Drop the current version's postings-index builds. */

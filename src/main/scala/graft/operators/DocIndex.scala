@@ -71,6 +71,33 @@ object DocIndex {
       .option("maxRecordsPerFile", maxRowsPerFile)
       .partitionBy("gp").parquet(path)
 
+  /** Postings carrying the caller's id-bucket (`pb`) as a SECOND
+    * partition axis — the incremental-maintenance layout. `pbCol` must
+    * be the store's own bucket function of the id column: a mutation
+    * touches a known set of id buckets, and a `gp=<g>/pb=<b>` layout
+    * lets a refresh rebuild ONLY the touched `pb` slices while
+    * hard-linking every other slice from the previous build (the same
+    * trick the COW store's [[graft.catalog.Collection]] merge uses for
+    * untouched data buckets). Queries are unaffected: they prune on
+    * `gp` and never mention `pb`. */
+  def postingsWithPb(docs: DataFrame, idCol: String, docCol: String,
+                     pbCol: org.apache.spark.sql.Column): DataFrame =
+    docs.select(col(idCol).as("id"), pbCol.cast("int").as("pb"),
+        explode(GraftColumnShim.column(
+          CharGrams(GraftColumnShim.expression(col(docCol)), N))).as("gram"))
+      .distinct() // pb is a function of id, so this is the same distinct
+      .select(gp(col("gram")).as("gp"), col("pb"), col("gram"), col("id"))
+
+  /** Write pb-sliced postings: `gp=<g>/pb=<b>/...parquet`. */
+  def writeWithPb(docs: DataFrame, idCol: String, docCol: String,
+                  pbCol: org.apache.spark.sql.Column, path: String,
+                  maxRowsPerFile: Long = 4000000L): Unit =
+    postingsWithPb(docs, idCol, docCol, pbCol)
+      .repartition(col("gp"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRowsPerFile)
+      .partitionBy("gp", "pb").parquet(path)
+
   /** The gram sets that CONFINE a `where_document` predicate, in
     * OR-of-AND normal form: a document can match the predicate only if,
     * for AT LEAST ONE returned set, it contains EVERY gram in that set.

@@ -21,7 +21,9 @@ object DocIndexAudit {
     val runs = if (args.length > 1) args(1).toInt else 3
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cat = new CollectionCatalog(spark, "/root/repo/target/docindex-audit", numBuckets = 8)
+    // 64 buckets: the refresh audit below needs touched ≪ total to show
+    // confinement (a production store sizes buckets ≫ typical batch spread)
+    val cat = new CollectionCatalog(spark, "/root/repo/target/docindex-audit", numBuckets = 64)
     cat.deleteCollection("dxa")
     val coll = cat.getOrCreateCollection("dxa")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -66,6 +68,27 @@ object DocIndexAudit {
     val readPostings = postings
       .filter(col("gp").isin(gps: _*)).filter(col("gram").isin(grams: _*)).count()
     println(f"""{"docindex_audit":{"sf":"$sfDir","corpus_rows":$n,"match_rows":$scanRows,"scan_s":$scanS%.3f,"build_s":$buildS%.3f,"indexed_s":$idxS%.3f,"postings_rows_total":$totalPostings,"postings_rows_read":$readPostings,"gp_partitions_read":${gps.size},"gp_partitions_total":${DocIndex.GpCount},"runs":$runs}}""")
+    // ---- incremental-refresh cost: bounded by the touched-bucket ----
+    // fraction, not the corpus. Mutate ~1/1000 of the ids (a point-ish
+    // upsert batch), refresh, and compare against the full rebuild the
+    // same mutation used to force. Also a SINGLE-id upsert — the
+    // worst-case ratio for full rebuilds, the best case for refresh.
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    val slice = docs.orderBy("id").limit(5)
+      .withColumn("document", concat(col("document"), lit(" refreshed")))
+    val sliceN = slice.count()
+    coll.upsert(slice)
+    val (refreshS, rebuilt) = timed(coll.refreshDocIndex())
+    val (idxS2, idxRows2) = secMin(coll.get(whereDoc = wd).count())
+    coll.upsert(docs.filter(col("id") === "0")
+      .withColumn("document", concat(col("document"), lit(" again"))))
+    val (refresh1S, rebuilt1) = timed(coll.refreshDocIndex())
+    // full-rebuild basis on the SAME final content
+    val (fullS, _) = timed(coll.buildDocIndex())
+    println(f"""{"docindex_refresh_audit":{"sf":"$sfDir","corpus_rows":$n,"slice_rows":$sliceN,"buckets_total":64,"slice_refresh_s":$refreshS%.3f,"slice_buckets_rebuilt":$rebuilt,"single_id_refresh_s":$refresh1S%.3f,"single_id_buckets_rebuilt":$rebuilt1,"full_rebuild_s":$fullS%.3f,"indexed_after_refresh_s":$idxS2%.3f,"indexed_rows_after_refresh":$idxRows2}}""")
     cat.deleteCollection("dxa")
     spark.stop()
   }

@@ -111,6 +111,61 @@ class DocIndexSpec extends SparkTestBase {
       .select("id").as[String].collect().toSet == Set("1", "3", "5"))
   }
 
+  test("refreshDocIndex rebuilds only touched buckets, links the rest, hash-matches the scan") {
+    val c = hydrated()
+    c.buildDocIndex()
+    val root = java.nio.file.Paths.get(c.get().inputFiles.head
+      .stripPrefix("file:")).getParent // somewhere under <dir>/data_v...
+    // mutate through two commits: one upsert (new id) + one delete —
+    // touches at most 2 of the 4 id buckets vs the indexed version
+    c.upsert(Seq(("7", "a brand new brown bear")).toDF("id", "document"))
+    c.delete(ids = Seq("5"))
+    assert(!c.hasDocIndex) // version moved past the build
+    val rebuilt = c.refreshDocIndex()
+    assert(rebuilt >= 1 && rebuilt <= 2,
+      s"expected only the touched buckets to rebuild, got $rebuilt of 4")
+    assert(c.hasDocIndex)
+    // the refreshed index must serve the post-mutation truth: new row
+    // found, deleted row gone, untouched rows intact
+    assert(c.get(whereDoc = Some(Contains("brown")))
+      .select("id").as[String].collect().toSet == Set("1", "3", "7"))
+    // carry-forward really is hard links: the new build shares at least
+    // one posting file NAME with the old build (rewritten slices get
+    // fresh task-UUID names, linked slices keep their originals)
+    val dir = root.getParent.getParent // <collection dir>
+    def postingFiles(prefix: String): Set[String] = {
+      val builds = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        builds.iterator.asScala
+          .filter(_.getFileName.toString.startsWith(prefix)).toSeq
+          .flatMap { b =>
+            val w = java.nio.file.Files.walk(b)
+            try w.iterator.asScala
+              .filter(p => java.nio.file.Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet"))
+              .map(p => b.getFileName.toString + "::" +
+                dir.relativize(p).toString.split("/", 2)(1)).toList
+            finally w.close()
+          }.toSet
+      } finally builds.close()
+    }
+    val v1Files = postingFiles("docindex_v000001")
+    val v3Files = postingFiles("docindex_v000003")
+    val shared = v1Files.map(_.split("::")(1)).intersect(v3Files.map(_.split("::")(1)))
+    assert(shared.nonEmpty, "refresh must carry forward unchanged slices by link")
+    // already current → no-op
+    assert(c.refreshDocIndex() == 0)
+    // after vacuum reclaims the indexed version (mutate FIRST so the
+    // old build's version drops below the cutoff), refresh has no diff
+    // basis left → full-rebuild fallback (numBuckets)
+    c.upsert(Seq(("9", "yet more brown things")).toDF("id", "document"))
+    c.vacuum()
+    assert(c.refreshDocIndex() == 4)
+    assert(c.get(whereDoc = Some(Contains("brown")))
+      .select("id").as[String].collect().toSet == Set("1", "3", "7", "9"))
+  }
+
   test("short-doc and null-doc rows index to nothing but scan correctly") {
     val c = hydrated()
     c.buildDocIndex()
