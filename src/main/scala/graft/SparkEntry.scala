@@ -1261,6 +1261,42 @@ object SparkEntry {
       coll.query(headVec(emb, 0), 10, nprobe = 2)
         .select(col("id"), round(col("dist"), 4).as("dist"))
     }),
+    // The IVF index through INCREMENTAL REFRESH (r8): hydrate most of the
+    // corpus, build the seeded index, upsert the held-out slice, then
+    // refreshIndex() — only the touched id buckets re-run the argmin-L2
+    // assignment (against the PRIOR build's centroids), every other
+    // cell/pb slice hard-links forward. Assignment is a pure function of
+    // (vector, centroids), so the refreshed index must serve exactly what
+    // a full build with those seeds serves — the oracle replays seeded
+    // assignment + probe choice + filtered cosine top-k over the FINAL
+    // corpus, same as q60's discipline, plus a label prefilter composed
+    // on the pruned path.
+    "q125_ivf_refresh_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root)
+      val fp = s"fmt1|$dir|n=${emb.count()}"
+      val reusable = cat.getCollection("ivfr").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
+      val coll = if (reusable) cat.getCollection("ivfr").get else {
+        cat.deleteCollection("ivfr")
+        val c = cat.getOrCreateCollection("ivfr", "cosine")
+        val all = emb.select(col("vec_id").cast("string").as("id"),
+          col("embedding"), col("label"))
+        // hold out a slice that contains NO seed ids (0-7): % 17 == 9
+        c.add(all.filter(col("id").cast("long") % 17 =!= 9))
+        c.buildIndexSeeded((0L until 8L).map(_.toString))
+        c.upsert(all.filter(col("id").cast("long") % 17 === 9))
+        val rebuilt = c.refreshIndex()
+        require(rebuilt > 0, "q125 must exercise an incremental IVF refresh")
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      require(coll.hasIndex, "q125 must serve from the refreshed index")
+      coll.query(headVec(emb, 1), 10, nprobe = 3,
+          where = Some(ChromaFilter.In("label", Seq(0, 1, 2, 3, 4))))
+        .select(col("id"), round(col("dist"), 4).as("dist"), col("label"))
+    }),
     // B1-B5 END TO END through the copy-on-write store: add a base batch,
     // upsert (replacements + inserts), delete with ids AND a typed where
     // (Chroma's AND semantics), then a filtered get reading back the
@@ -2829,6 +2865,28 @@ object SparkEntry {
          |-- + 0.0 normalizes IEEE -0.0 on the self-match row (DuckDB's ROUND
          |-- keeps the sign of a rounded-to-zero negative; Spark's drops it)
          |SELECT id, ROUND(dist_raw, 4) + 0.0 AS dist FROM dd
+         |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
+    // q125: seeded IVF through the REFRESHED index — identical replay
+    // discipline to q60 over the FINAL corpus (the refresh's assignment
+    // must equal a full build's: argmin-L2 against the same seed
+    // centroids), probe 3 cells for vec 1's query, label prefilter on
+    // the pruned candidates, filtered cosine top-10.
+    "q125_ivf_refresh_knn" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+         |e0 AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding, label FROM embeddings),
+         |d AS (SELECT e.id AS id, e.embedding AS embedding, e.label AS label, c.cell AS cell,
+         |             ${sqlL2("e.embedding", "c.ce")} AS cd
+         |      FROM e0 e, c),
+         |a AS (SELECT id, embedding, label, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cd, cell) AS rn FROM d)
+         |      WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+         |pc AS (SELECT c.cell FROM c, q ORDER BY ${sqlL2("c.ce", "q.qe")}, c.cell LIMIT 3),
+         |cand AS (SELECT a.id AS id, a.embedding AS embedding, a.label AS label FROM a
+         |         WHERE a.cell IN (SELECT cell FROM pc) AND a.label IN (0, 1, 2, 3, 4)),
+         |dd AS (SELECT id, label, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
+         |SELECT id, ROUND(dist_raw, 4) + 0.0 AS dist, label FROM dd
          |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
     // q63: replays the whole store round-trip relationally — upsert =
     // batch ∪ (base anti batch); delete = NOT (ids AND where); get = the

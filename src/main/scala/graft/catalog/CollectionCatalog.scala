@@ -693,7 +693,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       case Some((idxPath, cents)) =>
         val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
         spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
-          .filter(col("cell").isin(cells: _*)).drop("cell")
+          .filter(col("cell").isin(cells: _*)).drop("cell", "pb")
       case None => snapshotDF(m)
     }
     val confined = docIndexConfine(base, m, whereDoc)
@@ -893,10 +893,13 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
 
   /** Build an IVF index over the current version with k-means centroids
     * (fit on `trainFraction` of the corpus — at scale you never train on
-    * all of it; assignment is still exact for every row). */
+    * all of it; assignment is still exact for every row). The layout
+    * carries the store's id bucket as a second partition axis
+    * (`cell=<c>/pb=<b>`) so [[refreshIndex]] can later carry unchanged
+    * slices forward; queries prune on `cell` alone. */
   def buildIndex(nlist: Int, seed: Long = 42L, trainFraction: Double = 1.0): Unit = {
     val m = indexableMeta()
-    val df = currentWithPtOf(m).drop("pt")
+    val df = currentWithPtOf(m).withColumnRenamed("pt", "pb")
     writeIndex(Ann.buildIvf(df, "id", "embedding", nlist, seed, trainFraction), m.version)
   }
 
@@ -914,19 +917,20 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * cell — the reproducible-anywhere form ([[Ann.buildIvfSeeded]]). */
   def buildIndexSeeded(seedIds: Seq[String]): Unit = {
     val m = indexableMeta()
-    val df = currentWithPtOf(m).drop("pt")
+    val df = currentWithPtOf(m).withColumnRenamed("pt", "pb")
     writeIndex(Ann.buildIvfSeededAny(df, "id", "embedding", seedIds), m.version)
   }
 
   private def indexableMeta(): CollectionMeta = {
     val m = meta
     require(currentDataOf(m).nonEmpty, s"collection '${m.name}' is empty — nothing to index")
-    require(!currentWithPtOf(m).columns.contains("cell"),
-      "collection has a 'cell' column, which collides with the index layout; rename it")
+    val clash = currentWithPtOf(m).columns.intersect(Seq("cell", "pb"))
+    require(clash.isEmpty,
+      s"collection has ${clash.mkString("/")} column(s), which collide with the index layout; rename them")
     m
   }
 
-  private def writeIndex(model: Ann.IvfModel, version: Int): Unit = {
+  private def claimIndexBuild(version: Int): Path = {
     // claim a fresh build dir: O_CREAT|O_EXCL directory create — of two
     // racing builders each gets its own dir, and neither deletes anything
     // an in-flight reader may be scanning
@@ -936,11 +940,91 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       try { Files.createDirectory(indexBuildDir(version, b)); claimed = indexBuildDir(version, b) }
       catch { case _: java.nio.file.FileAlreadyExistsException => b += 1 }
     }
+    claimed
+  }
+
+  private def writeIndex(model: Ann.IvfModel, version: Int): Unit = {
+    val claimed = claimIndexBuild(version)
     // one shuffle BY CELL at build time: without it every write task emits
     // a file into every cell it happens to hold (tasks × nlist small files)
     val packed = model.copy(assigned = model.assigned.repartition(col("cell")))
     Ann.writeIvf(packed, claimed.toString)
     Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
+  }
+
+  /** Incrementally refresh the IVF index to the CURRENT version: keep the
+    * prior build's CENTROIDS, re-run the exact argmin-L2 assignment ONLY
+    * for the id buckets whose data changed since the indexed version, and
+    * hard-link every other `cell=<c>/pb=<b>` slice from that build —
+    * O(touched data) compute + O(#files) links, where today's alternative
+    * is a full O(corpus) re-train + re-assignment per point mutation.
+    *
+    * Semantics: assignment is a pure function of (vector, centroids), and
+    * unchanged rows were assigned against the SAME centroids, so the
+    * refreshed index is bit-identical to a full re-assignment under those
+    * centroids — pruned-query results are exactly what a fresh seeded
+    * build with these centroids would serve. What a refresh does NOT do
+    * is re-TRAIN: cell balance drifts as the corpus drifts, so schedule a
+    * periodic [[buildIndex]] the way you would a compaction.
+    *
+    * Changed-bucket detection, fallback rules, and the returned count
+    * mirror [[refreshDocIndex]] (COW file-name diff). The full-rebuild
+    * fallback goes through the metadata-sized [[buildIndex]]`()`, so a
+    * collection without `ivf:nlist` metadata fails LOUDLY there — size it
+    * or rebuild explicitly. */
+  def refreshIndex(): Int = {
+    val m = meta
+    require(currentDataOf(m).nonEmpty,
+      s"collection '${m.name}' is empty — nothing to index")
+    val prior = DirIO.list(dir)(_.filter { p =>
+        val n = p.getFileName.toString
+        Files.isDirectory(p) && n.startsWith("index_v")
+      }.toSeq)
+      .filter(p => Files.exists(p.resolve("_graft_committed")))
+      .sortBy(p => (indexVersionOf(p), buildNumberOf(p))).lastOption
+    val priorCents = prior.flatMap(p =>
+      Collection.cachedCentroids(p, spark.sparkContext.hadoopConfiguration))
+    (prior, priorCents) match {
+      case (Some(old), _) if indexVersionOf(old) == m.version =>
+        0 // a committed build already serves this version
+      case (Some(old), Some(cents)) if hasPbSlices(old, "cell=") &&
+          Files.exists(dataDir(indexVersionOf(old))) =>
+        val oldFiles = bucketFileNames(dataDir(indexVersionOf(old)))
+        val newFiles = bucketFileNames(dataDir(m.version))
+        val changed = (oldFiles.keySet ++ newFiles.keySet)
+          .filter(b => oldFiles.get(b) != newFiles.get(b))
+        val claimed = claimIndexBuild(m.version)
+        val touched = currentWithPtOf(m)
+          .filter(col("pt").isin(changed.toSeq: _*))
+          .withColumnRenamed("pt", "pb")
+        // writeIvf also rewrites the centroid sidecar into the new build
+        // (same centroids — the sidecar is what later reads/refreshes use)
+        Ann.writeIvf(Ann.IvfModel(cents,
+          Ann.assignCells(touched, "embedding", cents).repartition(col("cell"))),
+          claimed.toString)
+        DirIO.list(old)(_.filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("cell=")).toSeq).foreach { cellDir =>
+          DirIO.list(cellDir)(_.filter { p =>
+            Files.isDirectory(p) && p.getFileName.toString.startsWith("pb=") &&
+              !changed.contains(p.getFileName.toString.stripPrefix("pb=").toInt)
+          }.toSeq).foreach { pbDir =>
+            val target = claimed.resolve(cellDir.getFileName.toString)
+              .resolve(pbDir.getFileName.toString)
+            Files.createDirectories(target)
+            DirIO.list(pbDir)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
+              val link = target.resolve(f.getFileName.toString)
+              try Files.createLink(link, f)
+              catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+                Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
+            }
+          }
+        }
+        Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
+        changed.size
+      case _ =>
+        buildIndex()
+        numBuckets
+    }
   }
 
   /** Drop the current version's index builds (reads fall back to the exact
@@ -1023,9 +1107,11 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
             .map(_.getFileName.toString).toSet)
       }.toMap
 
-  private def hasPbLayout(build: Path): Boolean =
+  /** Whether `build` uses the two-level refreshable layout: its first-
+    * axis dirs (`gp=`/`cell=` per `prefix`) hold `pb=` slices. */
+  private def hasPbSlices(build: Path, prefix: String): Boolean =
     DirIO.list(build)(_.find(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("gp="))).exists(g =>
+        p.getFileName.toString.startsWith(prefix))).exists(g =>
       DirIO.list(g)(_.exists(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("pb="))))
 
@@ -1060,7 +1146,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     prior match {
       case Some(old) if indexVersionOf(old) == m.version =>
         0 // a committed build already serves this version
-      case Some(old) if hasPbLayout(old) && Files.exists(dataDir(indexVersionOf(old))) =>
+      case Some(old) if hasPbSlices(old, "gp=") && Files.exists(dataDir(indexVersionOf(old))) =>
         val oldFiles = bucketFileNames(dataDir(indexVersionOf(old)))
         val newFiles = bucketFileNames(dataDir(m.version))
         val changed = (oldFiles.keySet ++ newFiles.keySet)
@@ -1178,7 +1264,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       case Some((idxPath, cents)) =>
         val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
         val indexed = spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
-        requireNoReserved(indexed.drop("cell"), Seq("dist"))
+        requireNoReserved(indexed.drop("cell", "pb"), Seq("dist"))
         // `cell` is the index layout's partition column — the isin lands in
         // the scan as a PartitionFilter, so only the probed cells' files
         // are even listed (PlanShapeSpec pins this)
@@ -1186,7 +1272,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
           indexed.filter(col("cell").isin(cells: _*)), m, whereDoc)
         Knn.topK(pruned, "id", "embedding", queryVec, k, m.space,
           ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(indexed)))
-          .drop("cell")
+          .drop("cell", "pb")
       case None =>
         val df = docIndexConfine(snapshotDF(m), m, whereDoc)
         requireNoReserved(df, Seq("dist"))
@@ -1219,7 +1305,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         val cellsPerQ = queryVecs.map(v => Ann.nearestCellsOf(cents, v, np))
         val allCells = cellsPerQ.flatten.distinct
         val indexed = spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
-        requireNoReserved(indexed.drop("cell"),
+        requireNoReserved(indexed.drop("cell", "pb"),
           Seq("qid", "rnk", "dist", "__qvec", "__qcells", "__na", "__nq"))
         val pruned = docIndexConfine(
           indexed.filter(col("cell").isin(allCells: _*)), m, whereDoc)
@@ -1235,7 +1321,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
                 graft.functions.Distances.bySpace(m.space)(col("embedding"), col("__qvec")))
               .withColumn("rnk", row_number().over(w))
               .filter(col("rnk") <= k)
-              .drop("embedding", "__qvec", "__qcells", "cell")
+              .drop("embedding", "__qvec", "__qcells", "cell", "pb")
         }
       case None =>
         val df = docIndexConfine(snapshotDF(m), m, whereDoc)

@@ -109,7 +109,11 @@ object Ann {
     * the optimizer rule [[graft.expressions.IvfPruneRule]] can prune later
     * sessions' queries without the in-memory model. */
   def writeIvf(model: IvfModel, path: String): Unit = {
-    model.assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    // an assigned frame carrying `pb` (the caller's id-bucket) writes the
+    // two-level `cell=<c>/pb=<b>` layout — the incremental-refresh axis
+    // (see Collection.refreshIndex); queries prune on `cell` either way
+    val parts = if (model.assigned.columns.contains("pb")) Seq("cell", "pb") else Seq("cell")
+    model.assigned.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
     // Hadoop FS, not java.nio: the layout may live on hdfs://, s3a://, … —
     // a local-filesystem sidecar would crash AFTER the expensive corpus
     // write (or silently disable rule-based pruning on read).

@@ -487,6 +487,37 @@ class CollectionSpec extends SparkTestBase {
       .select("id").as[String].head() == "zz")
   }
 
+  test("IVF refreshIndex: touched buckets reassign, the rest hard-link, results stay exact") {
+    val c = freshCatalog().getOrCreateCollection("c", "l2")
+    c.add(clusterBatch())
+    c.buildIndexSeeded(Seq("00", "04", "08", "12"))
+    assert(c.hasIndex)
+    // mutate: one new row near cluster 0 + delete one cluster-2 row —
+    // two commits, at most 2 of the 4 id buckets touched
+    c.upsert(batch(("zz", "late", Seq(1f, 0.001f, 0f, 0f))))
+    c.delete(ids = Seq("09"))
+    assert(!c.hasIndex)
+    val rebuilt = c.refreshIndex()
+    assert(rebuilt >= 1 && rebuilt <= 2,
+      s"expected only the touched buckets to reassign, got $rebuilt of 4")
+    assert(c.hasIndex)
+    // the refreshed index must serve post-mutation truth through the
+    // PRUNED path: new row found first, deleted row gone, and probing
+    // every cell reproduces the exact scan bit-for-bit
+    assert(c.query(Seq(1f, 0f, 0f, 0f), 1, nprobe = 4)
+      .select("id").as[String].head() == "zz")
+    val viaIndex = c.query(Seq(0f, 0f, 1f, 0f), 8, nprobe = 4)
+      .select("id", "dist").as[(String, Double)].collect().toSeq
+    val exact = c.query(Seq(0f, 0f, 1f, 0f), 8, exact = true)
+      .select("id", "dist").as[(String, Double)].collect().toSeq
+    assert(viaIndex == exact)
+    assert(!viaIndex.map(_._1).contains("09"))
+    // no pb leakage into the query output schema
+    assert(!c.query(Seq(1f, 0f, 0f, 0f), 1, nprobe = 4).columns.contains("pb"))
+    // already current → no-op
+    assert(c.refreshIndex() == 0)
+  }
+
   test("queryStruct: Chroma-shaped parallel lists match the long form; include filters") {
     val c = freshCatalog().getOrCreateCollection("c", "cosine")
     c.add(batch(("a", "d a", Seq(1f, 0f)), ("b", "d b", Seq(0.9f, 0.1f)),

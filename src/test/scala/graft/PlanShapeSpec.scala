@@ -123,13 +123,17 @@ class PlanShapeSpec extends SparkTestBase {
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(scanLine.contains("cell") && scanLine.contains(" IN "),
       s"expected the probed-cell IN filter at the file-listing level, got: $scanLine\n$p")
-    // ... and the pruned scan must not read the whole collection: only the
-    // 2 probed cells' directories survive the listing
-    val parts = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+    // ... and the pruned scan must not read the whole collection: only
+    // the 2 probed cells' directories survive the listing. The layout is
+    // two-level (cell=<c>/pb=<b>, the refresh axis), so count DISTINCT
+    // cells among the selected leaf partitions, not raw partition count.
+    val cells = df.queryExecution.executedPlan.collectLeaves().collectFirst {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.selectedPartitions.partitionCount
+        s.selectedPartitions.toPartitionArray.map(_.filePath.toString)
+          .flatMap(_.split("/").find(_.startsWith("cell="))).toSet
     }
-    assert(parts.contains(2), s"expected 2 of 8 cell partitions selected, got $parts")
+    assert(cells.exists(_.size == 2),
+      s"expected files from exactly 2 of 8 cells selected, got $cells")
   }
 
   test("q71 mixture: the corpus never shuffles — rates broadcast back") {
