@@ -1261,6 +1261,39 @@ object SparkEntry {
       coll.query(headVec(emb, 0), 10, nprobe = 2)
         .select(col("id"), round(col("dist"), 4).as("dist"))
     }),
+    // TRIPLE composition on one read (r8): a committed IVF index AND a
+    // committed trigram-postings index AND a metadata `where` serve one
+    // `query()` — cell pruning at the file listing, postings confinement
+    // of the whereDoc, the verbatim predicate on the survivors, exact
+    // cosine top-k inside. Each leg is oracled alone (q60, q112, q04-07);
+    // this pins that their composition changes nothing: the oracle is the
+    // plain scan-semantics replay over the FINAL corpus.
+    "q126_ivf_docindex_where" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root)
+      val fp = s"fmt1|$dir|n=${emb.count()}"
+      val reusable = cat.getCollection("ivfdx").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex && c.hasDocIndex)
+      val coll = if (reusable) cat.getCollection("ivfdx").get else {
+        cat.deleteCollection("ivfdx")
+        val c = cat.getOrCreateCollection("ivfdx", "cosine")
+        c.add(emb.join(docs, col("vec_id") === col("doc_id"))
+          .select(col("vec_id").cast("string").as("id"), col("embedding"),
+            col("text").as("document"), col("lang")))
+        c.buildIndexSeeded((0L until 8L).map(_.toString))
+        c.buildDocIndex()
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      require(coll.hasIndex && coll.hasDocIndex,
+        "q126 must compose both sidecar indexes")
+      coll.query(headVec(emb, 2), 10, nprobe = 3,
+          where = Some(ChromaFilter.In("lang", Seq("en", "fr", "es"))),
+          whereDoc = Some(ChromaFilter.Contains("vector table")))
+        .select(col("id"), round(col("dist"), 4).as("dist"), col("lang"))
+    }),
     // The IVF index through INCREMENTAL REFRESH (r8): hydrate most of the
     // corpus, build the seeded index, upsert the held-out slice, then
     // refreshIndex() — only the touched id buckets re-run the argmin-L2
@@ -2865,6 +2898,32 @@ object SparkEntry {
          |-- + 0.0 normalizes IEEE -0.0 on the self-match row (DuckDB's ROUND
          |-- keeps the sign of a rounded-to-zero negative; Spark's drops it)
          |SELECT id, ROUND(dist_raw, 4) + 0.0 AS dist FROM dd
+         |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
+    // q126: the triple composition replayed as plain scan semantics —
+    // seeded assignment (q60 shape), probe 3 cells for vec 2's query,
+    // then the contains + lang filters on the pruned candidates, cosine
+    // top-10. Both indexes only confine IO; the oracle proves composition
+    // preserves that.
+    "q126_ivf_docindex_where" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+         |e0 AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, e.embedding, d.text, d.lang
+         |       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         |dd0 AS (SELECT e.id AS id, e.embedding AS embedding, e.text AS text,
+         |              e.lang AS lang, c.cell AS cell,
+         |              ${sqlL2("e.embedding", "c.ce")} AS cd
+         |       FROM e0 e, c),
+         |a AS (SELECT id, embedding, text, lang, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cd, cell) AS rn FROM dd0)
+         |      WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 2),
+         |pc AS (SELECT c.cell FROM c, q ORDER BY ${sqlL2("c.ce", "q.qe")}, c.cell LIMIT 3),
+         |cand AS (SELECT a.id AS id, a.embedding AS embedding, a.lang AS lang FROM a
+         |         WHERE a.cell IN (SELECT cell FROM pc)
+         |           AND contains(a.text, 'vector table')
+         |           AND a.lang IN ('en', 'fr', 'es')),
+         |dd AS (SELECT id, lang, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
+         |SELECT id, ROUND(dist_raw, 4) + 0.0 AS dist, lang FROM dd
          |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
     // q125: seeded IVF through the REFRESHED index — identical replay
     // discipline to q60 over the FINAL corpus (the refresh's assignment
