@@ -79,20 +79,22 @@ object Bench {
     // (heapMB, live threads, persisted RDDs, 1-min system load) right
     // after a query finishes — the burst signature the r6/r7 anomalies
     // needed: a load far above the suite's own thread count names the
-    // machine, a heap/thread spike names the engine.
+    // machine, a heap/thread spike names the engine. Cheap enough to run
+    // per query: counter reads, not stack-trace materialization.
     def snapshot(): (Long, Int, Int, Double) = {
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
       val rdds = spark.sparkContext.getPersistentRDDs.size
-      val threads = Thread.getAllStackTraces.keySet.size
+      val threads = java.lang.management.ManagementFactory
+        .getThreadMXBean.getThreadCount
       val load = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       (heapMb, threads, rdds, load)
     }
     val diags = scala.collection.mutable.LinkedHashMap[String, (Long, Int, Int, Double)]()
     val worstSec = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def diagLine(name: String, sec: Double): Unit = {
-      val (heapMb, threads, rdds, load) = diags(name)
+    def diagLine(name: String, sec: Double, snap: (Long, Int, Int, Double)): Unit = {
+      val (heapMb, threads, rdds, load) = snap
       System.err.println(
         f"[diag] $name sec=$sec%.3f heapMB=$heapMb rdds=$rdds threads=$threads load=$load%.1f")
     }
@@ -112,15 +114,18 @@ object Bench {
           // make the suite look faster than a passing run
           name -> -1.0
         }
-        // keep the snapshot of the SLOWEST run of each query: min-time
-        // reduce keeps fast timings, but the diagnostic question is
-        // always about the slow outlier (a failure counts as slowest)
+        // the stderr diag line pairs THIS run's timing with THIS run's
+        // state; the summary keeps the snapshot of the SLOWEST run of
+        // each query — min-time reduce keeps fast timings, but the
+        // diagnostic question is always about the slow outlier (a
+        // failure counts as slowest)
+        val snap = snapshot()
         val effSec = if (r._2 < 0) Double.MaxValue else r._2
         if (effSec >= worstSec.getOrElse(name, -1.0)) {
           worstSec(name) = effSec
-          diags(name) = snapshot()
+          diags(name) = snap
         }
-        if (diag) diagLine(name, r._2)
+        if (diag) diagLine(name, r._2, snap)
         if (clean) cleanup()
         r
       }
@@ -179,11 +184,14 @@ object Bench {
     // outlier. It deliberately does NOT contain the substring `"metric"`:
     // anything grepping for the main bench line must keep matching exactly
     // one line.
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    // one selection feeds both JSON fields so they can never describe
+    // different query sets
+    val slowestEntries = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val slowest = slowestEntries
       .map { case (k, v) => "\"" + k + f"""\":${v}%.2f""" }.mkString("{", ",", "}")
     // per-query post-run JVM/machine state for the slowest 10 — the
     // in-record evidence the r6/r7 burst adjudications lacked
-    val slowDiag = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val slowDiag = slowestEntries
       .flatMap { case (k, _) => diags.get(k).map { case (h, t, r, l) =>
         "\"" + k + s"""\":{"heap_mb":$h,"threads":$t,"rdds":$r,"load":${f"$l%.1f"}}""" } }
       .mkString("{", ",", "}")

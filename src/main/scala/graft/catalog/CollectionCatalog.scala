@@ -25,6 +25,20 @@ private[catalog] object DirIO {
   }
   def deleteRecursively(p: Path): Unit =
     walk(p)(_.toSeq).reverse.foreach(Files.delete)
+
+  /** Hard-link every regular file of `src` into `dst` (created if
+    * needed), falling back to a copy on filesystems without links — the
+    * one carry-forward primitive every COW surface (merge, fork,
+    * rollback, index refresh) shares. */
+  def linkFilesInto(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    list(src)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
+      val link = dst.resolve(f.getFileName.toString)
+      try Files.createLink(link, f)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
+    }
+  }
 }
 
 /** Parquet-backed vector-collection store with Chroma collection semantics.
@@ -76,6 +90,12 @@ final class CollectionCatalog(
     * build/query defaults (see [[Collection.buildIndex]] / `query`). */
   def getOrCreateCollection(name: String, space: String = "l2",
                             metadata: Map[String, String] = Map.empty): Collection = {
+    // dot-prefixed names are reserved for in-flight build temps (fork):
+    // they are hidden from listCollections and subject to reclamation —
+    // admitting one here would create a collection that can silently
+    // disappear (chromadb likewise constrains collection names)
+    require(!name.startsWith("."),
+      s"collection name '$name' is invalid: dot-prefixed names are reserved")
     val dir = root.resolve(name)
     if (!Files.exists(dir.resolve("meta.json"))) {
       // validate BEFORE touching the filesystem: a conflict must not
@@ -135,6 +155,8 @@ final class CollectionCatalog(
     * fails loudly on the missing file, never links half a version
     * silently (the commit marker is written only after a complete walk). */
   def forkCollection(from: String, to: String): Collection = {
+    require(!to.startsWith("."),
+      s"collection name '$to' is invalid: dot-prefixed names are reserved")
     val srcDir = root.resolve(from)
     require(Files.exists(srcDir.resolve("meta.json")), s"no such collection: $from")
     val dstDir = root.resolve(to)
@@ -165,14 +187,7 @@ final class CollectionCatalog(
       Files.createDirectories(dstData)
       DirIO.list(srcData)(_.filter(p => Files.isDirectory(p) &&
           p.getFileName.toString.startsWith("pt=")).toSeq).foreach { bucketDir =>
-        val target = dstData.resolve(bucketDir.getFileName.toString)
-        Files.createDirectories(target)
-        DirIO.list(bucketDir)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
-          val link = target.resolve(f.getFileName.toString)
-          try Files.createLink(link, f)
-          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-            Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
-        }
+        DirIO.linkFilesInto(bucketDir, dstData.resolve(bucketDir.getFileName.toString))
       }
       Files.write(CollectionMeta.commitMarker(tmpDir, 1), Array.emptyByteArray)
       CollectionMeta.atomicWrite(tmpDir, dst)
@@ -184,6 +199,8 @@ final class CollectionCatalog(
   /** B11 rename: catalog-level move + meta.json name update (atomic dir
     * move on the same filesystem; data files untouched). */
   def renameCollection(from: String, to: String): Boolean = {
+    require(!to.startsWith("."),
+      s"collection name '$to' is invalid: dot-prefixed names are reserved")
     val src = root.resolve(from); val dst = root.resolve(to)
     if (!Files.exists(src.resolve("meta.json")) || Files.exists(dst)) false
     else {
@@ -460,14 +477,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
           .filterNot(p => affected.contains(p.getFileName.toString.stripPrefix("pt=").toInt))
           .toSeq)
       carryOver.foreach { bucketDir =>
-        val target = newDir.resolve(bucketDir.getFileName.toString)
-        Files.createDirectories(target)
-        DirIO.list(bucketDir)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
-          val link = target.resolve(f.getFileName.toString)
-          try Files.createLink(link, f)
-          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-            Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
-        }
+        DirIO.linkFilesInto(bucketDir, newDir.resolve(bucketDir.getFileName.toString))
       }
       beforeCommit()
     } catch { case e: Throwable => abandon(next); throw e }
@@ -693,7 +703,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       case Some((idxPath, cents)) =>
         val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
         spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
-          .filter(col("cell").isin(cells: _*)).drop("cell", "pb")
+          .filter(col("cell").isin(cells: _*)).drop(indexLayoutCols(idxPath): _*)
       case None => snapshotDF(m)
     }
     val confined = docIndexConfine(base, m, whereDoc)
@@ -973,15 +983,11 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * collection without `ivf:nlist` metadata fails LOUDLY there — size it
     * or rebuild explicitly. */
   def refreshIndex(): Int = {
-    val m = meta
-    require(currentDataOf(m).nonEmpty,
-      s"collection '${m.name}' is empty — nothing to index")
-    val prior = DirIO.list(dir)(_.filter { p =>
-        val n = p.getFileName.toString
-        Files.isDirectory(p) && n.startsWith("index_v")
-      }.toSeq)
-      .filter(p => Files.exists(p.resolve("_graft_committed")))
-      .sortBy(p => (indexVersionOf(p), buildNumberOf(p))).lastOption
+    // the same clash guard the full builds run (indexableMeta): a refresh
+    // must not silently clobber a user column named cell/pb that a later
+    // batch introduced (upsert's allowMissingColumns admits new columns)
+    val m = indexableMeta()
+    val prior = newestCommittedBuild("index_v")
     val priorCents = prior.flatMap(p =>
       Collection.cachedCentroids(p, spark.sparkContext.hadoopConfiguration))
     (prior, priorCents) match {
@@ -989,10 +995,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         0 // a committed build already serves this version
       case (Some(old), Some(cents)) if hasPbSlices(old, "cell=") &&
           Files.exists(dataDir(indexVersionOf(old))) =>
-        val oldFiles = bucketFileNames(dataDir(indexVersionOf(old)))
-        val newFiles = bucketFileNames(dataDir(m.version))
-        val changed = (oldFiles.keySet ++ newFiles.keySet)
-          .filter(b => oldFiles.get(b) != newFiles.get(b))
+        val changed = changedBucketsBetween(indexVersionOf(old), m.version)
         val claimed = claimIndexBuild(m.version)
         val touched = currentWithPtOf(m)
           .filter(col("pt").isin(changed.toSeq: _*))
@@ -1002,23 +1005,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         Ann.writeIvf(Ann.IvfModel(cents,
           Ann.assignCells(touched, "embedding", cents).repartition(col("cell"))),
           claimed.toString)
-        DirIO.list(old)(_.filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("cell=")).toSeq).foreach { cellDir =>
-          DirIO.list(cellDir)(_.filter { p =>
-            Files.isDirectory(p) && p.getFileName.toString.startsWith("pb=") &&
-              !changed.contains(p.getFileName.toString.stripPrefix("pb=").toInt)
-          }.toSeq).foreach { pbDir =>
-            val target = claimed.resolve(cellDir.getFileName.toString)
-              .resolve(pbDir.getFileName.toString)
-            Files.createDirectories(target)
-            DirIO.list(pbDir)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
-              val link = target.resolve(f.getFileName.toString)
-              try Files.createLink(link, f)
-              catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-                Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
-            }
-          }
-        }
+        linkUnchangedSlices(old, claimed, "cell=", changed)
         Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
         changed.size
       case _ =>
@@ -1026,6 +1013,39 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         numBuckets
     }
   }
+
+  /** Newest committed index build dir with the given name prefix
+    * (highest (version, build)) — the refresh diff basis. */
+  private def newestCommittedBuild(prefix: String): Option[Path] =
+    DirIO.list(dir)(_.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(prefix)).toSeq)
+      .filter(p => Files.exists(p.resolve("_graft_committed")))
+      .sortBy(p => (indexVersionOf(p), buildNumberOf(p))).lastOption
+
+  /** Id buckets whose data changed between two committed versions (see
+    * [[bucketFileNames]] for why a file-name diff is the right detector). */
+  private def changedBucketsBetween(vOld: Int, vNew: Int): Set[Int] = {
+    val o = bucketFileNames(dataDir(vOld))
+    val n = bucketFileNames(dataDir(vNew))
+    (o.keySet ++ n.keySet).filter(b => o.get(b) != n.get(b))
+  }
+
+  /** Carry the prior build's unchanged pb slices forward: for every
+    * `<axisPrefix><x>/pb=<b>` dir of `old` with b ∉ changed, hard-link
+    * its files into the same relative dir under `claimed`. */
+  private def linkUnchangedSlices(old: Path, claimed: Path, axisPrefix: String,
+                                  changed: Set[Int]): Unit =
+    DirIO.list(old)(_.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(axisPrefix)).toSeq).foreach { axisDir =>
+      DirIO.list(axisDir)(_.filter { p =>
+        Files.isDirectory(p) && p.getFileName.toString.startsWith("pb=") &&
+          !changed.contains(p.getFileName.toString.stripPrefix("pb=").toInt)
+      }.toSeq).foreach { pbDir =>
+        DirIO.linkFilesInto(pbDir, claimed
+          .resolve(axisDir.getFileName.toString)
+          .resolve(pbDir.getFileName.toString))
+      }
+    }
 
   /** Drop the current version's index builds (reads fall back to the exact
     * scan). Explicit user intent — unlike rebuild, this DOES delete. */
@@ -1139,18 +1159,11 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val m = meta
     require(currentDataOf(m).nonEmpty,
       s"collection '${m.name}' is empty — nothing to index")
-    val prior = DirIO.list(dir)(_.filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("docindex_v")).toSeq)
-      .filter(p => Files.exists(p.resolve("_graft_committed")))
-      .sortBy(p => (indexVersionOf(p), buildNumberOf(p))).lastOption
-    prior match {
+    newestCommittedBuild("docindex_v") match {
       case Some(old) if indexVersionOf(old) == m.version =>
         0 // a committed build already serves this version
       case Some(old) if hasPbSlices(old, "gp=") && Files.exists(dataDir(indexVersionOf(old))) =>
-        val oldFiles = bucketFileNames(dataDir(indexVersionOf(old)))
-        val newFiles = bucketFileNames(dataDir(m.version))
-        val changed = (oldFiles.keySet ++ newFiles.keySet)
-          .filter(b => oldFiles.get(b) != newFiles.get(b))
+        val changed = changedBucketsBetween(indexVersionOf(old), m.version)
         val claimed = claimDocIndexBuild(m.version)
         if (changed.nonEmpty)
           DocIndex.writeWithPb(
@@ -1159,23 +1172,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
             "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
         // carry forward unchanged slices: hard-link gp=*/pb=<b> for
         // every b whose data bucket is byte-identical carry-over
-        DirIO.list(old)(_.filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith("gp=")).toSeq).foreach { gpDir =>
-          DirIO.list(gpDir)(_.filter { p =>
-            Files.isDirectory(p) && p.getFileName.toString.startsWith("pb=") &&
-              !changed.contains(p.getFileName.toString.stripPrefix("pb=").toInt)
-          }.toSeq).foreach { pbDir =>
-            val target = claimed.resolve(gpDir.getFileName.toString)
-              .resolve(pbDir.getFileName.toString)
-            Files.createDirectories(target)
-            DirIO.list(pbDir)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
-              val link = target.resolve(f.getFileName.toString)
-              try Files.createLink(link, f)
-              catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-                Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
-            }
-          }
-        }
+        linkUnchangedSlices(old, claimed, "gp=", changed)
         Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
         changed.size
       case _ =>
@@ -1206,6 +1203,14 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     } yield df.join(
       DocIndex.candidates(spark, idx.toString, sets), Seq("id"), "left_semi"))
       .getOrElse(df)
+
+  /** The layout-owned columns of an index build dir: always `cell`, plus
+    * `pb` ONLY when the build actually has pb slices (r8+ layouts) — a
+    * pre-r8 legacy build cannot own a `pb` column, so one appearing there
+    * is USER data and must survive the read (indexableMeta rejects the
+    * name for every new build, so the ambiguity cannot recur). */
+  private def indexLayoutCols(build: Path): Seq[String] =
+    if (hasPbSlices(build, "cell=")) Seq("cell", "pb") else Seq("cell")
 
   /** B6 query: top-k nearest neighbors with optional prefilters. When a
     * committed index matches the current version, the scan prunes to the
@@ -1264,7 +1269,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       case Some((idxPath, cents)) =>
         val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
         val indexed = spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
-        requireNoReserved(indexed.drop("cell", "pb"), Seq("dist"))
+        val layoutCols = indexLayoutCols(idxPath)
+        requireNoReserved(indexed.drop(layoutCols: _*), Seq("dist"))
         // `cell` is the index layout's partition column — the isin lands in
         // the scan as a PartitionFilter, so only the probed cells' files
         // are even listed (PlanShapeSpec pins this)
@@ -1272,7 +1278,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
           indexed.filter(col("cell").isin(cells: _*)), m, whereDoc)
         Knn.topK(pruned, "id", "embedding", queryVec, k, m.space,
           ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(indexed)))
-          .drop("cell", "pb")
+          .drop(layoutCols: _*)
       case None =>
         val df = docIndexConfine(snapshotDF(m), m, whereDoc)
         requireNoReserved(df, Seq("dist"))
@@ -1305,7 +1311,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         val cellsPerQ = queryVecs.map(v => Ann.nearestCellsOf(cents, v, np))
         val allCells = cellsPerQ.flatten.distinct
         val indexed = spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
-        requireNoReserved(indexed.drop("cell", "pb"),
+        val layoutCols = indexLayoutCols(idxPath)
+        requireNoReserved(indexed.drop(layoutCols: _*),
           Seq("qid", "rnk", "dist", "__qvec", "__qcells", "__na", "__nq"))
         val pruned = docIndexConfine(
           indexed.filter(col("cell").isin(allCells: _*)), m, whereDoc)
@@ -1321,7 +1328,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
                 graft.functions.Distances.bySpace(m.space)(col("embedding"), col("__qvec")))
               .withColumn("rnk", row_number().over(w))
               .filter(col("rnk") <= k)
-              .drop("embedding", "__qvec", "__qcells", "cell", "pb")
+              .drop("embedding" +: "__qvec" +: "__qcells" +: layoutCols: _*)
         }
       case None =>
         val df = docIndexConfine(snapshotDF(m), m, whereDoc)
@@ -1513,21 +1520,11 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     try {
       Files.createDirectories(newDir)
       val oldDir = dataDir(version)
-      def linkInto(src: Path, dst: Path): Unit = {
-        val link = dst.resolve(src.getFileName.toString)
-        try Files.createLink(link, src)
-        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-          Files.copy(src, link, StandardCopyOption.REPLACE_EXISTING) }
-      }
-      DirIO.list(oldDir)(_.filter(Files.isRegularFile(_)).toSeq)
-        .foreach(linkInto(_, newDir)) // _SUCCESS etc — exact layout parity
+      DirIO.linkFilesInto(oldDir, newDir) // _SUCCESS etc — exact layout parity
       DirIO.list(oldDir)(
         _.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("pt="))
           .toSeq).foreach { bucketDir =>
-        val target = newDir.resolve(bucketDir.getFileName.toString)
-        Files.createDirectories(target)
-        DirIO.list(bucketDir)(_.filter(Files.isRegularFile(_)).toSeq)
-          .foreach(linkInto(_, target))
+        DirIO.linkFilesInto(bucketDir, newDir.resolve(bucketDir.getFileName.toString))
       }
     } catch { case e: Throwable => abandon(next); throw e }
     commit(next)

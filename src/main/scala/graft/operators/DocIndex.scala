@@ -52,40 +52,21 @@ object DocIndex {
   private def gp(gram: org.apache.spark.sql.Column) =
     pmod(xxhash64(gram), lit(GpCount)).cast("int")
 
-  /** Build the postings frame: DISTINCT (gp, gram, id). */
-  def postings(docs: DataFrame, idCol: String, docCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(GraftColumnShim.column(
-          CharGrams(GraftColumnShim.expression(col(docCol)), N))).as("gram"))
-      .distinct()
-      .select(gp(col("gram")).as("gp"), col("gram"), col("id"))
-
-  /** Write postings partitioned by gp (the pruning axis). */
-  def write(docs: DataFrame, idCol: String, docCol: String, path: String,
-            maxRowsPerFile: Long = 4000000L): Unit =
-    postings(docs, idCol, docCol)
-      // one shuffle BY gp at build time, same rationale as the IVF cell
-      // pack: without it every task writes a file into every partition
-      .repartition(col("gp"))
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRowsPerFile)
-      .partitionBy("gp").parquet(path)
-
-  /** Postings carrying the caller's id-bucket (`pb`) as a SECOND
-    * partition axis — the incremental-maintenance layout. `pbCol` must
-    * be the store's own bucket function of the id column: a mutation
-    * touches a known set of id buckets, and a `gp=<g>/pb=<b>` layout
-    * lets a refresh rebuild ONLY the touched `pb` slices while
-    * hard-linking every other slice from the previous build (the same
-    * trick the COW store's [[graft.catalog.Collection]] merge uses for
-    * untouched data buckets). Queries are unaffected: they prune on
-    * `gp` and never mention `pb`. */
+  /** Build the postings frame: DISTINCT (gp, pb, gram, id). `pbCol` is
+    * the caller's id-bucket — the SECOND partition axis and the
+    * incremental-maintenance lever: a mutation touches a known set of id
+    * buckets, and a `gp=<g>/pb=<b>` layout lets a refresh rebuild ONLY
+    * the touched `pb` slices while hard-linking every other slice from
+    * the previous build (the same trick the COW store's
+    * [[graft.catalog.Collection]] merge uses for untouched data
+    * buckets). Queries are unaffected: they prune on `gp` and never
+    * mention `pb`. */
   def postingsWithPb(docs: DataFrame, idCol: String, docCol: String,
                      pbCol: org.apache.spark.sql.Column): DataFrame =
     docs.select(col(idCol).as("id"), pbCol.cast("int").as("pb"),
         explode(GraftColumnShim.column(
           CharGrams(GraftColumnShim.expression(col(docCol)), N))).as("gram"))
-      .distinct() // pb is a function of id, so this is the same distinct
+      .distinct() // pb is a function of id, so this is a per-(id,gram) distinct
       .select(gp(col("gram")).as("gp"), col("pb"), col("gram"), col("id"))
 
   /** Write pb-sliced postings: `gp=<g>/pb=<b>/...parquet`. */
@@ -93,6 +74,8 @@ object DocIndex {
                   pbCol: org.apache.spark.sql.Column, path: String,
                   maxRowsPerFile: Long = 4000000L): Unit =
     postingsWithPb(docs, idCol, docCol, pbCol)
+      // one shuffle BY gp at build time, same rationale as the IVF cell
+      // pack: without it every task writes a file into every partition
       .repartition(col("gp"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRowsPerFile)

@@ -518,6 +518,31 @@ class CollectionSpec extends SparkTestBase {
     assert(c.refreshIndex() == 0)
   }
 
+  test("dot-prefixed collection names are rejected at creation/fork/rename") {
+    val cat = freshCatalog()
+    // reserved for in-flight build temps — an admitted dot name would be
+    // invisible to listCollections and deletable by fork's temp reclaim
+    intercept[IllegalArgumentException](cat.getOrCreateCollection(".archive"))
+    cat.getOrCreateCollection("ok").add(batch(("1", "a", Seq(1f, 0f))))
+    intercept[IllegalArgumentException](cat.forkCollection("ok", ".fork-tmp-x"))
+    intercept[IllegalArgumentException](cat.renameCollection("ok", ".hidden"))
+    assert(cat.listCollections() == Seq("ok"))
+  }
+
+  test("refreshIndex runs the same cell/pb clash guard as the full builds") {
+    val c = freshCatalog().getOrCreateCollection("c", "l2")
+    c.add(clusterBatch())
+    c.buildIndexSeeded(Seq("00", "04", "08", "12"))
+    // upsert's allowMissingColumns admits a NEW user column named 'cell';
+    // an unguarded refresh would silently overwrite it in the rebuilt
+    // slices via assignCells' withColumn("cell", ...)
+    val poison = Seq(("zz", "late", Seq(1f, 0f, 0f, 0f), "user-data"))
+      .toDF("id", "document", "embedding", "cell")
+    c.upsert(poison)
+    val e = intercept[IllegalArgumentException](c.refreshIndex())
+    assert(e.getMessage.contains("cell"))
+  }
+
   test("queryStruct: Chroma-shaped parallel lists match the long form; include filters") {
     val c = freshCatalog().getOrCreateCollection("c", "cosine")
     c.add(batch(("a", "d a", Seq(1f, 0f)), ("b", "d b", Seq(0.9f, 0.1f)),
