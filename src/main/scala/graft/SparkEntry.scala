@@ -1447,6 +1447,55 @@ object SparkEntry {
       coll.get().select(col("id"), col("document"), col("ver"), col("src_batch"))
         .orderBy(col("id").cast("long"))
     }),
+    // CONTINUOUS hydration with CONTINUOUSLY-SERVEABLE indexes (r8): three
+    // streamed microbatches upsert through hydrateIndexed, which refreshes
+    // the postings index after EVERY batch (first batch = full build, the
+    // rest incremental — only the batch's id buckets re-derive). The final
+    // get($contains) is then served through an index that stayed current
+    // across the whole stream; the oracle replays the final upsert state +
+    // the verbatim contains, so index-freshness-under-streaming is what
+    // the hash match proves.
+    "q127_streaming_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingHydrator
+      import s.implicits._
+      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("stream127")
+      val coll = cat.getOrCreateCollection("stream127")
+      // bounded driver-side fixture (150 rows at any sf): MemoryStream is
+      // driver-fed by design; ids sorted so batch slicing is stable
+      val base = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("doc"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      def rows(lo: Long, hi: Long, pre: String, ver: Long) =
+        base.filter { case (n, _) => n >= lo && n < hi }
+          .map { case (n, doc) => (n.toString, s"$pre:$doc", ver) }
+      val mem = MemoryStream[(String, String, Long)]
+      val ckpt = s"$root/q127_ckpt"
+      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+      ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckptPath, true)
+      val q = StreamingHydrator.hydrateIndexed(
+        mem.toDF().toDF("id", "document", "ver"),
+        coll, ckpt, orderCol = Some("ver"),
+        trigger = Trigger.ProcessingTime(0L)).start()
+      try {
+        mem.addData(rows(0, 80, "s1", 10): _*)   // full index build
+        q.processAllAvailable()
+        mem.addData(rows(40, 120, "s2", 20): _*) // overlap → incremental refresh
+        q.processAllAvailable()
+        mem.addData(rows(120, 150, "s3", 30): _*) // append → incremental refresh
+        q.processAllAvailable()
+      } finally q.stop()
+      require(coll.hasDocIndex,
+        "q127 must end with a committed index at the CURRENT version " +
+          "(the per-batch refresh is the thing under test)")
+      coll.get(whereDoc = Some(ChromaFilter.Contains("scan")))
+        .select(col("id"), length(col("document")).cast("int").as("n_doc"))
+        .orderBy(col("id").cast("long"))
+    }),
     // B8 SCALE PATH: `get(where_document=$contains)` served through the
     // persisted trigram-postings index (DocIndex) — candidates come from
     // the gp-pruned postings read, then the verbatim contains re-check
@@ -3207,6 +3256,20 @@ object SparkEntry {
     // microbatch the highest `ver` wins (upsert orderCol); across batches
     // the LAST batch containing an id wins (last-writer upsert, so the
     // late old-version row in batch 3 replaces batch 1's row for id 0)
+    // q127: the stream's final upsert state (latest-ver-wins over the
+    // three slices) + the verbatim contains — the engine must serve it
+    // through the per-batch-refreshed postings index, which can only
+    // confine IO, so scan semantics are the oracle.
+    "q127_streaming_indexed" ->
+      """WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS n,
+        |                     COALESCE(text, '') AS doc
+        |              FROM documents WHERE doc_id < 150),
+        |fin AS (
+        |  SELECT id, n, 's1:' || doc AS document FROM base WHERE n < 40
+        |  UNION ALL SELECT id, n, 's2:' || doc FROM base WHERE n BETWEEN 40 AND 119
+        |  UNION ALL SELECT id, n, 's3:' || doc FROM base WHERE n BETWEEN 120 AND 149)
+        |SELECT id, CAST(length(document) AS INTEGER) AS n_doc
+        |FROM fin WHERE contains(document, 'scan') ORDER BY n""".stripMargin,
     "q80_streaming_hydrate" ->
       """WITH base AS (SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS n,
         |                     COALESCE(text, '') AS doc

@@ -43,6 +43,40 @@ object StreamingHydrator {
         if (!batch.isEmpty) collection.upsert(batch, orderCol)
       }
 
+  /** [[hydrate]] that keeps the collection's sidecar indexes CURRENT:
+    * after each microbatch's upsert lands, the trigram-postings index
+    * (and, with `refreshIvf`, the IVF index) is incrementally refreshed
+    * to the new version — only the batch's own id buckets re-derive;
+    * every other slice hard-links forward ([[Collection.refreshDocIndex]]
+    * / [[Collection.refreshIndex]]).
+    *
+    * This closes the streaming-hydration gap the version-bound indexes
+    * otherwise have: every microbatch bumps the version and silently
+    * degrades reads to full scans until someone pays an O(corpus)
+    * rebuild. With per-batch refresh the cost per microbatch is bounded
+    * by the batch's bucket spread, so `where_document`/kNN reads stay
+    * index-confined THROUGHOUT continuous ingestion. (The first batch
+    * pays one full build — there is no prior to refresh from.) */
+  def hydrateIndexed(
+      rows: DataFrame,
+      collection: Collection,
+      checkpointDir: String,
+      orderCol: Option[String] = None,
+      refreshIvf: Boolean = false,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          collection.upsert(batch, orderCol)
+          collection.refreshDocIndex()
+          if (refreshIvf) collection.refreshIndex()
+          (): Unit
+        }
+      }
+
   /** Per-microbatch CDC sink: apply only each batch's [[graft.Hydrator.delta]]
     * against current contents. Unlike [[hydrate]] (whose upsert rewrites the
     * affected buckets even for identical redelivered rows), an unchanged or

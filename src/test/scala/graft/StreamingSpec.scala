@@ -38,6 +38,29 @@ class StreamingSpec extends SparkTestBase {
     assert(coll.get(ids = Seq("b")).select("document").as[String].head() == "doc b v2")
   }
 
+  test("hydrateIndexed keeps the postings index current across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new CollectionCatalog(spark, tmp("stream-idx"), numBuckets = 4)
+    val coll = cat.getOrCreateCollection("si")
+    val mem = MemoryStream[(String, String, Long)]
+    val rows = mem.toDF.toDF("id", "document", "ver")
+    val q = StreamingHydrator.hydrateIndexed(rows, coll, tmp("ckpt-idx"),
+      Some("ver"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    try {
+      mem.addData(("1", "quick brown fox", 1L), ("2", "lazy dog", 1L))
+      q.processAllAvailable()
+      assert(coll.hasDocIndex, "batch 1 must leave a committed index")
+      mem.addData(("3", "another brown bear", 2L), ("2", "lazy brown dog", 2L))
+      q.processAllAvailable()
+      // the refresh landed on the NEW version — index serveable right away
+      assert(coll.hasDocIndex, "batch 2's refresh must re-commit at the new version")
+    } finally q.stop()
+    // served THROUGH the refreshed index, post-stream truth
+    assert(coll.get(whereDoc = Some(graft.operators.ChromaFilter.Contains("brown")))
+      .select("id").as[String].collect().toSet == Set("1", "2", "3"))
+  }
+
   test("streaming sync: a replayed snapshot microbatch writes no store version") {
     implicit val sqlCtx = spark.sqlContext
     val cat = new CollectionCatalog(spark, tmp("sync-cat"), numBuckets = 4)
