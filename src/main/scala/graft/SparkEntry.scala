@@ -1647,6 +1647,17 @@ object SparkEntry {
     "q122_bpe_train" -> ((s, dir) =>
       Lm.bpeTrain(t(s, dir, "documents"), "text", rounds = 5)
         .orderBy("rank")),
+    // BPE ENCODE — the apply side of q122's training: a fixed ordered
+    // merge list (with a CASCADE: t+h → th, then th+e → the, so order of
+    // application is itself under test) tokenizes every document; output
+    // is per-doc word and BPE-token counts. The merge chain runs over the
+    // distinct-word vocabulary and broadcasts back — the corpus never
+    // carries symbol strings through an exchange. The oracle replays the
+    // same ordered one-pass replaces per vocab word.
+    "q128_bpe_encode" -> ((s, dir) =>
+      Lm.bpeEncode(t(s, dir, "documents"), "doc_id", "text",
+          Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d")))
+        .orderBy("doc_id")),
     // The reference's CONFIG surface driving the server-side-embedding
     // route end-to-end: HydrateConfig with `embeddingFunction` set (no
     // wide columns, pattern ignored), the A15 validation gates, the
@@ -3189,6 +3200,29 @@ object SparkEntry {
          |SELECT 6 AS rank, '__symbols' AS pair,
          |       CAST(SUM(f * len(string_split(s, ' '))) AS BIGINT) AS cnt FROM v_5
          |) ORDER BY rank""".stripMargin
+    },
+    // q128: the encode replay — the SAME ordered one-pass replaces over
+    // each distinct word's character symbols (q122's apply semantics),
+    // word counts and summed token counts folded per doc; docs with no
+    // words keep a (0, 0) row via the left join.
+    "q128_bpe_encode" -> {
+      val sym0 = "array_to_string(list_transform(range(length(w)), " +
+        "i -> substr(w, CAST(i+1 AS INTEGER), 1)), ' ')"
+      val symN = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"))
+        .foldLeft(sym0) { case (s, (a, b)) =>
+          s"trim(replace(' ' || $s || ' ', ' $a $b ', ' $a$b '))"
+        }
+      s"""WITH ww AS (SELECT doc_id, w FROM
+         |  (SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+         |   FROM documents) WHERE w <> ''),
+         |enc AS (SELECT w, len(string_split($symN, ' ')) AS tok
+         |        FROM (SELECT DISTINCT w FROM ww)),
+         |agg AS (SELECT ww.doc_id, COUNT(*) AS n_words, SUM(e.tok) AS n_tokens
+         |        FROM ww JOIN enc e ON ww.w = e.w GROUP BY ww.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+         |       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
     // q121: the Hydrator's embedding-function route — same signed
     // feature-hash replay as q115, one query text, metadata-map ('rating'

@@ -216,4 +216,48 @@ object Lm {
     import spark.implicits._
     merges.result().toDF("rank", "pair", "cnt").unionByName(summary)
   }
+
+  /** BPE ENCODE — apply an ORDERED list of learned merges to the corpus
+    * (the other half of [[bpeTrain]]: training produces the merge list,
+    * encoding tokenizes with it — the operator that turns "we trained a
+    * tokenizer" into per-document token counts for mixture weighting and
+    * packing). Per document: whitespace words → character symbols → each
+    * merge applied in order by the SAME one-pass left-to-right
+    * non-overlapping replace as training (engine-portable; see
+    * [[bpeTrain]]'s apply note) → per-doc BPE token count.
+    *
+    * 100 TB shape: the k-replace merge chain runs over the DISTINCT-WORD
+    * vocabulary, not the corpus (the training-side vocab-collapse lever
+    * again: k·|vocab| ≪ k·corpus words), and per-word token counts
+    * BROADCAST back onto the word stream — the corpus never carries
+    * symbol strings through an exchange; its only shuffle is the per-doc
+    * count fold. The char-split HOF lambda (interpreted, the q25/q77
+    * caveat) also runs on the vocab side only.
+    *
+    * Output: (idCol, n_words, n_tokens); an empty/whitespace-only or
+    * null document is (0, 0), never a dropped row.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncode needs at least one merge")
+    val words = df
+      .select(col(idCol).as("__id"),
+        explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = words.select("w").distinct()
+    // char symbols; Java's zero-width split can emit "" — filtered, the
+    // q106/q122 BMP-fixture guard
+    val sym0 = concat_ws(" ", filter(split(col("w"), ""), x => x =!= lit("")))
+    val symN = merges.foldLeft(sym0) { case (s, (a, b)) =>
+      trim(replace(concat(lit(" "), s, lit(" ")), lit(s" $a $b "), lit(s" $a$b ")))
+    }
+    val encoded = vocab.select(col("w"), size(split(symN, " ")).as("__tok"))
+    words.join(broadcast(encoded), "w")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_words"), sum(col("__tok")).as("n_tokens"))
+      .join(df.select(col(idCol)), col("__id") === col(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
 }

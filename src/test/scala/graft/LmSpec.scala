@@ -92,4 +92,23 @@ class LmSpec extends SparkTestBase {
       .orderBy("rank").as[(Int, String, Long)].collect().toSeq
     assert(rs == Seq((1, "a+a", 3L), (2, "a+a", 1L), (3, "__symbols", 2L)))
   }
+
+  test("bpeEncode: ordered cascading merges tokenize per doc; empty docs keep (0,0)") {
+    val docs = Seq(
+      (1L, "the thin cat"),       // the: t+h->'th e', th+e->'the' = 1 tok
+      (2L, "  "),                  // whitespace-only -> (0, 0)
+      (3L, null.asInstanceOf[String]),
+      (4L, "hand")                 // a+n->'h an d', an+d->'h and' = 2 tok
+    ).toDF("doc_id", "text")
+    val got = Lm.bpeEncode(docs, "doc_id", "text",
+        Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d")))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // thin: 't h i n' -> th -> 'th i n' -> in -> 'th in' = 2; cat: 'c a t' = 3
+    assert(got == Seq((1L, 3L, 6L), (2L, 0L, 0L), (3L, 0L, 0L), (4L, 1L, 2L)),
+      s"got $got")
+    // ORDER matters: without the t+h merge first, th+e can never fire
+    val unordered = Lm.bpeEncode(docs, "doc_id", "text", Seq(("th", "e")))
+      .filter(col("doc_id") === 1).select("n_tokens").as[Long].head()
+    assert(unordered == 10L, "th+e alone must not fire on raw chars")
+  }
 }
