@@ -713,6 +713,26 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       .withColumnRenamed("score", "mmr_score")
   }
 
+  /** [[queryMmr]] from a TEXT query — the LangChain-on-Chroma
+    * `max_marginal_relevance_search` call shape: the text embeds through
+    * the collection's RECORDED embedding function (same binding rule as
+    * [[queryText]] — never a caller-supplied one), then the standard MMR
+    * path: pruned candidate fetch, bounded greedy re-rank. Cosine-only,
+    * like queryMmr; the zero-vector gate mirrors queryText's. */
+  def queryMmrText(text: String, k: Int, fetchN: Int = 100,
+                   lambda: Double = 0.5, where: Option[Where] = None,
+                   whereDoc: Option[WhereDocument] = None, nprobe: Int = 0,
+                   exact: Boolean = false): DataFrame = {
+    val efName = meta.metadata.getOrElse("embedding_function",
+      throw new IllegalStateException(
+        s"collection '$name' has no registered embedding function — " +
+          "hydrate via addDocuments, or use queryMmr with an explicit vector"))
+    val v = Embedder.fromName(efName).embedOne(text)
+    require(v.exists(_ != 0f),
+      s"query text '$text' embeds to the zero vector — cosine distance is undefined")
+    queryMmr(v, k, fetchN, lambda, where, whereDoc, nprobe, exact)
+  }
+
   /** B2 upsert: insert-or-replace by id; within-batch duplicates resolve
     * latest-wins by `orderCol` descending. Without an orderCol the winner is
     * arbitrary but DETERMINISTIC (content-hash order, independent of

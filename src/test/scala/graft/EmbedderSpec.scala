@@ -238,4 +238,25 @@ class EmbedderSpec extends SparkTestBase {
     l2.add(batch)
     intercept[IllegalArgumentException](l2.queryMmr(q, k = 2, fetchN = 4))
   }
+
+  test("queryMmrText embeds through the recorded binding, == queryMmr of that vector") {
+    val coll = freshCatalog().getOrCreateCollection("mmrt", space = "cosine")
+    coll.addDocuments(Seq(
+      ("1", "spark shuffles partitions"),
+      ("2", "spark shuffles partitions wildly"),
+      ("3", "ducks swim on the pond"),
+      ("4", "compilers fold constants")).toDF("id", "document"),
+      HashingEmbedder(16))
+    val viaText = coll.queryMmrText("spark shuffles", k = 3, fetchN = 4)
+      .select("rnk", "id", "mmr_score").collect().toSeq
+    val viaVec = coll.queryMmr(HashingEmbedder(16).embedOne("spark shuffles"),
+        k = 3, fetchN = 4)
+      .select("rnk", "id", "mmr_score").collect().toSeq
+    assert(viaText == viaVec)
+    // no recorded binding → loud; zero-vector text → loud
+    val bare = freshCatalog().getOrCreateCollection("mmrt2", space = "cosine")
+    bare.add(Seq(("1", "d", Seq(1f, 0f))).toDF("id", "document", "embedding"))
+    intercept[IllegalStateException](bare.queryMmrText("x", k = 1))
+    intercept[IllegalArgumentException](coll.queryMmrText("   ", k = 1))
+  }
 }
