@@ -196,6 +196,25 @@ final class CollectionCatalog(
     new Collection(spark, dstDir, maxRowsPerFile)
   }
 
+  /** Import an [[Collection.export]]'d parquet directory as a NEW
+    * collection — the round-trip inverse (move a collection between
+    * roots/clusters through plain parquet, the interchange format both
+    * sides already speak). The frame must carry the store's `id` column;
+    * everything else travels as-is. The load goes through
+    * [[Collection.add]], so every add-time invariant (unique non-null
+    * ids, uniform dimensions) gates the import — a corrupted export
+    * fails loudly instead of seeding a bad store. */
+  def importCollection(name: String, path: String, space: String = "l2",
+                       metadata: Map[String, String] = Map.empty): Collection = {
+    require(getCollection(name).isEmpty, s"collection '$name' already exists")
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("id"),
+      s"import source at $path carries no 'id' column")
+    val c = getOrCreateCollection(name, space, metadata)
+    c.add(df)
+    c
+  }
+
   /** B11 rename: catalog-level move + meta.json name update (atomic dir
     * move on the same filesystem; data files untouched). */
   def renameCollection(from: String, to: String): Boolean = {

@@ -371,6 +371,30 @@ class CollectionSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { c.export(base + "/x", "avro") }
   }
 
+  test("importCollection round-trips an export; add-time invariants gate it") {
+    val cat = freshCatalog()
+    val c = cat.getOrCreateCollection("src", "cosine")
+    c.add(Seq(
+      ("a", "doc a", Seq(1f, 2f), Map("k" -> "v")),
+      ("b", "doc b", Seq(3f, 4f), Map("k" -> "w")))
+      .toDF("id", "document", "embedding", "metadata"))
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "imp").toString
+    c.export(base + "/p", "parquet")
+    val back = cat.importCollection("copy", base + "/p", space = "cosine")
+    assert(back.count() == 2)
+    assert(back.get(ids = Seq("a")).select("document").head().getString(0) == "doc a")
+    assert(back.space == "cosine")
+    // existing name and id-less sources are rejected loudly
+    intercept[IllegalArgumentException](cat.importCollection("copy", base + "/p"))
+    Seq((1, "x")).toDF("n", "t").write.parquet(base + "/noid")
+    intercept[IllegalArgumentException](cat.importCollection("c2", base + "/noid"))
+    // a corrupted export (duplicate ids) fails through add's gate
+    spark.read.parquet(base + "/p").unionAll(spark.read.parquet(base + "/p"))
+      .write.parquet(base + "/dup")
+    intercept[IllegalArgumentException](cat.importCollection("c3", base + "/dup"))
+  }
+
   test("rename moves the catalog entry and rewrites meta name (B11)") {
     val cat = freshCatalog()
     val c = cat.getOrCreateCollection("old", "cosine")

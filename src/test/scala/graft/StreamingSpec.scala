@@ -61,6 +61,36 @@ class StreamingSpec extends SparkTestBase {
       .select("id").as[String].collect().toSet == Set("1", "2", "3"))
   }
 
+  test("hydrateIndexed(refreshIvf) keeps BOTH indexes current; first batch sizes via ivf:nlist") {
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new CollectionCatalog(spark, tmp("stream-ivf"), numBuckets = 4)
+    // the first batch's IVF refresh has no prior build → falls back to the
+    // metadata-sized buildIndex(), so ivf:nlist MUST be set on the
+    // collection for a refreshIvf sink (loud at batch 1 otherwise)
+    val coll = cat.getOrCreateCollection("sv", space = "cosine",
+      metadata = Map("ivf:nlist" -> "2"))
+    val mem = MemoryStream[(String, String, Seq[Float], Long)]
+    val rows = mem.toDF.toDF("id", "document", "embedding", "ver")
+    val q = StreamingHydrator.hydrateIndexed(rows, coll, tmp("ckpt-ivf"),
+      Some("ver"), refreshIvf = true,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    try {
+      mem.addData(("1", "alpha doc", Seq(1f, 0f), 1L), ("2", "beta doc", Seq(0f, 1f), 1L))
+      q.processAllAvailable()
+      assert(coll.hasIndex && coll.hasDocIndex)
+      mem.addData(("3", "gamma doc", Seq(0.9f, 0.1f), 2L))
+      q.processAllAvailable()
+      assert(coll.hasIndex && coll.hasDocIndex,
+        "batch 2's refreshes must re-commit both indexes at the new version")
+    } finally q.stop()
+    // served through the refreshed IVF (probing all cells ≡ exact)
+    val viaIdx = coll.query(Seq(1f, 0f), 3, nprobe = 2)
+      .select("id").as[String].collect().toSeq
+    val exact = coll.query(Seq(1f, 0f), 3, exact = true)
+      .select("id").as[String].collect().toSeq
+    assert(viaIdx == exact)
+  }
+
   test("streaming sync: a replayed snapshot microbatch writes no store version") {
     implicit val sqlCtx = spark.sqlContext
     val cat = new CollectionCatalog(spark, tmp("sync-cat"), numBuckets = 4)
