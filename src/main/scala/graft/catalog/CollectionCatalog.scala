@@ -703,6 +703,30 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     queryBatch(vecs, k, where, whereDoc, nprobe, exact)
   }
 
+  /** [[queryStruct]] from TEXT queries — chromadb's
+    * `query(query_texts=..., include=...)` returns the same parallel-list
+    * shape as its vector form; this embeds through the recorded binding
+    * ([[queryText]]'s rule, zero-vector gate included) and folds through
+    * the one shared presentation path. */
+  def queryTextStruct(texts: Seq[String], k: Int,
+                      where: Option[Where] = None,
+                      whereDoc: Option[WhereDocument] = None,
+                      include: Set[String] = Set("documents", "distances", "metadatas"),
+                      nprobe: Int = 0, exact: Boolean = false): DataFrame = {
+    require(texts.nonEmpty, "queryTextStruct needs at least one query text")
+    val efName = meta.metadata.getOrElse("embedding_function",
+      throw new IllegalStateException(
+        s"collection '$name' has no registered embedding function — " +
+          "hydrate via addDocuments, or query with explicit vectors"))
+    val ef = Embedder.fromName(efName)
+    val vecs = texts.map(ef.embedOne)
+    if (space == "cosine") vecs.zip(texts).foreach { case (v, t) =>
+      require(v.exists(_ != 0f),
+        s"query text '$t' embeds to the zero vector — cosine distance is undefined")
+    }
+    queryStruct(vecs, k, where, whereDoc, include, nprobe, exact)
+  }
+
   /** Diversity-aware top-k (Maximal Marginal Relevance) over the store:
     * the candidate fetch takes the SAME pruned path as [[query]] (IVF
     * cells when a committed index matches, postings-confined whereDoc,

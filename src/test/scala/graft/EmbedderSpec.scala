@@ -239,6 +239,27 @@ class EmbedderSpec extends SparkTestBase {
     intercept[IllegalArgumentException](l2.queryMmr(q, k = 2, fetchN = 4))
   }
 
+  test("queryTextStruct: text form == vector form through the shared struct fold") {
+    val coll = freshCatalog().getOrCreateCollection("qts", space = "cosine")
+    coll.addDocuments(Seq(
+      ("1", "spark shuffles partitions"),
+      ("2", "ducks swim on the pond"),
+      ("3", "compilers fold constants")).toDF("id", "document"),
+      HashingEmbedder(16))
+    val texts = Seq("spark shuffles", "pond ducks")
+    val viaText = coll.queryTextStruct(texts, k = 2).orderBy("qid").collect().toSeq
+    val viaVec = coll.queryStruct(texts.map(HashingEmbedder(16).embedOne), k = 2)
+      .orderBy("qid").collect().toSeq
+    assert(viaText == viaVec)
+    // one row per query, ids rank-ordered, k-bounded lists
+    assert(viaText.size == 2)
+    assert(viaText.head.getSeq[String](viaText.head.fieldIndex("ids")).size == 2)
+    // no binding → loud
+    val bare = freshCatalog().getOrCreateCollection("qts2", space = "cosine")
+    bare.add(Seq(("1", "d", Seq(1f, 0f))).toDF("id", "document", "embedding"))
+    intercept[IllegalStateException](bare.queryTextStruct(Seq("x"), k = 1))
+  }
+
   test("queryMmrText embeds through the recorded binding, == queryMmr of that vector") {
     val coll = freshCatalog().getOrCreateCollection("mmrt", space = "cosine")
     coll.addDocuments(Seq(
