@@ -1463,35 +1463,49 @@ object SparkEntry {
       implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
       val root = verifyCollectionsRoot(dir)
       val cat = new CollectionCatalog(s, root, numBuckets = 8)
-      cat.deleteCollection("stream127")
-      val coll = cat.getOrCreateCollection("stream127")
-      // bounded driver-side fixture (150 rows at any sf): MemoryStream is
-      // driver-fed by design; ids sorted so batch slicing is stable
-      val base = t(s, dir, "documents").filter(col("doc_id") < 150)
-        .select(col("doc_id"), coalesce(col("text"), lit("")).as("doc"))
-        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-      def rows(lo: Long, hi: Long, pre: String, ver: Long) =
-        base.filter { case (n, _) => n >= lo && n < hi }
-          .map { case (n, doc) => (n.toString, s"$pre:$doc", ver) }
-      val mem = MemoryStream[(String, String, Long)]
-      val ckpt = s"$root/q127_ckpt"
-      val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
-      ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckptPath, true)
-      val q = StreamingHydrator.hydrateIndexed(
-        mem.toDF().toDF("id", "document", "ver"),
-        coll, ckpt, orderCol = Some("ver"),
-        trigger = Trigger.ProcessingTime(0L)).start()
-      try {
-        mem.addData(rows(0, 80, "s1", 10): _*)   // full index build
-        q.processAllAvailable()
-        mem.addData(rows(40, 120, "s2", 20): _*) // overlap → incremental refresh
-        q.processAllAvailable()
-        mem.addData(rows(120, 150, "s3", 30): _*) // append → incremental refresh
-        q.processAllAvailable()
-      } finally q.stop()
-      require(coll.hasDocIndex,
-        "q127 must end with a committed index at the CURRENT version " +
-          "(the per-batch refresh is the thing under test)")
+      // hydrate-once (the q112 fingerprint discipline): the artifact is a
+      // collection whose index was kept current by per-batch refreshes —
+      // re-streaming per call would measure stream construction forever
+      // and the indexed read path never. A fresh root (the driver's
+      // Verify) always runs the stream once.
+      val nDocs = t(s, dir, "documents").count()
+      val fp = s"fmt1|$dir|n=$nDocs"
+      val reusable = cat.getCollection("stream127").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasDocIndex)
+      val coll = if (reusable) cat.getCollection("stream127").get else {
+        cat.deleteCollection("stream127")
+        val c = cat.getOrCreateCollection("stream127")
+        // bounded driver-side fixture (150 rows at any sf): MemoryStream
+        // is driver-fed by design; ids sorted so batch slicing is stable
+        val base = t(s, dir, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("doc"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        def rows(lo: Long, hi: Long, pre: String, ver: Long) =
+          base.filter { case (n, _) => n >= lo && n < hi }
+            .map { case (n, doc) => (n.toString, s"$pre:$doc", ver) }
+        val mem = MemoryStream[(String, String, Long)]
+        val ckpt = s"$root/q127_ckpt"
+        val ckptPath = new org.apache.hadoop.fs.Path(ckpt)
+        ckptPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ckptPath, true)
+        val q = StreamingHydrator.hydrateIndexed(
+          mem.toDF().toDF("id", "document", "ver"),
+          c, ckpt, orderCol = Some("ver"),
+          trigger = Trigger.ProcessingTime(0L)).start()
+        try {
+          mem.addData(rows(0, 80, "s1", 10): _*)   // full index build
+          q.processAllAvailable()
+          mem.addData(rows(40, 120, "s2", 20): _*) // overlap → incremental refresh
+          q.processAllAvailable()
+          mem.addData(rows(120, 150, "s3", 30): _*) // append → incremental refresh
+          q.processAllAvailable()
+        } finally q.stop()
+        require(c.hasDocIndex,
+          "q127 must end with a committed index at the CURRENT version " +
+            "(the per-batch refresh is the thing under test)")
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      require(coll.hasDocIndex, "q127 must serve through the refreshed index")
       coll.get(whereDoc = Some(ChromaFilter.Contains("scan")))
         .select(col("id"), length(col("document")).cast("int").as("n_doc"))
         .orderBy(col("id").cast("long"))
