@@ -1723,6 +1723,32 @@ object SparkEntry {
           col("lang"), length(col("document")).cast("int").as("n_doc")))
         .orderBy("side", "id")
     }),
+    // Export → import ROUND TRIP through plain parquet — the interchange
+    // path that moves a collection between roots/clusters. The source is
+    // hydrated (ids + documents + two metadata columns), exported, then
+    // imported as a NEW collection THROUGH add's invariant gates (unique
+    // non-null ids, uniform dims), and the imported side is read back via
+    // get() — the oracle computes the same truth straight from the
+    // documents table, so any row the round trip drops, duplicates, or
+    // mutates hash-mismatches.
+    "q129_export_import_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("xp"); cat.deleteCollection("xp2")
+      val src = cat.getOrCreateCollection("xp")
+      src.add(docs.filter(col("doc_id") < 250).select(
+        col("doc_id").cast("string").as("id"), col("text").as("document"),
+        col("lang"), col("n_chars")))
+      val expDir = s"$root/xp_export"
+      val p = new org.apache.hadoop.fs.Path(expDir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      src.export(expDir, "parquet")
+      val back = cat.importCollection("xp2", expDir)
+      back.get().select(col("id"), col("lang"), col("n_chars"),
+          length(col("document")).cast("int").as("n_doc"))
+        .orderBy("id")
+    }),
     // Hard-negative mining (DPR-style): per query vector, the top-5
     // nearest corpus vectors with a DIFFERENT label — the negative-
     // sampling step of contrastive retriever training. One broadcast of
@@ -3287,6 +3313,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'fork' AS side, id, lang, CAST(length(text) AS INTEGER) AS n_doc FROM fkept
         |ORDER BY side, id""".stripMargin,
+    // q129: export→import round trip — the imported collection must equal
+    // the source-side truth computed directly from the documents table.
+    "q129_export_import_roundtrip" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, lang, n_chars,
+        |       CAST(length(text) AS INTEGER) AS n_doc
+        |FROM documents WHERE doc_id < 250 ORDER BY id""".stripMargin,
     // q117: hard negatives — nearest different-label rows per query; the
     // cosine arithmetic and (dist, id) tie-break replay exactly as in the
     // kNN oracles, with the label-mismatch predicate in the pair stage.

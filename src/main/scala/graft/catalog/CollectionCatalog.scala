@@ -100,18 +100,24 @@ final class CollectionCatalog(
     if (!Files.exists(dir.resolve("meta.json"))) {
       // validate BEFORE touching the filesystem: a conflict must not
       // leave a meta-less collection dir behind
-      val effSpace = metadata.get("hnsw:space") match {
-        case Some(s) if space == "l2" || space == s => s
-        case Some(s) =>
-          throw new IllegalArgumentException(
-            s"conflicting spaces: parameter '$space' vs metadata hnsw:space '$s'")
-        case None => space
-      }
+      val effSpace = resolvedSpace(space, metadata)
       Files.createDirectories(dir)
       writeMeta(dir, CollectionMeta(name, effSpace, 0, metadata, numBuckets))
     }
     new Collection(spark, dir, maxRowsPerFile)
   }
+
+  /** Chroma's `hnsw:space` metadata convention vs the `space` parameter:
+    * metadata wins when the parameter is at its default; a real conflict
+    * is LOUD (shared by every collection-creating entry point). */
+  private def resolvedSpace(space: String, metadata: Map[String, String]): String =
+    metadata.get("hnsw:space") match {
+      case Some(s) if space == "l2" || space == s => s
+      case Some(s) =>
+        throw new IllegalArgumentException(
+          s"conflicting spaces: parameter '$space' vs metadata hnsw:space '$s'")
+      case None => space
+    }
 
   def getCollection(name: String): Option[Collection] = {
     val dir = root.resolve(name)
@@ -206,13 +212,36 @@ final class CollectionCatalog(
     * fails loudly instead of seeding a bad store. */
   def importCollection(name: String, path: String, space: String = "l2",
                        metadata: Map[String, String] = Map.empty): Collection = {
+    require(!name.startsWith("."),
+      s"collection name '$name' is invalid: dot-prefixed names are reserved")
     require(getCollection(name).isEmpty, s"collection '$name' already exists")
     val df = spark.read.parquet(path)
     require(df.columns.contains("id"),
       s"import source at $path carries no 'id' column")
-    val c = getOrCreateCollection(name, space, metadata)
-    c.add(df)
-    c
+    // Reject-safe adoption (same pattern as forkCollection): the load runs
+    // against a dot-prefixed temp sibling and lands via ONE atomic rename,
+    // so a rejected source (duplicate ids, ragged dims — add()'s gates) or
+    // a crash leaves NO registered collection behind and the import stays
+    // retryable. The old in-place build registered the collection BEFORE
+    // add() gated the data, so a rejected source left an empty collection
+    // whose retry died on 'already exists' — the same unretryable-residue
+    // class forkCollection was fixed for.
+    val tmpDir = root.resolve(s".import-tmp-$name")
+    if (Files.exists(tmpDir)) DirIO.deleteRecursively(tmpDir)
+    Files.createDirectories(tmpDir)
+    writeMeta(tmpDir, CollectionMeta(name, resolvedSpace(space, metadata), 0,
+      metadata, numBuckets))
+    try new Collection(spark, tmpDir, maxRowsPerFile).add(df)
+    catch { case e: Throwable =>
+      // reclaim eagerly on a CAUGHT rejection (a crash leaves the temp for
+      // the retry's reclamation above); best-effort — the rethrow wins
+      try DirIO.deleteRecursively(tmpDir)
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw e
+    }
+    val dstDir = root.resolve(name)
+    Files.move(tmpDir, dstDir, StandardCopyOption.ATOMIC_MOVE)
+    new Collection(spark, dstDir, maxRowsPerFile)
   }
 
   /** B11 rename: catalog-level move + meta.json name update (atomic dir
@@ -1021,7 +1050,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     // one shuffle BY CELL at build time: without it every write task emits
     // a file into every cell it happens to hold (tasks × nlist small files)
     val packed = model.copy(assigned = model.assigned.repartition(col("cell")))
-    Ann.writeIvf(packed, claimed.toString)
+    Ann.writeIvf(packed, claimed.toString, withPb = true)
     Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
   }
 
@@ -1067,7 +1096,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         // (same centroids — the sidecar is what later reads/refreshes use)
         Ann.writeIvf(Ann.IvfModel(cents,
           Ann.assignCells(touched, "embedding", cents).repartition(col("cell"))),
-          claimed.toString)
+          claimed.toString, withPb = true)
         linkUnchangedSlices(old, claimed, "cell=", changed)
         Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
         changed.size

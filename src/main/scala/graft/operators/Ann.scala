@@ -108,11 +108,17 @@ object Ann {
     * written alongside (`_ivf_centroids.txt`: "cell v0 v1 …" per line) so
     * the optimizer rule [[graft.expressions.IvfPruneRule]] can prune later
     * sessions' queries without the in-memory model. */
-  def writeIvf(model: IvfModel, path: String): Unit = {
-    // an assigned frame carrying `pb` (the caller's id-bucket) writes the
-    // two-level `cell=<c>/pb=<b>` layout — the incremental-refresh axis
-    // (see Collection.refreshIndex); queries prune on `cell` either way
-    val parts = if (model.assigned.columns.contains("pb")) Seq("cell", "pb") else Seq("cell")
+  def writeIvf(model: IvfModel, path: String, withPb: Boolean = false): Unit = {
+    // `withPb = true` writes the two-level `cell=<c>/pb=<b>` layout — the
+    // incremental-refresh axis (see Collection.refreshIndex); queries
+    // prune on `cell` either way. The axis is EXPLICIT opt-in: the caller
+    // asserts it injected `pb` as an id-bucket column — a user DATA column
+    // that happens to be named `pb` is never silently promoted to index
+    // layout (it would be consumed by the partitioning and later dropped
+    // as layout by index reads).
+    require(!withPb || model.assigned.columns.contains("pb"),
+      "writeIvf(withPb = true) requires a 'pb' id-bucket column on the assignment")
+    val parts = if (withPb) Seq("cell", "pb") else Seq("cell")
     model.assigned.write.mode("overwrite").partitionBy(parts: _*).parquet(path)
     // Hadoop FS, not java.nio: the layout may live on hdfs://, s3a://, … —
     // a local-filesystem sidecar would crash AFTER the expensive corpus

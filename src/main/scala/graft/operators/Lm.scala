@@ -226,6 +226,18 @@ object Lm {
     * non-overlapping replace as training (engine-portable; see
     * [[bpeTrain]]'s apply note) → per-doc BPE token count.
     *
+    * CAVEAT — one-pass variant, NOT canonical BPE application: each merge
+    * runs a single non-overlapping replace, so CONSECUTIVE occurrences of
+    * a pair that share a separator are merged every-other-one per merge
+    * step ("a b a b" under merge (a,b) → "ab a b", 3 tokens, where
+    * canonical BPE iterates to "ab ab", 2). The variant is deliberate:
+    * train and encode share the exact same replace, so encode counts are
+    * exactly consistent with what [[bpeTrain]] learned AND replayable in
+    * plain SQL on any engine (the DuckDB oracle). Token counts WILL
+    * diverge from a standard BPE tokenizer trained on the same merges on
+    * inputs with runs of a repeated pair — treat the output as this
+    * engine's tokenizer, not a drop-in for an external one.
+    *
     * 100 TB shape: the k-replace merge chain runs over the DISTINCT-WORD
     * vocabulary, not the corpus (the training-side vocab-collapse lever
     * again: k·|vocab| ≪ k·corpus words), and per-word token counts

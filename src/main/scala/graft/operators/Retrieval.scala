@@ -139,6 +139,15 @@ object Retrieval {
         "is a bounded DRIVER-side primitive; re-rank that many candidates distributed " +
         "(query + a smaller fetchN) instead of collecting them")
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    // LOUD on a degenerate QUERY vector: the try_divide + null/NaN filter
+    // below exists to drop garbage CANDIDATES, but with a zero/non-finite
+    // query every candidate's __simq is null and the operator would return
+    // silently empty. Collection.queryMmr/queryMmrText already gate this;
+    // direct operator callers get the same contract.
+    require(queryVec.exists(_ != 0f),
+      "mmr query vector is all zeros — cosine similarity is undefined for it")
+    require(queryVec.forall(v => !v.isNaN && !v.isInfinite),
+      "mmr query vector carries NaN/Inf values — cosine similarity is undefined for it")
     val spark = df.sparkSession
     val q = typedLit(queryVec)
     // a zero vector (plain add() does not gate them) has no defined

@@ -56,14 +56,25 @@ object StreamingHydrator {
     * rebuild. With per-batch refresh the cost per microbatch is bounded
     * by the batch's bucket spread, so `where_document`/kNN reads stay
     * index-confined THROUGHOUT continuous ingestion. (The first batch
-    * pays one full build — there is no prior to refresh from.) */
+    * pays one full build — there is no prior to refresh from.)
+    *
+    * The postings refresh REQUIRES the collection to carry a `document`
+    * column (the thing a postings index indexes); an embedding-only
+    * stream must pass `refreshDoc = false` (typically with
+    * `refreshIvf = true`) — the sink fails LOUDLY at the first batch
+    * otherwise, instead of dying inside the index build on a missing
+    * column. */
   def hydrateIndexed(
       rows: DataFrame,
       collection: Collection,
       checkpointDir: String,
       orderCol: Option[String] = None,
       refreshIvf: Boolean = false,
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+      refreshDoc: Boolean = true,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(refreshDoc || refreshIvf,
+      "hydrateIndexed with refreshDoc=false and refreshIvf=false refreshes " +
+        "nothing — use hydrate() for an index-free sink")
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -71,11 +82,18 @@ object StreamingHydrator {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           collection.upsert(batch, orderCol)
-          collection.refreshDocIndex()
+          if (refreshDoc) {
+            require(collection.toDF.columns.contains("document"),
+              s"collection '${collection.name}' carries no 'document' column — " +
+                "a postings index cannot be refreshed; pass refreshDoc = false " +
+                "for an embedding-only stream")
+            collection.refreshDocIndex()
+          }
           if (refreshIvf) collection.refreshIndex()
           (): Unit
         }
       }
+  }
 
   /** Per-microbatch CDC sink: apply only each batch's [[graft.Hydrator.delta]]
     * against current contents. Unlike [[hydrate]] (whose upsert rewrites the

@@ -47,6 +47,28 @@ class AnnSpec extends SparkTestBase {
     assert(res.count() == 5)
   }
 
+  test("writeIvf never silently promotes a user 'pb' DATA column to index layout") {
+    // the pb refresh axis is EXPLICIT opt-in (withPb): a corpus that
+    // happens to carry a column named pb must keep it as data
+    val withPbCol = emb.limit(20).withColumn("pb", lit(7))
+    val m = Ann.buildIvf(withPbCol, "vec_id", "embedding", nlist = 2)
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "ivf-userpb").toString
+    Ann.writeIvf(m, dir) // default: no layout promotion
+    val back = spark.read.parquet(dir)
+    assert(back.columns.contains("pb"), "user pb column must survive as data")
+    assert(back.select("pb").distinct().as[Int].collect().toSeq == Seq(7))
+    // and the on-disk layout is single-axis — no pb= partition dirs
+    val cellDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty &&
+      cellDirs.forall(!_.listFiles().exists(_.getName.startsWith("pb="))))
+    // the explicit axis without the column is LOUD, not a silent no-op
+    val noPb = Ann.buildIvf(emb.limit(20), "vec_id", "embedding", nlist = 2)
+    val e = intercept[IllegalArgumentException](
+      Ann.writeIvf(noPb, dir + "-x", withPb = true))
+    assert(e.getMessage.contains("pb"))
+  }
+
   test("IvfPruneRule: brute-force kNN over an IVF layout auto-prunes when enabled") {
     import graft.expressions.GraftExtensions
     val m = Ann.buildIvf(emb, "vec_id", "embedding", nlist = 8)

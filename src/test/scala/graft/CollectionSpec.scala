@@ -393,6 +393,12 @@ class CollectionSpec extends SparkTestBase {
     spark.read.parquet(base + "/p").unionAll(spark.read.parquet(base + "/p"))
       .write.parquet(base + "/dup")
     intercept[IllegalArgumentException](cat.importCollection("c3", base + "/dup"))
+    // ADVICE r8: a rejected source must leave NO registered collection
+    // behind (the import builds in a temp sibling and only adopts a
+    // complete load) — the name stays free and the retry succeeds
+    assert(cat.getCollection("c3").isEmpty, "rejected import left residue")
+    assert(!cat.listCollections().contains("c3"))
+    assert(cat.importCollection("c3", base + "/p").count() == 2)
   }
 
   test("rename moves the catalog entry and rewrites meta name (B11)") {

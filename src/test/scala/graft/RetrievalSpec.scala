@@ -52,6 +52,20 @@ class RetrievalSpec extends SparkTestBase {
     assert(picked == Seq(1L, 3L), s"zero vector must be unrankable, got $picked")
   }
 
+  test("mmr rejects a zero or non-finite QUERY vector loudly") {
+    // the candidate-side NaN filter (test above) makes a degenerate QUERY
+    // silently empty instead — the operator must gate it like
+    // Collection.queryMmr does
+    val vecs = Seq((1L, Seq(1f, 0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException](
+      Retrieval.mmr(vecs, "id", "vec", Seq(0f, 0f), k = 1, fetchN = 1))
+    assert(e.getMessage.contains("all zeros"))
+    intercept[IllegalArgumentException](
+      Retrieval.mmr(vecs, "id", "vec", Seq(Float.NaN, 1f), k = 1, fetchN = 1))
+    intercept[IllegalArgumentException](
+      Retrieval.mmr(vecs, "id", "vec", Seq(Float.PositiveInfinity, 1f), k = 1, fetchN = 1))
+  }
+
   test("mmr fetchN above MaxFetchN throws instead of collecting") {
     val vecs = Seq((1L, Seq(1f, 0f))).toDF("id", "vec")
     val e = intercept[IllegalArgumentException](

@@ -61,6 +61,41 @@ class StreamingSpec extends SparkTestBase {
       .select("id").as[String].collect().toSet == Set("1", "2", "3"))
   }
 
+  test("hydrateIndexed serves embedding-only streams with refreshDoc=false; doc-less refreshDoc is LOUD") {
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new CollectionCatalog(spark, tmp("stream-emb"), numBuckets = 4)
+    val coll = cat.getOrCreateCollection("se", metadata = Map("ivf:nlist" -> "2"))
+    val mem = MemoryStream[(String, Seq[Float], Long)]
+    val rows = mem.toDF.toDF("id", "embedding", "ver")
+    // refreshing NOTHING is rejected at construction, not silently inert
+    intercept[IllegalArgumentException](StreamingHydrator.hydrateIndexed(
+      rows, coll, tmp("ckpt-none"), Some("ver"),
+      refreshIvf = false, refreshDoc = false))
+    val q = StreamingHydrator.hydrateIndexed(rows, coll, tmp("ckpt-emb"),
+      Some("ver"), refreshIvf = true, refreshDoc = false,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    try {
+      mem.addData(("1", Seq(1f, 0f), 1L), ("2", Seq(0f, 1f), 1L))
+      q.processAllAvailable()
+      assert(coll.hasIndex, "IVF must be current for the embedding-only stream")
+      assert(!coll.hasDocIndex)
+    } finally q.stop()
+    // default refreshDoc=true on a document-less collection: the first
+    // batch fails with the EXPLICIT message, not a missing-column error
+    val mem2 = MemoryStream[(String, Seq[Float], Long)]
+    val q2 = StreamingHydrator.hydrateIndexed(
+      mem2.toDF.toDF("id", "embedding", "ver"), coll, tmp("ckpt-loud"),
+      Some("ver"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    try {
+      mem2.addData(("3", Seq(1f, 1f), 1L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q2.processAllAvailable())
+      assert(e.getMessage.contains("refreshDoc") ||
+        Option(e.getCause).exists(_.getMessage.contains("refreshDoc")))
+    } finally q2.stop()
+  }
+
   test("hydrateIndexed(refreshIvf) keeps BOTH indexes current; first batch sizes via ivf:nlist") {
     implicit val sqlCtx = spark.sqlContext
     val cat = new CollectionCatalog(spark, tmp("stream-ivf"), numBuckets = 4)
