@@ -27,9 +27,12 @@ private[catalog] object DirIO {
     walk(p)(_.toSeq).reverse.foreach(Files.delete)
 
   /** Hard-link every regular file of `src` into `dst` (created if
-    * needed), falling back to a copy on filesystems without links — the
-    * one carry-forward primitive every COW surface (merge, fork,
-    * rollback, index refresh) shares. */
+    * needed), falling back to a copy on filesystems without links — used
+    * ONLY by [[CollectionCatalog.forkCollection]], whose snapshot crosses
+    * a collection boundary (a carry manifest cannot: its owner references
+    * are siblings under ONE collection dir). Within a collection, every
+    * COW carry-forward (merge, rollback, index refresh) is a [[Carry]]
+    * manifest — O(buckets) metadata, no filesystem-link dependency. */
   def linkFilesInto(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
     list(src)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
@@ -39,6 +42,94 @@ private[catalog] object DirIO {
         Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
     }
   }
+}
+
+/** Logical carry-forward for copy-on-write versions: instead of hard-
+  * linking every file of every untouched partition into the new version
+  * dir (O(#files) filesystem ops, and hard links do not exist on object
+  * stores/HDFS — the one POSIX coupling the r8 design had left), a new
+  * version records the partitions it did NOT rewrite in a
+  * `_graft_carry.json` manifest mapping partition dir → the SIBLING dir
+  * that physically holds its files. Entries are written FULLY RESOLVED
+  * (the recorded owner is the dir with the bytes, never another manifest),
+  * so resolution is one hop and reference chains cannot form. A carry
+  * commit is O(touched data) write + O(partitions) metadata on ANY
+  * filesystem — strictly cheaper than the link walk it replaces.
+  *
+  * Readers group partitions by physical owner and read each owner once
+  * (explicit partition-dir paths under `basePath`, so partition-column
+  * inference and pruning behave exactly as a plain dir read); a version
+  * with no manifest reads as one plain dir scan — the common case and
+  * the same plan as always. [[Collection.compact]] rewrites everything
+  * local, so it also collapses a long mutation history's owner spread
+  * back to one dir; [[Collection.vacuum]] keeps any dir a retained
+  * version's manifest references. */
+private[graft] object Carry {
+  val ManifestName = "_graft_carry.json"
+
+  /** Record `entries` (partition dir name → physical owner dir name, a
+    * sibling under the same collection dir) for `vdir`. Nothing carried →
+    * no manifest file (the marker of the plain-read fast path). */
+  def write(vdir: Path, entries: Map[String, String]): Unit =
+    if (entries.nonEmpty) {
+      val body = entries.toSeq.sorted
+        .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+      Files.write(vdir.resolve(ManifestName),
+        body.getBytes(StandardCharsets.UTF_8))
+    }
+
+  def read(vdir: Path): Map[String, String] = {
+    val f = vdir.resolve(ManifestName)
+    if (!Files.exists(f)) Map.empty
+    else "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r
+      .findAllMatchIn(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** Resolve `vdir` to partition-dir → PHYSICAL-owner-dir: partitions
+    * present locally (name starts with `prefix`) own themselves; manifest
+    * entries point at the owning sibling under collection dir `dir`.
+    * Local presence wins on a (never-written) overlap. */
+  def owners(dir: Path, vdir: Path, prefix: String): Map[String, Path] = {
+    val local = DirIO.list(vdir)(_.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(prefix))
+      .map(_.getFileName.toString).toSeq)
+    read(vdir).map { case (part, owner) => part -> dir.resolve(owner) } ++
+      local.map(part => part -> vdir).toMap
+  }
+
+  /** [[owners]] for the TWO-LEVEL index-slice layout (`<axis>=<a>/pb=<b>`
+    * — IVF cells and postings gram partitions both carry the id-bucket
+    * `pb` refresh axis): keys are the slice-relative paths. */
+  def slicedOwners(dir: Path, build: Path): Map[String, Path] = {
+    val local = DirIO.list(build)(_.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.contains("=")).toSeq).flatMap { axisDir =>
+      DirIO.list(axisDir)(_.filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("pb=")).toSeq)
+        .map(pb => s"${axisDir.getFileName}/${pb.getFileName}")
+    }
+    read(build).map { case (part, owner) => part -> dir.resolve(owner) } ++
+      local.map(part => part -> build).toMap
+  }
+
+  /** Resolved parquet read of a possibly-carrying version/build dir. The
+    * manifest-free case is the plain whole-dir scan (identical plan to a
+    * layout with no carry history); otherwise each physical owner dir is
+    * read once with explicit partition paths under `basePath` (partition
+    * columns infer and prune exactly as on the plain scan), unioned by
+    * name with missing columns admitted. */
+  def readResolved(spark: SparkSession, vdir: Path,
+                   ownersFor: => Map[String, Path]): DataFrame =
+    if (read(vdir).isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(vdir.toString)
+    else
+      ownersFor.groupBy(_._2).toSeq.sortBy(_._1.toString)
+        .map { case (base, parts) =>
+          spark.read.option("mergeSchema", "true")
+            .option("basePath", base.toString)
+            .parquet(parts.keys.toSeq.sorted.map(p => base.resolve(p).toString): _*)
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
 }
 
 /** Parquet-backed vector-collection store with Chroma collection semantics.
@@ -51,6 +142,10 @@ private[catalog] object DirIO {
   *
   *   <root>/<name>/meta.json          {name, space, version, metadata}
   *   <root>/<name>/data_v<N>/         parquet, hash(id)-bucketed `pt` dirs
+  *                                    (+ `_graft_carry.json`: buckets this
+  *                                    version did NOT rewrite → the sibling
+  *                                    dir physically holding them — see
+  *                                    [[Carry]])
   *
   * Rows: id STRING (unique), document STRING, embedding ARRAY<FLOAT>,
   * metadata columns flattened as ordinary typed columns (filter pushdown
@@ -191,9 +286,11 @@ final class CollectionCatalog(
       CollectionMeta.claimVersion(tmpDir, dst)
       val dstData = tmpDir.resolve(f"data_v${1}%06d")
       Files.createDirectories(dstData)
-      DirIO.list(srcData)(_.filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("pt=")).toSeq).foreach { bucketDir =>
-        DirIO.linkFilesInto(bucketDir, dstData.resolve(bucketDir.getFileName.toString))
+      // resolve the source's carry manifest: a carried bucket's files live
+      // in an OLDER sibling dir, and the fork must link the physical files
+      // (a manifest cannot cross the collection boundary)
+      Carry.owners(srcDir, srcData, "pt=").foreach { case (part, owner) =>
+        DirIO.linkFilesInto(owner.resolve(part), dstData.resolve(part))
       }
       Files.write(CollectionMeta.commitMarker(tmpDir, 1), Array.emptyByteArray)
       CollectionMeta.atomicWrite(tmpDir, dst)
@@ -400,9 +497,27 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   private def bucketed(df: DataFrame): DataFrame =
     df.withColumn("pt", pmod(xxhash64(col("id")), lit(numBuckets)).cast("int"))
 
+  /** Read ONE committed version's rows WITH the `pt` column, resolving
+    * carried buckets through its [[Carry]] manifest: each distinct
+    * physical owner dir contributes one parquet read of exactly its owned
+    * bucket dirs (explicit partition paths under `basePath`, so `pt`
+    * stays a real partition column and pruning behaves as on a plain dir
+    * scan), unioned by name with missing columns admitted (cross-version
+    * schema evolution, the same semantics per-dir `mergeSchema` gives).
+    * The no-carry case — every fresh write, every compacted collection —
+    * short-circuits to the plain whole-dir read: the identical plan to
+    * the pre-manifest layout (PlanShapeSpec pins it). */
+  private def readVersion(v: Int): DataFrame =
+    Carry.readResolved(spark, dataDir(v), Carry.owners(dir, dataDir(v), "pt="))
+
+  /** Resolved read of an index build dir (see [[readVersion]] — same
+    * mechanics over the two-level `<axis>=<a>/pb=<b>` slice layout). */
+  private def readIndexBuild(build: Path): DataFrame =
+    Carry.readResolved(spark, build, Carry.slicedOwners(dir, build))
+
   /** Current contents (empty frame with canonical schema if never written). */
-  def toDF: DataFrame = currentData match {
-    case Some(p) => spark.read.option("mergeSchema", "true").parquet(p.toString).drop("pt")
+  def toDF: DataFrame = { val m = meta; currentDataOf(m) match {
+    case Some(_) => readVersion(m.version).drop("pt")
     case None => spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -410,11 +525,11 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         org.apache.spark.sql.types.StructField("document", org.apache.spark.sql.types.StringType, true),
         org.apache.spark.sql.types.StructField("embedding",
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType), true))))
-  }
+  } }
 
   /** Current contents WITH the bucket column (internal merge path). */
   private def currentWithPtOf(m: CollectionMeta): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(dataDir(m.version).toString)
+    readVersion(m.version)
 
   /** Contents of ONE meta snapshot (empty canonical frame if never
     * written). Every read surface that also consults snapshot-bound
@@ -422,7 +537,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * toDF re-reads meta, and a commit landing in between would pair
     * version-N+1 data with version-N index artifacts. */
   private def snapshotDF(m: CollectionMeta): DataFrame = currentDataOf(m) match {
-    case Some(p) => spark.read.option("mergeSchema", "true").parquet(p.toString).drop("pt")
+    case Some(_) => readVersion(m.version).drop("pt")
     case None => toDF // canonical empty frame (meta re-read harmless: no data)
   }
 
@@ -500,10 +615,12 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   }
 
   /** Partition-pruned copy-on-write (SURVEY §7.4.3): rewrite ONLY the id-hash
-    * buckets named in `affected`; every other bucket's files are hard-linked
-    * from the previous version into the new one (O(1) per file, no data
-    * movement). At 100 TB a point upsert touches 1 of `numBuckets` buckets
-    * instead of rewriting the collection. The meta.json swap stays atomic,
+    * buckets named in `affected`; every other bucket is carried forward by
+    * a [[Carry]] manifest entry pointing at the dir that physically holds
+    * it (fully resolved — a bucket carried across ten commits still
+    * records its one physical owner). At 100 TB a point upsert writes 1 of
+    * `numBuckets` buckets plus one O(buckets) metadata file — no link
+    * walk, no object-store copy storm. The meta.json swap stays atomic,
     * so readers see either the old or the new version, never a mix.
     *
     * @param mergedAffected replacement rows for the affected buckets only
@@ -519,14 +636,11 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       bucketed(mergedAffected.drop("pt")).write.mode("overwrite")
         .option("maxRecordsPerFile", maxRowsPerFile)
         .partitionBy("pt").parquet(newDir.toString)
-      val oldDir = dataDir(m.version)
-      val carryOver = DirIO.list(oldDir)(
-        _.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("pt="))
-          .filterNot(p => affected.contains(p.getFileName.toString.stripPrefix("pt=").toInt))
-          .toSeq)
-      carryOver.foreach { bucketDir =>
-        DirIO.linkFilesInto(bucketDir, newDir.resolve(bucketDir.getFileName.toString))
-      }
+      val carryEntries = Carry.owners(dir, dataDir(m.version), "pt=")
+        .filterNot { case (part, _) =>
+          affected.contains(part.stripPrefix("pt=").toInt) }
+        .map { case (part, owner) => part -> owner.getFileName.toString }
+      Carry.write(newDir, carryEntries)
       beforeCommit()
     } catch { case e: Throwable => abandon(next); throw e }
     commit(next)
@@ -774,7 +888,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val base = (if (exact) None else currentIndex(m)) match {
       case Some((idxPath, cents)) =>
         val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
-        spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
+        readIndexBuild(idxPath)
           .filter(col("cell").isin(cells: _*)).drop(indexLayoutCols(idxPath): _*)
       case None => snapshotDF(m)
     }
@@ -1057,9 +1171,10 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   /** Incrementally refresh the IVF index to the CURRENT version: keep the
     * prior build's CENTROIDS, re-run the exact argmin-L2 assignment ONLY
     * for the id buckets whose data changed since the indexed version, and
-    * hard-link every other `cell=<c>/pb=<b>` slice from that build —
-    * O(touched data) compute + O(#files) links, where today's alternative
-    * is a full O(corpus) re-train + re-assignment per point mutation.
+    * carry every other `cell=<c>/pb=<b>` slice from that build by carry-
+    * manifest entry — O(touched data) compute + O(slices) metadata, where
+    * today's alternative is a full O(corpus) re-train + re-assignment per
+    * point mutation.
     *
     * Semantics: assignment is a pure function of (vector, centroids), and
     * unchanged rows were assigned against the SAME centroids, so the
@@ -1097,7 +1212,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         Ann.writeIvf(Ann.IvfModel(cents,
           Ann.assignCells(touched, "embedding", cents).repartition(col("cell"))),
           claimed.toString, withPb = true)
-        linkUnchangedSlices(old, claimed, "cell=", changed)
+        carryUnchangedSlices(old, claimed, changed)
         Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
         changed.size
       case _ =>
@@ -1115,29 +1230,26 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       .sortBy(p => (indexVersionOf(p), buildNumberOf(p))).lastOption
 
   /** Id buckets whose data changed between two committed versions (see
-    * [[bucketFileNames]] for why a file-name diff is the right detector). */
+    * [[bucketSignatures]] for why an owner+file-name diff is the right
+    * detector). */
   private def changedBucketsBetween(vOld: Int, vNew: Int): Set[Int] = {
-    val o = bucketFileNames(dataDir(vOld))
-    val n = bucketFileNames(dataDir(vNew))
+    val o = bucketSignatures(vOld)
+    val n = bucketSignatures(vNew)
     (o.keySet ++ n.keySet).filter(b => o.get(b) != n.get(b))
   }
 
-  /** Carry the prior build's unchanged pb slices forward: for every
-    * `<axisPrefix><x>/pb=<b>` dir of `old` with b ∉ changed, hard-link
-    * its files into the same relative dir under `claimed`. */
-  private def linkUnchangedSlices(old: Path, claimed: Path, axisPrefix: String,
-                                  changed: Set[Int]): Unit =
-    DirIO.list(old)(_.filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(axisPrefix)).toSeq).foreach { axisDir =>
-      DirIO.list(axisDir)(_.filter { p =>
-        Files.isDirectory(p) && p.getFileName.toString.startsWith("pb=") &&
-          !changed.contains(p.getFileName.toString.stripPrefix("pb=").toInt)
-      }.toSeq).foreach { pbDir =>
-        DirIO.linkFilesInto(pbDir, claimed
-          .resolve(axisDir.getFileName.toString)
-          .resolve(pbDir.getFileName.toString))
-      }
-    }
+  /** Carry the prior build's unchanged pb slices forward: every
+    * `<axis>=<x>/pb=<b>` slice of `old` with b ∉ changed becomes a carry-
+    * manifest entry of `claimed` pointing at the dir PHYSICALLY holding
+    * it (old's own carries stay one-hop resolved) — O(slices) metadata,
+    * no per-file work, works on any filesystem. MUST run after the
+    * claimed build's parquet write: `mode(overwrite)` clears the dir. */
+  private def carryUnchangedSlices(old: Path, claimed: Path,
+                                   changed: Set[Int]): Unit =
+    Carry.write(claimed, Carry.slicedOwners(dir, old)
+      .filterNot { case (slice, _) =>
+        changed.contains(slice.substring(slice.indexOf("/pb=") + 4).toInt) }
+      .map { case (slice, owner) => slice -> owner.getFileName.toString })
 
   /** Drop the current version's index builds (reads fall back to the exact
     * scan). Explicit user intent — unlike rebuild, this DOES delete. */
@@ -1210,34 +1322,48 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * buckets' files under their ORIGINAL names, while a rewritten bucket
     * gets fresh task-UUID names, so two versions' bucket file-name sets
     * are equal iff the bucket's content is byte-identical carry-over. */
-  private def bucketFileNames(vdir: Path): Map[Int, Set[String]] =
-    DirIO.list(vdir)(_.filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("pt=")).toSeq)
-      .map { p =>
-        p.getFileName.toString.stripPrefix("pt=").toInt ->
-          DirIO.list(p)(_.filter(Files.isRegularFile(_))
+  /** Per-bucket identity for change detection: (physical owner dir name,
+    * file names). A carried bucket keeps its owner's identity, so a COW
+    * carry reads as unchanged and a rewrite (fresh files in the new
+    * version dir) reads as changed — the same contract the hard-link
+    * layout had, where carried files kept their names in place. An owner
+    * dir a concurrent vacuum already reclaimed reads as an empty file
+    * set — conservatively "changed", never a crash. */
+  private def bucketSignatures(v: Int): Map[Int, (String, Set[String])] =
+    Carry.owners(dir, dataDir(v), "pt=").map { case (part, owner) =>
+      val bdir = owner.resolve(part)
+      val files =
+        if (Files.exists(bdir))
+          DirIO.list(bdir)(_.filter(Files.isRegularFile(_))
             .map(_.getFileName.toString).toSet)
-      }.toMap
+        else Set.empty[String]
+      part.stripPrefix("pt=").toInt -> (owner.getFileName.toString -> files)
+    }
 
   /** Whether `build` uses the two-level refreshable layout: its first-
-    * axis dirs (`gp=`/`cell=` per `prefix`) hold `pb=` slices. */
+    * axis dirs (`gp=`/`cell=` per `prefix`) hold `pb=` slices — locally,
+    * or via carry-manifest entries (a refresh that rewrote nothing has
+    * ONLY carried slices). */
   private def hasPbSlices(build: Path, prefix: String): Boolean =
     DirIO.list(build)(_.find(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith(prefix))).exists(g =>
       DirIO.list(g)(_.exists(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("pb="))))
+        p.getFileName.toString.startsWith("pb=")))) ||
+      Carry.read(build).keys.exists(k => k.startsWith(prefix) && k.contains("/pb="))
 
   /** Incrementally refresh the postings index to the CURRENT version:
     * rebuild postings ONLY for the id buckets whose data changed since
     * the last committed build's version; every other `gp=<g>/pb=<b>`
-    * slice is hard-linked from that build — O(touched data) compute +
-    * O(#files) links, instead of the O(corpus) full re-derivation that
-    * made every point-upsert pay a whole-index rebuild at scale.
+    * slice is carried from that build by carry-manifest entry —
+    * O(touched data) compute + O(slices) metadata, instead of the
+    * O(corpus) full re-derivation that made every point-upsert pay a
+    * whole-index rebuild at scale.
     *
     * Changed buckets are detected from the COW layout itself (no extra
-    * bookkeeping): merge commits hard-link untouched buckets' files
-    * under their original names, so a bucket changed iff its file-name
-    * set differs between the indexed version and the current one.
+    * bookkeeping): merge commits carry untouched buckets in place (same
+    * physical owner, same file names), so a bucket changed iff its
+    * (owner, file-name set) signature differs between the indexed
+    * version and the current one ([[bucketSignatures]]).
     * Falls back to a full [[buildDocIndex]] when there is no usable
     * prior build (none committed, legacy un-sliced layout, or the
     * indexed version's data dir was vacuumed away).
@@ -1262,9 +1388,9 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
             currentWithPtOf(m).filter(col("pt").isin(changed.toSeq: _*))
               .select(col("id"), col("document"), col("pt")),
             "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
-        // carry forward unchanged slices: hard-link gp=*/pb=<b> for
-        // every b whose data bucket is byte-identical carry-over
-        linkUnchangedSlices(old, claimed, "gp=", changed)
+        // carry forward unchanged slices: manifest entries for gp=*/pb=<b>
+        // for every b whose data bucket is byte-identical carry-over
+        carryUnchangedSlices(old, claimed, changed)
         Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
         changed.size
       case _ =>
@@ -1293,7 +1419,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       idx <- currentDocIndex(m)
       sets <- DocIndex.gramSets(wd)
     } yield df.join(
-      DocIndex.candidates(spark, idx.toString, sets), Seq("id"), "left_semi"))
+      DocIndex.candidates(readIndexBuild(idx), sets), Seq("id"), "left_semi"))
       .getOrElse(df)
 
   /** The layout-owned columns of an index build dir: always `cell`, plus
@@ -1360,7 +1486,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     (if (exact) None else currentIndex(m)) match {
       case Some((idxPath, cents)) =>
         val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
-        val indexed = spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
+        val indexed = readIndexBuild(idxPath)
         val layoutCols = indexLayoutCols(idxPath)
         requireNoReserved(indexed.drop(layoutCols: _*), Seq("dist"))
         // `cell` is the index layout's partition column — the isin lands in
@@ -1402,7 +1528,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         val np = resolveNprobe(m, nprobe)
         val cellsPerQ = queryVecs.map(v => Ann.nearestCellsOf(cents, v, np))
         val allCells = cellsPerQ.flatten.distinct
-        val indexed = spark.read.option("mergeSchema", "true").parquet(idxPath.toString)
+        val indexed = readIndexBuild(idxPath)
         val layoutCols = indexLayoutCols(idxPath)
         requireNoReserved(indexed.drop(layoutCols: _*),
           Seq("qid", "rnk", "dist", "__qvec", "__qcells", "__na", "__nq"))
@@ -1590,16 +1716,17 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         Files.exists(CollectionMeta.commitMarker(dir, version)),
       s"version $version is not a committed on-disk version " +
         s"(available: ${history().mkString(", ")})")
-    spark.read.option("mergeSchema", "true").parquet(dataDir(version).toString).drop("pt")
+    readVersion(version).drop("pt")
   }
 
   /** Roll back by rolling FORWARD: commit a NEW version whose content is
-    * `version`'s files, hard-linked (O(1) per file, no data movement).
-    * The claim protocol stays monotonic — readers never see the pointer
-    * move backwards, history keeps the bad versions for the audit trail,
-    * and a concurrent writer conflicts loudly instead of silently losing
-    * the rollback. Any index on the current version is NOT carried (it
-    * describes the rolled-back-FROM content); rebuild after rolling back. */
+    * `version`'s — every bucket carried by [[Carry]] manifest (O(buckets)
+    * metadata, zero data movement on any filesystem). The claim protocol
+    * stays monotonic — readers never see the pointer move backwards,
+    * history keeps the bad versions for the audit trail, and a concurrent
+    * writer conflicts loudly instead of silently losing the rollback. Any
+    * index on the current version is NOT carried (it describes the
+    * rolled-back-FROM content); rebuild after rolling back. */
   def rollbackTo(version: Int): Unit = {
     val m = meta
     require(version != m.version, s"already at version $version")
@@ -1611,13 +1738,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val newDir = dataDir(next.version)
     try {
       Files.createDirectories(newDir)
-      val oldDir = dataDir(version)
-      DirIO.linkFilesInto(oldDir, newDir) // _SUCCESS etc — exact layout parity
-      DirIO.list(oldDir)(
-        _.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("pt="))
-          .toSeq).foreach { bucketDir =>
-        DirIO.linkFilesInto(bucketDir, newDir.resolve(bucketDir.getFileName.toString))
-      }
+      Carry.write(newDir, Carry.owners(dir, dataDir(version), "pt=")
+        .map { case (part, owner) => part -> owner.getFileName.toString })
     } catch { case e: Throwable => abandon(next); throw e }
     commit(next)
   }
@@ -1631,16 +1753,22 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * reclaim the superseded bytes. */
   def compact(): Unit = {
     val m = meta
-    currentDataOf(m).foreach { p =>
-      val df = spark.read.option("mergeSchema", "true").parquet(p.toString).drop("pt")
+    currentDataOf(m).foreach { _ =>
+      // full local rewrite: the new version carries NOTHING, so compaction
+      // also collapses a long mutation history's carry-manifest owner
+      // spread back to one dir (run vacuum after to reclaim the old dirs)
+      val df = readVersion(m.version).drop("pt")
       writeVersion(df, m, repack = true)
     }
   }
 
   /** Drop superseded copy-on-write versions, keeping the current one plus
-    * `keepHistory` predecessors. Hard-linked files shared with retained
-    * versions survive (link count > 1) — only truly dead bytes are freed.
-    * Storage hygiene for long-lived collections under frequent upserts. */
+    * `keepHistory` predecessors. A superseded dir that a retained
+    * version's carry manifest still references for physical bytes
+    * survives (reachability, not link counts) — only truly dead dirs are
+    * freed, at whole-dir granularity; `compact()` first when minimal
+    * footprint matters. Storage hygiene for long-lived collections under
+    * frequent upserts. */
   def vacuum(keepHistory: Int = 0): Int = {
     require(keepHistory >= 0,
       s"keepHistory must be >= 0, got $keepHistory (negative would delete the LIVE version)")
@@ -1670,12 +1798,31 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       .filter(p => kindOf(p).isDefined && Files.exists(p.resolve("_graft_committed")))
       .groupBy(p => (kindOf(p).get, versionOf(p)))
       .view.mapValues(_.map(buildNumberOf).max).toMap
-    val dead = versioned.filter { p =>
+    val provisionallyDead = versioned.filter { p =>
       val v = versionOf(p)
       v < cutoff || kindOf(p).exists(k =>
         liveBuild.get((k, v)).exists(buildNumberOf(p) < _))
-    }
+    }.toSet
+    // Carry-manifest reachability: a superseded dir stays ALIVE while any
+    // retained dir's manifest still points at it for physical bytes.
+    // Manifests record direct physical owners (never chains), so one hop
+    // from the retained set covers every live reference. (The retained
+    // bytes are whole dirs — after long point-mutation runs, compact()
+    // then vacuum() to collapse the owner spread and reclaim fully.)
+    val referenced: Set[String] = versioned.filterNot(provisionallyDead)
+      .flatMap(p => Carry.read(p).values).toSet
+    val dead = provisionallyDead
+      .filterNot(p => referenced.contains(p.getFileName.toString)).toSeq
     dead.foreach(DirIO.deleteRecursively)
+    // A dir retained ONLY for its referenced bytes is RETIRED from
+    // history: dropping its commit marker makes time travel / rollback /
+    // build adoption refuse it, while its files keep serving the retained
+    // manifests that point at them. Without this, a traveler could read a
+    // byte-store dir whose OWN manifest references dirs this vacuum just
+    // reclaimed — a torn snapshot. Retired ≠ reclaimed: it is not counted
+    // in the returned total.
+    provisionallyDead.filter(p => referenced.contains(p.getFileName.toString))
+      .foreach(p => Files.deleteIfExists(p.resolve("_graft_committed")))
     // retired version-claim files (cutoff <= current, so the commit record
     // of the live version always survives)
     DirIO.list(dir)(_.filter(CollectionMeta.isClaimFile)

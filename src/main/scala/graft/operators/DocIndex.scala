@@ -134,8 +134,15 @@ object DocIndex {
     * only exchange is the (id, set) count fold, bounded by candidates ×
     * sets, never corpus-sized.
     */
-  def candidates(spark: SparkSession, path: String, sets: Seq[Seq[String]]): DataFrame = {
+  def candidates(spark: SparkSession, path: String, sets: Seq[Seq[String]]): DataFrame =
+    candidates(spark.read.parquet(path), sets)
+
+  /** [[candidates]] over an already-resolved postings frame — the entry
+    * point for carry-manifest builds (`Collection.readIndexBuild`), where
+    * the physical slice layout spans more than one build dir. */
+  def candidates(postings: DataFrame, sets: Seq[Seq[String]]): DataFrame = {
     require(sets.nonEmpty && sets.forall(_.nonEmpty), "need at least one non-empty gram set")
+    val spark = postings.sparkSession
     import spark.implicits._
     val need = sets.zipWithIndex
       .flatMap { case (g, i) => g.distinct.map(gram => (gram, i, g.distinct.size)) }
@@ -143,7 +150,7 @@ object DocIndex {
     val grams = sets.flatten.distinct
     // literal IN on gp (computed driver-side with the writer's own hash)
     // prunes partitions at file listing; gram IN prunes parquet rowgroups
-    spark.read.parquet(path)
+    postings
       .filter(col("gp").isin(grams.map(gpOf).distinct: _*))
       .filter(col("gram").isin(grams: _*))
       .join(broadcast(need), "gram")

@@ -63,7 +63,11 @@ object DocIndexAudit {
       idxDir.iterator.asScala.filter(_.getFileName.toString.startsWith("docindex_v"))
         .toSeq.sortBy(_.getFileName.toString).last.toString
     } finally idxDir.close()
-    val postings = spark.read.parquet(postingsPath)
+    // resolved read: a refreshed build carries unchanged slices by
+    // manifest, so a plain dir read would miss them
+    val buildPath = java.nio.file.Paths.get(postingsPath)
+    val postings = graft.catalog.Carry.readResolved(spark, buildPath,
+      graft.catalog.Carry.slicedOwners(buildPath.getParent, buildPath))
     val totalPostings = postings.count()
     val readPostings = postings
       .filter(col("gp").isin(gps: _*)).filter(col("gram").isin(grams: _*)).count()

@@ -275,7 +275,7 @@ class CollectionSpec extends SparkTestBase {
     assert(c.meta.metadata == Map("owner" -> "other", "dim" -> "2"))
   }
 
-  test("merge rewrites only affected buckets; others are hard-linked") {
+  test("merge rewrites only affected buckets; others are carried by manifest") {
     val cat = freshCatalog()
     val c = cat.getOrCreateCollection("c")
     val rows = (0 until 40).map(i => (s"id$i", s"doc $i", Seq(i.toFloat)))
@@ -295,11 +295,15 @@ class CollectionSpec extends SparkTestBase {
     c.upsert(Seq(("id0", "patched", Seq(99f))).toDF("id", "document", "embedding"))
     val v2Dir = v1Dir.getParent.resolve(f"data_v${c.meta.version}%06d")
     val after = bucketFiles(v2Dir)
-    // the bucket holding id0 gets new files; every other bucket keeps the
-    // exact same file names (hard links, not rewrites)
-    val changed = after.keySet.filter(k => before.get(k) != after.get(k))
-    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
-    (after.keySet - changed.head).foreach { k => assert(after(k) == before(k)) }
+    // ONLY the bucket holding id0 is physically rewritten in the new
+    // version; every other bucket travels as a carry-manifest entry
+    // pointing at v1's dir — whose files are untouched (no data movement)
+    assert(after.size == 1, s"expected 1 rewritten bucket, got ${after.keySet}")
+    val carried = graft.catalog.Carry.read(v2Dir)
+    assert(carried.keySet == before.keySet -- after.keySet,
+      s"carried ${carried.keySet} vs expected ${before.keySet -- after.keySet}")
+    assert(carried.values.toSet == Set(v1Dir.getFileName.toString))
+    assert(bucketFiles(v1Dir) == before, "carry must not touch the owner's files")
     // and content is correct
     assert(c.count() == 40)
     assert(c.get(ids = Seq("id0")).select("document").as[String].head() == "patched")
@@ -414,16 +418,20 @@ class CollectionSpec extends SparkTestBase {
     assert(!cat.renameCollection("new", "blocker")) // refuse to clobber
   }
 
-  test("vacuum drops superseded versions but keeps shared linked files") {
+  test("vacuum drops unreferenced versions, retires byte-store owners from history") {
     val cat = freshCatalog()
     val c = cat.getOrCreateCollection("c")
     c.add(batch(("a", "1", Seq(1f)), ("b", "2", Seq(2f))))
     c.upsert(batch(("a", "1b", Seq(3f))))
     c.upsert(batch(("b", "2b", Seq(4f))))
     assert(c.meta.version == 3)
+    // v3's manifest still references a predecessor for physical bytes —
+    // that owner survives as a byte store (retired from history); only
+    // wholly-unreferenced dirs are reclaimed
     val removed = c.vacuum()
-    assert(removed == 2)
-    // current version fully readable after old dirs (link sources) are gone
+    assert(removed >= 1)
+    assert(c.history() == Seq(3), s"byte-store owners must leave history: ${c.history()}")
+    // current version fully readable through its manifest after vacuum
     val docs = c.toDF.select("id", "document").as[(String, String)].collect().toMap
     assert(docs == Map("a" -> "1b", "b" -> "2b"))
     assert(c.vacuum() == 0) // idempotent

@@ -129,31 +129,27 @@ class DocIndexSpec extends SparkTestBase {
     // found, deleted row gone, untouched rows intact
     assert(c.get(whereDoc = Some(Contains("brown")))
       .select("id").as[String].collect().toSet == Set("1", "3", "7"))
-    // carry-forward really is hard links: the new build shares at least
-    // one posting file NAME with the old build (rewritten slices get
-    // fresh task-UUID names, linked slices keep their originals)
+    // carry-forward is a manifest, not a rewrite: the new build records
+    // unchanged gp/pb slices as entries pointing at the OLD build, whose
+    // physical slice dirs really hold the bytes
     val dir = root.getParent.getParent // <collection dir>
-    def postingFiles(prefix: String): Set[String] = {
+    val newest = {
       val builds = java.nio.file.Files.list(dir)
       try {
         import scala.jdk.CollectionConverters._
         builds.iterator.asScala
-          .filter(_.getFileName.toString.startsWith(prefix)).toSeq
-          .flatMap { b =>
-            val w = java.nio.file.Files.walk(b)
-            try w.iterator.asScala
-              .filter(p => java.nio.file.Files.isRegularFile(p) &&
-                p.getFileName.toString.endsWith(".parquet"))
-              .map(p => b.getFileName.toString + "::" +
-                dir.relativize(p).toString.split("/", 2)(1)).toList
-            finally w.close()
-          }.toSet
+          .filter(_.getFileName.toString.startsWith("docindex_v"))
+          .toSeq.sortBy(_.getFileName.toString).last
       } finally builds.close()
     }
-    val v1Files = postingFiles("docindex_v000001")
-    val v3Files = postingFiles("docindex_v000003")
-    val shared = v1Files.map(_.split("::")(1)).intersect(v3Files.map(_.split("::")(1)))
-    assert(shared.nonEmpty, "refresh must carry forward unchanged slices by link")
+    val carried = graft.catalog.Carry.read(newest)
+    assert(carried.nonEmpty, "refresh must carry forward unchanged slices by manifest")
+    carried.foreach { case (slice, owner) =>
+      assert(owner.startsWith("docindex_v000001"),
+        s"carried slice $slice must name the prior build, got $owner")
+      assert(java.nio.file.Files.isDirectory(dir.resolve(owner).resolve(slice)),
+        s"carried slice $slice missing under owner $owner")
+    }
     // already current → no-op
     assert(c.refreshDocIndex() == 0)
     // after vacuum reclaims the indexed version (mutate FIRST so the

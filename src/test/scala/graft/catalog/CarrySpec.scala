@@ -1,0 +1,136 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ChromaFilter
+
+/** The carry-manifest carry-forward (`_graft_carry.json`): logical
+  * ownership references instead of hard links, so the copy-on-write store
+  * has NO POSIX-only dependency in any per-mutation path — a merge/
+  * rollback/index-refresh commit is O(touched data) + O(partitions)
+  * metadata on any filesystem (object stores included, where links don't
+  * exist). These specs pin the structural invariants: one-hop resolution,
+  * untouched owners, vacuum reachability, compaction collapse, and the
+  * index-slice carry surviving vacuum. */
+class CarrySpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  private def fresh(buckets: Int = 4): (CollectionCatalog, Path) = {
+    val root = Files.createTempDirectory(
+      Paths.get("/root/repo/target"), "carry-test")
+    (new CollectionCatalog(spark, root.toString, numBuckets = buckets), root)
+  }
+
+  private def rows(ids: Range) =
+    ids.map(i => (s"id$i", s"doc $i", Seq(i.toFloat, 1f))).toDF("id", "document", "embedding")
+
+  private def dataDirs(coll: Path): Seq[String] =
+    DirIO.list(coll)(_.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("data_v"))
+      .map(_.getFileName.toString).toSeq.sorted)
+
+  test("chained point upserts stay ONE-HOP resolved: every manifest entry names the physical owner") {
+    val (cat, root) = fresh()
+    val c = cat.getOrCreateCollection("c")
+    c.add(rows(0 until 24))
+    // three point mutations → three carried commits
+    Seq("id1", "id2", "id3").foreach { id =>
+      c.upsert(Seq((id, s"patched $id", Seq(9f, 9f))).toDF("id", "document", "embedding"))
+    }
+    val cur = root.resolve("c").resolve(f"data_v${c.meta.version}%06d")
+    val manifest = Carry.read(cur)
+    assert(manifest.nonEmpty)
+    manifest.foreach { case (part, owner) =>
+      val bucketDir = root.resolve("c").resolve(owner).resolve(part)
+      assert(Files.isDirectory(bucketDir),
+        s"manifest entry $part -> $owner does not name a physical bucket dir")
+      assert(DirIO.list(bucketDir)(_.exists(_.getFileName.toString.endsWith(".parquet"))),
+        s"owner $owner/$part holds no parquet — a chained (unresolved) reference")
+      // and the owner does NOT itself carry this partition onward
+      assert(!Carry.read(root.resolve("c").resolve(owner)).contains(part),
+        s"owner $owner re-carries $part — manifests must resolve in one hop")
+    }
+    assert(c.count() == 24)
+    assert(c.get(ids = Seq("id2")).select("document").as[String].head() == "patched id2")
+  }
+
+  test("rollback commits a manifest-only version: zero data movement, identical reads") {
+    val (cat, root) = fresh()
+    val c = cat.getOrCreateCollection("c")
+    c.add(rows(0 until 12))
+    val v1 = c.toDF.orderBy("id").collect().toSeq
+    c.upsert(Seq(("id0", "broken", Seq(0f, 0f))).toDF("id", "document", "embedding"))
+    c.rollbackTo(1)
+    val cur = root.resolve("c").resolve(f"data_v${c.meta.version}%06d")
+    // the rollback version holds NO parquet of its own — only the manifest
+    assert(DirIO.walk(cur)(_.count(_.getFileName.toString.endsWith(".parquet"))) == 0)
+    assert(Carry.read(cur).nonEmpty)
+    assert(c.toDF.orderBy("id").collect().toSeq == v1)
+  }
+
+  test("vacuum keeps owner dirs a retained manifest references, reclaims superseded rewrites") {
+    val (cat, root) = fresh()
+    val c = cat.getOrCreateCollection("c")
+    c.add(rows(0 until 24)) // v1
+    // rewrite the SAME id twice: v2's bucket rewrite is superseded by
+    // v3's, so v2 becomes unreferenced while v1 stays the physical owner
+    // of every untouched bucket
+    c.upsert(Seq(("id5", "p1", Seq(1f, 1f))).toDF("id", "document", "embedding")) // v2
+    c.upsert(Seq(("id5", "p2", Seq(2f, 2f))).toDF("id", "document", "embedding")) // v3
+    val before = c.get().orderBy("id").collect().toSeq
+    val reclaimed = c.vacuum()
+    val left = dataDirs(root.resolve("c"))
+    assert(left.contains("data_v000001"), s"referenced owner v1 must survive, left: $left")
+    assert(!left.contains("data_v000002"), s"superseded v2 must be reclaimed, left: $left")
+    assert(left.contains("data_v000003"))
+    assert(reclaimed >= 1)
+    assert(c.get().orderBy("id").collect().toSeq == before)
+    assert(c.get(ids = Seq("id5")).select("document").as[String].head() == "p2")
+  }
+
+  test("compact collapses the owner spread; vacuum then reclaims every old dir") {
+    val (cat, root) = fresh()
+    val c = cat.getOrCreateCollection("c")
+    c.add(rows(0 until 24))
+    (0 until 6).foreach { i =>
+      c.upsert(Seq((s"id$i", s"p$i", Seq(9f, 9f))).toDF("id", "document", "embedding"))
+    }
+    val before = c.get().orderBy("id").collect().toSeq
+    c.compact()
+    val cur = root.resolve("c").resolve(f"data_v${c.meta.version}%06d")
+    assert(Carry.read(cur).isEmpty, "a compacted version must carry nothing")
+    c.vacuum()
+    assert(dataDirs(root.resolve("c")) == Seq(f"data_v${c.meta.version}%06d"),
+      "after compact+vacuum exactly one data dir remains")
+    assert(c.get().orderBy("id").collect().toSeq == before)
+  }
+
+  test("index refresh carries slices by manifest; the carried-from build survives vacuum") {
+    val (cat, root) = fresh()
+    val c = cat.getOrCreateCollection("c")
+    c.add(rows(0 until 24))
+    c.buildDocIndex()
+    c.upsert(Seq(("id1", "a fresh brown bear doc", Seq(9f, 9f)))
+      .toDF("id", "document", "embedding"))
+    val rebuilt = c.refreshDocIndex()
+    assert(rebuilt >= 1)
+    // the refreshed build carries unchanged gp/pb slices from the OLD build
+    val builds = DirIO.list(root.resolve("c"))(_.filter(
+        _.getFileName.toString.startsWith("docindex_v")).toSeq)
+      .sortBy(_.getFileName.toString)
+    val newest = builds.last
+    val carried = Carry.read(newest)
+    assert(carried.nonEmpty, "refresh must carry unchanged slices by manifest")
+    assert(carried.values.toSet.contains(builds.head.getFileName.toString))
+    // vacuum keeps the old build: the live build references its slices
+    c.vacuum()
+    assert(Files.exists(builds.head), "carried-from build must survive vacuum")
+    // and the index path still answers ≡ scan
+    assert(c.get(whereDoc = Some(ChromaFilter.Contains("brown")))
+      .select("id").as[String].collect().toSet == Set("id1"))
+    assert(c.get(whereDoc = Some(ChromaFilter.Contains("doc 2")))
+      .select("id").as[String].collect().toSet == Set("id2", "id20", "id21", "id22", "id23"))
+  }
+}

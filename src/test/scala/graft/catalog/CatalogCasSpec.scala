@@ -86,11 +86,9 @@ class CatalogCasSpec extends graft.SparkTestBase {
         .withColumn("embedding", typedLit(Seq(i.toFloat))))
     }
     val before = c.get().orderBy("id").collect().toSeq
-    def nFiles = {
-      val v = c.meta.version
-      val dd = java.nio.file.Paths.get(root, "t", f"data_v$v%06d")
-      DirIO.walk(dd)(_.count(p => p.getFileName.toString.endsWith(".parquet")))
-    }
+    // RESOLVED file count (carry-manifest aware): the files the current
+    // version actually reads, wherever they physically live
+    def nFiles = c.get().inputFiles.count(_.endsWith(".parquet"))
     val filesBefore = nFiles
     c.compact()
     c.vacuum()
