@@ -1,48 +1,14 @@
 package graft.catalog
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Ann, ChromaFilter, DocIndex, Embedder, EmbeddingFunction, Knn, Retrieval}
-
-/** fd-safe wrappers: `Files.list`/`Files.walk` hold an open directory fd
-  * until closed — full iteration does NOT close them, so every call site
-  * must drain inside a try/finally or a long-running driver (e.g. a
-  * streaming upsert loop) leaks fds until ulimit. */
-private[catalog] object DirIO {
-  def list[A](p: Path)(f: Iterator[Path] => A): A = {
-    val s = Files.list(p)
-    try f(s.iterator.asScala) finally s.close()
-  }
-  def walk[A](p: Path)(f: Iterator[Path] => A): A = {
-    val s = Files.walk(p)
-    try f(s.iterator.asScala) finally s.close()
-  }
-  def deleteRecursively(p: Path): Unit =
-    walk(p)(_.toSeq).reverse.foreach(Files.delete)
-
-  /** Hard-link every regular file of `src` into `dst` (created if
-    * needed), falling back to a copy on filesystems without links — used
-    * ONLY by [[CollectionCatalog.forkCollection]], whose snapshot crosses
-    * a collection boundary (a carry manifest cannot: its owner references
-    * are siblings under ONE collection dir). Within a collection, every
-    * COW carry-forward (merge, rollback, index refresh) is a [[Carry]]
-    * manifest — O(buckets) metadata, no filesystem-link dependency. */
-  def linkFilesInto(src: Path, dst: Path): Unit = {
-    Files.createDirectories(dst)
-    list(src)(_.filter(Files.isRegularFile(_)).toSeq).foreach { f =>
-      val link = dst.resolve(f.getFileName.toString)
-      try Files.createLink(link, f)
-      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-        Files.copy(f, link, StandardCopyOption.REPLACE_EXISTING) }
-    }
-  }
-}
 
 /** Logical carry-forward for copy-on-write versions: instead of hard-
   * linking every file of every untouched partition into the new version
@@ -70,19 +36,19 @@ private[graft] object Carry {
   /** Record `entries` (partition dir name → physical owner dir name, a
     * sibling under the same collection dir) for `vdir`. Nothing carried →
     * no manifest file (the marker of the plain-read fast path). */
-  def write(vdir: Path, entries: Map[String, String]): Unit =
+  def write(io: StoreIO, vdir: Path, entries: Map[String, String]): Unit =
     if (entries.nonEmpty) {
       val body = entries.toSeq.sorted
         .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
-      Files.write(vdir.resolve(ManifestName),
+      io.writeBytes(new Path(vdir, ManifestName),
         body.getBytes(StandardCharsets.UTF_8))
     }
 
-  def read(vdir: Path): Map[String, String] = {
-    val f = vdir.resolve(ManifestName)
-    if (!Files.exists(f)) Map.empty
+  def read(io: StoreIO, vdir: Path): Map[String, String] = {
+    val f = new Path(vdir, ManifestName)
+    if (!io.exists(f)) Map.empty
     else "\"([^\"]+)\"\\s*:\\s*\"([^\"]+)\"".r
-      .findAllMatchIn(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      .findAllMatchIn(new String(io.readBytes(f), StandardCharsets.UTF_8))
       .map(m => m.group(1) -> m.group(2)).toMap
   }
 
@@ -90,25 +56,23 @@ private[graft] object Carry {
     * present locally (name starts with `prefix`) own themselves; manifest
     * entries point at the owning sibling under collection dir `dir`.
     * Local presence wins on a (never-written) overlap. */
-  def owners(dir: Path, vdir: Path, prefix: String): Map[String, Path] = {
-    val local = DirIO.list(vdir)(_.filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(prefix))
-      .map(_.getFileName.toString).toSeq)
-    read(vdir).map { case (part, owner) => part -> dir.resolve(owner) } ++
+  def owners(io: StoreIO, dir: Path, vdir: Path, prefix: String): Map[String, Path] = {
+    val local = io.list(vdir)
+      .filter(e => e.isDir && e.name.startsWith(prefix)).map(_.name)
+    read(io, vdir).map { case (part, owner) => part -> new Path(dir, owner) } ++
       local.map(part => part -> vdir).toMap
   }
 
   /** [[owners]] for the TWO-LEVEL index-slice layout (`<axis>=<a>/pb=<b>`
     * — IVF cells and postings gram partitions both carry the id-bucket
     * `pb` refresh axis): keys are the slice-relative paths. */
-  def slicedOwners(dir: Path, build: Path): Map[String, Path] = {
-    val local = DirIO.list(build)(_.filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.contains("=")).toSeq).flatMap { axisDir =>
-      DirIO.list(axisDir)(_.filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("pb=")).toSeq)
-        .map(pb => s"${axisDir.getFileName}/${pb.getFileName}")
-    }
-    read(build).map { case (part, owner) => part -> dir.resolve(owner) } ++
+  def slicedOwners(io: StoreIO, dir: Path, build: Path): Map[String, Path] = {
+    val local = io.list(build)
+      .filter(e => e.isDir && e.name.contains("=")).flatMap { axis =>
+        io.list(axis.path).filter(e => e.isDir && e.name.startsWith("pb="))
+          .map(pb => s"${axis.name}/${pb.name}")
+      }
+    read(io, build).map { case (part, owner) => part -> new Path(dir, owner) } ++
       local.map(part => part -> build).toMap
   }
 
@@ -118,16 +82,16 @@ private[graft] object Carry {
     * read once with explicit partition paths under `basePath` (partition
     * columns infer and prune exactly as on the plain scan), unioned by
     * name with missing columns admitted. */
-  def readResolved(spark: SparkSession, vdir: Path,
+  def readResolved(spark: SparkSession, io: StoreIO, vdir: Path,
                    ownersFor: => Map[String, Path]): DataFrame =
-    if (read(vdir).isEmpty)
+    if (read(io, vdir).isEmpty)
       spark.read.option("mergeSchema", "true").parquet(vdir.toString)
     else
       ownersFor.groupBy(_._2).toSeq.sortBy(_._1.toString)
         .map { case (base, parts) =>
           spark.read.option("mergeSchema", "true")
             .option("basePath", base.toString)
-            .parquet(parts.keys.toSeq.sorted.map(p => base.resolve(p).toString): _*)
+            .parquet(parts.keys.toSeq.sorted.map(p => new Path(base, p).toString): _*)
         }
         .reduce(_.unionByName(_, allowMissingColumns = true))
 }
@@ -173,8 +137,10 @@ final class CollectionCatalog(
   // rather than silently disabling the chunking the caller asked for.
   require(maxRowsPerFile > 0, s"maxRowsPerFile must be positive, got $maxRowsPerFile")
 
-  private val root: Path = Paths.get(rootDir)
-  Files.createDirectories(root)
+  private val root: Path = new Path(rootDir)
+  private val io: StoreIO =
+    StoreIO.of(root, spark.sparkContext.hadoopConfiguration)
+  io.mkdirs(root)
 
   /** get-or-create (A9). `metadata` is stored at CREATION only (an
     * existing collection keeps its own — Chroma's get_or_create contract);
@@ -191,15 +157,15 @@ final class CollectionCatalog(
     // disappear (chromadb likewise constrains collection names)
     require(!name.startsWith("."),
       s"collection name '$name' is invalid: dot-prefixed names are reserved")
-    val dir = root.resolve(name)
-    if (!Files.exists(dir.resolve("meta.json"))) {
+    val dir = new Path(root, name)
+    if (!io.exists(new Path(dir, "meta.json"))) {
       // validate BEFORE touching the filesystem: a conflict must not
       // leave a meta-less collection dir behind
       val effSpace = resolvedSpace(space, metadata)
-      Files.createDirectories(dir)
+      io.mkdirs(dir)
       writeMeta(dir, CollectionMeta(name, effSpace, 0, metadata, numBuckets))
     }
-    new Collection(spark, dir, maxRowsPerFile)
+    new Collection(spark, io, dir, maxRowsPerFile)
   }
 
   /** Chroma's `hnsw:space` metadata convention vs the `space` parameter:
@@ -215,32 +181,33 @@ final class CollectionCatalog(
     }
 
   def getCollection(name: String): Option[Collection] = {
-    val dir = root.resolve(name)
-    if (Files.exists(dir.resolve("meta.json")))
-      Some(new Collection(spark, dir, maxRowsPerFile))
+    val dir = new Path(root, name)
+    if (io.exists(new Path(dir, "meta.json")))
+      Some(new Collection(spark, io, dir, maxRowsPerFile))
     else None
   }
 
   def listCollections(): Seq[String] =
-    if (!Files.exists(root)) Nil
+    if (!io.exists(root)) Nil
     // dot-prefixed dirs are in-flight build temps (fork), never
     // collections — a crashed fork temp must not list as one
-    else DirIO.list(root)(_.filter(p => Files.exists(p.resolve("meta.json"))
-        && !p.getFileName.toString.startsWith("."))
-      .map(_.getFileName.toString).toSeq.sorted)
+    else io.list(root)
+      .filter(e => io.exists(new Path(e.path, "meta.json")) && !e.name.startsWith("."))
+      .map(_.name).sorted
 
   def deleteCollection(name: String): Boolean = {
-    val dir = root.resolve(name)
-    if (!Files.exists(dir)) false
+    val dir = new Path(root, name)
+    if (!io.exists(dir)) false
     else {
-      DirIO.deleteRecursively(dir)
+      io.deleteRecursively(dir)
       true
     }
   }
 
-  /** Zero-copy collection fork: `to` is born at version 1 holding
-    * `from`'s CURRENT snapshot with every data file HARD-LINKED —
-    * O(#files), no bytes moved. Safe because committed COW versions are
+  /** Collection fork: `to` is born at version 1 holding `from`'s
+    * CURRENT snapshot with every data file carried physically — hard
+    * links on POSIX (O(#files), no bytes moved; see [[StoreIO]]), a copy
+    * on stores without links (admin-op cost, documented). Safe because committed COW versions are
     * immutable: the first mutation of either side rewrites only its own
     * affected buckets into its own next version, so the two collections
     * diverge without ever touching shared inodes (same mechanism as
@@ -258,10 +225,10 @@ final class CollectionCatalog(
   def forkCollection(from: String, to: String): Collection = {
     require(!to.startsWith("."),
       s"collection name '$to' is invalid: dot-prefixed names are reserved")
-    val srcDir = root.resolve(from)
-    require(Files.exists(srcDir.resolve("meta.json")), s"no such collection: $from")
-    val dstDir = root.resolve(to)
-    require(!Files.exists(dstDir), s"collection '$to' already exists")
+    val srcDir = new Path(root, from)
+    require(io.exists(new Path(srcDir, "meta.json")), s"no such collection: $from")
+    val dstDir = new Path(root, to)
+    require(!io.exists(dstDir), s"collection '$to' already exists")
     // Crash-safe adoption: the fork is BUILT in a temp sibling and lands
     // via ONE atomic rename (the same pattern meta.json's atomicWrite
     // uses). The old in-place build had unretryable crash residue: a
@@ -270,33 +237,36 @@ final class CollectionCatalog(
     // hit "already exists", and getOrCreateCollection would lay a v0
     // meta over orphaned v1 data. Now a crash leaves only the temp
     // (reclaimed on retry below); dstDir is either absent or complete.
-    val tmpDir = root.resolve(s".fork-tmp-$to")
-    if (Files.exists(tmpDir)) DirIO.deleteRecursively(tmpDir)
-    val src = CollectionMeta.read(srcDir)
+    val tmpDir = new Path(root, s".fork-tmp-$to")
+    if (io.exists(tmpDir)) io.deleteRecursively(tmpDir)
+    val src = CollectionMeta.read(io, srcDir)
     val lineage = s"${src.name}@v${src.version}"
-    Files.createDirectories(tmpDir)
-    val srcData = srcDir.resolve(f"data_v${src.version}%06d")
-    if (!Files.exists(srcData)) {
+    io.mkdirs(tmpDir)
+    val srcData = new Path(srcDir, f"data_v${src.version}%06d")
+    if (!io.exists(srcData)) {
       // never-written source → an empty fork, lineage still recorded
       writeMeta(tmpDir, CollectionMeta(to, src.space, 0,
         src.metadata + ("forked_from" -> lineage), src.buckets))
     } else {
       val dst = CollectionMeta(to, src.space, 1,
         src.metadata + ("forked_from" -> lineage), src.buckets)
-      CollectionMeta.claimVersion(tmpDir, dst)
-      val dstData = tmpDir.resolve(f"data_v${1}%06d")
-      Files.createDirectories(dstData)
+      CollectionMeta.claimVersion(io, tmpDir, dst)
+      val dstData = new Path(tmpDir, f"data_v${1}%06d")
+      io.mkdirs(dstData)
       // resolve the source's carry manifest: a carried bucket's files live
-      // in an OLDER sibling dir, and the fork must link the physical files
-      // (a manifest cannot cross the collection boundary)
-      Carry.owners(srcDir, srcData, "pt=").foreach { case (part, owner) =>
-        DirIO.linkFilesInto(owner.resolve(part), dstData.resolve(part))
+      // in an OLDER sibling dir, and the fork must carry the physical
+      // files (a manifest cannot cross the collection boundary)
+      Carry.owners(io, srcDir, srcData, "pt=").foreach { case (part, owner) =>
+        val from = new Path(owner, part); val into = new Path(dstData, part)
+        io.mkdirs(into)
+        io.list(from).filterNot(_.isDir).foreach(f =>
+          io.carryFile(f.path, new Path(into, f.name)))
       }
-      Files.write(CollectionMeta.commitMarker(tmpDir, 1), Array.emptyByteArray)
-      CollectionMeta.atomicWrite(tmpDir, dst)
+      io.writeBytes(CollectionMeta.commitMarker(tmpDir, 1), Array.emptyByteArray)
+      CollectionMeta.atomicWrite(io, tmpDir, dst)
     }
-    Files.move(tmpDir, dstDir, StandardCopyOption.ATOMIC_MOVE)
-    new Collection(spark, dstDir, maxRowsPerFile)
+    io.moveDir(tmpDir, dstDir)
+    new Collection(spark, io, dstDir, maxRowsPerFile)
   }
 
   /** Import an [[Collection.export]]'d parquet directory as a NEW
@@ -323,22 +293,22 @@ final class CollectionCatalog(
     // add() gated the data, so a rejected source left an empty collection
     // whose retry died on 'already exists' — the same unretryable-residue
     // class forkCollection was fixed for.
-    val tmpDir = root.resolve(s".import-tmp-$name")
-    if (Files.exists(tmpDir)) DirIO.deleteRecursively(tmpDir)
-    Files.createDirectories(tmpDir)
+    val tmpDir = new Path(root, s".import-tmp-$name")
+    if (io.exists(tmpDir)) io.deleteRecursively(tmpDir)
+    io.mkdirs(tmpDir)
     writeMeta(tmpDir, CollectionMeta(name, resolvedSpace(space, metadata), 0,
       metadata, numBuckets))
-    try new Collection(spark, tmpDir, maxRowsPerFile).add(df)
+    try new Collection(spark, io, tmpDir, maxRowsPerFile).add(df)
     catch { case e: Throwable =>
       // reclaim eagerly on a CAUGHT rejection (a crash leaves the temp for
       // the retry's reclamation above); best-effort — the rethrow wins
-      try DirIO.deleteRecursively(tmpDir)
+      try io.deleteRecursively(tmpDir)
       catch { case scala.util.control.NonFatal(_) => () }
       throw e
     }
-    val dstDir = root.resolve(name)
-    Files.move(tmpDir, dstDir, StandardCopyOption.ATOMIC_MOVE)
-    new Collection(spark, dstDir, maxRowsPerFile)
+    val dstDir = new Path(root, name)
+    io.moveDir(tmpDir, dstDir)
+    new Collection(spark, io, dstDir, maxRowsPerFile)
   }
 
   /** B11 rename: catalog-level move + meta.json name update (atomic dir
@@ -346,18 +316,18 @@ final class CollectionCatalog(
   def renameCollection(from: String, to: String): Boolean = {
     require(!to.startsWith("."),
       s"collection name '$to' is invalid: dot-prefixed names are reserved")
-    val src = root.resolve(from); val dst = root.resolve(to)
-    if (!Files.exists(src.resolve("meta.json")) || Files.exists(dst)) false
+    val src = new Path(root, from); val dst = new Path(root, to)
+    if (!io.exists(new Path(src, "meta.json")) || io.exists(dst)) false
     else {
-      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-      val m = CollectionMeta.read(dst)
-      CollectionMeta.atomicWrite(dst, m.copy(name = to))
+      io.moveDir(src, dst)
+      val m = CollectionMeta.read(io, dst)
+      CollectionMeta.atomicWrite(io, dst, m.copy(name = to))
       true
     }
   }
 
   private[catalog] def writeMeta(dir: Path, meta: CollectionMeta): Unit =
-    CollectionMeta.atomicWrite(dir, meta)
+    CollectionMeta.atomicWrite(io, dir, meta)
 }
 
 final case class CollectionMeta(
@@ -408,21 +378,19 @@ object CollectionMeta {
   }
 
   private[catalog] def claimFile(dir: Path, version: Int): Path =
-    dir.resolve(f"meta.v$version%06d.json")
+    new Path(dir, f"meta.v$version%06d.json")
 
-  private[catalog] def isClaimFile(p: Path): Boolean = {
-    val n = p.getFileName.toString
-    n.startsWith("meta.v") && n.endsWith(".json")
-  }
+  private[catalog] def isClaimFile(name: String): Boolean =
+    name.startsWith("meta.v") && name.endsWith(".json")
 
-  private[catalog] def claimVersionOf(p: Path): Int =
-    p.getFileName.toString.stripPrefix("meta.v").stripSuffix(".json").toInt
+  private[catalog] def claimVersionOf(name: String): Int =
+    name.stripPrefix("meta.v").stripSuffix(".json").toInt
 
   /** `data_v<N>/_graft_committed`: written after ALL data work for the
-    * version (parquet write + carried-over bucket links) — `_SUCCESS`
-    * alone is not enough, Spark writes it before the link pass. */
+    * version (parquet write + carry manifest) — `_SUCCESS` alone is not
+    * enough, Spark writes it before the carry pass. */
   private[catalog] def commitMarker(dir: Path, version: Int): Path =
-    dir.resolve(f"data_v$version%06d").resolve("_graft_committed")
+    new Path(new Path(dir, f"data_v$version%06d"), "_graft_committed")
 
   /** Current meta = the `meta.json` pointer, unless a newer COMMITTED
     * claim exists (claim file + its version's completeness marker): a
@@ -431,18 +399,18 @@ object CollectionMeta {
     * is never served. The common path compares claim-file NAMES only —
     * no extra reads/parses when the pointer is current. Version ties
     * prefer the pointer (rename refreshes only the pointer's `name`). */
-  def read(dir: Path): CollectionMeta = {
-    val pointerPath = dir.resolve("meta.json")
+  def read(io: StoreIO, dir: Path): CollectionMeta = {
+    val pointerPath = new Path(dir, "meta.json")
     val pointer =
-      if (Files.exists(pointerPath))
-        Some(fromJson(new String(Files.readAllBytes(pointerPath), StandardCharsets.UTF_8)))
+      if (io.exists(pointerPath))
+        Some(fromJson(new String(io.readBytes(pointerPath), StandardCharsets.UTF_8)))
       else None
     val floor = pointer.map(_.version).getOrElse(-1)
-    val adopted = DirIO.list(dir)(_.filter(isClaimFile).toSeq)
-      .filter(p => claimVersionOf(p) > floor)
-      .sortBy(claimVersionOf).reverse
-      .find(p => Files.exists(commitMarker(dir, claimVersionOf(p))))
-      .map(p => fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    val adopted = io.list(dir).filter(e => isClaimFile(e.name))
+      .filter(e => claimVersionOf(e.name) > floor)
+      .sortBy(e => claimVersionOf(e.name)).reverse
+      .find(e => io.exists(commitMarker(dir, claimVersionOf(e.name))))
+      .map(e => fromJson(new String(io.readBytes(e.path), StandardCharsets.UTF_8)))
     adopted.orElse(pointer).getOrElse(
       throw new java.nio.file.NoSuchFileException(pointerPath.toString))
   }
@@ -456,24 +424,24 @@ object CollectionMeta {
     * protocol, taken BEFORE any data write. Claim content is only parsed
     * by readers after the commit marker exists, so the non-atomic content
     * write is safe. */
-  private[catalog] def claimVersion(dir: Path, meta: CollectionMeta): Unit =
-    Files.write(claimFile(dir, meta.version), toJson(meta).getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+  private[catalog] def claimVersion(io: StoreIO, dir: Path, meta: CollectionMeta): Unit =
+    io.createExclusive(claimFile(dir, meta.version),
+      toJson(meta).getBytes(StandardCharsets.UTF_8))
 
-  def atomicWrite(dir: Path, meta: CollectionMeta): Unit = {
-    val tmp = dir.resolve("meta.json.tmp")
-    Files.write(tmp, toJson(meta).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve("meta.json"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  def atomicWrite(io: StoreIO, dir: Path, meta: CollectionMeta): Unit = {
+    val tmp = new Path(dir, "meta.json.tmp")
+    io.writeBytes(tmp, toJson(meta).getBytes(StandardCharsets.UTF_8))
+    io.replace(tmp, new Path(dir, "meta.json"))
   }
 }
 
 /** One collection — the Chroma collection API surface (SURVEY §2.B). */
-final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
+final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
+                       maxRowsPerFile: Long) {
 
   import ChromaFilter.{Where, WhereDocument}
 
-  def meta: CollectionMeta = CollectionMeta.read(dir)
+  def meta: CollectionMeta = CollectionMeta.read(io, dir)
 
   /** The bucket count is part of the collection's on-disk identity: a
     * session configured differently must still merge against the layout the
@@ -482,7 +450,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   def name: String = meta.name
   def space: String = meta.space
 
-  private def dataDir(v: Int): Path = dir.resolve(f"data_v$v%06d")
+  private def dataDir(v: Int): Path = new Path(dir, f"data_v$v%06d")
 
   // Every mutation reads `meta` ONCE, derives its inputs from that
   // snapshot, and passes the same snapshot to the commit as the expected
@@ -490,7 +458,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   // against fresh and wave through a concurrent commit (lost update).
   private def currentDataOf(m: CollectionMeta): Option[Path] = {
     val p = dataDir(m.version)
-    if (Files.exists(p)) Some(p) else None
+    if (io.exists(p)) Some(p) else None
   }
   private def currentData: Option[Path] = currentDataOf(meta)
 
@@ -508,12 +476,13 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * short-circuits to the plain whole-dir read: the identical plan to
     * the pre-manifest layout (PlanShapeSpec pins it). */
   private def readVersion(v: Int): DataFrame =
-    Carry.readResolved(spark, dataDir(v), Carry.owners(dir, dataDir(v), "pt="))
+    Carry.readResolved(spark, io, dataDir(v),
+      Carry.owners(io, dir, dataDir(v), "pt="))
 
   /** Resolved read of an index build dir (see [[readVersion]] — same
     * mechanics over the two-level `<axis>=<a>/pb=<b>` slice layout). */
   private def readIndexBuild(build: Path): DataFrame =
-    Carry.readResolved(spark, build, Carry.slicedOwners(dir, build))
+    Carry.readResolved(spark, io, build, Carry.slicedOwners(io, dir, build))
 
   /** Current contents (empty frame with canonical schema if never written). */
   def toDF: DataFrame = { val m = meta; currentDataOf(m) match {
@@ -558,7 +527,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     if (meta.version != expected.version) throw new java.util.ConcurrentModificationException(
       s"collection '${expected.name}' advanced past v${expected.version} during this mutation; retry")
     val next = expected.copy(version = expected.version + 1)
-    try CollectionMeta.claimVersion(dir, next)
+    try CollectionMeta.claimVersion(io, dir, next)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new java.util.ConcurrentModificationException(
         s"collection '${expected.name}' v${next.version} was claimed by a concurrent writer; retry")
@@ -568,8 +537,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
 
   /** Second half of the commit: completeness marker, then pointer. */
   private def commit(next: CollectionMeta): Unit = {
-    Files.write(CollectionMeta.commitMarker(dir, next.version), Array.emptyByteArray)
-    CollectionMeta.atomicWrite(dir, next)
+    io.writeBytes(CollectionMeta.commitMarker(dir, next.version), Array.emptyByteArray)
+    CollectionMeta.atomicWrite(io, dir, next)
   }
 
   /** Drop a claim whose data write failed (nothing was committed — the
@@ -589,9 +558,9 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     // collection permanently (vacuum only reclaims v < current)
     try {
       val dead = dataDir(next.version)
-      if (Files.exists(dead)) DirIO.deleteRecursively(dead)
+      if (io.exists(dead)) io.deleteRecursively(dead)
     } catch { case scala.util.control.NonFatal(_) => () }
-    finally Files.deleteIfExists(CollectionMeta.claimFile(dir, next.version))
+    finally io.deleteIfExists(CollectionMeta.claimFile(dir, next.version))
   }
 
   /** Full rewrite into a fresh version (first write / fallback /
@@ -636,11 +605,11 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
       bucketed(mergedAffected.drop("pt")).write.mode("overwrite")
         .option("maxRecordsPerFile", maxRowsPerFile)
         .partitionBy("pt").parquet(newDir.toString)
-      val carryEntries = Carry.owners(dir, dataDir(m.version), "pt=")
+      val carryEntries = Carry.owners(io, dir, dataDir(m.version), "pt=")
         .filterNot { case (part, _) =>
           affected.contains(part.stripPrefix("pt=").toInt) }
-        .map { case (part, owner) => part -> owner.getFileName.toString }
-      Carry.write(newDir, carryEntries)
+        .map { case (part, owner) => part -> owner.getName }
+      Carry.write(io, newDir, carryEntries)
       beforeCommit()
     } catch { case e: Throwable => abandon(next); throw e }
     commit(next)
@@ -1076,21 +1045,19 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
 
   private def indexPrefix(v: Int): String = f"index_v$v%06d"
   private def indexBuildDir(v: Int, b: Int): Path =
-    dir.resolve(f"${indexPrefix(v)}.b$b%03d")
+    new Path(dir, f"${indexPrefix(v)}.b$b%03d")
 
   /** Build number of an index dir name; the legacy unsuffixed
     * `index_v<V>` layout reads as build 0. */
   private def buildNumberOf(p: Path): Int = {
-    val n = p.getFileName.toString
+    val n = p.getName
     val dot = n.indexOf(".b")
     if (dot < 0) 0 else n.substring(dot + 2).toInt
   }
 
-  private def indexBuildsOf(v: Int): Seq[Path] = DirIO.list(dir)(_.filter { p =>
-    val n = p.getFileName.toString
-    Files.isDirectory(p) &&
-      (n == indexPrefix(v) || n.startsWith(indexPrefix(v) + ".b"))
-  }.toSeq)
+  private def indexBuildsOf(v: Int): Seq[Path] = io.list(dir).filter { e =>
+    e.isDir && (e.name == indexPrefix(v) || e.name.startsWith(indexPrefix(v) + ".b"))
+  }.map(_.path)
 
   /** Committed index for the CURRENT version: (path, centroids), if any —
     * the highest marker-complete build. Centroid sidecars are parsed once
@@ -1098,10 +1065,10 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * on every query. */
   private def currentIndex(m: CollectionMeta): Option[(Path, Array[(Int, Array[Double])])] =
     indexBuildsOf(m.version)
-      .filter(p => Files.exists(p.resolve("_graft_committed")))
+      .filter(p => io.exists(new Path(p, "_graft_committed")))
       .sortBy(buildNumberOf).lastOption
       .flatMap { p =>
-        Collection.cachedCentroids(p, spark.sparkContext.hadoopConfiguration)
+        Collection.cachedCentroids(io, p, spark.sparkContext.hadoopConfiguration)
           .map(c => (p, c))
       }
 
@@ -1153,7 +1120,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     var b = indexBuildsOf(version).map(buildNumberOf).maxOption.fold(0)(_ + 1)
     var claimed: Path = null
     while (claimed == null) {
-      try { Files.createDirectory(indexBuildDir(version, b)); claimed = indexBuildDir(version, b) }
+      try { io.createDirExclusive(indexBuildDir(version, b)); claimed = indexBuildDir(version, b) }
       catch { case _: java.nio.file.FileAlreadyExistsException => b += 1 }
     }
     claimed
@@ -1165,7 +1132,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     // a file into every cell it happens to hold (tasks × nlist small files)
     val packed = model.copy(assigned = model.assigned.repartition(col("cell")))
     Ann.writeIvf(packed, claimed.toString, withPb = true)
-    Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
+    io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
   }
 
   /** Incrementally refresh the IVF index to the CURRENT version: keep the
@@ -1196,12 +1163,12 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val m = indexableMeta()
     val prior = newestCommittedBuild("index_v")
     val priorCents = prior.flatMap(p =>
-      Collection.cachedCentroids(p, spark.sparkContext.hadoopConfiguration))
+      Collection.cachedCentroids(io, p, spark.sparkContext.hadoopConfiguration))
     (prior, priorCents) match {
       case (Some(old), _) if indexVersionOf(old) == m.version =>
         0 // a committed build already serves this version
       case (Some(old), Some(cents)) if hasPbSlices(old, "cell=") &&
-          Files.exists(dataDir(indexVersionOf(old))) =>
+          io.exists(dataDir(indexVersionOf(old))) =>
         val changed = changedBucketsBetween(indexVersionOf(old), m.version)
         val claimed = claimIndexBuild(m.version)
         val touched = currentWithPtOf(m)
@@ -1213,7 +1180,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
           Ann.assignCells(touched, "embedding", cents).repartition(col("cell"))),
           claimed.toString, withPb = true)
         carryUnchangedSlices(old, claimed, changed)
-        Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
+        io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
         changed.size
       case _ =>
         buildIndex()
@@ -1224,9 +1191,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   /** Newest committed index build dir with the given name prefix
     * (highest (version, build)) — the refresh diff basis. */
   private def newestCommittedBuild(prefix: String): Option[Path] =
-    DirIO.list(dir)(_.filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(prefix)).toSeq)
-      .filter(p => Files.exists(p.resolve("_graft_committed")))
+    io.list(dir).filter(e => e.isDir && e.name.startsWith(prefix)).map(_.path)
+      .filter(p => io.exists(new Path(p, "_graft_committed")))
       .sortBy(p => (indexVersionOf(p), buildNumberOf(p))).lastOption
 
   /** Id buckets whose data changed between two committed versions (see
@@ -1246,16 +1212,16 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * claimed build's parquet write: `mode(overwrite)` clears the dir. */
   private def carryUnchangedSlices(old: Path, claimed: Path,
                                    changed: Set[Int]): Unit =
-    Carry.write(claimed, Carry.slicedOwners(dir, old)
+    Carry.write(io, claimed, Carry.slicedOwners(io, dir, old)
       .filterNot { case (slice, _) =>
         changed.contains(slice.substring(slice.indexOf("/pb=") + 4).toInt) }
-      .map { case (slice, owner) => slice -> owner.getFileName.toString })
+      .map { case (slice, owner) => slice -> owner.getName })
 
   /** Drop the current version's index builds (reads fall back to the exact
     * scan). Explicit user intent — unlike rebuild, this DOES delete. */
   def dropIndex(): Boolean = {
     val builds = indexBuildsOf(meta.version)
-    builds.foreach(DirIO.deleteRecursively)
+    builds.foreach(io.deleteRecursively)
     builds.nonEmpty
   }
 
@@ -1270,17 +1236,17 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
 
   private def docIndexPrefix(v: Int): String = f"docindex_v$v%06d"
   private def docIndexBuildDir(v: Int, b: Int): Path =
-    dir.resolve(f"${docIndexPrefix(v)}.b$b%03d")
+    new Path(dir, f"${docIndexPrefix(v)}.b$b%03d")
 
-  private def docIndexBuildsOf(v: Int): Seq[Path] = DirIO.list(dir)(_.filter { p =>
-    val n = p.getFileName.toString
-    Files.isDirectory(p) &&
+  private def docIndexBuildsOf(v: Int): Seq[Path] = io.list(dir).filter { e =>
+    val n = e.name
+    e.isDir &&
       (n == docIndexPrefix(v) || n.startsWith(docIndexPrefix(v) + ".b"))
-  }.toSeq)
+  }.map(_.path)
 
   private def currentDocIndex(m: CollectionMeta): Option[Path] =
     docIndexBuildsOf(m.version)
-      .filter(p => Files.exists(p.resolve("_graft_committed")))
+      .filter(p => io.exists(new Path(p, "_graft_committed")))
       .sortBy(buildNumberOf).lastOption
 
   def hasDocIndex: Boolean = currentDocIndex(meta).isDefined
@@ -1299,14 +1265,14 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val claimed = claimDocIndexBuild(m.version)
     DocIndex.writeWithPb(data.select(col("id"), col("document"), col("pt")),
       "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
-    Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
+    io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
   }
 
   private def claimDocIndexBuild(version: Int): Path = {
     var b = docIndexBuildsOf(version).map(buildNumberOf).maxOption.fold(0)(_ + 1)
     var claimed: Path = null
     while (claimed == null) {
-      try { Files.createDirectory(docIndexBuildDir(version, b)); claimed = docIndexBuildDir(version, b) }
+      try { io.createDirExclusive(docIndexBuildDir(version, b)); claimed = docIndexBuildDir(version, b) }
       catch { case _: java.nio.file.FileAlreadyExistsException => b += 1 }
     }
     claimed
@@ -1315,13 +1281,8 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   /** Version number encoded in an index build dir name
     * (`docindex_v<V>[.b<B>]` / `index_v<V>[.b<B>]`). */
   private def indexVersionOf(p: Path): Int =
-    p.getFileName.toString.dropWhile(!_.isDigit).takeWhile(_.isDigit).toInt
+    p.getName.dropWhile(!_.isDigit).takeWhile(_.isDigit).toInt
 
-  /** Per-bucket file-name sets of one committed DATA version — the
-    * carry-over detector: [[writeMergedVersion]] hard-links untouched
-    * buckets' files under their ORIGINAL names, while a rewritten bucket
-    * gets fresh task-UUID names, so two versions' bucket file-name sets
-    * are equal iff the bucket's content is byte-identical carry-over. */
   /** Per-bucket identity for change detection: (physical owner dir name,
     * file names). A carried bucket keeps its owner's identity, so a COW
     * carry reads as unchanged and a rewrite (fresh files in the new
@@ -1330,14 +1291,13 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * dir a concurrent vacuum already reclaimed reads as an empty file
     * set — conservatively "changed", never a crash. */
   private def bucketSignatures(v: Int): Map[Int, (String, Set[String])] =
-    Carry.owners(dir, dataDir(v), "pt=").map { case (part, owner) =>
-      val bdir = owner.resolve(part)
+    Carry.owners(io, dir, dataDir(v), "pt=").map { case (part, owner) =>
+      val bdir = new Path(owner, part)
       val files =
-        if (Files.exists(bdir))
-          DirIO.list(bdir)(_.filter(Files.isRegularFile(_))
-            .map(_.getFileName.toString).toSet)
+        if (io.exists(bdir))
+          io.list(bdir).filterNot(_.isDir).map(_.name).toSet
         else Set.empty[String]
-      part.stripPrefix("pt=").toInt -> (owner.getFileName.toString -> files)
+      part.stripPrefix("pt=").toInt -> (owner.getName -> files)
     }
 
   /** Whether `build` uses the two-level refreshable layout: its first-
@@ -1345,11 +1305,9 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * or via carry-manifest entries (a refresh that rewrote nothing has
     * ONLY carried slices). */
   private def hasPbSlices(build: Path, prefix: String): Boolean =
-    DirIO.list(build)(_.find(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(prefix))).exists(g =>
-      DirIO.list(g)(_.exists(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("pb=")))) ||
-      Carry.read(build).keys.exists(k => k.startsWith(prefix) && k.contains("/pb="))
+    io.list(build).find(e => e.isDir && e.name.startsWith(prefix)).exists(g =>
+      io.list(g.path).exists(e => e.isDir && e.name.startsWith("pb="))) ||
+      Carry.read(io, build).keys.exists(k => k.startsWith(prefix) && k.contains("/pb="))
 
   /** Incrementally refresh the postings index to the CURRENT version:
     * rebuild postings ONLY for the id buckets whose data changed since
@@ -1380,7 +1338,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     newestCommittedBuild("docindex_v") match {
       case Some(old) if indexVersionOf(old) == m.version =>
         0 // a committed build already serves this version
-      case Some(old) if hasPbSlices(old, "gp=") && Files.exists(dataDir(indexVersionOf(old))) =>
+      case Some(old) if hasPbSlices(old, "gp=") && io.exists(dataDir(indexVersionOf(old))) =>
         val changed = changedBucketsBetween(indexVersionOf(old), m.version)
         val claimed = claimDocIndexBuild(m.version)
         if (changed.nonEmpty)
@@ -1391,7 +1349,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
         // carry forward unchanged slices: manifest entries for gp=*/pb=<b>
         // for every b whose data bucket is byte-identical carry-over
         carryUnchangedSlices(old, claimed, changed)
-        Files.write(claimed.resolve("_graft_committed"), Array.emptyByteArray)
+        io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
         changed.size
       case _ =>
         buildDocIndex()
@@ -1402,7 +1360,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   /** Drop the current version's postings-index builds. */
   def dropDocIndex(): Boolean = {
     val builds = docIndexBuildsOf(meta.version)
-    builds.foreach(DirIO.deleteRecursively)
+    builds.foreach(io.deleteRecursively)
     builds.nonEmpty
   }
 
@@ -1672,7 +1630,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     // exactly the inconsistency it exists to prevent
     kv.get("hnsw:space").foreach(s => require(s == m.space,
       s"hnsw:space '$s' conflicts with the collection's space '${m.space}'"))
-    CollectionMeta.atomicWrite(dir, m.copy(metadata = m.metadata ++ kv))
+    CollectionMeta.atomicWrite(io, dir, m.copy(metadata = m.metadata ++ kv))
   }
 
   /** Export the collection's current contents to an external sink
@@ -1703,17 +1661,17 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     * [[vacuum]]; this lists the ones whose commit marker AND data dir
     * both survive (an uncommitted claim or a vacuumed dir is not
     * readable history). */
-  def history(): Seq[Int] = DirIO.list(dir)(
-    _.filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("data_v"))
-      .map(p => p.getFileName.toString.stripPrefix("data_v").toInt)
-      .filter(v => Files.exists(CollectionMeta.commitMarker(dir, v)))
-      .toSeq.sorted)
+  def history(): Seq[Int] = io.list(dir)
+    .filter(e => e.isDir && e.name.startsWith("data_v"))
+    .map(e => e.name.stripPrefix("data_v").toInt)
+    .filter(v => io.exists(CollectionMeta.commitMarker(dir, v)))
+    .sorted
 
   /** Time-travel read: the collection exactly as committed at `version`.
     * Free — the COW layout IS the snapshot; nothing is copied. */
   def toDFAt(version: Int): DataFrame = {
-    require(Files.exists(dataDir(version)) &&
-        Files.exists(CollectionMeta.commitMarker(dir, version)),
+    require(io.exists(dataDir(version)) &&
+        io.exists(CollectionMeta.commitMarker(dir, version)),
       s"version $version is not a committed on-disk version " +
         s"(available: ${history().mkString(", ")})")
     readVersion(version).drop("pt")
@@ -1730,16 +1688,16 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
   def rollbackTo(version: Int): Unit = {
     val m = meta
     require(version != m.version, s"already at version $version")
-    require(Files.exists(dataDir(version)) &&
-        Files.exists(CollectionMeta.commitMarker(dir, version)),
+    require(io.exists(dataDir(version)) &&
+        io.exists(CollectionMeta.commitMarker(dir, version)),
       s"cannot roll back to non-committed/vacuumed version $version " +
         s"(available: ${history().mkString(", ")})")
     val next = claimNext(m)
     val newDir = dataDir(next.version)
     try {
-      Files.createDirectories(newDir)
-      Carry.write(newDir, Carry.owners(dir, dataDir(version), "pt=")
-        .map { case (part, owner) => part -> owner.getFileName.toString })
+      io.mkdirs(newDir)
+      Carry.write(io, newDir, Carry.owners(io, dir, dataDir(version), "pt=")
+        .map { case (part, owner) => part -> owner.getName })
     } catch { case e: Throwable => abandon(next); throw e }
     commit(next)
   }
@@ -1775,7 +1733,7 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     val current = meta.version
     val cutoff = current - keepHistory
     def versionOf(p: Path): Int =
-      p.getFileName.toString.dropWhile(!_.isDigit).takeWhile(_.isDigit).toInt
+      p.getName.dropWhile(!_.isDigit).takeWhile(_.isDigit).toInt
     // both index KINDS (IVF `index_v`, postings `docindex_v`) follow the
     // same build discipline and are vacuumed alike; live-build tracking is
     // keyed (kind, version) so the kinds never shadow each other.
@@ -1783,19 +1741,18 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     // startsWith("index_v")==false, but keep the longer prefix first
     // anyway so the intent is explicit.
     def kindOf(p: Path): Option[String] = {
-      val n = p.getFileName.toString
+      val n = p.getName
       if (n.startsWith("docindex_v")) Some("docindex")
       else if (n.startsWith("index_v")) Some("index")
       else None
     }
-    val versioned = DirIO.list(dir)(
-      _.filter(p => Files.isDirectory(p) && (p.getFileName.toString.startsWith("data_v")
-          || kindOf(p).isDefined))
-        .toSeq)
+    val versioned = io.list(dir)
+      .filter(e => e.isDir && (e.name.startsWith("data_v") || kindOf(e.path).isDefined))
+      .map(_.path)
     // retained versions still shed superseded/crashed index BUILDS — only
     // the highest committed build (the one readers adopt) survives
     val liveBuild: Map[(String, Int), Int] = versioned
-      .filter(p => kindOf(p).isDefined && Files.exists(p.resolve("_graft_committed")))
+      .filter(p => kindOf(p).isDefined && io.exists(new Path(p, "_graft_committed")))
       .groupBy(p => (kindOf(p).get, versionOf(p)))
       .view.mapValues(_.map(buildNumberOf).max).toMap
     val provisionallyDead = versioned.filter { p =>
@@ -1810,10 +1767,10 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     // bytes are whole dirs — after long point-mutation runs, compact()
     // then vacuum() to collapse the owner spread and reclaim fully.)
     val referenced: Set[String] = versioned.filterNot(provisionallyDead)
-      .flatMap(p => Carry.read(p).values).toSet
+      .flatMap(p => Carry.read(io, p).values).toSet
     val dead = provisionallyDead
-      .filterNot(p => referenced.contains(p.getFileName.toString)).toSeq
-    dead.foreach(DirIO.deleteRecursively)
+      .filterNot(p => referenced.contains(p.getName)).toSeq
+    dead.foreach(io.deleteRecursively)
     // A dir retained ONLY for its referenced bytes is RETIRED from
     // history: dropping its commit marker makes time travel / rollback /
     // build adoption refuse it, while its files keep serving the retained
@@ -1821,13 +1778,13 @@ final class Collection(spark: SparkSession, dir: Path, maxRowsPerFile: Long) {
     // byte-store dir whose OWN manifest references dirs this vacuum just
     // reclaimed — a torn snapshot. Retired ≠ reclaimed: it is not counted
     // in the returned total.
-    provisionallyDead.filter(p => referenced.contains(p.getFileName.toString))
-      .foreach(p => Files.deleteIfExists(p.resolve("_graft_committed")))
+    provisionallyDead.filter(p => referenced.contains(p.getName))
+      .foreach(p => io.deleteIfExists(new Path(p, "_graft_committed")))
     // retired version-claim files (cutoff <= current, so the commit record
     // of the live version always survives)
-    DirIO.list(dir)(_.filter(CollectionMeta.isClaimFile)
-      .filter(CollectionMeta.claimVersionOf(_) < cutoff).toSeq)
-      .foreach(Files.deleteIfExists(_))
+    io.list(dir).filter(e => CollectionMeta.isClaimFile(e.name))
+      .filter(e => CollectionMeta.claimVersionOf(e.name) < cutoff)
+      .foreach(e => io.deleteIfExists(e.path))
     dead.size
   }
 }
@@ -1841,10 +1798,10 @@ object Collection {
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Double])]]()
 
   private[catalog] def cachedCentroids(
-      build: java.nio.file.Path,
+      io: StoreIO, build: Path,
       hadoopConf: org.apache.hadoop.conf.Configuration): Option[Array[(Int, Array[Double])]] = {
-    val marker = build.resolve("_graft_committed")
-    val key = s"${build.toAbsolutePath}@${java.nio.file.Files.getLastModifiedTime(marker).toMillis}"
+    val marker = new Path(build, "_graft_committed")
+    val key = s"$build@${io.modTime(marker)}"
     Option(centroidCache.get(key)).orElse {
       val parsed = graft.operators.Ann.readCentroids(build.toString, hadoopConf)
       parsed.foreach(centroidCache.put(key, _))

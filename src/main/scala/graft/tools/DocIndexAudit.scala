@@ -65,9 +65,11 @@ object DocIndexAudit {
     } finally idxDir.close()
     // resolved read: a refreshed build carries unchanged slices by
     // manifest, so a plain dir read would miss them
-    val buildPath = java.nio.file.Paths.get(postingsPath)
-    val postings = graft.catalog.Carry.readResolved(spark, buildPath,
-      graft.catalog.Carry.slicedOwners(buildPath.getParent, buildPath))
+    val buildPath = new org.apache.hadoop.fs.Path(postingsPath)
+    val bio = graft.catalog.StoreIO.of(buildPath,
+      spark.sparkContext.hadoopConfiguration)
+    val postings = graft.catalog.Carry.readResolved(spark, bio, buildPath,
+      graft.catalog.Carry.slicedOwners(bio, buildPath.getParent, buildPath))
     val totalPostings = postings.count()
     val readPostings = postings
       .filter(col("gp").isin(gps: _*)).filter(col("gram").isin(grams: _*)).count()

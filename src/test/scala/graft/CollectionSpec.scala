@@ -299,7 +299,10 @@ class CollectionSpec extends SparkTestBase {
     // version; every other bucket travels as a carry-manifest entry
     // pointing at v1's dir — whose files are untouched (no data movement)
     assert(after.size == 1, s"expected 1 rewritten bucket, got ${after.keySet}")
-    val carried = graft.catalog.Carry.read(v2Dir)
+    val carried = graft.catalog.Carry.read(
+      graft.catalog.StoreIO.of(new org.apache.hadoop.fs.Path(v2Dir.toString),
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(v2Dir.toString))
     assert(carried.keySet == before.keySet -- after.keySet,
       s"carried ${carried.keySet} vs expected ${before.keySet -- after.keySet}")
     assert(carried.values.toSet == Set(v1Dir.getFileName.toString))

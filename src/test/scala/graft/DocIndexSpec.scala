@@ -142,7 +142,10 @@ class DocIndexSpec extends SparkTestBase {
           .toSeq.sortBy(_.getFileName.toString).last
       } finally builds.close()
     }
-    val carried = graft.catalog.Carry.read(newest)
+    val carried = graft.catalog.Carry.read(
+      graft.catalog.StoreIO.of(new org.apache.hadoop.fs.Path(newest.toString),
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(newest.toString))
     assert(carried.nonEmpty, "refresh must carry forward unchanged slices by manifest")
     carried.foreach { case (slice, owner) =>
       assert(owner.startsWith("docindex_v000001"),

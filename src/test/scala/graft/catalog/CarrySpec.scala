@@ -1,6 +1,9 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.Files
+import java.nio.file.Paths
+
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.functions._
 
@@ -17,19 +20,26 @@ import graft.operators.ChromaFilter
 class CarrySpec extends graft.SparkTestBase {
   import spark.implicits._
 
+  private val io: StoreIO = new StoreIO.Local
+
   private def fresh(buckets: Int = 4): (CollectionCatalog, Path) = {
     val root = Files.createTempDirectory(
       Paths.get("/root/repo/target"), "carry-test")
-    (new CollectionCatalog(spark, root.toString, numBuckets = buckets), root)
+    (new CollectionCatalog(spark, root.toString, numBuckets = buckets),
+      new Path(root.toString))
   }
 
   private def rows(ids: Range) =
     ids.map(i => (s"id$i", s"doc $i", Seq(i.toFloat, 1f))).toDF("id", "document", "embedding")
 
   private def dataDirs(coll: Path): Seq[String] =
-    DirIO.list(coll)(_.filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("data_v"))
-      .map(_.getFileName.toString).toSeq.sorted)
+    io.list(coll).filter(e => e.isDir && e.name.startsWith("data_v"))
+      .map(_.name).sorted
+
+  private def parquetCount(p: Path): Int =
+    io.list(p).map(e =>
+      if (e.isDir) parquetCount(e.path)
+      else if (e.name.endsWith(".parquet")) 1 else 0).sum
 
   test("chained point upserts stay ONE-HOP resolved: every manifest entry names the physical owner") {
     val (cat, root) = fresh()
@@ -39,17 +49,18 @@ class CarrySpec extends graft.SparkTestBase {
     Seq("id1", "id2", "id3").foreach { id =>
       c.upsert(Seq((id, s"patched $id", Seq(9f, 9f))).toDF("id", "document", "embedding"))
     }
-    val cur = root.resolve("c").resolve(f"data_v${c.meta.version}%06d")
-    val manifest = Carry.read(cur)
+    val cur = new Path(new Path(root, "c"), f"data_v${c.meta.version}%06d")
+    val manifest = Carry.read(io, cur)
     assert(manifest.nonEmpty)
     manifest.foreach { case (part, owner) =>
-      val bucketDir = root.resolve("c").resolve(owner).resolve(part)
-      assert(Files.isDirectory(bucketDir),
+      val ownerDir = new Path(new Path(root, "c"), owner)
+      val bucketDir = new Path(ownerDir, part)
+      assert(io.isDir(bucketDir),
         s"manifest entry $part -> $owner does not name a physical bucket dir")
-      assert(DirIO.list(bucketDir)(_.exists(_.getFileName.toString.endsWith(".parquet"))),
+      assert(io.list(bucketDir).exists(_.name.endsWith(".parquet")),
         s"owner $owner/$part holds no parquet — a chained (unresolved) reference")
       // and the owner does NOT itself carry this partition onward
-      assert(!Carry.read(root.resolve("c").resolve(owner)).contains(part),
+      assert(!Carry.read(io, ownerDir).contains(part),
         s"owner $owner re-carries $part — manifests must resolve in one hop")
     }
     assert(c.count() == 24)
@@ -63,10 +74,10 @@ class CarrySpec extends graft.SparkTestBase {
     val v1 = c.toDF.orderBy("id").collect().toSeq
     c.upsert(Seq(("id0", "broken", Seq(0f, 0f))).toDF("id", "document", "embedding"))
     c.rollbackTo(1)
-    val cur = root.resolve("c").resolve(f"data_v${c.meta.version}%06d")
+    val cur = new Path(new Path(root, "c"), f"data_v${c.meta.version}%06d")
     // the rollback version holds NO parquet of its own — only the manifest
-    assert(DirIO.walk(cur)(_.count(_.getFileName.toString.endsWith(".parquet"))) == 0)
-    assert(Carry.read(cur).nonEmpty)
+    assert(parquetCount(cur) == 0)
+    assert(Carry.read(io, cur).nonEmpty)
     assert(c.toDF.orderBy("id").collect().toSeq == v1)
   }
 
@@ -81,7 +92,7 @@ class CarrySpec extends graft.SparkTestBase {
     c.upsert(Seq(("id5", "p2", Seq(2f, 2f))).toDF("id", "document", "embedding")) // v3
     val before = c.get().orderBy("id").collect().toSeq
     val reclaimed = c.vacuum()
-    val left = dataDirs(root.resolve("c"))
+    val left = dataDirs(new Path(root, "c"))
     assert(left.contains("data_v000001"), s"referenced owner v1 must survive, left: $left")
     assert(!left.contains("data_v000002"), s"superseded v2 must be reclaimed, left: $left")
     assert(left.contains("data_v000003"))
@@ -99,10 +110,10 @@ class CarrySpec extends graft.SparkTestBase {
     }
     val before = c.get().orderBy("id").collect().toSeq
     c.compact()
-    val cur = root.resolve("c").resolve(f"data_v${c.meta.version}%06d")
-    assert(Carry.read(cur).isEmpty, "a compacted version must carry nothing")
+    val cur = new Path(new Path(root, "c"), f"data_v${c.meta.version}%06d")
+    assert(Carry.read(io, cur).isEmpty, "a compacted version must carry nothing")
     c.vacuum()
-    assert(dataDirs(root.resolve("c")) == Seq(f"data_v${c.meta.version}%06d"),
+    assert(dataDirs(new Path(root, "c")) == Seq(f"data_v${c.meta.version}%06d"),
       "after compact+vacuum exactly one data dir remains")
     assert(c.get().orderBy("id").collect().toSeq == before)
   }
@@ -117,16 +128,16 @@ class CarrySpec extends graft.SparkTestBase {
     val rebuilt = c.refreshDocIndex()
     assert(rebuilt >= 1)
     // the refreshed build carries unchanged gp/pb slices from the OLD build
-    val builds = DirIO.list(root.resolve("c"))(_.filter(
-        _.getFileName.toString.startsWith("docindex_v")).toSeq)
-      .sortBy(_.getFileName.toString)
+    val builds = io.list(new Path(root, "c"))
+      .filter(_.name.startsWith("docindex_v")).map(_.path)
+      .sortBy(_.getName)
     val newest = builds.last
-    val carried = Carry.read(newest)
+    val carried = Carry.read(io, newest)
     assert(carried.nonEmpty, "refresh must carry unchanged slices by manifest")
-    assert(carried.values.toSet.contains(builds.head.getFileName.toString))
+    assert(carried.values.toSet.contains(builds.head.getName))
     // vacuum keeps the old build: the live build references its slices
     c.vacuum()
-    assert(Files.exists(builds.head), "carried-from build must survive vacuum")
+    assert(io.exists(builds.head), "carried-from build must survive vacuum")
     // and the index path still answers ≡ scan
     assert(c.get(whereDoc = Some(ChromaFilter.Contains("brown")))
       .select("id").as[String].collect().toSet == Set("id1"))

@@ -1,6 +1,8 @@
 package graft.catalog
 
-import java.nio.file.{Files, FileAlreadyExistsException}
+import java.nio.file.FileAlreadyExistsException
+
+import org.apache.hadoop.fs.Path
 
 /** The copy-on-write commit protocol's serialization point: the
   * version-claim file move. A pure read-check-write CAS lets two racing
@@ -9,39 +11,43 @@ import java.nio.file.{Files, FileAlreadyExistsException}
   * filesystem level. */
 class CatalogCasSpec extends graft.SparkTestBase {
 
+  private val io: StoreIO = new StoreIO.Local
+  private def tmpHPath(prefix: String): Path =
+    new Path(java.nio.file.Files.createTempDirectory(prefix).toString)
+
   test("version claim is first-writer-wins (second claim fails loudly)") {
-    val dir = Files.createTempDirectory("graft-cas")
+    val dir = tmpHPath("graft-cas")
     val m = CollectionMeta("c", "l2", 1, Map.empty)
-    CollectionMeta.claimVersion(dir, m)
+    CollectionMeta.claimVersion(io, dir, m)
     intercept[FileAlreadyExistsException] {
-      CollectionMeta.claimVersion(dir, m)
+      CollectionMeta.claimVersion(io, dir, m)
     }
     // a different version still claims fine
-    CollectionMeta.claimVersion(dir, m.copy(version = 2))
+    CollectionMeta.claimVersion(io, dir, m.copy(version = 2))
   }
 
   test("read() recovers a COMMITTED claim when the pointer refresh was lost") {
-    val dir = Files.createTempDirectory("graft-cas2")
-    CollectionMeta.atomicWrite(dir, CollectionMeta("c", "l2", 1, Map.empty))
+    val dir = tmpHPath("graft-cas2")
+    CollectionMeta.atomicWrite(io, dir, CollectionMeta("c", "l2", 1, Map.empty))
     // writer claimed v2, finished its data (marker), crashed before pointer
-    CollectionMeta.claimVersion(dir, CollectionMeta("c", "l2", 2, Map.empty))
-    Files.createDirectories(CollectionMeta.commitMarker(dir, 2).getParent)
-    Files.write(CollectionMeta.commitMarker(dir, 2), Array.emptyByteArray)
-    assert(CollectionMeta.read(dir).version == 2)
+    CollectionMeta.claimVersion(io, dir, CollectionMeta("c", "l2", 2, Map.empty))
+    io.mkdirs(CollectionMeta.commitMarker(dir, 2).getParent)
+    io.writeBytes(CollectionMeta.commitMarker(dir, 2), Array.emptyByteArray)
+    assert(CollectionMeta.read(io, dir).version == 2)
   }
 
   test("read() ignores a claim whose data write never finished (no marker)") {
-    val dir = Files.createTempDirectory("graft-cas2b")
-    CollectionMeta.atomicWrite(dir, CollectionMeta("c", "l2", 1, Map.empty))
+    val dir = tmpHPath("graft-cas2b")
+    CollectionMeta.atomicWrite(io, dir, CollectionMeta("c", "l2", 1, Map.empty))
     // writer claimed v2 then died mid-write: half-written data must not serve
-    CollectionMeta.claimVersion(dir, CollectionMeta("c", "l2", 2, Map.empty))
-    assert(CollectionMeta.read(dir).version == 1)
+    CollectionMeta.claimVersion(io, dir, CollectionMeta("c", "l2", 2, Map.empty))
+    assert(CollectionMeta.read(io, dir).version == 1)
   }
 
   test("failed data write abandons its claim so the version can be retried") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-cas5").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-cas5").toString
     val c = new CollectionCatalog(spark, root).getOrCreateCollection("t")
     val good = Seq(("a", "doc")).toDF("id", "document")
       .withColumn("embedding", typedLit(Seq(1.0f)))
@@ -55,16 +61,16 @@ class CatalogCasSpec extends graft.SparkTestBase {
   }
 
   test("read() prefers the pointer on version ties (rename refreshes only it)") {
-    val dir = Files.createTempDirectory("graft-cas3")
-    CollectionMeta.claimVersion(dir, CollectionMeta("old", "l2", 3, Map.empty))
-    CollectionMeta.atomicWrite(dir, CollectionMeta("renamed", "l2", 3, Map.empty))
-    assert(CollectionMeta.read(dir).name == "renamed")
+    val dir = tmpHPath("graft-cas3")
+    CollectionMeta.claimVersion(io, dir, CollectionMeta("old", "l2", 3, Map.empty))
+    CollectionMeta.atomicWrite(io, dir, CollectionMeta("renamed", "l2", 3, Map.empty))
+    assert(CollectionMeta.read(io, dir).name == "renamed")
   }
 
   test("sequential mutations through separate handles advance versions") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-cas4").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-cas4").toString
     val c1 = new CollectionCatalog(spark, root).getOrCreateCollection("t")
     val c2 = new CollectionCatalog(spark, root).getOrCreateCollection("t")
     c1.add(Seq(("a", "doc a")).toDF("id", "document")
@@ -78,7 +84,7 @@ class CatalogCasSpec extends graft.SparkTestBase {
   test("compact() repacks small files without changing contents") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-compact").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val c = new CollectionCatalog(spark, root, numBuckets = 4).getOrCreateCollection("t")
     // many point upserts -> many tiny files in the touched buckets
     (0 until 12).foreach { i =>
