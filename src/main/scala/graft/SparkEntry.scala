@@ -1304,6 +1304,46 @@ object SparkEntry {
     // assignment + probe choice + filtered cosine top-k over the FINAL
     // corpus, same as q60's discipline, plus a label prefilter composed
     // on the pruned path.
+    // Index COMPACTION under the oracle: the collection takes the full
+    // maintenance lifecycle — seeded IVF + postings build on a base
+    // corpus, upsert of a held-out slice, incremental refresh of BOTH
+    // sidecars, then compactIndexes() repacking both into manifest-free
+    // single-file-per-slice builds — and the final query (IVF-pruned +
+    // postings-confined + metadata where) must hash-match the same plain
+    // replay a FRESH build serves (q126's oracle verbatim): maintenance
+    // must never change answers.
+    "q130_index_compaction_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root)
+      val fp = s"fmt1|$dir|n=${emb.count()}"
+      val reusable = cat.getCollection("ivfcx").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex && c.hasDocIndex)
+      val coll = if (reusable) cat.getCollection("ivfcx").get else {
+        cat.deleteCollection("ivfcx")
+        val c = cat.getOrCreateCollection("ivfcx", "cosine")
+        val all = emb.join(docs, col("vec_id") === col("doc_id"))
+          .select(col("vec_id").cast("string").as("id"), col("embedding"),
+            col("text").as("document"), col("lang"))
+        // hold out a slice containing NO seed ids (0-7): % 17 == 9
+        c.add(all.filter(col("id").cast("long") % 17 =!= 9))
+        c.buildIndexSeeded((0L until 8L).map(_.toString))
+        c.buildDocIndex()
+        c.upsert(all.filter(col("id").cast("long") % 17 === 9))
+        require(c.refreshIndex() > 0, "q130 must exercise an IVF refresh")
+        require(c.refreshDocIndex() > 0, "q130 must exercise a postings refresh")
+        require(c.compactIndexes() == 2, "q130 must compact both builds")
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      require(coll.hasIndex && coll.hasDocIndex,
+        "q130 must serve from the compacted indexes")
+      coll.query(headVec(emb, 2), 10, nprobe = 3,
+          where = Some(ChromaFilter.In("lang", Seq("en", "fr", "es"))),
+          whereDoc = Some(ChromaFilter.Contains("vector table")))
+        .select(col("id"), round(col("dist"), 4).as("dist"), col("lang"))
+    }),
     "q125_ivf_refresh_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val root = verifyCollectionsRoot(dir)
@@ -3005,6 +3045,31 @@ object SparkEntry {
     // top-10. Both indexes only confine IO; the oracle proves composition
     // preserves that.
     "q126_ivf_docindex_where" ->
+      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+         |e0 AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, e.embedding, d.text, d.lang
+         |       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         |dd0 AS (SELECT e.id AS id, e.embedding AS embedding, e.text AS text,
+         |              e.lang AS lang, c.cell AS cell,
+         |              ${sqlL2("e.embedding", "c.ce")} AS cd
+         |       FROM e0 e, c),
+         |a AS (SELECT id, embedding, text, lang, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cd, cell) AS rn FROM dd0)
+         |      WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 2),
+         |pc AS (SELECT c.cell FROM c, q ORDER BY ${sqlL2("c.ce", "q.qe")}, c.cell LIMIT 3),
+         |cand AS (SELECT a.id AS id, a.embedding AS embedding, a.lang AS lang FROM a
+         |         WHERE a.cell IN (SELECT cell FROM pc)
+         |           AND contains(a.text, 'vector table')
+         |           AND a.lang IN ('en', 'fr', 'es')),
+         |dd AS (SELECT id, lang, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
+         |SELECT id, ROUND(dist_raw, 4) + 0.0 AS dist, lang FROM dd
+         |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
+    // q130: the refresh→compact lifecycle must serve EXACTLY the answers
+    // a fresh build serves — q126's replay verbatim (same final corpus,
+    // same seed assignment, same probes/filters): index maintenance is
+    // answer-invariant by construction, and this pins it.
+    "q130_index_compaction_knn" ->
       s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
          |           FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
          |e0 AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, e.embedding, d.text, d.lang

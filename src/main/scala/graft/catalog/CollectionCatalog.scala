@@ -1720,6 +1720,55 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     }
   }
 
+  /** Repack the CURRENT version's committed index builds into fresh
+    * manifest-free builds with one file per leaf slice — the index-side
+    * analog of [[compact]]. A long refresh chain leaves (a) a carry-
+    * owner spread across superseded build dirs and (b) one small file
+    * per refresh in every touched slice; both multiply per-file listing
+    * and footer costs at read time (the `nlist × numBuckets` dir count
+    * is the structural part; this removes the per-refresh multiplier and
+    * collapses the spread so the next [[vacuum]] reclaims every
+    * carried-from build).
+    *
+    * `keepRefreshAxis = false` additionally drops the `pb` id-bucket
+    * axis (layout `cell=<c>` / `gp=<g>` only — numBuckets× fewer leaf
+    * dirs), the read-optimized shape for a serving-frozen collection:
+    * queries are unchanged, but the NEXT refresh after a mutation pays a
+    * full rebuild (no pb slices left to diff against).
+    *
+    * Returns the number of builds compacted (0-2). Same MVCC discipline
+    * as every build: fresh claimed dir at the SAME version, marker last,
+    * readers adopt only the newest committed build — a concurrent reader
+    * never sees a partial compaction. */
+  def compactIndexes(keepRefreshAxis: Boolean = true): Int = {
+    val m = meta
+    var n = 0
+    currentIndex(m).foreach { case (old, cents) =>
+      val claimed = claimIndexBuild(m.version)
+      val assigned0 = readIndexBuild(old)
+      val withPb = keepRefreshAxis && assigned0.columns.contains("pb")
+      val assigned = if (withPb) assigned0 else assigned0.drop("pb")
+      // one task per cell → exactly one file per leaf slice
+      Ann.writeIvf(Ann.IvfModel(cents, assigned.repartition(col("cell"))),
+        claimed.toString, withPb = withPb)
+      io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
+      n += 1
+    }
+    currentDocIndex(m).foreach { old =>
+      val claimed = claimDocIndexBuild(m.version)
+      val postings0 = readIndexBuild(old)
+      val withPb = keepRefreshAxis && postings0.columns.contains("pb")
+      val postings = if (withPb) postings0 else postings0.drop("pb")
+      val parts = if (withPb) Seq("gp", "pb") else Seq("gp")
+      postings.repartition(col("gp")).write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRowsPerFile)
+        .partitionBy(parts: _*).parquet(claimed.toString)
+      io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
+      n += 1
+    }
+    n
+  }
+
   /** Drop superseded copy-on-write versions, keeping the current one plus
     * `keepHistory` predecessors. A superseded dir that a retained
     * version's carry manifest still references for physical bytes

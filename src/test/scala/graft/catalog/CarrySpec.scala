@@ -118,6 +118,73 @@ class CarrySpec extends graft.SparkTestBase {
     assert(c.get().orderBy("id").collect().toSeq == before)
   }
 
+  test("compactIndexes repacks both builds manifest-free; answers unchanged; refresh stays incremental") {
+    val (cat, root) = fresh()
+    val c = cat.getOrCreateCollection("c", metadata = Map("ivf:nlist" -> "2"))
+    c.add(rows(0 until 24))
+    c.buildIndex(nlist = 2)
+    c.buildDocIndex()
+    // two refresh rounds → carry chains + per-refresh small files
+    Seq("id3", "id4").foreach { id =>
+      c.upsert(Seq((id, s"rewritten brown $id", Seq(7f, 7f)))
+        .toDF("id", "document", "embedding"))
+      assert(c.refreshIndex() >= 1)
+      assert(c.refreshDocIndex() >= 1)
+    }
+    val knnBefore = c.query(Seq(7f, 7f), k = 5, nprobe = 2)
+      .select("id", "dist").collect().toSeq
+    val docBefore = c.get(whereDoc = Some(ChromaFilter.Contains("brown")))
+      .select("id").as[String].collect().toSet
+    assert(c.compactIndexes() == 2)
+    val builds = io.list(new Path(root, "c"))
+      .filter(e => e.name.startsWith("index_v") || e.name.startsWith("docindex_v"))
+      .map(_.path)
+    val newest = builds
+      .groupBy(p => if (p.getName.startsWith("docindex_v")) "doc" else "ivf")
+      .values.map(_.maxBy(_.getName)).toSeq
+    newest.foreach { b =>
+      assert(Carry.read(io, b).isEmpty, s"compacted build $b must carry nothing")
+    }
+    assert(c.query(Seq(7f, 7f), k = 5, nprobe = 2)
+      .select("id", "dist").collect().toSeq == knnBefore)
+    assert(c.get(whereDoc = Some(ChromaFilter.Contains("brown")))
+      .select("id").as[String].collect().toSet == docBefore)
+    // vacuum reclaims every superseded/carried-from build, keeps the two live
+    c.vacuum()
+    val after = io.list(new Path(root, "c"))
+      .filter(e => e.name.startsWith("index_v") || e.name.startsWith("docindex_v"))
+    assert(after.size == 2, s"expected only the compacted builds, got ${after.map(_.name)}")
+    // pb axis kept by default → the next refresh is still INCREMENTAL
+    c.upsert(Seq(("id9", "one more brown row", Seq(3f, 3f)))
+      .toDF("id", "document", "embedding"))
+    assert(c.refreshDocIndex() < 4, "compaction must preserve the refresh axis")
+    assert(c.refreshIndex() < 4)
+  }
+
+  test("compactIndexes(keepRefreshAxis=false): read-optimized single axis; next refresh full-rebuilds") {
+    val (cat, root) = fresh()
+    val c = cat.getOrCreateCollection("c", metadata = Map("ivf:nlist" -> "2"))
+    c.add(rows(0 until 24))
+    c.buildIndex(nlist = 2)
+    c.buildDocIndex()
+    c.upsert(Seq(("id3", "patched brown doc", Seq(7f, 7f)))
+      .toDF("id", "document", "embedding"))
+    assert(c.refreshIndex() >= 1 && c.refreshDocIndex() >= 1)
+    assert(c.compactIndexes(keepRefreshAxis = false) == 2)
+    // queries serve unchanged from the single-axis layout
+    assert(c.get(whereDoc = Some(ChromaFilter.Contains("patched brown")))
+      .select("id").as[String].collect().toSet == Set("id3"))
+    assert(c.query(Seq(7f, 7f), k = 1, nprobe = 2)
+      .select("id").as[String].head() == "id3")
+    // no pb slices left to diff against → refresh falls back to a full rebuild
+    c.upsert(Seq(("id5", "another patched row", Seq(2f, 2f)))
+      .toDF("id", "document", "embedding"))
+    assert(c.refreshDocIndex() == 4, "single-axis layout must full-rebuild")
+    assert(c.refreshIndex() == 4)
+    assert(c.get(whereDoc = Some(ChromaFilter.Contains("another patched")))
+      .select("id").as[String].collect().toSet == Set("id5"))
+  }
+
   test("index refresh carries slices by manifest; the carried-from build survives vacuum") {
     val (cat, root) = fresh()
     val c = cat.getOrCreateCollection("c")
