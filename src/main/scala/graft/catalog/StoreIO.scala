@@ -68,11 +68,17 @@ private[graft] sealed trait StoreIO {
 
 private[graft] object StoreIO {
 
+  /** Conf key forcing the Hadoop backend even for local roots — the test
+    * seam that lets the whole store lifecycle run through the `hdfs:`
+    * code path against local files (no cluster in CI). */
+  val ForceKey = "graft.store.io.force"
+
   /** Backend for `p`: java.nio when it resolves to the local filesystem,
     * Hadoop FS otherwise. */
   def of(p: Path, conf: Configuration): StoreIO = {
     val fs = p.getFileSystem(conf)
-    if (fs.getScheme == "file") new Local else new Hdfs(fs, conf)
+    if (fs.getScheme == "file" && conf.get(ForceKey) != "hadoop") new Local
+    else new Hdfs(fs, conf)
   }
 
   /** java.nio backend — byte-for-byte the semantics the store always had
@@ -131,6 +137,12 @@ private[graft] object StoreIO {
 
   /** Hadoop FS backend (`hdfs:`, `s3a:`, ...). */
   private[catalog] final class Hdfs(fs: FileSystem, conf: Configuration) extends StoreIO {
+    // no .crc sidecars for protocol files: ChecksumFileSystem wrappers
+    // (LocalFileSystem) would shadow every meta/claim/marker write with a
+    // checksum file, and a FileContext rename moves only the data file —
+    // the stale sidecar then fails later checksummed reads
+    fs.setWriteChecksum(false)
+    fs.setVerifyChecksum(false)
     def exists(p: Path): Boolean = fs.exists(p)
     def isDir(p: Path): Boolean =
       try fs.getFileStatus(p).isDirectory

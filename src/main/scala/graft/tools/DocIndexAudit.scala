@@ -92,9 +92,30 @@ object DocIndexAudit {
     coll.upsert(docs.filter(col("id") === "0")
       .withColumn("document", concat(col("document"), lit(" again"))))
     val (refresh1S, rebuilt1) = timed(coll.refreshDocIndex())
+    // ---- compactIndexes: collapse the refresh chain's carry spread ----
+    // and per-refresh file accumulation; re-time the indexed read after
+    def buildStats(): (Int, Long) = {
+      val collDir = new org.apache.hadoop.fs.Path(
+        "/root/repo/target/docindex-audit/dxa")
+      val bio = graft.catalog.StoreIO.of(collDir,
+        spark.sparkContext.hadoopConfiguration)
+      val newest = bio.list(collDir)
+        .filter(_.name.startsWith("docindex_v")).map(_.path)
+        .sortBy(_.getName).last
+      val owners = graft.catalog.Carry.slicedOwners(bio, collDir, newest)
+      val files = owners.map { case (slice, owner) =>
+        bio.list(new org.apache.hadoop.fs.Path(owner, slice))
+          .count(_.name.endsWith(".parquet")).toLong }.sum
+      (owners.values.map(_.getName).toSet.size, files)
+    }
+    val (spreadBefore, filesBefore) = buildStats()
+    val (compS, _) = timed(coll.compactIndexes())
+    val (spreadAfter, filesAfter) = buildStats()
+    val (idxS3, idxRows3) = secMin(coll.get(whereDoc = wd).count())
+    require(idxRows3 == idxRows2, s"compaction changed answers: $idxRows3 vs $idxRows2")
     // full-rebuild basis on the SAME final content
     val (fullS, _) = timed(coll.buildDocIndex())
-    println(f"""{"docindex_refresh_audit":{"sf":"$sfDir","corpus_rows":$n,"slice_rows":$sliceN,"buckets_total":64,"slice_refresh_s":$refreshS%.3f,"slice_buckets_rebuilt":$rebuilt,"single_id_refresh_s":$refresh1S%.3f,"single_id_buckets_rebuilt":$rebuilt1,"full_rebuild_s":$fullS%.3f,"indexed_after_refresh_s":$idxS2%.3f,"indexed_rows_after_refresh":$idxRows2}}""")
+    println(f"""{"docindex_refresh_audit":{"sf":"$sfDir","corpus_rows":$n,"slice_rows":$sliceN,"buckets_total":64,"slice_refresh_s":$refreshS%.3f,"slice_buckets_rebuilt":$rebuilt,"single_id_refresh_s":$refresh1S%.3f,"single_id_buckets_rebuilt":$rebuilt1,"full_rebuild_s":$fullS%.3f,"indexed_after_refresh_s":$idxS2%.3f,"indexed_rows_after_refresh":$idxRows2,"compact_s":$compS%.3f,"owner_dirs_before":$spreadBefore,"owner_dirs_after":$spreadAfter,"slice_files_before":$filesBefore,"slice_files_after":$filesAfter,"indexed_after_compact_s":$idxS3%.3f}}""")
     cat.deleteCollection("dxa")
     spark.stop()
   }

@@ -57,13 +57,19 @@ object IvfRefreshAudit {
     coll.upsert(emb.filter(col("id") === "3")
       .withColumn("embedding", transform(col("embedding"), x => x * lit(0.99f))))
     val (refresh1S, rebuilt1) = timed(coll.refreshIndex())
+    // pruned query through the REFRESHED (carry-manifest) artifact
+    val (qrS, qrRows) = secMin(coll.query(qv, 10, nprobe = 4).count())
+    // compaction collapses the refresh chain; answers must not move
+    val (compS, _) = timed(coll.compactIndexes())
+    val (qcS, qcRows) = secMin(coll.query(qv, 10, nprobe = 4).count())
+    require(qcRows == qrRows, s"compaction changed answers: $qcRows vs $qrRows")
     // full rebuild basis on the SAME final content
     val (fullS, _) = timed(coll.buildIndexSeeded(seeds))
-    // pruned-vs-exact equality THROUGH the refreshed artifact, and its cost
+    // pruned-vs-exact equality THROUGH the rebuilt artifact, and its cost
     val (qS, qRows) = secMin(coll.query(qv, 10, nprobe = 4).count())
     val exactRows = coll.query(qv, 10, nprobe = 4, exact = true).count()
     require(qRows == exactRows, s"refreshed index changed answers: $qRows vs $exactRows")
-    println(f"""{"ivf_refresh_audit":{"sf":"$sfDir","corpus_rows":$n,"buckets_total":64,"build_s":$buildS%.3f,"slice_refresh_s":$refresh5S%.3f,"slice_buckets_rebuilt":$rebuilt5,"single_id_refresh_s":$refresh1S%.3f,"single_id_buckets_rebuilt":$rebuilt1,"full_rebuild_s":$fullS%.3f,"query_before_s":$q0S%.3f,"query_after_refresh_s":$qS%.3f,"runs":$runs}}""")
+    println(f"""{"ivf_refresh_audit":{"sf":"$sfDir","corpus_rows":$n,"buckets_total":64,"build_s":$buildS%.3f,"slice_refresh_s":$refresh5S%.3f,"slice_buckets_rebuilt":$rebuilt5,"single_id_refresh_s":$refresh1S%.3f,"single_id_buckets_rebuilt":$rebuilt1,"full_rebuild_s":$fullS%.3f,"query_before_s":$q0S%.3f,"query_after_refresh_s":$qrS%.3f,"compact_s":$compS%.3f,"query_after_compact_s":$qcS%.3f,"query_after_rebuild_s":$qS%.3f,"runs":$runs}}""")
     cat.deleteCollection("ira")
     spark.stop()
   }
