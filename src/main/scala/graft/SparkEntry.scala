@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.catalog.CollectionCatalog
 import graft.functions.{Distances, TextAnalysis}
-import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Events, HashingEmbedder, Knn, Lm, Mixture, Multimodal, Retrieval, Sketches, Skew}
+import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Events, HashingEmbedder, Knn, Lm, Mixture, Multimodal, Retrieval, Sketches, Skew, TfIdfSrpEmbedder}
 
 /** Driver contract — see /root/repo/SURVEY.md §2.D + the builder prompt.
   *
@@ -1644,6 +1644,34 @@ object SparkEntry {
           round(col("dist"), 4).as("dist"), col("lang"))
         .orderBy("qid", "rnk")
     }),
+    // The FITTED embedding function end-to-end (the model-based analog
+    // of q115's stateless hash embedder): TF-IDF × sign-random-projection
+    // is TRAINED on the corpus (document frequencies → top-32 vocabulary,
+    // idf quantized to integers at fit time, per-term projection signs
+    // from the portable spread hash), the model persists as the
+    // collection's sidecar, documents embed through it server-side, and
+    // queryText embeds the query texts with the SAME persisted model.
+    // The oracle replays the ENTIRE pipeline from raw text — fit
+    // (df counts, vocab cut, idf quantization, sign derivation), corpus
+    // embedding, query embedding, filtered L2 top-k — value-for-value:
+    // integer-exact arithmetic is what makes a trained embedder oracle-
+    // checkable at all.
+    "q131_fitted_embedder" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("tfx")
+      val coll = cat.getOrCreateCollection("tfx") // l2: zero vectors legal
+      val ef = TfIdfSrpEmbedder.fit(docs, "text", dim = 16, vocabSize = 32)
+      coll.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
+        col("text").as("document"), col("lang")), ef)
+      coll.queryText(
+          Seq("vector database search index", "streaming join throughput"),
+          k = 8, where = Some(ChromaFilter.In("lang", Seq("en", "es"))))
+        .select(col("qid"), col("rnk"), col("id"),
+          round(col("dist"), 4).as("dist"), col("lang"))
+        .orderBy("qid", "rnk")
+    }),
     // r7's two features COMPOSED (the one pairwise composition r7 left
     // un-pinned): `query(query_texts=..., where_document=$contains)` —
     // the query text embeds through the collection's RECORDED embedding
@@ -3065,6 +3093,57 @@ object SparkEntry {
          |dd AS (SELECT id, lang, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
          |SELECT id, ROUND(dist_raw, 4) + 0.0 AS dist, lang FROM dd
          |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
+    // q131: the FITTED embedder replayed from raw text — fit (per-doc
+    // distinct tokens → df → top-32 vocab by (df DESC, t ASC) → idfQ =
+    // round(1000·(ln((N+1)/(df+1))+1)) → signs = parity of the spread of
+    // strHash(t)·(j+1)+j), per-occurrence Σ idfQ·sign corpus/query
+    // embedding, lang-filtered squared-L2 top-8 with (dist, id) ties.
+    "q131_fitted_embedder" -> {
+      val th = sqlStrHash("v.t")
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         |dtok AS (SELECT doc_id, unnest(list_distinct(list_filter(
+         |           string_split_regex(lower(text), '\\s+'), x -> length(x) > 0))) AS t
+         |         FROM documents),
+         |dfreq AS (SELECT t, COUNT(*) AS c FROM dtok GROUP BY t),
+         |vocab AS (SELECT t, CAST(ROUND(1000 * (LN((n + 1.0) / (c + 1.0)) + 1.0)) AS BIGINT) AS w
+         |          FROM dfreq, nn ORDER BY c DESC, t LIMIT 32),
+         |axes AS (SELECT unnest(range(16)) AS j),
+         |signs AS MATERIALIZED (SELECT v.t, v.w, a.j,
+         |          CASE WHEN (((($th * (a.j + 1) + a.j) % 2147483647)
+         |                      * 2654435761) % 1000000007) % 2 = 0
+         |               THEN 1 ELSE -1 END AS s
+         |          FROM vocab v CROSS JOIN axes a),
+         |toks AS (SELECT doc_id, tm AS t FROM
+         |           (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |            FROM documents) WHERE length(tm) > 0),
+         |comp AS (SELECT k.doc_id, g.j, SUM(g.w * g.s) AS val
+         |         FROM toks k JOIN signs g ON g.t = k.t GROUP BY k.doc_id, g.j),
+         |grid AS (SELECT d.doc_id, a.j
+         |         FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN axes a),
+         |vecs AS (SELECT g.doc_id, list(CAST(COALESCE(c2.val, 0) AS DOUBLE) ORDER BY g.j) AS v
+         |         FROM grid g LEFT JOIN comp c2 ON c2.doc_id = g.doc_id AND c2.j = g.j
+         |         GROUP BY g.doc_id),
+         |qt AS (SELECT * FROM (VALUES (0, 'vector database search index'),
+         |                             (1, 'streaming join throughput')) AS q(qid, qtext)),
+         |qtoks AS (SELECT qid, tm AS t FROM
+         |            (SELECT qid, unnest(string_split_regex(lower(qtext), '\\s+')) AS tm
+         |             FROM qt) WHERE length(tm) > 0),
+         |qcomp AS (SELECT k.qid, g.j, SUM(g.w * g.s) AS val
+         |          FROM qtoks k JOIN signs g ON g.t = k.t GROUP BY k.qid, g.j),
+         |qgrid AS (SELECT qq.qid, a.j FROM (SELECT DISTINCT qid FROM qt) qq CROSS JOIN axes a),
+         |qvecs AS (SELECT g.qid, list(CAST(COALESCE(c2.val, 0) AS DOUBLE) ORDER BY g.j) AS qv
+         |          FROM qgrid g LEFT JOIN qcomp c2 ON c2.qid = g.qid AND c2.j = g.j
+         |          GROUP BY g.qid),
+         |cd AS (SELECT q.qid, v.doc_id, d.lang, ${sqlL2("v.v", "q.qv")} AS dist_raw
+         |       FROM vecs v JOIN documents d ON d.doc_id = v.doc_id
+         |       CROSS JOIN qvecs q WHERE d.lang IN ('en', 'es')),
+         |r AS (SELECT qid, doc_id, lang, dist_raw, ROW_NUMBER() OVER
+         |        (PARTITION BY qid ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
+         |      FROM cd)
+         |SELECT qid, rnk, CAST(doc_id AS VARCHAR) AS id,
+         |       ROUND(dist_raw, 4) AS dist, lang
+         |FROM r WHERE rnk <= 8 ORDER BY qid, rnk""".stripMargin
+    },
     // q130: the refresh→compact lifecycle must serve EXACTLY the answers
     // a fresh build serves — q126's replay verbatim (same final corpus,
     // same seed assignment, same probes/filters): index maintenance is

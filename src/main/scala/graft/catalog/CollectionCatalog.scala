@@ -262,6 +262,12 @@ final class CollectionCatalog(
         io.list(from).filterNot(_.isDir).foreach(f =>
           io.carryFile(f.path, new Path(into, f.name)))
       }
+      // the embedding-function BINDING travels in metadata — the fitted
+      // MODEL sidecar must travel with it or the fork cannot queryText
+      val sidecar = new Path(srcDir, Collection.EmbedderSidecar)
+      if (io.exists(sidecar))
+        io.writeBytes(new Path(tmpDir, Collection.EmbedderSidecar),
+          io.readBytes(sidecar))
       io.writeBytes(CollectionMeta.commitMarker(tmpDir, 1), Array.emptyByteArray)
       CollectionMeta.atomicWrite(io, tmpDir, dst)
     }
@@ -734,6 +740,22 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         true
       case None => false
     }
+    // FITTED functions carry corpus-learned state: when the collection is
+    // already bound, the offered MODEL must equal the persisted sidecar
+    // (same name is not enough — a re-fit on different data embeds
+    // differently, and mixing its vectors with stored ones is silent
+    // garbage). Checked BEFORE any embedding work.
+    ef match {
+      case f: graft.operators.FittedEmbeddingFunction if hadBinding =>
+        val sidecar = new Path(dir, Collection.EmbedderSidecar)
+        require(io.exists(sidecar),
+          s"collection '$name' is bound to fitted '${ef.name}' but its model sidecar is missing")
+        require(new String(io.readBytes(sidecar), StandardCharsets.UTF_8) == f.modelText,
+          s"collection '$name' already carries a fitted model for '${ef.name}' and the " +
+            "offered model DIFFERS — a re-fit would make previously stored vectors " +
+            "unqueryable; create a fresh collection to re-fit")
+      case _ => ()
+    }
     // the same guard add() enforces for explicit vectors, checked BEFORE
     // any embedding work: a function of a different dimension would commit
     // a ragged store whose kNN reads return null-distance garbage
@@ -786,9 +808,38 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     // (zero vectors, id clash) must not leave a permanent function
     // binding on a collection that stored nothing. Single-writer store
     // (the commit protocol serializes writers), so the stamp cannot race
-    // another function's successful add.
-    if (!hadBinding) modifyMetadata(Map("embedding_function" -> ef.name))
+    // another function's successful add. For a FITTED function the model
+    // sidecar lands FIRST (binding implies sidecar; a crash in between
+    // leaves an unbound collection whose orphan sidecar the next
+    // successful bind overwrites).
+    if (!hadBinding) {
+      ef match {
+        case f: graft.operators.FittedEmbeddingFunction =>
+          io.writeBytes(new Path(dir, Collection.EmbedderSidecar),
+            f.modelText.getBytes(StandardCharsets.UTF_8))
+        case _ => ()
+      }
+      modifyMetadata(Map("embedding_function" -> ef.name))
+    }
   }
+
+  /** Resolve the collection's recorded embedding-function name: stateless
+    * families by name; FITTED families (tfidf) through the persisted
+    * model sidecar — LOUD when the sidecar is missing or names disagree
+    * (a wrong model silently yields garbage distances, never an error).
+    */
+  private def resolveEmbedder(efName: String): EmbeddingFunction =
+    if (efName.startsWith(Embedder.TfIdfV1Prefix)) {
+      val sidecar = new Path(dir, Collection.EmbedderSidecar)
+      require(io.exists(sidecar),
+        s"collection '$name' records fitted embedding function '$efName' " +
+          "but its model sidecar is missing")
+      val ef = Embedder.fromModelText(
+        new String(io.readBytes(sidecar), StandardCharsets.UTF_8))
+      require(ef.name == efName,
+        s"model sidecar is for '${ef.name}' but the collection records '$efName'")
+      ef
+    } else Embedder.fromName(efName)
 
   /** `query(query_texts=...)`: embed the texts driver-side with the
     * collection's RECORDED embedding function (never a caller-supplied
@@ -803,7 +854,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       throw new IllegalStateException(
         s"collection '$name' has no registered embedding function — " +
           "hydrate via addDocuments, or query with explicit vectors"))
-    val ef = Embedder.fromName(efName)
+    val ef = resolveEmbedder(efName)
     val vecs = texts.map(t => ef.embedOne(t))
     // mirror the add-side gate: a zero query vector in cosine space would
     // make every distance NaN and the rank window would return k
@@ -830,7 +881,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       throw new IllegalStateException(
         s"collection '$name' has no registered embedding function — " +
           "hydrate via addDocuments, or query with explicit vectors"))
-    val ef = Embedder.fromName(efName)
+    val ef = resolveEmbedder(efName)
     val vecs = texts.map(ef.embedOne)
     if (space == "cosine") vecs.zip(texts).foreach { case (v, t) =>
       require(v.exists(_ != 0f),
@@ -882,7 +933,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       throw new IllegalStateException(
         s"collection '$name' has no registered embedding function — " +
           "hydrate via addDocuments, or use queryMmr with an explicit vector"))
-    val v = Embedder.fromName(efName).embedOne(text)
+    val v = resolveEmbedder(efName).embedOne(text)
     require(v.exists(_ != 0f),
       s"query text '$text' embeds to the zero vector — cosine distance is undefined")
     queryMmr(v, k, fetchN, lambda, where, whereDoc, nprobe, exact)
@@ -1839,6 +1890,14 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
 }
 
 object Collection {
+
+  /** The fitted embedding-function model sidecar (see
+    * [[graft.operators.FittedEmbeddingFunction]]): persisted at first
+    * successful bind, required by every later resolution, carried by
+    * fork. Unversioned — the binding is immutable for the collection's
+    * lifetime (re-fits are rejected), so there is nothing to version. */
+  val EmbedderSidecar = "_embedder.txt"
+
   /** Centroid sidecars parsed once per committed build. A committed build
     * dir is immutable, but a path CAN be reborn (drop collection →
     * recreate → rebuild lands on the same name), so the cache key carries

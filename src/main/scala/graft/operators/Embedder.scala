@@ -60,21 +60,115 @@ final case class HashingEmbedder(dim: Int) extends EmbeddingFunction {
   }
 }
 
+/** A FITTED embedding function: its behavior depends on corpus-learned
+  * state (a model), not just its name — so the collection store must
+  * persist the model alongside the data (the `_embedder.txt` sidecar)
+  * and resolve the name THROUGH the collection, never from the name
+  * alone. The model-based analog of chromadb's `embedding_function=`
+  * with a trained encoder. */
+sealed trait FittedEmbeddingFunction extends EmbeddingFunction {
+  /** Sidecar text form ([[graft.expressions.TfIdfModel.serialize]] shape);
+    * MUST round-trip through [[Embedder.fromModelText]]. */
+  def modelText: String
+}
+
+/** TF-IDF × sign-random-projection embedder fitted on a corpus (see
+  * [[graft.expressions.TfIdfModel]] for the integer-exact construction
+  * that keeps a TRAINED, float-weighted-in-spirit model fully
+  * oracle-replayable). Fit with [[TfIdfSrpEmbedder.fit]]. */
+final case class TfIdfSrpEmbedder(model: graft.expressions.TfIdfModel)
+    extends FittedEmbeddingFunction {
+
+  override def name: String = s"${Embedder.TfIdfV1Prefix}${model.dim}"
+  override def dim: Int = model.dim
+
+  override def embedText(text: Column): Column =
+    GraftColumnShim.column(graft.expressions.TfIdfEmbed(
+      GraftColumnShim.expression(lower(text)), model))
+
+  override def embedOne(text: String): Seq[Float] =
+    // UTF8String lowercase for the same bit-parity reason as
+    // HashingEmbedder.embedOne
+    graft.expressions.TfIdfEmbed.embed(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text)
+        .toLowerCase.toString, model).toSeq
+
+  override def modelText: String = model.serialize(name)
+}
+
+object TfIdfSrpEmbedder {
+
+  /** LOUD cap on the fit's driver-side vocabulary collect (same pattern
+    * as Retrieval.MaxFetchN): 2¹⁶ terms × (term + dim sign bytes) is MBs;
+    * a bigger vocabulary belongs in a different model family. */
+  val MaxVocab = 65536
+
+  /** Fit on a corpus: document frequencies over per-row DISTINCT tokens
+    * (Spark's `split(lower(text), "\\s+")` tokenization — the engine's
+    * own, shared with the embed step), vocabulary = top `vocabSize` by
+    * (df DESC, token ASC), idf quantized to integers at fit time,
+    * per-term projection signs precomputed from the engine-portable
+    * StrHash. ONE distributed aggregation; the collect is ≤ vocabSize
+    * rows by construction. */
+  def fit(df: org.apache.spark.sql.DataFrame, textCol: String,
+          dim: Int, vocabSize: Int): TfIdfSrpEmbedder = {
+    require(dim > 0, s"embedding dim must be positive, got $dim")
+    require(vocabSize > 0 && vocabSize <= MaxVocab,
+      s"vocabSize must be in 1..$MaxVocab, got $vocabSize")
+    val n = df.count()
+    require(n > 0, "cannot fit an embedder on an empty corpus")
+    val vocab = df
+      .select(explode(array_distinct(filter(
+        split(lower(col(textCol)), "\\s+"), t => t =!= lit("")))).as("t"))
+      .groupBy("t").count()
+      .orderBy(col("count").desc, col("t").asc)
+      .limit(vocabSize)
+      .collect() // bounded: ≤ vocabSize rows by construction
+      .map(r => (r.getString(0), r.getLong(1)))
+    val terms = vocab.map(_._1)
+    val idfQ = vocab.map { case (_, dfreq) =>
+      Math.round(1000.0 * (math.log((n + 1.0) / (dfreq + 1.0)) + 1.0)).toInt
+    }
+    val signs = terms.map(t =>
+      Array.tabulate(dim)(j => graft.expressions.TfIdfModel.signOf(t, j)))
+    TfIdfSrpEmbedder(new graft.expressions.TfIdfModel(dim, n, terms, idfQ, signs))
+  }
+}
+
 object Embedder {
 
   val HashV1Prefix = "graft-hash-v1/"
+  val TfIdfV1Prefix = "graft-tfidf-srp-v1/"
 
   /** Resolve a recorded collection embedding function by name — LOUD on an
     * unknown name: silently falling back to some default embedder would
     * query stored vectors with a different function (garbage distances,
-    * no error). */
+    * no error). FITTED functions (tfidf) carry corpus-learned state the
+    * name alone cannot reconstruct — resolve those through the
+    * collection's model sidecar ([[fromModelText]]), never here. */
   def fromName(name: String): EmbeddingFunction = name match {
     case n if n.startsWith(HashV1Prefix) =>
       val d = n.stripPrefix(HashV1Prefix)
       val dim = scala.util.Try(d.toInt).getOrElse(throw new IllegalArgumentException(
         s"malformed embedding function name '$name' (expected ${HashV1Prefix}<dim>)"))
       HashingEmbedder(dim)
+    case n if n.startsWith(TfIdfV1Prefix) =>
+      throw new IllegalArgumentException(
+        s"embedding function '$name' is FITTED — it must be resolved through its " +
+          "collection's model sidecar, not by name")
     case other => throw new IllegalArgumentException(
-      s"unknown embedding function '$other' (known: ${HashV1Prefix}<dim>)")
+      s"unknown embedding function '$other' (known: ${HashV1Prefix}<dim>, ${TfIdfV1Prefix}<dim>)")
+  }
+
+  /** Rebuild a fitted function from its sidecar text; the recorded name
+    * travels inside and must match the collection's binding. */
+  def fromModelText(text: String): FittedEmbeddingFunction = {
+    val (name, model) = graft.expressions.TfIdfModel.deserialize(text)
+    require(name.startsWith(TfIdfV1Prefix),
+      s"unknown fitted embedding function '$name' in model sidecar")
+    val ef = TfIdfSrpEmbedder(model)
+    require(ef.name == name,
+      s"model sidecar name '$name' does not match its own dim ${model.dim}")
+    ef
   }
 }

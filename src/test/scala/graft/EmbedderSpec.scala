@@ -188,6 +188,115 @@ class EmbedderSpec extends SparkTestBase {
 
   // ---- MMR ----
 
+  // ---- fitted TF-IDF × SRP embedder ----
+
+  private def fitCorpus = Seq(
+    ("1", "spark shuffle join exchange"),
+    ("2", "spark broadcast join"),
+    ("3", "vector database index search"),
+    ("4", "vector search recall"),
+    ("5", "the the the spark the")).toDF("id", "document")
+
+  test("TfIdfSrpEmbedder.fit: deterministic vocab (df desc, token asc), quantized idf, portable signs") {
+    import graft.operators.TfIdfSrpEmbedder
+    val ef = TfIdfSrpEmbedder.fit(fitCorpus, "document", dim = 8, vocabSize = 4)
+    val m = ef.model
+    assert(m.nDocs == 5)
+    // df: spark=3, join=2, search=2, vector=2, everything else 1 →
+    // top-4 by (df desc, token asc) = spark, join, search, vector
+    assert(m.terms.toSeq == Seq("spark", "join", "search", "vector"))
+    // idfQ = round(1000*(ln((5+1)/(df+1))+1))
+    assert(m.idfQ.toSeq == Seq(
+      Math.round(1000 * (math.log(6.0 / 4) + 1)).toInt,
+      Math.round(1000 * (math.log(6.0 / 3) + 1)).toInt,
+      Math.round(1000 * (math.log(6.0 / 3) + 1)).toInt,
+      Math.round(1000 * (math.log(6.0 / 3) + 1)).toInt))
+    // signs replay from the engine-portable polynomial
+    assert(m.signs(0).toSeq ==
+      (0 until 8).map(j => graft.expressions.TfIdfModel.signOf("spark", j)))
+    // model round-trips through the sidecar text form
+    val ef2 = Embedder.fromModelText(ef.modelText)
+    assert(ef2.name == ef.name)
+    assert(ef2.embedOne("spark vector join") == ef.embedOne("spark vector join"))
+    // fit caps are loud
+    intercept[IllegalArgumentException](
+      TfIdfSrpEmbedder.fit(fitCorpus, "document", 8, TfIdfSrpEmbedder.MaxVocab + 1))
+  }
+
+  test("fitted embedText (distributed) == embedOne (driver); out-of-vocab and tf behave") {
+    import graft.operators.TfIdfSrpEmbedder
+    val ef = TfIdfSrpEmbedder.fit(fitCorpus, "document", dim = 8, vocabSize = 4)
+    val texts = Seq("spark SPARK shuffle", "vector search", "nothing matches here", "")
+    val dist = texts.toDF("t").select(ef.embedText(col("t")).as("v"))
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+    val drv = texts.map(t => ef.embedOne(t).toSeq)
+    assert(dist == drv)
+    // tf folds: "spark spark" = 2 × "spark" vector
+    val one = ef.embedOne("spark")
+    assert(ef.embedOne("spark spark").toSeq == one.map(_ * 2).toSeq)
+    // fully out-of-vocab text embeds to the zero vector
+    assert(ef.embedOne("nothing matches here").forall(_ == 0f))
+  }
+
+  test("fitted function round-trips through the collection: sidecar persisted, reopened session resolves it") {
+    import graft.operators.TfIdfSrpEmbedder
+    val cat = freshCatalog()
+    val c = cat.getOrCreateCollection("ft", "cosine")
+    val ef = TfIdfSrpEmbedder.fit(fitCorpus, "document", dim = 8, vocabSize = 4)
+    c.addDocuments(fitCorpus, ef)
+    assert(c.meta.metadata("embedding_function") == ef.name)
+    val hits = c.queryText(Seq("spark join"), k = 2)
+      .orderBy("rnk").select("id").as[String].collect().toSeq
+    // docs 1 and 2 both carry exactly {spark, join} of the vocab → equal
+    // vectors, distance tie broken by id ascending
+    assert(hits == Seq("1", "2"), s"nearest to 'spark join' should be 1,2 — got $hits")
+    // a FRESH handle (new catalog over the same root) resolves the model
+    // from the sidecar — stored and query vectors share one function
+    val reopened = new CollectionCatalog(spark,
+      c.toDF.inputFiles.head.replaceFirst("file:", "")
+        .replaceAll("/ft/data_v.*$", "")).getCollection("ft").get
+    assert(reopened.queryText(Seq("spark join"), k = 2)
+      .orderBy("rnk").select("id").as[String].collect().toSeq == hits)
+    // Embedder.fromName refuses to resolve a fitted name WITHOUT the model
+    intercept[IllegalArgumentException](Embedder.fromName(ef.name))
+  }
+
+  test("fitted re-fit is rejected; same model re-adds fine; missing sidecar is loud") {
+    import graft.operators.TfIdfSrpEmbedder
+    val cat = freshCatalog()
+    val c = cat.getOrCreateCollection("rf", "cosine")
+    val ef = TfIdfSrpEmbedder.fit(fitCorpus, "document", dim = 8, vocabSize = 4)
+    c.addDocuments(fitCorpus, ef)
+    // same model, new ids → fine
+    c.addDocuments(Seq(("6", "more spark join text")).toDF("id", "document"), ef)
+    assert(c.count() == 6)
+    // re-fit on different data → DIFFERENT model under the same name → loud
+    val refit = TfIdfSrpEmbedder.fit(
+      Seq(("x", "totally different corpus entirely")).toDF("id", "document"),
+      "document", dim = 8, vocabSize = 4)
+    val e = intercept[IllegalArgumentException](
+      c.addDocuments(Seq(("7", "another spark doc")).toDF("id", "document"), refit))
+    assert(e.getMessage.contains("DIFFERS"))
+    // sidecar removal makes resolution loud, never silently wrong
+    val root = c.toDF.inputFiles.head.replaceFirst("file:", "")
+      .replaceAll("/rf/data_v.*$", "")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "rf",
+      graft.catalog.Collection.EmbedderSidecar))
+    val e2 = intercept[IllegalArgumentException](c.queryText(Seq("spark"), k = 1))
+    assert(e2.getMessage.contains("sidecar"))
+  }
+
+  test("fork carries the fitted model sidecar: the fork can queryText immediately") {
+    import graft.operators.TfIdfSrpEmbedder
+    val cat = freshCatalog()
+    val c = cat.getOrCreateCollection("fs", "cosine")
+    val ef = TfIdfSrpEmbedder.fit(fitCorpus, "document", dim = 8, vocabSize = 4)
+    c.addDocuments(fitCorpus, ef)
+    val f = cat.forkCollection("fs", "fs2")
+    assert(f.queryText(Seq("vector search"), k = 1)
+      .select("id").as[String].head() == "3")
+  }
+
   test("mmr trades relevance for diversity and breaks ties by id") {
     // query q; a,b nearly parallel to q (redundant pair); c moderately
     // relevant but ANTI-correlated with a on the y-axis, so its marginal
