@@ -94,7 +94,11 @@ object Hydrator {
         errs += s"no columns match embedding pattern '${cfg.embeddingPattern}'"
     }
     cfg.embeddingFunction.foreach { n =>
-      try graft.operators.Embedder.fromName(n)
+      // a fit-spec (graft-tfidf-srp-v1/<dim>[?vocab=<n>]) is FITTED on
+      // this run's input — validated structurally here, resolved in run();
+      // everything else must resolve by name
+      try { if (graft.operators.Embedder.fitSpec(n).isEmpty)
+        graft.operators.Embedder.fromName(n) }
       catch { case e: IllegalArgumentException => errs += e.getMessage }
     }
     errs.result()
@@ -121,8 +125,18 @@ object Hydrator {
       throw new IllegalArgumentException(s"hydration config invalid: ${errs.mkString("; ")}")
     val input = readInput(spark, cfg.inputTable)
     cfg.embeddingFunction.foreach { efName =>
-      return Some(runWithEmbedder(spark, cfg, input,
-        graft.operators.Embedder.fromName(efName)))
+      // a fit-spec trains the embedder ON THIS INPUT's text column before
+      // hydrating through it (the model persists as the collection's
+      // sidecar via addDocuments); a later re-hydration into the same
+      // collection from different data re-fits a DIFFERENT model and is
+      // rejected by the sidecar-equality gate — by design, stored vectors
+      // must never mix models
+      val ef = graft.operators.Embedder.fitSpec(efName) match {
+        case Some((dim, vocab)) => graft.operators.TfIdfSrpEmbedder.fit(
+          input, cfg.textVar, dim, vocab)
+        case None => graft.operators.Embedder.fromName(efName)
+      }
+      return Some(runWithEmbedder(spark, cfg, input, ef))
     }
     val frame = Assemble.hydrationFrame(
       input, cfg.docId, cfg.textVar, cfg.embeddingPattern, cfg.metadataColumn)

@@ -160,6 +160,38 @@ object Embedder {
       s"unknown embedding function '$other' (known: ${HashV1Prefix}<dim>, ${TfIdfV1Prefix}<dim>)")
   }
 
+  /** Parse a FIT-SPEC name — `graft-tfidf-srp-v1/<dim>[?vocab=<n>]` —
+    * the form config-driven surfaces (Hydrator) accept for a function
+    * they can FIT on their own input. Returns (dim, vocabSize); the
+    * binding recorded after the fit is the plain parameterless name.
+    * None when the name is not a fit-spec at all; LOUD on a malformed
+    * one (a typo'd vocab silently defaulting would fit a differently-
+    * sized model than asked). */
+  def fitSpec(name: String): Option[(Int, Int)] =
+    if (!name.startsWith(TfIdfV1Prefix)) None
+    else {
+      val rest = name.stripPrefix(TfIdfV1Prefix)
+      val (dimPart, vocab) = rest.indexOf('?') match {
+        case -1 => (rest, DefaultVocabSize)
+        case q =>
+          val param = rest.substring(q + 1)
+          require(param.startsWith("vocab="),
+            s"malformed fit spec '$name' (expected ${TfIdfV1Prefix}<dim>?vocab=<n>)")
+          (rest.substring(0, q),
+            scala.util.Try(param.stripPrefix("vocab=").toInt).getOrElse(
+              throw new IllegalArgumentException(
+                s"malformed vocab size in fit spec '$name'")))
+      }
+      val dim = scala.util.Try(dimPart.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"malformed embedding dim in fit spec '$name'"))
+      Some((dim, vocab))
+    }
+
+  /** Default vocabulary for config-driven fits ([[fitSpec]] without an
+    * explicit `?vocab=`). */
+  val DefaultVocabSize = 4096
+
   /** Rebuild a fitted function from its sidecar text; the recorded name
     * travels inside and must match the collection's binding. */
   def fromModelText(text: String): FittedEmbeddingFunction = {

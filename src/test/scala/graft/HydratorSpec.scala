@@ -227,6 +227,44 @@ class HydratorSpec extends SparkTestBase {
     assert(c.meta.version == v2, "unchanged sync must not advance the store")
   }
 
+  test("fit-spec route: the config name fits a TF-IDF embedder on the INPUT, binding drops the params") {
+    val root = tmpRoot()
+    val c = Hydrator.run(spark, HydrateConfig(
+      inputTable = widePath, textVar = "text", docId = "doc_id",
+      embeddingPattern = "ignored", metadataColumn = None,
+      collectionName = "hft", persistentPath = root,
+      embeddingFunction = Some("graft-tfidf-srp-v1/8?vocab=4"))).get
+    assert(c.count() == 3)
+    // the recorded binding is the PLAIN name; the fitted model sits in
+    // the sidecar and the vectors match a driver-side fit on the same data
+    assert(c.meta.metadata("embedding_function") == "graft-tfidf-srp-v1/8")
+    val ef = graft.operators.TfIdfSrpEmbedder.fit(
+      spark.read.parquet(widePath), "text", dim = 8, vocabSize = 4)
+    assert(c.get(ids = Seq("2")).select("embedding").head().getSeq[Float](0).toSeq
+      == ef.embedOne("second doc").toSeq)
+    // queryText resolves the persisted model: the exact text ranks first
+    assert(c.queryText(Seq("second doc"), k = 1)
+      .select("id").head().getString(0) == "2")
+    // re-hydration from DIFFERENT data re-fits a different model → loud
+    val other = tmpRoot() + "/other"
+    Seq((9L, "totally unrelated corpus")).toDF("doc_id", "text").write.parquet(other)
+    val e = intercept[IllegalArgumentException] {
+      Hydrator.run(spark, HydrateConfig(
+        inputTable = other, textVar = "text", docId = "doc_id",
+        embeddingPattern = "", metadataColumn = None,
+        collectionName = "hft", persistentPath = root,
+        embeddingFunction = Some("graft-tfidf-srp-v1/8?vocab=4")))
+    }
+    assert(e.getMessage.contains("DIFFERS"))
+    // malformed fit specs are validation errors, not crashes
+    val v = Hydrator.validate(spark, HydrateConfig(
+      inputTable = widePath, textVar = "text", docId = "doc_id",
+      embeddingPattern = "", metadataColumn = None,
+      collectionName = "x", persistentPath = root,
+      embeddingFunction = Some("graft-tfidf-srp-v1/8?vocabulary=big")))
+    assert(v.exists(_.contains("malformed")))
+  }
+
   test("embedding-function route: documents-only hydration, binding + metadata map") {
     val root = tmpRoot()
     val c = Hydrator.run(spark, HydrateConfig(
