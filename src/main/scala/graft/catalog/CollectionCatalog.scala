@@ -36,8 +36,22 @@ private[graft] object Carry {
   /** Record `entries` (partition dir name → physical owner dir name, a
     * sibling under the same collection dir) for `vdir`. Nothing carried →
     * no manifest file (the marker of the plain-read fast path). */
+  /** Keys are partition dir paths (`pt=<n>`, `cell=<c>/pb=<b>`, ...);
+    * values are sibling dir names (`data_v000003`, `index_v000001.b002`).
+    * The hand-rolled JSON below does NO string escaping and [[read]]
+    * parses with a regex — safe ONLY while both sides stay in this
+    * dir-name alphabet, so the constraint is ASSERTED here rather than
+    * trusted: a future partition value carrying a quote/backslash fails
+    * loudly at write time instead of silently corrupting the manifest. */
+  private val DirNameShape = "[A-Za-z0-9_.=/-]+".r
+
   def write(io: StoreIO, vdir: Path, entries: Map[String, String]): Unit =
     if (entries.nonEmpty) {
+      entries.foreach { case (k, v) =>
+        require(DirNameShape.matches(k) && DirNameShape.matches(v),
+          s"carry-manifest entry '$k' -> '$v' leaves the partition-dir-name " +
+            "alphabet the manifest format assumes")
+      }
       val body = entries.toSeq.sorted
         .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
       io.writeBytes(new Path(vdir, ManifestName),

@@ -140,9 +140,18 @@ private[graft] object StoreIO {
     // no .crc sidecars for protocol files: ChecksumFileSystem wrappers
     // (LocalFileSystem) would shadow every meta/claim/marker write with a
     // checksum file, and a FileContext rename moves only the data file —
-    // the stale sidecar then fails later checksummed reads
-    fs.setWriteChecksum(false)
-    fs.setVerifyChecksum(false)
+    // the stale sidecar then fails later checksummed reads. ONLY on
+    // checksum-wrapper filesystems: `fs` is the JVM-wide CACHED instance,
+    // and flipping verifyChecksum on a real DFS client would silently
+    // disable end-to-end checksum verification for every other read this
+    // JVM makes through it (Spark's own parquet reads included) — far
+    // beyond suppressing local .crc sidecars.
+    fs match {
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem =>
+        cfs.setWriteChecksum(false)
+        cfs.setVerifyChecksum(false)
+      case _ => ()
+    }
     def exists(p: Path): Boolean = fs.exists(p)
     def isDir(p: Path): Boolean =
       try fs.getFileStatus(p).isDirectory
@@ -151,7 +160,13 @@ private[graft] object StoreIO {
     def list(p: Path): Seq[DirEntry] =
       if (!isDir(p)) Nil
       else fs.listStatus(p).toSeq.map(st => DirEntry(st.getPath, st.isDirectory))
-    def deleteRecursively(p: Path): Unit = fs.delete(p, true)
+    def deleteRecursively(p: Path): Unit = {
+      fs.delete(p, true)
+      // drop the dir's sibling claim marker (see createDirExclusive) so a
+      // vacuumed build number does not stay permanently claimed
+      val m = dirClaimMarker(p)
+      if (fs.exists(m)) fs.delete(m, false)
+    }
     def deleteIfExists(p: Path): Unit =
       if (fs.exists(p)) fs.delete(p, false)
     def readBytes(p: Path): Array[Byte] = {
@@ -180,16 +195,25 @@ private[graft] object StoreIO {
           throw new java.nio.file.FileAlreadyExistsException(p.toString) }
       try out.write(b) finally out.close()
     }
+    private def dirClaimMarker(p: Path): Path =
+      new Path(p.getParent, p.getName + ".dirclaim")
     def createDirExclusive(p: Path): Unit = {
       // mkdirs is idempotent (no exclusivity), so the claim is decided by
-      // an exclusive marker create INSIDE the dir: of two racers that
-      // both pass the exists check and both mkdirs, exactly one wins the
-      // marker. The marker is transient scaffolding — any later content
-      // write may clear it; exclusion for NEW claimers is the exists
-      // check (they move on to the next build number).
+      // an exclusive marker create — a SIBLING `<dir>.dirclaim` file, NOT
+      // a file inside the dir: the winner's later `mode(overwrite)`
+      // parquet write deletes and recreates the claimed dir, and an
+      // inside-the-dir marker vanished in that window, letting a second
+      // claimer win the same build number mid-write. The sibling marker
+      // is never touched by content writes; of two racers that both pass
+      // the exists check, exactly one wins the marker create — the loser
+      // gets FileAlreadyExists and moves on to the next build number.
+      // Marker BEFORE mkdirs: a crash in between leaves a claimed number
+      // with no dir, which later claimers skip (same recoverable shape as
+      // a crashed data-version claim); deleteRecursively of the dir also
+      // drops the marker, so vacuumed numbers become claimable again.
       if (fs.exists(p)) throw new java.nio.file.FileAlreadyExistsException(p.toString)
+      createExclusive(dirClaimMarker(p), Array.emptyByteArray)
       fs.mkdirs(p)
-      createExclusive(new Path(p, ".dirclaim"), Array.emptyByteArray)
     }
     def replace(src: Path, dst: Path): Unit =
       FileContext.getFileContext(dst.toUri, conf)

@@ -110,6 +110,12 @@ object TfIdfModel {
     val lines = text.split('\n').filter(_.nonEmpty)
     require(lines.length >= 3, "malformed embedder model sidecar")
     val name = lines(0)
+    // validate header prefixes: stripPrefix is a no-op on a non-matching
+    // line, so a truncated/foreign sidecar would otherwise surface as a
+    // bare NumberFormatException (or, with swapped headers, parse
+    // silently wrong) instead of the malformed-sidecar message
+    require(lines(1).startsWith("dim ") && lines(2).startsWith("ndocs "),
+      "malformed embedder model sidecar: expected 'dim <n>' / 'ndocs <n>' header lines")
     val dim = lines(1).stripPrefix("dim ").trim.toInt
     val nDocs = lines(2).stripPrefix("ndocs ").trim.toLong
     val rows = lines.drop(3).map { l =>

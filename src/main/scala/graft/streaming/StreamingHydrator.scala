@@ -75,6 +75,11 @@ object StreamingHydrator {
     require(refreshDoc || refreshIvf,
       "hydrateIndexed with refreshDoc=false and refreshIvf=false refreshes " +
         "nothing — use hydrate() for an index-free sink")
+    // the document-column probe re-reads meta and re-infers the parquet
+    // schema (listing + footer reads) — once proven present it stays
+    // present for the stream's lifetime (upsert only ADDS columns), so
+    // probe on the first batch only, not per microbatch
+    var docColumnProven = false
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -83,10 +88,13 @@ object StreamingHydrator {
         if (!batch.isEmpty) {
           collection.upsert(batch, orderCol)
           if (refreshDoc) {
-            require(collection.toDF.columns.contains("document"),
-              s"collection '${collection.name}' carries no 'document' column — " +
-                "a postings index cannot be refreshed; pass refreshDoc = false " +
-                "for an embedding-only stream")
+            if (!docColumnProven) {
+              require(collection.toDF.columns.contains("document"),
+                s"collection '${collection.name}' carries no 'document' column — " +
+                  "a postings index cannot be refreshed; pass refreshDoc = false " +
+                  "for an embedding-only stream")
+              docColumnProven = true
+            }
             collection.refreshDocIndex()
           }
           if (refreshIvf) collection.refreshIndex()
