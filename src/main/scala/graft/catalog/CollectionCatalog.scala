@@ -177,7 +177,17 @@ final class CollectionCatalog(
       // leave a meta-less collection dir behind
       val effSpace = resolvedSpace(space, metadata)
       io.mkdirs(dir)
-      writeMeta(dir, CollectionMeta(name, effSpace, 0, metadata, numBuckets))
+      // EXCLUSIVE initial create — two live callers get-or-creating the
+      // same name race here, and first-writer-wins is exactly the
+      // contract: the loser's space/metadata args are ignored the same
+      // way they are when the collection already existed (a replacing
+      // write instead would let the slower creator silently overwrite
+      // the winner's space). Same CAS primitive as version claims —
+      // the per-backend atomicity caveats in [[StoreIO]] apply alike.
+      try io.createExclusive(new Path(dir, "meta.json"),
+        CollectionMeta.toJson(CollectionMeta(name, effSpace, 0, metadata, numBuckets))
+          .getBytes(StandardCharsets.UTF_8))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     new Collection(spark, io, dir, maxRowsPerFile)
   }
@@ -449,7 +459,15 @@ object CollectionMeta {
       toJson(meta).getBytes(StandardCharsets.UTF_8))
 
   def atomicWrite(io: StoreIO, dir: Path, meta: CollectionMeta): Unit = {
-    val tmp = new Path(dir, "meta.json.tmp")
+    // tmp name is UNIQUE per call: two live writers refreshing the
+    // pointer concurrently (commit of v2 racing commit of v3) must not
+    // share a staging file — with a fixed name, one writer's replace
+    // consumes the other's tmp and the victim fails AFTER its commit
+    // marker landed (a commit reported as failed that actually
+    // succeeded). With unique tmps both replaces land; whichever pointer
+    // loses the last-rename race is harmless — the pointer is a cache,
+    // read() recovers the newest COMMITTED claim above it.
+    val tmp = new Path(dir, s"meta.json.tmp.${java.util.UUID.randomUUID}")
     io.writeBytes(tmp, toJson(meta).getBytes(StandardCharsets.UTF_8))
     io.replace(tmp, new Path(dir, "meta.json"))
   }
