@@ -473,9 +473,32 @@ object CollectionMeta {
   }
 }
 
+/** Cell-occupancy profile of a committed IVF build — the drift signal
+  * for scheduling a [[Collection.buildIndex]] re-train. `nCells` is the
+  * CENTROID count (empty cells count toward the mean: a cell the corpus
+  * has drifted away from is drift, not a smaller denominator). */
+final case class IvfOccupancy(nCells: Int, totalRows: Long, maxCellRows: Long) {
+  def meanCellRows: Double =
+    if (nCells == 0) 0.0 else totalRows.toDouble / nCells
+  /** max/mean occupancy: 1.0 = perfectly balanced; grows as the corpus
+    * drifts from the trained centroids (hot cells stop pruning — an
+    * nprobe query over a skew-S index can touch ~S× the rows a balanced
+    * one would). */
+  def skew: Double =
+    if (totalRows == 0L || nCells == 0) 1.0 else maxCellRows / meanCellRows
+}
+
+/** [[Collection.refreshIndexReport]]'s product: what the refresh did,
+  * plus the occupancy the refreshed index now has. */
+final case class IvfRefreshReport(refreshedBuckets: Int, occupancy: IvfOccupancy) {
+  def skew: Double = occupancy.skew
+}
+
 /** One collection — the Chroma collection API surface (SURVEY §2.B). */
 final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
                        maxRowsPerFile: Long) {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[Collection])
 
   import ChromaFilter.{Where, WhereDocument}
 
@@ -742,6 +765,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
             beforeCommit()
           })
     }
+    maybeAutoCompact()
   }
 
   /** Server-side embedding add — `collection.add(documents=...)` WITHOUT
@@ -999,6 +1023,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
           .unionByName(dedupBatch, allowMissingColumns = true)
         writeMergedVersion(merged, affected, m)
     }
+    maybeAutoCompact()
   }
 
   /** B3 update: replace non-null fields for EXISTING ids only. Only the
@@ -1015,6 +1040,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         if (upd.contains(c)) coalesce(col(s"u.$c"), col(s"c.$c")).as(c) else col(s"c.$c").as(c)
       }: _*)
     writeMergedVersion(merged, affected, m)
+    maybeAutoCompact()
   } }
 
   /** B4 delete by id list and/or metadata predicate. Conditions COMBINE
@@ -1037,6 +1063,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         if (affected.nonEmpty) {
           val cur = cur0.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
           writeMergedVersion(cur.filter(!coalesce(c, lit(false))), affected, m)
+          maybeAutoCompact()
         }
       }
     }
@@ -1231,8 +1258,10 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * refreshed index is bit-identical to a full re-assignment under those
     * centroids — pruned-query results are exactly what a fresh seeded
     * build with these centroids would serve. What a refresh does NOT do
-    * is re-TRAIN: cell balance drifts as the corpus drifts, so schedule a
-    * periodic [[buildIndex]] the way you would a compaction.
+    * is re-TRAIN: cell balance drifts as the corpus drifts — run
+    * [[refreshIndexReport]] from a maintenance cadence to MEASURE that
+    * drift (max/mean cell-occupancy skew) and trigger [[buildIndex]]
+    * re-train on threshold instead of on faith.
     *
     * Changed-bucket detection, fallback rules, and the returned count
     * mirror [[refreshDocIndex]] (COW file-name diff). The full-rebuild
@@ -1247,7 +1276,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     val prior = newestCommittedBuild("index_v")
     val priorCents = prior.flatMap(p =>
       Collection.cachedCentroids(io, p, spark.sparkContext.hadoopConfiguration))
-    (prior, priorCents) match {
+    val refreshed = (prior, priorCents) match {
       case (Some(old), _) if indexVersionOf(old) == m.version =>
         0 // a committed build already serves this version
       case (Some(old), Some(cents)) if hasPbSlices(old, "cell=") &&
@@ -1268,6 +1297,134 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       case _ =>
         buildIndex()
         numBuckets
+    }
+    if (refreshed > 0) maybeAutoCompactIndexes()
+    refreshed
+  }
+
+  /** Default skew (max/mean cell occupancy) above which
+    * [[refreshIndexReport]] flags the index as drifted: a query probing
+    * the hottest cell then reads ~4× the rows a balanced index would —
+    * roughly the point where re-training pays for itself. */
+  val DefaultDriftThreshold: Double = 4.0
+
+  /** [[refreshIndex]] WITH the drift signal the refresh scaladoc
+    * promises: refreshing keeps the old centroids, so cell balance
+    * decays as the corpus drifts — this variant measures the refreshed
+    * index's cell occupancy (max/mean skew) and WARNS loudly past
+    * `driftThreshold`, so a deployment schedules [[buildIndex]] re-train
+    * on a measured threshold instead of on faith.
+    *
+    * The occupancy probe groups by the `cell` partition column only —
+    * column pruning reads no data pages, the scan is parquet footer
+    * counts (O(#index files), the same order as the listing work the
+    * refresh itself already does). Per-microbatch streaming refreshes
+    * ([[graft.streaming.StreamingHydrator.hydrateIndexed]]) stay on the
+    * plain [[refreshIndex]] and skip the probe; run THIS form from the
+    * maintenance cadence that would also consider [[compactIndexes]]. */
+  def refreshIndexReport(
+      driftThreshold: Double = DefaultDriftThreshold): IvfRefreshReport = {
+    val refreshed = refreshIndex()
+    val occ = indexOccupancy().getOrElse(
+      throw new IllegalStateException(
+        s"collection '$name' has no committed IVF build after refresh"))
+    if (occ.skew > driftThreshold)
+      log.warn(s"IVF index of collection '$name' has drifted: cell-occupancy " +
+        f"skew ${occ.skew}%.2f (max ${occ.maxCellRows} rows vs mean " +
+        f"${occ.meanCellRows}%.1f over ${occ.nCells} cells) exceeds " +
+        f"$driftThreshold%.2f — schedule buildIndex() to re-train centroids")
+    IvfRefreshReport(refreshed, occ)
+  }
+
+  /** Cell-occupancy profile of the current committed IVF build (None
+    * without one). Footer-count scan — see [[refreshIndexReport]]. */
+  def indexOccupancy(): Option[IvfOccupancy] = {
+    val m = meta
+    currentIndex(m).map { case (build, cents) =>
+      val r = readIndexBuild(build).groupBy("cell")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .agg(coalesce(sum("n"), lit(0L)).as("total"),
+          coalesce(max("n"), lit(0L)).as("mx"))
+        .head()
+      IvfOccupancy(cents.length, r.getLong(0), r.getLong(1))
+    }
+  }
+
+  // ---- auto-compaction policy (opt-in via collection metadata) ----
+  //
+  // `graft:autocompact.maxfiles = <n>`: after every successful mutation
+  // commit, if the CURRENT version resolves to more than n data files,
+  // the collection compacts and vacuums itself (LOUD log line); after an
+  // index refresh, the same bound applies to that index's resolved
+  // files via compactIndexes(). One policy key turns the three manual
+  // admin ops (compact / compactIndexes / vacuum) into a set-once
+  // property a pipeline can rely on — a long point-upsert run stays
+  // under the file bound with no scheduled maintenance.
+  //
+  // Set n above the structural floor: a compacted collection still has
+  // one file per id bucket (numBuckets), a compacted IVF build one per
+  // cell×pb leaf slice, a postings build one per gp×pb slice — a bound
+  // below the floor re-compacts on every commit (work, never progress).
+  // `graft:autocompact.keephistory = <k>` (optional) is passed to the
+  // policy's vacuum — time-travel readers keep k predecessor versions.
+
+  /** Resolved data-file count of version `m.version` — a pure listing
+    * walk over the carry-resolved owner dirs (no Spark job). */
+  private def dataFileCount(m: CollectionMeta): Int =
+    Carry.owners(io, dir, dataDir(m.version), "pt=").toSeq.map {
+      case (part, owner) =>
+        io.list(new Path(owner, part))
+          .count(e => !e.isDir && e.name.endsWith(".parquet"))
+    }.sum
+
+  /** Resolved parquet-file count of an index build dir. */
+  private def indexFileCount(build: Path): Int =
+    Carry.slicedOwners(io, dir, build).toSeq.map { case (slice, owner) =>
+      io.list(new Path(owner, slice))
+        .count(e => !e.isDir && e.name.endsWith(".parquet"))
+    }.sum
+
+  private def autoCompactBound(m: CollectionMeta): Option[Int] =
+    metaPositiveInt(m, "graft:autocompact.maxfiles")
+
+  /** Data-side policy check, run after every public mutation's commit
+    * (NOT inside the commit path itself — [[compact]] commits through
+    * the same writeVersion and must never re-trigger the policy). */
+  private def maybeAutoCompact(): Unit = {
+    val m = meta
+    autoCompactBound(m).foreach { bound =>
+      if (currentDataOf(m).nonEmpty) {
+        val files = dataFileCount(m)
+        if (files > bound) {
+          val keep = metaPositiveInt(m, "graft:autocompact.keephistory").getOrElse(0)
+          log.warn(s"auto-compaction of collection '${m.name}': $files data " +
+            s"files exceed graft:autocompact.maxfiles=$bound — " +
+            s"compact() + vacuum(keepHistory=$keep)")
+          compact()
+          vacuum(keep)
+        }
+      }
+    }
+  }
+
+  /** Index-side policy check, run after an incremental index refresh:
+    * a long refresh chain accumulates one small file per refresh per
+    * touched slice plus a carry-owner spread — past the bound, both
+    * committed builds repack ([[compactIndexes]]) and vacuum reclaims
+    * the superseded builds. */
+  private def maybeAutoCompactIndexes(): Unit = {
+    val m = meta
+    autoCompactBound(m).foreach { bound =>
+      val files = (currentIndex(m).map(_._1) ++ currentDocIndex(m))
+        .map(indexFileCount).sum
+      if (files > bound) {
+        val keep = metaPositiveInt(m, "graft:autocompact.keephistory").getOrElse(0)
+        log.warn(s"auto-compaction of collection '${m.name}' indexes: $files " +
+          s"resolved index files exceed graft:autocompact.maxfiles=$bound — " +
+          s"compactIndexes() + vacuum(keepHistory=$keep)")
+        compactIndexes()
+        vacuum(keep)
+      }
     }
   }
 
@@ -1418,7 +1575,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     val m = meta
     require(currentDataOf(m).nonEmpty,
       s"collection '${m.name}' is empty — nothing to index")
-    newestCommittedBuild("docindex_v") match {
+    val refreshed = newestCommittedBuild("docindex_v") match {
       case Some(old) if indexVersionOf(old) == m.version =>
         0 // a committed build already serves this version
       case Some(old) if hasPbSlices(old, "gp=") && io.exists(dataDir(indexVersionOf(old))) =>
@@ -1438,6 +1595,8 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         buildDocIndex()
         numBuckets
     }
+    if (refreshed > 0) maybeAutoCompactIndexes()
+    refreshed
   }
 
   /** Drop the current version's postings-index builds. */

@@ -559,6 +559,80 @@ class CollectionSpec extends SparkTestBase {
     assert(c.refreshIndex() == 0)
   }
 
+  test("auto-compaction policy: a long point-upsert run stays under the file bound hands-off") {
+    val cat = freshCatalog()
+    val auto = cat.getOrCreateCollection("auto",
+      metadata = Map("graft:autocompact.maxfiles" -> "6"))
+    val manual = cat.getOrCreateCollection("manual")
+    def nFiles(c: graft.catalog.Collection) =
+      c.get().inputFiles.count(_.endsWith(".parquet"))
+    (0 until 16).foreach { i =>
+      val b = batch((f"id$i%02d", s"doc $i", Seq(i.toFloat, 1f)))
+      auto.upsert(b); manual.upsert(b)
+      // the policy runs AFTER each commit, so at every API boundary the
+      // resolved file count sits at or under the bound
+      assert(nFiles(auto) <= 6, s"round $i: ${nFiles(auto)} files escaped the bound")
+    }
+    assert(nFiles(manual) > 6,
+      "control: without the policy the same run accumulates small files")
+    // contents are untouched by the policy's compact/vacuum cycles
+    assert(auto.get().orderBy("id").collect().toSeq ==
+      manual.get().orderBy("id").collect().toSeq)
+    // vacuum ran too: superseded versions were reclaimed along the way
+    assert(auto.history().size < manual.history().size)
+  }
+
+  test("auto-compaction policy bounds index files across refresh chains") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "coll-autoidx").toString
+    val cat = new CollectionCatalog(spark, root, numBuckets = 4)
+    def indexDiskFiles(name: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq)
+          .flatMap(walk)
+        else Seq(f)
+      Option(new java.io.File(s"$root/$name").listFiles()).fold(Seq.empty[java.io.File])(_.toSeq)
+        .filter(_.getName.startsWith("index_v"))
+        .flatMap(walk).count(_.getName.endsWith(".parquet"))
+    }
+    // floor: 4 data buckets, 2 cells x 4 pb slices = 8 index leaves;
+    // bound 16 sits above both floors (a bound under the floor would
+    // re-compact every commit — documented policy constraint). The
+    // keephistory=1 keeps the data policy from also firing vacuums that
+    // would confuse the comparison -- same chain runs on a control.
+    def run(name: String, metadata: Map[String, String]): Unit = {
+      // ivf:nlist makes the full-rebuild fallback legal: when the DATA
+      // policy compacts (a full rewrite), the incremental diff basis is
+      // gone by design and the next refresh re-trains — policy interplay,
+      // not an error
+      val c = cat.getOrCreateCollection(name,
+        metadata = metadata + ("ivf:nlist" -> "2"))
+      c.add(clusterBatch())
+      c.buildIndexSeeded(Seq("00", "08"))
+      (0 until 8).foreach { i =>
+        c.upsert(batch((f"nx$i%02d", s"new $i", Seq(1f, 0.001f * i, 0f, 0f))))
+        c.refreshIndex()
+        assert(c.hasIndex)
+      }
+      // the index still answers exactly after any policy-driven compaction
+      val viaIndex = c.query(Seq(1f, 0f, 0f, 0f), 5, nprobe = 2)
+        .select("id").as[String].collect().toSeq
+      val exact = c.query(Seq(1f, 0f, 0f, 0f), 5, exact = true)
+        .select("id").as[String].collect().toSeq
+      assert(viaIndex == exact, s"$name: pruned path diverged from exact")
+    }
+    run("pol", Map("graft:autocompact.maxfiles" -> "16"))
+    run("ctl", Map.empty)
+    val (pol, ctl) = (indexDiskFiles("pol"), indexDiskFiles("ctl"))
+    assert(pol < ctl,
+      s"policy should bound the refresh chain's index files: $pol vs control $ctl")
+    // disk total = the RESOLVED set the policy bounds (<= 16 at every
+    // refresh boundary) + superseded dirs still alive as carry targets
+    // until the next policy vacuum — bounded by one compacted build's
+    // floor (2 cells x 4 pb slices)
+    assert(pol <= 16 + 8, s"resolved+superseded index files after the run: $pol")
+  }
+
   test("dot-prefixed collection names are rejected at creation/fork/rename") {
     val cat = freshCatalog()
     // reserved for in-flight build temps — an admitted dot name would be
@@ -568,6 +642,41 @@ class CollectionSpec extends SparkTestBase {
     intercept[IllegalArgumentException](cat.forkCollection("ok", ".fork-tmp-x"))
     intercept[IllegalArgumentException](cat.renameCollection("ok", ".hidden"))
     assert(cat.listCollections() == Seq("ok"))
+  }
+
+  test("refreshIndexReport measures cell-occupancy drift; re-train restores balance") {
+    val c = freshCatalog().getOrCreateCollection("c", "l2")
+    c.add(clusterBatch())
+    c.buildIndexSeeded(Seq("00", "04", "08", "12"))
+    // baseline: 16 rows over 4 cells, 4 each — perfectly balanced
+    val base = c.indexOccupancy().get
+    assert(base.nCells == 4 && base.totalRows == 16 && base.maxCellRows == 4)
+    assert(base.skew == 1.0)
+    // deliberately DRIFT the corpus: 32 new rows piled onto cluster 0's
+    // centroid — a refresh keeps the old centroids, so they all land in
+    // one cell
+    val drift = (0 until 32).map(i =>
+      (f"dx$i%02d", s"drift $i", Seq(1f + 0.001f * i, 0f, 0f, 0f)))
+    c.upsert(batch(drift: _*))
+    val report = c.refreshIndexReport(driftThreshold = 2.0)
+    assert(report.refreshedBuckets >= 1)
+    // hot cell: original 4 cluster-0 rows + all 32 drifted = 36 of 48
+    // rows over 4 cells (mean 12) → skew exactly 3.0, above threshold
+    assert(report.occupancy.totalRows == 48)
+    assert(report.occupancy.maxCellRows == 36)
+    assert(report.skew == 3.0)
+    // the signalled remedy — a re-train whose seeds span the drifted
+    // region — restores balance below the drifted figure
+    c.buildIndexSeeded(Seq("dx00", "dx31", "04", "08"))
+    val after = c.indexOccupancy().get
+    assert(after.skew < report.skew,
+      s"re-train should rebalance: skew ${after.skew} vs drifted ${report.skew}")
+    // results through the re-trained index stay exact
+    val viaIndex = c.query(Seq(0f, 1f, 0f, 0f), 6, nprobe = 4)
+      .select("id").as[String].collect().toSeq
+    val exact = c.query(Seq(0f, 1f, 0f, 0f), 6, exact = true)
+      .select("id").as[String].collect().toSeq
+    assert(viaIndex == exact)
   }
 
   test("refreshIndex runs the same cell/pb clash guard as the full builds") {
