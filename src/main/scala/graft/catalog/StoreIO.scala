@@ -74,11 +74,58 @@ private[graft] object StoreIO {
   val ForceKey = "graft.store.io.force"
 
   /** Backend for `p`: java.nio when it resolves to the local filesystem,
-    * Hadoop FS otherwise. */
+    * Hadoop FS otherwise. When [[CommitCoordinator.ConfKey]] names a
+    * registered coordinator, the backend's CAS primitives run inside its
+    * mutual exclusion (the S3-class multi-writer seam) — an unknown name
+    * fails loudly here, at construction, never silently at commit time. */
   def of(p: Path, conf: Configuration): StoreIO = {
     val fs = p.getFileSystem(conf)
-    if (fs.getScheme == "file" && conf.get(ForceKey) != "hadoop") new Local
-    else new Hdfs(fs, conf)
+    val base: StoreIO =
+      if (fs.getScheme == "file" && conf.get(ForceKey) != "hadoop") new Local
+      else new Hdfs(fs, conf)
+    conf.get(CommitCoordinator.ConfKey) match {
+      case null | "" | "fs" => base
+      case name => new Coordinated(base, CommitCoordinator.resolve(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"${CommitCoordinator.ConfKey}='$name' names no registered commit " +
+            "coordinator — register it via CommitCoordinator.register(name, impl) " +
+            "before constructing the catalog")))
+    }
+  }
+
+  /** [[StoreIO]] whose exclusive creates are serialized by an external
+    * [[CommitCoordinator]]: under the lock, exists-check-then-create IS
+    * a CAS for every writer sharing the coordinator — which is the whole
+    * point on stores whose own create is not conditional. Everything
+    * non-CAS passes straight through. */
+  private[catalog] final class Coordinated(
+      inner: StoreIO, coord: CommitCoordinator) extends StoreIO {
+    def createExclusive(p: Path, b: Array[Byte]): Unit =
+      coord.withLock(p.toString) {
+        if (inner.exists(p))
+          throw new java.nio.file.FileAlreadyExistsException(p.toString)
+        inner.writeBytes(p, b)
+      }
+    def createDirExclusive(p: Path): Unit =
+      coord.withLock(p.toString) {
+        // the lock makes check-then-mkdirs atomic, so no sibling marker
+        // scheme is needed on this path (see Hdfs.createDirExclusive)
+        if (inner.exists(p))
+          throw new java.nio.file.FileAlreadyExistsException(p.toString)
+        inner.mkdirs(p)
+      }
+    def exists(p: Path): Boolean = inner.exists(p)
+    def isDir(p: Path): Boolean = inner.isDir(p)
+    def mkdirs(p: Path): Unit = inner.mkdirs(p)
+    def list(p: Path): Seq[DirEntry] = inner.list(p)
+    def deleteRecursively(p: Path): Unit = inner.deleteRecursively(p)
+    def deleteIfExists(p: Path): Unit = inner.deleteIfExists(p)
+    def readBytes(p: Path): Array[Byte] = inner.readBytes(p)
+    def writeBytes(p: Path, b: Array[Byte]): Unit = inner.writeBytes(p, b)
+    def replace(src: Path, dst: Path): Unit = inner.replace(src, dst)
+    def moveDir(src: Path, dst: Path): Unit = inner.moveDir(src, dst)
+    def modTime(p: Path): Long = inner.modTime(p)
+    def carryFile(src: Path, dst: Path): Unit = inner.carryFile(src, dst)
   }
 
   /** java.nio backend — byte-for-byte the semantics the store always had
