@@ -1672,6 +1672,33 @@ object SparkEntry {
           round(col("dist"), 4).as("dist"), col("lang"))
         .orderBy("qid", "rnk")
     }),
+    // The fitted-embedder REFIT lifecycle end-to-end: hydrate the full
+    // corpus through a model fitted on HALF of it (a deliberately
+    // mis-trained binding), then refit() — which re-trains on the
+    // current corpus, re-embeds every stored vector in one commit, and
+    // swaps sidecar + fingerprint — and query through the re-fitted
+    // model. The oracle replays ONLY the post-refit state (fit on the
+    // full corpus, q131's replay shape at dim 12 / vocab 24): the
+    // answers can only match if the rewrite really replaced every
+    // vector the old model wrote.
+    "q134_refit_embedder" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("rft")
+      val coll = cat.getOrCreateCollection("rft") // l2: zero vectors legal
+      val efA = TfIdfSrpEmbedder.fit(
+        docs.filter(col("doc_id") % 2 === 0), "text", dim = 12, vocabSize = 24)
+      coll.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
+        col("text").as("document"), col("lang")), efA)
+      coll.refit(vocabSize = 24)
+      coll.queryText(
+          Seq("vector database search index", "streaming join throughput"),
+          k = 6, where = Some(ChromaFilter.In("lang", Seq("en", "fr"))))
+        .select(col("qid"), col("rnk"), col("id"),
+          round(col("dist"), 4).as("dist"), col("lang"))
+        .orderBy("qid", "rnk")
+    }),
     // r7's two features COMPOSED (the one pairwise composition r7 left
     // un-pinned): `query(query_texts=..., where_document=$contains)` —
     // the query text embeds through the collection's RECORDED embedding
@@ -1719,6 +1746,35 @@ object SparkEntry {
           headVec(emb, 0), k = 8, fetchN = 40, lambda = 0.5)
         .select(col("rnk"), col("vec_id"), round(col("score"), 4).as("score"))
         .orderBy("rnk")
+    }),
+    // The last two spec-equivalence-only read surfaces, composed and
+    // ORACLED in one entry: queryMmrText (text → RECORDED embedding
+    // function → pruned candidate fetch → bounded greedy MMR) side by
+    // side with queryTextStruct (same text → same binding → Chroma's
+    // parallel-list struct shape, re-exploded to long form — the
+    // positional zip is itself under test). Rank i of the output carries
+    // the i-th MMR pick AND the i-th plain-kNN hit; the oracle replays
+    // BOTH from raw text — hash embed (q115's replay), filtered cosine
+    // kNN, and the full unrolled MMR greedy trace (q116's stages over
+    // hash-embedded vectors with STRING-id tie-breaks).
+    "q133_mmrtext_struct" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("mmt")
+      val coll = cat.getOrCreateCollection("mmt", space = "cosine")
+      coll.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
+        col("text").as("document"), col("lang")), HashingEmbedder(16))
+      val text = "vector database search index"
+      val mmr = coll.queryMmrText(text, k = 8, fetchN = 40, lambda = 0.5)
+        .select(col("rnk"), col("id").as("mmr_id"),
+          round(col("mmr_score"), 4).as("mmr_score"))
+      val knn = coll.queryTextStruct(Seq(text), k = 8, include = Set("distances"))
+        .select(posexplode(arrays_zip(col("ids"), col("distances"))))
+        .select((col("pos") + 1).cast("int").as("rnk"),
+          col("col.ids").as("knn_id"),
+          round(col("col.distances"), 4).as("knn_dist"))
+      mmr.join(knn, "rnk").orderBy("rnk")
     }),
     // ITERATED BPE training (Sennrich et al. 2016) — five greedy merge
     // rounds over the word-frequency vocabulary, each round's counts
@@ -1998,6 +2054,16 @@ object SparkEntry {
           round(col("mean_r"), 4).as("mean_r"),
           round(col("mean_g"), 4).as("mean_g"),
           round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("media_id")
+    }),
+    "q132_audio_decode" -> ((s, dir) => {
+      val media = Multimodal.syntheticWavFrame(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("duration_ms"),
+          round(col("rms_l"), 4).as("rms_l"),
+          round(col("rms_r"), 4).as("rms_r"))
         .orderBy("media_id")
     }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
@@ -2801,6 +2867,30 @@ object SparkEntry {
         |  ROUND(CAST(SUM((11 * doc_id + 13 * x + y) % 256) AS DOUBLE) / COUNT(*), 4) AS mean_g,
         |  ROUND(CAST(SUM((doc_id + x + 17 * y) % 256) AS DOUBLE) / COUNT(*), 4) AS mean_b
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // q132: the real-WAV decode replayed from the shared PCM sample
+    // formula (PCM in a WAV container is lossless, so the formula IS the
+    // decoded signal). Integer sums of squares are exact in both
+    // engines; ONE division by the fixed per-clip frame count, then an
+    // IEEE sqrt (correctly rounded in both) before ROUND(4). SUM is cast
+    // to BIGINT — DuckDB integer SUM lands as HUGEINT/float64 otherwise.
+    "q132_audio_decode" ->
+      """WITH fr AS (
+        |  SELECT d.doc_id, t.i AS t
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(2000)) AS i) t
+        |  WHERE t.i < 800 + (d.doc_id % 4) * 400)
+        |SELECT doc_id AS media_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(2 AS INTEGER) AS channels,
+        |  CAST(800 + (doc_id % 4) * 400 AS BIGINT) AS n_frames,
+        |  CAST((800 + (doc_id % 4) * 400) // 8 AS BIGINT) AS duration_ms,
+        |  ROUND(SQRT(CAST(CAST(SUM(((3 * doc_id + 7 * t) % 2001 - 1000)
+        |      * ((3 * doc_id + 7 * t) % 2001 - 1000)) AS BIGINT) AS DOUBLE)
+        |    / COUNT(*)), 4) AS rms_l,
+        |  ROUND(SQRT(CAST(CAST(SUM(((5 * doc_id + 11 * t) % 2001 - 1000)
+        |      * ((5 * doc_id + 11 * t) % 2001 - 1000)) AS BIGINT) AS DOUBLE)
+        |    / COUNT(*)), 4) AS rms_r
+        |FROM fr GROUP BY doc_id ORDER BY media_id""".stripMargin,
     "q35_tumbling_window" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws, event_type,
         |COUNT(*) AS cnt,
@@ -3144,6 +3234,57 @@ object SparkEntry {
          |       ROUND(dist_raw, 4) AS dist, lang
          |FROM r WHERE rnk <= 8 ORDER BY qid, rnk""".stripMargin
     },
+    // q134: the post-REFIT state replayed from scratch — the oracle fits
+    // ONLY the final model (full corpus, dim 12, vocab 24, the exact
+    // integer pipeline of q131) and never sees the half-corpus model the
+    // engine hydrated with: the replay can only match if refit()'s
+    // rewrite replaced every vector the old model wrote.
+    "q134_refit_embedder" -> {
+      val th = sqlStrHash("v.t")
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         |dtok AS (SELECT doc_id, unnest(list_distinct(list_filter(
+         |           string_split_regex(lower(text), '\\s+'), x -> length(x) > 0))) AS t
+         |         FROM documents),
+         |dfreq AS (SELECT t, COUNT(*) AS c FROM dtok GROUP BY t),
+         |vocab AS (SELECT t, CAST(ROUND(1000 * (LN((n + 1.0) / (c + 1.0)) + 1.0)) AS BIGINT) AS w
+         |          FROM dfreq, nn ORDER BY c DESC, t LIMIT 24),
+         |axes AS (SELECT unnest(range(12)) AS j),
+         |signs AS MATERIALIZED (SELECT v.t, v.w, a.j,
+         |          CASE WHEN (((($th * (a.j + 1) + a.j) % 2147483647)
+         |                      * 2654435761) % 1000000007) % 2 = 0
+         |               THEN 1 ELSE -1 END AS s
+         |          FROM vocab v CROSS JOIN axes a),
+         |toks AS (SELECT doc_id, tm AS t FROM
+         |           (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |            FROM documents) WHERE length(tm) > 0),
+         |comp AS (SELECT k.doc_id, g.j, SUM(g.w * g.s) AS val
+         |         FROM toks k JOIN signs g ON g.t = k.t GROUP BY k.doc_id, g.j),
+         |grid AS (SELECT d.doc_id, a.j
+         |         FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN axes a),
+         |vecs AS (SELECT g.doc_id, list(CAST(COALESCE(c2.val, 0) AS DOUBLE) ORDER BY g.j) AS v
+         |         FROM grid g LEFT JOIN comp c2 ON c2.doc_id = g.doc_id AND c2.j = g.j
+         |         GROUP BY g.doc_id),
+         |qt AS (SELECT * FROM (VALUES (0, 'vector database search index'),
+         |                             (1, 'streaming join throughput')) AS q(qid, qtext)),
+         |qtoks AS (SELECT qid, tm AS t FROM
+         |            (SELECT qid, unnest(string_split_regex(lower(qtext), '\\s+')) AS tm
+         |             FROM qt) WHERE length(tm) > 0),
+         |qcomp AS (SELECT k.qid, g.j, SUM(g.w * g.s) AS val
+         |          FROM qtoks k JOIN signs g ON g.t = k.t GROUP BY k.qid, g.j),
+         |qgrid AS (SELECT qq.qid, a.j FROM (SELECT DISTINCT qid FROM qt) qq CROSS JOIN axes a),
+         |qvecs AS (SELECT g.qid, list(CAST(COALESCE(c2.val, 0) AS DOUBLE) ORDER BY g.j) AS qv
+         |          FROM qgrid g LEFT JOIN qcomp c2 ON c2.qid = g.qid AND c2.j = g.j
+         |          GROUP BY g.qid),
+         |cd AS (SELECT q.qid, v.doc_id, d.lang, ${sqlL2("v.v", "q.qv")} AS dist_raw
+         |       FROM vecs v JOIN documents d ON d.doc_id = v.doc_id
+         |       CROSS JOIN qvecs q WHERE d.lang IN ('en', 'fr')),
+         |r AS (SELECT qid, doc_id, lang, dist_raw, ROW_NUMBER() OVER
+         |        (PARTITION BY qid ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
+         |      FROM cd)
+         |SELECT qid, rnk, CAST(doc_id AS VARCHAR) AS id,
+         |       ROUND(dist_raw, 4) AS dist, lang
+         |FROM r WHERE rnk <= 6 ORDER BY qid, rnk""".stripMargin
+    },
     // q130: the refresh→compact lifecycle must serve EXACTLY the answers
     // a fresh build serves — q126's replay verbatim (same final corpus,
     // same seed assignment, same probes/filters): index maintenance is
@@ -3342,6 +3483,70 @@ object SparkEntry {
          |$stages
          |SELECT rnk, vec_id, ROUND(sc, 4) AS score FROM picked_8 ORDER BY rnk"""
         .stripMargin
+    },
+    // q133: q115's hash-embed replay feeding BOTH read shapes — the
+    // plain cosine kNN (the struct form's long-form content) and q116's
+    // unrolled MMR greedy trace, with STRING-id tie-breaks throughout
+    // (the store keys by string id, so argmax/rank ties order by the
+    // CAST id, not the numeric doc_id). MATERIALIZED per the q116
+    // inlining lesson.
+    "q133_mmrtext_struct" -> {
+      val hash = sqlStrHash("tm")
+      def sim(a: String, b: String) =
+        s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+      val stages = (2 to 8).map { i =>
+        s"""red_$i AS (SELECT p.ai AS id, MAX(p.s) AS red FROM pairs p
+           |  JOIN picked_${i - 1} pk ON p.bi = pk.id GROUP BY p.ai),
+           |sc_$i AS (SELECT c.id, (0.5 * c.simq) - (0.5 * r.red) AS sc
+           |  FROM cand c JOIN red_$i r ON r.id = c.id
+           |  WHERE c.id NOT IN (SELECT id FROM picked_${i - 1})),
+           |sel_$i AS (SELECT id, $i AS rnk, sc FROM sc_$i
+           |  ORDER BY sc DESC, id LIMIT 1),
+           |picked_$i AS MATERIALIZED (SELECT * FROM picked_${i - 1} UNION ALL SELECT * FROM sel_$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH qt AS (SELECT 'vector database search index' AS qtext),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |         FROM documents),
+         |tk AS (SELECT doc_id, $hash AS h FROM toks WHERE length(tm) > 0),
+         |sums AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
+         |                SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |         FROM tk GROUP BY doc_id, b),
+         |grid AS (SELECT dd.doc_id, bb.b FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |         CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |vecs AS MATERIALIZED (
+         |  SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |  FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.b
+         |  GROUP BY g.doc_id),
+         |qtoks AS (SELECT unnest(string_split_regex(lower(qtext), '\\s+')) AS tm FROM qt),
+         |qtk AS (SELECT $hash AS h FROM qtoks WHERE length(tm) > 0),
+         |qsums AS (SELECT CAST(h % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY b),
+         |qvec AS MATERIALIZED (
+         |  SELECT list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY bb.b) AS qv
+         |  FROM (SELECT unnest(range(16)) AS b) bb
+         |  LEFT JOIN qsums s ON s.b = bb.b),
+         |cand AS MATERIALIZED (
+         |  SELECT CAST(v.doc_id AS VARCHAR) AS id, v.v, ${sim("v.v", "q.qv")} AS simq
+         |  FROM vecs v, qvec q ORDER BY simq DESC, id LIMIT 40),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.id AS ai, b.id AS bi, ${sim("a.v", "b.v")} AS s
+         |  FROM cand a JOIN cand b ON a.id <> b.id),
+         |picked_1 AS MATERIALIZED (
+         |  SELECT id, 1 AS rnk, (0.5 * simq) - (0.5 * 0.0) AS sc
+         |  FROM cand ORDER BY simq DESC, id LIMIT 1),
+         |$stages,
+         |knn AS (SELECT CAST(v.doc_id AS VARCHAR) AS id,
+         |               ${sqlCos("v.v", "q.qv")} AS dist,
+         |               ROW_NUMBER() OVER (ORDER BY ${sqlCos("v.v", "q.qv")},
+         |                                  CAST(v.doc_id AS VARCHAR)) AS rnk
+         |        FROM vecs v, qvec q)
+         |SELECT CAST(p.rnk AS INTEGER) AS rnk, p.id AS mmr_id,
+         |       ROUND(p.sc, 4) AS mmr_score,
+         |       k.id AS knn_id, ROUND(k.dist, 4) AS knn_dist
+         |FROM picked_8 p JOIN knn k ON k.rnk = p.rnk
+         |ORDER BY rnk""".stripMargin
     },
     // q122: the BPE train loop unrolled — per round: adjacent-pair counts
     // over the previous vocabulary, argmax with (cnt DESC, a, b) ties,

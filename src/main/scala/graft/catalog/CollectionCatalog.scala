@@ -873,10 +873,63 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         case f: graft.operators.FittedEmbeddingFunction =>
           io.writeBytes(new Path(dir, Collection.EmbedderSidecar),
             f.modelText.getBytes(StandardCharsets.UTF_8))
-        case _ => ()
+          // the fingerprint pairs the committed DATA with the model that
+          // embedded it — [[resolveEmbedder]] refuses a sidecar whose
+          // fingerprint disagrees (the refit crash-window detector)
+          modifyMetadata(Map("embedding_function" -> ef.name,
+            "embedding_model_fp" -> Collection.modelFp(f.modelText)))
+        case _ =>
+          modifyMetadata(Map("embedding_function" -> ef.name))
       }
-      modifyMetadata(Map("embedding_function" -> ef.name))
     }
+  }
+
+  /** The SANCTIONED re-fit path for a fitted embedding function — the
+    * counterpart of the re-fit REJECTION in [[addDocuments]] (an
+    * unsanctioned second fit would silently mix vectors from two models;
+    * this one re-embeds so it cannot): train a fresh model of the same
+    * family and dimension on the CURRENT corpus, re-embed every document
+    * through it (a full rewrite — the data-side analog of a
+    * [[buildIndex]] re-train), and swap model sidecar + fingerprint with
+    * the same commit.
+    *
+    * Crash safety: the sidecar lands between the data write and the
+    * commit marker, and the new model's fingerprint rides the commit's
+    * OWN meta (claim file + pointer). A crash after the sidecar write
+    * but before the marker leaves old data + old fingerprint + NEW
+    * sidecar — and [[resolveEmbedder]] then fails LOUD on the
+    * fingerprint mismatch instead of silently querying old vectors with
+    * the new model. Re-running refit() recovers.
+    *
+    * Indexes of the previous version are version-bound and simply stop
+    * matching (reads fall back to exact until rebuilt) — same rule as
+    * every mutation. Callers still holding the PRE-refit function object
+    * get rejected loudly on their next addDocuments (model text differs
+    * from the new sidecar). Returns the newly fitted function. */
+  def refit(vocabSize: Int = Embedder.DefaultVocabSize): graft.operators.FittedEmbeddingFunction = {
+    val m = meta
+    val efName = m.metadata.getOrElse("embedding_function",
+      throw new IllegalStateException(
+        s"collection '$name' has no embedding-function binding — nothing to re-fit"))
+    require(efName.startsWith(Embedder.TfIdfV1Prefix),
+      s"collection '$name' is bound to '$efName', which is not a fitted " +
+        "function family — only fitted functions re-fit")
+    require(currentDataOf(m).nonEmpty,
+      s"collection '$name' is empty — nothing to re-fit on")
+    val cur = snapshotDF(m)
+    require(cur.columns.contains("document"),
+      s"collection '$name' carries no document column — nothing to re-fit on")
+    // same family, same dimension: the binding NAME stays, the model
+    // behind it changes (dim changes would be a different binding)
+    val dim = resolveEmbedder(efName).dim
+    val ef = graft.operators.TfIdfSrpEmbedder.fit(cur, "document", dim, vocabSize)
+    val expected = m.copy(metadata =
+      m.metadata + ("embedding_model_fp" -> Collection.modelFp(ef.modelText)))
+    writeVersion(cur.withColumn("embedding", ef.embedText(col("document"))),
+      expected, repack = true,
+      beforeCommit = () => io.writeBytes(new Path(dir, Collection.EmbedderSidecar),
+        ef.modelText.getBytes(StandardCharsets.UTF_8)))
+    ef
   }
 
   /** Resolve the collection's recorded embedding-function name: stateless
@@ -890,8 +943,21 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       require(io.exists(sidecar),
         s"collection '$name' records fitted embedding function '$efName' " +
           "but its model sidecar is missing")
-      val ef = Embedder.fromModelText(
-        new String(io.readBytes(sidecar), StandardCharsets.UTF_8))
+      val text = new String(io.readBytes(sidecar), StandardCharsets.UTF_8)
+      // the committed meta's fingerprint pairs data with the model that
+      // embedded it: a sidecar from a DIFFERENT fit (a refit that crashed
+      // between sidecar write and commit, a hand-replaced file) must fail
+      // LOUD here — stale-model queries would otherwise return garbage
+      // distances with no error
+      meta.metadata.get("embedding_model_fp").foreach { fp =>
+        require(Collection.modelFp(text) == fp,
+          s"collection '$name' records fitted-model fingerprint $fp but the " +
+            s"sidecar's is ${Collection.modelFp(text)} — the model sidecar is " +
+            "stale relative to the committed data (a refit crashed mid-swap, " +
+            "or the sidecar was replaced); re-run refit() or restore the " +
+            "matching sidecar")
+      }
+      val ef = Embedder.fromModelText(text)
       require(ef.name == efName,
         s"model sidecar is for '${ef.name}' but the collection records '$efName'")
       ef
@@ -2085,9 +2151,20 @@ object Collection {
   /** The fitted embedding-function model sidecar (see
     * [[graft.operators.FittedEmbeddingFunction]]): persisted at first
     * successful bind, required by every later resolution, carried by
-    * fork. Unversioned — the binding is immutable for the collection's
-    * lifetime (re-fits are rejected), so there is nothing to version. */
+    * fork. Unversioned file, versioned CONTRACT: the only sanctioned way
+    * to change it is [[Collection.refit]], which re-embeds the whole
+    * corpus in the same commit and pairs data with model via the
+    * `embedding_model_fp` metadata fingerprint — ad-hoc re-fits are
+    * rejected, and a sidecar that disagrees with the committed
+    * fingerprint fails loudly at resolution. */
   val EmbedderSidecar = "_embedder.txt"
+
+  /** Fingerprint pairing committed data with the model that embedded it
+    * (first 8 SHA-256 bytes of the sidecar text, hex). */
+  private[catalog] def modelFp(text: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
 
   /** Centroid sidecars parsed once per committed build. A committed build
     * dir is immutable, but a path CAN be reborn (drop collection →

@@ -633,6 +633,59 @@ class CollectionSpec extends SparkTestBase {
     assert(pol <= 16 + 8, s"resolved+superseded index files after the run: $pol")
   }
 
+  test("refit(): trains on the current corpus, re-embeds, bumps the binding; stale paths fail loud") {
+    import graft.operators.TfIdfSrpEmbedder
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "coll-refit").toString
+    val cat = new CollectionCatalog(spark, root, numBuckets = 4)
+    val c = cat.getOrCreateCollection("rf") // l2: zero vectors legal
+    val docsA = Seq(("1", "alpha beta gamma"), ("2", "alpha beta"), ("3", "delta"))
+      .toDF("id", "document")
+    val efA = TfIdfSrpEmbedder.fit(docsA, "document", dim = 8, vocabSize = 4)
+    c.addDocuments(docsA, efA)
+    // growing the corpus with the SAME model is allowed...
+    c.addDocuments(Seq(("4", "epsilon zeta alpha epsilon"), ("5", "zeta zeta"))
+      .toDF("id", "document"), efA)
+    // ...and shifts the df statistics, so a re-fit learns a DIFFERENT model
+    val vBefore = c.get(ids = Seq("1")).select("embedding")
+      .as[Seq[Float]].head()
+    val efB = c.refit(vocabSize = 4)
+    assert(efB.modelText != efA.modelText,
+      "refit on the grown corpus must produce a different model")
+    assert(c.meta.metadata("embedding_function") == efA.name,
+      "same family + dim → the binding NAME is unchanged")
+    // every stored vector was re-embedded through the new model
+    val vAfter = c.get(ids = Seq("1")).select("embedding").as[Seq[Float]].head()
+    assert(vAfter == efB.embedOne("alpha beta gamma"))
+    assert(vAfter != vBefore)
+    // queryText resolves the NEW model (binding + sidecar + fp agree)
+    assert(c.queryText(Seq("alpha epsilon"), k = 5).count() == 5)
+    // a client still holding the PRE-refit function is rejected loudly
+    val stale = intercept[IllegalArgumentException] {
+      c.addDocuments(Seq(("9", "theta")).toDF("id", "document"), efA)
+    }
+    assert(stale.getMessage.contains("DIFFERS"))
+    // crash-window detector: a sidecar that disagrees with the committed
+    // fingerprint (here: hand-restored to the OLD model) fails loudly at
+    // resolution instead of serving garbage distances
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "rf", "_embedder.txt"),
+      efA.modelText.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](c.queryText(Seq("alpha"), k = 1))
+    assert(e.getMessage.contains("stale"))
+    // restoring the matching sidecar recovers
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "rf", "_embedder.txt"),
+      efB.modelText.getBytes("UTF-8"))
+    assert(c.queryText(Seq("alpha"), k = 1).count() == 1)
+    // refit is fenced to fitted bindings
+    val h = cat.getOrCreateCollection("hash", space = "cosine")
+    h.addDocuments(Seq(("1", "alpha")).toDF("id", "document"),
+      graft.operators.HashingEmbedder(8))
+    intercept[IllegalArgumentException](h.refit())
+    intercept[IllegalStateException](cat.getOrCreateCollection("unbound").refit())
+  }
+
   test("dot-prefixed collection names are rejected at creation/fork/rename") {
     val cat = freshCatalog()
     // reserved for in-flight build temps — an admitted dot name would be

@@ -104,4 +104,36 @@ class MultimodalSpec extends SparkTestBase {
     val parts = Multimodal.balanced(media, 4).rdd.getNumPartitions
     assert(parts == 4)
   }
+
+  test("WAV round-trip: real container encode, real decode, formula-exact features") {
+    val ids = Seq(0L, 1L, 5L, 42L)
+    val clips = Multimodal.syntheticWavFrame(ids.toDF("doc_id"), "doc_id")
+    // the payload is a genuine RIFF/WAVE stream, not raw PCM
+    val first = clips.orderBy("media_id").head()
+    assert(new String(first.payload.take(4), "US-ASCII") == "RIFF")
+    assert(new String(first.payload.slice(8, 12), "US-ASCII") == "WAVE")
+    val feats = Multimodal.decodeAudio(clips).collect()
+      .map(f => f.media_id -> f).toMap
+    ids.foreach { id =>
+      val f = feats(id)
+      val n = Multimodal.framesOf(id)
+      assert(f.sample_rate == 8000 && f.channels == 2)
+      assert(f.n_frames == n && f.duration_ms == n * 1000L / 8000)
+      // decode ∘ encode = identity on PCM, so RMS equals the formula's
+      def rms(s: Int => Int): Double =
+        math.sqrt((0 until n).map(t => s(t).toLong * s(t)).sum.toDouble / n)
+      assert(f.rms_l == rms(t => Multimodal.pcmL(id, t)),
+        s"clip $id left-channel RMS diverged from the sample formula")
+      assert(f.rms_r == rms(t => Multimodal.pcmR(id, t)))
+    }
+  }
+
+  test("audio decode fails loudly on an undecodable payload") {
+    val bad = Seq(Multimodal.MediaRow(9L, "audio", Array[Byte](0, 1, 2, 3),
+      0, 0, 8000, 0L)).toDS()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.decodeAudio(bad).collect())
+    assert(e.getMessage.contains("media_id=9") ||
+      Option(e.getCause).exists(_.getMessage.contains("media_id=9")))
+  }
 }
