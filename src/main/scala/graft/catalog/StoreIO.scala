@@ -232,8 +232,20 @@ private[graft] object StoreIO {
     }
     def createExclusive(p: Path, b: Array[Byte]): Unit = {
       // overwrite = false: atomic at the HDFS NameNode; see trait doc for
-      // the S3 caveat. Normalize the failure type so call sites catch ONE
-      // exception across backends.
+      // the S3 caveat. NOT atomic on the local scheme: RawLocalFileSystem
+      // implements create(overwrite = false) as an exists CHECK followed
+      // by an open — two racers can both pass the check and both "win"
+      // (observed live under suite load: both claimed data_v1 and
+      // collided in _temporary). Real HDFS does not have this hole, so
+      // the forced-backend CI seam must not either: local paths route
+      // through java.nio O_CREAT|O_EXCL, which IS the claimed semantic.
+      if (fs.getScheme == "file") {
+        Files.write(java.nio.file.Paths.get(p.toUri.getPath), b,
+          StandardOpenOption.CREATE_NEW)
+        return
+      }
+      // Normalize the failure type so call sites catch ONE exception
+      // across backends.
       val out =
         try fs.create(p, false)
         catch { case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
