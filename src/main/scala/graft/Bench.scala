@@ -217,5 +217,9 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"bench_summary":{"total_sec":${f"$total%.2f"},"total_steady_sec":${f"$totalSteady%.2f"},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest10":$slowest,"slowest10_diag":$slowDiag,"runs":$effRuns,"clean":$clean,$envJson,"sf":"$sfDir"}}""")
     spark.stop()
+    // both JSON lines are on stdout by here; a non-daemon straggler
+    // thread must not wedge the driver's bench step (see Verify)
+    System.out.flush()
+    sys.exit(0)
   }
 }

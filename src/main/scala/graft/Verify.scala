@@ -73,5 +73,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Exit EXPLICITLY: every output is flushed by here, and a single
+    // non-daemon straggler thread (observed once after a full sf1 sweep:
+    // all 135 dumps + the oracle JSON written, JVM alive 30+ minutes
+    // past spark.stop()) must not wedge the caller's gate.
+    sys.exit(0)
   }
 }

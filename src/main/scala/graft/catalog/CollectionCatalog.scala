@@ -315,6 +315,29 @@ final class CollectionCatalog(
     val df = spark.read.parquet(path)
     require(df.columns.contains("id"),
       s"import source at $path carries no 'id' column")
+    // a parquet export carries the source collection's identity sidecars
+    // (see [[Collection.export]]): space + metadata from
+    // `_graft_meta.json` fill whatever the CALLER left at defaults
+    // (explicit args win, per-key for metadata), and a fitted embedding
+    // model restores with its binding so the import can queryText. An
+    // export-less plain parquet dir imports exactly as before.
+    val exportedMetaPath = new Path(path, Collection.ExportMetaName)
+    val exported: Option[CollectionMeta] =
+      if (io.exists(exportedMetaPath))
+        Some(CollectionMeta.fromJson(
+          new String(io.readBytes(exportedMetaPath), StandardCharsets.UTF_8)))
+      else None
+    val effMetadata = exported.map(_.metadata).getOrElse(Map.empty) ++ metadata
+    val effSpace =
+      if (space != "l2") resolvedSpace(space, metadata)
+      else exported.map(_.space).getOrElse(resolvedSpace(space, metadata))
+    val exportedSidecar = new Path(path, Collection.EmbedderSidecar)
+    if (effMetadata.get("embedding_function")
+        .exists(_.startsWith(graft.operators.Embedder.TfIdfV1Prefix)))
+      require(io.exists(exportedSidecar),
+        s"import source records a fitted embedding function but carries no " +
+          s"${Collection.EmbedderSidecar} sidecar — the model cannot be " +
+          "reconstructed from the name; re-export the source collection")
     // Reject-safe adoption (same pattern as forkCollection): the load runs
     // against a dot-prefixed temp sibling and lands via ONE atomic rename,
     // so a rejected source (duplicate ids, ragged dims — add()'s gates) or
@@ -326,8 +349,10 @@ final class CollectionCatalog(
     val tmpDir = new Path(root, s".import-tmp-$name")
     if (io.exists(tmpDir)) io.deleteRecursively(tmpDir)
     io.mkdirs(tmpDir)
-    writeMeta(tmpDir, CollectionMeta(name, resolvedSpace(space, metadata), 0,
-      metadata, numBuckets))
+    writeMeta(tmpDir, CollectionMeta(name, effSpace, 0, effMetadata, numBuckets))
+    if (io.exists(exportedSidecar))
+      io.writeBytes(new Path(tmpDir, Collection.EmbedderSidecar),
+        io.readBytes(exportedSidecar))
     try new Collection(spark, io, tmpDir, maxRowsPerFile).add(df)
     catch { case e: Throwable =>
       // reclaim eagerly on a CAUGHT rejection (a crash leaves the temp for
@@ -1948,7 +1973,21 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
   def export(path: String, format: String = "parquet"): Unit = {
     val df = toDF
     format match {
-      case "parquet" => df.write.mode("overwrite").parquet(path)
+      case "parquet" =>
+        df.write.mode("overwrite").parquet(path)
+        // identity sidecars ride the parquet export (underscore names —
+        // both Spark and DuckDB parquet readers skip them as metadata):
+        // space + metadata travel in `_graft_meta.json`, and a fitted
+        // embedding model in `_embedder.txt` — without them an exported
+        // collection imports as data-only and loses queryText (the
+        // binding names a model only the source collection held)
+        val m = meta
+        io.writeBytes(new Path(path, Collection.ExportMetaName),
+          CollectionMeta.toJson(m).getBytes(StandardCharsets.UTF_8))
+        val sidecar = new Path(dir, Collection.EmbedderSidecar)
+        if (io.exists(sidecar))
+          io.writeBytes(new Path(path, Collection.EmbedderSidecar),
+            io.readBytes(sidecar))
       case "json" => df.write.mode("overwrite").json(path)
       case "csv" =>
         val flat = df.columns.foldLeft(df) { (acc, c) =>
@@ -2158,6 +2197,10 @@ object Collection {
     * rejected, and a sidecar that disagrees with the committed
     * fingerprint fails loudly at resolution. */
   val EmbedderSidecar = "_embedder.txt"
+
+  /** Collection-identity sidecar of a parquet [[Collection.export]]
+    * (underscore name — parquet readers skip it as metadata). */
+  val ExportMetaName = "_graft_meta.json"
 
   /** Fingerprint pairing committed data with the model that embedded it
     * (first 8 SHA-256 bytes of the sidecar text, hex). */

@@ -686,6 +686,43 @@ class CollectionSpec extends SparkTestBase {
     intercept[IllegalStateException](cat.getOrCreateCollection("unbound").refit())
   }
 
+  test("parquet export/import carries collection identity: space, metadata, fitted model") {
+    import graft.operators.TfIdfSrpEmbedder
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "coll-xpid").toString
+    val cat = new CollectionCatalog(spark, root, numBuckets = 4)
+    val docs = Seq(("1", "alpha beta"), ("2", "beta gamma"), ("3", "alpha delta"))
+      .toDF("id", "document")
+    val src = cat.getOrCreateCollection("src", metadata = Map("team" -> "ml"))
+    val ef = TfIdfSrpEmbedder.fit(docs, "document", dim = 8, vocabSize = 4)
+    src.addDocuments(docs, ef)
+    src.export(s"$root/xp", "parquet")
+    val back = cat.importCollection("dst", s"$root/xp")
+    // identity traveled: space, user metadata, binding AND the model
+    assert(back.space == "l2")
+    assert(back.meta.metadata("team") == "ml")
+    assert(back.meta.metadata("embedding_function") == ef.name)
+    def hits(c: graft.catalog.Collection) = c.queryText(Seq("alpha"), k = 3)
+      .select("rnk", "id").as[(Int, String)].collect().toSeq.sorted
+    assert(hits(back) == hits(src),
+      "the imported collection must answer queryText like the source")
+    // explicit caller args still win over the exported identity, per key
+    val over = cat.importCollection("dst2", s"$root/xp",
+      metadata = Map("team" -> "search"))
+    assert(over.meta.metadata("team") == "search")
+    assert(over.meta.metadata("embedding_function") == ef.name)
+    // a tampered export (model sidecar removed) fails loudly at import,
+    // not later as garbage distances
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "xp", "_embedder.txt"))
+    val e = intercept[IllegalArgumentException](
+      cat.importCollection("dst3", s"$root/xp"))
+    assert(e.getMessage.contains("sidecar"))
+    // an export-less plain parquet dir still imports as before
+    docs.write.mode("overwrite").parquet(s"$root/plain-src")
+    assert(cat.importCollection("plain", s"$root/plain-src").count() == 3)
+  }
+
   test("dot-prefixed collection names are rejected at creation/fork/rename") {
     val cat = freshCatalog()
     // reserved for in-flight build temps — an admitted dot name would be
