@@ -738,6 +738,29 @@ object SparkEntry {
         .select(col("lang"), explode(split(col("text"), " ")).as("tk"))
       Sketches.kmvDistinct(tok, "lang", col("tk"), k = 16).orderBy("lang")
     }),
+    // Count-min sketch heavy-hitter estimates: the corpus token stream
+    // collapses to a d×w integer table (map-side-combinable groupBy,
+    // final exchange ≤ d·w rows), then point estimates for a probe list
+    // read min-over-rows from the finished sketch — the 100 TB
+    // frequency-question shape where an exact vocabulary groupBy would
+    // shuffle vocabulary-sized state. Every hash is the portable
+    // strHash→clamp→spread chain, so build AND estimates replay
+    // integer-exact in the oracle (est is an upper bound on exact_cnt —
+    // both columns emitted, so the CMS guarantee itself is under test).
+    "q135_cms_heavyhitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(
+        explode(filter(split(lower(col("text")), "\\s+"),
+          x => x =!= lit(""))).as("tok"))
+      val sketch = Sketches.countMinSketch(toks, col("tok"), d = 4, w = 256)
+      val probes = Seq("the", "vector", "table", "spark", "zzz-never-seen")
+      val est = Sketches.countMinEstimate(sketch, probes, d = 4, w = 256)
+      val exact = toks.groupBy(col("tok").as("token"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("token"), "left")
+        .na.fill(0L, Seq("exact_cnt"))
+        .select(col("token"), col("est"), col("exact_cnt"))
+        .orderBy("token")
+    }),
     // Winnowing overlap pairs — the MOSS decision surface. DECLARED
     // BOUNDED VERIFY PRIMITIVE (like q28/q29): all-pairs over a FIXED
     // sample (mod-50 within doc_id < 5000 — the q88 lesson: a sample
@@ -2444,6 +2467,35 @@ object SparkEntry {
          |  CASE WHEN n_kept < 16 THEN CAST(n_kept AS DOUBLE)
          |       ELSE ROUND(${15.0 * 1000000007.0} / CAST(h_k AS DOUBLE), 6) END AS est
          |FROM a ORDER BY lang""".stripMargin,
+    // q135: the count-min build AND its point estimates replayed
+    // integer-exact — same strHash→31-bit-clamp→spread chain as the
+    // mixture/embedding oracles, folded per CMS row multiplicatively
+    // (the TfIdf sign construction) before mod-w. MIN over a LEFT-joined
+    // cell count (COALESCE 0) mirrors the engine's missing-cell rule.
+    "q135_cms_heavyhitters" -> {
+      def cell(h: String, r: String) =
+        s"(((($h * ($r + 1) + $r) % 2147483647) * 2654435761) % 1000000007) % 256"
+      val th = sqlStrHash("tm")
+      val ph = sqlStrHash("p.token")
+      s"""WITH tk AS (SELECT tm FROM
+         |        (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |         FROM documents) WHERE length(tm) > 0),
+         |rows_ AS (SELECT unnest(range(4)) AS r),
+         |cells AS (SELECT r.r AS r, ${cell(th, "r.r")} AS cell, COUNT(*) AS cnt
+         |          FROM tk CROSS JOIN rows_ r GROUP BY 1, 2),
+         |probes(token) AS (VALUES ('the'), ('vector'), ('table'), ('spark'),
+         |                         ('zzz-never-seen')),
+         |pc AS (SELECT p.token, r.r AS r, ${cell(ph, "r.r")} AS cell
+         |       FROM probes p CROSS JOIN rows_ r),
+         |est AS (SELECT pc.token, MIN(COALESCE(c.cnt, 0)) AS est
+         |        FROM pc LEFT JOIN cells c ON c.r = pc.r AND c.cell = pc.cell
+         |        GROUP BY pc.token),
+         |ex AS (SELECT tm AS token, COUNT(*) AS exact_cnt FROM tk GROUP BY tm)
+         |SELECT e.token, CAST(e.est AS BIGINT) AS est,
+         |       CAST(COALESCE(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
+         |FROM est e LEFT JOIN ex x ON x.token = e.token
+         |ORDER BY e.token""".stripMargin
+    },
     // q104: the q102 fingerprint chain over the sampled docs, then
     // list_intersect sizes on a.id < b.id pairs
     "q104_winnow_overlap" ->

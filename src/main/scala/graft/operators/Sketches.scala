@@ -100,4 +100,58 @@ object Sketches {
           .as("union_est"))
       .withColumn("inter_est", round(col("j") * col("union_est"), 6))
   }
+
+  /** Row-decorrelated cell of token `t` in CMS row `r` of width `w`:
+    * the [[graft.expressions.TfIdfModel.signOf]] construction (fold the
+    * row in MULTIPLICATIVELY before the nonlinear spread — per-row
+    * hashes of one token must not be linearly related), reduced mod the
+    * row width. All inputs non-negative, every intermediate < 2⁶³, so
+    * the arithmetic replays exactly in plain SQL on any engine. */
+  private def cmsCell(t: Column, r: Int, w: Int): Column =
+    pmod(pmod(pmod(graft.expressions.GraftExtensions.strHash(t)
+          * lit((r + 1).toLong) + lit(r.toLong),
+        lit(2147483647L)) * lit(2654435761L), lit(1000000007L)),
+      lit(w.toLong)).cast("int")
+
+  /** Count-min sketch build (Cormode & Muthukrishnan 2005) over a token
+    * column: `d` independent hash rows × `w` cells, each cell the count
+    * of tokens hashing into it. THE frequency structure for heavy-hitter
+    * / stopword / rare-token questions over a 100 TB token stream: the
+    * corpus collapses into d·w integers regardless of size (the groupBy
+    * partial-aggregates map-side, the final exchange carries ≤ d·w
+    * rows), and the finished sketch ships anywhere — estimates never
+    * touch the corpus again. Point estimates ([[countMinEstimate]]) are
+    * upper bounds (collisions only ADD), within εN of truth with the
+    * usual (d, w) guarantees.
+    *
+    * Integer-exact end to end (portable string hash → 31-bit clamp →
+    * multiplicative spread → mod w), so the whole sketch — build AND
+    * estimates — replays in the DuckDB oracle, unlike library CMS
+    * implementations whose murmur seeds cannot be reproduced in SQL. */
+  def countMinSketch(tokens: DataFrame, tokenCol: Column, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 8, s"CMS depth must be in 1..8, got $d")
+    require(w >= 2, s"CMS width must be >= 2, got $w")
+    tokens.select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), cmsCell(tokenCol, r, w).as("cell"))): _*)).as("rc"))
+      .select(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point estimates for `probes`: min over the d probed cells, a
+    * missing cell reading 0 (absent tokens estimate 0 unless every row
+    * collides). The probe side is a handful of literals — broadcast onto
+    * the d·w-row sketch, nothing corpus-sized anywhere. */
+  def countMinEstimate(sketch: DataFrame, probes: Seq[String],
+      d: Int, w: Int): DataFrame = {
+    require(probes.nonEmpty, "countMinEstimate needs at least one probe token")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    probes.toDF("token")
+      .select(col("token"), explode(array((0 until d).map(r =>
+          struct(lit(r).as("r"), cmsCell(col("token"), r, w).as("cell"))): _*)).as("rc"))
+      .select(col("token"), col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .join(sketch, Seq("r", "cell"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("token").agg(min("cnt").as("est"))
+  }
 }

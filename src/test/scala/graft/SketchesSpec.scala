@@ -68,4 +68,33 @@ class SketchesSpec extends SparkTestBase {
     assert(math.abs(u - 6000.0) / 6000.0 < 0.5, s"union estimate $u too far")
     assert(math.abs(inter - 2000.0) / 2000.0 < 0.7, s"inter estimate $inter too far")
   }
+
+  test("count-min sketch: never undercounts, exact when collision-free, absent reads 0") {
+    // 20 tokens with known frequencies: tok_i appears i+1 times
+    val toks = (0 until 20).flatMap(i => Seq.fill(i + 1)(s"tok_$i")).toDF("t")
+    val exact = (0 until 20).map(i => s"tok_$i" -> (i + 1).toLong).toMap
+    val probes = exact.keys.toSeq :+ "absent-token"
+    // wide sketch (w >> vocab): collisions are possible but unlikely per
+    // row, and with d=4 rows the MIN recovers the exact count
+    val wide = Sketches.countMinSketch(toks, col("t"), d = 4, w = 4096)
+    val wideEst = Sketches.countMinEstimate(wide, probes, d = 4, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(wideEst(t) == n, s"$t: wide-sketch estimate ${wideEst(t)} != exact $n")
+    }
+    assert(wideEst("absent-token") == 0L)
+    // narrow sketch (w < vocab forces collisions): the CMS guarantee is
+    // one-sided — estimates may exceed but NEVER undercount
+    val narrow = Sketches.countMinSketch(toks, col("t"), d = 2, w = 8)
+    val narrowEst = Sketches.countMinEstimate(narrow, probes, d = 2, w = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(narrowEst(t) >= n, s"$t: CMS undercounted ${narrowEst(t)} < $n")
+    }
+    // total mass conservation per row: every row's cells sum to N tokens
+    val n = toks.count()
+    val perRow = narrow.groupBy("r").agg(sum("cnt").as("s"))
+      .select("s").as[Long].collect()
+    assert(perRow.length == 2 && perRow.forall(_ == n))
+  }
 }
