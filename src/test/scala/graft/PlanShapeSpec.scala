@@ -379,4 +379,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"cohorting is min-agg + counts, never a per-user window sort:\n$p")
   }
+
+  test("q135 CMS: build combines map-side; the probe join broadcasts onto the sketch") {
+    val p = plan("q135_cms_heavyhitters")
+    // the corpus-sized token stream must PARTIAL-aggregate before its
+    // exchange (the d·w-cell collapse is the whole point of the sketch)
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"CMS cell counts must combine map-side:\n$p")
+    // probes are a literal handful — their join against the sketch (and
+    // the exact-count side) must broadcast, never shuffle the corpus agg
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe lookups must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross products:\n$p")
+  }
 }
