@@ -37,7 +37,10 @@ private[graft] final case class DirEntry(path: Path, isDir: Boolean) {
   * Everything else (list/mkdirs/delete/read/write/copy) has identical
   * semantics on both backends.
   */
-private[graft] sealed trait StoreIO {
+// not sealed: package-internal already, nothing matches exhaustively on
+// it, and the commit-coordinator spec needs a deliberately-broken
+// (S3-shaped check-then-act) test double
+private[graft] trait StoreIO {
   def exists(p: Path): Boolean
   def isDir(p: Path): Boolean
   def mkdirs(p: Path): Unit

@@ -3,6 +3,7 @@ package graft.catalog
 import java.util.concurrent.{CountDownLatch, TimeUnit}
 import java.util.concurrent.atomic.AtomicInteger
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
@@ -28,6 +29,65 @@ class CommitCoordinatorSpec extends SparkTestBase {
       acquisitions.incrementAndGet()
       inner.withLock(key)(body)
     }
+  }
+
+  test("the coordinator turns an S3-shaped non-atomic create into a real CAS") {
+    // An S3-shaped backend: createExclusive is check-THEN-act with a
+    // window a racer can enter (exactly RawLocalFileSystem's hole, and
+    // the semantics the Hadoop API exposes on S3). The barrier parks
+    // BOTH racers between their exists checks and their writes, so
+    // without coordination the race is not flaky — it is certain.
+    final class NonAtomicIO(inner: StoreIO) extends StoreIO {
+      val inWindow = new java.util.concurrent.CyclicBarrier(2)
+      def createExclusive(p: Path, b: Array[Byte]): Unit = {
+        val exists = inner.exists(p)
+        // both racers reach here before either writes
+        try inWindow.await(5, TimeUnit.SECONDS)
+        catch { case _: java.util.concurrent.TimeoutException => ()
+          case _: java.util.concurrent.BrokenBarrierException => () }
+        if (exists) throw new java.nio.file.FileAlreadyExistsException(p.toString)
+        inner.writeBytes(p, b)
+      }
+      def createDirExclusive(p: Path): Unit = createExclusive(new Path(p, ".claim"), Array.emptyByteArray)
+      def exists(p: Path) = inner.exists(p)
+      def isDir(p: Path) = inner.isDir(p)
+      def mkdirs(p: Path) = inner.mkdirs(p)
+      def list(p: Path) = inner.list(p)
+      def deleteRecursively(p: Path) = inner.deleteRecursively(p)
+      def deleteIfExists(p: Path) = inner.deleteIfExists(p)
+      def readBytes(p: Path) = inner.readBytes(p)
+      def writeBytes(p: Path, b: Array[Byte]) = inner.writeBytes(p, b)
+      def replace(src: Path, dst: Path) = inner.replace(src, dst)
+      def moveDir(src: Path, dst: Path) = inner.moveDir(src, dst)
+      def modTime(p: Path) = inner.modTime(p)
+      def carryFile(src: Path, dst: Path) = inner.carryFile(src, dst)
+    }
+    def race(io: StoreIO, p: Path): Seq[Boolean] = {
+      val wins = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val ts = (0 until 2).map(i => new Thread(() => {
+        try { io.createExclusive(p, s"writer$i".getBytes); wins.add(true) }
+        catch { case _: java.nio.file.FileAlreadyExistsException => wins.add(false) }
+      }))
+      ts.foreach(_.start()); ts.foreach(_.join(10000))
+      import scala.jdk.CollectionConverters._
+      wins.iterator.asScala.toSeq
+    }
+    val root = new Path(tmpDir("coord-s3sim"))
+    // WITHOUT coordination: both racers win — the silent double-claim S3
+    // would permit (this is the certainty the caveat describes)
+    val bare = new NonAtomicIO(new StoreIO.Local)
+    assert(race(bare, new Path(root, "claim-bare")).count(w => w) == 2,
+      "the S3-shaped backend must exhibit the double-win without coordination")
+    // WITH the coordinator wrapped around the same store: exactly one
+    // wins. Note what this proves: Coordinated never touches the store's
+    // (broken) exclusive create at all — it composes the lock with plain
+    // exists+write, the two primitives EVERY store has, which is exactly
+    // how an external coordinator makes S3 safe without asking the store
+    // for atomicity it cannot give.
+    val fixed = new StoreIO.Coordinated(
+      new NonAtomicIO(new StoreIO.Local), new CommitCoordinator.InMemory)
+    assert(race(fixed, new Path(root, "claim-coord")).count(w => w) == 1,
+      "the coordinator must turn check-then-act into winner-take-one")
   }
 
   test("unknown coordinator name fails LOUDLY at catalog construction") {
