@@ -47,7 +47,10 @@ object Recall {
         one(Ann.recallAtK(run("q69_quantized_knn"), exactExcl, "vec_id")),
       "q60_collection_ivf_knn" ->
         one(Ann.recallAtK(run("q60_collection_ivf_knn").select(col("id")),
-          exactAll.select(col("vec_id").cast("string").as("id")), "id")))
+          exactAll.select(col("vec_id").cast("string").as("id")), "id")),
+      "q136_pq_adc_knn" ->
+        one(Ann.recallAtK(run("q136_pq_adc_knn").select(col("vec_id")),
+          exactExcl, "vec_id")))
 
     val bounded = emb.filter(col("vec_id") < pairCap)
     // the exact all-pairs join is the expensive side — cache the pair keys

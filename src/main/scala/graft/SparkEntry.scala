@@ -2097,6 +2097,25 @@ object SparkEntry {
           round(col("mean_byte"), 4).as("mean_byte"))
         .orderBy("media_id")
     }),
+    // Product quantization, the memory-side ANN scale path (IVF prunes
+    // WHICH rows, PQ shrinks WHAT each row costs — 64 floats → 8 codes
+    // here, a 32× cut): seeded codebooks (subvectors of rows 1..16),
+    // argmin-L2 encode, ADC shortlist from the code table alone, exact
+    // cosine re-rank of the fetchN=30 survivors. Genuinely approximate —
+    // yet seeds + element-order folds + round-to-6 decimal ADC sums make
+    // encode, the lookup table, and BOTH ranking stages replay
+    // value-for-value in the DuckDB oracle. m=8 (8-wide subspaces), the
+    // config PqSpec measures at recall 9/10 on this corpus at fetchN=50.
+    "q136_pq_adc_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Ann.buildPqSeeded(emb, "vec_id", "embedding",
+        dim = 64, m = 8, seedIds = 1L to 16L)
+      val encoded = Ann.pqEncode(emb, "embedding", model)
+      Ann.queryPqRefined(encoded, emb, model, "vec_id", "embedding",
+          headVec(emb, 0), k = 10, fetchN = 30, space = "cosine",
+          excludeIds = Seq(0L))
+        .select(col("vec_id"), col("adc"), col("dist"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3788,6 +3807,41 @@ object SparkEntry {
          |         WHERE a.cell IN (SELECT cell FROM pc) AND a.vec_id <> 0),
          |dd AS (SELECT vec_id, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
          |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM dd
+         |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
+    // q136: the full PQ pipeline replayed — per-subspace codebooks from
+    // seed rows 1..16 (code = vec_id − 1), argmin-L2 encode (ties to the
+    // lowest code), the query's ADC lookup table, the order-free
+    // round-to-6 DECIMAL ADC fold, the fetchN=30 shortlist, and the
+    // exact-cosine re-rank — every stage value-identical to the Spark
+    // side because every distance folds in element order.
+    "q136_pq_adc_knn" ->
+      s"""WITH sub AS (SELECT unnest(range(8)) AS s),
+         |cb AS (SELECT sub.s AS s, CAST(e.vec_id - 1 AS INTEGER) AS code,
+         |              list_transform(range(8), j -> e.embedding[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS cv
+         |       FROM embeddings e, sub WHERE e.vec_id BETWEEN 1 AND 16),
+         |rs AS (SELECT sub.s AS s, e.vec_id AS vec_id,
+         |              list_transform(range(8), j -> e.embedding[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS rv
+         |       FROM embeddings e, sub),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |          SELECT r.vec_id AS vec_id, r.s AS s, c.code AS code,
+         |                 row_number() OVER (PARTITION BY r.vec_id, r.s
+         |                                    ORDER BY ${sqlL2("r.rv", "c.cv")}, c.code) AS rn
+         |          FROM rs r JOIN cb c ON c.s = r.s) WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qs AS (SELECT sub.s AS s,
+         |              list_transform(range(8), j -> q.qe[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS qv
+         |       FROM q, sub),
+         |lut AS (SELECT c.s AS s, c.code AS code, ROUND(${sqlL2("qs.qv", "c.cv")}, 6) AS d6
+         |        FROM cb c JOIN qs ON qs.s = c.s),
+         |adc AS (SELECT e.vec_id AS vec_id,
+         |               CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS adc
+         |        FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+         |        WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+         |short AS (SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 30),
+         |ref AS (SELECT sh.vec_id AS vec_id, sh.adc AS adc,
+         |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
+         |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
+         |SELECT vec_id, adc, ROUND(dist_raw, 4) AS dist FROM ref
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
     // q92: the cross-frame minhash/banding chain replayed per side (the
     // q54 machinery with batch/corpus sources), exact precedence over

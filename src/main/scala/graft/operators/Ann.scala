@@ -264,6 +264,136 @@ object Ann {
       .select(col(idCol),
         dequantizeInt8(struct(col("codes"), col("scale"))).as(vecCol))
 
+  // ---- Product quantization (Jégou, Douze & Schmid, TPAMI 2011) ----
+  //
+  // IVF prunes WHICH rows a query reads; PQ shrinks WHAT each row costs.
+  // The vector splits into `m` subspaces; each subspace keeps a small
+  // codebook of `ksub` centroids, and a row stores only the m nearest-
+  // centroid codes — one small int per subspace instead of subDim floats
+  // (64-dim float32 at m=4: 256 B → 4 B, a 64× cut). A query builds an
+  // m × ksub lookup table of subspace distances ONCE (driver-side — it is
+  // m·ksub doubles, never distributed work), and every row's approximate
+  // distance is m table lookups + adds: the asymmetric distance
+  // computation (ADC) that makes a 100 TB embedding corpus scannable from
+  // codes alone. The standard two-stage read refines the ADC shortlist
+  // with exact distances over raw vectors fetched for fetchN rows only.
+  //
+  // Codebooks here are SEEDED from corpus rows (the buildIvfSeeded
+  // rationale: k-means always trains on a sample at scale, Lloyd rounds
+  // only polish partition quality) — so encode, the ADC table, and the
+  // refine stage all replay value-for-value in plain SQL on an
+  // independent engine. Every distance folds in element order; ADC sums
+  // round-to-6 DECIMAL partials, so the per-row fold is order-free.
+
+  /** PQ codebook set: `codebooks(s)(c)(j)` = element j of centroid c in
+    * subspace s. `dim = m * subDim`; `ksub = codebooks(s).length`. */
+  final case class PqModel(dim: Int, m: Int, codebooks: Array[Array[Array[Double]]]) {
+    require(m >= 1 && dim % m == 0, s"PQ dim $dim must divide into m=$m subspaces")
+    val subDim: Int = dim / m
+    def ksub: Int = codebooks(0).length
+  }
+
+  /** Train a seeded PQ codebook: subspace s's centroids are the s-th
+    * subvectors of the `seedIds` rows (in seed order — code c is seed c).
+    * The collect is ksub rows × dim doubles — bounded by construction. */
+  def buildPqSeeded(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, m: Int, seedIds: Seq[Any]): PqModel = {
+    require(seedIds.nonEmpty, "PQ needs at least one codebook seed row")
+    val seedRows = corpus.filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).cast("string"), col(vecCol).cast("array<double>")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    val subDim = dim / m
+    val cbs = Array.tabulate(m) { s =>
+      seedIds.map { sid =>
+        val v = seedRows.getOrElse(String.valueOf(sid),
+          sys.error(s"PQ seed id '$sid' not in corpus"))
+        require(v.length == dim, s"PQ seed '$sid' has dim ${v.length}, expected $dim")
+        v.slice(s * subDim, (s + 1) * subDim)
+      }.toArray
+    }
+    PqModel(dim, m, cbs)
+  }
+
+  /** Encode every row to its m nearest-subcentroid codes: `codes`
+    * ARRAY<INT> of length m — argmin squared-L2 per subspace, ties to the
+    * lowest code (the assignCells struct-ordering trick per subspace).
+    * Map-only pass, no shuffle: at 100 TB this is the ingestion-time scan
+    * that writes the code table. */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel): DataFrame = {
+    val codes = (0 until model.m).map { s =>
+      val sub = slice(col(vecCol), s * model.subDim + 1, model.subDim)
+      val scored = model.codebooks(s).zipWithIndex.map { case (cent, c) =>
+        struct(GraftExtensions.dist("l2")(sub, typedLit(cent.toSeq)).as("d"),
+          lit(c).as("code"))
+      }
+      array_min(array(scored.toIndexedSeq: _*)).getField("code")
+    }
+    df.withColumn("codes", array(codes: _*))
+  }
+
+  /** ADC lookup table for `query`: lut(s)(c) = squared L2 between the
+    * query's subvector s and codebook centroid c — the same element-order
+    * sequential double fold as the codegen'd distance expressions, so an
+    * oracle recomputing it in SQL lands on the same bits. */
+  def pqLut(model: PqModel, query: Seq[Float]): Array[Array[Double]] = {
+    require(query.length == model.dim,
+      s"query dim ${query.length} != PQ dim ${model.dim}")
+    Array.tabulate(model.m) { s =>
+      model.codebooks(s).map { cent =>
+        var acc = 0.0; var j = 0
+        while (j < model.subDim) {
+          val d = query(s * model.subDim + j).toDouble - cent(j)
+          acc += d * d; j += 1
+        }
+        acc
+      }
+    }
+  }
+
+  /** ADC distance column over a [[pqEncode]]d frame: Σ_s lut[s][codes_s],
+    * each partial rounded to 6 then summed as DECIMAL — order-free, so
+    * the fold replays on any engine. The lut rides the plan as m ksub-
+    * element literal arrays (m lookups + adds per row — no join, no
+    * shuffle; the corpus is scanned from codes alone). */
+  def pqAdcCol(model: PqModel, lut: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    (0 until model.m).map { s =>
+      round(element_at(typedLit(lut(s).toSeq), col("codes").getItem(s) + 1), 6)
+        .cast(DecimalType(18, 6))
+    }.reduce(_ + _).cast(DecimalType(18, 6)).cast("double")
+  }
+
+  /** PQ top-k by ADC alone: (id, adc) for the k code-nearest rows, ties
+    * by id. TakeOrdered shape — per-partition heaps, never a global sort. */
+  def queryPqAdc(encoded: DataFrame, model: PqModel, idCol: String,
+                 query: Seq[Float], k: Int, excludeIds: Seq[Any] = Nil): DataFrame = {
+    val lut = pqLut(model, query)
+    val base = if (excludeIds.isEmpty) encoded
+               else encoded.filter(!col(idCol).isin(excludeIds: _*))
+    base.select(col(idCol), pqAdcCol(model, lut).as("adc"))
+      .orderBy(col("adc"), col(idCol)).limit(k)
+  }
+
+  /** Two-stage PQ read: ADC over codes shortlists `fetchN` candidates,
+    * then exact `space` distance over their RAW vectors re-ranks to k —
+    * the standard PQ recall recovery (fetchN raw-vector fetches instead
+    * of a corpus-wide scan). The shortlist is fetchN rows, so it
+    * BROADCASTS onto the raw-vector scan; output (id, adc, dist) rounds
+    * dist to 4 like every other kNN surface. */
+  def queryPqRefined(encoded: DataFrame, corpus: DataFrame, model: PqModel,
+                     idCol: String, vecCol: String, query: Seq[Float],
+                     k: Int, fetchN: Int, space: String = "l2",
+                     excludeIds: Seq[Any] = Nil): DataFrame = {
+    require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    val shortlist = queryPqAdc(encoded, model, idCol, query, fetchN, excludeIds)
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(shortlist), Seq(idCol))
+      .select(col(idCol), col("adc"),
+        graft.functions.Distances.bySpace(space)(col(vecCol), typedLit(query)).as("__d"))
+      .orderBy(col("__d"), col(idCol)).limit(k)
+      .select(col(idCol), col("adc"), round(col("__d"), 4).as("dist"))
+  }
+
   /** recall@k of an approximate kNN result against the exact one (same
     * query, same k): |approx ∩ exact| / |exact|. One row, `recall`
     * column; both inputs are k-row frames, so this is driver-cheap. */
