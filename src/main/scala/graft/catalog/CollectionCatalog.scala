@@ -551,6 +551,31 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
   private def bucketed(df: DataFrame): DataFrame =
     df.withColumn("pt", pmod(xxhash64(col("id")), lit(numBuckets)).cast("int"))
 
+  /** The pt buckets a literal id list can live in — the writer's own hash
+    * ([[bucketed]]'s xxhash64-of-id) evaluated driver-side per id, so a
+    * point read lists and scans ONLY the partition dirs that can hold its
+    * rows: at numBuckets=32 a one-id `get` touches 1 directory instead of
+    * 32 (and at 100 TB, 1/numBuckets of the corpus's files instead of all
+    * of them — parquet row-group stats prune WITHIN files, but only
+    * partition pruning prunes the listing itself). None (= scan all) when
+    * the stored id column is not STRING: the hash is type-sensitive, and
+    * a legacy non-string layout must stay correct over fast. */
+  private def ptBucketsOf(cur: DataFrame, ids: Seq[String]): Option[Seq[Int]] =
+    if (!cur.schema.fields.exists(f =>
+        f.name == "id" && f.dataType == org.apache.spark.sql.types.StringType)) None
+    else Some(ids.map { id =>
+      // Spark's own XxHash64 expression (same default seed 42 as the
+      // xxhash64() the write path uses), then Pmod's non-negative form —
+      // bit-for-bit the write hash, evaluated on the driver
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            id, org.apache.spark.sql.types.StringType)), 42L)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long]
+      val nb = numBuckets.toLong
+      (((h % nb) + nb) % nb).toInt
+    }.distinct)
+
   /** Read ONE committed version's rows WITH the `pt` column, resolving
     * carried buckets through its [[Carry]] manifest: each distinct
     * physical owner dir contributes one parquet read of exactly its owned
@@ -1149,7 +1174,13 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         keyResolver(cur0.drop("pt")))
       val cond = (byIds.toSeq ++ byPred.toSeq).reduceOption(_ && _)
       cond.foreach { c =>
-        val affected = cur0.filter(coalesce(c, lit(false)))
+        // id lists AND with the predicate, so the affected-bucket discovery
+        // scan itself prunes to the ids' own partitions (1/numBuckets of
+        // the listing for a point delete)
+        val scan0 =
+          if (ids.isEmpty) cur0
+          else ptBucketsOf(cur0, ids).fold(cur0)(pts => cur0.filter(col("pt").isin(pts: _*)))
+        val affected = scan0.filter(coalesce(c, lit(false)))
           .select("pt").distinct().collect().map(_.getInt(0)).toSet
         if (affected.nonEmpty) {
           val cur = cur0.filter(col("pt").isin(affected.toSeq: _*)).drop("pt")
@@ -1183,8 +1214,17 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     // fresh re-read for the index could adopt a newer version than the
     // data scan and confine it with the wrong posting lists
     val m = meta
-    var df = snapshotDF(m)
-    if (ids.nonEmpty) df = df.filter(col("id").isin(ids: _*))
+    // id point reads prune at the PARTITION level first: the id filter is
+    // verbatim on top, so pruning can only shrink IO, never the result
+    var df = if (ids.nonEmpty && currentDataOf(m).isDefined) {
+      val cur = currentWithPtOf(m)
+      ptBucketsOf(cur, ids)
+        .fold(cur)(pts => cur.filter(col("pt").isin(pts: _*)))
+        .drop("pt").filter(col("id").isin(ids: _*))
+    } else {
+      val base = snapshotDF(m)
+      if (ids.nonEmpty) base.filter(col("id").isin(ids: _*)) else base
+    }
     df = docIndexConfine(df, m, whereDoc)
     ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df))
       .foreach(p => df = df.filter(p))
