@@ -932,6 +932,33 @@ object SparkEntry {
       Retrieval.rrf(Seq(kw, vr), "id", "rnk")
         .orderBy(col("rrf").desc, col("id")).limit(20)
     }),
+    // Hybrid retrieval, score-aware form: min-max-normalized weighted
+    // fusion of the SCORES (not just ranks — the published alternative to
+    // q67's rrf) of the keyword top-50 and the vector top-50. Per-list
+    // min/max are single-row broadcast aggregates; normalization +
+    // weighting is IEEE-exact, so fused scores replay in the oracle.
+    "q137_hybrid_minmax" -> ((s, dir) => {
+      val kw = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "stream"), 50)
+        .select(col("id"), col("score"))
+      val qv = headVec(t(s, dir, "embeddings"), 0)
+      val vr = Knn.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          qv, 50, "cosine", excludeIds = Seq(0))
+        .select(col("vec_id").as("id"), (lit(1.0) - col("dist")).as("score"))
+      Retrieval.fuseMinMax(Seq(kw -> 0.4, vr -> 0.6), "id", "score")
+        .orderBy(col("fused").desc, col("id")).limit(20)
+    }),
+    // Corpus quantiles from a bottom-k hash sample (KMV on rows): the k=64
+    // smallest-key-hash rows are a uniform sample; nearest-rank quantiles
+    // over them estimate corpus quantiles with no global sort — the
+    // exchange carries <= k rows (WindowGroupLimit map-side prune). The
+    // sample membership is the portable spread hash, so the estimates
+    // replay value-for-value in the oracle.
+    "q138_bottomk_quantiles" -> ((s, dir) =>
+      Sketches.bottomKQuantiles(t(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), k = 64,
+          qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("q")),
     // Chunking: overlapping token windows — the chunk→embed→hydrate
     // precursor; map-only explode, every doc yields >= 1 chunk
     "q70_chunking" -> ((s, dir) =>
@@ -2901,6 +2928,43 @@ object SparkEntry {
          |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
          |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
     },
+    // q137: the min-max fusion replayed — per-list MIN/MAX over the same
+    // 50-row lists, the identical (s − mn)/(mx − mn) normalization
+    // (constant lists → 1), weights folded in the same written order
+    "q137_hybrid_minmax" -> {
+      val cos = s"1 - (${sqlDot("e.embedding", "q.qe")} / (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("q.qe", "q.qe")})))"
+      sqlBm25(50) + s""",
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vd AS (SELECT e.vec_id AS id, 1 - ($cos) AS score
+         |       FROM embeddings e, q WHERE e.vec_id <> 0),
+         |vr AS (SELECT id, score FROM vd ORDER BY 1 - score, id LIMIT 50),
+         |kmm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM kwtop),
+         |vmm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM vr),
+         |kn AS (SELECT id, 0.4 * (CASE WHEN mx = mn THEN 1.0
+         |                              ELSE (score - mn) / (mx - mn) END) AS c0
+         |       FROM kwtop, kmm),
+         |vn AS (SELECT id, 0.6 * (CASE WHEN mx = mn THEN 1.0
+         |                              ELSE (score - mn) / (mx - mn) END) AS c1
+         |       FROM vr, vmm)
+         |SELECT COALESCE(kn.id, vn.id) AS id,
+         |  ROUND(COALESCE(c0, 0) + COALESCE(c1, 0), 6) AS fused
+         |FROM kn FULL OUTER JOIN vn ON kn.id = vn.id
+         |ORDER BY fused DESC, id LIMIT 20""".stripMargin
+    },
+    // q138: the bottom-k sample replayed — same spread hash of the key,
+    // same (hash, value) sample order, same nearest-rank selection
+    "q138_bottomk_quantiles" ->
+      s"""WITH s AS (SELECT ${sqlSpreadHash("CAST(doc_id AS VARCHAR)")} AS h,
+         |                  CAST(n_chars AS DOUBLE) AS v FROM documents),
+         |samp AS (SELECT v FROM (SELECT v, row_number() OVER (ORDER BY h, v) AS rn
+         |                        FROM s) WHERE rn <= 64),
+         |ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM samp),
+         |n AS (SELECT COUNT(*) AS n_sample FROM samp),
+         |qq AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+         |SELECT q, n_sample, v AS est
+         |FROM qq CROSS JOIN n
+         |JOIN ranked ON ranked.rn = GREATEST(1, CAST(CEIL(q * n_sample) AS BIGINT))
+         |ORDER BY q""".stripMargin,
     "q65_label_centroid" ->
       """SELECT label, i AS pos,
         |  -- + 0.0 normalizes IEEE -0.0 (Spark's BigDecimal round drops

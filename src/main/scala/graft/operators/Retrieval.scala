@@ -97,6 +97,41 @@ object Retrieval {
     merged.select(col("id"), round(total, 6).as("rrf"))
   }
 
+  /** Min-max-normalized weighted score fusion — the score-aware hybrid
+    * combiner (Weaviate's "relative score fusion"; the main published
+    * alternative to rank-only [[rrf]], which discards score magnitudes):
+    * each list's scores normalize to [0,1] over THAT list via
+    * (s − min)/(max − min) — a constant-score list normalizes to 1
+    * (presence is full signal, and the 0/0 would otherwise NaN-poison the
+    * fusion) — then fused(id) = Σ_i wᵢ·normᵢ(id), absent ids contributing
+    * 0 from that list.
+    *
+    * 100 TB shape: per-list min/max are single-row aggregates that ride
+    * the plan and BROADCAST back onto their own list (never corpus-wide
+    * state); the outer merge joins the ≤topN ranked lists, not corpora.
+    * Arithmetic is subtract/divide/multiply — IEEE-exact — and the final
+    * Σ is a fixed-order written expression, so fused scores replay in
+    * SQL. Every input carries (idCol, scoreCol), higher = better. */
+  def fuseMinMax(ranked: Seq[(DataFrame, Double)], idCol: String,
+                 scoreCol: String): DataFrame = {
+    require(ranked.size >= 2, "fuseMinMax fuses at least two scored lists")
+    require(ranked.forall(_._2 >= 0), "fusion weights must be non-negative")
+    val contribs = ranked.zipWithIndex.map { case ((df, w), i) =>
+      val stats = df.agg(min(col(scoreCol)).as("__mn"), max(col(scoreCol)).as("__mx"))
+      df.select(col(idCol).as("id"), col(scoreCol).as("__s"))
+        .crossJoin(broadcast(stats))
+        .select(col("id"),
+          (lit(w) * when(col("__mx") === col("__mn"), lit(1.0))
+            .otherwise((col("__s") - col("__mn")) / (col("__mx") - col("__mn"))))
+            .as(s"c$i"))
+    }
+    val merged = contribs.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val total: Column = contribs.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduce(_ + _)
+    merged.select(col("id"), round(total, 6).as("fused"))
+  }
+
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998) — the
     * diversity-aware top-k every RAG stack layers over plain kNN (e.g.
     * LangChain's `max_marginal_relevance_search` on its Chroma wrapper):

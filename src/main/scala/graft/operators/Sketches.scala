@@ -137,6 +137,49 @@ object Sketches {
       .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Quantile estimates from a bottom-k hash sample (the KMV idea turned
+    * on rows: the k rows with the smallest key hashes are a uniform
+    * random sample, fixed-size regardless of corpus size — Cohen &
+    * Kaplan's bottom-k sketches, PODC 2007). Nearest-rank quantiles over
+    * that sample estimate the corpus quantiles with the usual ±O(1/√k)
+    * rank error; the 100 TB question shape is "median/p99 document
+    * length across the corpus" without any global sort.
+    *
+    * Scale shape: the rank ≤ k prunes map-side (WindowGroupLimit — each
+    * input partition forwards at most k rows, the same pushdown as
+    * [[kmvDistinct]]); every later stage operates on ≤ k rows. Nothing
+    * corpus-sized shuffles, nothing reaches the driver.
+    *
+    * Determinism: the sample membership is the portable spread hash of
+    * the KEY (not the value), so the same rows are sampled on any engine;
+    * rank selection is `max(1, ceil(q·n))` — integer-exact both sides.
+    * Output: (q, n_sample, est), one row per requested quantile.
+    */
+  def bottomKQuantiles(df: DataFrame, keyCol: Column, valueCol: Column,
+      k: Int, qs: Seq[Double],
+      hash: Column => Column = Mixture.spreadHash): DataFrame = {
+    require(k >= 2, s"bottom-k sampling needs k >= 2, got $k")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $qs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sampled = df
+      .select(hash(keyCol.cast("string")).as("__h"), valueCol.cast("double").as("v"))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__h"), col("v"))))
+      .filter(col("__rn") <= k)
+    // rank WITHIN the sample by value (ties share a value, so any order
+    // among them yields the same estimate); ≤ k rows from here on
+    val ranked = sampled
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+      .select(col("rn"), col("v"))
+    val n = sampled.agg(count(lit(1)).as("n_sample"))
+    qs.toDF("q")
+      .crossJoin(broadcast(n))
+      .withColumn("r", greatest(lit(1L), ceil(col("q") * col("n_sample"))))
+      .join(broadcast(ranked), col("r") === col("rn"))
+      .select(col("q"), col("n_sample"), col("v").as("est"))
+  }
+
   /** CMS point estimates for `probes`: min over the d probed cells, a
     * missing cell reading 0 (absent tokens estimate 0 unless every row
     * collides). The probe side is a handful of literals — broadcast onto

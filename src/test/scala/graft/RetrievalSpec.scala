@@ -85,4 +85,29 @@ class RetrievalSpec extends SparkTestBase {
       Retrieval.rrf(Seq(corpus), "doc_id", "text")
     }
   }
+
+  test("fuseMinMax normalizes per list, weights, and outer-merges") {
+    val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "score")
+    val b = Seq((2L, 5.0), (4L, 15.0)).toDF("id", "score")
+    val got = Retrieval.fuseMinMax(Seq(a -> 0.5, b -> 0.5), "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // a normalizes to {1:0, 2:0.5, 3:1}; b to {2:0, 4:1}
+    assert(got == Map(1L -> 0.0, 2L -> 0.25, 3L -> 0.5, 4L -> 0.5))
+  }
+
+  test("fuseMinMax: a constant-score list contributes full weight (no 0/0 NaN)") {
+    val a = Seq((1L, 7.0), (2L, 7.0)).toDF("id", "score")
+    val b = Seq((1L, 0.0), (2L, 1.0)).toDF("id", "score")
+    val got = Retrieval.fuseMinMax(Seq(a -> 0.3, b -> 0.7), "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.3, 2L -> 1.0))
+  }
+
+  test("fuseMinMax rejects single lists and negative weights") {
+    val a = Seq((1L, 1.0)).toDF("id", "score")
+    intercept[IllegalArgumentException] { Retrieval.fuseMinMax(Seq(a -> 1.0), "id", "score") }
+    intercept[IllegalArgumentException] {
+      Retrieval.fuseMinMax(Seq(a -> 1.0, a -> -0.1), "id", "score")
+    }
+  }
 }

@@ -97,4 +97,45 @@ class SketchesSpec extends SparkTestBase {
       .select("s").as[Long].collect()
     assert(perRow.length == 2 && perRow.forall(_ == n))
   }
+
+  test("bottom-k quantiles: estimates land within rank tolerance of exact quantiles") {
+    // values 1..1000 keyed by a string id: exact quantile q is ~1000q; the
+    // 64-row hash sample estimates it within the +-O(1/sqrt(k)) rank band
+    val rows = (1 to 1000).map(i => (s"key_$i", i)).toDF("id", "value")
+    val got = Sketches.bottomKQuantiles(rows, col("id"), col("value"),
+        k = 64, qs = Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got.foreach { case (q, (n, est)) =>
+      assert(n == 64L)
+      // 3/sqrt(64) = 0.375 rank tolerance -> generous but non-vacuous
+      assert(math.abs(est / 1000.0 - q) < 0.375, s"q=$q est=$est way off")
+    }
+  }
+
+  test("bottom-k quantiles: k >= corpus degenerates to exact nearest-rank") {
+    val rows = (1 to 10).map(i => (s"k$i", i * 10)).toDF("id", "value")
+    val got = Sketches.bottomKQuantiles(rows, col("id"), col("value"),
+        k = 100, qs = Seq(0.1, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    // nearest-rank over ALL 10 values: ceil(0.1*10)=1 -> 10,
+    // ceil(0.5*10)=5 -> 50, ceil(1.0*10)=10 -> 100
+    assert(got == Map(0.1 -> 10.0, 0.5 -> 50.0, 1.0 -> 100.0))
+  }
+
+  test("bottom-k quantiles: sample membership is deterministic across runs") {
+    val rows = (1 to 500).map(i => (s"d$i", i.toDouble)).toDF("id", "value")
+    def run() = Sketches.bottomKQuantiles(rows, col("id"), col("value"),
+      k = 32, qs = Seq(0.5)).select("est").as[Double].head()
+    assert(run() == run())
+  }
+
+  test("bottom-k quantiles rejects bad k and out-of-range quantiles") {
+    val rows = Seq(("a", 1)).toDF("id", "value")
+    intercept[IllegalArgumentException] {
+      Sketches.bottomKQuantiles(rows, col("id"), col("value"), 1, Seq(0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bottomKQuantiles(rows, col("id"), col("value"), 8, Seq(0.0))
+    }
+  }
 }
