@@ -2116,6 +2116,24 @@ object SparkEntry {
           round(col("rms_r"), 4).as("rms_r"))
         .orderBy("media_id")
     }),
+    // IVF-PQ, the canonical composed ANN (FAISS's IVFPQ): the corpus is
+    // cell-partitioned (q32's seeded IVF prunes WHICH rows) AND
+    // code-compressed (q136's PQ shrinks WHAT each pruned row costs) —
+    // ADC runs over the probed cells' codes only, then exact cosine
+    // re-ranks the fetchN=30 shortlist. Both layers' determinism tricks
+    // compose, so assignment, probe choice, encode, ADC and the final
+    // re-rank ALL replay in the DuckDB oracle.
+    "q139_ivfpq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = Ann.buildIvfSeeded(emb, "vec_id", "embedding", 0L until 8L)
+      val pq = Ann.buildPqSeeded(emb, "vec_id", "embedding",
+        dim = 64, m = 8, seedIds = 1L to 16L)
+      val encoded = Ann.pqEncode(ivf.assigned, "embedding", pq)
+      Ann.queryIvfPq(encoded, ivf, pq, emb, "vec_id", "embedding",
+          headVec(emb, 0), k = 10, nprobe = 2, fetchN = 30,
+          space = "cosine", excludeIds = Seq(0L))
+        .select(col("vec_id"), col("adc"), col("dist"))
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -3901,6 +3919,51 @@ object SparkEntry {
          |               CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS adc
          |        FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
          |        WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+         |short AS (SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 30),
+         |ref AS (SELECT sh.vec_id AS vec_id, sh.adc AS adc,
+         |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
+         |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
+         |SELECT vec_id, adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
+    // q139: q32's seeded-IVF assignment/probe CTEs composed with q136's
+    // PQ encode/lut/ADC CTEs — the ADC stage additionally confines to the
+    // probed cells via the assignment join, everything else verbatim
+    "q139_ivfpq_knn" ->
+      s"""WITH cct AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |             FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+         |cdist AS (SELECT e.vec_id AS vec_id, cct.cell AS cell,
+         |                 ${sqlL2("e.embedding", "cct.ce")} AS cd
+         |          FROM embeddings e, cct),
+         |asg AS (SELECT vec_id, cell FROM
+         |          (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |                                                   ORDER BY cd, cell) AS rn
+         |           FROM cdist) WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pc AS (SELECT cct.cell FROM cct, q
+         |       ORDER BY ${sqlL2("cct.ce", "q.qe")}, cct.cell LIMIT 2),
+         |sub AS (SELECT unnest(range(8)) AS s),
+         |cb AS (SELECT sub.s AS s, CAST(e.vec_id - 1 AS INTEGER) AS code,
+         |              list_transform(range(8), j -> e.embedding[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS cv
+         |       FROM embeddings e, sub WHERE e.vec_id BETWEEN 1 AND 16),
+         |rs AS (SELECT sub.s AS s, e.vec_id AS vec_id,
+         |              list_transform(range(8), j -> e.embedding[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS rv
+         |       FROM embeddings e, sub),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |          SELECT r.vec_id AS vec_id, r.s AS s, c.code AS code,
+         |                 row_number() OVER (PARTITION BY r.vec_id, r.s
+         |                                    ORDER BY ${sqlL2("r.rv", "c.cv")}, c.code) AS rn
+         |          FROM rs r JOIN cb c ON c.s = r.s) WHERE rn = 1),
+         |qs AS (SELECT sub.s AS s,
+         |              list_transform(range(8), j -> q.qe[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS qv
+         |       FROM q, sub),
+         |lut AS (SELECT c.s AS s, c.code AS code, ROUND(${sqlL2("qs.qv", "c.cv")}, 6) AS d6
+         |        FROM cb c JOIN qs ON qs.s = c.s),
+         |adc AS (SELECT e.vec_id AS vec_id,
+         |               CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS adc
+         |        FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+         |        JOIN asg a ON a.vec_id = e.vec_id
+         |        WHERE a.cell IN (SELECT cell FROM pc) AND e.vec_id <> 0
+         |        GROUP BY e.vec_id),
          |short AS (SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 30),
          |ref AS (SELECT sh.vec_id AS vec_id, sh.adc AS adc,
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw

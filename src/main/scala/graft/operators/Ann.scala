@@ -374,6 +374,62 @@ object Ann {
       .orderBy(col("adc"), col(idCol)).limit(k)
   }
 
+  /** Persist a PQ code table: (id, codes) parquet — m small ints per row
+    * instead of dim floats, the ingestion-time form of [[pqEncode]] (the
+    * 32× smaller scan every later ADC query pays instead of the raw
+    * corpus). Codebooks ride along as a sidecar (`_pq_codebooks.txt`:
+    * "s c v0 v1 …" per line) so later sessions query without the
+    * in-memory model. Map-only write, no shuffle. */
+  def writePq(encoded: DataFrame, idCol: String, model: PqModel, path: String): Unit = {
+    encoded.select(col(idCol), col("codes"))
+      .write.mode("overwrite").parquet(path)
+    val spark = encoded.sparkSession
+    val sidecar = new org.apache.hadoop.fs.Path(path, "_pq_codebooks.txt")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(sidecar, true)
+    val header = s"dim ${model.dim} m ${model.m}"
+    val lines = for {
+      s <- 0 until model.m; c <- 0 until model.ksub
+    } yield s"$s $c ${model.codebooks(s)(c).mkString(" ")}"
+    try out.write((header +: lines).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read back a [[writePq]] layout: (code table, model). LOUD on a
+    * missing or malformed sidecar — codes are meaningless without their
+    * codebooks, so there is no partial-success read. */
+  def readPq(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, PqModel) = {
+    val sidecar = new org.apache.hadoop.fs.Path(path, "_pq_codebooks.txt")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(sidecar), s"PQ layout at $path has no _pq_codebooks.txt sidecar")
+    val in = fs.open(sidecar)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head.startsWith("dim "),
+      s"malformed PQ codebook sidecar at $path: bad header")
+    val header = lines.head.split(" ")
+    require(header.length == 4 && header(2) == "m",
+      s"malformed PQ codebook sidecar at $path: bad header '${lines.head}'")
+    val (dim, m) = (header(1).toInt, header(3).toInt)
+    val entries = lines.tail.map { line =>
+      val parts = line.split(" ")
+      ((parts(0).toInt, parts(1).toInt), parts.drop(2).map(_.toDouble))
+    }.toMap
+    val ksub = entries.keys.map(_._2).max + 1
+    require(entries.size == m * ksub,
+      s"malformed PQ codebook sidecar at $path: ${entries.size} entries for m=$m ksub=$ksub")
+    val cbs = Array.tabulate(m)(s => Array.tabulate(ksub)(c => entries((s, c))))
+    (spark.read.parquet(path), PqModel(dim, m, cbs))
+  }
+
   /** Two-stage PQ read: ADC over codes shortlists `fetchN` candidates,
     * then exact `space` distance over their RAW vectors re-ranks to k —
     * the standard PQ recall recovery (fetchN raw-vector fetches instead
@@ -385,13 +441,40 @@ object Ann {
                      k: Int, fetchN: Int, space: String = "l2",
                      excludeIds: Seq[Any] = Nil): DataFrame = {
     require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
-    val shortlist = queryPqAdc(encoded, model, idCol, query, fetchN, excludeIds)
+    refineExact(queryPqAdc(encoded, model, idCol, query, fetchN, excludeIds),
+      corpus, idCol, vecCol, query, k, space)
+  }
+
+  /** Exact re-rank of an ADC shortlist: fetch the shortlist rows' raw
+    * vectors (the shortlist BROADCASTS onto the corpus scan), exact
+    * `space` distance, top-k. */
+  private def refineExact(shortlist: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, query: Seq[Float],
+                          k: Int, space: String): DataFrame =
     corpus.select(col(idCol), col(vecCol))
       .join(broadcast(shortlist), Seq(idCol))
       .select(col(idCol), col("adc"),
         graft.functions.Distances.bySpace(space)(col(vecCol), typedLit(query)).as("__d"))
       .orderBy(col("__d"), col(idCol)).limit(k)
       .select(col(idCol), col("adc"), round(col("__d"), 4).as("dist"))
+
+  /** IVF-PQ, the canonical composition (FAISS's IVFPQ): the corpus is
+    * cell-PARTITIONED (IVF prunes which rows the query lists/reads) and
+    * code-COMPRESSED (PQ shrinks what each pruned row costs) — at 100 TB
+    * a query touches nprobe/nlist of the directories and reads m bytes
+    * per row in them, then re-ranks a bounded fetchN shortlist against
+    * raw vectors. `assignedEncoded` carries both layouts' columns
+    * (`cell`, `codes`) — in production the [[writeIvf]]-partitioned form
+    * of a [[pqEncode]]d corpus. */
+  def queryIvfPq(assignedEncoded: DataFrame, ivf: IvfModel, pq: PqModel,
+                 corpus: DataFrame, idCol: String, vecCol: String,
+                 query: Seq[Float], k: Int, nprobe: Int, fetchN: Int,
+                 space: String = "l2", excludeIds: Seq[Any] = Nil): DataFrame = {
+    require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    val cells = nearestCells(ivf, query, nprobe)
+    val pruned = assignedEncoded.filter(col("cell").isin(cells: _*))
+    refineExact(queryPqAdc(pruned, pq, idCol, query, fetchN, excludeIds),
+      corpus, idCol, vecCol, query, k, space)
   }
 
   /** recall@k of an approximate kNN result against the exact one (same

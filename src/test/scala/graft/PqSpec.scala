@@ -131,4 +131,52 @@ class PqSpec extends SparkTestBase {
         Seq.fill(64)(0f), k = 10, fetchN = 5)
     }
   }
+
+  test("writePq/readPq round-trip: same codes, same codebooks, same ADC ranking") {
+    val encoded = Ann.pqEncode(emb, "embedding", model)
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "pq").toString
+    Ann.writePq(encoded, "vec_id", model, dir)
+    val (back, m2) = Ann.readPq(spark, dir)
+    assert(m2.dim == model.dim && m2.m == model.m && m2.ksub == model.ksub)
+    (0 until model.m).foreach { s =>
+      (0 until model.ksub).foreach { c =>
+        assert(m2.codebooks(s)(c).toSeq == model.codebooks(s)(c).toSeq) } }
+    val q = emb.filter(col("vec_id") === 0L).select("embedding").as[Seq[Float]].head()
+    val a = Ann.queryPqAdc(encoded, model, "vec_id", q, 10, Seq(0L))
+      .as[(Long, Double)].collect().toSeq
+    val b = Ann.queryPqAdc(back, m2, "vec_id", q, 10, Seq(0L))
+      .as[(Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("readPq fails loudly on a missing or corrupt sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "pq-bad").toString
+    emb.limit(1).select("vec_id").write.mode("overwrite").parquet(dir)
+    intercept[IllegalArgumentException] { Ann.readPq(spark, dir) }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_pq_codebooks.txt"),
+      "garbage header\n0 0 1.0".getBytes)
+    intercept[IllegalArgumentException] { Ann.readPq(spark, dir) }
+  }
+
+  test("queryIvfPq: probing all cells equals plain PQ refine; fewer cells can only shrink") {
+    val m8 = Ann.buildPqSeeded(emb, "vec_id", "embedding", 64, 8, 1L to 16L)
+    val ivf = Ann.buildIvfSeeded(emb, "vec_id", "embedding", 0L until 4L)
+    val encoded = Ann.pqEncode(ivf.assigned, "embedding", m8)
+    val q = emb.filter(col("vec_id") === 0L).select("embedding").as[Seq[Float]].head()
+    val all = Ann.queryIvfPq(encoded, ivf, m8, emb, "vec_id", "embedding",
+        q, 10, nprobe = 4, fetchN = 50, space = "l2", excludeIds = Seq(0L))
+      .select("vec_id").as[Long].collect().toSeq
+    val plain = Ann.queryPqRefined(Ann.pqEncode(emb, "embedding", m8), emb, m8,
+        "vec_id", "embedding", q, 10, fetchN = 50, space = "l2", excludeIds = Seq(0L))
+      .select("vec_id").as[Long].collect().toSeq
+    // nprobe = nlist: the cell filter admits everything, so IVFPQ must
+    // reproduce the cell-less PQ pipeline exactly
+    assert(all == plain)
+    val pruned = Ann.queryIvfPq(encoded, ivf, m8, emb, "vec_id", "embedding",
+        q, 10, nprobe = 1, fetchN = 50, space = "l2", excludeIds = Seq(0L))
+      .select("vec_id").as[Long].collect().toSet
+    assert(pruned.size <= 10)
+  }
 }
