@@ -1311,6 +1311,33 @@ object SparkEntry {
       coll.query(headVec(emb, 0), 10, nprobe = 2)
         .select(col("id"), round(col("dist"), 4).as("dist"))
     }),
+    // The STORE-side IVF-PQ (q139's composition as a collection index):
+    // buildIndexPqSeeded writes the cell-partitioned build WITH a codes
+    // column + codebook sidecar; queryPq ADC-scans (id, codes) inside the
+    // probed cells — the embedding column stays unread until the fetchN
+    // refine — then exact-cosine re-ranks. Same hydrate-once fingerprint
+    // reuse as q60; ids are STRINGS here, so every tie-break is string
+    // order in both engines.
+    "q140_collection_pq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root)
+      val fp = s"pq1|$dir|n=${emb.count()}"
+      val reusable = cat.getCollection("pqidx").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
+      val coll = if (reusable) cat.getCollection("pqidx").get else {
+        cat.deleteCollection("pqidx")
+        val c = cat.getOrCreateCollection("pqidx", "cosine")
+        c.add(emb.select(col("vec_id").cast("string").as("id"),
+          col("embedding"), col("label")))
+        c.buildIndexPqSeeded((0L until 8L).map(_.toString),
+          (1L to 16L).map(_.toString), m = 8)
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      coll.queryPq(headVec(emb, 0), 10, nprobe = 2, fetchN = 30)
+        .select(col("id"), col("adc"), col("dist"))
+    }),
     // TRIPLE composition on one read (r8): a committed IVF index AND a
     // committed trigram-postings index AND a metadata `where` serve one
     // `query()` — cell pruning at the file listing, postings confinement
@@ -3970,6 +3997,52 @@ object SparkEntry {
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
          |SELECT vec_id, adc, ROUND(dist_raw, 4) AS dist FROM ref
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
+    // q140: q139's replay against the COLLECTION's PQ index — string ids
+    // (the store keys by string), NO self-exclusion (the collection query
+    // surface has none), every tie-break in string order
+    "q140_collection_pq_knn" ->
+      s"""WITH cct AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |             FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+         |cdist AS (SELECT e.vec_id AS vec_id, cct.cell AS cell,
+         |                 ${sqlL2("e.embedding", "cct.ce")} AS cd
+         |          FROM embeddings e, cct),
+         |asg AS (SELECT vec_id, cell FROM
+         |          (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |                                                   ORDER BY cd, cell) AS rn
+         |           FROM cdist) WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pc AS (SELECT cct.cell FROM cct, q
+         |       ORDER BY ${sqlL2("cct.ce", "q.qe")}, cct.cell LIMIT 2),
+         |sub AS (SELECT unnest(range(8)) AS s),
+         |cb AS (SELECT sub.s AS s, CAST(e.vec_id - 1 AS INTEGER) AS code,
+         |              list_transform(range(8), j -> e.embedding[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS cv
+         |       FROM embeddings e, sub WHERE e.vec_id BETWEEN 1 AND 16),
+         |rs AS (SELECT sub.s AS s, e.vec_id AS vec_id,
+         |              list_transform(range(8), j -> e.embedding[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS rv
+         |       FROM embeddings e, sub),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |          SELECT r.vec_id AS vec_id, r.s AS s, c.code AS code,
+         |                 row_number() OVER (PARTITION BY r.vec_id, r.s
+         |                                    ORDER BY ${sqlL2("r.rv", "c.cv")}, c.code) AS rn
+         |          FROM rs r JOIN cb c ON c.s = r.s) WHERE rn = 1),
+         |qs AS (SELECT sub.s AS s,
+         |              list_transform(range(8), j -> q.qe[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS qv
+         |       FROM q, sub),
+         |lut AS (SELECT c.s AS s, c.code AS code, ROUND(${sqlL2("qs.qv", "c.cv")}, 6) AS d6
+         |        FROM cb c JOIN qs ON qs.s = c.s),
+         |adc AS (SELECT e.vec_id AS vec_id,
+         |               CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS adc
+         |        FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+         |        JOIN asg a ON a.vec_id = e.vec_id
+         |        WHERE a.cell IN (SELECT cell FROM pc)
+         |        GROUP BY e.vec_id),
+         |short AS (SELECT vec_id, adc FROM adc
+         |          ORDER BY adc, CAST(vec_id AS VARCHAR) LIMIT 30),
+         |ref AS (SELECT CAST(sh.vec_id AS VARCHAR) AS id, sh.adc AS adc,
+         |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
+         |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
+         |SELECT id, adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
     // q92: the cross-frame minhash/banding chain replayed per side (the
     // q54 machinery with batch/corpus sources), exact precedence over
     // near, the matched-bucket cap mirrored

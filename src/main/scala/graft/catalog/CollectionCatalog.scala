@@ -1367,13 +1367,87 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     claimed
   }
 
-  private def writeIndex(model: Ann.IvfModel, version: Int): Unit = {
+  private def writeIndex(model: Ann.IvfModel, version: Int,
+                         pq: Option[Ann.PqModel] = None): Unit = {
     val claimed = claimIndexBuild(version)
     // one shuffle BY CELL at build time: without it every write task emits
     // a file into every cell it happens to hold (tasks × nlist small files)
     val packed = model.copy(assigned = model.assigned.repartition(col("cell")))
     Ann.writeIvf(packed, claimed.toString, withPb = true)
+    // PQ codebooks ride the build as a second sidecar (like the
+    // centroids) — BEFORE the marker, so a committed build always has a
+    // complete codebook for its codes column
+    pq.foreach(p => Ann.writePqSidecar(claimed, p, spark.sparkContext.hadoopConfiguration))
     io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
+  }
+
+  /** PQ codebooks of a committed index build (None for a plain IVF one);
+    * parsed once per committed build via the sidecar cache. */
+  private def pqModelOf(build: Path): Option[Ann.PqModel] =
+    Collection.cachedPqModel(io, build, spark.sparkContext.hadoopConfiguration)
+
+  /** Deterministic IVF-PQ build (FAISS's IVFPQ, store-side): the seeded
+    * IVF layout of [[buildIndexSeeded]] PLUS a `codes` column — every
+    * row's m nearest-subcentroid codes under codebooks seeded by
+    * `pqSeedIds` rows ([[Ann.buildPqSeeded]]). [[queryPq]] then ADC-scans
+    * only (id, codes) inside the probed cells — at 100 TB: nprobe/nlist
+    * of the directory listing × m bytes per row, with the raw embedding
+    * column left unread until the fetchN refine — where [[query]] reads
+    * dim floats per pruned row. Same MVCC build discipline; refresh and
+    * compactIndexes carry codes and codebooks along. */
+  def buildIndexPqSeeded(cellSeedIds: Seq[String], pqSeedIds: Seq[String],
+                         m: Int): Unit = {
+    val meta0 = indexableMeta()
+    val df = currentWithPtOf(meta0).withColumnRenamed("pt", "pb")
+    require(!df.columns.contains("codes"),
+      "collection has a 'codes' column, which collides with the PQ index layout; rename it")
+    val d = dim().getOrElse(throw new IllegalStateException(
+      s"collection '$name' is empty — nothing to index"))
+    val ivf = Ann.buildIvfSeededAny(df, "id", "embedding", cellSeedIds)
+    val pq = Ann.buildPqSeeded(df, "id", "embedding", d, m, pqSeedIds)
+    writeIndex(ivf.copy(assigned = Ann.pqEncode(ivf.assigned, "embedding", pq)),
+      meta0.version, Some(pq))
+  }
+
+  /** B6 through the PQ-coded index: ADC over the probed cells' (id,
+    * codes) columns shortlists `fetchN` candidates (prefilters applied
+    * BEFORE the shortlist, so k survivors exist whenever they exist in
+    * the data), then exact `space` re-rank over the shortlist's raw
+    * vectors fetched from the same pruned cells. Returns (id, adc, dist)
+    * — the approximate path's audit trail rides along. LOUD without a
+    * committed PQ-coded build for the current version: silently falling
+    * back to brute force would hide exactly the cost this surface
+    * exists to avoid. */
+  def queryPq(queryVec: Seq[Float], k: Int, nprobe: Int = 0, fetchN: Int = 0,
+              where: Option[Where] = None,
+              whereDoc: Option[WhereDocument] = None): DataFrame = {
+    requireDim(queryVec.length)
+    val m = meta
+    val (idxPath, cents) = currentIndex(m).getOrElse(throw new IllegalStateException(
+      s"collection '$name' has no committed index for version ${m.version} — run buildIndexPqSeeded"))
+    val pq = pqModelOf(idxPath).getOrElse(throw new IllegalStateException(
+      s"index build $idxPath carries no PQ codebooks — built with buildIndex? " +
+        "run buildIndexPqSeeded for the ADC path or query() for the plain one"))
+    val fn = if (fetchN > 0) fetchN else k * 4
+    require(fn >= k, s"fetchN ($fn) must be >= k ($k)")
+    val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
+    val indexed = readIndexBuild(idxPath)
+    val layoutCols = indexLayoutCols(idxPath)
+    requireNoReserved(indexed.drop("codes" +: layoutCols: _*), Seq("dist", "adc"))
+    val pruned0 = docIndexConfine(
+      indexed.filter(col("cell").isin(cells: _*)), m, whereDoc)
+    val pruned = ChromaFilter.predicate(where, whereDoc, col("document"),
+      keyResolver(indexed)).map(pruned0.filter).getOrElse(pruned0)
+    // ADC stage: column-pruned to (id, codes) + whatever the prefilters
+    // referenced; the embedding column stays unread until the refine
+    val shortlist = Ann.queryPqAdc(pruned, pq, "id", queryVec, fn)
+    pruned.select(col("id"), col("embedding"))
+      .join(broadcast(shortlist), Seq("id"))
+      .select(col("id"), col("adc"),
+        graft.functions.Distances.bySpace(m.space)(col("embedding"),
+          typedLit(queryVec)).as("__d"))
+      .orderBy(col("__d"), col("id")).limit(k)
+      .select(col("id"), col("adc"), round(col("__d"), 4).as("dist"))
   }
 
   /** Incrementally refresh the IVF index to the CURRENT version: keep the
@@ -1417,11 +1491,21 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         val touched = currentWithPtOf(m)
           .filter(col("pt").isin(changed.toSeq: _*))
           .withColumnRenamed("pt", "pb")
+        // a PQ-coded build refreshes its codes too: touched rows re-encode
+        // under the PRIOR codebooks (encode is a pure function of (vector,
+        // codebooks), the same argument that lets assignment refresh) —
+        // without this the refreshed slices would lack the codes column
+        // and the union-by-name read would serve NULL codes to queryPq
+        val priorPq = pqModelOf(old)
+        val assignedTouched = Ann.assignCells(touched, "embedding", cents)
+        val withCodes = priorPq.fold(assignedTouched)(
+          Ann.pqEncode(assignedTouched, "embedding", _))
         // writeIvf also rewrites the centroid sidecar into the new build
         // (same centroids — the sidecar is what later reads/refreshes use)
-        Ann.writeIvf(Ann.IvfModel(cents,
-          Ann.assignCells(touched, "embedding", cents).repartition(col("cell"))),
+        Ann.writeIvf(Ann.IvfModel(cents, withCodes.repartition(col("cell"))),
           claimed.toString, withPb = true)
+        priorPq.foreach(p =>
+          Ann.writePqSidecar(claimed, p, spark.sparkContext.hadoopConfiguration))
         carryUnchangedSlices(old, claimed, changed)
         io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
         changed.size
@@ -1818,7 +1902,12 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       case Some((idxPath, cents)) =>
         val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
         val indexed = readIndexBuild(idxPath)
-        val layoutCols = indexLayoutCols(idxPath)
+        // `codes` on a PQ-coded build (= the codebook sidecar exists) is
+        // index layout like cell/pb — the exact read path must not leak it
+        // into results; keyed on the SIDECAR, not the column name, so a
+        // plain IVF build over a user data column named codes keeps it
+        val layoutCols = indexLayoutCols(idxPath) ++
+          (if (pqModelOf(idxPath).isDefined) Seq("codes") else Nil)
         requireNoReserved(indexed.drop(layoutCols: _*), Seq("dist"))
         // `cell` is the index layout's partition column — the isin lands in
         // the scan as a PartitionFilter, so only the probed cells' files
@@ -1860,7 +1949,9 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         val cellsPerQ = queryVecs.map(v => Ann.nearestCellsOf(cents, v, np))
         val allCells = cellsPerQ.flatten.distinct
         val indexed = readIndexBuild(idxPath)
-        val layoutCols = indexLayoutCols(idxPath)
+        // see query(): codes is index layout iff the PQ sidecar exists
+        val layoutCols = indexLayoutCols(idxPath) ++
+          (if (pqModelOf(idxPath).isDefined) Seq("codes") else Nil)
         requireNoReserved(indexed.drop(layoutCols: _*),
           Seq("qid", "rnk", "dist", "__qvec", "__qcells", "__na", "__nq"))
         val pruned = docIndexConfine(
@@ -2138,6 +2229,10 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       // one task per cell → exactly one file per leaf slice
       Ann.writeIvf(Ann.IvfModel(cents, assigned.repartition(col("cell"))),
         claimed.toString, withPb = withPb)
+      // a PQ-coded build keeps its codebooks through the repack (codes
+      // ride automatically — they are a data column)
+      pqModelOf(old).foreach(p =>
+        Ann.writePqSidecar(claimed, p, spark.sparkContext.hadoopConfiguration))
       io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
       n += 1
     }
@@ -2264,6 +2359,25 @@ object Collection {
     Option(centroidCache.get(key)).orElse {
       val parsed = graft.operators.Ann.readCentroids(build.toString, hadoopConf)
       parsed.foreach(centroidCache.put(key, _))
+      parsed
+    }
+  }
+
+  /** PQ codebook sidecars, cached like [[cachedCentroids]] (same
+    * immutable-once-committed argument, same reborn-path nonce). The
+    * None result is cached too — plain IVF builds would otherwise pay a
+    * filesystem probe on every query/queryBatch layout decision. */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[graft.operators.Ann.PqModel]]()
+
+  private[catalog] def cachedPqModel(
+      io: StoreIO, build: Path,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Option[graft.operators.Ann.PqModel] = {
+    val marker = new Path(build, "_graft_committed")
+    val key = s"$build@${io.modTime(marker)}"
+    Option(pqCache.get(key)).getOrElse {
+      val parsed = graft.operators.Ann.readPqSidecar(build, hadoopConf)
+      pqCache.put(key, parsed)
       parsed
     }
   }

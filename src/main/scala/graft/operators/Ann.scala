@@ -383,9 +383,16 @@ object Ann {
   def writePq(encoded: DataFrame, idCol: String, model: PqModel, path: String): Unit = {
     encoded.select(col(idCol), col("codes"))
       .write.mode("overwrite").parquet(path)
-    val spark = encoded.sparkSession
-    val sidecar = new org.apache.hadoop.fs.Path(path, "_pq_codebooks.txt")
-    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writePqSidecar(new org.apache.hadoop.fs.Path(path), model,
+      encoded.sparkSession.sparkContext.hadoopConfiguration)
+  }
+
+  /** Write the `_pq_codebooks.txt` sidecar into `dir` (shared by the
+    * standalone [[writePq]] layout and the collection's PQ index build). */
+  def writePqSidecar(dir: org.apache.hadoop.fs.Path, model: PqModel,
+                     hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+    val sidecar = new org.apache.hadoop.fs.Path(dir, "_pq_codebooks.txt")
+    val fs = sidecar.getFileSystem(hadoopConf)
     val out = fs.create(sidecar, true)
     val header = s"dim ${model.dim} m ${model.m}"
     val lines = for {
@@ -396,38 +403,50 @@ object Ann {
     finally out.close()
   }
 
-  /** Read back a [[writePq]] layout: (code table, model). LOUD on a
-    * missing or malformed sidecar — codes are meaningless without their
-    * codebooks, so there is no partial-success read. */
+  /** Parse a [[writePqSidecar]] sidecar under `dir` (None if absent).
+    * LOUD on a malformed file — codes are meaningless without their
+    * codebooks, so a half-written sidecar must never half-succeed. */
+  def readPqSidecar(dir: org.apache.hadoop.fs.Path,
+                    hadoopConf: org.apache.hadoop.conf.Configuration): Option[PqModel] = {
+    val sidecar = new org.apache.hadoop.fs.Path(dir, "_pq_codebooks.txt")
+    val fs = sidecar.getFileSystem(hadoopConf)
+    if (!fs.exists(sidecar)) None
+    else {
+      val in = fs.open(sidecar)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val lines = text.split("\n").filter(_.nonEmpty)
+      require(lines.nonEmpty && lines.head.startsWith("dim "),
+        s"malformed PQ codebook sidecar at $dir: bad header")
+      val header = lines.head.split(" ")
+      require(header.length == 4 && header(2) == "m",
+        s"malformed PQ codebook sidecar at $dir: bad header '${lines.head}'")
+      val (dim, m) = (header(1).toInt, header(3).toInt)
+      val entries = lines.tail.map { line =>
+        val parts = line.split(" ")
+        ((parts(0).toInt, parts(1).toInt), parts.drop(2).map(_.toDouble))
+      }.toMap
+      val ksub = entries.keys.map(_._2).max + 1
+      require(entries.size == m * ksub,
+        s"malformed PQ codebook sidecar at $dir: ${entries.size} entries for m=$m ksub=$ksub")
+      Some(PqModel(dim, m, Array.tabulate(m)(s => Array.tabulate(ksub)(c => entries((s, c))))))
+    }
+  }
+
+  /** Read back a [[writePq]] layout: (code table, model). LOUD when the
+    * sidecar is missing or malformed. */
   def readPq(spark: org.apache.spark.sql.SparkSession, path: String)
       : (DataFrame, PqModel) = {
-    val sidecar = new org.apache.hadoop.fs.Path(path, "_pq_codebooks.txt")
-    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(sidecar), s"PQ layout at $path has no _pq_codebooks.txt sidecar")
-    val in = fs.open(sidecar)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-    } finally in.close()
-    val lines = text.split("\n").filter(_.nonEmpty)
-    require(lines.nonEmpty && lines.head.startsWith("dim "),
-      s"malformed PQ codebook sidecar at $path: bad header")
-    val header = lines.head.split(" ")
-    require(header.length == 4 && header(2) == "m",
-      s"malformed PQ codebook sidecar at $path: bad header '${lines.head}'")
-    val (dim, m) = (header(1).toInt, header(3).toInt)
-    val entries = lines.tail.map { line =>
-      val parts = line.split(" ")
-      ((parts(0).toInt, parts(1).toInt), parts.drop(2).map(_.toDouble))
-    }.toMap
-    val ksub = entries.keys.map(_._2).max + 1
-    require(entries.size == m * ksub,
-      s"malformed PQ codebook sidecar at $path: ${entries.size} entries for m=$m ksub=$ksub")
-    val cbs = Array.tabulate(m)(s => Array.tabulate(ksub)(c => entries((s, c))))
-    (spark.read.parquet(path), PqModel(dim, m, cbs))
+    val model = readPqSidecar(new org.apache.hadoop.fs.Path(path),
+        spark.sparkContext.hadoopConfiguration)
+      .getOrElse(throw new IllegalArgumentException(
+        s"PQ layout at $path has no _pq_codebooks.txt sidecar"))
+    (spark.read.parquet(path), model)
   }
 
   /** Two-stage PQ read: ADC over codes shortlists `fetchN` candidates,

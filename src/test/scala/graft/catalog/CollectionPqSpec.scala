@@ -1,0 +1,117 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.ChromaFilter
+
+/** The collection's PQ-coded index (buildIndexPqSeeded / queryPq): build
+  * + query, prefilter semantics, layout hygiene on the plain read path,
+  * and codes/codebook survival through refreshIndex and compactIndexes
+  * — the two maintenance paths that rewrite builds. */
+class CollectionPqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshColl(name: String): Collection = {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "collpq").toString
+    val c = new CollectionCatalog(spark, root, numBuckets = 4)
+      .getOrCreateCollection(name, "cosine")
+    c.add(spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id").cast("string").as("id"), col("embedding"),
+        col("label").cast("string").as("label")))
+    c
+  }
+
+  private def pqBuild(c: Collection): Unit =
+    c.buildIndexPqSeeded((0L until 8L).map(_.toString),
+      (1L to 16L).map(_.toString), m = 8)
+
+  test("build + queryPq: ADC shortlist -> exact re-rank, k rows, dist ascending") {
+    val c = freshColl("pq1")
+    pqBuild(c)
+    val rows = c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 2, fetchN = 20)
+      .select("id", "adc", "dist").as[(String, Double, Double)].collect()
+    assert(rows.length == 5)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+  }
+
+  test("queryPq with a where prefilter: every hit satisfies it, applied pre-shortlist") {
+    val c = freshColl("pq2")
+    pqBuild(c)
+    val got = c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 8, fetchN = 50,
+        where = Some(ChromaFilter.Eq("label", "1")))
+      .select("id").as[String].collect().toSet
+    assert(got.nonEmpty)
+    val allowed = c.get(where = Some(ChromaFilter.Eq("label", "1")))
+      .select("id").as[String].collect().toSet
+    assert(got.subsetOf(allowed))
+  }
+
+  test("plain query() on a PQ-coded build neither leaks codes nor changes results") {
+    val c = freshColl("pq3")
+    val exact = c.query(Seq.fill(64)(0.5f), 5, exact = true)
+      .select("id").as[String].collect().toSeq
+    pqBuild(c)
+    val viaIdx = c.query(Seq.fill(64)(0.5f), 5, nprobe = 8)
+    assert(!viaIdx.columns.contains("codes"),
+      s"codes leaked into query() output: ${viaIdx.columns.mkString(",")}")
+    assert(viaIdx.select("id").as[String].collect().toSeq == exact)
+    val viaBatch = c.queryBatch(Seq(Seq.fill(64)(0.5f)), 5, nprobe = 8)
+    assert(!viaBatch.columns.contains("codes"))
+  }
+
+  test("queryPq on a plain IVF build fails loudly (no silent brute-force fallback)") {
+    val c = freshColl("pq4")
+    c.buildIndexSeeded((0L until 8L).map(_.toString))
+    val e = intercept[IllegalStateException] {
+      c.queryPq(Seq.fill(64)(0.5f), 5)
+    }
+    assert(e.getMessage.contains("no PQ codebooks"))
+  }
+
+  test("refreshIndex re-encodes touched buckets and carries codebooks; answers track the corpus") {
+    val c = freshColl("pq5")
+    pqBuild(c)
+    // mutate: plant an exact copy of the query vector under a fresh id
+    val qv = spark.read.parquet(sf("embeddings"))
+      .filter(col("vec_id") === 7L).select("embedding").as[Seq[Float]].head()
+    c.upsert(Seq(("planted", qv, "9")).toDF("id", "embedding", "label"))
+    assert(c.refreshIndex() > 0)
+    val got = c.queryPq(qv, 2, nprobe = 8, fetchN = 20)
+      .select("id").as[String].collect().toSet
+    // the planted twin and the original both sit at distance ~0 — the
+    // refreshed codes must surface the NEW row (null codes would rank it
+    // nowhere; a missing re-encode would drop the whole touched bucket)
+    assert(got.contains("planted"), s"refreshed index lost the planted row: $got")
+  }
+
+  test("compactIndexes preserves the codebook sidecar and the ADC answers") {
+    val c = freshColl("pq6")
+    pqBuild(c)
+    val before = c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 2, fetchN = 20)
+      .select("id", "adc").as[(String, Double)].collect().toSeq
+    assert(c.compactIndexes() >= 1)
+    val after = c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 2, fetchN = 20)
+      .select("id", "adc").as[(String, Double)].collect().toSeq
+    assert(after == before)
+  }
+
+  test("a user data column named codes is rejected at PQ build, kept by plain builds") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "collpq-codes").toString
+    val c = new CollectionCatalog(spark, root, numBuckets = 4)
+      .getOrCreateCollection("u", "cosine")
+    c.add(spark.read.parquet(sf("embeddings")).limit(32)
+      .select(col("vec_id").cast("string").as("id"), col("embedding"),
+        lit("user-data").as("codes")))
+    intercept[IllegalArgumentException] {
+      c.buildIndexPqSeeded(Seq("0", "1"), Seq("2", "3"), m = 8)
+    }
+    // the plain build keeps the user column as data on the indexed read
+    c.buildIndexSeeded(Seq("0", "1"))
+    val viaIdx = c.query(Seq.fill(64)(0.5f), 3, nprobe = 2)
+    assert(viaIdx.columns.contains("codes"),
+      "plain IVF build must keep a user codes DATA column")
+  }
+}
