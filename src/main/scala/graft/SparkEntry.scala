@@ -2161,6 +2161,27 @@ object SparkEntry {
           space = "cosine", excludeIds = Seq(0L))
         .select(col("vec_id"), col("adc"), col("dist"))
     }),
+    // Residual IVF-PQ — the FULL Jégou construction (q139 quantizes raw
+    // vectors; this quantizes r = v − centroid(cell), so the codebooks
+    // spend their resolution on what the cell has not already explained):
+    // per-cell ADC tables on the residual query, chained-conditional
+    // lookup per row, exact cosine re-rank. Every stage replays — the
+    // residual subtraction is a double fold in element order on both
+    // engines.
+    "q141_ivfpq_residual_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = Ann.buildIvfSeeded(emb, "vec_id", "embedding", 0L until 8L)
+      // PQ seeds DISJOINT from the cell seeds: a cell seed's residual is
+      // the zero vector, and 7 zero codebook entries would waste half the
+      // codebook (ties all resolving to the lowest zero code)
+      val pq = Ann.buildPqResidualSeeded(ivf.assigned, "vec_id", "embedding",
+        ivf.centroids, dim = 64, m = 8, seedIds = 10L to 25L)
+      val encoded = Ann.pqEncodeResidual(ivf.assigned, "embedding", ivf.centroids, pq)
+      Ann.queryIvfPqResidual(encoded, ivf, pq, emb, "vec_id", "embedding",
+          headVec(emb, 0), k = 10, nprobe = 2, fetchN = 30,
+          space = "cosine", excludeIds = Seq(0L))
+        .select(col("vec_id"), col("adc"), col("dist"))
+    }),
     // Multimodal: binary payload + typed metadata + (stub) decode features
     "q34_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
@@ -3991,6 +4012,63 @@ object SparkEntry {
          |        JOIN asg a ON a.vec_id = e.vec_id
          |        WHERE a.cell IN (SELECT cell FROM pc) AND e.vec_id <> 0
          |        GROUP BY e.vec_id),
+         |short AS (SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 30),
+         |ref AS (SELECT sh.vec_id AS vec_id, sh.adc AS adc,
+         |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
+         |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
+         |SELECT vec_id, adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
+    // q141: the residual construction replayed — residuals as double
+    // element-order folds against each row's OWN cell centroid, residual
+    // codebooks from the seeds' residuals, PER-CELL query luts (q − that
+    // cell's centroid), adc joined through the row's cell
+    "q141_ivfpq_residual_knn" ->
+      s"""WITH cct AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |             FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+         |cdist AS (SELECT e.vec_id AS vec_id, cct.cell AS cell,
+         |                 ${sqlL2("e.embedding", "cct.ce")} AS cd
+         |          FROM embeddings e, cct),
+         |asg AS (SELECT vec_id, cell FROM
+         |          (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |                                                   ORDER BY cd, cell) AS rn
+         |           FROM cdist) WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pc AS (SELECT cct.cell FROM cct, q
+         |       ORDER BY ${sqlL2("cct.ce", "q.qe")}, cct.cell LIMIT 2),
+         |res AS MATERIALIZED (SELECT e.vec_id AS vec_id, a.cell AS cell,
+         |              list_transform(range(64), j ->
+         |                CAST(e.embedding[CAST(j + 1 AS INTEGER)] AS DOUBLE)
+         |                - CAST(c.ce[CAST(j + 1 AS INTEGER)] AS DOUBLE)) AS rv
+         |       FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+         |       JOIN cct c ON c.cell = a.cell),
+         |sub AS (SELECT unnest(range(8)) AS s),
+         |rcb AS (SELECT sub.s AS s, CAST(r.vec_id - 10 AS INTEGER) AS code,
+         |              list_transform(range(8), j -> r.rv[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS cv
+         |        FROM res r, sub WHERE r.vec_id BETWEEN 10 AND 25),
+         |rsub AS (SELECT sub.s AS s, r.vec_id AS vec_id,
+         |               list_transform(range(8), j -> r.rv[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS rv
+         |        FROM res r, sub),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |          SELECT r.vec_id AS vec_id, r.s AS s, c.code AS code,
+         |                 row_number() OVER (PARTITION BY r.vec_id, r.s
+         |                                    ORDER BY ${sqlL2("r.rv", "c.cv")}, c.code) AS rn
+         |          FROM rsub r JOIN rcb c ON c.s = r.s) WHERE rn = 1),
+         |qres AS (SELECT p.cell AS cell,
+         |                list_transform(range(64), j ->
+         |                  CAST(q.qe[CAST(j + 1 AS INTEGER)] AS DOUBLE)
+         |                  - CAST(c.ce[CAST(j + 1 AS INTEGER)] AS DOUBLE)) AS qv
+         |         FROM pc p JOIN cct c ON c.cell = p.cell, q),
+         |qsub AS (SELECT qres.cell AS cell, sub.s AS s,
+         |                list_transform(range(8), j -> qres.qv[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS qv
+         |         FROM qres, sub),
+         |lut AS (SELECT qsub.cell AS cell, c.s AS s, c.code AS code,
+         |               ROUND(${sqlL2("qsub.qv", "c.cv")}, 6) AS d6
+         |        FROM rcb c JOIN qsub ON qsub.s = c.s),
+         |adc AS (SELECT e.vec_id AS vec_id,
+         |               CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS adc
+         |        FROM enc e JOIN asg a ON a.vec_id = e.vec_id
+         |        JOIN lut l ON l.cell = a.cell AND l.s = e.s AND l.code = e.code
+         |        WHERE e.vec_id <> 0 GROUP BY e.vec_id),
          |short AS (SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 30),
          |ref AS (SELECT sh.vec_id AS vec_id, sh.adc AS adc,
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw

@@ -335,14 +335,20 @@ object Ann {
     * query's subvector s and codebook centroid c — the same element-order
     * sequential double fold as the codegen'd distance expressions, so an
     * oracle recomputing it in SQL lands on the same bits. */
-  def pqLut(model: PqModel, query: Seq[Float]): Array[Array[Double]] = {
+  def pqLut(model: PqModel, query: Seq[Float]): Array[Array[Double]] =
+    pqLutD(model, query.map(_.toDouble))
+
+  /** [[pqLut]] over an already-double query — the residual path feeds
+    * `q − centroid` here and must NOT round-trip through Float (the
+    * oracle computes the same residual in doubles). */
+  def pqLutD(model: PqModel, query: Seq[Double]): Array[Array[Double]] = {
     require(query.length == model.dim,
       s"query dim ${query.length} != PQ dim ${model.dim}")
     Array.tabulate(model.m) { s =>
       model.codebooks(s).map { cent =>
         var acc = 0.0; var j = 0
         while (j < model.subDim) {
-          val d = query(s * model.subDim + j).toDouble - cent(j)
+          val d = query(s * model.subDim + j) - cent(j)
           acc += d * d; j += 1
         }
         acc
@@ -494,6 +500,96 @@ object Ann {
     val pruned = assignedEncoded.filter(col("cell").isin(cells: _*))
     refineExact(queryPqAdc(pruned, pq, idCol, query, fetchN, excludeIds),
       corpus, idCol, vecCol, query, k, space)
+  }
+
+  // ---- Residual IVF-PQ (the full Jégou construction, §IV-A) ----
+  //
+  // Plain IVF-PQ quantizes raw vectors, so every codebook must span the
+  // whole corpus's spread. The original construction quantizes the
+  // RESIDUAL r = v − centroid(cell(v)) instead: residuals concentrate
+  // near 0 regardless of where cells sit, so the same ksub codes spend
+  // their resolution on the part of the vector the cell has not already
+  // explained — strictly better ADC fidelity at identical storage. The
+  // price: the query's ADC table becomes PER-CELL (lut[cell][s][c] =
+  // ‖sub_s(q − centroid_cell) − cb_s_c‖²) — still nprobe·m·ksub doubles,
+  // driver-cheap — and encode needs each row's centroid, a broadcast of
+  // the nlist-row centroid table.
+
+  /** Subtract each row's cell centroid: `vecCol − centroids(cell)`,
+    * element order preserved (fold parity with the SQL replay). Expects
+    * the `cell` column from [[assignCells]]. */
+  def residuals(assigned: DataFrame, vecCol: String,
+                cents: Array[(Int, Array[Double])]): org.apache.spark.sql.Column = {
+    val centArr = map(cents.flatMap { case (i, c) =>
+      Seq(lit(i), typedLit(c.toSeq)) }.toIndexedSeq: _*)
+    zip_with(col(vecCol).cast("array<double>"),
+      element_at(centArr, col("cell")), (x, c) => x - c)
+  }
+
+  /** Residual-encode an [[assignCells]]-assigned frame: codes over
+    * `v − centroid(cell)` under `model`'s codebooks (which should have
+    * been trained on residuals — [[buildPqResidualSeeded]]). */
+  def pqEncodeResidual(assigned: DataFrame, vecCol: String,
+                       cents: Array[(Int, Array[Double])], model: PqModel): DataFrame = {
+    val withRes = assigned.withColumn("__res", residuals(assigned, vecCol, cents))
+    pqEncode(withRes, "__res", model).drop("__res")
+  }
+
+  /** Train residual-PQ codebooks from seed rows: subspace s's centroids
+    * are the s-th subvectors of the seeds' RESIDUALS (seed − its own
+    * cell centroid), in seed order. */
+  def buildPqResidualSeeded(assigned: DataFrame, idCol: String, vecCol: String,
+                            cents: Array[(Int, Array[Double])],
+                            dim: Int, m: Int, seedIds: Seq[Any]): PqModel = {
+    require(seedIds.nonEmpty, "residual PQ needs at least one codebook seed row")
+    val seedRows = assigned.filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).cast("string"),
+        residuals(assigned, vecCol, cents)).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    val subDim = dim / m
+    val cbs = Array.tabulate(m) { s =>
+      seedIds.map { sid =>
+        val v = seedRows.getOrElse(String.valueOf(sid),
+          sys.error(s"residual-PQ seed id '$sid' not in corpus"))
+        require(v.length == dim, s"residual-PQ seed '$sid' has dim ${v.length}, expected $dim")
+        v.slice(s * subDim, (s + 1) * subDim)
+      }.toArray
+    }
+    PqModel(dim, m, cbs)
+  }
+
+  /** Residual IVF-PQ query: per probed cell, the ADC table is built
+    * against `q − centroid_cell` (driver-side: nprobe·m·ksub doubles);
+    * the per-row ADC picks its cell's table via a chained conditional —
+    * m lookups + adds per row, no join, then the exact re-rank of
+    * [[queryIvfPq]]. */
+  def queryIvfPqResidual(assignedEncoded: DataFrame, ivf: IvfModel, pq: PqModel,
+                         corpus: DataFrame, idCol: String, vecCol: String,
+                         query: Seq[Float], k: Int, nprobe: Int, fetchN: Int,
+                         space: String = "l2", excludeIds: Seq[Any] = Nil): DataFrame = {
+    require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    val cells = nearestCells(ivf, query, nprobe)
+    val centMap = ivf.centroids.toMap
+    // per-cell lut on the residual query: same element-order fold as pqLut
+    val lutByCell: Map[Int, Array[Array[Double]]] = cells.map { cell =>
+      val cent = centMap(cell)
+      val qres = query.indices.map(j => query(j).toDouble - cent(j))
+      cell -> pqLutD(pq, qres)
+    }.toMap
+    import org.apache.spark.sql.types.DecimalType
+    val adcFor: Int => Column = cell => (0 until pq.m).map { s =>
+      round(element_at(typedLit(lutByCell(cell)(s).toSeq),
+        col("codes").getItem(s) + 1), 6).cast(DecimalType(18, 6))
+    }.reduce(_ + _).cast(DecimalType(18, 6)).cast("double")
+    val adcCol = cells.tail.foldLeft(when(col("cell") === cells.head, adcFor(cells.head))) {
+      (acc, cell) => acc.when(col("cell") === cell, adcFor(cell))
+    }
+    val base0 = assignedEncoded.filter(col("cell").isin(cells: _*))
+    val base = if (excludeIds.isEmpty) base0
+               else base0.filter(!col(idCol).isin(excludeIds: _*))
+    val shortlist = base.select(col(idCol), adcCol.as("adc"))
+      .orderBy(col("adc"), col(idCol)).limit(fetchN)
+    refineExact(shortlist, corpus, idCol, vecCol, query, k, space)
   }
 
   /** recall@k of an approximate kNN result against the exact one (same
