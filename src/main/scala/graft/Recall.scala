@@ -50,7 +50,25 @@ object Recall {
           exactAll.select(col("vec_id").cast("string").as("id")), "id")),
       "q136_pq_adc_knn" ->
         one(Ann.recallAtK(run("q136_pq_adc_knn").select(col("vec_id")),
-          exactExcl, "vec_id")))
+          exactExcl, "vec_id")),
+      // the same PQ pipeline with BOTH dials scaled to the corpus: q136
+      // freezes ksub=16/fetchN=30 for its oracle — on a structureless
+      // random corpus that measures the frozen dials, not the method
+      // (random 64-dim vectors are PQ's worst case: nothing clusters, so
+      // codebook resolution and shortlist width must grow with n —
+      // measured 3/10 frozen vs 10/10 scaled at sf0.1). This entry
+      // records what size-aware settings recover.
+      "pq_scaled" -> {
+        val n = emb.count()
+        val ksub = math.min(256L, math.max(16L, n / 8)).toInt
+        val fetchN = math.max(30L, n / 4).toInt
+        val model = Ann.buildPqSeeded(emb, "vec_id", "embedding", 64, 8, 1L to ksub.toLong)
+        val encoded = Ann.pqEncode(emb, "embedding", model)
+        one(Ann.recallAtK(
+          Ann.queryPqRefined(encoded, emb, model, "vec_id", "embedding",
+            q0, 10, fetchN, "cosine", Seq(0L)).select(col("vec_id")),
+          exactExcl, "vec_id"))
+      })
 
     val bounded = emb.filter(col("vec_id") < pairCap)
     // the exact all-pairs join is the expensive side — cache the pair keys

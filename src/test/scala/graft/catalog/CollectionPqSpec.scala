@@ -114,4 +114,15 @@ class CollectionPqSpec extends SparkTestBase {
     assert(viaIdx.columns.contains("codes"),
       "plain IVF build must keep a user codes DATA column")
   }
+
+  test("queryPq prunes the ADC scan to the probed cells at the file-listing level") {
+    val c = freshColl("pq7")
+    pqBuild(c)
+    val df = c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 2, fetchN = 20)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell") && scanLine.contains(" IN "),
+      s"expected probed-cell IN filter at the listing level, got: $scanLine")
+  }
 }
