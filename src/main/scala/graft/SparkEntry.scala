@@ -1485,6 +1485,59 @@ object SparkEntry {
     // appears in no output. The oracle is the plain windowed count of
     // the 200 real events: the late-drop and the append-mode emission
     // set are exactly what the hash pins.
+    // C9 stream-STREAM inner interval join — the two-stream state surface
+    // (q78's batch interval join, live): even event_ids stream left, odd
+    // ones right, joined on user_id with the right's event time within
+    // [lts, lts + 4h]. Both sides watermarked (8h delay); after the
+    // watermark push, a re-sent copy of the first left row MUST be
+    // dropped (the late-data contract) — a surviving copy would duplicate
+    // its pairs and hash-mismatch the oracle, so eviction itself is under
+    // test. Driver-fed bounded fixture (MemoryStream), two data batches
+    // so cross-batch matches exercise the buffered state.
+    "q142_stream_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingHydrator
+      import s.implicits._
+      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = t(s, dir, "events").filter(col("event_id") < 1000)
+        .select(col("event_id"), col("user_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      // day-one base: a ts of EXACTLY epoch 0 equals Spark's initial
+      // watermark and is pre-dropped in the first batch (event 0's pairs
+      // silently vanish — found by the sf0.001 oracle diff)
+      def ts(i: Long) = new java.sql.Timestamp(86400000L + i * 60000L)
+      val lRows = base.filter(_._1 % 2 == 0).map { case (i, u) => (u, ts(i), i) }
+      val rRows = base.filter(_._1 % 2 == 1).map { case (i, u) => (u, ts(i), i) }
+      val lMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val qn = s"q142_out_${dir.hashCode.toLong & 0xffffffffL}"
+      s.catalog.dropTempView(qn)
+      val joined = StreamingHydrator.intervalJoinStream(
+        lMem.toDF().toDF("user_id", "lts", "l_event"),
+        rMem.toDF().toDF("user_id", "rts", "r_event"),
+        "user_id", "lts", "rts", delay = "8 hours", within = "4 hours")
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+      try {
+        lMem.addData(lRows.filter(_._3 < 500).toIndexedSeq: _*)
+        rMem.addData(rRows.filter(_._3 < 500).toIndexedSeq: _*)
+        q.processAllAvailable()
+        lMem.addData(lRows.filter(_._3 >= 500).toIndexedSeq: _*)
+        rMem.addData(rRows.filter(_._3 >= 500).toIndexedSeq: _*)
+        q.processAllAvailable()
+        // advance BOTH watermarks far past the fixture, then re-send the
+        // first left row: it sits days behind the watermark → dropped
+        lMem.addData(Seq((999999L, ts(100000L), 999999L)): _*)
+        rMem.addData(Seq((999999L, ts(100001L), 999998L)): _*)
+        q.processAllAvailable()
+        lMem.addData(lRows.take(1).toIndexedSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).filter(col("l_event") < 999990L)
+        .select(col("user_id"), col("l_event"), col("r_event"))
+        .orderBy("user_id", "l_event", "r_event")
+    }),
     "q111_streaming_watermark" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.Trigger
@@ -4075,6 +4128,21 @@ object SparkEntry {
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
          |SELECT vec_id, adc, ROUND(dist_raw, 4) AS dist FROM ref
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
+    // q142: the stream-stream join replayed relationally — the streaming
+    // run must emit exactly the batch interval join's pairs (inner join
+    // emits each match once; the dropped late duplicate adds none).
+    // Event times are event_id minutes, so the window arithmetic is
+    // integer seconds on both engines.
+    "q142_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 1000),
+        |l AS (SELECT user_id, event_id AS l_event, event_id * 60 AS lsec
+        |      FROM e WHERE event_id % 2 = 0),
+        |r AS (SELECT user_id, event_id AS r_event, event_id * 60 AS rsec
+        |      FROM e WHERE event_id % 2 = 1)
+        |SELECT l.user_id AS user_id, l_event, r_event
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |              AND rsec >= lsec AND rsec <= lsec + 14400
+        |ORDER BY user_id, l_event, r_event""".stripMargin,
     // q140: q139's replay against the COLLECTION's PQ index — string ids
     // (the store keys by string), NO self-exclusion (the collection query
     // surface has none), every tie-break in string order

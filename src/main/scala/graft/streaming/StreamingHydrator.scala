@@ -180,4 +180,26 @@ object StreamingHydrator {
       }
       .toDF(keyCol, "high_water_mark")
   }
+
+  /** Stream-STREAM inner interval join — the two-stream state surface
+    * (batch analog: `Events.intervalJoin`): left row ⋈ right row when
+    * keys are equal and the right's event time falls in
+    * [left ts, left ts + `within`]. BOTH sides carry watermarks and the
+    * join condition bounds event-time distance, so each side's buffered
+    * state is evictable the moment the other side's watermark passes it —
+    * the property that makes a two-stream join runnable at 100 TB rates
+    * at all (without both bounds Spark rejects the append-mode query
+    * outright, and rows older than `delay` behind the watermark are
+    * DROPPED, the documented late-data contract). Left columns must not
+    * collide with right columns except `keyCol` (kept once). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         lTsCol: String, rTsCol: String,
+                         delay: String, within: String): DataFrame = {
+    val l = left.withWatermark(lTsCol, delay)
+    val r = right.withWatermark(rTsCol, delay)
+    l.join(r, l(keyCol) === r(keyCol) &&
+        r(rTsCol) >= l(lTsCol) &&
+        r(rTsCol) <= l(lTsCol) + expr(s"INTERVAL $within"))
+      .drop(r(keyCol))
+  }
 }

@@ -278,4 +278,38 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains((new Timestamp(h * 10), "click", 1L)))
     assert(rows.contains((new Timestamp(h * 11), "view", 1L)))
   }
+
+  test("stream-stream interval join: cross-batch matches emit, too-late rows drop") {
+    import java.sql.Timestamp
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400000L; val min = 60000L
+    def ts(m: Long) = new Timestamp(day + m * min)
+    val lMem = MemoryStream[(Long, Timestamp, Long)]
+    val rMem = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamingHydrator.intervalJoinStream(
+      lMem.toDF.toDF("k", "lts", "lv"), rMem.toDF.toDF("k", "rts", "rv"),
+      "k", "lts", "rts", delay = "30 minutes", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    try {
+      // batch 1: left-only — its match arrives in batch 2 (buffered state)
+      lMem.addData((1L, ts(0), 100L), (2L, ts(0), 200L))
+      q.processAllAvailable()
+      // batch 2: right rows — k=1 inside the window, k=2 outside (11 > 10),
+      // k=3 has no left partner
+      rMem.addData((1L, ts(5), 500L), (2L, ts(11), 600L), (3L, ts(5), 700L))
+      q.processAllAvailable()
+      // batch 3: push both watermarks far ahead, then a too-late left row
+      // whose k=3 partner is buffered — it must be DROPPED, not joined
+      lMem.addData((9L, ts(10000), 1L)); rMem.addData((9L, ts(10001), 2L))
+      q.processAllAvailable()
+      lMem.addData((3L, ts(0), 300L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_out").filter(col("k") =!= 9L)
+      .select("k", "lv", "rv").as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 100L, 500L)),
+      s"expected only the in-window cross-batch match, got $rows")
+  }
 }
