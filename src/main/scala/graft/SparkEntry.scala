@@ -2214,6 +2214,35 @@ object SparkEntry {
           space = "cosine", excludeIds = Seq(0L))
         .select(col("vec_id"), col("adc"), col("dist"))
     }),
+    // Cross-version SCHEMA EVOLUTION through the store: batch 1 writes
+    // (id, document, embedding); a later upsert introduces a NEW metadata
+    // column (src) the original version never had. The union-by-name read
+    // admits missing columns as NULL across the carry-manifest version
+    // chain, and the evolved column is immediately filterable ($eq) and
+    // pageable — the oracle computes the same truth from the documents
+    // table with the same split.
+    "q143_schema_evolution" -> ((s, dir) => {
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("evolve")
+      val c = cat.getOrCreateCollection("evolve")
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id").cast("string").as("id"),
+          coalesce(col("text"), lit("")).as("document"),
+          array(col("doc_id").cast("float")).as("embedding"), col("source"))
+      c.add(docs.filter(col("id").cast("long") < 150).drop("source"))
+      // the evolving batch: 50 updated rows + 50 new, now WITH src
+      c.upsert(docs.filter(col("id").cast("long") >= 100)
+        .withColumnRenamed("source", "src"))
+      // full page: pre-evolution rows read the new column as NULL; plus
+      // the evolved column must FILTER (the where leg tags src5's rows)
+      val tagged = c.get(where = Some(ChromaFilter.Eq("src", "src5")))
+        .select(col("id"), lit(1L).as("matched_src5"))
+      c.get().select(col("id"), coalesce(col("src"), lit("__pre")).as("src"))
+        .join(tagged, Seq("id"), "left")
+        .na.fill(0L, Seq("matched_src5"))
+        .orderBy(col("id"))
+    }),
     // Residual IVF-PQ — the FULL Jégou construction (q139 quantizes raw
     // vectors; this quantizes r = v − centroid(cell), so the codebooks
     // spend their resolution on what the cell has not already explained):
@@ -4128,6 +4157,17 @@ object SparkEntry {
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
          |SELECT vec_id, adc, ROUND(dist_raw, 4) AS dist FROM ref
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
+    // q143: schema evolution replayed — rows written before the column
+    // existed read '__pre' (NULL coalesced); the evolved column filters
+    // ($eq src5) exactly like a born-with column
+    "q143_schema_evolution" ->
+      """WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS n, source
+        |           FROM documents WHERE doc_id < 200)
+        |SELECT id,
+        |       CASE WHEN n >= 100 THEN source ELSE '__pre' END AS src,
+        |       CAST(CASE WHEN n >= 100 AND source = 'src5' THEN 1 ELSE 0 END AS BIGINT)
+        |         AS matched_src5
+        |FROM d ORDER BY id""".stripMargin,
     // q142: the stream-stream join replayed relationally — the streaming
     // run must emit exactly the batch interval join's pairs (inner join
     // emits each match once; the dropped late duplicate adds none).
