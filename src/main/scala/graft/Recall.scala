@@ -61,7 +61,10 @@ object Recall {
       "pq_scaled" -> {
         val n = emb.count()
         val ksub = math.min(256L, math.max(16L, n / 8)).toInt
-        val fetchN = math.max(30L, n / 4).toInt
+        // capped: the refined shortlist BROADCASTS (Ann.MaxFetchN's
+        // contract) — past the cap, recall must come from ksub, not from
+        // an ever-wider driver-side shortlist
+        val fetchN = math.min(Ann.MaxFetchN.toLong, math.max(30L, n / 4)).toInt
         val model = Ann.buildPqSeeded(emb, "vec_id", "embedding", 64, 8, 1L to ksub.toLong)
         val encoded = Ann.pqEncode(emb, "embedding", model)
         one(Ann.recallAtK(

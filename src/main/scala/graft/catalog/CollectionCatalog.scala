@@ -1324,7 +1324,11 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
   def buildIndex(nlist: Int, seed: Long = 42L, trainFraction: Double = 1.0): Unit = {
     val m = indexableMeta()
     val df = currentWithPtOf(m).withColumnRenamed("pt", "pb")
-    writeIndex(Ann.buildIvf(df, "id", "embedding", nlist, seed, trainFraction), m.version)
+    val ivf = Ann.buildIvf(df, "id", "embedding", nlist, seed, trainFraction)
+    val pq = carriedPq(df)
+    writeIndex(
+      ivf.copy(assigned = pq.fold(ivf.assigned)(Ann.pqEncode(ivf.assigned, "embedding", _))),
+      m.version, pq)
   }
 
   /** [[buildIndex]] sized by the collection's `ivf:nlist` metadata —
@@ -1342,7 +1346,13 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
   def buildIndexSeeded(seedIds: Seq[String]): Unit = {
     val m = indexableMeta()
     val df = currentWithPtOf(m).withColumnRenamed("pt", "pb")
-    writeIndex(Ann.buildIvfSeededAny(df, "id", "embedding", seedIds), m.version)
+    val ivf = Ann.buildIvfSeededAny(df, "id", "embedding", seedIds)
+    // a PQ-coded collection keeps its codes/codebooks through an explicit
+    // re-train: a plain rebuild here would strand queryPq() loudly-broken
+    val pq = carriedPq(df)
+    writeIndex(
+      ivf.copy(assigned = pq.fold(ivf.assigned)(Ann.pqEncode(ivf.assigned, "embedding", _))),
+      m.version, pq)
   }
 
   private def indexableMeta(): CollectionMeta = {
@@ -1385,6 +1395,21 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * parsed once per committed build via the sidecar cache. */
   private def pqModelOf(build: Path): Option[Ann.PqModel] =
     Collection.cachedPqModel(io, build, spark.sparkContext.hadoopConfiguration)
+
+  /** The newest committed build's PQ codebooks regardless of version —
+    * what any REBUILD must carry forward: store-level codes are
+    * non-residual (codebooks are corpus-trained, independent of cells),
+    * so re-encoding under new centroids is sound, and a rebuild that
+    * dropped them would silently break every queryPq() caller. */
+  private def carriedPq(df: DataFrame): Option[Ann.PqModel] = {
+    val pq = newestCommittedBuild("index_v").flatMap(pqModelOf)
+    pq.foreach { _ =>
+      require(!df.columns.contains("codes"),
+        "collection gained a user 'codes' column after its PQ index was built — " +
+          "rename it or dropIndex() before rebuilding")
+    }
+    pq
+  }
 
   /** Deterministic IVF-PQ build (FAISS's IVFPQ, store-side): the seeded
     * IVF layout of [[buildIndexSeeded]] PLUS a `codes` column — every
@@ -1497,6 +1522,11 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         // without this the refreshed slices would lack the codes column
         // and the union-by-name read would serve NULL codes to queryPq
         val priorPq = pqModelOf(old)
+        priorPq.foreach { _ =>
+          require(!touched.columns.contains("codes"),
+            "collection gained a user 'codes' column after its PQ index was built — " +
+              "rename it or dropIndex() before refreshing")
+        }
         val assignedTouched = Ann.assignCells(touched, "embedding", cents)
         val withCodes = priorPq.fold(assignedTouched)(
           Ann.pqEncode(assignedTouched, "embedding", _))
@@ -1509,8 +1539,26 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         carryUnchangedSlices(old, claimed, changed)
         io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
         changed.size
+      case (Some(old), Some(cents)) =>
+        // prior build readable but not incrementally refreshable (no pb
+        // axis, or the indexed version's data dir was vacuumed): FULL
+        // re-assignment under the SAME centroids — refresh semantics,
+        // never a silent re-train — and a PQ-coded build re-encodes and
+        // keeps its codebooks instead of downgrading to plain IVF
+        val df = currentWithPtOf(m).withColumnRenamed("pt", "pb")
+        val assigned = Ann.assignCells(df, "embedding", cents)
+        val priorPq = pqModelOf(old)
+        priorPq.foreach { _ =>
+          require(!df.columns.contains("codes"),
+            "collection gained a user 'codes' column after its PQ index was built — " +
+              "rename it or dropIndex() before refreshing")
+        }
+        writeIndex(Ann.IvfModel(cents,
+          priorPq.fold(assigned)(Ann.pqEncode(assigned, "embedding", _))),
+          m.version, priorPq)
+        numBuckets
       case _ =>
-        buildIndex()
+        buildIndex() // no readable prior: re-train (ivf:nlist), PQ carried by buildIndex itself
         numBuckets
     }
     if (refreshed > 0) maybeAutoCompactIndexes()

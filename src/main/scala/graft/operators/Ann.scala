@@ -133,28 +133,33 @@ object Ann {
     finally out.close()
   }
 
-  /** Read back centroids persisted by [[writeIvf]] (None if absent). */
-  def readCentroids(
-      path: String,
-      hadoopConf: org.apache.hadoop.conf.Configuration): Option[Array[(Int, Array[Double])]] = {
-    val sidecar = new org.apache.hadoop.fs.Path(path, "_ivf_centroids.txt")
+  /** Full UTF-8 contents of a small sidecar file (None if absent) — the
+    * one Hadoop-stream slurp both sidecar readers share. */
+  private def readSidecarText(sidecar: org.apache.hadoop.fs.Path,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Option[String] = {
     val fs = sidecar.getFileSystem(hadoopConf)
     if (!fs.exists(sidecar)) None
     else {
       val in = fs.open(sidecar)
-      val text = try {
+      try {
         val buf = new java.io.ByteArrayOutputStream()
         val chunk = new Array[Byte](8192)
         var n = in.read(chunk)
         while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
       } finally in.close()
-      Some(text.split("\n").filter(_.nonEmpty).map { line =>
+    }
+  }
+
+  /** Read back centroids persisted by [[writeIvf]] (None if absent). */
+  def readCentroids(
+      path: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Option[Array[(Int, Array[Double])]] =
+    readSidecarText(new org.apache.hadoop.fs.Path(path, "_ivf_centroids.txt"), hadoopConf)
+      .map(_.split("\n").filter(_.nonEmpty).map { line =>
         val parts = line.split(" ")
         (parts.head.toInt, parts.tail.map(_.toDouble))
       })
-    }
-  }
 
   /** nprobe nearest cells from a raw centroid table (shared by the model
     * path and the optimizer rule). */
@@ -369,6 +374,16 @@ object Ann {
     }.reduce(_ + _).cast(DecimalType(18, 6)).cast("double")
   }
 
+  /** LOUD bound on PQ shortlists: [[refineExact]] BROADCASTS the
+    * shortlist onto the raw-vector scan (its whole point — the corpus is
+    * never re-ranked), so fetchN must stay broadcast-sized. 2¹⁶ rows ×
+    * (id + adc) is comfortably inside any broadcast budget; a caller
+    * wanting more should widen the codebook (ksub) instead — recall per
+    * shortlist row is the dial that actually scales (Recall's pq_scaled
+    * measurement). Mirrors [[Retrieval.MaxFetchN]]'s contract-enforced
+    * pattern. */
+  val MaxFetchN = 65536
+
   /** PQ top-k by ADC alone: (id, adc) for the k code-nearest rows, ties
     * by id. TakeOrdered shape — per-partition heaps, never a global sort. */
   def queryPqAdc(encoded: DataFrame, model: PqModel, idCol: String,
@@ -413,19 +428,9 @@ object Ann {
     * LOUD on a malformed file — codes are meaningless without their
     * codebooks, so a half-written sidecar must never half-succeed. */
   def readPqSidecar(dir: org.apache.hadoop.fs.Path,
-                    hadoopConf: org.apache.hadoop.conf.Configuration): Option[PqModel] = {
-    val sidecar = new org.apache.hadoop.fs.Path(dir, "_pq_codebooks.txt")
-    val fs = sidecar.getFileSystem(hadoopConf)
-    if (!fs.exists(sidecar)) None
-    else {
-      val in = fs.open(sidecar)
-      val text = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
+                    hadoopConf: org.apache.hadoop.conf.Configuration): Option[PqModel] =
+    readSidecarText(new org.apache.hadoop.fs.Path(dir, "_pq_codebooks.txt"),
+        hadoopConf).map { text =>
       val lines = text.split("\n").filter(_.nonEmpty)
       require(lines.nonEmpty && lines.head.startsWith("dim "),
         s"malformed PQ codebook sidecar at $dir: bad header")
@@ -440,9 +445,8 @@ object Ann {
       val ksub = entries.keys.map(_._2).max + 1
       require(entries.size == m * ksub,
         s"malformed PQ codebook sidecar at $dir: ${entries.size} entries for m=$m ksub=$ksub")
-      Some(PqModel(dim, m, Array.tabulate(m)(s => Array.tabulate(ksub)(c => entries((s, c))))))
+      PqModel(dim, m, Array.tabulate(m)(s => Array.tabulate(ksub)(c => entries((s, c)))))
     }
-  }
 
   /** Read back a [[writePq]] layout: (code table, model). LOUD when the
     * sidecar is missing or malformed. */
@@ -466,6 +470,8 @@ object Ann {
                      k: Int, fetchN: Int, space: String = "l2",
                      excludeIds: Seq[Any] = Nil): DataFrame = {
     require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    require(fetchN <= MaxFetchN,
+      s"fetchN ($fetchN) exceeds MaxFetchN ($MaxFetchN) — the shortlist broadcasts; widen ksub instead")
     refineExact(queryPqAdc(encoded, model, idCol, query, fetchN, excludeIds),
       corpus, idCol, vecCol, query, k, space)
   }
@@ -496,6 +502,8 @@ object Ann {
                  query: Seq[Float], k: Int, nprobe: Int, fetchN: Int,
                  space: String = "l2", excludeIds: Seq[Any] = Nil): DataFrame = {
     require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    require(fetchN <= MaxFetchN,
+      s"fetchN ($fetchN) exceeds MaxFetchN ($MaxFetchN) — the shortlist broadcasts; widen ksub instead")
     val cells = nearestCells(ivf, query, nprobe)
     val pruned = assignedEncoded.filter(col("cell").isin(cells: _*))
     refineExact(queryPqAdc(pruned, pq, idCol, query, fetchN, excludeIds),
@@ -537,26 +545,15 @@ object Ann {
 
   /** Train residual-PQ codebooks from seed rows: subspace s's centroids
     * are the s-th subvectors of the seeds' RESIDUALS (seed − its own
-    * cell centroid), in seed order. */
+    * cell centroid), in seed order — [[buildPqSeeded]] over the residual
+    * column, the same delegation [[pqEncodeResidual]] uses, so seed
+    * lookup/validation/slicing live in one place. */
   def buildPqResidualSeeded(assigned: DataFrame, idCol: String, vecCol: String,
                             cents: Array[(Int, Array[Double])],
-                            dim: Int, m: Int, seedIds: Seq[Any]): PqModel = {
-    require(seedIds.nonEmpty, "residual PQ needs at least one codebook seed row")
-    val seedRows = assigned.filter(col(idCol).isin(seedIds: _*))
-      .select(col(idCol).cast("string"),
-        residuals(assigned, vecCol, cents)).collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
-    val subDim = dim / m
-    val cbs = Array.tabulate(m) { s =>
-      seedIds.map { sid =>
-        val v = seedRows.getOrElse(String.valueOf(sid),
-          sys.error(s"residual-PQ seed id '$sid' not in corpus"))
-        require(v.length == dim, s"residual-PQ seed '$sid' has dim ${v.length}, expected $dim")
-        v.slice(s * subDim, (s + 1) * subDim)
-      }.toArray
-    }
-    PqModel(dim, m, cbs)
-  }
+                            dim: Int, m: Int, seedIds: Seq[Any]): PqModel =
+    buildPqSeeded(
+      assigned.withColumn("__res", residuals(assigned, vecCol, cents)),
+      idCol, "__res", dim, m, seedIds)
 
   /** Residual IVF-PQ query: per probed cell, the ADC table is built
     * against `q − centroid_cell` (driver-side: nprobe·m·ksub doubles);
@@ -568,6 +565,8 @@ object Ann {
                          query: Seq[Float], k: Int, nprobe: Int, fetchN: Int,
                          space: String = "l2", excludeIds: Seq[Any] = Nil): DataFrame = {
     require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    require(fetchN <= MaxFetchN,
+      s"fetchN ($fetchN) exceeds MaxFetchN ($MaxFetchN) — the shortlist broadcasts; widen ksub instead")
     val cells = nearestCells(ivf, query, nprobe)
     val centMap = ivf.centroids.toMap
     // per-cell lut on the residual query: same element-order fold as pqLut

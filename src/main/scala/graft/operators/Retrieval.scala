@@ -117,9 +117,16 @@ object Retrieval {
     require(ranked.size >= 2, "fuseMinMax fuses at least two scored lists")
     require(ranked.forall(_._2 >= 0), "fusion weights must be non-negative")
     val contribs = ranked.zipWithIndex.map { case ((df, w), i) =>
-      val stats = df.agg(min(col(scoreCol)).as("__mn"), max(col(scoreCol)).as("__mx"))
+      // per-list min/max as a GLOBAL WINDOW over the list, not a separate
+      // aggregate subtree: inputs are bounded ranked lists (top-N) by
+      // contract, so the single-partition window is ≤ N rows — and the
+      // list's (possibly expensive) upstream plan appears exactly ONCE,
+      // where a crossJoin(agg(df)) form would embed and re-execute it twice
+      val W = org.apache.spark.sql.expressions.Window
+      val all = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
       df.select(col(idCol).as("id"), col(scoreCol).as("__s"))
-        .crossJoin(broadcast(stats))
+        .select(col("id"), col("__s"),
+          min(col("__s")).over(all).as("__mn"), max(col("__s")).over(all).as("__mx"))
         .select(col("id"),
           (lit(w) * when(col("__mx") === col("__mn"), lit(1.0))
             .otherwise((col("__s") - col("__mn")) / (col("__mx") - col("__mn"))))

@@ -163,16 +163,22 @@ object Sketches {
       s"quantiles must be in (0, 1], got $qs")
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL values are excluded BEFORE sampling (standard quantile
+    // semantics) — Spark's ASC sort puts NULLS FIRST, so a sampled NULL
+    // would otherwise occupy rank 1 and null out the low quantiles
     val sampled = df
       .select(hash(keyCol.cast("string")).as("__h"), valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("__rn", row_number().over(Window.orderBy(col("__h"), col("v"))))
       .filter(col("__rn") <= k)
     // rank WITHIN the sample by value (ties share a value, so any order
-    // among them yields the same estimate); ≤ k rows from here on
+    // among them yields the same estimate); ≤ k rows from here on —
+    // n_sample derives from `ranked` itself (max rank), so the corpus-wide
+    // bottom-k window subtree appears once and its exchange is reused
     val ranked = sampled
       .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
       .select(col("rn"), col("v"))
-    val n = sampled.agg(count(lit(1)).as("n_sample"))
+    val n = ranked.agg(coalesce(max(col("rn")).cast("long"), lit(0L)).as("n_sample"))
     qs.toDF("q")
       .crossJoin(broadcast(n))
       .withColumn("r", greatest(lit(1L), ceil(col("q") * col("n_sample"))))

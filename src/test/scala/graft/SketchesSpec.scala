@@ -138,4 +138,16 @@ class SketchesSpec extends SparkTestBase {
       Sketches.bottomKQuantiles(rows, col("id"), col("value"), 8, Seq(0.0))
     }
   }
+
+  test("bottom-k quantiles exclude NULL values before sampling") {
+    val rows = ((1 to 40).map(i => (s"k$i", Some(i * 10))) ++
+      Seq(("knull1", None), ("knull2", None))).toDF("id", "value")
+    val got = Sketches.bottomKQuantiles(rows, col("id"), col("value"),
+        k = 64, qs = Seq(0.1, 1.0))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // 40 non-null values, exact nearest-rank: q=0.1 -> rank 4 -> 40;
+    // a sampled NULL would have nulled the low quantile instead
+    assert(got(0.1) == (40L, 40.0))
+    assert(got(1.0) == (40L, 400.0))
+  }
 }

@@ -125,4 +125,61 @@ class CollectionPqSpec extends SparkTestBase {
     assert(scanLine.contains("cell") && scanLine.contains(" IN "),
       s"expected probed-cell IN filter at the listing level, got: $scanLine")
   }
+
+  test("refreshIndex full-rebuild fallback keeps centroids AND the PQ surface") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "collpq-fb").toString
+    val c = new CollectionCatalog(spark, root, numBuckets = 4)
+      .getOrCreateCollection("fb", "cosine")
+    c.add(spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id").cast("string").as("id"), col("embedding"),
+        col("label").cast("string").as("label")))
+    pqBuild(c)
+    val qv = spark.read.parquet(sf("embeddings"))
+      .filter(col("vec_id") === 7L).select("embedding").as[Seq[Float]].head()
+    c.upsert(Seq(("planted", qv, "9")).toDF("id", "embedding", "label"))
+    // compact makes the CURRENT version self-contained (no carries into
+    // v1), then simulate an external cleanup that removed the INDEXED
+    // version's data dir while the committed build survived: the refresh
+    // cannot diff buckets and must take the full-rebuild fallback — which
+    // keeps the prior centroids (refresh semantics, no silent re-train)
+    // and the codes + codebooks (no silent PQ downgrade)
+    c.compact()
+    val v1 = new java.io.File(s"$root/fb/data_v000001")
+    assert(v1.isDirectory, s"expected data_v000001 under $root/fb")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(v1)
+    assert(c.refreshIndex() > 0)
+    val got = c.queryPq(qv, 2, nprobe = 8, fetchN = 20)
+      .select("id").as[String].collect().toSet
+    assert(got.contains("planted"),
+      s"fallback rebuild lost the PQ surface or the planted row: $got")
+  }
+
+  test("after the PQ build itself is vacuumed, queryPq stays LOUD (codebooks unrecoverable)") {
+    val c = freshColl("pq10")
+    pqBuild(c)
+    c.upsert(Seq(("x", Seq.fill(64)(0.1f), "9")).toDF("id", "embedding", "label"))
+    c.compact(); c.vacuum() // superseded index builds die with their versions
+    val e = intercept[IllegalStateException] { c.queryPq(Seq.fill(64)(0.5f), 5) }
+    assert(e.getMessage.contains("no committed index") ||
+      e.getMessage.contains("no PQ codebooks"))
+  }
+
+  test("explicit re-train (buildIndexSeeded) re-encodes codes under the carried codebooks") {
+    val c = freshColl("pq9")
+    pqBuild(c)
+    val before = c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 8, fetchN = 50)
+      .select("id").as[String].collect().toSeq
+    // re-train with DIFFERENT cell seeds: a plain rebuild here used to
+    // strand queryPq loudly-broken; now codes re-encode, codebooks carry
+    c.buildIndexSeeded((8L until 16L).map(_.toString))
+    val after = c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 8, fetchN = 50)
+      .select("id").as[String].collect().toSeq
+    // all cells probed on both sides and codebooks identical -> the ADC
+    // shortlist and exact re-rank are cell-layout-invariant
+    assert(after == before)
+  }
 }
