@@ -1517,6 +1517,13 @@ object SparkEntry {
         lMem.toDF().toDF("user_id", "lts", "l_event"),
         rMem.toDF().toDF("user_id", "rts", "r_event"),
         "user_id", "lts", "rts", delay = "8 hours", within = "4 hours")
+      // a stream-stream join opens FOUR state stores per shuffle partition
+      // per microbatch; at the session's 32 partitions the four batches
+      // here pay ~512 store inits for a 1000-row driver-fed fixture —
+      // fixed cost, not data. 8 partitions cut it 4× (measured 11.3 s →
+      // see BASELINE r11); restored in finally so no other query shifts.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = joined.writeStream.format("memory").queryName(qn)
         .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
       try {
@@ -1533,7 +1540,10 @@ object SparkEntry {
         q.processAllAvailable()
         lMem.addData(lRows.take(1).toIndexedSeq: _*)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(qn).filter(col("l_event") < 999990L)
         .select(col("user_id"), col("l_event"), col("r_event"))
         .orderBy("user_id", "l_event", "r_event")
