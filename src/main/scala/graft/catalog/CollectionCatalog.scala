@@ -1475,6 +1475,70 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       .select(col("id"), col("adc"), round(col("__d"), 4).as("dist"))
   }
 
+  /** Batch form of [[queryPq]], shaped like [[queryBatch]]: ONE pruned
+    * codes-only scan serves every query — each query's ADC lookup table
+    * rides the broadcast query frame as a flattened m·ksub array, rows
+    * pair with queries whose probe set contains their cell, and the
+    * per-query fetchN shortlists (WindowGroupLimit under the exchange)
+    * join back to the pruned cells once for the exact re-rank. Output:
+    * (qid, rnk, id, adc, dist). */
+  def queryPqBatch(queryVecs: Seq[Seq[Float]], k: Int, nprobe: Int = 0,
+                   fetchN: Int = 0, where: Option[Where] = None,
+                   whereDoc: Option[WhereDocument] = None): DataFrame = {
+    require(queryVecs.nonEmpty, "queryPqBatch needs at least one query vector")
+    require(queryVecs.map(_.length).distinct.size == 1,
+      s"query vectors must share one dimension, got ${queryVecs.map(_.length).distinct}")
+    requireDim(queryVecs.head.length)
+    val m = meta
+    val (idxPath, cents) = currentIndex(m).getOrElse(throw new IllegalStateException(
+      s"collection '$name' has no committed index for version ${m.version} — run buildIndexPqSeeded"))
+    val pq = pqModelOf(idxPath).getOrElse(throw new IllegalStateException(
+      s"index build $idxPath carries no PQ codebooks — built with buildIndex? " +
+        "run buildIndexPqSeeded for the ADC path or queryBatch() for the plain one"))
+    val fn = if (fetchN > 0) fetchN else k * 4
+    require(fn >= k, s"fetchN ($fn) must be >= k ($k)")
+    require(fn <= Ann.MaxFetchN,
+      s"fetchN ($fn) exceeds MaxFetchN (${Ann.MaxFetchN}) — shortlists broadcast")
+    val np = resolveNprobe(m, nprobe)
+    val cellsPerQ = queryVecs.map(v => Ann.nearestCellsOf(cents, v, np))
+    val allCells = cellsPerQ.flatten.distinct
+    val indexed = readIndexBuild(idxPath)
+    val layoutCols = indexLayoutCols(idxPath)
+    requireNoReserved(indexed.drop("codes" +: layoutCols: _*),
+      Seq("qid", "rnk", "dist", "adc", "__qvec", "__qcells", "__qlut", "__rn"))
+    val pruned0 = docIndexConfine(
+      indexed.filter(col("cell").isin(allCells: _*)), m, whereDoc)
+    val pruned = ChromaFilter.predicate(where, whereDoc, col("document"),
+      keyResolver(indexed)).map(pruned0.filter).getOrElse(pruned0)
+    val spark0 = pruned.sparkSession
+    import spark0.implicits._
+    val ksub = pq.ksub
+    val queries = queryVecs.zipWithIndex.map { case (v, i) =>
+      (i, v, cellsPerQ(i), Ann.pqLut(pq, v).flatten.toSeq)
+    }.toDF("qid", "__qvec", "__qcells", "__qlut")
+    import org.apache.spark.sql.types.DecimalType
+    val adcCol = (0 until pq.m).map { s =>
+      round(element_at(col("__qlut"),
+          (lit(s * ksub) + col("codes").getItem(s) + 1).cast("int")), 6)
+        .cast(DecimalType(18, 6))
+    }.reduce(_ + _).cast(DecimalType(18, 6)).cast("double")
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    val shortlist = pruned.select(col("id"), col("cell"), col("codes"))
+      .join(broadcast(queries), array_contains(col("__qcells"), col("cell")))
+      .withColumn("adc", adcCol)
+      .withColumn("__rn", row_number().over(wAdc)).filter(col("__rn") <= fn)
+      .select(col("qid"), col("id"), col("adc"), col("__qvec"))
+    val wK = Window.partitionBy(col("qid")).orderBy(col("__d"), col("id"))
+    pruned.select(col("id"), col("embedding"))
+      .join(broadcast(shortlist), Seq("id"))
+      .withColumn("__d",
+        graft.functions.Distances.bySpace(m.space)(col("embedding"), col("__qvec")))
+      .withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"), col("adc"),
+        round(col("__d"), 4).as("dist"))
+  }
+
   /** Incrementally refresh the IVF index to the CURRENT version: keep the
     * prior build's CENTROIDS, re-run the exact argmin-L2 assignment ONLY
     * for the id buckets whose data changed since the indexed version, and

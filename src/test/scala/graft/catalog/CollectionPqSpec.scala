@@ -182,4 +182,23 @@ class CollectionPqSpec extends SparkTestBase {
     // shortlist and exact re-rank are cell-layout-invariant
     assert(after == before)
   }
+
+  test("queryPqBatch per-query results equal per-vector queryPq (one scan serves the batch)") {
+    val c = freshColl("pq11")
+    pqBuild(c)
+    val qs = Seq(Seq.fill(64)(0.5f),
+      (0 until 64).map(j => (j % 7).toFloat / 7f),
+      (0 until 64).map(j => 1f - (j % 5).toFloat / 5f))
+    val batch = c.queryPqBatch(qs, k = 5, nprobe = 2, fetchN = 20)
+      .select("qid", "rnk", "id", "adc", "dist")
+      .as[(Int, Int, String, Double, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq).toMap
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val single = c.queryPq(q, 5, nprobe = 2, fetchN = 20)
+        .select("id", "adc", "dist")
+        .as[(String, Double, Double)].collect().toSeq
+      assert(batch(i) == single, s"query $i diverges between batch and single")
+    }
+  }
 }
