@@ -2224,6 +2224,34 @@ object SparkEntry {
           space = "cosine", excludeIds = Seq(0L))
         .select(col("vec_id"), col("adc"), col("dist"))
     }),
+    // The BATCH form of the store-side PQ read (q140's collection,
+    // reused by fingerprint): one pruned codes-only scan serves BOTH
+    // query vectors — per-query probe sets and ADC tables ride the
+    // broadcast query frame, per-query shortlists prune under the
+    // exchange, one join back re-ranks exactly. The oracle replays the
+    // whole per-qid pipeline keyed by qid.
+    "q144_collection_pq_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root)
+      val fp = s"pq1|$dir|n=${emb.count()}"
+      val reusable = cat.getCollection("pqidx").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
+      val coll = if (reusable) cat.getCollection("pqidx").get else {
+        cat.deleteCollection("pqidx")
+        val c = cat.getOrCreateCollection("pqidx", "cosine")
+        c.add(emb.select(col("vec_id").cast("string").as("id"),
+          col("embedding"), col("label")))
+        c.buildIndexPqSeeded((0L until 8L).map(_.toString),
+          (1L to 16L).map(_.toString), m = 8)
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      coll.queryPqBatch(Seq(headVec(emb, 0), headVec(emb, 17)),
+          k = 10, nprobe = 2, fetchN = 30)
+        .select(col("qid"), col("rnk"), col("id"), col("adc"), col("dist"))
+        .orderBy("qid", "rnk")
+    }),
     // Cross-version SCHEMA EVOLUTION through the store: batch 1 writes
     // (id, document, embedding); a later upsert introduces a NEW metadata
     // column (src) the original version never had. The union-by-name read
@@ -4239,6 +4267,66 @@ object SparkEntry {
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
          |SELECT id, adc, ROUND(dist_raw, 4) AS dist FROM ref
          |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
+    // q144: the batch PQ read replayed keyed by qid — per-query probe
+    // sets (partitioned row_number), per-query luts over the shared
+    // codebooks, per-query shortlists and rank windows, all over ONE
+    // encode (the enc CTE is query-independent)
+    "q144_collection_pq_batch" ->
+      s"""WITH cct AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |             FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+         |cdist AS (SELECT e.vec_id AS vec_id, cct.cell AS cell,
+         |                 ${sqlL2("e.embedding", "cct.ce")} AS cd
+         |          FROM embeddings e, cct),
+         |asg AS (SELECT vec_id, cell FROM
+         |          (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |                                                   ORDER BY cd, cell) AS rn
+         |           FROM cdist) WHERE rn = 1),
+         |q AS (SELECT 0 AS qid, embedding AS qe FROM embeddings WHERE vec_id = 0
+         |      UNION ALL
+         |      SELECT 1 AS qid, embedding AS qe FROM embeddings WHERE vec_id = 17),
+         |pc AS (SELECT qid, cell FROM
+         |         (SELECT q.qid AS qid, c.cell AS cell,
+         |                 row_number() OVER (PARTITION BY q.qid
+         |                                    ORDER BY ${sqlL2("c.ce", "q.qe")}, c.cell) AS rn
+         |          FROM cct c, q) WHERE rn <= 2),
+         |sub AS (SELECT unnest(range(8)) AS s),
+         |cb AS (SELECT sub.s AS s, CAST(e.vec_id - 1 AS INTEGER) AS code,
+         |              list_transform(range(8), j -> e.embedding[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS cv
+         |       FROM embeddings e, sub WHERE e.vec_id BETWEEN 1 AND 16),
+         |rs AS (SELECT sub.s AS s, e.vec_id AS vec_id,
+         |              list_transform(range(8), j -> e.embedding[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS rv
+         |       FROM embeddings e, sub),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |          SELECT r.vec_id AS vec_id, r.s AS s, c.code AS code,
+         |                 row_number() OVER (PARTITION BY r.vec_id, r.s
+         |                                    ORDER BY ${sqlL2("r.rv", "c.cv")}, c.code) AS rn
+         |          FROM rs r JOIN cb c ON c.s = r.s) WHERE rn = 1),
+         |qs AS (SELECT q.qid AS qid, sub.s AS s,
+         |              list_transform(range(8), j -> q.qe[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS qv
+         |       FROM q, sub),
+         |lut AS (SELECT qs.qid AS qid, c.s AS s, c.code AS code,
+         |               ROUND(${sqlL2("qs.qv", "c.cv")}, 6) AS d6
+         |        FROM cb c JOIN qs ON qs.s = c.s),
+         |adc AS (SELECT l.qid AS qid, e.vec_id AS vec_id,
+         |               CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS adc
+         |        FROM enc e JOIN asg a ON a.vec_id = e.vec_id
+         |        JOIN lut l ON l.s = e.s AND l.code = e.code
+         |        JOIN pc p ON p.qid = l.qid AND p.cell = a.cell
+         |        GROUP BY l.qid, e.vec_id),
+         |short AS (SELECT qid, vec_id, adc FROM
+         |            (SELECT qid, vec_id, adc,
+         |                    row_number() OVER (PARTITION BY qid
+         |                                       ORDER BY adc, CAST(vec_id AS VARCHAR)) AS rn
+         |             FROM adc) WHERE rn <= 30),
+         |ref AS (SELECT sh.qid AS qid, CAST(sh.vec_id AS VARCHAR) AS id, sh.adc AS adc,
+         |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
+         |        FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id
+         |        JOIN q ON q.qid = sh.qid)
+         |SELECT qid, rnk, id, adc, ROUND(dist_raw, 4) AS dist FROM
+         |  (SELECT qid, id, adc, dist_raw,
+         |          row_number() OVER (PARTITION BY qid ORDER BY dist_raw, id) AS rnk
+         |   FROM ref) WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
     // q92: the cross-frame minhash/banding chain replayed per side (the
     // q54 machinery with batch/corpus sources), exact precedence over
     // near, the matched-bucket cap mirrored
