@@ -51,6 +51,12 @@ object Recall {
       "q136_pq_adc_knn" ->
         one(Ann.recallAtK(run("q136_pq_adc_knn").select(col("vec_id")),
           exactExcl, "vec_id")),
+      "q139_ivfpq_knn" ->
+        one(Ann.recallAtK(run("q139_ivfpq_knn").select(col("vec_id")),
+          exactExcl, "vec_id")),
+      "q141_ivfpq_residual_knn" ->
+        one(Ann.recallAtK(run("q141_ivfpq_residual_knn").select(col("vec_id")),
+          exactExcl, "vec_id")),
       // the same PQ pipeline with BOTH dials scaled to the corpus: q136
       // freezes ksub=16/fetchN=30 for its oracle — on a structureless
       // random corpus that measures the frozen dials, not the method

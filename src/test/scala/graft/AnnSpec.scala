@@ -183,7 +183,7 @@ class AnnSpec extends SparkTestBase {
     assert(rs.map(_._1).toSet == Set(
       "q32_ivf_knn", "q69_quantized_knn", "q60_collection_ivf_knn",
       "q61_embedding_neardup_lsh", "q64_neardup_multiprobe", "q82_neardup_multitable",
-      "q136_pq_adc_knn", "pq_scaled"))
+      "q136_pq_adc_knn", "q139_ivfpq_knn", "q141_ivfpq_residual_knn", "pq_scaled"))
     rs.foreach { case (n, v) =>
       assert(v >= 0.0 && v <= 1.0, s"$n recall out of range: $v") }
     val m = rs.toMap
