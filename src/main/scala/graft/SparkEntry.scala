@@ -1296,7 +1296,7 @@ object SparkEntry {
       // fingerprint (store-format token + source dir + row count; fixtures
       // are immutable) guards the reuse: any mismatch — including a stale
       // artifact from an older store layout — drops and rebuilds.
-      val fp = s"fmt1|$dir|n=${emb.count()}"
+      val fp = s"ivf2|$dir|n=${emb.count()}|cs=0-7"
       val reusable = cat.getCollection("ivfq").exists(c =>
         c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
       val coll = if (reusable) cat.getCollection("ivfq").get else {
@@ -1322,7 +1322,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val root = verifyCollectionsRoot(dir)
       val cat = new CollectionCatalog(s, root)
-      val fp = s"pq1|$dir|n=${emb.count()}"
+      // fp = store-format/algo tag + source + BUILD PARAMS: any change to
+      // encode/codebook semantics bumps the tag (pq1->pq2 flushed the r11
+      // pre-commit build) and any re-seed/re-dial changes the param tail —
+      // fingerprint reuse can never serve a stale build (VERDICT r11 #1b)
+      val fp = s"pq2|$dir|n=${emb.count()}|cs=0-7|ps=1-16|m=8"
       val reusable = cat.getCollection("pqidx").exists(c =>
         c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
       val coll = if (reusable) cat.getCollection("pqidx").get else {
@@ -1350,7 +1354,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val root = verifyCollectionsRoot(dir)
       val cat = new CollectionCatalog(s, root)
-      val fp = s"fmt1|$dir|n=${emb.count()}"
+      val fp = s"ivfdx2|$dir|n=${emb.count()}|cs=0-7"
       val reusable = cat.getCollection("ivfdx").exists(c =>
         c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex && c.hasDocIndex)
       val coll = if (reusable) cat.getCollection("ivfdx").get else {
@@ -1394,7 +1398,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val root = verifyCollectionsRoot(dir)
       val cat = new CollectionCatalog(s, root)
-      val fp = s"fmt1|$dir|n=${emb.count()}"
+      val fp = s"ivfcx2|$dir|n=${emb.count()}|cs=0-7"
       val reusable = cat.getCollection("ivfcx").exists(c =>
         c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex && c.hasDocIndex)
       val coll = if (reusable) cat.getCollection("ivfcx").get else {
@@ -1425,7 +1429,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val root = verifyCollectionsRoot(dir)
       val cat = new CollectionCatalog(s, root)
-      val fp = s"fmt1|$dir|n=${emb.count()}"
+      val fp = s"ivfr2|$dir|n=${emb.count()}|cs=0-7"
       val reusable = cat.getCollection("ivfr").exists(c =>
         c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
       val coll = if (reusable) cat.getCollection("ivfr").get else {
@@ -1498,8 +1502,6 @@ object SparkEntry {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.Trigger
       import graft.streaming.StreamingHydrator
-      import s.implicits._
-      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
       val base = t(s, dir, "events").filter(col("event_id") < 1000)
         .select(col("event_id"), col("user_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -1509,21 +1511,25 @@ object SparkEntry {
       def ts(i: Long) = new java.sql.Timestamp(86400000L + i * 60000L)
       val lRows = base.filter(_._1 % 2 == 0).map { case (i, u) => (u, ts(i), i) }
       val rRows = base.filter(_._1 % 2 == 1).map { case (i, u) => (u, ts(i), i) }
-      val lMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
-      val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
-      val qn = s"q142_out_${dir.hashCode.toLong & 0xffffffffL}"
-      s.catalog.dropTempView(qn)
-      val joined = StreamingHydrator.intervalJoinStream(
-        lMem.toDF().toDF("user_id", "lts", "l_event"),
-        rMem.toDF().toDF("user_id", "rts", "r_event"),
-        "user_id", "lts", "rts", delay = "8 hours", within = "4 hours")
       // a stream-stream join opens FOUR state stores per shuffle partition
       // per microbatch; at the session's 32 partitions the four batches
       // here pay ~512 store inits for a 1000-row driver-fed fixture —
       // fixed cost, not data. 8 partitions cut it 4× (measured 11.3 s →
-      // see BASELINE r11); restored in finally so no other query shifts.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // see BASELINE r11). The override lives on a CLONED session (shared
+      // SparkContext, isolated SQL conf), so concurrent work on the main
+      // session never plans with it and no finally-restore can leak.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      implicit val sqlc: org.apache.spark.sql.SQLContext = s2.sqlContext
+      import s2.implicits._
+      val lMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val qn = s"q142_out_${dir.hashCode.toLong & 0xffffffffL}"
+      s2.catalog.dropTempView(qn)
+      val joined = StreamingHydrator.intervalJoinStream(
+        lMem.toDF().toDF("user_id", "lts", "l_event"),
+        rMem.toDF().toDF("user_id", "rts", "r_event"),
+        "user_id", "lts", "rts", delay = "8 hours", within = "4 hours")
       val q = joined.writeStream.format("memory").queryName(qn)
         .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
       try {
@@ -1540,11 +1546,8 @@ object SparkEntry {
         q.processAllAvailable()
         lMem.addData(lRows.take(1).toIndexedSeq: _*)
         q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-      s.table(qn).filter(col("l_event") < 999990L)
+      } finally q.stop()
+      s2.table(qn).filter(col("l_event") < 999990L)
         .select(col("user_id"), col("l_event"), col("r_event"))
         .orderBy("user_id", "l_event", "r_event")
     }),
@@ -1649,7 +1652,7 @@ object SparkEntry {
       // and the indexed read path never. A fresh root (the driver's
       // Verify) always runs the stream once.
       val nDocs = t(s, dir, "documents").count()
-      val fp = s"fmt1|$dir|n=$nDocs"
+      val fp = s"stream2|$dir|n=$nDocs"
       val reusable = cat.getCollection("stream127").exists(c =>
         c.meta.metadata.get("source_fp").contains(fp) && c.hasDocIndex)
       val coll = if (reusable) cat.getCollection("stream127").get else {
@@ -1701,7 +1704,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val root = verifyCollectionsRoot(dir)
       val cat = new CollectionCatalog(s, root, numBuckets = 8)
-      val fp = s"fmt2|$dir|n=${docs.count()}"
+      val fp = s"dix3|$dir|n=${docs.count()}"
       val reusable = cat.getCollection("dix").exists(c =>
         c.meta.metadata.get("source_fp").contains(fp) && c.hasDocIndex)
       val coll = if (reusable) cat.getCollection("dix").get else {
@@ -1853,7 +1856,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val root = verifyCollectionsRoot(dir)
       val cat = new CollectionCatalog(s, root, numBuckets = 8)
-      val fp = s"fmt1|$dir|n=${docs.count()}"
+      val fp = s"qtd2|$dir|n=${docs.count()}|embed=hash16"
       val reusable = cat.getCollection("qtd").exists(c =>
         c.meta.metadata.get("source_fp").contains(fp) && c.hasDocIndex)
       val coll = if (reusable) cat.getCollection("qtd").get else {
@@ -2234,7 +2237,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val root = verifyCollectionsRoot(dir)
       val cat = new CollectionCatalog(s, root)
-      val fp = s"pq1|$dir|n=${emb.count()}"
+      val fp = s"pq2|$dir|n=${emb.count()}|cs=0-7|ps=1-16|m=8"
       val reusable = cat.getCollection("pqidx").exists(c =>
         c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
       val coll = if (reusable) cat.getCollection("pqidx").get else {
@@ -4091,7 +4094,7 @@ object SparkEntry {
          |ref AS (SELECT sh.vec_id AS vec_id, sh.adc AS adc,
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
-         |SELECT vec_id, adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |SELECT vec_id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM ref
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
     // q139: q32's seeded-IVF assignment/probe CTEs composed with q136's
     // PQ encode/lut/ADC CTEs — the ADC stage additionally confines to the
@@ -4136,7 +4139,7 @@ object SparkEntry {
          |ref AS (SELECT sh.vec_id AS vec_id, sh.adc AS adc,
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
-         |SELECT vec_id, adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |SELECT vec_id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM ref
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
     // q141: the residual construction replayed — residuals as double
     // element-order folds against each row's OWN cell centroid, residual
@@ -4193,7 +4196,7 @@ object SparkEntry {
          |ref AS (SELECT sh.vec_id AS vec_id, sh.adc AS adc,
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
-         |SELECT vec_id, adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |SELECT vec_id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM ref
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
     // q143: schema evolution replayed — rows written before the column
     // existed read '__pre' (NULL coalesced); the evolved column filters
@@ -4265,7 +4268,7 @@ object SparkEntry {
          |ref AS (SELECT CAST(sh.vec_id AS VARCHAR) AS id, sh.adc AS adc,
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
-         |SELECT id, adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |SELECT id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM ref
          |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
     // q144: the batch PQ read replayed keyed by qid — per-query probe
     // sets (partitioned row_number), per-query luts over the shared
@@ -4322,7 +4325,7 @@ object SparkEntry {
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id
          |        JOIN q ON q.qid = sh.qid)
-         |SELECT qid, rnk, id, adc, ROUND(dist_raw, 4) AS dist FROM
+         |SELECT qid, rnk, id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM
          |  (SELECT qid, id, adc, dist_raw,
          |          row_number() OVER (PARTITION BY qid ORDER BY dist_raw, id) AS rnk
          |   FROM ref) WHERE rnk <= 10

@@ -1455,6 +1455,8 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         "run buildIndexPqSeeded for the ADC path or query() for the plain one"))
     val fn = if (fetchN > 0) fetchN else k * 4
     require(fn >= k, s"fetchN ($fn) must be >= k ($k)")
+    require(fn <= Ann.MaxFetchN,
+      s"fetchN ($fn) exceeds MaxFetchN (${Ann.MaxFetchN}) — shortlists broadcast")
     val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
     val indexed = readIndexBuild(idxPath)
     val layoutCols = indexLayoutCols(idxPath)
@@ -1472,7 +1474,12 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         graft.functions.Distances.bySpace(m.space)(col("embedding"),
           typedLit(queryVec)).as("__d"))
       .orderBy(col("__d"), col("id")).limit(k)
-      .select(col("id"), col("adc"), round(col("__d"), 4).as("dist"))
+      // terminal ROUND on adc too (SURVEY §2.D rule 2): the round-6
+      // DECIMAL fold is order-free but its raw L2 partials are not
+      // engine-portable at the 0.5e-6 boundary — CORRECTNESS_r11 caught
+      // exactly this (q140 hash flip); ordering stays on unrounded values
+      .select(col("id"), round(col("adc"), 4).as("adc"),
+        round(col("__d"), 4).as("dist"))
   }
 
   /** Batch form of [[queryPq]], shaped like [[queryBatch]]: ONE pruned
@@ -1535,8 +1542,8 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         graft.functions.Distances.bySpace(m.space)(col("embedding"), col("__qvec")))
       .withColumn("rnk", row_number().over(wK))
       .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("id"), col("adc"),
-        round(col("__d"), 4).as("dist"))
+      .select(col("qid"), col("rnk"), col("id"),
+        round(col("adc"), 4).as("adc"), round(col("__d"), 4).as("dist"))
   }
 
   /** Incrementally refresh the IVF index to the CURRENT version: keep the

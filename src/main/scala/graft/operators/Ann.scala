@@ -478,7 +478,12 @@ object Ann {
 
   /** Exact re-rank of an ADC shortlist: fetch the shortlist rows' raw
     * vectors (the shortlist BROADCASTS onto the corpus scan), exact
-    * `space` distance, top-k. */
+    * `space` distance, top-k. Both float outputs pass through a terminal
+    * ROUND(x, 4) (SURVEY §2.D rule 2): the round-6 DECIMAL partial fold
+    * makes the adc SUM order-free, but the raw L2 partials feeding it
+    * can land on opposite sides of a 0.5e-6 boundary on an independent
+    * engine — the coarser output round absorbs those boundary flips
+    * (shortlist and rank order still use the unrounded values). */
   private def refineExact(shortlist: DataFrame, corpus: DataFrame,
                           idCol: String, vecCol: String, query: Seq[Float],
                           k: Int, space: String): DataFrame =
@@ -487,7 +492,8 @@ object Ann {
       .select(col(idCol), col("adc"),
         graft.functions.Distances.bySpace(space)(col(vecCol), typedLit(query)).as("__d"))
       .orderBy(col("__d"), col(idCol)).limit(k)
-      .select(col(idCol), col("adc"), round(col("__d"), 4).as("dist"))
+      .select(col(idCol), round(col("adc"), 4).as("adc"),
+        round(col("__d"), 4).as("dist"))
 
   /** IVF-PQ, the canonical composition (FAISS's IVFPQ): the corpus is
     * cell-PARTITIONED (IVF prunes which rows the query lists/reads) and
