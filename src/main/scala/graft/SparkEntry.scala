@@ -2255,6 +2255,34 @@ object SparkEntry {
         .select(col("qid"), col("rnk"), col("id"), col("adc"), col("dist"))
         .orderBy("qid", "rnk")
     }),
+    // The RESIDUAL IVF-PQ as the collection index (q141's construction
+    // promoted to the store, the way q140 promoted q139): codes quantize
+    // v − centroid(cell) under seed-residual codebooks, the sidecar's
+    // residual flag routes queryPq through per-cell ADC tables, and the
+    // exact cosine re-rank rides the same fetchN refine. String ids, no
+    // self-exclusion — the store surface's semantics, q140's discipline.
+    "q145_collection_pq_residual_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root)
+      val fp = s"pqr1|$dir|n=${emb.count()}|cs=0-7|ps=10-25|m=8"
+      val reusable = cat.getCollection("pqridx").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
+      val coll = if (reusable) cat.getCollection("pqridx").get else {
+        cat.deleteCollection("pqridx")
+        val c = cat.getOrCreateCollection("pqridx", "cosine")
+        c.add(emb.select(col("vec_id").cast("string").as("id"),
+          col("embedding"), col("label")))
+        // PQ seeds disjoint from cell seeds (a cell seed's residual is
+        // the zero vector — q141's degeneracy argument)
+        c.buildIndexPqResidualSeeded((0L until 8L).map(_.toString),
+          (10L to 25L).map(_.toString), m = 8)
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      coll.queryPq(headVec(emb, 0), 10, nprobe = 2, fetchN = 30)
+        .select(col("id"), col("adc"), col("dist"))
+    }),
     // Cross-version SCHEMA EVOLUTION through the store: batch 1 writes
     // (id, document, embedding); a later upsert introduces a NEW metadata
     // column (src) the original version never had. The union-by-name read
@@ -4262,6 +4290,63 @@ object SparkEntry {
          |        FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
          |        JOIN asg a ON a.vec_id = e.vec_id
          |        WHERE a.cell IN (SELECT cell FROM pc)
+         |        GROUP BY e.vec_id),
+         |short AS (SELECT vec_id, adc FROM adc
+         |          ORDER BY adc, CAST(vec_id AS VARCHAR) LIMIT 30),
+         |ref AS (SELECT CAST(sh.vec_id AS VARCHAR) AS id, sh.adc AS adc,
+         |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
+         |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
+         |SELECT id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
+    // q145: q141's residual replay against the COLLECTION's index —
+    // string ids, NO self-exclusion (q140's store-surface discipline),
+    // every tie-break in string order, terminal ROUND on both floats
+    "q145_collection_pq_residual_knn" ->
+      s"""WITH cct AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |             FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+         |cdist AS (SELECT e.vec_id AS vec_id, cct.cell AS cell,
+         |                 ${sqlL2("e.embedding", "cct.ce")} AS cd
+         |          FROM embeddings e, cct),
+         |asg AS (SELECT vec_id, cell FROM
+         |          (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |                                                   ORDER BY cd, cell) AS rn
+         |           FROM cdist) WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pc AS (SELECT cct.cell FROM cct, q
+         |       ORDER BY ${sqlL2("cct.ce", "q.qe")}, cct.cell LIMIT 2),
+         |res AS MATERIALIZED (SELECT e.vec_id AS vec_id, a.cell AS cell,
+         |              list_transform(range(64), j ->
+         |                CAST(e.embedding[CAST(j + 1 AS INTEGER)] AS DOUBLE)
+         |                - CAST(c.ce[CAST(j + 1 AS INTEGER)] AS DOUBLE)) AS rv
+         |       FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+         |       JOIN cct c ON c.cell = a.cell),
+         |sub AS (SELECT unnest(range(8)) AS s),
+         |rcb AS (SELECT sub.s AS s, CAST(r.vec_id - 10 AS INTEGER) AS code,
+         |              list_transform(range(8), j -> r.rv[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS cv
+         |        FROM res r, sub WHERE r.vec_id BETWEEN 10 AND 25),
+         |rsub AS (SELECT sub.s AS s, r.vec_id AS vec_id,
+         |               list_transform(range(8), j -> r.rv[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS rv
+         |        FROM res r, sub),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |          SELECT r.vec_id AS vec_id, r.s AS s, c.code AS code,
+         |                 row_number() OVER (PARTITION BY r.vec_id, r.s
+         |                                    ORDER BY ${sqlL2("r.rv", "c.cv")}, c.code) AS rn
+         |          FROM rsub r JOIN rcb c ON c.s = r.s) WHERE rn = 1),
+         |qres AS (SELECT p.cell AS cell,
+         |                list_transform(range(64), j ->
+         |                  CAST(q.qe[CAST(j + 1 AS INTEGER)] AS DOUBLE)
+         |                  - CAST(c.ce[CAST(j + 1 AS INTEGER)] AS DOUBLE)) AS qv
+         |         FROM pc p JOIN cct c ON c.cell = p.cell, q),
+         |qsub AS (SELECT qres.cell AS cell, sub.s AS s,
+         |                list_transform(range(8), j -> qres.qv[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS qv
+         |         FROM qres, sub),
+         |lut AS (SELECT qsub.cell AS cell, c.s AS s, c.code AS code,
+         |               ROUND(${sqlL2("qsub.qv", "c.cv")}, 6) AS d6
+         |        FROM rcb c JOIN qsub ON qsub.s = c.s),
+         |adc AS (SELECT e.vec_id AS vec_id,
+         |               CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS adc
+         |        FROM enc e JOIN asg a ON a.vec_id = e.vec_id
+         |        JOIN lut l ON l.cell = a.cell AND l.s = e.s AND l.code = e.code
          |        GROUP BY e.vec_id),
          |short AS (SELECT vec_id, adc FROM adc
          |          ORDER BY adc, CAST(vec_id AS VARCHAR) LIMIT 30),

@@ -1327,7 +1327,8 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     val ivf = Ann.buildIvf(df, "id", "embedding", nlist, seed, trainFraction)
     val pq = carriedPq(df)
     writeIndex(
-      ivf.copy(assigned = pq.fold(ivf.assigned)(Ann.pqEncode(ivf.assigned, "embedding", _))),
+      ivf.copy(assigned = pq.fold(ivf.assigned)(
+        Ann.pqEncodeFor(ivf.assigned, "embedding", ivf.centroids, _))),
       m.version, pq)
   }
 
@@ -1351,7 +1352,8 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     // re-train: a plain rebuild here would strand queryPq() loudly-broken
     val pq = carriedPq(df)
     writeIndex(
-      ivf.copy(assigned = pq.fold(ivf.assigned)(Ann.pqEncode(ivf.assigned, "embedding", _))),
+      ivf.copy(assigned = pq.fold(ivf.assigned)(
+        Ann.pqEncodeFor(ivf.assigned, "embedding", ivf.centroids, _))),
       m.version, pq)
   }
 
@@ -1397,10 +1399,15 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     Collection.cachedPqModel(io, build, spark.sparkContext.hadoopConfiguration)
 
   /** The newest committed build's PQ codebooks regardless of version —
-    * what any REBUILD must carry forward: store-level codes are
-    * non-residual (codebooks are corpus-trained, independent of cells),
-    * so re-encoding under new centroids is sound, and a rebuild that
-    * dropped them would silently break every queryPq() caller. */
+    * what any REBUILD must carry forward: a rebuild that dropped them
+    * would silently break every queryPq() caller. Plain codebooks are
+    * corpus-trained (cell-independent), so re-encoding under new
+    * centroids is exactly a fresh encode; RESIDUAL codebooks were
+    * trained on the old cells' residuals, so after a re-seed they keep
+    * serving (codes re-encode against the new centroids — well-defined,
+    * and the exact refine keeps answers correct) but their fit decays
+    * with centroid drift — re-run buildIndexPqResidualSeeded to re-train
+    * when refreshIndexReport flags drift. */
   private def carriedPq(df: DataFrame): Option[Ann.PqModel] = {
     val pq = newestCommittedBuild("index_v").flatMap(pqModelOf)
     pq.foreach { _ =>
@@ -1431,6 +1438,34 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     val ivf = Ann.buildIvfSeededAny(df, "id", "embedding", cellSeedIds)
     val pq = Ann.buildPqSeeded(df, "id", "embedding", d, m, pqSeedIds)
     writeIndex(ivf.copy(assigned = Ann.pqEncode(ivf.assigned, "embedding", pq)),
+      meta0.version, Some(pq))
+  }
+
+  /** The FULL Jégou construction as the collection index (residual
+    * IVF-PQ): codes quantize `r = v − centroid(cell(v))` under codebooks
+    * seeded by the `pqSeedIds` rows' OWN residuals — residuals
+    * concentrate near 0 regardless of where cells sit, so the same ksub
+    * codes spend their resolution on what the cell has not already
+    * explained (measurably better ADC fidelity than [[buildIndexPqSeeded]]
+    * at identical storage; q141 vs q139). The `residual` flag rides the
+    * codebook sidecar, so [[queryPq]]/[[queryPqBatch]] pick the per-cell
+    * ADC route and [[refreshIndex]]/rebuilds re-encode residuals — a
+    * residual build can never be ADC'd against a raw-query table.
+    * Keep pqSeedIds DISJOINT from cellSeedIds: a cell seed's residual is
+    * the zero vector, and duplicate zero codebook entries waste codes. */
+  def buildIndexPqResidualSeeded(cellSeedIds: Seq[String], pqSeedIds: Seq[String],
+                                 m: Int): Unit = {
+    val meta0 = indexableMeta()
+    val df = currentWithPtOf(meta0).withColumnRenamed("pt", "pb")
+    require(!df.columns.contains("codes"),
+      "collection has a 'codes' column, which collides with the PQ index layout; rename it")
+    val d = dim().getOrElse(throw new IllegalStateException(
+      s"collection '$name' is empty — nothing to index"))
+    val ivf = Ann.buildIvfSeededAny(df, "id", "embedding", cellSeedIds)
+    val pq = Ann.buildPqResidualSeeded(ivf.assigned, "id", "embedding",
+      ivf.centroids, d, m, pqSeedIds)
+    writeIndex(ivf.copy(assigned =
+      Ann.pqEncodeResidual(ivf.assigned, "embedding", ivf.centroids, pq)),
       meta0.version, Some(pq))
   }
 
@@ -1465,9 +1500,16 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       indexed.filter(col("cell").isin(cells: _*)), m, whereDoc)
     val pruned = ChromaFilter.predicate(where, whereDoc, col("document"),
       keyResolver(indexed)).map(pruned0.filter).getOrElse(pruned0)
-    // ADC stage: column-pruned to (id, codes) + whatever the prefilters
-    // referenced; the embedding column stays unread until the refine
-    val shortlist = Ann.queryPqAdc(pruned, pq, "id", queryVec, fn)
+    // ADC stage: column-pruned to (id, codes[, cell]) + whatever the
+    // prefilters referenced; the embedding column stays unread until the
+    // refine. A residual build routes through per-cell tables (the codes
+    // encode v − centroid(cell), so the lut must be q − centroid(cell)).
+    val shortlist =
+      if (pq.residual)
+        pruned.select(col("id"),
+            Ann.pqAdcColByCell(pq, Ann.residualLuts(pq, cents, cells, queryVec)).as("adc"))
+          .orderBy(col("adc"), col("id")).limit(fn)
+      else Ann.queryPqAdc(pruned, pq, "id", queryVec, fn)
     pruned.select(col("id"), col("embedding"))
       .join(broadcast(shortlist), Seq("id"))
       .select(col("id"), col("adc"),
@@ -1512,7 +1554,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     val indexed = readIndexBuild(idxPath)
     val layoutCols = indexLayoutCols(idxPath)
     requireNoReserved(indexed.drop("codes" +: layoutCols: _*),
-      Seq("qid", "rnk", "dist", "adc", "__qvec", "__qcells", "__qlut", "__rn"))
+      Seq("qid", "rnk", "dist", "adc", "__qvec", "__qcells", "__qluts", "__rn"))
     val pruned0 = docIndexConfine(
       indexed.filter(col("cell").isin(allCells: _*)), m, whereDoc)
     val pruned = ChromaFilter.predicate(where, whereDoc, col("document"),
@@ -1520,12 +1562,24 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     val spark0 = pruned.sparkSession
     import spark0.implicits._
     val ksub = pq.ksub
+    // per-query ADC tables ride the broadcast query frame: for a plain
+    // build one flattened m·ksub array per query; for a RESIDUAL build a
+    // map cell → flattened array per probed cell (nprobe·m·ksub doubles
+    // per query — still driver-cheap), since residual tables are
+    // per-(query, cell) by construction
     val queries = queryVecs.zipWithIndex.map { case (v, i) =>
-      (i, v, cellsPerQ(i), Ann.pqLut(pq, v).flatten.toSeq)
-    }.toDF("qid", "__qvec", "__qcells", "__qlut")
+      val luts: Map[Int, Seq[Double]] =
+        if (pq.residual)
+          Ann.residualLuts(pq, cents, cellsPerQ(i), v)
+            .map { case (c, lut) => c -> lut.flatten.toSeq }
+        else Map(-1 -> Ann.pqLut(pq, v).flatten.toSeq)
+      (i, v, cellsPerQ(i), luts)
+    }.toDF("qid", "__qvec", "__qcells", "__qluts")
     import org.apache.spark.sql.types.DecimalType
+    val lutCol = if (pq.residual) element_at(col("__qluts"), col("cell"))
+                 else element_at(col("__qluts"), lit(-1))
     val adcCol = (0 until pq.m).map { s =>
-      round(element_at(col("__qlut"),
+      round(element_at(lutCol,
           (lit(s * ksub) + col("codes").getItem(s) + 1).cast("int")), 6)
         .cast(DecimalType(18, 6))
     }.reduce(_ + _).cast(DecimalType(18, 6)).cast("double")
@@ -1600,7 +1654,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         }
         val assignedTouched = Ann.assignCells(touched, "embedding", cents)
         val withCodes = priorPq.fold(assignedTouched)(
-          Ann.pqEncode(assignedTouched, "embedding", _))
+          Ann.pqEncodeFor(assignedTouched, "embedding", cents, _))
         // writeIvf also rewrites the centroid sidecar into the new build
         // (same centroids — the sidecar is what later reads/refreshes use)
         Ann.writeIvf(Ann.IvfModel(cents, withCodes.repartition(col("cell"))),
@@ -1625,7 +1679,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
               "rename it or dropIndex() before refreshing")
         }
         writeIndex(Ann.IvfModel(cents,
-          priorPq.fold(assigned)(Ann.pqEncode(assigned, "embedding", _))),
+          priorPq.fold(assigned)(Ann.pqEncodeFor(assigned, "embedding", cents, _))),
           m.version, priorPq)
         numBuckets
       case _ =>

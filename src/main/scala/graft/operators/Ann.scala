@@ -291,8 +291,13 @@ object Ann {
   // round-to-6 DECIMAL partials, so the per-row fold is order-free.
 
   /** PQ codebook set: `codebooks(s)(c)(j)` = element j of centroid c in
-    * subspace s. `dim = m * subDim`; `ksub = codebooks(s).length`. */
-  final case class PqModel(dim: Int, m: Int, codebooks: Array[Array[Array[Double]]]) {
+    * subspace s. `dim = m * subDim`; `ksub = codebooks(s).length`.
+    * `residual` marks codebooks trained on (and codes encoding) cell
+    * residuals `v − centroid(cell(v))` rather than raw vectors — the
+    * flag rides the sidecar so a store read can never ADC residual
+    * codes against a raw-query lookup table (silently-wrong answers). */
+  final case class PqModel(dim: Int, m: Int, codebooks: Array[Array[Array[Double]]],
+                           residual: Boolean = false) {
     require(m >= 1 && dim % m == 0, s"PQ dim $dim must divide into m=$m subspaces")
     val subDim: Int = dim / m
     def ksub: Int = codebooks(0).length
@@ -415,7 +420,8 @@ object Ann {
     val sidecar = new org.apache.hadoop.fs.Path(dir, "_pq_codebooks.txt")
     val fs = sidecar.getFileSystem(hadoopConf)
     val out = fs.create(sidecar, true)
-    val header = s"dim ${model.dim} m ${model.m}"
+    val header = s"dim ${model.dim} m ${model.m}" +
+      (if (model.residual) " residual" else "")
     val lines = for {
       s <- 0 until model.m; c <- 0 until model.ksub
     } yield s"$s $c ${model.codebooks(s)(c).mkString(" ")}"
@@ -435,9 +441,12 @@ object Ann {
       require(lines.nonEmpty && lines.head.startsWith("dim "),
         s"malformed PQ codebook sidecar at $dir: bad header")
       val header = lines.head.split(" ")
-      require(header.length == 4 && header(2) == "m",
+      // header: "dim D m M" (raw-vector codes) or "dim D m M residual"
+      require((header.length == 4 || (header.length == 5 && header(4) == "residual"))
+          && header(2) == "m",
         s"malformed PQ codebook sidecar at $dir: bad header '${lines.head}'")
       val (dim, m) = (header(1).toInt, header(3).toInt)
+      val residual = header.length == 5
       val entries = lines.tail.map { line =>
         val parts = line.split(" ")
         ((parts(0).toInt, parts(1).toInt), parts.drop(2).map(_.toDouble))
@@ -445,7 +454,8 @@ object Ann {
       val ksub = entries.keys.map(_._2).max + 1
       require(entries.size == m * ksub,
         s"malformed PQ codebook sidecar at $dir: ${entries.size} entries for m=$m ksub=$ksub")
-      PqModel(dim, m, Array.tabulate(m)(s => Array.tabulate(ksub)(c => entries((s, c)))))
+      PqModel(dim, m, Array.tabulate(m)(s => Array.tabulate(ksub)(c => entries((s, c)))),
+        residual)
     }
 
   /** Read back a [[writePq]] layout: (code table, model). LOUD when the
@@ -549,6 +559,14 @@ object Ann {
     pqEncode(withRes, "__res", model).drop("__res")
   }
 
+  /** Residual-aware encode dispatch: the store's build/refresh paths call
+    * this so a residual model can never be fed raw vectors (or vice
+    * versa) — the sidecar flag picks the construction. */
+  def pqEncodeFor(assigned: DataFrame, vecCol: String,
+                  cents: Array[(Int, Array[Double])], model: PqModel): DataFrame =
+    if (model.residual) pqEncodeResidual(assigned, vecCol, cents, model)
+    else pqEncode(assigned, vecCol, model)
+
   /** Train residual-PQ codebooks from seed rows: subspace s's centroids
     * are the s-th subvectors of the seeds' RESIDUALS (seed − its own
     * cell centroid), in seed order — [[buildPqSeeded]] over the residual
@@ -559,13 +577,42 @@ object Ann {
                             dim: Int, m: Int, seedIds: Seq[Any]): PqModel =
     buildPqSeeded(
       assigned.withColumn("__res", residuals(assigned, vecCol, cents)),
-      idCol, "__res", dim, m, seedIds)
+      idCol, "__res", dim, m, seedIds).copy(residual = true)
 
   /** Residual IVF-PQ query: per probed cell, the ADC table is built
     * against `q − centroid_cell` (driver-side: nprobe·m·ksub doubles);
     * the per-row ADC picks its cell's table via a chained conditional —
     * m lookups + adds per row, no join, then the exact re-rank of
     * [[queryIvfPq]]. */
+  /** Per-probed-cell residual ADC lookup tables: lut(cell)(s)(c) =
+    * ‖sub_s(q − centroid_cell) − cb_s_c‖² — nprobe·m·ksub doubles,
+    * driver-cheap; the residual subtraction is a double fold in element
+    * order (oracle parity). */
+  def residualLuts(pq: PqModel, cents: Array[(Int, Array[Double])],
+                   cells: Seq[Int], query: Seq[Float]): Map[Int, Array[Array[Double]]] = {
+    val centMap = cents.toMap
+    cells.map { cell =>
+      val cent = centMap(cell)
+      val qres = query.indices.map(j => query(j).toDouble - cent(j))
+      cell -> pqLutD(pq, qres)
+    }.toMap
+  }
+
+  /** ADC column that picks its lookup table by the row's `cell` via a
+    * chained conditional — the residual counterpart of [[pqAdcCol]]
+    * (same round-6 DECIMAL partial fold; m lookups + adds per row). */
+  def pqAdcColByCell(pq: PqModel, lutByCell: Map[Int, Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = lutByCell.keys.toSeq.sorted
+    val adcFor: Int => Column = cell => (0 until pq.m).map { s =>
+      round(element_at(typedLit(lutByCell(cell)(s).toSeq),
+        col("codes").getItem(s) + 1), 6).cast(DecimalType(18, 6))
+    }.reduce(_ + _).cast(DecimalType(18, 6)).cast("double")
+    cells.tail.foldLeft(when(col("cell") === cells.head, adcFor(cells.head))) {
+      (acc, cell) => acc.when(col("cell") === cell, adcFor(cell))
+    }
+  }
+
   def queryIvfPqResidual(assignedEncoded: DataFrame, ivf: IvfModel, pq: PqModel,
                          corpus: DataFrame, idCol: String, vecCol: String,
                          query: Seq[Float], k: Int, nprobe: Int, fetchN: Int,
@@ -574,21 +621,7 @@ object Ann {
     require(fetchN <= MaxFetchN,
       s"fetchN ($fetchN) exceeds MaxFetchN ($MaxFetchN) — the shortlist broadcasts; widen ksub instead")
     val cells = nearestCells(ivf, query, nprobe)
-    val centMap = ivf.centroids.toMap
-    // per-cell lut on the residual query: same element-order fold as pqLut
-    val lutByCell: Map[Int, Array[Array[Double]]] = cells.map { cell =>
-      val cent = centMap(cell)
-      val qres = query.indices.map(j => query(j).toDouble - cent(j))
-      cell -> pqLutD(pq, qres)
-    }.toMap
-    import org.apache.spark.sql.types.DecimalType
-    val adcFor: Int => Column = cell => (0 until pq.m).map { s =>
-      round(element_at(typedLit(lutByCell(cell)(s).toSeq),
-        col("codes").getItem(s) + 1), 6).cast(DecimalType(18, 6))
-    }.reduce(_ + _).cast(DecimalType(18, 6)).cast("double")
-    val adcCol = cells.tail.foldLeft(when(col("cell") === cells.head, adcFor(cells.head))) {
-      (acc, cell) => acc.when(col("cell") === cell, adcFor(cell))
-    }
+    val adcCol = pqAdcColByCell(pq, residualLuts(pq, ivf.centroids, cells, query))
     val base0 = assignedEncoded.filter(col("cell").isin(cells: _*))
     val base = if (excludeIds.isEmpty) base0
                else base0.filter(!col(idCol).isin(excludeIds: _*))

@@ -183,6 +183,99 @@ class CollectionPqSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  private def pqResidualBuild(c: Collection): Unit =
+    c.buildIndexPqResidualSeeded((0L until 8L).map(_.toString),
+      (10L to 25L).map(_.toString), m = 8)
+
+  test("residual build + queryPq: k rows, dist ascending, exact refine intact") {
+    val c = freshColl("rpq1")
+    pqResidualBuild(c)
+    val rows = c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 2, fetchN = 20)
+      .select("id", "adc", "dist").as[(String, Double, Double)].collect()
+    assert(rows.length == 5)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    assert(rows.forall(_._2 >= 0.0))
+  }
+
+  test("residual flag survives the sidecar: a reopened catalog still ADCs per-cell") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "collpq-rflag").toString
+    val c = new CollectionCatalog(spark, root, numBuckets = 4)
+      .getOrCreateCollection("rf", "cosine")
+    c.add(spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id").cast("string").as("id"), col("embedding"),
+        col("label").cast("string").as("label")))
+    pqResidualBuild(c)
+    val before = c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 2, fetchN = 20)
+      .select("id", "adc").as[(String, Double)].collect().toSeq
+    // a FRESH catalog object re-reads the sidecar from disk: identical
+    // answers prove the residual construction (per-cell tables) was
+    // re-derived from the persisted flag, not in-memory state
+    val c2 = new CollectionCatalog(spark, root, numBuckets = 4)
+      .getCollection("rf").get
+    val after = c2.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 2, fetchN = 20)
+      .select("id", "adc").as[(String, Double)].collect().toSeq
+    assert(after == before)
+  }
+
+  test("residual refresh re-encodes touched buckets as residuals; planted twin surfaces") {
+    val c = freshColl("rpq2")
+    pqResidualBuild(c)
+    val qv = spark.read.parquet(sf("embeddings"))
+      .filter(col("vec_id") === 7L).select("embedding").as[Seq[Float]].head()
+    c.upsert(Seq(("planted", qv, "9")).toDF("id", "embedding", "label"))
+    assert(c.refreshIndex() > 0)
+    val got = c.queryPq(qv, 2, nprobe = 8, fetchN = 20)
+      .select("id").as[String].collect().toSet
+    assert(got.contains("planted"), s"residual refresh lost the planted row: $got")
+  }
+
+  test("compactIndexes preserves residual codebooks and ADC answers") {
+    val c = freshColl("rpq3")
+    pqResidualBuild(c)
+    val before = c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 2, fetchN = 20)
+      .select("id", "adc").as[(String, Double)].collect().toSeq
+    assert(c.compactIndexes() >= 1)
+    val after = c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 2, fetchN = 20)
+      .select("id", "adc").as[(String, Double)].collect().toSeq
+    assert(after == before)
+  }
+
+  test("residual queryPqBatch equals per-vector residual queryPq") {
+    val c = freshColl("rpq4")
+    pqResidualBuild(c)
+    val qs = Seq(Seq.fill(64)(0.5f),
+      (0 until 64).map(j => (j % 7).toFloat / 7f))
+    val batch = c.queryPqBatch(qs, k = 5, nprobe = 2, fetchN = 20)
+      .select("qid", "rnk", "id", "adc", "dist")
+      .as[(Int, Int, String, Double, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._3, r._4, r._5)).toSeq).toMap
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val single = c.queryPq(q, 5, nprobe = 2, fetchN = 20)
+        .select("id", "adc", "dist")
+        .as[(String, Double, Double)].collect().toSeq
+      assert(batch(i) == single, s"residual query $i diverges between batch and single")
+    }
+  }
+
+  test("re-train (buildIndexSeeded) on a residual build keeps the surface serving") {
+    val c = freshColl("rpq5")
+    pqResidualBuild(c)
+    val qv = spark.read.parquet(sf("embeddings"))
+      .filter(col("vec_id") === 7L).select("embedding").as[Seq[Float]].head()
+    // re-seed the cells: residual codes re-encode against the NEW
+    // centroids under the carried codebooks — unlike the plain-PQ case
+    // (pq9) answers are NOT layout-invariant (residuals moved), but the
+    // exact refine keeps a distance-0 row on top whenever the ADC
+    // shortlist retains it, and the surface must never throw
+    c.buildIndexSeeded((8L until 16L).map(_.toString))
+    val got = c.queryPq(qv, 2, nprobe = 8, fetchN = 50)
+      .select("id", "dist").as[(String, Double)].collect()
+    assert(got.length == 2)
+    assert(got.head._2 <= got.last._2)
+  }
+
   test("queryPqBatch per-query results equal per-vector queryPq (one scan serves the batch)") {
     val c = freshColl("pq11")
     pqBuild(c)
