@@ -57,6 +57,12 @@ object Recall {
       "q141_ivfpq_residual_knn" ->
         one(Ann.recallAtK(run("q141_ivfpq_residual_knn").select(col("vec_id")),
           exactExcl, "vec_id")),
+      // the STORE path under its size-aware defaults (q148: ksub and
+      // fetchN derived from the live count, all cells probed) — the
+      // number pq_scaled promised, now measured on the served surface
+      "q148_pq_autodial_knn" ->
+        one(Ann.recallAtK(run("q148_pq_autodial_knn").select(col("id")),
+          exactAll.select(col("vec_id").cast("string").as("id")), "id")),
       // the same PQ pipeline with BOTH dials scaled to the corpus: q136
       // freezes ksub=16/fetchN=30 for its oracle — on a structureless
       // random corpus that measures the frozen dials, not the method

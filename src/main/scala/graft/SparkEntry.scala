@@ -2283,6 +2283,40 @@ object SparkEntry {
       coll.queryPq(headVec(emb, 0), 10, nprobe = 2, fetchN = 30)
         .select(col("id"), col("adc"), col("dist"))
     }),
+    // SIZE-AWARE PQ DIALS under the oracle (the q113 nBitsFor discipline
+    // for the PQ family): codebook width ksub = clamp(n/8, 16, 256) picks
+    // the BUILD seeds, and queryPq's fetchN = 0 resolves the shortlist
+    // width clamp(n/4, 4k, MaxFetchN) from the live corpus count — both
+    // rules integer-only, both EMITTED as columns, and the oracle
+    // recomputes both from COUNT(*) with truncating division — proving
+    // the sizing rules are portable, not just one frozen dial. All cells
+    // probed (nprobe = 8 of 8): this query pins the dials, q140 pins the
+    // cell pruning. Recall at these defaults is measured per-bench
+    // (Recall "q148" entry) — the frozen-dial 0.2 vs scaled ~1.0 gap is
+    // exactly what the rule closes.
+    "q148_pq_autodial_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root)
+      val n = emb.count()
+      val ksub = Ann.pqKsubFor(n)
+      val fp = s"pqauto1|$dir|n=$n|cs=0-7|ps=1-$ksub|m=8"
+      val reusable = cat.getCollection("pqauto").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
+      val coll = if (reusable) cat.getCollection("pqauto").get else {
+        cat.deleteCollection("pqauto")
+        val c = cat.getOrCreateCollection("pqauto", "cosine")
+        c.add(emb.select(col("vec_id").cast("string").as("id"),
+          col("embedding"), col("label")))
+        c.buildIndexPqSeeded((0L until 8L).map(_.toString),
+          (1L to ksub.toLong).map(_.toString), m = 8)
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      coll.queryPq(headVec(emb, 0), 10, nprobe = 8, fetchN = 0)
+        .withColumn("ksub", lit(ksub))
+        .withColumn("fetch_n", lit(Ann.pqFetchNFor(n, 10)))
+    }),
     // Cross-version SCHEMA EVOLUTION through the store: batch 1 writes
     // (id, document, embedding); a later upsert introduces a NEW metadata
     // column (src) the original version never had. The union-by-name read
@@ -4298,6 +4332,51 @@ object SparkEntry {
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
          |SELECT id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM ref
          |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
+    // q148: both PQ dials replayed INTEGER-EXACT from COUNT(*) —
+    // truncating division + LEAST/GREATEST, no float ratio (the q113
+    // shift-compare discipline) — then q136's encode/lut/ADC chain under
+    // the derived ksub and a shortlist cut at the derived fetch_n. All
+    // cells probed, so no IVF confinement CTEs; string-id tie-breaks
+    // (store surface); 40 = 4·k at k=10.
+    "q148_pq_autodial_knn" ->
+      s"""WITH dial AS MATERIALIZED (
+         |  SELECT CAST(LEAST(256, GREATEST(16, COUNT(*) // 8)) AS INTEGER) AS ksub,
+         |         CAST(LEAST(65536, GREATEST(40, COUNT(*) // 4)) AS INTEGER) AS fetch_n
+         |  FROM embeddings),
+         |sub AS (SELECT unnest(range(8)) AS s),
+         |cb AS MATERIALIZED (SELECT sub.s AS s, CAST(e.vec_id - 1 AS INTEGER) AS code,
+         |              list_transform(range(8), j -> e.embedding[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS cv
+         |       FROM embeddings e, sub
+         |       WHERE e.vec_id BETWEEN 1 AND (SELECT ksub FROM dial)),
+         |rs AS (SELECT sub.s AS s, e.vec_id AS vec_id,
+         |              list_transform(range(8), j -> e.embedding[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS rv
+         |       FROM embeddings e, sub),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |          SELECT r.vec_id AS vec_id, r.s AS s, c.code AS code,
+         |                 row_number() OVER (PARTITION BY r.vec_id, r.s
+         |                                    ORDER BY ${sqlL2("r.rv", "c.cv")}, c.code) AS rn
+         |          FROM rs r JOIN cb c ON c.s = r.s) WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qs AS (SELECT sub.s AS s,
+         |              list_transform(range(8), j -> q.qe[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS qv
+         |       FROM q, sub),
+         |lut AS (SELECT c.s AS s, c.code AS code, ROUND(${sqlL2("qs.qv", "c.cv")}, 6) AS d6
+         |        FROM cb c JOIN qs ON qs.s = c.s),
+         |adc AS (SELECT e.vec_id AS vec_id,
+         |               CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS adc
+         |        FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+         |        GROUP BY e.vec_id),
+         |short AS (SELECT vec_id, adc FROM
+         |            (SELECT vec_id, adc,
+         |                    row_number() OVER (ORDER BY adc, CAST(vec_id AS VARCHAR)) AS rn
+         |             FROM adc) WHERE rn <= (SELECT fetch_n FROM dial)),
+         |ref AS (SELECT CAST(sh.vec_id AS VARCHAR) AS id, sh.adc AS adc,
+         |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
+         |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
+         |SELECT id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist,
+         |       (SELECT ksub FROM dial) AS ksub,
+         |       (SELECT fetch_n FROM dial) AS fetch_n
+         |FROM ref ORDER BY dist_raw, id LIMIT 10""".stripMargin,
     // q145: q141's residual replay against the COLLECTION's index —
     // string ids, NO self-exclusion (q140's store-surface discipline),
     // every tie-break in string order, terminal ROUND on both floats

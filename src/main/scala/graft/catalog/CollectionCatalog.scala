@@ -1488,7 +1488,12 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     val pq = pqModelOf(idxPath).getOrElse(throw new IllegalStateException(
       s"index build $idxPath carries no PQ codebooks — built with buildIndex? " +
         "run buildIndexPqSeeded for the ADC path or query() for the plain one"))
-    val fn = if (fetchN > 0) fetchN else k * 4
+    // fetchN = 0 → SIZE-AWARE default from the live corpus count
+    // (Ann.pqFetchNFor, integer-only and oracle-replayable) — a frozen
+    // k·4 measured recall 0.2 at bench scale where the scaled dial
+    // measures ~1.0 (Recall.pq_scaled); count() on a parquet-backed
+    // version is a footer-count job, listing-order work
+    val fn = if (fetchN > 0) fetchN else Ann.pqFetchNFor(count(), k)
     require(fn >= k, s"fetchN ($fn) must be >= k ($k)")
     require(fn <= Ann.MaxFetchN,
       s"fetchN ($fn) exceeds MaxFetchN (${Ann.MaxFetchN}) — shortlists broadcast")
@@ -1544,7 +1549,9 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     val pq = pqModelOf(idxPath).getOrElse(throw new IllegalStateException(
       s"index build $idxPath carries no PQ codebooks — built with buildIndex? " +
         "run buildIndexPqSeeded for the ADC path or queryBatch() for the plain one"))
-    val fn = if (fetchN > 0) fetchN else k * 4
+    // fetchN = 0 → the same size-aware default as queryPq (one count
+    // job serves the whole batch)
+    val fn = if (fetchN > 0) fetchN else Ann.pqFetchNFor(count(), k)
     require(fn >= k, s"fetchN ($fn) must be >= k ($k)")
     require(fn <= Ann.MaxFetchN,
       s"fetchN ($fn) exceeds MaxFetchN (${Ann.MaxFetchN}) — shortlists broadcast")

@@ -389,6 +389,28 @@ object Ann {
     * pattern. */
   val MaxFetchN = 65536
 
+  /** Size-aware PQ codebook width (the [[Dedup.nBitsFor]] discipline for
+    * the PQ family): ksub = clamp(n/8, 16, 256). INTEGER-ONLY on purpose
+    * — truncating division then min/max, no float ratio — so any engine
+    * replaying the rule from COUNT(*) computes the same width. Rationale:
+    * on a structureless corpus codebook resolution must grow with n
+    * (Recall's pq_scaled measurement: frozen ksub=16 → 0.2 at sf0.1,
+    * scaled → 1.0); 256 caps the code at one byte per subspace — past
+    * that, recall should come from fetchN/nprobe, not a wider code. */
+  def pqKsubFor(n: Long): Int = {
+    require(n >= 1, s"need a non-empty corpus to size ksub, got n=$n")
+    math.min(256L, math.max(16L, n / 8L)).toInt
+  }
+
+  /** Size-aware refine-shortlist width: fetchN = clamp(n/4, 4·k,
+    * [[MaxFetchN]]). Integer-only (see [[pqKsubFor]]); past the
+    * broadcast cap recall must come from ksub, not an ever-wider
+    * driver-side shortlist. */
+  def pqFetchNFor(n: Long, k: Int): Int = {
+    require(n >= 0 && k >= 1, s"need n >= 0 and k >= 1, got n=$n k=$k")
+    math.min(MaxFetchN.toLong, math.max(k.toLong * 4L, n / 4L)).toInt
+  }
+
   /** PQ top-k by ADC alone: (id, adc) for the k code-nearest rows, ties
     * by id. TakeOrdered shape — per-partition heaps, never a global sort. */
   def queryPqAdc(encoded: DataFrame, model: PqModel, idCol: String,

@@ -226,4 +226,26 @@ class PqSpec extends SparkTestBase {
     assert(a.forall(_._2 >= 0.0))
     enc.unpersist()
   }
+
+  test("size-aware PQ dials: integer-exact, clamped, monotone in n") {
+    // floors
+    assert(Ann.pqKsubFor(1) == 16)
+    assert(Ann.pqKsubFor(128) == 16)
+    assert(Ann.pqFetchNFor(0, 10) == 40)
+    assert(Ann.pqFetchNFor(100, 10) == 40)
+    // the linear band: truncating division, no float ratio
+    assert(Ann.pqKsubFor(500) == 62)
+    assert(Ann.pqKsubFor(2048) == 256)
+    assert(Ann.pqFetchNFor(500, 10) == 125)
+    assert(Ann.pqFetchNFor(5000, 10) == 1250)
+    // ceilings: one-byte codes; broadcast-bounded shortlists
+    assert(Ann.pqKsubFor(1000000000L) == 256)
+    assert(Ann.pqFetchNFor(1000000000L, 10) == Ann.MaxFetchN)
+    // monotone non-decreasing across the band edges
+    val ns = Seq(1L, 100L, 128L, 129L, 500L, 2047L, 2048L, 1L << 20)
+    assert(ns.map(Ann.pqKsubFor) == ns.map(Ann.pqKsubFor).sorted)
+    assert(ns.map(Ann.pqFetchNFor(_, 10)) == ns.map(Ann.pqFetchNFor(_, 10)).sorted)
+    intercept[IllegalArgumentException](Ann.pqKsubFor(0))
+    intercept[IllegalArgumentException](Ann.pqFetchNFor(10, 0))
+  }
 }
