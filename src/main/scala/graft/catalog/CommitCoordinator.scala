@@ -64,4 +64,104 @@ object CommitCoordinator {
   }
 
   register("memory", new InMemory)
+
+  /** MULTI-PROCESS coordinator over lease files in a shared lock
+    * directory — the contract's cross-JVM implementation, needing only
+    * three primitives from the lease MEDIUM: exclusive create, read,
+    * delete. Acquire = exclusive-create `<sha1(key)>.lease` carrying an
+    * owner token (uuid@pid); contenders poll, and a lease whose mtime is
+    * older than `ttlMs` is presumed orphaned by a crashed writer and
+    * deleted for re-grab. Release deletes ONLY a lease that still
+    * carries this holder's token — a holder that paused past its TTL
+    * and was stolen from must not free the thief's lock.
+    *
+    * Guarantees and their honest edges:
+    *  - Two LIVE holders of the same key never overlap, across any
+    *    number of processes, PROVIDED the lock dir's filesystem gives a
+    *    true exclusive create (POSIX O_EXCL, HDFS createFile) — point
+    *    `lease:` at local disk or HDFS, NOT at the S3 bucket being
+    *    protected (that would rebuild the lock on the hole it exists to
+    *    cover, unless the connector exposes conditional PUT).
+    *  - The TTL steal assumes the expired holder is DEAD. A holder
+    *    paused longer than ttlMs (GC, VM freeze) can overlap its thief
+    *    for up to one body's duration — the classic lease caveat; set
+    *    ttlMs far above worst-case pauses, or back the trait with a
+    *    fencing CAS service via the registry when that window matters.
+    *  - NOT reentrant (unlike [[InMemory]]'s monitors): a nested
+    *    same-key withLock self-deadlocks until the acquire deadline
+    *    (3 × ttlMs) throws LOUDLY. The store protocol takes one claim
+    *    at a time, so this does not arise there.
+    *
+    * Selected without registry ceremony via the conf value
+    * `lease:<lockDir>` — every JVM that resolves the same value
+    * coordinates through the same directory, which is what makes the
+    * multi-process story deployable (registries are per-JVM). */
+  final class LeaseFile private[catalog] (lockDir: org.apache.hadoop.fs.Path,
+      io: StoreIO, ttlMs: Long = 60000L, pollMs: Long = 20L)
+      extends CommitCoordinator {
+    private val owner = java.util.UUID.randomUUID().toString +
+      "@" + ProcessHandle.current().pid()
+    io.mkdirs(lockDir)
+
+    private def leasePath(key: String): org.apache.hadoop.fs.Path = {
+      val h = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      new org.apache.hadoop.fs.Path(lockDir, s"$h.lease")
+    }
+
+    def withLock[T](key: String)(body: => T): T = {
+      val lease = leasePath(key)
+      acquire(lease, key)
+      try body finally release(lease)
+    }
+
+    private def acquire(lease: org.apache.hadoop.fs.Path, key: String): Unit = {
+      val deadline = System.nanoTime() + ttlMs * 3L * 1000000L
+      while (true) {
+        try {
+          io.createExclusive(lease,
+            owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          return
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val expired =
+              try System.currentTimeMillis() - io.modTime(lease) > ttlMs
+              catch { case _: Exception => false } // vanished between create and stat
+            if (expired) {
+              // orphan steal: delete-then-retry — the retry's exclusive
+              // create stays the single arbiter of who got it
+              try io.deleteIfExists(lease) catch { case _: Exception => () }
+            } else if (System.nanoTime() > deadline) {
+              throw new IllegalStateException(
+                s"could not acquire commit lease for '$key' at $lease within " +
+                  s"${3 * ttlMs} ms — holder alive and stuck, or ttl misconfigured")
+            } else Thread.sleep(pollMs)
+        }
+      }
+    }
+
+    private def release(lease: org.apache.hadoop.fs.Path): Unit =
+      try {
+        val held = new String(io.readBytes(lease),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (held == owner) io.deleteIfExists(lease)
+      } catch { case _: Exception => () } // stolen or vanished: nothing ours to free
+  }
+
+  private val leaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LeaseFile]()
+
+  /** The coordinator for conf value `lease:<dir>` — cached per dir so
+    * one JVM's writers share an instance (correct either way; the lease
+    * protocol itself is cross-process). The lock dir's OWN filesystem
+    * backend is chosen by scheme, never by [[StoreIO.ForceKey]]: the
+    * lease medium must keep its true exclusive create even when the
+    * STORE under test is forced through the non-atomic path. */
+  private[catalog] def leaseFile(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): LeaseFile =
+    leaseCache.computeIfAbsent(dir, d => {
+      val p = new org.apache.hadoop.fs.Path(d)
+      new LeaseFile(p, StoreIO.baseOf(p, conf, honorForce = false))
+    })
 }

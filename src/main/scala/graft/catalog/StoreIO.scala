@@ -76,23 +76,39 @@ private[graft] object StoreIO {
     * code path against local files (no cluster in CI). */
   val ForceKey = "graft.store.io.force"
 
-  /** Backend for `p`: java.nio when it resolves to the local filesystem,
-    * Hadoop FS otherwise. When [[CommitCoordinator.ConfKey]] names a
-    * registered coordinator, the backend's CAS primitives run inside its
-    * mutual exclusion (the S3-class multi-writer seam) — an unknown name
-    * fails loudly here, at construction, never silently at commit time. */
-  def of(p: Path, conf: Configuration): StoreIO = {
+  /** Raw backend for `p`, no coordination: java.nio when it resolves to
+    * the local filesystem, Hadoop FS otherwise. `honorForce = false`
+    * ignores [[ForceKey]] — the lease-coordinator's lock dir uses this,
+    * because the lease medium must keep its true exclusive create even
+    * when the store under test is forced through the Hadoop path. */
+  private[catalog] def baseOf(p: Path, conf: Configuration,
+      honorForce: Boolean = true): StoreIO = {
     val fs = p.getFileSystem(conf)
-    val base: StoreIO =
-      if (fs.getScheme == "file" && conf.get(ForceKey) != "hadoop") new Local
-      else new Hdfs(fs, conf)
+    if (fs.getScheme == "file" && !(honorForce && conf.get(ForceKey) == "hadoop"))
+      new Local
+    else new Hdfs(fs, conf)
+  }
+
+  /** Backend for `p`: [[baseOf]], wrapped by a commit coordinator when
+    * [[CommitCoordinator.ConfKey]] selects one — `lease:<lockDir>`
+    * constructs the multi-process lease-file coordinator on that
+    * directory (same conf value in every JVM = same coordinator); any
+    * other non-"fs" value must name a REGISTERED implementation (the
+    * S3-class external-service seam) — an unknown name fails loudly
+    * here, at construction, never silently at commit time. */
+  def of(p: Path, conf: Configuration): StoreIO = {
+    val base = baseOf(p, conf)
     conf.get(CommitCoordinator.ConfKey) match {
       case null | "" | "fs" => base
+      case lease if lease.startsWith("lease:") =>
+        new Coordinated(base,
+          CommitCoordinator.leaseFile(lease.stripPrefix("lease:"), conf))
       case name => new Coordinated(base, CommitCoordinator.resolve(name).getOrElse(
         throw new IllegalArgumentException(
           s"${CommitCoordinator.ConfKey}='$name' names no registered commit " +
             "coordinator — register it via CommitCoordinator.register(name, impl) " +
-            "before constructing the catalog")))
+            "before constructing the catalog, or use 'lease:<lockDir>' for the " +
+            "built-in multi-process lease-file coordinator")))
     }
   }
 
