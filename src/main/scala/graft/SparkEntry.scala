@@ -1551,6 +1551,129 @@ object SparkEntry {
         .select(col("user_id"), col("l_event"), col("r_event"))
         .orderBy("user_id", "l_event", "r_event")
     }),
+    // C9 stream-stream LEFT OUTER interval join — the null-emission-on-
+    // watermark-expiry state path (the semantics Spark users hit right
+    // after inner joins, historically the buggy one): q142's fixture and
+    // late-drop discipline, but every UNMATCHED left row must ALSO emit,
+    // exactly once, with null right columns, after both watermarks prove
+    // its interval can no longer match. Null r_event is COALESCEd to -1
+    // on both engines (hash-stable across NULL representations). The
+    // oracle is the plain batch LEFT JOIN: matched pairs identical to
+    // q142's inner replay, plus one -1 row per matchless left event.
+    "q146_stream_stream_left_join" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingHydrator
+      val base = t(s, dir, "events").filter(col("event_id") < 1000)
+        .select(col("event_id"), col("user_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      def ts(i: Long) = new java.sql.Timestamp(86400000L + i * 60000L)
+      val lRows = base.filter(_._1 % 2 == 0).map { case (i, u) => (u, ts(i), i) }
+      val rRows = base.filter(_._1 % 2 == 1).map { case (i, u) => (u, ts(i), i) }
+      // same state-store economics as q142 (4 stores/partition/batch):
+      // 8 partitions on a cloned session, main session untouched
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      implicit val sqlc: org.apache.spark.sql.SQLContext = s2.sqlContext
+      import s2.implicits._
+      val lMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val rMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val qn = s"q146_out_${dir.hashCode.toLong & 0xffffffffL}"
+      s2.catalog.dropTempView(qn)
+      val joined = StreamingHydrator.intervalJoinStream(
+        lMem.toDF().toDF("user_id", "lts", "l_event"),
+        rMem.toDF().toDF("user_id", "rts", "r_event"),
+        "user_id", "lts", "rts", delay = "8 hours", within = "4 hours",
+        joinType = "left_outer")
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+      try {
+        lMem.addData(lRows.filter(_._3 < 500).toIndexedSeq: _*)
+        rMem.addData(rRows.filter(_._3 < 500).toIndexedSeq: _*)
+        q.processAllAvailable()
+        lMem.addData(lRows.filter(_._3 >= 500).toIndexedSeq: _*)
+        rMem.addData(rRows.filter(_._3 >= 500).toIndexedSeq: _*)
+        q.processAllAvailable()
+        // push BOTH watermarks days past the fixture: every real left
+        // row's interval expires, so the unmatched ones must now emit
+        // their null rows (Spark defers that to a later batch — hence
+        // the second nudge pair below)
+        lMem.addData(Seq((999999L, ts(100000L), 999999L)): _*)
+        rMem.addData(Seq((999999L, ts(100001L), 999998L)): _*)
+        q.processAllAvailable()
+        // the late-drop contract, unchanged by outer-ness: a re-sent
+        // copy of the first left row sits days behind the watermark and
+        // must NOT emit (neither matched nor as a fresh null row)
+        lMem.addData(lRows.take(1).toIndexedSeq: _*)
+        q.processAllAvailable()
+        // second nudge: state eviction runs as of the PREVIOUS batch's
+        // watermark — one more pair guarantees the expiry pass has seen
+        // the pushed watermark on both sides
+        lMem.addData(Seq((999999L, ts(100002L), 999997L)): _*)
+        rMem.addData(Seq((999999L, ts(100003L), 999996L)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s2.table(qn).filter(col("l_event") < 999990L)
+        .select(col("user_id"), col("l_event"),
+          coalesce(col("r_event"), lit(-1L)).as("r_event"))
+        .orderBy("user_id", "l_event", "r_event")
+    }),
+    // C1/C9 STREAMING DEDUP under the oracle (dropDuplicatesWithinWatermark,
+    // the streaming form of q16's exact dedup): three classes of input —
+    // originals, WITHIN-watermark duplicates (same id re-sent minutes
+    // later, must dedup against buffered state), and a LATE duplicate
+    // (re-sent hours behind the watermark, must be dropped by the
+    // late-data contract, NOT re-emitted from evicted state). Duplicate
+    // rows carry the ORIGINAL's event_type and only (id, event_type) is
+    // emitted, so the survivor is value-identical whichever physical row
+    // wins — the output is deterministic and the oracle is the plain
+    // DISTINCT over the originals. A re-emitted late dup would add a
+    // 301st row; a missed in-horizon dedup would add more — the row
+    // count AND hash pin both failure modes.
+    "q147_streaming_dedup_watermark" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingHydrator
+      val base = t(s, dir, "events").filter(col("event_id") < 300)
+        .select(col("event_id"), col("event_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      def ts(i: Long) = new java.sql.Timestamp(86400000L + i * 180000L)
+      def rows(lo: Long, hi: Long) = base
+        .filter { case (i, _) => i >= lo && i < hi }
+        .map { case (i, t) => (i.toString, ts(i), t) }
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      implicit val sqlc: org.apache.spark.sql.SQLContext = s2.sqlContext
+      import s2.implicits._
+      val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+      val qn = s"q147_out_${dir.hashCode.toLong & 0xffffffffL}"
+      s2.catalog.dropTempView(qn)
+      val deduped = StreamingHydrator.dedupedRows(
+        mem.toDF().toDF("id", "ts", "event_type"), "ts", "1 hour")
+      val q = deduped.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+      try {
+        // batch 1: originals 0-199 PLUS same-batch dups of 0-39 (+1 min,
+        // same type) — state must collapse them on arrival
+        val dups1 = rows(0, 40).map { case (id, t, ty) =>
+          (id, new java.sql.Timestamp(t.getTime + 60000L), ty) }
+        mem.addData((rows(0, 200) ++ dups1).toIndexedSeq: _*)
+        q.processAllAvailable()
+        // batch 2: originals 200-299, a cross-batch IN-HORIZON dup of 250
+        // (buffered state, not same-batch), and a LATE dup of id 0 —
+        // ~9.9 h behind the watermark the 199-row batch left (~9h57m),
+        // far past the 1 h delay: the late-data contract must DROP it,
+        // not re-emit it from evicted dedup state
+        val lateDup = (base(0)._1.toString,
+          new java.sql.Timestamp(ts(0).getTime + 120000L), base(0)._2)
+        val horizonDup = (base(250)._1.toString,
+          new java.sql.Timestamp(ts(250).getTime + 60000L), base(250)._2)
+        mem.addData((rows(200, 300) ++ Seq(horizonDup, lateDup)).toIndexedSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s2.table(qn).select(col("id"), col("event_type"))
+        .orderBy(col("id").cast("long"))
+    }),
     "q111_streaming_watermark" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.Trigger
@@ -4285,6 +4408,27 @@ object SparkEntry {
         |SELECT l.user_id AS user_id, l_event, r_event
         |FROM l JOIN r ON l.user_id = r.user_id
         |              AND rsec >= lsec AND rsec <= lsec + 14400
+        |ORDER BY user_id, l_event, r_event""".stripMargin,
+    // q147: streaming dedup replayed — one row per original id; the
+    // within-watermark dups collapse and the late dup drops, so DISTINCT
+    // over the originals IS the full truth (event_type is functionally
+    // determined by event_id, so DISTINCT never manufactures ambiguity)
+    "q147_streaming_dedup_watermark" ->
+      """SELECT DISTINCT CAST(event_id AS VARCHAR) AS id, event_type
+        |FROM events WHERE event_id < 300
+        |ORDER BY CAST(id AS BIGINT)""".stripMargin,
+    // q146: the LEFT OUTER replay — q142's pairs plus exactly one
+    // r_event = -1 row per left event with no in-interval partner
+    "q146_stream_stream_left_join" ->
+      """WITH e AS (SELECT event_id, user_id FROM events WHERE event_id < 1000),
+        |l AS (SELECT user_id, event_id AS l_event, event_id * 60 AS lsec
+        |      FROM e WHERE event_id % 2 = 0),
+        |r AS (SELECT user_id, event_id AS r_event, event_id * 60 AS rsec
+        |      FROM e WHERE event_id % 2 = 1)
+        |SELECT l.user_id AS user_id, l_event,
+        |       COALESCE(r_event, -1) AS r_event
+        |FROM l LEFT JOIN r ON l.user_id = r.user_id
+        |                   AND rsec >= lsec AND rsec <= lsec + 14400
         |ORDER BY user_id, l_event, r_event""".stripMargin,
     // q140: q139's replay against the COLLECTION's PQ index — string ids
     // (the store keys by string), NO self-exclusion (the collection query

@@ -194,12 +194,23 @@ object StreamingHydrator {
     * collide with right columns except `keyCol` (kept once). */
   def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
                          lTsCol: String, rTsCol: String,
-                         delay: String, within: String): DataFrame = {
+                         delay: String, within: String,
+                         joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"stream-stream interval join supports inner/left_outer, got '$joinType'")
     val l = left.withWatermark(lTsCol, delay)
     val r = right.withWatermark(rTsCol, delay)
+    // LEFT OUTER adds the null-emission-on-expiry path: an unmatched
+    // left row is held in state until BOTH watermarks prove no matching
+    // right row can still arrive (its interval has fully expired), then
+    // emits once with null right columns — the event-time bound on both
+    // sides is what makes that expiry decidable, same as the inner case.
+    // Spark's documented caveat applies: the null row emits only when a
+    // later input batch advances the watermark past the expiry point, so
+    // drive a final pusher row through BOTH streams before draining.
     l.join(r, l(keyCol) === r(keyCol) &&
         r(rTsCol) >= l(lTsCol) &&
-        r(rTsCol) <= l(lTsCol) + expr(s"INTERVAL $within"))
+        r(rTsCol) <= l(lTsCol) + expr(s"INTERVAL $within"), joinType)
       .drop(r(keyCol))
   }
 }

@@ -312,4 +312,46 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, 100L, 500L)),
       s"expected only the in-window cross-batch match, got $rows")
   }
+
+  test("stream-stream LEFT OUTER interval join: unmatched left emits null row on expiry") {
+    import java.sql.Timestamp
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day = 86400000L; val min = 60000L
+    def ts(m: Long) = new Timestamp(day + m * min)
+    val lMem = MemoryStream[(Long, Timestamp, Long)]
+    val rMem = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamingHydrator.intervalJoinStream(
+      lMem.toDF.toDF("k", "lts", "lv"), rMem.toDF.toDF("k", "rts", "rv"),
+      "k", "lts", "rts", delay = "30 minutes", within = "10 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_lo_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    try {
+      // k=1 will match in batch 2; k=2's partner lands OUTSIDE the window
+      // (11 > 10) so k=2 must surface as a null row — but only after both
+      // watermarks prove its interval expired, never before
+      lMem.addData((1L, ts(0), 100L), (2L, ts(0), 200L))
+      q.processAllAvailable()
+      rMem.addData((1L, ts(5), 500L), (2L, ts(11), 600L))
+      q.processAllAvailable()
+      val early = spark.table("ssj_lo_out").filter(col("rv").isNull).count()
+      assert(early == 0L, s"null rows emitted before watermark expiry: $early")
+      // push both watermarks; the deferred expiry pass needs one more
+      // batch after the push to sweep state (documented Spark behavior)
+      lMem.addData((9L, ts(10000), 1L)); rMem.addData((9L, ts(10001), 2L))
+      q.processAllAvailable()
+      // a too-late left row must still DROP — outer-ness does not grant
+      // late rows a null-row consolation prize
+      lMem.addData((3L, ts(0), 300L))
+      q.processAllAvailable()
+      lMem.addData((9L, ts(10002), 3L)); rMem.addData((9L, ts(10003), 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_lo_out").filter(col("k") =!= 9L)
+      .select(col("k"), col("lv"), coalesce(col("rv"), lit(-1L)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 100L, 500L), (2L, 200L, -1L)),
+      s"expected the match plus exactly one expiry null row, got $rows")
+  }
 }
