@@ -183,7 +183,8 @@ class AnnSpec extends SparkTestBase {
     assert(rs.map(_._1).toSet == Set(
       "q32_ivf_knn", "q69_quantized_knn", "q60_collection_ivf_knn",
       "q61_embedding_neardup_lsh", "q64_neardup_multiprobe", "q82_neardup_multitable",
-      "q136_pq_adc_knn", "q139_ivfpq_knn", "q141_ivfpq_residual_knn", "pq_scaled"))
+      "q136_pq_adc_knn", "q139_ivfpq_knn", "q141_ivfpq_residual_knn",
+      "q148_pq_autodial_knn", "pq_scaled"))
     rs.foreach { case (n, v) =>
       assert(v >= 0.0 && v <= 1.0, s"$n recall out of range: $v") }
     val m = rs.toMap
@@ -191,6 +192,10 @@ class AnnSpec extends SparkTestBase {
     // an nprobe/assignment regression surfaces here, not in the bench JSON)
     assert(m("q32_ivf_knn") >= 0.9 && m("q60_collection_ivf_knn") >= 0.9,
       s"IVF nprobe=2 recall must stay >= 0.9, got $m")
+    // the size-aware store defaults (q148) must deliver what pq_scaled
+    // promised — the dial rule regressing to frozen-dial recall fails HERE
+    assert(m("q148_pq_autodial_knn") >= 0.9,
+      s"size-aware PQ defaults must keep recall >= 0.9, got $m")
   }
 
   test("planted-pair recall: twins sit at cosine >= 0.9 and the LSH dials climb") {
