@@ -2440,6 +2440,34 @@ object SparkEntry {
         .withColumn("ksub", lit(ksub))
         .withColumn("fetch_n", lit(Ann.pqFetchNFor(n, 10)))
     }),
+    // The BATCH read of the residual store index (q144 : q140 ::
+    // q149 : q145): one pruned codes-only scan serves both queries, but
+    // the ADC tables are now per-(query, cell) — each query's broadcast
+    // row carries a MAP cell → flattened residual lut for its probed
+    // cells, rows pick their table by their own cell. Same collection as
+    // q145 (fingerprint-shared).
+    "q149_collection_pq_residual_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root)
+      val fp = s"pqr1|$dir|n=${emb.count()}|cs=0-7|ps=10-25|m=8"
+      val reusable = cat.getCollection("pqridx").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
+      val coll = if (reusable) cat.getCollection("pqridx").get else {
+        cat.deleteCollection("pqridx")
+        val c = cat.getOrCreateCollection("pqridx", "cosine")
+        c.add(emb.select(col("vec_id").cast("string").as("id"),
+          col("embedding"), col("label")))
+        c.buildIndexPqResidualSeeded((0L until 8L).map(_.toString),
+          (10L to 25L).map(_.toString), m = 8)
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      coll.queryPqBatch(Seq(headVec(emb, 0), headVec(emb, 17)),
+          k = 10, nprobe = 2, fetchN = 30)
+        .select(col("qid"), col("rnk"), col("id"), col("adc"), col("dist"))
+        .orderBy("qid", "rnk")
+    }),
     // Cross-version SCHEMA EVOLUTION through the store: batch 1 writes
     // (id, document, embedding); a later upsert introduces a NEW metadata
     // column (src) the original version never had. The union-by-name read
@@ -4578,6 +4606,77 @@ object SparkEntry {
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
          |SELECT id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM ref
          |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
+    // q149: the residual batch replayed — q144's per-qid pipeline with
+    // q145's per-cell residual luts: the lut CTE is keyed (qid, cell)
+    // and only carries each query's PROBED cells, so the adc join's lut
+    // membership IS the probe confinement
+    "q149_collection_pq_residual_batch" ->
+      s"""WITH cct AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |             FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+         |cdist AS (SELECT e.vec_id AS vec_id, cct.cell AS cell,
+         |                 ${sqlL2("e.embedding", "cct.ce")} AS cd
+         |          FROM embeddings e, cct),
+         |asg AS (SELECT vec_id, cell FROM
+         |          (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |                                                   ORDER BY cd, cell) AS rn
+         |           FROM cdist) WHERE rn = 1),
+         |q AS (SELECT 0 AS qid, embedding AS qe FROM embeddings WHERE vec_id = 0
+         |      UNION ALL
+         |      SELECT 1 AS qid, embedding AS qe FROM embeddings WHERE vec_id = 17),
+         |pc AS (SELECT qid, cell FROM
+         |         (SELECT q.qid AS qid, c.cell AS cell,
+         |                 row_number() OVER (PARTITION BY q.qid
+         |                                    ORDER BY ${sqlL2("c.ce", "q.qe")}, c.cell) AS rn
+         |          FROM cct c, q) WHERE rn <= 2),
+         |res AS MATERIALIZED (SELECT e.vec_id AS vec_id, a.cell AS cell,
+         |              list_transform(range(64), j ->
+         |                CAST(e.embedding[CAST(j + 1 AS INTEGER)] AS DOUBLE)
+         |                - CAST(c.ce[CAST(j + 1 AS INTEGER)] AS DOUBLE)) AS rv
+         |       FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+         |       JOIN cct c ON c.cell = a.cell),
+         |sub AS (SELECT unnest(range(8)) AS s),
+         |rcb AS (SELECT sub.s AS s, CAST(r.vec_id - 10 AS INTEGER) AS code,
+         |              list_transform(range(8), j -> r.rv[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS cv
+         |        FROM res r, sub WHERE r.vec_id BETWEEN 10 AND 25),
+         |rsub AS (SELECT sub.s AS s, r.vec_id AS vec_id,
+         |               list_transform(range(8), j -> r.rv[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS rv
+         |        FROM res r, sub),
+         |enc AS (SELECT vec_id, s, code FROM (
+         |          SELECT r.vec_id AS vec_id, r.s AS s, c.code AS code,
+         |                 row_number() OVER (PARTITION BY r.vec_id, r.s
+         |                                    ORDER BY ${sqlL2("r.rv", "c.cv")}, c.code) AS rn
+         |          FROM rsub r JOIN rcb c ON c.s = r.s) WHERE rn = 1),
+         |qres AS (SELECT p.qid AS qid, p.cell AS cell,
+         |                list_transform(range(64), j ->
+         |                  CAST(q.qe[CAST(j + 1 AS INTEGER)] AS DOUBLE)
+         |                  - CAST(c.ce[CAST(j + 1 AS INTEGER)] AS DOUBLE)) AS qv
+         |         FROM pc p JOIN cct c ON c.cell = p.cell
+         |         JOIN q ON q.qid = p.qid),
+         |qsub AS (SELECT qres.qid AS qid, qres.cell AS cell, sub.s AS s,
+         |                list_transform(range(8), j -> qres.qv[CAST(sub.s*8 + j + 1 AS INTEGER)]) AS qv
+         |         FROM qres, sub),
+         |lut AS (SELECT qsub.qid AS qid, qsub.cell AS cell, c.s AS s, c.code AS code,
+         |               ROUND(${sqlL2("qsub.qv", "c.cv")}, 6) AS d6
+         |        FROM rcb c JOIN qsub ON qsub.s = c.s),
+         |adc AS (SELECT l.qid AS qid, e.vec_id AS vec_id,
+         |               CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS adc
+         |        FROM enc e JOIN asg a ON a.vec_id = e.vec_id
+         |        JOIN lut l ON l.cell = a.cell AND l.s = e.s AND l.code = e.code
+         |        GROUP BY l.qid, e.vec_id),
+         |short AS (SELECT qid, vec_id, adc FROM
+         |            (SELECT qid, vec_id, adc,
+         |                    row_number() OVER (PARTITION BY qid
+         |                                       ORDER BY adc, CAST(vec_id AS VARCHAR)) AS rn
+         |             FROM adc) WHERE rn <= 30),
+         |ref AS (SELECT sh.qid AS qid, CAST(sh.vec_id AS VARCHAR) AS id, sh.adc AS adc,
+         |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
+         |        FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id
+         |        JOIN q ON q.qid = sh.qid)
+         |SELECT qid, rnk, id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM
+         |  (SELECT qid, id, adc, dist_raw,
+         |          row_number() OVER (PARTITION BY qid ORDER BY dist_raw, id) AS rnk
+         |   FROM ref) WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
     // q144: the batch PQ read replayed keyed by qid — per-query probe
     // sets (partitioned row_number), per-query luts over the shared
     // codebooks, per-query shortlists and rank windows, all over ONE

@@ -276,6 +276,32 @@ class CollectionPqSpec extends SparkTestBase {
     assert(got.head._2 <= got.last._2)
   }
 
+  test("streaming hydration keeps a residual PQ index fresh (per-batch refresh re-encodes)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val c = freshColl("rpq6")
+    pqResidualBuild(c)
+    val qv = spark.read.parquet(sf("embeddings"))
+      .filter(col("vec_id") === 7L).select("embedding").as[Seq[Float]].head()
+    // stream a planted twin of the query vector through the per-batch
+    // refreshing sink: the refresh must RESIDUAL-encode the touched
+    // bucket (raw-encoding against residual codebooks would rank the
+    // twin by garbage ADC and likely lose it from the shortlist)
+    val mem = MemoryStream[(String, Seq[Float], String)]
+    mem.addData(("planted", qv, "9"))
+    val q = graft.streaming.StreamingHydrator.hydrateIndexed(
+        mem.toDF().toDF("id", "embedding", "label"), c,
+        tmpDir("rpq6-ckpt"), refreshIvf = true, refreshDoc = false,
+        trigger = Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = c.queryPq(qv, 2, nprobe = 8, fetchN = 20)
+      .select("id").as[String].collect().toSet
+    assert(got.contains("planted"),
+      s"streaming refresh lost the planted row from the residual index: $got")
+  }
+
   test("queryPqBatch per-query results equal per-vector queryPq (one scan serves the batch)") {
     val c = freshColl("pq11")
     pqBuild(c)
