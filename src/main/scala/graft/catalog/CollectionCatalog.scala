@@ -239,8 +239,17 @@ final class CollectionCatalog(
     * dev/experiment copies of a production collection for the cost of a
     * directory walk. Chroma parity: chromadb's `collection.fork()`.
     *
-    * Sidecar indexes (IVF, DocIndex) are NOT carried — they are bound to
-    * source version numbers; the fork rebuilds them on demand. Lineage is
+    * Committed sidecar INDEXES (IVF — plain or PQ-coded — and the
+    * trigram postings) travel with the snapshot, re-keyed to the fork's
+    * v1: assignment, codes, and postings are pure functions of the data
+    * CONTENT, which the fork's v1 shares bit-for-bit with the source's
+    * current version, so a resolved physical copy of the newest
+    * committed build serves identical answers. (Before r12 they were
+    * dropped as "rebuildable on demand" — false for a PQ build, whose
+    * seeded codebooks are derived from seed IDS the fork no longer
+    * knows; a forked PQ collection could only fail loudly.) Carry
+    * manifests cannot cross the collection boundary (the data walk's
+    * argument), so carried slices materialize physically. Lineage is
     * recorded as `forked_from = <src>@v<N>` in the fork's metadata.
     * Caveat (same as time travel): a concurrent writer+vacuum on the
     * source can reclaim the snapshot mid-walk; fork under that race
@@ -292,6 +301,51 @@ final class CollectionCatalog(
       if (io.exists(sidecar))
         io.writeBytes(new Path(tmpDir, Collection.EmbedderSidecar),
           io.readBytes(sidecar))
+      // committed sidecar indexes, re-keyed to v1 (see scaladoc): the
+      // newest committed build of each family whose version == the
+      // forked snapshot's version — an older build would answer for
+      // stale content and must NOT carry
+      def newestCommitted(versionedPrefix: String): Option[Path] = {
+        def buildNo(p: Path): Int = {
+          val n = p.getName; val dot = n.indexOf(".b")
+          if (dot < 0) 0 else n.substring(dot + 2).toInt
+        }
+        io.list(srcDir).filter(e => e.isDir && (e.name == versionedPrefix ||
+            e.name.startsWith(versionedPrefix + ".b"))).map(_.path)
+          .filter(p => io.exists(new Path(p, "_graft_committed")))
+          .sortBy(buildNo).lastOption
+      }
+      def copyResolvedBuild(srcBuild: Path, dstName: String): Unit = {
+        val dstBuild = new Path(tmpDir, dstName)
+        io.mkdirs(dstBuild)
+        // two-level slices (cell|gp / pb), carry-manifest-resolved —
+        // physical copies, the manifest itself does not travel
+        Carry.slicedOwners(io, srcDir, srcBuild).foreach { case (slice, owner) =>
+          val fromD = new Path(owner, slice); val into = new Path(dstBuild, slice)
+          io.mkdirs(into)
+          io.list(fromD).filterNot(_.isDir).foreach(f =>
+            io.carryFile(f.path, new Path(into, f.name)))
+        }
+        // one-level slices (compactIndexes(keepRefreshAxis = false)
+        // drops the pb axis; such builds are manifest-free)
+        io.list(srcBuild).filter(e => e.isDir && e.name.contains("=")).foreach { axis =>
+          val files = io.list(axis.path).filterNot(_.isDir)
+          if (files.nonEmpty) {
+            val into = new Path(dstBuild, axis.name); io.mkdirs(into)
+            files.foreach(f => io.carryFile(f.path, new Path(into, f.name)))
+          }
+        }
+        // top-level sidecars (centroids, PQ codebooks + residual flag):
+        // everything but the carry manifest and the marker (written last)
+        io.list(srcBuild).filterNot(_.isDir)
+          .filterNot(e => e.name == "_graft_committed" || e.name == Carry.ManifestName)
+          .foreach(e => io.writeBytes(new Path(dstBuild, e.name), io.readBytes(e.path)))
+        io.writeBytes(new Path(dstBuild, "_graft_committed"), Array.emptyByteArray)
+      }
+      newestCommitted(f"index_v${src.version}%06d")
+        .foreach(copyResolvedBuild(_, "index_v000001.b000"))
+      newestCommitted(f"docindex_v${src.version}%06d")
+        .foreach(copyResolvedBuild(_, "docindex_v000001.b000"))
       io.writeBytes(CollectionMeta.commitMarker(tmpDir, 1), Array.emptyByteArray)
       CollectionMeta.atomicWrite(io, tmpDir, dst)
     }

@@ -302,6 +302,29 @@ class CollectionPqSpec extends SparkTestBase {
       s"streaming refresh lost the planted row from the residual index: $got")
   }
 
+  test("forkCollection carries the residual PQ build: the fork answers bit-identically") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "collpq-fork").toString
+    val cat = new CollectionCatalog(spark, root, numBuckets = 4)
+    val c = cat.getOrCreateCollection("src", "cosine")
+    c.add(spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id").cast("string").as("id"), col("embedding"),
+        col("label").cast("string").as("label")))
+    pqResidualBuild(c)
+    val before = c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 2, fetchN = 20)
+      .select("id", "adc", "dist").as[(String, Double, Double)].collect().toSeq
+    val fork = cat.forkCollection("src", "dst")
+    // the fork owns the whole dir tree — committed index build, codes
+    // column, codebook sidecar AND its residual flag included
+    val after = fork.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 2, fetchN = 20)
+      .select("id", "adc", "dist").as[(String, Double, Double)].collect().toSeq
+    assert(after == before)
+    // and the fork is independent: mutating it must not touch the source
+    fork.delete(ids = Seq(before.head._1))
+    assert(c.queryPq(Seq.fill(64)(0.5f), 5, nprobe = 2, fetchN = 20)
+      .select("id").as[String].collect().toSeq == before.map(_._1))
+  }
+
   test("queryPqBatch per-query results equal per-vector queryPq (one scan serves the batch)") {
     val c = freshColl("pq11")
     pqBuild(c)
