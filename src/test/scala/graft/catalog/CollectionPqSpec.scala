@@ -126,6 +126,23 @@ class CollectionPqSpec extends SparkTestBase {
       s"expected probed-cell IN filter at the listing level, got: $scanLine")
   }
 
+  test("queryPqBatch prunes the shared codes scan to the UNION of probed cells") {
+    val c = freshColl("pq12")
+    pqBuild(c)
+    val df = c.queryPqBatch(Seq(Seq.fill(64)(0.5f),
+      (0 until 64).map(j => (j % 7).toFloat / 7f)), k = 5, nprobe = 2, fetchN = 20)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // BOTH scans in the plan (codes shortlist + embedding refine) read
+    // the same pruned build — every scan line must carry the cell IN
+    // filter at the file-listing level; at 100 TB this is the difference
+    // between touching 2·nprobe directories and the whole corpus per batch
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.nonEmpty, "expected pruned file scans in the batch plan")
+    scanLines.foreach(l => assert(l.contains("cell") && l.contains(" IN "),
+      s"batch scan not cell-pruned at the listing level: $l"))
+  }
+
   test("refreshIndex full-rebuild fallback keeps centroids AND the PQ surface") {
     val root = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/root/repo/target"), "collpq-fb").toString
