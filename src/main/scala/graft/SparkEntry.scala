@@ -2468,6 +2468,38 @@ object SparkEntry {
         .select(col("qid"), col("rnk"), col("id"), col("adc"), col("dist"))
         .orderBy("qid", "rnk")
     }),
+    // Server-side embedding × the PQ read path (q115's embedding
+    // function composed with q144's codes-only scan): documents hydrate
+    // through the recorded HashingEmbedder(16), the PQ index quantizes
+    // the 16-dim hash embeddings (m=8, subDim=2), and queryTextPq embeds
+    // the query texts through the SAME recorded binding, ADC-scans
+    // codes inside the probed cells, exact-cosine re-ranks. The oracle
+    // replays the entire composition from RAW TEXT: hash-embed (integral
+    // counts — float32 and DOUBLE agree bit-for-bit), seeded assignment,
+    // probe choice, encode, per-qid luts, both rank stages.
+    "q150_querytext_pq" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      val fp = s"qtpq1|$dir|n=${docs.count()}|embed=hash16|cs=0-7|ps=1-16|m=8"
+      val reusable = cat.getCollection("qtpq").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
+      val coll = if (reusable) cat.getCollection("qtpq").get else {
+        cat.deleteCollection("qtpq")
+        val c = cat.getOrCreateCollection("qtpq", space = "cosine")
+        c.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
+          col("text").as("document"), col("lang")), HashingEmbedder(16))
+        c.buildIndexPqSeeded((0L until 8L).map(_.toString),
+          (1L to 16L).map(_.toString), m = 8)
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      coll.queryTextPq(
+          Seq("vector database search index", "streaming join throughput"),
+          k = 10, nprobe = 2, fetchN = 30)
+        .select(col("qid"), col("rnk"), col("id"), col("adc"), col("dist"))
+        .orderBy("qid", "rnk")
+    }),
     // Cross-version SCHEMA EVOLUTION through the store: batch 1 writes
     // (id, document, embedding); a later upsert introduces a NEW metadata
     // column (src) the original version never had. The union-by-name read
@@ -3987,6 +4019,92 @@ object SparkEntry {
          |SELECT qid, rnk, CAST(doc_id AS VARCHAR) AS id,
          |       ROUND(dist_raw, 4) AS dist, lang
          |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+    },
+    // q150: the full text→PQ composition replayed from raw text — q115's
+    // hash-embed CTEs produce the 16-dim vectors (integral counts, so
+    // float32 and DOUBLE agree bit-for-bit), then q144's per-qid PQ
+    // pipeline runs OVER those vectors: seeded assignment, per-qid probe
+    // choice, encode at subDim=2, per-qid luts, decimal ADC, shortlist
+    // and exact-cosine rank windows, string-id tie-breaks throughout
+    "q150_querytext_pq" -> {
+      val hash = sqlStrHash("tm")
+      s"""WITH qt AS (SELECT * FROM (VALUES (0, 'vector database search index'),
+         |                                  (1, 'streaming join throughput')) AS q(qid, qtext)),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |         FROM documents),
+         |tk AS (SELECT doc_id, $hash AS h FROM toks WHERE length(tm) > 0),
+         |sums AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
+         |                SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |         FROM tk GROUP BY doc_id, b),
+         |grid AS (SELECT dd.doc_id, bb.b FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |         CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |vecs AS MATERIALIZED (
+         |        SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |        FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.b
+         |        GROUP BY g.doc_id),
+         |qtoks AS (SELECT qid, unnest(string_split_regex(lower(qtext), '\\s+')) AS tm FROM qt),
+         |qtk AS (SELECT qid, $hash AS h FROM qtoks WHERE length(tm) > 0),
+         |qsums AS (SELECT qid, CAST(h % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY qid, b),
+         |qgrid AS (SELECT qq.qid, bb.b FROM (SELECT DISTINCT qid FROM qt) qq
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |qvecs AS MATERIALIZED (
+         |         SELECT g.qid, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+         |         FROM qgrid g LEFT JOIN qsums s ON s.qid = g.qid AND s.b = g.b
+         |         GROUP BY g.qid),
+         |cct AS (SELECT CAST(doc_id AS INTEGER) AS cell, v AS ce
+         |        FROM vecs WHERE doc_id BETWEEN 0 AND 7),
+         |cdist AS (SELECT ve.doc_id AS doc_id, cct.cell AS cell,
+         |                 ${sqlL2("ve.v", "cct.ce")} AS cd
+         |          FROM vecs ve, cct),
+         |asg AS (SELECT doc_id, cell FROM
+         |          (SELECT doc_id, cell, row_number() OVER (PARTITION BY doc_id
+         |                                                   ORDER BY cd, cell) AS rn
+         |           FROM cdist) WHERE rn = 1),
+         |pc AS (SELECT qid, cell FROM
+         |         (SELECT q.qid AS qid, c.cell AS cell,
+         |                 row_number() OVER (PARTITION BY q.qid
+         |                                    ORDER BY ${sqlL2("c.ce", "q.qv")}, c.cell) AS rn
+         |          FROM cct c, qvecs q) WHERE rn <= 2),
+         |sub AS (SELECT unnest(range(8)) AS s),
+         |cb AS (SELECT sub.s AS s, CAST(ve.doc_id - 1 AS INTEGER) AS code,
+         |              list_transform(range(2), j -> ve.v[CAST(sub.s*2 + j + 1 AS INTEGER)]) AS cv
+         |       FROM vecs ve, sub WHERE ve.doc_id BETWEEN 1 AND 16),
+         |rs AS (SELECT sub.s AS s, ve.doc_id AS doc_id,
+         |              list_transform(range(2), j -> ve.v[CAST(sub.s*2 + j + 1 AS INTEGER)]) AS rv
+         |       FROM vecs ve, sub),
+         |enc AS (SELECT doc_id, s, code FROM (
+         |          SELECT r.doc_id AS doc_id, r.s AS s, c.code AS code,
+         |                 row_number() OVER (PARTITION BY r.doc_id, r.s
+         |                                    ORDER BY ${sqlL2("r.rv", "c.cv")}, c.code) AS rn
+         |          FROM rs r JOIN cb c ON c.s = r.s) WHERE rn = 1),
+         |qs AS (SELECT q.qid AS qid, sub.s AS s,
+         |              list_transform(range(2), j -> q.qv[CAST(sub.s*2 + j + 1 AS INTEGER)]) AS qv
+         |       FROM qvecs q, sub),
+         |lut AS (SELECT qs.qid AS qid, c.s AS s, c.code AS code,
+         |               ROUND(${sqlL2("qs.qv", "c.cv")}, 6) AS d6
+         |        FROM cb c JOIN qs ON qs.s = c.s),
+         |adc AS (SELECT l.qid AS qid, e.doc_id AS doc_id,
+         |               CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS adc
+         |        FROM enc e JOIN asg a ON a.doc_id = e.doc_id
+         |        JOIN lut l ON l.s = e.s AND l.code = e.code
+         |        JOIN pc p ON p.qid = l.qid AND p.cell = a.cell
+         |        GROUP BY l.qid, e.doc_id),
+         |short AS (SELECT qid, doc_id, adc FROM
+         |            (SELECT qid, doc_id, adc,
+         |                    row_number() OVER (PARTITION BY qid
+         |                                       ORDER BY adc, CAST(doc_id AS VARCHAR)) AS rn
+         |             FROM adc) WHERE rn <= 30),
+         |ref AS (SELECT sh.qid AS qid, CAST(sh.doc_id AS VARCHAR) AS id, sh.adc AS adc,
+         |               ${sqlCos("ve.v", "q.qv")} AS dist_raw
+         |        FROM short sh JOIN vecs ve ON ve.doc_id = sh.doc_id
+         |        JOIN qvecs q ON q.qid = sh.qid)
+         |SELECT qid, rnk, id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM
+         |  (SELECT qid, id, adc, dist_raw,
+         |          row_number() OVER (PARTITION BY qid ORDER BY dist_raw, id) AS rnk
+         |   FROM ref) WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin
     },
     // q116: MMR's greedy trace unrolled — one (red, sc, sel, picked) CTE
     // block per rank, each stage's argmax computed from the SAME candidate

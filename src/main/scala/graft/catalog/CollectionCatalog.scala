@@ -1092,6 +1092,29 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     queryBatch(vecs, k, where, whereDoc, nprobe, exact)
   }
 
+  /** `query(query_texts=...)` through the PQ-coded index: embed with the
+    * collection's RECORDED function ([[queryText]]'s binding rule, zero-
+    * vector gate included), then [[queryPqBatch]]'s codes-only ADC scan +
+    * exact refine — the memory-side read path for text queries against a
+    * hydrated-with-embedding-function collection. LOUD without a
+    * committed PQ build (queryPqBatch's contract). */
+  def queryTextPq(texts: Seq[String], k: Int, nprobe: Int = 0, fetchN: Int = 0,
+                  where: Option[Where] = None,
+                  whereDoc: Option[WhereDocument] = None): DataFrame = {
+    require(texts.nonEmpty, "queryTextPq needs at least one query text")
+    val efName = meta.metadata.getOrElse("embedding_function",
+      throw new IllegalStateException(
+        s"collection '$name' has no registered embedding function — " +
+          "hydrate via addDocuments, or query with explicit vectors"))
+    val ef = resolveEmbedder(efName)
+    val vecs = texts.map(t => ef.embedOne(t))
+    if (space == "cosine") vecs.zip(texts).foreach { case (v, t) =>
+      require(v.exists(_ != 0f),
+        s"query text '$t' embeds to the zero vector — cosine distance is undefined")
+    }
+    queryPqBatch(vecs, k, nprobe, fetchN, where, whereDoc)
+  }
+
   /** [[queryStruct]] from TEXT queries — chromadb's
     * `query(query_texts=..., include=...)` returns the same parallel-list
     * shape as its vector form; this embeds through the recorded binding
