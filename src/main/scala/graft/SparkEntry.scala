@@ -1596,20 +1596,19 @@ object SparkEntry {
         q.processAllAvailable()
         // push BOTH watermarks days past the fixture: every real left
         // row's interval expires, so the unmatched ones must now emit
-        // their null rows (Spark defers that to a later batch — hence
-        // the second nudge pair below)
+        // their null rows (Spark runs the expiry sweep against the
+        // watermark the PREVIOUS batch established — hence one more
+        // batch below)
         lMem.addData(Seq((999999L, ts(100000L), 999999L)): _*)
         rMem.addData(Seq((999999L, ts(100001L), 999998L)): _*)
         q.processAllAvailable()
-        // the late-drop contract, unchanged by outer-ness: a re-sent
-        // copy of the first left row sits days behind the watermark and
-        // must NOT emit (neither matched nor as a fresh null row)
-        lMem.addData(lRows.take(1).toIndexedSeq: _*)
-        q.processAllAvailable()
-        // second nudge: state eviction runs as of the PREVIOUS batch's
-        // watermark — one more pair guarantees the expiry pass has seen
-        // the pushed watermark on both sides
-        lMem.addData(Seq((999999L, ts(100002L), 999997L)): _*)
+        // final round, two birds: a re-sent copy of the first left row
+        // sits days behind the already-advanced watermark and must NOT
+        // emit (the late-drop contract, unchanged by outer-ness — not
+        // even a null-row consolation prize), while the riding nudge
+        // pair keeps both watermarks moving so this batch's expiry
+        // sweep flushes every remaining unmatched left row
+        lMem.addData((lRows.take(1) ++ Seq((999999L, ts(100002L), 999997L))).toIndexedSeq: _*)
         rMem.addData(Seq((999999L, ts(100003L), 999996L)): _*)
         q.processAllAvailable()
       } finally q.stop()
