@@ -55,6 +55,13 @@ object SparkEntry {
   private[graft] def headVec(emb: DataFrame, id: Long): Seq[Float] =
     emb.filter(col("vec_id") === id).select("embedding").head().getSeq[Float](0)
 
+  /** SURVEY §2.D rule 2c: every terminal rounded float goes through
+    * [[Distances.roundz]] (round + signed-zero normalization). Spark's
+    * BigDecimal round can't emit −0.0 today, but the rule is structural —
+    * the +0.0 identity keeps query entries immune to any future rounding
+    * path (and mirrors the `+ 0.0` every oracle ROUND carries). */
+  private def roundz(c: Column, scale: Int): Column = Distances.roundz(c, scale)
+
   /** Shared export cache for the round-trip queries (q110/q118/q119): one
     * export per (fixture content, kind). Key = source CONTENT (mtime+size),
     * not the dir-path hash — a regenerated fixture or a colliding path
@@ -141,7 +148,7 @@ object SparkEntry {
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |d AS (SELECT e.vec_id AS vec_id, $distSql AS dist_raw
        |      FROM embeddings e, q WHERE e.vec_id <> 0 $extraWhere)
-       |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM d
+       |SELECT vec_id, ROUND(dist_raw, 4) + 0.0 AS dist FROM d
        |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin
 
   private val enStop = TextAnalysis.stopwordList("en")
@@ -245,7 +252,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Knn.topK(emb, "vec_id", "embedding", headVec(emb, 0), 10, "cosine",
           excludeIds = Seq(0L))
-        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+        .select(col("vec_id"), roundz(col("dist"), 4).as("dist"))
     }),
     // Quantized-corpus kNN (asymmetric: raw float query vs int8-
     // dequantized corpus) — the 4×-smaller scan a 100 TB vector table
@@ -260,21 +267,21 @@ object SparkEntry {
           Ann.dequantizeInt8(struct(col("codes"), col("scale"))).as("embedding"))
       Knn.topK(dq, "vec_id", "embedding", headVec(emb, 0), 10, "cosine",
           excludeIds = Seq(0L))
-        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+        .select(col("vec_id"), roundz(col("dist"), 4).as("dist"))
     }),
     // B9 squared-L2 top-k
     "q12_knn_l2" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Knn.topK(emb, "vec_id", "embedding", headVec(emb, 0), 10, "l2",
           excludeIds = Seq(0L))
-        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+        .select(col("vec_id"), roundz(col("dist"), 4).as("dist"))
     }),
     // B9 inner-product top-k
     "q13_knn_ip" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Knn.topK(emb, "vec_id", "embedding", headVec(emb, 0), 10, "ip",
           excludeIds = Seq(0L))
-        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+        .select(col("vec_id"), roundz(col("dist"), 4).as("dist"))
     }),
     // B6+B7 metadata-prefiltered kNN
     "q14_knn_filtered" -> ((s, dir) => {
@@ -283,7 +290,7 @@ object SparkEntry {
       Knn.topK(emb, "vec_id", "embedding", headVec(emb, 0), 10, "cosine",
           preFilter = Some(ChromaFilter.Eq("label", lbl).toColumn),
           excludeIds = Seq(0L))
-        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+        .select(col("vec_id"), roundz(col("dist"), 4).as("dist"))
     }),
     // B6 batch kNN (broadcast queries + per-query rank limit)
     "q15_knn_batch" -> ((s, dir) => {
@@ -325,7 +332,7 @@ object SparkEntry {
     // C4 hash aggregation
     "q19_agg_by_lang" -> ((s, dir) =>
       t(s, dir, "documents").groupBy("lang")
-        .agg(count(lit(1)).as("cnt"), round(avg("n_chars"), 4).as("avg_chars"))
+        .agg(count(lit(1)).as("cnt"), roundz(avg("n_chars"), 4).as("avg_chars"))
         .orderBy("lang")),
     // C4 TPC-H Q1-ish aggregate scan. Money math is DECIMAL internally
     // (exact, fold-order-free) but the OUTPUT is cast to DOUBLE: the
@@ -411,7 +418,7 @@ object SparkEntry {
         .select(col("doc_id").as("id"), array_distinct(split(col("text"), " ")).as("toks"))
       sample.as("a").join(sample.as("b"), col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          round(Dedup.jaccard(col("a.toks"), col("b.toks")), 4).as("sim"))
+          roundz(Dedup.jaccard(col("a.toks"), col("b.toks")), 4).as("sim"))
         .orderBy("id_a", "id_b")
     }),
     // C2 embedding-cosine near-dup pairs over a sampled set
@@ -420,7 +427,7 @@ object SparkEntry {
       // -Inf (not -1.0): float cosine can land epsilon below -1, and the
       // oracle applies NO similarity filter — every pair must survive
       Dedup.embeddingNearDup(sample, "vec_id", "embedding", Double.NegativeInfinity)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .select(col("id_a"), col("id_b"), roundz(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")
     }),
     // C2 MinHash+LSH near-dup candidates, portable-hash + equality-bucket
@@ -452,7 +459,7 @@ object SparkEntry {
       val m = Ann.buildIvfSeeded(emb, "vec_id", "embedding", 0L until 8L)
       Ann.queryIvf(m.assigned, m, "vec_id", "embedding", headVec(emb, 0), 10,
           nprobe = 2, space = "cosine", excludeIds = Seq(0L))
-        .select(col("vec_id"), round(col("dist"), 4).as("dist"))
+        .select(col("vec_id"), roundz(col("dist"), 4).as("dist"))
     }),
     // C2 embedding near-dup AT SCALE: SRP-LSH buckets confine the pair
     // expansion (q29's all-pairs form stays a verify primitive); the whole
@@ -460,7 +467,7 @@ object SparkEntry {
     "q61_embedding_neardup_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
           minSim = 0.2, dim = 64, nBits = 8)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .select(col("id_a"), col("id_b"), roundz(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")),
     // The nBitsFor AUTO-SIZING dial under the oracle: bucket width sized
     // from the live corpus count (ceil-div + bit-length, integer-exact —
@@ -473,7 +480,7 @@ object SparkEntry {
       val nb = Dedup.nBitsFor(emb.count(), targetBucket = 50)
       Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding",
           minSim = 0.2, dim = 64, nBits = nb)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"),
+        .select(col("id_a"), col("id_b"), roundz(col("sim"), 4).as("sim"),
           lit(nb).as("n_bits"))
         .orderBy("id_a", "id_b")
     }),
@@ -484,7 +491,7 @@ object SparkEntry {
     "q64_neardup_multiprobe" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
           minSim = 0.2, dim = 64, nBits = 8, probes = 2)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .select(col("id_a"), col("id_b"), roundz(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")),
     // Multi-TABLE recall dial: L=4 independent SRP tables (disjoint runs of
     // the projection sequence) union their candidate pairs — recall
@@ -495,7 +502,7 @@ object SparkEntry {
     "q82_neardup_multitable" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
           minSim = 0.2, dim = 64, nBits = 8, tables = 4)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .select(col("id_a"), col("id_b"), roundz(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")),
     // Ingest-time dedup gate: a batch (doc_id % 5 = 0) classified against
     // the already-stored corpus (the rest) — dup_exact / dup_near (LSH
@@ -537,7 +544,7 @@ object SparkEntry {
           emb.filter(col("label") === 0 && col("vec_id") < 500), "embedding",
           minSim = 0.3)
         .select(col("id").as("vec_id"), col("n_eval_hits"),
-          round(col("max_sim"), 4).as("max_sim"))
+          roundz(col("max_sim"), 4).as("max_sim"))
         .orderBy("vec_id")
     }),
     // Gopher repetition filters (Rae et al. 2021 table A1): top-{2,3}-gram
@@ -580,7 +587,7 @@ object SparkEntry {
       TextAnalysis.sourceQualityGate(t(s, dir, "documents"), "doc_id", "text",
           "source", minMeanScore = 0.71)
         .select(col("doc_id"), col("source"),
-          round(col("src_score"), 4).as("src_score"))
+          roundz(col("src_score"), 4).as("src_score"))
         .orderBy("doc_id")),
     // Vocabulary-coverage signal: per-doc OOV rate against the corpus's
     // own top-1000 vocabulary (deterministic ties) — the vocab broadcasts,
@@ -589,7 +596,7 @@ object SparkEntry {
       TextAnalysis.oovRate(t(s, dir, "documents"), "doc_id", "text",
           vocabSize = 1000)
         .select(col("doc_id"), col("n_tokens"),
-          round(col("oov_rate"), 4).as("oov_rate"))
+          roundz(col("oov_rate"), 4).as("oov_rate"))
         .orderBy("doc_id")),
     // PII scrub audit: the fixture text carries no PII, so the query
     // PLANTS deterministic PII (email on ids ≡0 mod 3, phone mod 5, IPv4
@@ -643,7 +650,7 @@ object SparkEntry {
       Dedup.clusterRepresentatives(clusters, "id", "cluster",
           scored, "doc_id", "score")
         .select(col("cluster"), col("n_members"), col("rep_id"),
-          round(col("rep_score"), 4).as("rep_score"))
+          roundz(col("rep_score"), 4).as("rep_score"))
         .orderBy("cluster")
     }),
     // DSIR-style data selection: rank every doc by hashed-unigram
@@ -653,7 +660,7 @@ object SparkEntry {
       TextAnalysis.targetAffinity(t(s, dir, "documents"), "doc_id", "text",
           col("lang") === "en", buckets = 256)
         .select(col("doc_id"), col("n_tokens"), col("s_t"), col("s_r"),
-          round(col("affinity"), 6).as("affinity"))
+          roundz(col("affinity"), 6).as("affinity"))
         .orderBy("doc_id")),
     // C4 line filtering: the fixture has no newlines, so the query PLANTS
     // lines (newline every 7 tokens, terminal '.' on lines ending in a
@@ -867,7 +874,7 @@ object SparkEntry {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
         .groupBy("label", "pos")
         .agg(count(lit(1)).as("n"),
-          round(sum(col("e").cast(DecimalType(18, 6))).cast("double")
+          roundz(sum(col("e").cast(DecimalType(18, 6))).cast("double")
             / count(lit(1)), 4).as("m"))
         .orderBy("label", "pos")
     }),
@@ -882,7 +889,7 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"))
       Dedup.embeddingNearDupLsh(Recall.plantedUnion(emb), "vec_id",
           "embedding", minSim = 0.9, dim = 64, nBits = 8, tables = 4)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .select(col("id_a"), col("id_b"), roundz(col("sim"), 4).as("sim"))
         .orderBy("id_a", "id_b")
     }),
     // Corpus length-distribution report: exact per-lang percentiles over
@@ -892,8 +899,8 @@ object SparkEntry {
     "q89_length_percentiles" -> ((s, dir) =>
       TextAnalysis.percentileProfile(t(s, dir, "documents"), "lang", "n_chars")
         .select(col("lang"), col("n"),
-          round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
-          round(col("p75"), 4).as("p75"), round(col("p95"), 4).as("p95"))
+          roundz(col("p25"), 4).as("p25"), roundz(col("p50"), 4).as("p50"),
+          roundz(col("p75"), 4).as("p75"), roundz(col("p95"), 4).as("p95"))
         .orderBy("lang")),
     // Grouped mean-pooling: ONE embedding per label (the doc-from-chunks /
     // class-centroid primitive every training pipeline needs). posexplode →
@@ -909,14 +916,14 @@ object SparkEntry {
         .groupBy("label", "pos")
         .agg((sum(col("e").cast(DecimalType(18, 6))).cast("double")
           / count(lit(1))).as("m"))
-        .select(col("label"), col("pos"), round(col("m"), 4).as("m"))
+        .select(col("label"), col("pos"), roundz(col("m"), 4).as("m"))
         .orderBy("label", "pos")),
     // Keyword retrieval: BM25-style scoring (log-free idf — IEEE-exact,
     // replayable), one explode pass, broadcast df/stats, decimal score fold
     "q66_bm25_topk" -> ((s, dir) =>
       Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
           Seq("hash", "join", "stream"), 20)
-        .select(col("id"), col("rnk"), round(col("score"), 4).as("score"))
+        .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
         .orderBy("rnk")),
     // Hybrid retrieval: reciprocal-rank fusion of the keyword top-50 and
     // the vector top-50 — the standard combiner, and pure rank arithmetic,
@@ -1058,7 +1065,7 @@ object SparkEntry {
             .cast("double").as("revenue"),
           // exact decimal sum + ONE double division: avg(double) would be
           // partial-agg fold-order dependent and could flip the 4th decimal
-          round(sum(col("p_retailprice").cast(DecimalType(18, 4))).cast("double")
+          roundz(sum(col("p_retailprice").cast(DecimalType(18, 4))).cast("double")
             / count(lit(1)), 4).as("avg_retail"),
           count(lit(1)).as("cnt"))
         .orderBy("p_brand")),
@@ -1080,8 +1087,8 @@ object SparkEntry {
         .agg(expr("percentile(n_chars, array(0.5D, 0.9D))").as("pct"),
           countDistinct(col("source")).as("n_sources"))
         .select(col("lang"),
-          round(element_at(col("pct"), 1), 4).as("median_chars"),
-          round(element_at(col("pct"), 2), 4).as("p90_chars"),
+          roundz(element_at(col("pct"), 1), 4).as("median_chars"),
+          roundz(element_at(col("pct"), 2), 4).as("p90_chars"),
           col("n_sources"))
         .orderBy("lang")),
     // PII-style scrub: mask digit runs in the JSON payload
@@ -1240,7 +1247,7 @@ object SparkEntry {
       tf.join(dfq, Seq("term"))
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
         .select(col("doc_id"), col("rnk"), col("term"),
-          round(col("tf").cast("double") / col("df"), 4).as("score"))
+          roundz(col("tf").cast("double") / col("df"), 4).as("score"))
         .orderBy("doc_id", "rnk")
     }),
     // As-of (temporal) join via window, no join at all: for every click,
@@ -1275,8 +1282,8 @@ object SparkEntry {
       val stats = t(s, dir, "documents").groupBy("lang")
         .agg(expr("percentile(n_chars, array(0.05D, 0.95D))").as("q"))
         .select(col("lang"),
-          round(element_at(col("q"), 1), 4).as("p05"),
-          round(element_at(col("q"), 2), 4).as("p95"))
+          roundz(element_at(col("q"), 1), 4).as("p05"),
+          roundz(element_at(col("q"), 2), 4).as("p95"))
       t(s, dir, "documents").join(broadcast(stats), Seq("lang"))
         .filter(col("n_chars") < col("p05") || col("n_chars") > col("p95"))
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
@@ -1309,7 +1316,7 @@ object SparkEntry {
         c
       }
       coll.query(headVec(emb, 0), 10, nprobe = 2)
-        .select(col("id"), round(col("dist"), 4).as("dist"))
+        .select(col("id"), roundz(col("dist"), 4).as("dist"))
     }),
     // The STORE-side IVF-PQ (q139's composition as a collection index):
     // buildIndexPqSeeded writes the cell-partitioned build WITH a codes
@@ -1373,7 +1380,7 @@ object SparkEntry {
       coll.query(headVec(emb, 2), 10, nprobe = 3,
           where = Some(ChromaFilter.In("lang", Seq("en", "fr", "es"))),
           whereDoc = Some(ChromaFilter.Contains("vector table")))
-        .select(col("id"), round(col("dist"), 4).as("dist"), col("lang"))
+        .select(col("id"), roundz(col("dist"), 4).as("dist"), col("lang"))
     }),
     // The IVF index through INCREMENTAL REFRESH (r8): hydrate most of the
     // corpus, build the seeded index, upsert the held-out slice, then
@@ -1423,7 +1430,7 @@ object SparkEntry {
       coll.query(headVec(emb, 2), 10, nprobe = 3,
           where = Some(ChromaFilter.In("lang", Seq("en", "fr", "es"))),
           whereDoc = Some(ChromaFilter.Contains("vector table")))
-        .select(col("id"), round(col("dist"), 4).as("dist"), col("lang"))
+        .select(col("id"), roundz(col("dist"), 4).as("dist"), col("lang"))
     }),
     "q125_ivf_refresh_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1449,7 +1456,7 @@ object SparkEntry {
       require(coll.hasIndex, "q125 must serve from the refreshed index")
       coll.query(headVec(emb, 1), 10, nprobe = 3,
           where = Some(ChromaFilter.In("label", Seq(0, 1, 2, 3, 4))))
-        .select(col("id"), round(col("dist"), 4).as("dist"), col("label"))
+        .select(col("id"), roundz(col("dist"), 4).as("dist"), col("label"))
     }),
     // B1-B5 END TO END through the copy-on-write store: add a base batch,
     // upsert (replacements + inserts), delete with ids AND a typed where
@@ -1906,7 +1913,7 @@ object SparkEntry {
           Seq("vector database search index", "streaming join throughput"),
           k = 10, where = Some(ChromaFilter.In("lang", Seq("en", "es"))))
         .select(col("qid"), col("rnk"), col("id"),
-          round(col("dist"), 4).as("dist"), col("lang"))
+          roundz(col("dist"), 4).as("dist"), col("lang"))
         .orderBy("qid", "rnk")
     }),
     // The FITTED embedding function end-to-end (the model-based analog
@@ -1934,7 +1941,7 @@ object SparkEntry {
           Seq("vector database search index", "streaming join throughput"),
           k = 8, where = Some(ChromaFilter.In("lang", Seq("en", "es"))))
         .select(col("qid"), col("rnk"), col("id"),
-          round(col("dist"), 4).as("dist"), col("lang"))
+          roundz(col("dist"), 4).as("dist"), col("lang"))
         .orderBy("qid", "rnk")
     }),
     // The fitted-embedder REFIT lifecycle end-to-end: hydrate the full
@@ -1961,7 +1968,7 @@ object SparkEntry {
           Seq("vector database search index", "streaming join throughput"),
           k = 6, where = Some(ChromaFilter.In("lang", Seq("en", "fr"))))
         .select(col("qid"), col("rnk"), col("id"),
-          round(col("dist"), 4).as("dist"), col("lang"))
+          roundz(col("dist"), 4).as("dist"), col("lang"))
         .orderBy("qid", "rnk")
     }),
     // r7's two features COMPOSED (the one pairwise composition r7 left
@@ -1995,7 +2002,7 @@ object SparkEntry {
           Seq("vector database search index", "streaming join throughput"),
           k = 10, whereDoc = Some(ChromaFilter.Contains("vector table")))
         .select(col("qid"), col("rnk"), col("id"),
-          round(col("dist"), 4).as("dist"), col("lang"))
+          roundz(col("dist"), 4).as("dist"), col("lang"))
         .orderBy("qid", "rnk")
     }),
     // Diversity-aware top-k: Maximal Marginal Relevance (Carbonell &
@@ -2009,7 +2016,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Retrieval.mmr(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           headVec(emb, 0), k = 8, fetchN = 40, lambda = 0.5)
-        .select(col("rnk"), col("vec_id"), round(col("score"), 4).as("score"))
+        .select(col("rnk"), col("vec_id"), roundz(col("score"), 4).as("score"))
         .orderBy("rnk")
     }),
     // The last two spec-equivalence-only read surfaces, composed and
@@ -2033,12 +2040,12 @@ object SparkEntry {
       val text = "vector database search index"
       val mmr = coll.queryMmrText(text, k = 8, fetchN = 40, lambda = 0.5)
         .select(col("rnk"), col("id").as("mmr_id"),
-          round(col("mmr_score"), 4).as("mmr_score"))
+          roundz(col("mmr_score"), 4).as("mmr_score"))
       val knn = coll.queryTextStruct(Seq(text), k = 8, include = Set("distances"))
         .select(posexplode(arrays_zip(col("ids"), col("distances"))))
         .select((col("pos") + 1).cast("int").as("rnk"),
           col("col.ids").as("knn_id"),
-          round(col("col.distances"), 4).as("knn_dist"))
+          roundz(col("col.distances"), 4).as("knn_dist"))
       mmr.join(knn, "rnk").orderBy("rnk")
     }),
     // ITERATED BPE training (Sennrich et al. 2016) — five greedy merge
@@ -2082,7 +2089,7 @@ object SparkEntry {
       coll.queryText(Seq("distributed hash join"), k = 8,
           where = Some(ChromaFilter.Eq("rating", "en")))
         .select(col("qid"), col("rnk"), col("id"),
-          round(col("dist"), 4).as("dist"),
+          roundz(col("dist"), 4).as("dist"),
           element_at(col("metadata"), "rating").as("rating"))
         .orderBy("rnk")
     }),
@@ -2149,7 +2156,7 @@ object SparkEntry {
       Knn.hardNegatives(emb, "vec_id", "embedding", "label",
           queries, "vec_id", "embedding", "label", k = 5, space = "cosine")
         .select(col("qid"), col("rnk"), col("vec_id"),
-          round(col("dist"), 4).as("dist"), col("label"))
+          roundz(col("dist"), 4).as("dist"), col("label"))
         .orderBy("qid", "rnk")
     }),
     // Curation: weighted source-mixture sampling to a token budget — the
@@ -2162,7 +2169,7 @@ object SparkEntry {
         .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
       Mixture.sampleToBudget(docs, "doc_id", "source", "n_tok",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budget = 2000L)
-        .select(col("doc_id"), col("source"), round(col("rate"), 4).as("rate"))
+        .select(col("doc_id"), col("source"), roundz(col("rate"), 4).as("rate"))
         .orderBy("doc_id")
     }),
     // Temperature-scaled mixture (the multilingual-sampling rule): source
@@ -2174,7 +2181,7 @@ object SparkEntry {
         .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
       Mixture.sampleTemperature(docs, "doc_id", "source", "n_tok",
           alpha = 0.5, budget = 2000L)
-        .select(col("doc_id"), col("source"), round(col("rate"), 4).as("rate"))
+        .select(col("doc_id"), col("source"), roundz(col("rate"), 4).as("rate"))
         .orderBy("doc_id")
     }),
     // Leakage-safe train/val/test assignment: the split is a pure hash of
@@ -2316,9 +2323,9 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id"), "doc_id")
       Multimodal.decodeImages(media).toDF()
         .select(col("media_id"), col("width"), col("height"),
-          round(col("mean_r"), 4).as("mean_r"),
-          round(col("mean_g"), 4).as("mean_g"),
-          round(col("mean_b"), 4).as("mean_b"))
+          roundz(col("mean_r"), 4).as("mean_r"),
+          roundz(col("mean_g"), 4).as("mean_g"),
+          roundz(col("mean_b"), 4).as("mean_b"))
         .orderBy("media_id")
     }),
     "q132_audio_decode" -> ((s, dir) => {
@@ -2327,8 +2334,8 @@ object SparkEntry {
       Multimodal.decodeAudio(media).toDF()
         .select(col("media_id"), col("sample_rate"), col("channels"),
           col("n_frames"), col("duration_ms"),
-          round(col("rms_l"), 4).as("rms_l"),
-          round(col("rms_r"), 4).as("rms_r"))
+          roundz(col("rms_l"), 4).as("rms_l"),
+          roundz(col("rms_r"), 4).as("rms_r"))
         .orderBy("media_id")
     }),
     // IVF-PQ, the canonical composed ANN (FAISS's IVFPQ): the corpus is
@@ -2554,7 +2561,7 @@ object SparkEntry {
       val media = Multimodal.fakeMediaFrame(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeStub(media).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(col("mean_byte"), 4).as("mean_byte"))
+          roundz(col("mean_byte"), 4).as("mean_byte"))
         .orderBy("media_id")
     }),
     // Product quantization, the memory-side ANN scale path (IVF prunes
@@ -2623,7 +2630,7 @@ object SparkEntry {
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |d AS (SELECT e.vec_id AS vec_id, ${sqlCos("e.de", "q.qe")} AS dist_raw
          |      FROM eq e, q WHERE e.vec_id <> 0)
-         |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM d
+         |SELECT vec_id, ROUND(dist_raw, 4) + 0.0 AS dist FROM d
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin
     },
     "q12_knn_l2" -> sqlKnnSingle(sqlL2("e.embedding", "q.qe")),
@@ -2732,7 +2739,7 @@ object SparkEntry {
          |        CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS src_score
          |      FROM s GROUP BY source)
          |SELECT s.doc_id AS doc_id, s.source AS source,
-         |       ROUND(m.src_score, 4) AS src_score
+         |       ROUND(m.src_score, 4) + 0.0 AS src_score
          |FROM s JOIN m ON s.source = m.source
          |WHERE m.src_score >= 0.71 ORDER BY doc_id""".stripMargin,
     // q93: top-1000 vocab (count desc, token asc at the boundary), then
@@ -3125,7 +3132,7 @@ object SparkEntry {
          |bb AS (SELECT b.id, b.e, b.tbl, b.bucket FROM b JOIN ok USING (tbl, bucket)),
          |p AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b, $sim AS sim
          |      FROM bb a JOIN bb c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.id < c.id)
-         |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
+         |SELECT id_a, id_b, ROUND(sim, 4) + 0.0 AS sim FROM p
          |WHERE sim >= 0.9 ORDER BY id_a, id_b""".stripMargin
     },
     // q89: the histogram-percentile chain replayed — per-lang cumulative
@@ -3175,12 +3182,12 @@ object SparkEntry {
         |        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |        / (len(a.toks) + len(b.toks) - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS sim
         |      FROM s a, s b WHERE a.id < b.id)
-        |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p ORDER BY id_a, id_b""".stripMargin,
+        |SELECT id_a, id_b, ROUND(sim, 4) + 0.0 AS sim FROM p ORDER BY id_a, id_b""".stripMargin,
     "q29_embedding_neardup" -> {
       val sim = s"${sqlDot("a.e", "b.e")} / (sqrt(${sqlDot("a.e", "a.e")}) * sqrt(${sqlDot("b.e", "b.e")}))"
       s"""WITH s AS (SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id % 10 = 0),
          |p AS (SELECT a.id AS id_a, b.id AS id_b, $sim AS sim FROM s a, s b WHERE a.id < b.id)
-         |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p ORDER BY id_a, id_b""".stripMargin
+         |SELECT id_a, id_b, ROUND(sim, 4) + 0.0 AS sim FROM p ORDER BY id_a, id_b""".stripMargin
     },
     "q33_srp_bucket" ->
       s"""SELECT vec_id, ${sqlSrpBucket("embedding")} AS bucket
@@ -3195,7 +3202,7 @@ object SparkEntry {
          |bb AS (SELECT b.id, b.e, b.bucket FROM b JOIN ok USING (bucket)),
          |p AS (SELECT a.id AS id_a, c.id AS id_b, $sim AS sim
          |      FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.id < c.id)
-         |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
+         |SELECT id_a, id_b, ROUND(sim, 4) + 0.0 AS sim FROM p
          |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },
     "q113_autosized_lsh" -> {
@@ -3219,7 +3226,7 @@ object SparkEntry {
          |bb AS (SELECT b.id, b.e, b.bucket FROM b JOIN ok USING (bucket)),
          |p AS (SELECT a.id AS id_a, c.id AS id_b, $sim AS sim
          |      FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.id < c.id)
-         |SELECT id_a, id_b, ROUND(sim, 4) AS sim, CAST((SELECT nb FROM nbx) AS INT) AS n_bits
+         |SELECT id_a, id_b, ROUND(sim, 4) + 0.0 AS sim, CAST((SELECT nb FROM nbx) AS INT) AS n_bits
          |FROM p WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },
     "q64_neardup_multiprobe" -> {
@@ -3235,7 +3242,7 @@ object SparkEntry {
          |       UNION ALL SELECT id, e, xor(bucket, 1) AS bucket FROM bb),
          |p AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b, $sim AS sim
          |      FROM pa a JOIN bb c ON a.bucket = c.bucket AND a.id < c.id)
-         |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
+         |SELECT id_a, id_b, ROUND(sim, 4) + 0.0 AS sim FROM p
          |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },
     "q82_neardup_multitable" -> {
@@ -3252,7 +3259,7 @@ object SparkEntry {
          |bb AS (SELECT b.id, b.e, b.tbl, b.bucket FROM b JOIN ok USING (tbl, bucket)),
          |p AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b, $sim AS sim
          |      FROM bb a JOIN bb c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.id < c.id)
-         |SELECT id_a, id_b, ROUND(sim, 4) AS sim FROM p
+         |SELECT id_a, id_b, ROUND(sim, 4) + 0.0 AS sim FROM p
          |WHERE sim >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },
     // q83: the zip-built grams replayed as 1-based list slicing; counts and
@@ -3345,7 +3352,7 @@ object SparkEntry {
         |ev AS (SELECT DISTINCT unnest(shingles) AS sh FROM shl WHERE id % 97 = 0),
         |cs AS (SELECT id, unnest(shingles) AS sh FROM shl)
         |SELECT DISTINCT id FROM cs JOIN ev USING (sh) ORDER BY id""".stripMargin,
-    "q66_bm25_topk" -> (sqlBm25(20) + "\nSELECT id, rnk, ROUND(score, 4) AS score FROM kwtop ORDER BY rnk"),
+    "q66_bm25_topk" -> (sqlBm25(20) + "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
     "q67_hybrid_rrf" -> {
       // vector side mirrors q11's cosine shape at k=50; fusion is pure
       // rank arithmetic (1/(60+rnk)), kw contribution folded first
@@ -3380,7 +3387,7 @@ object SparkEntry {
          |                              ELSE (score - mn) / (mx - mn) END) AS c1
          |       FROM vr, vmm)
          |SELECT COALESCE(kn.id, vn.id) AS id,
-         |  ROUND(COALESCE(c0, 0) + COALESCE(c1, 0), 6) AS fused
+         |  ROUND(COALESCE(c0, 0) + COALESCE(c1, 0), 6) + 0.0 AS fused
          |FROM kn FULL OUTER JOIN vn ON kn.id = vn.id
          |ORDER BY fused DESC, id LIMIT 20""".stripMargin
     },
@@ -3491,7 +3498,7 @@ object SparkEntry {
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
          |d AS (SELECT e.vec_id AS vec_id, ${sqlL2("e.embedding", "q.qe")} AS dist_raw
          |      FROM embeddings e, q WHERE e.vec_id <> 1)
-         |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM d
+         |SELECT vec_id, ROUND(dist_raw, 4) + 0.0 AS dist FROM d
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
     "q49_redact" ->
       """SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS masked
@@ -3799,7 +3806,7 @@ object SparkEntry {
          |        (PARTITION BY qid ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
          |      FROM cd)
          |SELECT qid, rnk, CAST(doc_id AS VARCHAR) AS id,
-         |       ROUND(dist_raw, 4) AS dist, lang
+         |       ROUND(dist_raw, 4) + 0.0 AS dist, lang
          |FROM r WHERE rnk <= 8 ORDER BY qid, rnk""".stripMargin
     },
     // q134: the post-REFIT state replayed from scratch — the oracle fits
@@ -3850,7 +3857,7 @@ object SparkEntry {
          |        (PARTITION BY qid ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
          |      FROM cd)
          |SELECT qid, rnk, CAST(doc_id AS VARCHAR) AS id,
-         |       ROUND(dist_raw, 4) AS dist, lang
+         |       ROUND(dist_raw, 4) + 0.0 AS dist, lang
          |FROM r WHERE rnk <= 6 ORDER BY qid, rnk""".stripMargin
     },
     // q130: the refresh→compact lifecycle must serve EXACTLY the answers
@@ -3974,7 +3981,7 @@ object SparkEntry {
          |        (PARTITION BY qid ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
          |      FROM cd)
          |SELECT qid, rnk, CAST(doc_id AS VARCHAR) AS id,
-         |       ROUND(dist_raw, 4) AS dist, lang
+         |       ROUND(dist_raw, 4) + 0.0 AS dist, lang
          |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
     },
     // q124: q115's embed replay × q112's contains semantics — the
@@ -4016,7 +4023,7 @@ object SparkEntry {
          |        (PARTITION BY qid ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
          |      FROM cd)
          |SELECT qid, rnk, CAST(doc_id AS VARCHAR) AS id,
-         |       ROUND(dist_raw, 4) AS dist, lang
+         |       ROUND(dist_raw, 4) + 0.0 AS dist, lang
          |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
     },
     // q150: the full text→PQ composition replayed from raw text — q115's
@@ -4099,7 +4106,7 @@ object SparkEntry {
          |               ${sqlCos("ve.v", "q.qv")} AS dist_raw
          |        FROM short sh JOIN vecs ve ON ve.doc_id = sh.doc_id
          |        JOIN qvecs q ON q.qid = sh.qid)
-         |SELECT qid, rnk, id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM
+         |SELECT qid, rnk, id, ROUND(adc, 4) + 0.0 AS adc, ROUND(dist_raw, 4) + 0.0 AS dist FROM
          |  (SELECT qid, id, adc, dist_raw,
          |          row_number() OVER (PARTITION BY qid ORDER BY dist_raw, id) AS rnk
          |   FROM ref) WHERE rnk <= 10
@@ -4135,7 +4142,7 @@ object SparkEntry {
          |picked_1 AS MATERIALIZED (SELECT vec_id, 1 AS rnk, (0.5 * simq) - (0.5 * 0.0) AS sc
          |             FROM cand ORDER BY simq DESC, vec_id LIMIT 1),
          |$stages
-         |SELECT rnk, vec_id, ROUND(sc, 4) AS score FROM picked_8 ORDER BY rnk"""
+         |SELECT rnk, vec_id, ROUND(sc, 4) + 0.0 AS score FROM picked_8 ORDER BY rnk"""
         .stripMargin
     },
     // q133: q115's hash-embed replay feeding BOTH read shapes — the
@@ -4197,8 +4204,8 @@ object SparkEntry {
          |                                  CAST(v.doc_id AS VARCHAR)) AS rnk
          |        FROM vecs v, qvec q)
          |SELECT CAST(p.rnk AS INTEGER) AS rnk, p.id AS mmr_id,
-         |       ROUND(p.sc, 4) AS mmr_score,
-         |       k.id AS knn_id, ROUND(k.dist, 4) AS knn_dist
+         |       ROUND(p.sc, 4) + 0.0 AS mmr_score,
+         |       k.id AS knn_id, ROUND(k.dist, 4) + 0.0 AS knn_dist
          |FROM picked_8 p JOIN knn k ON k.rnk = p.rnk
          |ORDER BY rnk""".stripMargin
     },
@@ -4297,7 +4304,7 @@ object SparkEntry {
          |r AS (SELECT doc_id, lang, dist_raw, ROW_NUMBER() OVER
          |        (ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk FROM cd)
          |SELECT 0 AS qid, rnk, CAST(doc_id AS VARCHAR) AS id,
-         |       ROUND(dist_raw, 4) AS dist, lang AS rating
+         |       ROUND(dist_raw, 4) + 0.0 AS dist, lang AS rating
          |FROM r WHERE rnk <= 8 ORDER BY rnk""".stripMargin
     },
     // q120: fork isolation + divergence — 'src' rows are the untouched
@@ -4333,7 +4340,7 @@ object SparkEntry {
          |      FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlabel),
          |r AS (SELECT qid, vec_id, label, dist_raw, ROW_NUMBER() OVER
          |        (PARTITION BY qid ORDER BY dist_raw, vec_id) AS rnk FROM d)
-         |SELECT qid, rnk, vec_id, ROUND(dist_raw, 4) AS dist, label
+         |SELECT qid, rnk, vec_id, ROUND(dist_raw, 4) + 0.0 AS dist, label
          |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     // q80: the streaming upsert sink's semantics in SQL — within a
     // microbatch the highest `ver` wins (upsert orderCol); across batches
@@ -4389,7 +4396,7 @@ object SparkEntry {
          |cand AS (SELECT a.vec_id AS vec_id, a.embedding AS embedding FROM a
          |         WHERE a.cell IN (SELECT cell FROM pc) AND a.vec_id <> 0),
          |dd AS (SELECT vec_id, ${sqlCos("cand.embedding", "q.qe")} AS dist_raw FROM cand, q)
-         |SELECT vec_id, ROUND(dist_raw, 4) AS dist FROM dd
+         |SELECT vec_id, ROUND(dist_raw, 4) + 0.0 AS dist FROM dd
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
     // q136: the full PQ pipeline replayed — per-subspace codebooks from
     // seed rows 1..16 (code = vec_id − 1), argmin-L2 encode (ties to the
@@ -4424,7 +4431,7 @@ object SparkEntry {
          |ref AS (SELECT sh.vec_id AS vec_id, sh.adc AS adc,
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
-         |SELECT vec_id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |SELECT vec_id, ROUND(adc, 4) + 0.0 AS adc, ROUND(dist_raw, 4) + 0.0 AS dist FROM ref
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
     // q139: q32's seeded-IVF assignment/probe CTEs composed with q136's
     // PQ encode/lut/ADC CTEs — the ADC stage additionally confines to the
@@ -4469,7 +4476,7 @@ object SparkEntry {
          |ref AS (SELECT sh.vec_id AS vec_id, sh.adc AS adc,
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
-         |SELECT vec_id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |SELECT vec_id, ROUND(adc, 4) + 0.0 AS adc, ROUND(dist_raw, 4) + 0.0 AS dist FROM ref
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
     // q141: the residual construction replayed — residuals as double
     // element-order folds against each row's OWN cell centroid, residual
@@ -4526,7 +4533,7 @@ object SparkEntry {
          |ref AS (SELECT sh.vec_id AS vec_id, sh.adc AS adc,
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
-         |SELECT vec_id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |SELECT vec_id, ROUND(adc, 4) + 0.0 AS adc, ROUND(dist_raw, 4) + 0.0 AS dist FROM ref
          |ORDER BY dist_raw, vec_id LIMIT 10""".stripMargin,
     // q143: schema evolution replayed — rows written before the column
     // existed read '__pre' (NULL coalesced); the evolved column filters
@@ -4619,7 +4626,7 @@ object SparkEntry {
          |ref AS (SELECT CAST(sh.vec_id AS VARCHAR) AS id, sh.adc AS adc,
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
-         |SELECT id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |SELECT id, ROUND(adc, 4) + 0.0 AS adc, ROUND(dist_raw, 4) + 0.0 AS dist FROM ref
          |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
     // q148: both PQ dials replayed INTEGER-EXACT from COUNT(*) —
     // truncating division + LEAST/GREATEST, no float ratio (the q113
@@ -4662,7 +4669,7 @@ object SparkEntry {
          |ref AS (SELECT CAST(sh.vec_id AS VARCHAR) AS id, sh.adc AS adc,
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
-         |SELECT id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist,
+         |SELECT id, ROUND(adc, 4) + 0.0 AS adc, ROUND(dist_raw, 4) + 0.0 AS dist,
          |       (SELECT ksub FROM dial) AS ksub,
          |       (SELECT fetch_n FROM dial) AS fetch_n
          |FROM ref ORDER BY dist_raw, id LIMIT 10""".stripMargin,
@@ -4721,7 +4728,7 @@ object SparkEntry {
          |ref AS (SELECT CAST(sh.vec_id AS VARCHAR) AS id, sh.adc AS adc,
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh, embeddings e, q WHERE e.vec_id = sh.vec_id)
-         |SELECT id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM ref
+         |SELECT id, ROUND(adc, 4) + 0.0 AS adc, ROUND(dist_raw, 4) + 0.0 AS dist FROM ref
          |ORDER BY dist_raw, id LIMIT 10""".stripMargin,
     // q149: the residual batch replayed — q144's per-qid pipeline with
     // q145's per-cell residual luts: the lut CTE is keyed (qid, cell)
@@ -4789,7 +4796,7 @@ object SparkEntry {
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id
          |        JOIN q ON q.qid = sh.qid)
-         |SELECT qid, rnk, id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM
+         |SELECT qid, rnk, id, ROUND(adc, 4) + 0.0 AS adc, ROUND(dist_raw, 4) + 0.0 AS dist FROM
          |  (SELECT qid, id, adc, dist_raw,
          |          row_number() OVER (PARTITION BY qid ORDER BY dist_raw, id) AS rnk
          |   FROM ref) WHERE rnk <= 10
@@ -4849,7 +4856,7 @@ object SparkEntry {
          |               ${sqlCos("e.embedding", "q.qe")} AS dist_raw
          |        FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id
          |        JOIN q ON q.qid = sh.qid)
-         |SELECT qid, rnk, id, ROUND(adc, 4) AS adc, ROUND(dist_raw, 4) AS dist FROM
+         |SELECT qid, rnk, id, ROUND(adc, 4) + 0.0 AS adc, ROUND(dist_raw, 4) + 0.0 AS dist FROM
          |  (SELECT qid, id, adc, dist_raw,
          |          row_number() OVER (PARTITION BY qid ORDER BY dist_raw, id) AS rnk
          |   FROM ref) WHERE rnk <= 10
@@ -4926,7 +4933,7 @@ object SparkEntry {
          |                (1 - (${sqlCos("e.embedding", "ev.ev")})) AS sim
          |         FROM embeddings e, ev WHERE e.label <> 0),
          |flagged AS (SELECT vec_id, sim FROM hits WHERE sim >= 0.3)
-         |SELECT vec_id, COUNT(*) AS n_eval_hits, ROUND(MAX(sim), 4) AS max_sim
+         |SELECT vec_id, COUNT(*) AS n_eval_hits, ROUND(MAX(sim), 4) + 0.0 AS max_sim
          |FROM flagged GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q71_source_mixture" ->
       s"""WITH d AS (SELECT doc_id, source,
@@ -4936,7 +4943,7 @@ object SparkEntry {
          |r AS (SELECT source, LEAST(1.0, 2000.0 * (CASE source WHEN 'src0' THEN 0.5
          |        WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2 ELSE 0.0 END) / tot) AS rate
          |      FROM tot)
-         |SELECT d.doc_id AS doc_id, d.source AS source, ROUND(r.rate, 4) AS rate
+         |SELECT d.doc_id AS doc_id, d.source AS source, ROUND(r.rate, 4) + 0.0 AS rate
          |FROM d JOIN r ON d.source = r.source
          |WHERE ${sqlSpreadHash("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate * 1e6
          |ORDER BY doc_id""".stripMargin,
@@ -4953,7 +4960,7 @@ object SparkEntry {
          |        CASE WHEN sqrt(tot) = 0.0 OR wsum = 0.0 THEN 0.0
          |             ELSE LEAST(1.0, 2000.0 * (sqrt(tot) / wsum) / tot) END AS rate
          |      FROM tot, ws)
-         |SELECT d.doc_id AS doc_id, d.source AS source, ROUND(r.rate, 4) AS rate
+         |SELECT d.doc_id AS doc_id, d.source AS source, ROUND(r.rate, 4) + 0.0 AS rate
          |FROM d JOIN r ON d.source = r.source
          |WHERE ${sqlSpreadHash("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.rate * 1e6
          |ORDER BY doc_id""".stripMargin,
@@ -5136,7 +5143,7 @@ object SparkEntry {
          |              MAX({'s': s, 'i': -id}) AS best
          |       FROM j GROUP BY cluster)
          |SELECT cluster, n_members, CAST(-(best.i) AS BIGINT) AS rep_id,
-         |       ROUND(best.s, 4) AS rep_score
+         |       ROUND(best.s, 4) + 0.0 AS rep_score
          |FROM a2 ORDER BY cluster""".stripMargin
     },
   )

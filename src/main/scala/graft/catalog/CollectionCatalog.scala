@@ -1601,9 +1601,14 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       // terminal ROUND on adc too (SURVEY §2.D rule 2): the round-6
       // DECIMAL fold is order-free but its raw L2 partials are not
       // engine-portable at the 0.5e-6 boundary — CORRECTNESS_r11 caught
-      // exactly this (q140 hash flip); ordering stays on unrounded values
-      .select(col("id"), round(col("adc"), 4).as("adc"),
-        round(col("__d"), 4).as("dist"))
+      // exactly this (q140 hash flip); ordering stays on unrounded values.
+      // roundz (rule 2c) also kills the signed zero: the stored query
+      // vector IS a legal hit (Chroma returns the self row), its exact
+      // cosine distance is a tiny NEGATIVE (float32 norm ≈ 1+ε), and a
+      // sign-preserving round would emit −0.0 — CORRECTNESS_r12's only
+      // red class (q140/q144/q145/q148/q149)
+      .select(col("id"), graft.functions.Distances.roundz(col("adc"), 4).as("adc"),
+        graft.functions.Distances.roundz(col("__d"), 4).as("dist"))
   }
 
   /** Batch form of [[queryPq]], shaped like [[queryBatch]]: ONE pruned
@@ -1680,8 +1685,12 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         graft.functions.Distances.bySpace(m.space)(col("embedding"), col("__qvec")))
       .withColumn("rnk", row_number().over(wK))
       .filter(col("rnk") <= k)
+      // roundz, not round: rule 2c (see queryPq) — the batch includes the
+      // stored query vectors themselves, whose rounded distance is a zero
+      // that must not carry DuckDB's sign bit
       .select(col("qid"), col("rnk"), col("id"),
-        round(col("adc"), 4).as("adc"), round(col("__d"), 4).as("dist"))
+        graft.functions.Distances.roundz(col("adc"), 4).as("adc"),
+        graft.functions.Distances.roundz(col("__d"), 4).as("dist"))
   }
 
   /** Incrementally refresh the IVF index to the CURRENT version: keep the

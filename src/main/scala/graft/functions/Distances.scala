@@ -45,6 +45,21 @@ object Distances {
   def cosineSim(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
+  /** Normalize IEEE signed zero: −0.0 → +0.0, every other value (incl.
+    * NaN/Inf) unchanged, nulls propagate. SURVEY §2.D rule 2c — every
+    * terminal rounded float the engine emits goes through this, because
+    * the driver's oracle compare is BIT-sensitive: a self-match cosine
+    * distance of ~−1e-9 rounds to −0.0 in DuckDB (IEEE round preserves
+    * sign) but +0.0 in Spark (BigDecimal HALF_UP has no signed zero),
+    * and the two zeros hash differently (CORRECTNESS_r12: q140/q144/
+    * q145/q148/q149). `x + 0.0` is the branch-free IEEE identity that
+    * maps −0.0 to +0.0. */
+  def posZero(c: Column): Column = c + lit(0.0)
+
+  /** Terminal round under rule 2c: round to `scale` AND normalize the
+    * signed zero — the one way every query entry should emit a float. */
+  def roundz(c: Column, scale: Int): Column = posZero(round(c, scale))
+
   /** Distance column by space name, mirroring Chroma's `hnsw:space` values. */
   def bySpace(space: String)(a: Column, b: Column): Column = space match {
     case "l2" | "ip" | "cosine" => GraftExtensions.dist(space)(a, b)

@@ -71,15 +71,41 @@ for name in sorted(oracle):
     if len(w) != len(g):
         fails.append((name, f"rows: oracle {len(w)} vs spark {len(g)}"))
         continue
-    try:
-        pd.testing.assert_frame_equal(w, g, check_dtype=False, check_exact=True)
+    # BIT-FAITHFUL compare (VERDICT r12 #2): the driver's hash is
+    # bit/string-sensitive, so pandas value equality is NOT enough —
+    # -0.0 == 0.0 and NaN-is-NaN both pass assert_frame_equal while the
+    # driver hash flips (r12 failed 5 PQ queries on exactly the signed
+    # zero of a rounded self-match distance). Float columns compare as
+    # raw uint bit patterns; everything else compares exactly.
+    neq_cols = {}
+    import numpy as np
+    for c in w.columns:
+        wv, gv = w[c], g[c]
+        if wv.dtype.kind == "f" and gv.dtype.kind == "f":
+            wb = wv.astype("float64").to_numpy().view("uint64")
+            gb = gv.astype("float64").to_numpy().view("uint64")
+            bad = wb != gb
+        else:
+            try:
+                bad = ((wv != gv) & ~(wv.isna() & gv.isna())).to_numpy()
+            except (ValueError, TypeError):
+                # list/array-valued cells: elementwise != is ambiguous —
+                # compare canonical string forms instead
+                bad = (wv.map(lambda x: str(list(x)) if hasattr(x, "__len__")
+                              and not isinstance(x, str) else str(x)).to_numpy()
+                       != gv.map(lambda x: str(list(x)) if hasattr(x, "__len__")
+                                 and not isinstance(x, str) else str(x)).to_numpy())
+        if bad.any():
+            neq_cols[c] = bad
+    if not neq_cols:
         print(f"OK    {name} ({len(w)} rows)")
-    except AssertionError as e:
-        fails.append((name, "value mismatch: " + str(e).split("\n")[0]))
-        # show first differing rows
-        neq = (w != g) & ~(w.isna() & g.isna())
-        bad = neq.any(axis=1)
-        print(f"--- {name} first diffs:")
+    else:
+        fails.append((name, "bit-level mismatch in columns: " +
+                      ", ".join(sorted(neq_cols))))
+        bad = np.zeros(len(w), dtype=bool)
+        for m in neq_cols.values():
+            bad |= m
+        print(f"--- {name} first diffs (bit-faithful):")
         print(pd.concat([w[bad].head(3).add_suffix("_oracle"),
                          g[bad].head(3).add_suffix("_spark")], axis=1))
 for name, why in fails:
