@@ -1270,11 +1270,41 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
 
   /** Chroma-faithful `where` key resolution: a key names a metadata entry.
     * Flat columns (the pushdown-friendly layout) resolve directly; a
-    * `MAP<STRING,STRING>` metadata column resolves misses via element_at. */
-  private def keyResolver(df: DataFrame): ChromaFilter.KeyResolver = { key =>
-    if (df.columns.contains(key)) col(key)
-    else if (df.columns.contains("metadata")) element_at(col("metadata"), key)
-    else col(key)
+    * `MAP<STRING,STRING>` metadata column resolves misses via element_at.
+    *
+    * DECLARED TYPES (Chroma metadata is str/int/float/bool, the map layout
+    * stores strings): a collection-metadata entry `meta:type:<key>` =
+    * long|double|boolean ([[declareMetadataTypes]]) makes the map lookup
+    * `try_cast` to that type, so `$eq` on an int compares as int and
+    * `$eq(flag, true)` works at all — without it a boolean literal against
+    * a string map value is an ANSI cast error, and ints fall back to the
+    * numeric-literal double route. try_cast keeps Chroma's typed
+    * semantics: a stored value that doesn't parse simply doesn't match.
+    * The lazy `declared` reads collection metadata at most once per query
+    * and ONLY when a map lookup actually resolves — flat typed layouts
+    * (the 100 TB-preferred one, full pushdown) never pay the meta read. */
+  private def keyResolver(df: DataFrame): ChromaFilter.KeyResolver = {
+    lazy val declared: Map[String, String] = meta.metadata.collect {
+      case (k, t) if k.startsWith(Collection.MetaTypePrefix) =>
+        k.stripPrefix(Collection.MetaTypePrefix) -> t
+    }
+    key =>
+      if (df.columns.contains(key)) col(key)
+      else if (df.columns.contains("metadata")) {
+        val raw = element_at(col("metadata"), key)
+        declared.get(key).fold(raw)(t => raw.try_cast(t))
+      } else col(key)
+  }
+
+  /** Record Chroma's per-key metadata TYPES for the map layout, so `where`
+    * filters compare typed ([[keyResolver]]). Flat typed columns don't
+    * need this — their parquet types ARE the declaration; this is for
+    * migrating users carrying Chroma's metadata dict as one map column. */
+  def declareMetadataTypes(types: Map[String, String]): Unit = {
+    val bad = types.values.toSet.diff(Set("string", "long", "double", "boolean"))
+    require(bad.isEmpty,
+      s"unsupported metadata types: ${bad.mkString(", ")} (string|long|double|boolean)")
+    modifyMetadata(types.map { case (k, t) => (s"${Collection.MetaTypePrefix}$k", t) })
   }
 
   /** B5 get: point/filtered retrieval, deterministically paged by id.
@@ -1283,10 +1313,24 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * version and `whereDoc` is gram-confinable, the scan is first confined
     * to the index's candidate ids (a left-semi join against the pruned
     * postings read); the verbatim predicate is ALWAYS still applied, so
-    * the index can only shrink IO, never change the result. */
+    * the index can only shrink IO, never change the result.
+    *
+    * `include` is Chroma's projection contract (`include=["documents",
+    * "metadatas", ...]`) made SCAN-real: None (default) returns every
+    * stored column (the long-form contract so far); Some(set) projects to
+    * id + the requested families BEFORE the page materializes, so
+    * Catalyst's column pruning drops the unrequested columns from the
+    * parquet ReadSchema itself. At 100 TB the embedding column IS the
+    * collection's bulk — a documents+metadatas get must not read a single
+    * embedding byte (GetIncludeSpec pins the pruned ReadSchema; filter
+    * columns are still read, they gate the rows). Entries: `documents`,
+    * `embeddings`, `metadatas` (= every stored column that isn't
+    * id/document/embedding/uri/data, i.e. the flat typed layout, plus a
+    * `metadata` map column when present), `uris`, `data`. */
   def get(ids: Seq[String] = Nil, where: Option[Where] = None,
           whereDoc: Option[WhereDocument] = None,
-          limit: Option[Int] = None, offset: Int = 0): DataFrame = {
+          limit: Option[Int] = None, offset: Int = 0,
+          include: Option[Set[String]] = None): DataFrame = {
     // one meta snapshot for BOTH the data read and the index adoption: a
     // fresh re-read for the index could adopt a newer version than the
     // data scan and confine it with the wrong posting lists
@@ -1305,6 +1349,23 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     df = docIndexConfine(df, m, whereDoc)
     ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(df))
       .foreach(p => df = df.filter(p))
+    // include projection BEFORE the sort/page: the select is what lets
+    // Catalyst prune the scan — projecting after limit would be
+    // presentation-only and still read the dropped columns
+    include.foreach { inc =>
+      val unknown = inc.diff(Set("documents", "embeddings", "metadatas", "uris", "data"))
+      require(unknown.isEmpty, s"unknown include entries: ${unknown.mkString(", ")}")
+      val reserved = Seq("id", "document", "embedding", "uri", "data")
+      def ifHas(flag: String, c: String) =
+        if (inc(flag) && df.columns.contains(c)) Seq(c) else Nil
+      val metaCols =
+        if (inc("metadatas")) df.columns.toSeq.filterNot(reserved.contains).sorted
+        else Nil
+      val keep = Seq("id") ++ ifHas("documents", "document") ++
+        ifHas("embeddings", "embedding") ++ ifHas("uris", "uri") ++
+        ifHas("data", "data") ++ metaCols
+      df = df.select(keep.map(c => col(s"`$c`")): _*)
+    }
     df = df.orderBy("id")
     if (offset > 0) df = df.offset(offset)
     limit.fold(df)(df.limit)
@@ -1323,7 +1384,9 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
                 include: Set[String] = Set("documents", "metadatas")): DataFrame = {
     val unknown = include.diff(Set("documents", "embeddings", "metadatas", "uris", "data"))
     require(unknown.isEmpty, s"unknown include entries: ${unknown.mkString(", ")}")
-    val page = get(ids, where, whereDoc, limit, offset)
+    // push the include down to the long form so the scan pruning is real
+    // (a documents+metadatas getStruct never reads the embedding column)
+    val page = get(ids, where, whereDoc, limit, offset, Some(include))
     val fields: Seq[FoldField] =
       ("id", "ids", col("id")) +:
       (docField(page, include("documents")) ++
@@ -2602,6 +2665,10 @@ object Collection {
   /** Collection-identity sidecar of a parquet [[Collection.export]]
     * (underscore name — parquet readers skip it as metadata). */
   val ExportMetaName = "_graft_meta.json"
+
+  /** Collection-metadata key prefix recording a metadata key's declared
+    * Chroma type for the MAP layout ([[Collection.declareMetadataTypes]]). */
+  val MetaTypePrefix = "meta:type:"
 
   /** Fingerprint pairing committed data with the model that embedded it
     * (first 8 SHA-256 bytes of the sidecar text, hex). */

@@ -82,6 +82,23 @@ object CommitCoordinator {
     *    `lease:` at local disk or HDFS, NOT at the S3 bucket being
     *    protected (that would rebuild the lock on the hole it exists to
     *    cover, unless the connector exposes conditional PUT).
+    *  - Every DELETE of a lease (TTL steal, release) runs under a
+    *    short-lived exclusive `.steal` side-lock with revalidation
+    *    inside it. A lease transitions absent→present only through the
+    *    atomic exclusive create and present→absent only under the
+    *    side-lock, so two contenders that both observed the same
+    *    expired lease can never interleave as steal/create/steal —
+    *    the second stealer revalidates under the lock, sees the fresh
+    *    mtime, and aborts (the r12 ADVICE dual-hold scenario).
+    *  - Residual window, documented not hidden: recovery of an
+    *    ORPHANED `.steal` file (a stealer that crashed inside its
+    *    milliseconds-long critical section) is itself a plain
+    *    delete-if-expired. Dual hold now needs a process crash inside
+    *    that tiny section PLUS two recoverers interleaving within it —
+    *    versus the old protocol where two contenders merely had to stat
+    *    the same expired lease. Filesystems expose no conditional
+    *    delete; grounding the recursion needs a fencing CAS service
+    *    (register one via the registry when that window matters).
     *  - The TTL steal assumes the expired holder is DEAD. A holder
     *    paused longer than ttlMs (GC, VM freeze) can overlap its thief
     *    for up to one body's duration — the classic lease caveat; set
@@ -116,6 +133,39 @@ object CommitCoordinator {
       try body finally release(lease)
     }
 
+    /** Run `body` while holding the exclusive `.steal` side-lock for
+      * `lease` — the serialization point for every DELETE of that lease
+      * (TTL steals and token-checked releases). Present lease content
+      * cannot change while it is held: deletes need this lock, creates
+      * only flip absent→present. Returns None when the side-lock is
+      * contended (caller re-polls) — a live stealer finishes in
+      * milliseconds. An orphaned side-lock (stealer crashed mid-section)
+      * is recovered by delete-if-expired: the one residual
+      * delete-vs-create window left in the protocol (class doc). */
+    private def withStealLock[T](lease: org.apache.hadoop.fs.Path)
+        (body: => T): Option[T] = {
+      val s = new org.apache.hadoop.fs.Path(lease.toString + ".steal")
+      val got =
+        try {
+          io.createExclusive(s,
+            owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val orphaned =
+              try System.currentTimeMillis() - io.modTime(s) > ttlMs
+              catch { case _: Exception => false }
+            if (orphaned) {
+              try io.deleteIfExists(s) catch { case _: Exception => () }
+            }
+            false
+        }
+      if (!got) None
+      else
+        try Some(body)
+        finally (try io.deleteIfExists(s) catch { case _: Exception => () })
+    }
+
     private def acquire(lease: org.apache.hadoop.fs.Path, key: String): Unit = {
       val deadline = System.nanoTime() + ttlMs * 3L * 1000000L
       while (true) {
@@ -129,9 +179,28 @@ object CommitCoordinator {
               try System.currentTimeMillis() - io.modTime(lease) > ttlMs
               catch { case _: Exception => false } // vanished between create and stat
             if (expired) {
-              // orphan steal: delete-then-retry — the retry's exclusive
-              // create stays the single arbiter of who got it
-              try io.deleteIfExists(lease) catch { case _: Exception => () }
+              // single-winner orphan steal: the delete happens only under
+              // the .steal side-lock, and only after REVALIDATING expiry
+              // under it — a lease some other winner already stole and
+              // re-created shows a fresh mtime here and the steal aborts,
+              // so a racing pair can never delete each other's fresh
+              // leases (r12 ADVICE: W1-del/W1-create/W2-del interleave).
+              // The exclusive create back in the loop stays the sole
+              // arbiter of who acquires after the delete.
+              val stole = withStealLock(lease) {
+                val stillExpired =
+                  try System.currentTimeMillis() - io.modTime(lease) > ttlMs
+                  catch { case _: Exception => false }
+                if (stillExpired) {
+                  try io.deleteIfExists(lease) catch { case _: Exception => () }
+                }
+              }
+              if (System.nanoTime() > deadline) {
+                throw new IllegalStateException(
+                  s"could not acquire commit lease for '$key' at $lease within " +
+                    s"${3 * ttlMs} ms — holder alive and stuck, or ttl misconfigured")
+              } else if (stole.isEmpty) Thread.sleep(pollMs)
+              // stole.isDefined: retry the exclusive create immediately
             } else if (System.nanoTime() > deadline) {
               throw new IllegalStateException(
                 s"could not acquire commit lease for '$key' at $lease within " +
@@ -141,12 +210,28 @@ object CommitCoordinator {
       }
     }
 
-    private def release(lease: org.apache.hadoop.fs.Path): Unit =
-      try {
-        val held = new String(io.readBytes(lease),
-          java.nio.charset.StandardCharsets.UTF_8)
-        if (held == owner) io.deleteIfExists(lease)
-      } catch { case _: Exception => () } // stolen or vanished: nothing ours to free
+    /** Deletes ONLY a lease that still carries this holder's token, and
+      * only under the `.steal` side-lock — so the read-compare-delete
+      * cannot interleave with a TTL steal (the thief's fresh lease is
+      * safe: deletes are serialized, and the token no longer matches).
+      * Best-effort with a short retry: contention here means we held
+      * past our TTL and a thief is mid-steal, in which case nothing of
+      * ours remains to free — the thief's delete supersedes ours. */
+    private def release(lease: org.apache.hadoop.fs.Path): Unit = {
+      var tries = 5
+      while (tries > 0) {
+        val done = withStealLock(lease) {
+          try {
+            val held = new String(io.readBytes(lease),
+              java.nio.charset.StandardCharsets.UTF_8)
+            if (held == owner) io.deleteIfExists(lease)
+          } catch { case _: Exception => () } // stolen or vanished: not ours
+        }
+        if (done.isDefined) return
+        tries -= 1
+        if (tries > 0) Thread.sleep(pollMs)
+      }
+    }
   }
 
   private val leaseCache =

@@ -339,6 +339,9 @@ object Dedup {
       .withColumn("lbl", col("id")))
     var iter = 0
     var changed = 1L
+    // only read on non-convergence; seeded with a no-movement frame so a
+    // degenerate maxIter=0 call still errors with a well-formed message
+    var lastStep: DataFrame = labels.withColumn("nlbl", col("lbl"))
     while (changed > 0 && iter < maxIter) {
       // gather-min from neighbors; one join + one combiner-friendly
       // min-aggregate per round. Pointer jumping (label ← label's label,
@@ -375,10 +378,22 @@ object Dedup {
           s"convergence metric missing or mistyped: $other")
       }
       labels = next.select(col("id"), col("nlbl").as("lbl"))
+      lastStep = next
       iter += 1
     }
-    require(changed == 0,
-      s"dupClusters did not converge in $maxIter rounds — raise maxIter")
+    if (changed != 0) {
+      // LOUD and actionable: name a bounded sample of the ids whose labels
+      // were still moving — the caller can inspect exactly which chain is
+      // longer than the round budget instead of guessing (r12 VERDICT #8)
+      val moving = lastStep.filter(col("nlbl") < col("lbl"))
+        .select(col("id")).limit(20).collect().map(_.get(0)).mkString(", ")
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIter rounds ($changed labels " +
+          s"still moving; sample ids: $moving) — with pointer jumping active " +
+          "from round 8 this means a component of diameter >> 2^(maxIter-8): " +
+          "raise maxIter, or inspect whether the pair list accidentally " +
+          "chains the whole corpus (an LSH band too coarse)")
+    }
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 

@@ -342,6 +342,20 @@ class DedupSpec extends SparkTestBase {
     assert(out.length == 300 && out.forall(_._2 == 0L))
   }
 
+  test("dupClusters: exhausted rounds fail LOUD with a sample of moving ids") {
+    // a 200-node path with the jump disabled by a tiny budget: 4 rounds of
+    // propagate-only cannot close diameter 199 — the error must name the
+    // budget, the moving-label count, and concrete unconverged ids
+    val pairs = (0 until 199).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(pairs, "id_a", "id_b", maxIter = 4).collect()
+    }
+    assert(e.getMessage.contains("did not converge in 4 rounds"))
+    assert(e.getMessage.contains("sample ids:"))
+    assert(e.getMessage.matches("(?s).*sample ids: \\d.*"),
+      s"expected concrete ids in: ${e.getMessage}")
+  }
+
   test("dedupAgainstCorpus: exact beats near; near needs band match AND jaccard") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

@@ -36,6 +36,29 @@ class CollectionPqSpec extends SparkTestBase {
     assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
   }
 
+  test("self-match policy: a stored query vector IS returned, at rank 1, dist +0.0 bits") {
+    // Chroma's query() returns the query point when it is stored — the
+    // store surface has NO self-exclusion (unlike the library Knn helpers'
+    // excludeIds). Pinned with the sign bit: the exact cosine distance of
+    // a float32 self-match is a tiny NEGATIVE (norm ≈ 1+ε), and the r12
+    // driver gate failed 5 PQ queries because DuckDB's ROUND kept that
+    // sign (−0.0) while Spark's didn't — rule 2c (roundz + oracle '+ 0.0')
+    // makes both emit POSITIVE zero, structurally, not luckily.
+    val c = freshColl("pqself")
+    pqBuild(c)
+    val qv = spark.read.parquet(sf("embeddings"))
+      .filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0)
+    val top = c.queryPq(qv, 3, nprobe = 8, fetchN = 20)
+      .select("id", "dist").as[(String, Double)].collect()
+    assert(top.head._1 == "3", s"stored query vector must be its own rank-1 hit: ${top.toSeq}")
+    assert(java.lang.Double.doubleToRawLongBits(top.head._2) == 0L,
+      f"self-match dist must be +0.0 exactly (bits 0), got ${top.head._2}%s " +
+        f"(bits ${java.lang.Double.doubleToRawLongBits(top.head._2)}%x)")
+    // same policy on the exact store path
+    val exact = c.query(qv, 1, exact = true).select("id").as[String].collect()
+    assert(exact.head == "3")
+  }
+
   test("queryPq with a where prefilter: every hit satisfies it, applied pre-shortlist") {
     val c = freshColl("pq2")
     pqBuild(c)

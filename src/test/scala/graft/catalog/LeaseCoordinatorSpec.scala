@@ -87,6 +87,67 @@ class LeaseCoordinatorSpec extends SparkTestBase {
     assert(new String(io.readBytes(lease), UTF_8) == "thief@99")
   }
 
+  test("steals are single-winner: a racing contender can neither delete while " +
+      "a stealer is mid-section nor delete the fresh lease it leaves behind") {
+    val dir = tmpDir("lease-1winner")
+    val io = new StoreIO.Local
+    val ttl = 1000L
+    val coord = leaseOn(dir, ttlMs = ttl)
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest("k3".getBytes(UTF_8)).map("%02x".format(_)).mkString
+    val lease = new Path(dir, s"$sha.lease")
+    val steal = new Path(dir, s"$sha.lease.steal")
+    // an EXPIRED foreign lease (dead writer) …
+    io.writeBytes(lease, "dead-writer@0".getBytes(UTF_8))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dir, s"$sha.lease"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000L))
+    // … and a LIVE .steal side-lock: another process's stealer mid-section
+    io.writeBytes(steal, "other-stealer@1".getBytes(UTF_8))
+    val acquiredAt = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t = new Thread(() => coord.withLock("k3") {
+      acquiredAt.set(System.nanoTime())
+    })
+    val t0 = System.nanoTime()
+    t.start()
+    Thread.sleep(300L)
+    // (a) while the side-lock is held, the contender must NOT have stolen
+    assert(acquiredAt.get() == 0L, "contender acquired during a foreign steal section")
+    assert(io.exists(lease), "contender deleted the lease while the side-lock was held")
+    // the foreign stealer now finishes: deletes the orphan, creates its
+    // OWN fresh lease, releases the side-lock — the r12 ADVICE interleave
+    io.deleteIfExists(lease)
+    io.writeBytes(lease, "thief@99".getBytes(UTF_8))
+    io.deleteIfExists(steal)
+    Thread.sleep(300L)
+    // (b) the contender saw the OLD lease expired, but must revalidate and
+    // leave the thief's FRESH lease alone
+    assert(acquiredAt.get() == 0L, "contender acquired over the thief's fresh lease")
+    assert(io.exists(lease) &&
+      new String(io.readBytes(lease), UTF_8) == "thief@99",
+      "contender deleted the thief's fresh lease (dual-hold corruption)")
+    // thief releases normally; the contender must now win cleanly
+    io.deleteIfExists(lease)
+    t.join(10000L)
+    assert(!t.isAlive && acquiredAt.get() > t0, "contender never acquired after release")
+  }
+
+  test("orphaned .steal debris (stealer crashed mid-section) is recovered") {
+    val dir = tmpDir("lease-debris")
+    val io = new StoreIO.Local
+    val coord = leaseOn(dir, ttlMs = 300L)
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest("k4".getBytes(UTF_8)).map("%02x".format(_)).mkString
+    // both the lease AND its steal side-lock left behind, both expired
+    for (suffix <- Seq(".lease", ".lease.steal")) {
+      io.writeBytes(new Path(dir, s"$sha$suffix"), "crashed@0".getBytes(UTF_8))
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(dir, s"$sha$suffix"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000L))
+    }
+    assert(coord.withLock("k4")("recovered") == "recovered")
+  }
+
   test("TWO REAL JVMs race upserts through lease:<dir> on the forced-Hadoop store") {
     val root = tmpDir("lease-xproc")
     val perWriter = 3
@@ -96,7 +157,13 @@ class LeaseCoordinatorSpec extends SparkTestBase {
       "java.util.concurrent.atomic").map(p => s"--add-opens=java.base/$p=ALL-UNNAMED") ++
       Seq("sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar")
         .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
-    val cp = "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+    // derive the child classpath from THIS JVM's (r12 ADVICE: the
+    // hardcoded repo layout broke on any other checkout); the child only
+    // needs main classes + Spark, but passing the full test classpath is
+    // harmless and layout-proof. Caveat (documented, not defended): a
+    // concurrent `sbt compile` rewriting classfiles while the children
+    // run can still flake — don't build and test the same checkout at once.
+    val cp = sys.props("java.class.path")
     def launch(tag: String): Process = {
       val cmd = (Seq("java", "-Xmx4g") ++ jflags ++
         Seq("-cp", cp, "graft.tools.LeaseRaceWriter", root, tag, perWriter.toString))
