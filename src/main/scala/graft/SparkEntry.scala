@@ -522,11 +522,18 @@ object SparkEntry {
     // SQL-replayable assignment as q32/q60) confine the within-cell
     // pairwise cosine; a row drops iff a smaller-id cell-mate reaches
     // minSim. Cells, pairs and every keep decision replay in the oracle.
+    // The cell count is SIZE-AWARE (Dedup.cellsFor — integer-only clamp
+    // of n/250, the q148 dial discipline, recomputed by the oracle from
+    // COUNT(*)): within-cell pair work is O(occupancy²), so the r12
+    // posture of 16 pinned cells was quadratic in corpus growth — the
+    // ORACLE now scales with the library path instead of fighting it.
+    // Emitted as a column so the dial itself is hash-pinned.
     "q86_semdedup" -> ((s, dir) => {
-      val m = Ann.buildIvfSeeded(t(s, dir, "embeddings"), "vec_id", "embedding",
-        0L until 16L)
+      val emb = t(s, dir, "embeddings")
+      val nc = Dedup.cellsFor(emb.count())
+      val m = Ann.buildIvfSeeded(emb, "vec_id", "embedding", 0L until nc.toLong)
       Dedup.semDedup(m.assigned, "vec_id", "embedding", minSim = 0.3)
-        .select(col("vec_id"), col("cell"))
+        .select(col("vec_id"), col("cell"), lit(nc).cast("int").as("nc"))
         .orderBy("vec_id")
     }),
     // Embedding-space decontamination: the paraphrase-leakage check beside
@@ -5022,20 +5029,28 @@ object SparkEntry {
     },
     // q86: the seeded-cell assignment replayed (q32's `c`/`d`/`a` CTEs),
     // then SemDeDup's keep rule — drop iff a smaller-id cell-mate reaches
-    // cosine sim 0.3 (sim = 1 − the cosine DISTANCE the helper builds)
+    // cosine sim 0.3 (sim = 1 − the cosine DISTANCE the helper builds).
+    // The cell count replays Dedup.cellsFor's integer-only dial from
+    // COUNT(*) (q148 discipline) — the oracle sizes cells WITH the corpus
+    // instead of pinning 16 (r12's scale-weak posture: within-cell pair
+    // work is occupancy², so pinned cells are quadratic in growth)
     "q86_semdedup" ->
-      s"""WITH c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
-         |           FROM embeddings WHERE vec_id BETWEEN 0 AND 15),
+      s"""WITH dial AS MATERIALIZED (
+         |  SELECT CAST(LEAST(65536, GREATEST(16, COUNT(*) // 250)) AS INTEGER) AS nc
+         |  FROM embeddings),
+         |c AS MATERIALIZED (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS ce
+         |           FROM embeddings WHERE vec_id BETWEEN 0 AND (SELECT nc FROM dial) - 1),
          |d AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.cell AS cell,
          |             ${sqlL2("e.embedding", "c.ce")} AS cd
          |      FROM embeddings e, c),
-         |a AS (SELECT vec_id, embedding, cell FROM
+         |a AS MATERIALIZED (SELECT vec_id, embedding, cell FROM
          |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn FROM d)
          |      WHERE rn = 1),
          |drops AS (SELECT DISTINCT x.vec_id AS vec_id FROM a x JOIN a y
          |          ON x.cell = y.cell AND y.vec_id < x.vec_id
          |          WHERE (1 - (${sqlCos("x.embedding", "y.embedding")})) >= 0.3)
-         |SELECT a.vec_id AS vec_id, a.cell AS cell FROM a
+         |SELECT a.vec_id AS vec_id, a.cell AS cell,
+         |       (SELECT nc FROM dial) AS nc FROM a
          |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.vec_id = a.vec_id)
          |ORDER BY vec_id""".stripMargin,
     // q88: eval side = label 0 capped to the first 500 ids (fixed-size

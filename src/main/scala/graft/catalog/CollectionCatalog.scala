@@ -552,6 +552,66 @@ object CollectionMeta {
   }
 }
 
+/** chromadb ≥0.4.15 tenant/database namespaces — the multi-team surface
+  * (`chromadb.Client(tenant=..., database=...)`). A namespace is a PATH
+  * PREFIX: collections of (tenant, database) live under
+  * `<root>/.tenants/<tenant>/<database>/<name>`, so every store mechanism
+  * (MVCC versions, commit claims, lease keys = full paths) isolates across
+  * namespaces with zero new protocol. The `.tenants` dir is dot-prefixed —
+  * already invisible to [[CollectionCatalog.listCollections]] and outside
+  * fork-temp reclamation (which only touches `.fork-tmp-<name>`), so a
+  * namespaced root coexists with the plain single-namespace layout (which
+  * stays the default — most deployments are single-team; Chroma's own
+  * defaults are `default_tenant`/`default_database`). */
+object CollectionCatalog {
+  val DefaultTenant = "default_tenant"
+  val DefaultDatabase = "default_database"
+
+  // chromadb-ish identifier rule: alnum start, then alnum/._-, ≤64 chars,
+  // never dot-led (a dot-led segment would collide with reserved dirs)
+  private def requireNs(kind: String, v: String): Unit =
+    require(v.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,63}"),
+      s"$kind '$v' is invalid: want [A-Za-z0-9][A-Za-z0-9._-]{0,63}")
+
+  private def nsPath(rootDir: String, tenant: String, database: String): Path = {
+    requireNs("tenant", tenant); requireNs("database", database)
+    new Path(new Path(new Path(rootDir), ".tenants"), s"$tenant/$database")
+  }
+
+  /** The catalog for one (tenant, database) namespace. Idempotent —
+    * Chroma's create_database/get_or_create client shape. */
+  def forNamespace(spark: SparkSession, rootDir: String,
+                   tenant: String = DefaultTenant,
+                   database: String = DefaultDatabase,
+                   numBuckets: Int = 32,
+                   maxRowsPerFile: Long = 1L << 20): CollectionCatalog =
+    new CollectionCatalog(spark, nsPath(rootDir, tenant, database).toString,
+      numBuckets, maxRowsPerFile)
+
+  def listTenants(spark: SparkSession, rootDir: String): Seq[String] = {
+    val p = new Path(new Path(rootDir), ".tenants")
+    val io = StoreIO.of(new Path(rootDir), spark.sparkContext.hadoopConfiguration)
+    if (!io.exists(p)) Nil else io.list(p).map(_.name).sorted
+  }
+
+  def listDatabases(spark: SparkSession, rootDir: String,
+                    tenant: String): Seq[String] = {
+    requireNs("tenant", tenant)
+    val p = new Path(new Path(new Path(rootDir), ".tenants"), tenant)
+    val io = StoreIO.of(new Path(rootDir), spark.sparkContext.hadoopConfiguration)
+    if (!io.exists(p)) Nil else io.list(p).map(_.name).sorted
+  }
+
+  /** Drop a whole database (all its collections). Chroma's
+    * delete_database; false when it never existed. */
+  def deleteDatabase(spark: SparkSession, rootDir: String,
+                     tenant: String, database: String): Boolean = {
+    val p = nsPath(rootDir, tenant, database)
+    val io = StoreIO.of(new Path(rootDir), spark.sparkContext.hadoopConfiguration)
+    if (!io.exists(p)) false else { io.deleteRecursively(p); true }
+  }
+}
+
 /** Cell-occupancy profile of a committed IVF build — the drift signal
   * for scheduling a [[Collection.buildIndex]] re-train. `nCells` is the
   * CENTROID count (empty cells count toward the mean: a cell the corpus

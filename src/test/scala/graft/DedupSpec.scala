@@ -445,6 +445,21 @@ class DedupSpec extends SparkTestBase {
     assert(out(1)._3 > 0.98 && out(1)._3 < 1.0)     // near but not exact
   }
 
+  test("cellsFor sizes centroid cells to hold occupancy flat (integer-only)") {
+    import Dedup.cellsFor
+    // floor of 16, ceiling, and the n/target interior — all exact integers
+    assert(cellsFor(0L) == 16 && cellsFor(500L) == 16 && cellsFor(4000L) == 16)
+    assert(cellsFor(20000L) == 80)        // the sf1-replica point: dial moves
+    assert(cellsFor(250L * 65536L * 2) == 65536)
+    assert(cellsFor(1000L, targetOccupancy = 100L) == 16)
+    assert(cellsFor(10000L, targetOccupancy = 100L) == 100)
+    // occupancy stays ~constant as n grows 10× (the anti-quadratic property)
+    val o1 = 100000L / cellsFor(100000L)
+    val o2 = 1000000L / cellsFor(1000000L)
+    assert(math.abs(o1 - o2) <= o1 / 4,
+      s"occupancy drifted under 10x growth: $o1 vs $o2")
+  }
+
   test("nBitsFor sizes the bucket space to hold expected occupancy flat") {
     // occupancy-targeted widths: 2^nBits buckets >= n / targetBucket
     assert(Dedup.nBitsFor(6000, 100) == 6)    // 60 buckets -> 64
