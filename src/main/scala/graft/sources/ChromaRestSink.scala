@@ -1,0 +1,275 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, IOException}
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** EGRESS adapter: bulk-`add` a hydration frame into an EXTERNAL Chroma
+  * server over its public REST surface — the deployment shape the
+  * reference's own README suggests for larger installs (README.md:34,60
+  * "separate Chroma server") and the one public chromadb call path this
+  * library's in-process store replaces (SURVEY A10's alternative sink).
+  *
+  * API shape (public chromadb 0.4.x/0.5.x v1 REST):
+  *   POST /api/v1/collections?tenant=..&database=..   {"name":.., "get_or_create":true} → {"id":..}
+  *   POST /api/v1/collections/{id}/add                {"ids":[..], "embeddings":[[..]], "documents":[..], "metadatas":[{..}]}
+  *
+  * 100 TB shape — and its honest ceiling: each PARTITION posts its own
+  * rows in `batchSize` chunks over one keep-alive connection
+  * (`foreachPartition`; the driver only resolves the collection id), so
+  * ingest parallelism is the frame's partitioning. But the server is a
+  * single-node SQLite+HNSW install — IT is the bottleneck, not Spark;
+  * this is an egress adapter for pushing a CURATED (already deduped,
+  * filtered, capped) result set out to a serving Chroma, not a bulk-load
+  * path for the corpus itself. Size `repartition(n)` to what the server
+  * can absorb; chromadb's own client batches at ~5k records (the
+  * `batchSize` default mirrors it).
+  *
+  * Failure contract: every batch retries `maxRetries` times with
+  * exponential backoff on IOException/5xx, then FAILS THE TASK loudly —
+  * a silently dropped batch would be an invisible hole in the served
+  * collection. Retries make the add AT-LEAST-ONCE: pair with server-side
+  * unique ids (Chroma rejects duplicate ids within a collection, so a
+  * replayed batch surfaces as a per-record rejection, not silent dups).
+  *
+  * Columns: `id` (string, required); optional `embedding ARRAY<FLOAT/
+  * DOUBLE>`, `document STRING`; every OTHER column rides as a metadata
+  * key, with str/long/double/bool kept TYPED in the JSON (Chroma metadata
+  * is typed — q153's declared-type discipline, applied at the egress
+  * boundary). No Spark JSON machinery: payloads are hand-assembled with
+  * the same minimal escaper Verify uses, so the sink has zero extra
+  * dependencies and a bit-stable wire format tests can pin.
+  */
+object ChromaRestSink {
+
+  /** Resolve (get-or-create) the server-side collection id — driver-side,
+    * one call. `space` rides as Chroma's `hnsw:space` metadata. */
+  def resolveCollectionId(baseUrl: String, name: String,
+                          space: String = "l2",
+                          tenant: String = "default_tenant",
+                          database: String = "default_database",
+                          timeoutMs: Int = 30000): String = {
+    val body = s"""{"name":${jstr(name)},"get_or_create":true,""" +
+      s""""metadata":{"hnsw:space":${jstr(space)}}}"""
+    val resp = post(
+      s"$baseUrl/api/v1/collections?tenant=${enc(tenant)}&database=${enc(database)}",
+      body, timeoutMs)
+    // minimal extraction of "id":"..." — the response is a flat object;
+    // a full JSON parser would be the sink's only dependency
+    val m = """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(resp)
+    m.map(_.group(1)).getOrElse(throw new IllegalStateException(
+      s"Chroma server returned no collection id for '$name': $resp"))
+  }
+
+  /** Bulk add: every partition posts its rows in `batchSize` chunks.
+    * Returns the row count pushed (one extra pass worth of metadata —
+    * the count is the caller's audit line). */
+  def add(df: DataFrame, baseUrl: String, collectionName: String,
+          space: String = "l2",
+          tenant: String = "default_tenant",
+          database: String = "default_database",
+          batchSize: Int = 5000,
+          maxRetries: Int = 5,
+          timeoutMs: Int = 60000): Long = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(df.columns.contains("id"), "ChromaRestSink.add needs an `id` column")
+    val collId = resolveCollectionId(baseUrl, collectionName, space, tenant, database)
+    val url = s"$baseUrl/api/v1/collections/$collId/add"
+    val schema = df.schema
+    val counter = df.sparkSession.sparkContext.longAccumulator("chroma_rest_rows")
+    df.foreachPartition { rows: Iterator[Row] =>
+      rows.grouped(batchSize).foreach { batch =>
+        postWithRetry(url, batchJson(batch, schema), maxRetries, timeoutMs)
+        counter.add(batch.size.toLong)
+      }
+    }
+    counter.value
+  }
+
+  /** Streaming form: a foreachBatch body pushing each microbatch. Use as
+    * `stream.writeStream.foreachBatch(ChromaRestSink.foreachBatchAdd(url, name))`.
+    * At-least-once like [[add]] — Chroma's duplicate-id rejection is the
+    * replay guard. */
+  def foreachBatchAdd(baseUrl: String, collectionName: String,
+                      space: String = "l2",
+                      batchSize: Int = 5000): (DataFrame, Long) => Unit =
+    (batch, _) => { add(batch, baseUrl, collectionName, space,
+      batchSize = batchSize); (): Unit }
+
+  // ---- wire format ----
+
+  /** One add-payload for a batch of rows: parallel arrays, Chroma's add
+    * body shape. Omits `embeddings`/`documents` entirely when the frame
+    * has no such column (Chroma treats absent and null differently). */
+  private[sources] def batchJson(batch: Seq[Row], schema: StructType): String = {
+    val idIdx = schema.fieldIndex("id")
+    val embIdx = schema.fields.indexWhere(f => f.name == "embedding" &&
+      f.dataType.isInstanceOf[ArrayType])
+    val docIdx = schema.fields.indexWhere(_.name == "document")
+    val metaIdxs = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.name != "id" && f.name != "embedding" && f.name != "document" => i
+    }
+    val sb = new StringBuilder(1024)
+    sb.append("{\"ids\":[")
+    appendJoined(sb, batch)(r => sb.append(jstr(String.valueOf(r.get(idIdx)))))
+    sb.append(']')
+    if (embIdx >= 0) {
+      sb.append(",\"embeddings\":[")
+      appendJoined(sb, batch) { r =>
+        sb.append('[')
+        val seq = r.getSeq[Any](embIdx)
+        var first = true
+        seq.foreach { v =>
+          if (!first) sb.append(',')
+          first = false
+          sb.append(numJson(v))
+        }
+        sb.append(']')
+      }
+      sb.append(']')
+    }
+    if (docIdx >= 0) {
+      sb.append(",\"documents\":[")
+      appendJoined(sb, batch) { r =>
+        if (r.isNullAt(docIdx)) sb.append("null")
+        else sb.append(jstr(r.getString(docIdx)))
+      }
+      sb.append(']')
+    }
+    if (metaIdxs.nonEmpty) {
+      sb.append(",\"metadatas\":[")
+      appendJoined(sb, batch) { r =>
+        sb.append('{')
+        var first = true
+        metaIdxs.foreach { i =>
+          if (!r.isNullAt(i)) { // Chroma metadata has no null values — omit
+            if (!first) sb.append(',')
+            first = false
+            sb.append(jstr(schema.fields(i).name)).append(':')
+            sb.append(metaJson(r.get(i)))
+          }
+        }
+        sb.append('}')
+      }
+      sb.append(']')
+    }
+    sb.append('}')
+    sb.toString
+  }
+
+  private def appendJoined(sb: StringBuilder, batch: Seq[Row])(one: Row => Unit): Unit = {
+    var first = true
+    batch.foreach { r =>
+      if (!first) sb.append(',')
+      first = false
+      one(r)
+    }
+  }
+
+  /** Typed metadata values on the wire: str/long/double/bool stay typed
+    * (Chroma's metadata types); everything else stringifies. */
+  private def metaJson(v: Any): String = v match {
+    case b: java.lang.Boolean => b.toString
+    case n @ (_: java.lang.Long | _: java.lang.Integer |
+              _: java.lang.Short | _: java.lang.Byte) => n.toString
+    case d: java.lang.Double => numJson(d)
+    case f: java.lang.Float => numJson(f)
+    case d: java.math.BigDecimal => d.toPlainString
+    case other => jstr(String.valueOf(other))
+  }
+
+  /** Floats on the wire: shortest-roundtrip decimal (Java toString), with
+    * non-finite values REJECTED loudly — JSON has no NaN/Infinity and
+    * Chroma would 400 the whole batch with a less useful message. */
+  private def numJson(v: Any): String = {
+    val d = v match {
+      case f: java.lang.Float => f.doubleValue
+      case d: java.lang.Double => d.doubleValue
+      case n: java.lang.Number => n.doubleValue
+      case other => throw new IllegalArgumentException(s"not numeric: $other")
+    }
+    require(!d.isNaN && !d.isInfinite,
+      s"non-finite value $d cannot ride a JSON add payload")
+    // integral doubles print as "1.0" via toString — fine for JSON numbers
+    v match {
+      case f: java.lang.Float => f.toString
+      case _ => d.toString
+    }
+  }
+
+  /** Minimal JSON string escape (same contract as Verify's): backslash,
+    * quote, and all control chars below 0x20. */
+  private[sources] def jstr(s: String): String = {
+    val sb = new StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  // ---- transport (JDK-only: HttpURLConnection, keep-alive by default) ----
+
+  private[sources] def post(url: String, body: String, timeoutMs: Int): String = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      val bytes = body.getBytes(UTF_8)
+      conn.setFixedLengthStreamingMode(bytes.length)
+      val out = conn.getOutputStream
+      try out.write(bytes) finally out.close()
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val buf = new ByteArrayOutputStream()
+      if (stream != null) {
+        val tmp = new Array[Byte](8192)
+        var n = stream.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = stream.read(tmp) }
+        stream.close()
+      }
+      val resp = new String(buf.toByteArray, UTF_8)
+      if (code >= 500) throw new IOException(s"HTTP $code from $url: $resp")
+      if (code >= 400) throw new IllegalStateException(
+        s"Chroma server rejected the request (HTTP $code, NOT retried — " +
+          s"a 4xx replays identically): $resp")
+      resp
+    } finally conn.disconnect()
+  }
+
+  /** Retry on IOException/5xx with exponential backoff (100ms · 2^attempt,
+    * capped 5s); 4xx NEVER retries (the payload is wrong, not the wire).
+    * After `maxRetries` failures the LAST cause propagates — the task
+    * fails, Spark retries the task, and at-least-once holds. */
+  private[sources] def postWithRetry(url: String, body: String,
+                                     maxRetries: Int, timeoutMs: Int): String = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= maxRetries) {
+      try return post(url, body, timeoutMs)
+      catch {
+        case e: IOException =>
+          lastErr = e
+          attempt += 1
+          if (attempt <= maxRetries)
+            Thread.sleep(math.min(5000L, 100L << math.min(attempt, 6)))
+      }
+    }
+    throw new IOException(
+      s"Chroma add batch failed after ${maxRetries + 1} attempts to $url", lastErr)
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.{ConcurrentLinkedQueue, atomic}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+
+import graft.sources.ChromaRestSink
+
+/** The egress sink against a REAL local HTTP server (JDK HttpServer):
+  * collection resolution, per-partition batching, the typed wire format,
+  * 5xx retry with at-least-once, and LOUD 4xx/exhaustion failures. No
+  * network egress — the server lives on a loopback ephemeral port. */
+class ChromaRestSinkSpec extends SparkTestBase {
+
+  /** A capturing fake Chroma: answers get_or_create with a fixed id and
+    * records every add body. `failFirst` makes the add endpoint 500 that
+    * many times before succeeding (retry exercise). */
+  private def withFakeChroma[T](failFirst: Int = 0)(
+      body: (String, ConcurrentLinkedQueue[String]) => T): T = {
+    val adds = new ConcurrentLinkedQueue[String]()
+    val failures = new atomic.AtomicInteger(failFirst)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def readBody(ex: HttpExchange): String = {
+      val b = ex.getRequestBody.readAllBytes(); new String(b, UTF_8)
+    }
+    def respond(ex: HttpExchange, code: Int, payload: String): Unit = {
+      val bytes = payload.getBytes(UTF_8)
+      ex.sendResponseHeaders(code, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+    server.createContext("/api/v1/collections", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val payload = readBody(ex)
+      if (path.endsWith("/add")) {
+        if (failures.getAndDecrement() > 0) respond(ex, 500, """{"error":"flaky"}""")
+        else { adds.add(payload); respond(ex, 201, "true") }
+      } else if (path.endsWith("/collections")) {
+        respond(ex, 200, s"""{"id":"fake-coll-id","name":"x","metadata":null}""")
+      } else respond(ex, 404, """{"error":"nope"}""")
+    })
+    server.setExecutor(null)
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}", adds)
+    finally server.stop(0)
+  }
+
+  private def frame(n: Int) = {
+    import org.apache.spark.sql.types._
+    spark.range(n.toLong).select(
+      col("id").cast("string").as("id"),
+      array(col("id").cast("float"), lit(0.5f)).as("embedding"),
+      concat(lit("doc "), col("id")).as("document"),
+      when(col("id") % 2 === 0, "en").otherwise("fr").as("lang"),
+      (col("id") % 5).as("stars"),
+      (col("id") % 3 === 0).as("flagged"),
+      when(col("id") % 7 === 0, lit(null).cast(StringType))
+        .otherwise(concat(lit("s"), col("id") % 2)).as("source"))
+  }
+
+  test("add resolves the collection once and posts every row, batched") {
+    withFakeChroma() { (url, adds) =>
+      val pushed = ChromaRestSink.add(frame(25).repartition(3), url, "docs",
+        batchSize = 4)
+      assert(pushed == 25)
+      val bodies = adds.toArray(Array.empty[String])
+      // 3 partitions × ceil-division batching: total ids across bodies = 25
+      val idCount = bodies.map(b => """"ids":\[([^\]]*)\]""".r
+        .findFirstMatchIn(b).get.group(1).count(_ == '"') / 2).sum
+      assert(idCount == 25)
+      // each body's batch is at most batchSize rows
+      bodies.foreach { b =>
+        val ids = """"ids":\[([^\]]*)\]""".r.findFirstMatchIn(b).get.group(1)
+        assert(ids.count(_ == '"') / 2 <= 4, s"oversized batch: $b")
+      }
+    }
+  }
+
+  test("wire format: parallel arrays, typed metadata, nulls omitted") {
+    withFakeChroma() { (url, adds) =>
+      ChromaRestSink.add(frame(8).coalesce(1), url, "docs", batchSize = 100)
+      val b = adds.peek()
+      assert(b.contains(""""ids":["""") && b.contains(""""embeddings":[["""))
+      assert(b.contains(""""documents":["doc """))
+      // typed metadata: long unquoted, bool unquoted, string quoted
+      assert(b.contains(""""stars":0""") || b.contains(""""stars":1"""))
+      assert(b.contains(""""flagged":true""") && b.contains(""""flagged":false"""))
+      assert(b.contains(""""lang":"en""""))
+      // id 0 and 7 have null source → the key is OMITTED, never "null"
+      assert(!b.contains(""""source":null"""))
+      // embeddings carry shortest-roundtrip floats
+      assert(b.contains("0.5"))
+    }
+  }
+
+  test("a 5xx add retries with backoff and still lands exactly the payload") {
+    withFakeChroma(failFirst = 2) { (url, adds) =>
+      val pushed = ChromaRestSink.add(frame(5).coalesce(1), url, "docs",
+        batchSize = 100, maxRetries = 4)
+      assert(pushed == 5)
+      assert(adds.size() == 1, "exactly one SUCCESSFUL add recorded")
+    }
+  }
+
+  test("retry exhaustion fails the job loudly (no silent holes)") {
+    withFakeChroma(failFirst = 100) { (url, _) =>
+      val e = intercept[org.apache.spark.SparkException] {
+        ChromaRestSink.add(frame(3).coalesce(1), url, "docs",
+          batchSize = 100, maxRetries = 1)
+      }
+      assert(e.getMessage.contains("failed") || e.getCause != null)
+    }
+  }
+
+  test("non-finite embedding values are rejected before they hit the wire") {
+    withFakeChroma() { (url, adds) =>
+      val bad = spark.range(1).select(col("id").cast("string").as("id"),
+        array(lit(Float.NaN)).as("embedding"))
+      intercept[org.apache.spark.SparkException] {
+        ChromaRestSink.add(bad, url, "docs")
+      }
+      assert(adds.isEmpty, "a NaN payload must never be posted")
+    }
+  }
+
+  test("streaming foreachBatch form pushes each microbatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    withFakeChroma() { (url, adds) =>
+      implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[(String, String)]
+      val q = mem.toDF().toDF("id", "document").writeStream
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir("chroma-rest-ckpt"))
+        .trigger(Trigger.ProcessingTime(0L))
+        .foreachBatch(ChromaRestSink.foreachBatchAdd(url, "docs"))
+        .start()
+      try {
+        mem.addData(("1", "a"), ("2", "b"))
+        q.processAllAvailable()
+        mem.addData(("3", "c"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val all = adds.toArray(Array.empty[String]).mkString("\n")
+      assert(Seq("\"1\"", "\"2\"", "\"3\"").forall(all.contains))
+    }
+  }
+}
