@@ -141,7 +141,17 @@ object CommitCoordinator {
       * contended (caller re-polls) — a live stealer finishes in
       * milliseconds. An orphaned side-lock (stealer crashed mid-section)
       * is recovered by delete-if-expired: the one residual
-      * delete-vs-create window left in the protocol (class doc). */
+      * delete-vs-create window left in the protocol (class doc).
+      *
+      * The final delete is TOKEN-CHECKED, like release(): a stealer
+      * paused past ttlMs inside its section gets its side-lock recovered
+      * by a contender — when it resumes, an UNCONDITIONAL delete would
+      * remove the contender's LIVE side-lock and re-open the dual-delete
+      * race this lock exists to close. With the token check the resumed
+      * stealer frees nothing that isn't its own (its lease delete is
+      * equally guarded: revalidation reads fresh mtimes, and a stale
+      * section's work is bounded by the same paused-holder caveat the
+      * class doc states for leases). */
     private def withStealLock[T](lease: org.apache.hadoop.fs.Path)
         (body: => T): Option[T] = {
       val s = new org.apache.hadoop.fs.Path(lease.toString + ".steal")
@@ -163,7 +173,13 @@ object CommitCoordinator {
       if (!got) None
       else
         try Some(body)
-        finally (try io.deleteIfExists(s) catch { case _: Exception => () })
+        finally {
+          try {
+            val held = new String(io.readBytes(s),
+              java.nio.charset.StandardCharsets.UTF_8)
+            if (held == owner) io.deleteIfExists(s)
+          } catch { case _: Exception => () } // recovered from us: not ours to free
+        }
     }
 
     private def acquire(lease: org.apache.hadoop.fs.Path, key: String): Unit = {
@@ -211,26 +227,33 @@ object CommitCoordinator {
     }
 
     /** Deletes ONLY a lease that still carries this holder's token, and
-      * only under the `.steal` side-lock — so the read-compare-delete
-      * cannot interleave with a TTL steal (the thief's fresh lease is
-      * safe: deletes are serialized, and the token no longer matches).
-      * Best-effort with a short retry: contention here means we held
-      * past our TTL and a thief is mid-steal, in which case nothing of
-      * ours remains to free — the thief's delete supersedes ours. */
+      * preferentially under the `.steal` side-lock — so the
+      * read-compare-delete cannot interleave with a TTL steal (the
+      * thief's fresh lease is safe: deletes are serialized, and the token
+      * no longer matches). After a short retry window (contention here
+      * means either a thief mid-steal — nothing of ours remains to free —
+      * or young side-lock DEBRIS from a crash), it falls back to the
+      * UNGUARDED token-checked delete rather than give up: leaving our
+      * own fresh lease behind would block every writer for up to a full
+      * TTL (a liveness regression the pre-side-lock release never had).
+      * The fallback re-opens only the original narrow read-vs-steal
+      * window, only in the debris case, and only for a delete of a lease
+      * carrying OUR token. */
     private def release(lease: org.apache.hadoop.fs.Path): Unit = {
+      def tokenDelete(): Unit =
+        try {
+          val held = new String(io.readBytes(lease),
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (held == owner) io.deleteIfExists(lease)
+        } catch { case _: Exception => () } // stolen or vanished: not ours
       var tries = 5
       while (tries > 0) {
-        val done = withStealLock(lease) {
-          try {
-            val held = new String(io.readBytes(lease),
-              java.nio.charset.StandardCharsets.UTF_8)
-            if (held == owner) io.deleteIfExists(lease)
-          } catch { case _: Exception => () } // stolen or vanished: not ours
-        }
+        val done = withStealLock(lease)(tokenDelete())
         if (done.isDefined) return
         tries -= 1
         if (tries > 0) Thread.sleep(pollMs)
       }
+      tokenDelete() // fallback: never leave our own live lease behind
     }
   }
 

@@ -524,8 +524,12 @@ object Ann {
       .select(col(idCol), col("adc"),
         graft.functions.Distances.bySpace(space)(col(vecCol), typedLit(query)).as("__d"))
       .orderBy(col("__d"), col(idCol)).limit(k)
-      .select(col(idCol), round(col("adc"), 4).as("adc"),
-        round(col("__d"), 4).as("dist"))
+      // roundz, not round (rule 2c): the shortlist can contain the stored
+      // query vector itself, whose exact distance is a tiny negative —
+      // the signed zero must die structurally here too, not rely on
+      // Spark's BigDecimal rounding happening to drop it
+      .select(col(idCol), graft.functions.Distances.roundz(col("adc"), 4).as("adc"),
+        graft.functions.Distances.roundz(col("__d"), 4).as("dist"))
 
   /** IVF-PQ, the canonical composition (FAISS's IVFPQ): the corpus is
     * cell-PARTITIONED (IVF prunes which rows the query lists/reads) and

@@ -65,8 +65,8 @@ object ChromaRestSink {
   }
 
   /** Bulk add: every partition posts its rows in `batchSize` chunks.
-    * Returns the row count pushed (one extra pass worth of metadata —
-    * the count is the caller's audit line). */
+    * Returns the row count pushed — an AT-LEAST-ONCE audit line (a task
+    * retry re-adds its partition's count, exactly as its rows re-post). */
   def add(df: DataFrame, baseUrl: String, collectionName: String,
           space: String = "l2",
           tenant: String = "default_tenant",
@@ -74,9 +74,29 @@ object ChromaRestSink {
           batchSize: Int = 5000,
           maxRetries: Int = 5,
           timeoutMs: Int = 60000): Long = {
+    val collId = resolveCollectionId(baseUrl, collectionName, space, tenant, database)
+    addResolved(df, baseUrl, collId, batchSize, maxRetries, timeoutMs)
+  }
+
+  /** [[add]] against an already-resolved collection id (the streaming
+    * form resolves once and reuses). */
+  private def addResolved(df: DataFrame, baseUrl: String, collId: String,
+                          batchSize: Int, maxRetries: Int,
+                          timeoutMs: Int): Long = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     require(df.columns.contains("id"), "ChromaRestSink.add needs an `id` column")
-    val collId = resolveCollectionId(baseUrl, collectionName, space, tenant, database)
+    // LOUD on a reserved name with the wrong type: a STRING `embedding`
+    // (say a JSON-serialized vector) qualifies neither as embeddings nor
+    // as metadata (reserved name) — it would vanish from the wire
+    // silently, the data-hole failure mode this sink forbids
+    df.schema.fields.find(_.name == "embedding").foreach(f => require(
+      f.dataType.isInstanceOf[ArrayType],
+      s"`embedding` must be ARRAY<FLOAT/DOUBLE>, got ${f.dataType.simpleString} — " +
+        "rename the column if it is not the vector"))
+    df.schema.fields.find(_.name == "document").foreach(f => require(
+      f.dataType == StringType,
+      s"`document` must be STRING, got ${f.dataType.simpleString} — " +
+        "rename the column if it is not the document text"))
     val url = s"$baseUrl/api/v1/collections/$collId/add"
     val schema = df.schema
     val counter = df.sparkSession.sparkContext.longAccumulator("chroma_rest_rows")
@@ -91,13 +111,28 @@ object ChromaRestSink {
 
   /** Streaming form: a foreachBatch body pushing each microbatch. Use as
     * `stream.writeStream.foreachBatch(ChromaRestSink.foreachBatchAdd(url, name))`.
-    * At-least-once like [[add]] — Chroma's duplicate-id rejection is the
-    * replay guard. */
+    * The collection id resolves ONCE, on the first non-empty microbatch,
+    * and is reused — not one driver round trip per trigger. At-least-once
+    * like [[add]] — Chroma's duplicate-id rejection is the replay guard. */
   def foreachBatchAdd(baseUrl: String, collectionName: String,
                       space: String = "l2",
-                      batchSize: Int = 5000): (DataFrame, Long) => Unit =
-    (batch, _) => { add(batch, baseUrl, collectionName, space,
-      batchSize = batchSize); (): Unit }
+                      tenant: String = "default_tenant",
+                      database: String = "default_database",
+                      batchSize: Int = 5000,
+                      maxRetries: Int = 5,
+                      timeoutMs: Int = 60000): (DataFrame, Long) => Unit = {
+    // driver-side one-slot cache; foreachBatch bodies run on the driver
+    var collId: Option[String] = None
+    (batch, _) => {
+      if (!batch.isEmpty) {
+        if (collId.isEmpty)
+          collId = Some(resolveCollectionId(baseUrl, collectionName, space,
+            tenant, database, timeoutMs))
+        addResolved(batch, baseUrl, collId.get, batchSize, maxRetries, timeoutMs)
+      }
+      (): Unit
+    }
+  }
 
   // ---- wire format ----
 
@@ -247,8 +282,21 @@ object ChromaRestSink {
       if (code >= 400) throw new IllegalStateException(
         s"Chroma server rejected the request (HTTP $code, NOT retried — " +
           s"a 4xx replays identically): $resp")
+      // ONLY 2xx is success: a 3xx (e.g. an http→https redirect the JDK
+      // won't follow cross-protocol) would otherwise swallow the whole
+      // batch as 'pushed' — the exact invisible hole the loud-failure
+      // contract forbids. Misconfigured baseUrl fails the FIRST batch.
+      if (code / 100 != 2) throw new IllegalStateException(
+        s"unexpected HTTP $code from $url (redirect/misconfigured baseUrl? " +
+          s"point baseUrl at the server's final scheme+host): $resp")
       resp
-    } finally conn.disconnect()
+      // NO disconnect(): the response stream was fully drained and closed,
+      // which returns the connection to the JDK keep-alive cache — the
+      // per-partition batch loop reuses one socket, as documented.
+      // disconnect() would tear it down after every batch.
+    } catch {
+      case e: Throwable => conn.disconnect(); throw e
+    }
   }
 
   /** Retry on IOException/5xx with exponential backoff (100ms · 2^attempt,

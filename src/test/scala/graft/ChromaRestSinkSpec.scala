@@ -126,6 +126,50 @@ class ChromaRestSinkSpec extends SparkTestBase {
     }
   }
 
+  test("a 3xx response fails the batch loudly — redirects never swallow adds") {
+    // an http->https 301 the JDK won't follow cross-protocol: the sink
+    // must refuse, not count the batch as pushed
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v1/collections", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      if (ex.getRequestURI.getPath.endsWith("/add")) {
+        ex.getResponseHeaders.add("Location", "https://elsewhere.example/add")
+        ex.sendResponseHeaders(301, -1); ex.close()
+      } else {
+        val b = """{"id":"fake-coll-id"}""".getBytes(UTF_8)
+        ex.sendResponseHeaders(200, b.length)
+        val os = ex.getResponseBody; try os.write(b) finally os.close()
+      }
+    })
+    server.setExecutor(null); server.start()
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        ChromaRestSink.add(frame(2).coalesce(1),
+          s"http://127.0.0.1:${server.getAddress.getPort}", "docs")
+      }
+      assert(e.getMessage.contains("301") ||
+        Option(e.getCause).exists(_.getMessage.contains("301")))
+    } finally server.stop(0)
+  }
+
+  test("reserved-name columns with the wrong type fail loudly, never vanish") {
+    withFakeChroma() { (url, adds) =>
+      val badEmb = spark.range(1).select(col("id").cast("string").as("id"),
+        lit("[0.1,0.2]").as("embedding"))
+      val e1 = intercept[IllegalArgumentException] {
+        ChromaRestSink.add(badEmb, url, "docs")
+      }
+      assert(e1.getMessage.contains("embedding"))
+      val badDoc = spark.range(1).select(col("id").cast("string").as("id"),
+        col("id").as("document"))
+      val e2 = intercept[IllegalArgumentException] {
+        ChromaRestSink.add(badDoc, url, "docs")
+      }
+      assert(e2.getMessage.contains("document"))
+      assert(adds.isEmpty)
+    }
+  }
+
   test("streaming foreachBatch form pushes each microbatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

@@ -132,6 +132,28 @@ class LeaseCoordinatorSpec extends SparkTestBase {
     assert(!t.isAlive && acquiredAt.get() > t0, "contender never acquired after release")
   }
 
+  test("release falls back past YOUNG .steal debris — never leaves its own lease behind") {
+    // a crashed process's side-lock younger than the TTL: release cannot
+    // take the side-lock, but giving up would strand our own fresh lease
+    // and block every writer for a full TTL — the fallback token-delete
+    // must still free it (and must NOT touch the foreign debris)
+    val dir = tmpDir("lease-fallback")
+    val io = new StoreIO.Local
+    val coord = leaseOn(dir, ttlMs = 60000L)
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest("k5".getBytes(UTF_8)).map("%02x".format(_)).mkString
+    val lease = new Path(dir, s"$sha.lease")
+    val steal = new Path(dir, s"$sha.lease.steal")
+    coord.withLock("k5") {
+      io.writeBytes(steal, "crashed-elsewhere@7".getBytes(UTF_8)) // fresh debris
+    }
+    assert(!io.exists(lease),
+      "release must free its own lease even when the side-lock is debris-blocked")
+    assert(io.exists(steal) &&
+      new String(io.readBytes(steal), UTF_8) == "crashed-elsewhere@7",
+      "the fallback must not delete a side-lock it does not own")
+  }
+
   test("orphaned .steal debris (stealer crashed mid-section) is recovered") {
     val dir = tmpDir("lease-debris")
     val io = new StoreIO.Local

@@ -37,12 +37,22 @@ def canon(df, other):
 
 
 def dtype_mismatch(w, g):
-    """Columns where one side is numeric and the other object (e.g. Decimal)."""
+    """Columns whose dtype CLASS differs: object-vs-numeric (e.g. Decimal),
+    and float-vs-integer. The driver's hash is representation-sensitive —
+    an oracle DOUBLE 1.0 against a Spark BIGINT 1 passes value equality
+    here but flips the driver hash ('1.0' vs '1'), the same class the
+    bit-faithful float compare exists to close."""
     bad = []
+    def kind(s):
+        if s.dtype == object:
+            return "obj"
+        if s.dtype.kind == "f":
+            return "float"
+        if s.dtype.kind in "iu":
+            return "int"
+        return s.dtype.kind
     for c in w.columns:
-        wk = "obj" if w[c].dtype == object else "num"
-        gk = "obj" if g[c].dtype == object else "num"
-        if wk != gk:
+        if kind(w[c]) != kind(g[c]):
             bad.append(f"{c}: oracle {w[c].dtype} vs spark {g[c].dtype}")
     return bad
 
