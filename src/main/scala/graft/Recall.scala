@@ -83,6 +83,21 @@ object Recall {
           Ann.queryPqRefined(encoded, emb, model, "vec_id", "embedding",
             q0, 10, fetchN, "cosine", Seq(0L)).select(col("vec_id")),
           exactExcl, "vec_id"))
+      },
+      // TRAINED codebooks (Ann.buildPq, r13 — Lloyd on the deterministic
+      // sample) at the same size-aware dials as pq_scaled: records what
+      // real k-means training buys over corpus-row seeding at identical
+      // storage (ksub·m·subDim doubles either way)
+      "pq_trained" -> {
+        val n = emb.count()
+        val ksub = Ann.pqKsubFor(n)
+        val fetchN = Ann.pqFetchNFor(n, 10)
+        val model = Ann.buildPq(emb, "vec_id", "embedding", 64, 8, ksub)
+        val encoded = Ann.pqEncode(emb, "embedding", model)
+        one(Ann.recallAtK(
+          Ann.queryPqRefined(encoded, emb, model, "vec_id", "embedding",
+            q0, 10, fetchN, "cosine", Seq(0L)).select(col("vec_id")),
+          exactExcl, "vec_id"))
       })
 
     val bounded = emb.filter(col("vec_id") < pairCap)

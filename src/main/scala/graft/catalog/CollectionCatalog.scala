@@ -1627,6 +1627,37 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * column left unread until the fetchN refine — where [[query]] reads
     * dim floats per pruned row. Same MVCC build discipline; refresh and
     * compactIndexes carry codes and codebooks along. */
+  /** TRAINED store PQ build — the production entry point ([[
+    * buildIndexPqSeeded]] exists for oracle replay; hand-picking codebook
+    * rows is not a user workflow): k-means cells ([[Ann.buildIvf]], fit on
+    * `trainFraction`) + per-subspace k-means codebooks ([[Ann.buildPq]],
+    * bounded deterministic sample). Size-aware defaults, all
+    * integer-only rules: `ksub = 0` → [[Ann.pqKsubFor]](n); `nlist = 0` →
+    * the collection's `ivf:nlist` metadata, else
+    * [[graft.operators.Dedup.cellsFor]](n) (occupancy ≈ 250/cell, the
+    * same dial the SemDeDup path uses). Same MVCC build discipline and
+    * read path as the seeded form — queryPq/queryPqBatch/refresh/compact
+    * serve either build identically (the codebook sidecar is the
+    * contract, not the trainer). */
+  def buildIndexPq(m: Int, ksub: Int = 0, nlist: Int = 0, seed: Long = 42L,
+                   trainFraction: Double = 1.0): Unit = {
+    val meta0 = indexableMeta()
+    val df = currentWithPtOf(meta0).withColumnRenamed("pt", "pb")
+    require(!df.columns.contains("codes"),
+      "collection has a 'codes' column, which collides with the PQ index layout; rename it")
+    val d = dim().getOrElse(throw new IllegalStateException(
+      s"collection '$name' is empty — nothing to index"))
+    val n = count()
+    val ks = if (ksub > 0) ksub else Ann.pqKsubFor(n)
+    val nl = if (nlist > 0) nlist
+             else metaPositiveInt(meta0, "ivf:nlist")
+               .getOrElse(graft.operators.Dedup.cellsFor(n))
+    val ivf = Ann.buildIvf(df, "id", "embedding", nl, seed, trainFraction)
+    val pq = Ann.buildPq(df, "id", "embedding", d, m, ks, seed)
+    writeIndex(ivf.copy(assigned = Ann.pqEncode(ivf.assigned, "embedding", pq)),
+      meta0.version, Some(pq))
+  }
+
   def buildIndexPqSeeded(cellSeedIds: Seq[String], pqSeedIds: Seq[String],
                          m: Int): Unit = {
     val meta0 = indexableMeta()

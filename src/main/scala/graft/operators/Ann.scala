@@ -324,6 +324,81 @@ object Ann {
     PqModel(dim, m, cbs)
   }
 
+  /** TRAINED PQ codebooks — the production build (the seeded form exists
+    * for oracle replay; hand-picking codebook rows is not a user
+    * workflow): per-subspace Lloyd's k-means on a BOUNDED,
+    * deterministically-chosen sample. The sample is the `maxTrainRows`
+    * smallest rows under a seeded hash of the id (TakeOrdered — no full
+    * sort, no partition-order dependence), so the same (corpus, seed)
+    * always trains the same codebooks on any cluster layout. Driver-side
+    * Lloyd is the right altitude here: FAISS trains PQ on an in-memory
+    * sample too — 65536 rows × subDim doubles per subspace is megabytes,
+    * and m small k-means runs beat m distributed fits by orders of
+    * magnitude in overhead. Empty clusters keep their previous centroid
+    * (standard Lloyd degeneracy handling, deterministic). */
+  def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, ksub: Int, seed: Long = 42L,
+              iterations: Int = 15, maxTrainRows: Int = 65536): PqModel = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val sample = corpus
+      .select(col(idCol).cast("string").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(concat(lit(seed.toString), col("__id"))), col("__id"))
+      .limit(maxTrainRows)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.length >= ksub,
+      s"PQ training needs >= ksub ($ksub) rows, corpus sample has ${sample.length}")
+    sample.foreach(v => require(v.length == dim,
+      s"corpus vector has dim ${v.length}, expected $dim"))
+    val subDim = dim / m
+    val cbs = Array.tabulate(m) { s =>
+      val sub = sample.map(_.slice(s * subDim, (s + 1) * subDim))
+      lloyd(sub, ksub, iterations)
+    }
+    PqModel(dim, m, cbs)
+  }
+
+  /** Plain Lloyd's on an in-memory point set. Init = evenly spaced points
+    * of the (hash-shuffled) sample — deterministic and well spread without
+    * an RNG; an empty cluster keeps its previous centroid. */
+  private def lloyd(points: Array[Array[Double]], k: Int,
+                    iterations: Int): Array[Array[Double]] = {
+    val n = points.length
+    val d = points(0).length
+    var cents = Array.tabulate(k)(i => points(((i.toLong * n) / k).toInt).clone())
+    var iter = 0
+    while (iter < iterations) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var acc = 0.0; var j = 0
+          while (j < d) { val x = p(j) - cents(c)(j); acc += x * x; j += 1 }
+          if (acc < bestD) { bestD = acc; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0L) cents(c)
+        else { val out = new Array[Double](d)
+          var j = 0
+          while (j < d) { out(j) = sums(c)(j) / counts(c); j += 1 }
+          out }
+      }
+      iter += 1
+    }
+    cents
+  }
+
   /** Encode every row to its m nearest-subcentroid codes: `codes`
     * ARRAY<INT> of length m — argmin squared-L2 per subspace, ties to the
     * lowest code (the assignCells struct-ordering trick per subspace).

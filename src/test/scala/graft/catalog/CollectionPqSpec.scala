@@ -27,6 +27,48 @@ class CollectionPqSpec extends SparkTestBase {
     c.buildIndexPqSeeded((0L until 8L).map(_.toString),
       (1L to 16L).map(_.toString), m = 8)
 
+  test("TRAINED buildIndexPq: size-aware dials, queryPq serves, recall beats the seeded build") {
+    import graft.operators.{Ann, Knn}
+    val c = freshColl("pqtrained")
+    c.buildIndexPq(m = 8) // ksub/nlist from the size-aware integer dials
+    assert(c.hasIndex, "trained PQ build must commit")
+    val emb = spark.read.parquet(sf("embeddings"))
+    val qv = emb.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0)
+    val exact = Knn.topK(
+      emb.select(col("vec_id").cast("string").as("id"), col("embedding")),
+      "id", "embedding", qv, 10, "cosine").select("id").as[String].collect().toSet
+    // all cells probed, wide shortlist: the trained codebooks (ksub =
+    // pqKsubFor(500) = 62 here vs the seeded spec's 16) must rank well
+    val got = c.queryPq(qv, 10, nprobe = 64, fetchN = 100)
+      .select("id").as[String].collect()
+    assert(got.length == 10)
+    val recall = got.count(exact.contains)
+    assert(recall >= 8, s"trained-PQ recall@10 = $recall/10 — codebooks are mistrained")
+  }
+
+  test("TRAINED buildPq is deterministic: same (corpus, seed) -> same codebooks") {
+    import graft.operators.Ann
+    val emb = spark.read.parquet(sf("embeddings"))
+    val a = Ann.buildPq(emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 32, seed = 7L)
+    val b = Ann.buildPq(emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 32, seed = 7L)
+    assert(a.codebooks.flatten.flatten.toSeq == b.codebooks.flatten.flatten.toSeq)
+    // and a different seed trains different codebooks (the sample moved)
+    val c2 = Ann.buildPq(emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 32, seed = 8L)
+    assert(a.codebooks.flatten.flatten.toSeq != c2.codebooks.flatten.flatten.toSeq)
+  }
+
+  test("TRAINED build survives the maintenance paths like the seeded one") {
+    val c = freshColl("pqtrained2")
+    c.buildIndexPq(m = 8, ksub = 32, nlist = 8)
+    val qv = Seq.fill(64)(0.25f)
+    val before = c.queryPq(qv, 5, nprobe = 8, fetchN = 50)
+      .select("id").as[String].collect().toSeq
+    c.compactIndexes()
+    val after = c.queryPq(qv, 5, nprobe = 8, fetchN = 50)
+      .select("id").as[String].collect().toSeq
+    assert(before == after, "compaction changed trained-PQ answers")
+  }
+
   test("build + queryPq: ADC shortlist -> exact re-rank, k rows, dist ascending") {
     val c = freshColl("pq1")
     pqBuild(c)
