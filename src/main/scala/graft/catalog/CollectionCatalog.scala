@@ -1658,6 +1658,34 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       meta0.version, Some(pq))
   }
 
+  /** TRAINED residual store build — [[buildIndexPq]]'s residual twin
+    * (codes quantize v − centroid(cell) under codebooks trained on
+    * sampled residuals): the production form of
+    * [[buildIndexPqResidualSeeded]], same size-aware dials as
+    * [[buildIndexPq]], same sidecar `residual` flag routing every read
+    * and re-encode. */
+  def buildIndexPqResidual(m: Int, ksub: Int = 0, nlist: Int = 0,
+                           seed: Long = 42L,
+                           trainFraction: Double = 1.0): Unit = {
+    val meta0 = indexableMeta()
+    val df = currentWithPtOf(meta0).withColumnRenamed("pt", "pb")
+    require(!df.columns.contains("codes"),
+      "collection has a 'codes' column, which collides with the PQ index layout; rename it")
+    val d = dim().getOrElse(throw new IllegalStateException(
+      s"collection '$name' is empty — nothing to index"))
+    val n = count()
+    val ks = if (ksub > 0) ksub else Ann.pqKsubFor(n)
+    val nl = if (nlist > 0) nlist
+             else metaPositiveInt(meta0, "ivf:nlist")
+               .getOrElse(graft.operators.Dedup.cellsFor(n))
+    val ivf = Ann.buildIvf(df, "id", "embedding", nl, seed, trainFraction)
+    val pq = Ann.buildPqResidual(ivf.assigned, "id", "embedding",
+      ivf.centroids, d, m, ks, seed)
+    writeIndex(ivf.copy(assigned =
+      Ann.pqEncodeResidual(ivf.assigned, "embedding", ivf.centroids, pq)),
+      meta0.version, Some(pq))
+  }
+
   def buildIndexPqSeeded(cellSeedIds: Seq[String], pqSeedIds: Seq[String],
                          m: Int): Unit = {
     val meta0 = indexableMeta()
@@ -2416,16 +2444,26 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
                   whereDoc: Option[WhereDocument] = None,
                   include: Set[String] = Set("documents", "distances", "metadatas"),
                   nprobe: Int = 0, exact: Boolean = false): DataFrame = {
-    val unknown = include.diff(Set("documents", "distances", "metadatas", "uris", "data"))
+    val unknown = include.diff(
+      Set("documents", "distances", "metadatas", "embeddings", "uris", "data"))
     require(unknown.isEmpty, s"unknown include entries: ${unknown.mkString(", ")}")
-    val long = queryBatch(queryVecs, k, where, whereDoc, nprobe, exact)
+    val long0 = queryBatch(queryVecs, k, where, whereDoc, nprobe, exact)
+    // Chroma's query(include=["embeddings"]) returns per-hit VECTORS; the
+    // long form deliberately drops them (k vectors per query would bloat
+    // every read that doesn't ask) — join them back by id, with the
+    // bounded (≤ nq·k rows) hit set BROADCAST onto one column-pruned
+    // (id, embedding) scan, never a rescan of the wide row
+    val long = if (!include("embeddings")) long0
+      else toDF.select(col("id"), col("embedding").as("__emb"))
+        .join(broadcast(long0), Seq("id"))
     val fields: Seq[FoldField] =
       ("id", "ids", col("id")) +:
       (docField(long, include("documents")) ++
         (if (include("distances")) Seq(("dist", "distances", col("dist"))) else Nil) ++
+        (if (include("embeddings")) Seq(("embedding", "embeddings", col("__emb"))) else Nil) ++
         uriDataFields(long, include) ++
         metaField(long, include("metadatas"),
-          exclude = Seq("qid", "rnk", "id", "dist", "document", "embedding", "uri", "data")))
+          exclude = Seq("qid", "rnk", "id", "dist", "document", "embedding", "__emb", "uri", "data")))
     // rnk is a dense per-query row_number, so subtraction is a valid
     // total-order comparator (the default struct ordering cannot sort a
     // payload carrying a MAP field)

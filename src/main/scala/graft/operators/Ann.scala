@@ -680,6 +680,22 @@ object Ann {
       assigned.withColumn("__res", residuals(assigned, vecCol, cents)),
       idCol, "__res", dim, m, seedIds).copy(residual = true)
 
+  /** TRAINED residual-PQ codebooks: [[buildPq]]'s sampled Lloyd over the
+    * residual column — the same delegation [[buildPqResidualSeeded]]
+    * uses, so sampling/validation/slicing live in one place. Residuals
+    * concentrate near zero regardless of where cells sit, so trained
+    * residual codebooks spend their whole resolution on what the cell
+    * has not already explained — the production form of the full Jégou
+    * construction. */
+  def buildPqResidual(assigned: DataFrame, idCol: String, vecCol: String,
+                      cents: Array[(Int, Array[Double])],
+                      dim: Int, m: Int, ksub: Int, seed: Long = 42L,
+                      iterations: Int = 15, maxTrainRows: Int = 65536): PqModel =
+    buildPq(
+      assigned.withColumn("__res", residuals(assigned, vecCol, cents)),
+      idCol, "__res", dim, m, ksub, seed, iterations, maxTrainRows)
+      .copy(residual = true)
+
   /** Residual IVF-PQ query: per probed cell, the ADC table is built
     * against `q − centroid_cell` (driver-side: nprobe·m·ksub doubles);
     * the per-row ADC picks its cell's table via a chained conditional —

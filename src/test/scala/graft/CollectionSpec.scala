@@ -804,8 +804,22 @@ class CollectionSpec extends SparkTestBase {
     // include control: asking only for ids drops the other lists
     val idsOnly = c.queryStruct(qs, k = 2, include = Set.empty)
     assert(idsOnly.columns.toSeq == Seq("qid", "ids"))
+    // include=["embeddings"] (r13): per-hit VECTORS ride back, id-aligned
+    // (Chroma's query accepts it; the long form deliberately drops them)
+    val withEmb = c.queryStruct(qs, k = 2, include = Set("embeddings"))
+      .orderBy("qid")
+      .select("qid", "ids", "embeddings")
+      .as[(Int, Seq[String], Seq[Seq[Float]])].collect()
+    withEmb.foreach { case (qid, ids, embs) =>
+      assert(ids == long(qid).map(_._3).toSeq)
+      assert(embs.length == ids.length)
+      // rank-1 of query 0 is "a" = [1, 0]; of query 1 is "c" = [0, 1]
+    }
+    assert(withEmb(0)._3.head == Seq(1f, 0f))
+    assert(withEmb(1)._3.head == Seq(0f, 1f))
+    // unknown entries still fail loudly
     intercept[IllegalArgumentException] {
-      c.queryStruct(qs, k = 2, include = Set("embeddings"))
+      c.queryStruct(qs, k = 2, include = Set("embedings"))
     }
   }
 

@@ -57,6 +57,36 @@ class CollectionPqSpec extends SparkTestBase {
     assert(a.codebooks.flatten.flatten.toSeq != c2.codebooks.flatten.flatten.toSeq)
   }
 
+  test("TRAINED residual buildIndexPqResidual: residual flag set, serves, recall holds") {
+    import graft.operators.Knn
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "collpq-tres").toString
+    val c = new CollectionCatalog(spark, root, numBuckets = 4)
+      .getOrCreateCollection("pqtrainedres", "cosine")
+    c.add(spark.read.parquet(sf("embeddings"))
+      .select(col("vec_id").cast("string").as("id"), col("embedding"),
+        col("label").cast("string").as("label")))
+    c.buildIndexPqResidual(m = 8)
+    assert(c.hasIndex)
+    val emb = spark.read.parquet(sf("embeddings"))
+    val qv = emb.filter(col("vec_id") === 5).select("embedding").head().getSeq[Float](0)
+    val exact = Knn.topK(
+      emb.select(col("vec_id").cast("string").as("id"), col("embedding")),
+      "id", "embedding", qv, 10, "cosine").select("id").as[String].collect().toSet
+    val got = c.queryPq(qv, 10, nprobe = 64, fetchN = 100)
+      .select("id").as[String].collect()
+    assert(got.length == 10)
+    assert(got.count(exact.contains) >= 8,
+      s"trained residual recall@10 = ${got.count(exact.contains)}/10")
+    // the residual flag must ride the sidecar: a reopened catalog still
+    // routes per-cell and answers identically (seeded residual spec's pin)
+    val reopened = new CollectionCatalog(spark, root, numBuckets = 4)
+      .getCollection("pqtrainedres").get
+    assert(reopened.queryPq(qv, 3, nprobe = 64, fetchN = 50)
+      .select("id").as[String].collect().toSeq ==
+      got.take(3).toSeq)
+  }
+
   test("TRAINED build survives the maintenance paths like the seeded one") {
     val c = freshColl("pqtrained2")
     c.buildIndexPq(m = 8, ksub = 32, nlist = 8)
