@@ -26,6 +26,32 @@ class PropertySpec extends SparkTestBase {
     sample(Gen.listOfN(60, nonZeroVecGen), 7L).zipWithIndex.map { case (v, i) => (i.toLong, v) }
   private lazy val vecDf = vecs.toDF("id", "vec")
 
+  test("property: posZero is the identity except on -0.0; roundz never emits -0.0 bits") {
+    // values spanning magnitudes, signs, and the rounding boundaries —
+    // the in-expression negate keeps computed -0.0 alive before the
+    // normalizer (UnsafeRow would scrub a stored one; NegativeZeroSweepSpec
+    // documents that dead end)
+    val doubles = sample(Gen.listOfN(300,
+      Gen.chooseNum(-1e6, 1e6).map(x => x / 997.0)), 11L) ++
+      Seq(0.0, 1e-9, -1e-9, 4.9999e-5, -4.9999e-5, 1.5, -1.5)
+    val df = doubles.toDF("v")
+    // identity: posZero(v) == v bitwise for every v except -0.0 (none
+    // stored here — UnsafeRow normalizes — so bitwise equality must hold
+    // for ALL rows)
+    val changed = df.filter(
+      Distances.posZero(col("v")) =!= col("v") ||
+        col("v").cast("string") =!= Distances.posZero(col("v")).cast("string")
+    ).count()
+    assert(changed == 0, "posZero changed a non-negative-zero value")
+    // roundz of the NEGATED values (computed -0.0 for v = 0.0, tiny
+    // negatives rounding to zero for |v| < 0.5e-4): no output may carry
+    // the sign bit on zero
+    val negZeroOut = df.select(Distances.roundz(negate(col("v")), 4).as("r"))
+      .filter(col("r") === 0.0 && col("r").cast("string").startsWith("-"))
+      .count()
+    assert(negZeroOut == 0, "roundz emitted a -0.0")
+  }
+
   test("property: d(a,a)=0 (cosine ~0, l2 exactly 0) for all generated vectors") {
     val r = vecDf.select(
       max(abs(Distances.cosineDist(col("vec"), col("vec")))).as("c"),
