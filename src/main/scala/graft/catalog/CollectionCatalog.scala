@@ -2380,12 +2380,20 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * per-query rescan. */
   def queryBatch(queryVecs: Seq[Seq[Float]], k: Int, where: Option[Where] = None,
                  whereDoc: Option[WhereDocument] = None, nprobe: Int = 0,
-                 exact: Boolean = false): DataFrame = {
+                 exact: Boolean = false): DataFrame =
+    queryBatchOf(meta, queryVecs, k, where, whereDoc, nprobe, exact)
+
+  /** [[queryBatch]] against ONE caller-held meta snapshot — the entry
+    * point for read surfaces that pair the hit set with OTHER reads of
+    * the same snapshot (queryStruct's embeddings join): both sides must
+    * see the same version, per the snapshot rule at [[snapshotDF]]. */
+  private def queryBatchOf(m: CollectionMeta, queryVecs: Seq[Seq[Float]], k: Int,
+                           where: Option[Where], whereDoc: Option[WhereDocument],
+                           nprobe: Int, exact: Boolean): DataFrame = {
     require(queryVecs.nonEmpty, "queryBatch needs at least one query vector")
     require(queryVecs.map(_.length).distinct.size == 1,
       s"query vectors must share one dimension, got ${queryVecs.map(_.length).distinct}")
     requireDim(queryVecs.head.length)
-    val m = meta
     (if (exact) None else currentIndex(m)) match {
       case Some((idxPath, cents)) =>
         // per-query probe sets, chosen driver-side from the tiny centroid
@@ -2447,15 +2455,23 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     val unknown = include.diff(
       Set("documents", "distances", "metadatas", "embeddings", "uris", "data"))
     require(unknown.isEmpty, s"unknown include entries: ${unknown.mkString(", ")}")
-    val long0 = queryBatch(queryVecs, k, where, whereDoc, nprobe, exact)
+    val m = meta
+    val long0 = queryBatchOf(m, queryVecs, k, where, whereDoc, nprobe, exact)
     // Chroma's query(include=["embeddings"]) returns per-hit VECTORS; the
     // long form deliberately drops them (k vectors per query would bloat
     // every read that doesn't ask) — join them back by id, with the
     // bounded (≤ nq·k rows) hit set BROADCAST onto one column-pruned
-    // (id, embedding) scan, never a rescan of the wide row
+    // (id, embedding) scan of the SAME snapshot the hits came from (a
+    // toDF here would re-read meta; a commit landing in between would
+    // pair old-vector distances with newer vectors — the rule at
+    // [[snapshotDF]]). The second join LEFT-preserves every hit row: a
+    // hit can never silently drop to fewer than k entries.
     val long = if (!include("embeddings")) long0
-      else toDF.select(col("id"), col("embedding").as("__emb"))
-        .join(broadcast(long0), Seq("id"))
+      else {
+        val embs = snapshotDF(m).select(col("id"), col("embedding").as("__emb"))
+          .join(broadcast(long0.select("id").distinct()), Seq("id"))
+        long0.join(broadcast(embs), Seq("id"), "left")
+      }
     val fields: Seq[FoldField] =
       ("id", "ids", col("id")) +:
       (docField(long, include("documents")) ++

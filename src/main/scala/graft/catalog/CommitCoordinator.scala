@@ -246,10 +246,27 @@ object CommitCoordinator {
             java.nio.charset.StandardCharsets.UTF_8)
           if (held == owner) io.deleteIfExists(lease)
         } catch { case _: Exception => () } // stolen or vanished: not ours
-      var tries = 5
+      var tries = 2
       while (tries > 0) {
         val done = withStealLock(lease)(tokenDelete())
         if (done.isDefined) return
+        // Contended. Side-lock DEBRIS from a crashed stealer younger than
+        // ttlMs would otherwise tax EVERY release through this key with
+        // the full retry window (commit hot path): when the side-lock
+        // holder is FOREIGN and the lease still carries OUR token (no
+        // thief re-created it — nothing of ours is mid-delete by us),
+        // skip straight to the fallback token-checked delete instead of
+        // sleeping the window out. Same exposure as the terminal
+        // fallback, reached sooner in exactly the debris case.
+        val foreignDebrisOurLease =
+          try {
+            new String(io.readBytes(
+              new org.apache.hadoop.fs.Path(lease.toString + ".steal")),
+              java.nio.charset.StandardCharsets.UTF_8) != owner &&
+            new String(io.readBytes(lease),
+              java.nio.charset.StandardCharsets.UTF_8) == owner
+          } catch { case _: Exception => false }
+        if (foreignDebrisOurLease) { tokenDelete(); return }
         tries -= 1
         if (tries > 0) Thread.sleep(pollMs)
       }

@@ -339,8 +339,8 @@ object Dedup {
       .withColumn("lbl", col("id")))
     var iter = 0
     var changed = 1L
-    // only read on non-convergence; seeded with a no-movement frame so a
-    // degenerate maxIter=0 call still errors with a well-formed message
+    // only read on non-convergence AFTER at least one round (maxIter<=0
+    // errors on its own, never through this sentinel seed)
     var lastStep: DataFrame = labels.withColumn("nlbl", col("lbl"))
     while (changed > 0 && iter < maxIter) {
       // gather-min from neighbors; one join + one combiner-friendly
@@ -382,6 +382,11 @@ object Dedup {
       iter += 1
     }
     if (changed != 0) {
+      // degenerate budget: no round ever ran, so the pre-seeded sentinel
+      // frame carries no real movement — '1 labels still moving' with an
+      // empty sample would misreport; name the actual problem instead
+      if (iter == 0) throw new IllegalArgumentException(
+        s"dupClusters needs maxIter >= 1 to run even one propagation round, got $maxIter")
       // LOUD and actionable: name a bounded sample of the ids whose labels
       // were still moving — the caller can inspect exactly which chain is
       // longer than the round budget instead of guessing (r12 VERDICT #8)

@@ -149,11 +149,25 @@ object ChromaRestSink {
     }
     val sb = new StringBuilder(1024)
     sb.append("{\"ids\":[")
-    appendJoined(sb, batch)(r => sb.append(jstr(String.valueOf(r.get(idIdx)))))
+    // LOUD on a null id: String.valueOf(null) would serialize the literal
+    // string "null" — a silent garbage id in the served collection, the
+    // data-hole class this sink forbids (same posture as the reserved-name
+    // type checks in addResolved)
+    appendJoined(sb, batch) { r =>
+      require(!r.isNullAt(idIdx),
+        "ChromaRestSink: null `id` in an add batch — filter or fill ids before the sink")
+      sb.append(jstr(String.valueOf(r.get(idIdx))))
+    }
     sb.append(']')
     if (embIdx >= 0) {
       sb.append(",\"embeddings\":[")
       appendJoined(sb, batch) { r =>
+        // LOUD, named failure instead of the opaque NPE getSeq(null).foreach
+        // would throw: Chroma's add has no null entry in `embeddings` —
+        // rows without vectors must drop the column (or the row) upstream
+        require(!r.isNullAt(embIdx),
+          "ChromaRestSink: null `embedding` in an add batch — drop the column " +
+            "(documents-only add) or filter the null rows before the sink")
         sb.append('[')
         val seq = r.getSeq[Any](embIdx)
         var first = true
