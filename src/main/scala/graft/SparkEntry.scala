@@ -124,9 +124,10 @@ object SparkEntry {
     * miss. The arithmetic parenthesization mirrors the Column expression
     * token for token; only IEEE-exact ops appear (log-free idf). */
   private def sqlBm25(n: Int, terms: Seq[String] = Seq("hash", "join", "stream"),
-                      k1: Double = 1.2, b: Double = 0.75): String = {
+                      k1: Double = 1.2, b: Double = 0.75,
+                      idExpr: String = "doc_id"): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH toks AS (SELECT doc_id AS id,
+    s"""WITH toks AS (SELECT $idExpr AS id,
        |              unnest(string_split_regex(lower(text), '\\s+')) AS term
        |              FROM documents),
        |dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
@@ -932,6 +933,39 @@ object SparkEntry {
           Seq("hash", "join", "stream"), 20)
         .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
         .orderBy("rnk")),
+    // q66's SCALE PATH: the same BM25 top-k served through the persisted
+    // keyword-stats sidecar (KeywordIndex — per-query cost O(matching
+    // postings) on tp-pruned partitions, not q66's O(corpus) explode),
+    // exercised THROUGH an incremental refresh (bulk add + build, then an
+    // upsert slice + refreshKeywordIndex, which rebuilds only touched id
+    // buckets and carries the rest by manifest). The shared score fold
+    // makes the result hash-EQUAL to the scan-semantics oracle by
+    // construction. Hydrate-once with the q112 fingerprint discipline.
+    "q154_kwindex_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      val fp = s"kwx1|$dir|n=${docs.count()}"
+      val reusable = cat.getCollection("kwx").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp) && c.hasKeywordIndex)
+      val coll = if (reusable) cat.getCollection("kwx").get else {
+        cat.deleteCollection("kwx")
+        val c = cat.getOrCreateCollection("kwx")
+        val all = docs.select(col("doc_id").cast("string").as("id"),
+          col("text").as("document"))
+        c.add(all.filter(col("id").cast("long") % 7 =!= 3))
+        c.buildKeywordIndex()
+        c.upsert(all.filter(col("id").cast("long") % 7 === 3))
+        val rebuilt = c.refreshKeywordIndex()
+        require(rebuilt > 0, "q154 must exercise an incremental refresh")
+        c.modifyMetadata(Map("source_fp" -> fp))
+        c
+      }
+      require(coll.hasKeywordIndex, "q154 must serve through the keyword sidecar")
+      coll.keywordTopK(Seq("hash", "join", "stream"), 20)
+        .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
+        .orderBy("rnk")
+    }),
     // Hybrid retrieval: reciprocal-rank fusion of the keyword top-50 and
     // the vector top-50 — the standard combiner, and pure rank arithmetic,
     // so the fused scores replay exactly in the oracle
@@ -3475,6 +3509,11 @@ object SparkEntry {
         |cs AS (SELECT id, unnest(shingles) AS sh FROM shl)
         |SELECT DISTINCT id FROM cs JOIN ev USING (sh) ORDER BY id""".stripMargin,
     "q66_bm25_topk" -> (sqlBm25(20) + "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
+    // q154: the keyword-SIDECAR path must hash-match the plain scan — same
+    // corpus, same scan-semantics oracle as q66, with the store's STRING
+    // ids (rank ties therefore break on VARCHAR order in both engines)
+    "q154_kwindex_bm25" -> (sqlBm25(20, idExpr = "CAST(doc_id AS VARCHAR)") +
+      "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
     "q67_hybrid_rrf" -> {
       // vector side mirrors q11's cosine shape at k=50; fusion is pure
       // rank arithmetic (1/(60+rnk)), kw contribution folded first

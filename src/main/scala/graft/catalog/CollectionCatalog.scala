@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, ChromaFilter, DocIndex, Embedder, EmbeddingFunction, Knn, Retrieval}
+import graft.operators.{Ann, ChromaFilter, DocIndex, Embedder, EmbeddingFunction, KeywordIndex, Knn, Retrieval}
 
 /** Logical carry-forward for copy-on-write versions: instead of hard-
   * linking every file of every untouched partition into the new version
@@ -346,6 +346,8 @@ final class CollectionCatalog(
         .foreach(copyResolvedBuild(_, "index_v000001.b000"))
       newestCommitted(f"docindex_v${src.version}%06d")
         .foreach(copyResolvedBuild(_, "docindex_v000001.b000"))
+      newestCommitted(f"kwindex_v${src.version}%06d")
+        .foreach(copyResolvedBuild(_, "kwindex_v000001.b000"))
       io.writeBytes(CollectionMeta.commitMarker(tmpDir, 1), Array.emptyByteArray)
       CollectionMeta.atomicWrite(io, tmpDir, dst)
     }
@@ -2078,7 +2080,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
   private def maybeAutoCompactIndexes(): Unit = {
     val m = meta
     autoCompactBound(m).foreach { bound =>
-      val files = (currentIndex(m).map(_._1) ++ currentDocIndex(m))
+      val files = (currentIndex(m).map(_._1) ++ currentDocIndex(m) ++ currentKwIndex(m))
         .map(indexFileCount).sum
       if (files > bound) {
         val keep = metaPositiveInt(m, "graft:autocompact.keephistory").getOrElse(0)
@@ -2284,6 +2286,124 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     } yield df.join(
       DocIndex.candidates(readIndexBuild(idx), sets), Seq("id"), "left_semi"))
       .getOrElse(df)
+
+  // ---- keyword-statistics (BM25) sidecar — hybrid retrieval's scale path ----
+  //
+  // Same MVCC discipline as the other two index families: version-pinned
+  // build dirs (`kwindex_v<V>.b<B>/`, committed by `_graft_committed`),
+  // claimed via O_CREAT|O_EXCL directory create, adopted only while
+  // meta.version == V, superseded builds reclaimed by [[vacuum]]. Layout
+  // + query semantics: [[graft.operators.KeywordIndex]] (term-hash-sliced
+  // postings carrying tf/dl + per-bucket stats rows; served scores are
+  // bit-identical to the Retrieval.bm25 scan by the shared-fold contract).
+
+  private def kwIndexPrefix(v: Int): String = f"kwindex_v$v%06d"
+  private def kwIndexBuildDir(v: Int, b: Int): Path =
+    new Path(dir, f"${kwIndexPrefix(v)}.b$b%03d")
+
+  private def kwIndexBuildsOf(v: Int): Seq[Path] = io.list(dir).filter { e =>
+    val n = e.name
+    e.isDir &&
+      (n == kwIndexPrefix(v) || n.startsWith(kwIndexPrefix(v) + ".b"))
+  }.map(_.path)
+
+  private def currentKwIndex(m: CollectionMeta): Option[Path] =
+    kwIndexBuildsOf(m.version)
+      .filter(p => io.exists(new Path(p, "_graft_committed")))
+      .sortBy(buildNumberOf).lastOption
+
+  def hasKeywordIndex: Boolean = currentKwIndex(meta).isDefined
+
+  /** Build the keyword-stats (BM25) sidecar over the current version.
+    * Postings are sliced by the store's own id bucket (`tp=<t>/pb=<b>`)
+    * so later [[refreshKeywordIndex]] calls can carry unchanged slices
+    * forward instead of re-deriving the whole corpus. */
+  def buildKeywordIndex(): Unit = {
+    val m = meta
+    require(currentDataOf(m).nonEmpty,
+      s"collection '${m.name}' is empty — nothing to index")
+    val data = currentWithPtOf(m)
+    require(data.columns.contains("document"),
+      s"collection '${m.name}' carries no document column — nothing to index")
+    val claimed = claimKwIndexBuild(m.version)
+    KeywordIndex.writeWithPb(data.select(col("id"), col("document"), col("pt")),
+      "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
+    io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
+  }
+
+  private def claimKwIndexBuild(version: Int): Path = {
+    var b = kwIndexBuildsOf(version).map(buildNumberOf).maxOption.fold(0)(_ + 1)
+    var claimed: Path = null
+    while (claimed == null) {
+      try { io.createDirExclusive(kwIndexBuildDir(version, b)); claimed = kwIndexBuildDir(version, b) }
+      catch { case _: java.nio.file.FileAlreadyExistsException => b += 1 }
+    }
+    claimed
+  }
+
+  /** Incrementally refresh the keyword sidecar to the CURRENT version —
+    * the [[refreshDocIndex]] contract over the `tp=`/`pb=` layout:
+    * postings AND the per-bucket stats rows of changed id buckets
+    * re-derive; every other slice carries from the last committed build.
+    * (Per-bucket stats are what make the carry SOUND: a bucket's
+    * (n_docs, tot_dl) row lives in its own `pb` slice, so corpus totals
+    * recompose exactly from rebuilt + carried slices.) Returns buckets
+    * rebuilt; falls back to a full [[buildKeywordIndex]] without a
+    * usable prior build. */
+  def refreshKeywordIndex(): Int = {
+    val m = meta
+    require(currentDataOf(m).nonEmpty,
+      s"collection '${m.name}' is empty — nothing to index")
+    val refreshed = newestCommittedBuild("kwindex_v") match {
+      case Some(old) if indexVersionOf(old) == m.version =>
+        0 // a committed build already serves this version
+      case Some(old) if hasPbSlices(old, "tp=") && io.exists(dataDir(indexVersionOf(old))) =>
+        val changed = changedBucketsBetween(indexVersionOf(old), m.version)
+        val claimed = claimKwIndexBuild(m.version)
+        if (changed.nonEmpty)
+          KeywordIndex.writeWithPb(
+            currentWithPtOf(m).filter(col("pt").isin(changed.toSeq: _*))
+              .select(col("id"), col("document"), col("pt")),
+            "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
+        carryUnchangedSlices(old, claimed, changed)
+        io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
+        changed.size
+      case _ =>
+        buildKeywordIndex()
+        numBuckets
+    }
+    if (refreshed > 0) maybeAutoCompactIndexes()
+    refreshed
+  }
+
+  /** Drop the current version's keyword-sidecar builds. */
+  def dropKeywordIndex(): Boolean = {
+    val builds = kwIndexBuildsOf(meta.version)
+    builds.foreach(io.deleteRecursively)
+    builds.nonEmpty
+  }
+
+  /** BM25 keyword top-n over the collection's `document` column:
+    * (id, rnk, score). Serves from the committed keyword sidecar when one
+    * matches the current version — per-query cost O(matching postings) —
+    * and falls back to the exact [[Retrieval.bm25TopK]] corpus scan
+    * otherwise; both paths return bit-identical scores (the shared-fold
+    * contract [[graft.operators.KeywordIndex]] documents). */
+  def keywordTopK(queryTerms: Seq[String], n: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val m = meta
+    currentKwIndex(m) match {
+      case Some(idx) =>
+        KeywordIndex.bm25TopK(readIndexBuild(idx), queryTerms, n, k1, b)
+      case None =>
+        val df = snapshotDF(m)
+        require(df.columns.contains("document"),
+          s"collection '${m.name}' carries no document column — keyword " +
+            "retrieval needs one")
+        Retrieval.bm25TopK(df, "id", "document", queryTerms, n, k1, b)
+    }
+  }
 
   /** The layout-owned columns of an index build dir: always `cell`, plus
     * `pb` ONLY when the build actually has pb slices (r8+ layouts) — a
@@ -2688,7 +2808,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * queries are unchanged, but the NEXT refresh after a mutation pays a
     * full rebuild (no pb slices left to diff against).
     *
-    * Returns the number of builds compacted (0-2). Same MVCC discipline
+    * Returns the number of builds compacted (0-3). Same MVCC discipline
     * as every build: fresh claimed dir at the SAME version, marker last,
     * readers adopt only the newest committed build — a concurrent reader
     * never sees a partial compaction. */
@@ -2722,6 +2842,21 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
       n += 1
     }
+    currentKwIndex(m).foreach { old =>
+      val claimed = claimKwIndexBuild(m.version)
+      val postings0 = readIndexBuild(old)
+      val withPb = keepRefreshAxis && postings0.columns.contains("pb")
+      // dropping the pb axis merges the per-bucket STATS rows' slices
+      // too — they keep their reserved tp partition, and queries sum
+      // them regardless of slicing, so corpus totals are unchanged
+      val postings = if (withPb) postings0 else postings0.drop("pb")
+      val parts = if (withPb) Seq("tp", "pb") else Seq("tp")
+      postings.repartition(col("tp")).write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRowsPerFile)
+        .partitionBy(parts: _*).parquet(claimed.toString)
+      io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
+      n += 1
+    }
     n
   }
 
@@ -2748,6 +2883,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     def kindOf(p: Path): Option[String] = {
       val n = p.getName
       if (n.startsWith("docindex_v")) Some("docindex")
+      else if (n.startsWith("kwindex_v")) Some("kwindex")
       else if (n.startsWith("index_v")) Some("index")
       else None
     }

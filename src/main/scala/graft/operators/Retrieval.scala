@@ -43,10 +43,21 @@ object Retrieval {
     val tf = toks.filter(col("term").isin(queryTerms: _*))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf
+    bm25ScoreFold(tf
       .join(broadcast(dft), "term")
       .join(dl, "id")
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats)), k1, b)
+  }
+
+  /** The BM25 arithmetic + per-doc fold shared by the scan path above and
+    * the persisted [[KeywordIndex]] read path: `perTerm` carries one row
+    * per (matching doc, query term) with LONG columns `tf`, `df`, `dl`,
+    * `n_docs`, `tot_dl` beside `id` — the scan derives them inline, the
+    * index reads them from the sidecar — and the output is (id, score).
+    * ONE written form of the formula serves both, so index ≡ scan holds
+    * by construction (the DocIndex rule), not by parallel maintenance. */
+  private[graft] def bm25ScoreFold(perTerm: DataFrame, k1: Double, b: Double): DataFrame = {
+    val scored = perTerm
       .withColumn("idf",
         (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
       .withColumn("s",
@@ -68,8 +79,14 @@ object Retrieval {
     * survivors of the limit — bounded, never corpus-sized. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], n: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val top = bm25(docs, idCol, textCol, queryTerms, k1, b)
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankTopN(bm25(docs, idCol, textCol, queryTerms, k1, b), n)
+
+  /** Top-n of an (id, score) frame as (id, rnk, score) — the shared tail
+    * of the scan and [[KeywordIndex]] BM25 paths (see [[bm25TopK]]'s
+    * scale note: TakeOrdered heaps, then a window over ≤ n survivors). */
+  private[graft] def rankTopN(scores: DataFrame, n: Int): DataFrame = {
+    val top = scores
       .orderBy(col("score").desc, col("id"))
       .limit(n)
     top.withColumn("rnk", row_number().over(

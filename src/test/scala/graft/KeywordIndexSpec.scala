@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.CollectionCatalog
+import graft.operators.{KeywordIndex, Retrieval}
+
+/** The keyword-statistics (BM25) sidecar — hybrid retrieval's scale path:
+  * index-vs-scan BIT equality (the shared-fold contract), the reserved
+  * stats partition's census, plan confinement (partition pruning on tp),
+  * incremental refresh through the carry manifest, and the MVCC lifecycle
+  * (stale sidecar never consulted, vacuum/compact cover the third kind). */
+class KeywordIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // repeated terms (tf > 1), shared terms (df > 1), a doc with none of
+  // the query terms, a null document, and length spread (dl variance)
+  private val corpus = Seq(
+    ("1", "spark joins hash joins and more joins"),
+    ("2", "hash tables back the hash join"),
+    ("3", "stream processing with watermarks"),
+    ("4", "sort merge join versus hash join under skew skew skew"),
+    ("5", "completely unrelated text about turtles"),
+    ("6", null: String))
+  private val terms = Seq("hash", "joins", "stream")
+
+  private def freshColl(buckets: Int = 4): graft.catalog.Collection = {
+    val cat = new CollectionCatalog(spark, tmpDir("kwx-test"), numBuckets = buckets)
+    val c = cat.getOrCreateCollection("k")
+    c.add(corpus.toDF("id", "document"))
+    c
+  }
+
+  test("operator: indexed bm25TopK is BIT-equal to the Retrieval scan path") {
+    val docs = corpus.toDF("id", "document")
+    val path = tmpDir("kwx-op")
+    KeywordIndex.writeWithPb(docs, "id", "document",
+      pmod(xxhash64(col("id")), lit(4)), path)
+    val scan = Retrieval.bm25TopK(docs, "id", "document", terms, 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val indexed = KeywordIndex.bm25TopK(spark.read.parquet(path), terms, 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(indexed.toSeq == scan.toSeq) // ranks AND raw double scores
+    assert(scan.nonEmpty && scan.head._2 == 1)
+  }
+
+  test("stats partition: per-bucket census recomposes the scan's corpus stats") {
+    val docs = corpus.toDF("id", "document")
+    val path = tmpDir("kwx-stats")
+    KeywordIndex.writeWithPb(docs, "id", "document",
+      pmod(xxhash64(col("id")), lit(4)), path)
+    val stats = spark.read.parquet(path)
+      .filter(col("tp") === KeywordIndex.StatsTp)
+      .agg(sum("tf").as("n_docs"), sum("dl").as("tot_dl"))
+      .collect().head
+    // the null doc explodes to nothing on BOTH paths: 5 docs, and tot_dl
+    // = total whitespace tokens of the 5 non-null texts
+    assert(stats.getLong(0) == 5)
+    val tokens = corpus.flatMap(c => Option(c._2)).map(_.split("\\s+").length).sum
+    assert(stats.getLong(1) == tokens)
+    // stats rows never leak into a term read: tpOf < StatsTp always
+    assert(terms.map(KeywordIndex.tpOf).forall(_ < KeywordIndex.StatsTp))
+  }
+
+  test("collection keywordTopK: scan fallback, then the sidecar serves identically") {
+    val c = freshColl()
+    val scan = c.keywordTopK(terms, 5).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(!c.hasKeywordIndex)
+    c.buildKeywordIndex()
+    assert(c.hasKeywordIndex)
+    val served = c.keywordTopK(terms, 5)
+    val indexed = served.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(indexed.toSeq == scan.toSeq)
+    // plan confinement: the postings read prunes to the query terms'
+    // tp partitions (literal IN computed with the writer's own hash)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("kwindex_v"), "the sidecar read must appear in the plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("tp"),
+      s"expected tp partition pruning in:\n$plan")
+  }
+
+  test("mutation invalidates the sidecar; refresh rebuilds only touched buckets and carries the rest") {
+    val c = freshColl()
+    c.buildKeywordIndex()
+    c.upsert(Seq(("7", "new hash heavy doc hash hash")).toDF("id", "document"))
+    c.delete(ids = Seq("5"))
+    assert(!c.hasKeywordIndex) // version moved past the build
+    // fallback scan already serves the post-mutation truth
+    val scanAfter = c.keywordTopK(terms, 5).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val rebuilt = c.refreshKeywordIndex()
+    assert(rebuilt >= 1 && rebuilt <= 2,
+      s"expected only the touched buckets to rebuild, got $rebuilt of 4")
+    assert(c.hasKeywordIndex)
+    val indexed = c.keywordTopK(terms, 5).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(indexed.toSeq == scanAfter.toSeq)
+    // the refresh carried unchanged tp/pb slices by manifest, and stats
+    // totals recomposed exactly (mutated bucket's stats row re-derived,
+    // carried buckets' rows untouched): census over the new build
+    val collDir = java.nio.file.Paths
+      .get(c.get().inputFiles.head.stripPrefix("file:"))
+      .getParent.getParent.getParent // file → pt=<b> → data_v<V> → <coll dir>
+    val dir = new org.apache.hadoop.fs.Path(collDir.toString)
+    val io = graft.catalog.StoreIO.of(dir, spark.sparkContext.hadoopConfiguration)
+    val newest = io.list(dir).filter(_.name.startsWith("kwindex_v"))
+      .map(_.path).sortBy(_.getName).last
+    val carried = graft.catalog.Carry.read(io, newest)
+    assert(carried.nonEmpty, "refresh must carry forward unchanged slices by manifest")
+    assert(carried.keys.forall(_.startsWith("tp=")))
+    // already current → no-op
+    assert(c.refreshKeywordIndex() == 0)
+  }
+
+  test("vacuum reclaims superseded sidecar builds; compactIndexes repacks the third kind") {
+    val c = freshColl()
+    c.buildKeywordIndex()
+    c.buildKeywordIndex() // superseded build of the same version
+    c.upsert(Seq(("8", "more hash text here")).toDF("id", "document"))
+    c.buildKeywordIndex()
+    assert(c.vacuum() >= 2)
+    assert(c.hasKeywordIndex)
+    val before = c.keywordTopK(terms, 5).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getDouble(2)))
+    // repack to the read-optimized no-pb shape; answers must not move
+    assert(c.compactIndexes(keepRefreshAxis = false) == 1)
+    val after = c.keywordTopK(terms, 5).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(after.toSeq == before.toSeq)
+    // a no-pb build has no refresh basis: next refresh after a mutation
+    // is the loud full rebuild, not a silent wrong carry
+    c.upsert(Seq(("9", "hash again")).toDF("id", "document"))
+    assert(c.refreshKeywordIndex() == 4)
+    val scan9 = Retrieval.bm25TopK(c.toDF, "id", "document", terms, 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(c.keywordTopK(terms, 5).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq == scan9.toSeq)
+  }
+}
