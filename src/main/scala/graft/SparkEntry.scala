@@ -941,6 +941,31 @@ object SparkEntry {
     // buckets and carries the rest by manifest). The shared score fold
     // makes the result hash-EQUAL to the scan-semantics oracle by
     // construction. Hydrate-once with the q112 fingerprint discipline.
+    // The plain-Spark-SQL surface: a hydrated collection read back through
+    // `spark.read.format("graft")` (RelationProvider → Spark's own parquet
+    // relation over the carry-resolved snapshot leaf dirs), with a filter
+    // + projection that must behave exactly like the scan-semantics
+    // oracle. Pushdown (ReadSchema pruning, PushedFilters) is pinned by
+    // GraftDataSourceSpec; this entry pins the VALUES end-to-end.
+    "q155_dsv2_read" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      val fp = s"dsv1|$dir|n=${docs.count()}"
+      val reusable = cat.getCollection("dsv").exists(c =>
+        c.meta.metadata.get("source_fp").contains(fp))
+      if (!reusable) {
+        cat.deleteCollection("dsv")
+        val c = cat.getOrCreateCollection("dsv")
+        c.add(docs.select(col("doc_id").cast("string").as("id"),
+          col("text").as("document"), col("lang"), col("n_chars")))
+        c.modifyMetadata(Map("source_fp" -> fp))
+      }
+      s.read.format("graft").option("root", root).option("name", "dsv").load()
+        .filter(col("lang") === "en" && col("n_chars") > 200)
+        .select(col("id"), col("lang"), col("n_chars"))
+        .orderBy(col("id").cast("long"))
+    }),
     "q154_kwindex_bm25" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val root = verifyCollectionsRoot(dir)
@@ -3512,6 +3537,11 @@ object SparkEntry {
     // q154: the keyword-SIDECAR path must hash-match the plain scan — same
     // corpus, same scan-semantics oracle as q66, with the store's STRING
     // ids (rank ties therefore break on VARCHAR order in both engines)
+    // q155: format("graft") read ≡ the collection's content (scan
+    // semantics over the hydrated columns)
+    "q155_dsv2_read" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, lang, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars > 200 ORDER BY doc_id""".stripMargin,
     "q154_kwindex_bm25" -> (sqlBm25(20, idExpr = "CAST(doc_id AS VARCHAR)") +
       "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
     "q67_hybrid_rrf" -> {

@@ -2749,6 +2749,21 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     readVersion(version).drop("pt")
   }
 
+  /** Resolved PHYSICAL leaf dirs (`<owner>/pt=<b>`) of one committed
+    * version's data, carry manifest applied — the binding surface for
+    * [[graft.sources.GraftDataSource]] (`spark.read.format("graft")`):
+    * a plain parquet relation over these dirs reads exactly [[toDFAt]]'s
+    * content (leaf dirs as scan ROOTS, so the internal `pt` bucket
+    * column never infers — the same shape toDF's drop produces). */
+  private[graft] def leafDataDirs(version: Int): Seq[String] = {
+    require(io.exists(dataDir(version)) &&
+        io.exists(CollectionMeta.commitMarker(dir, version)),
+      s"version $version is not a committed on-disk version " +
+        s"(available: ${history().mkString(", ")})")
+    Carry.owners(io, dir, dataDir(version), "pt=").toSeq.sortBy(_._1)
+      .map { case (part, owner) => new Path(owner, part).toString }
+  }
+
   /** Roll back by rolling FORWARD: commit a NEW version whose content is
     * `version`'s — every bucket carried by [[Carry]] manifest (O(buckets)
     * metadata, zero data movement on any filesystem). The claim protocol
