@@ -13,9 +13,19 @@ import org.apache.spark.sql.types._
   * "separate Chroma server") and the one public chromadb call path this
   * library's in-process store replaces (SURVEY A10's alternative sink).
   *
-  * API shape (public chromadb 0.4.x/0.5.x v1 REST):
-  *   POST /api/v1/collections?tenant=..&database=..   {"name":.., "get_or_create":true} → {"id":..}
-  *   POST /api/v1/collections/{id}/add                {"ids":[..], "embeddings":[[..]], "documents":[..], "metadatas":[{..}]}
+  * API shapes — BOTH public chromadb generations are spoken, because the
+  * reference's README requires `chromadb` UNPINNED (README.md:52): a
+  * fresh install gets ≥0.6/1.x, which REMOVED the v1 endpoints (410),
+  * while long-lived 0.4.x/0.5.x servers have only v1.
+  *   v1:  POST /api/v1/collections?tenant=..&database=..
+  *        POST /api/v1/collections/{id}/{add|upsert|delete}
+  *   v2:  POST /api/v2/tenants/{t}/databases/{d}/collections
+  *        POST /api/v2/tenants/{t}/databases/{d}/collections/{id}/{add|upsert|delete}
+  * Record payloads are identical across generations
+  * ({"ids":[..], "embeddings":[[..]], "documents":[..], "metadatas":[{..}]}).
+  * `apiVersion` picks the leg: "v1" / "v2" explicitly, or "auto" (the
+  * default) — one driver-side GET of /api/v2/heartbeat per baseUrl
+  * decides (2xx → v2; 404/410/etc → v1), cached for the JVM's lifetime.
   *
   * 100 TB shape — and its honest ceiling: each PARTITION posts its own
   * rows in `batchSize` chunks over one keep-alive connection
@@ -45,18 +55,53 @@ import org.apache.spark.sql.types._
   */
 object ChromaRestSink {
 
+  // ---- API-generation negotiation + endpoint shapes ----
+
+  /** Per-baseUrl negotiated generation (driver-side; one probe ever). */
+  private val negotiated =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Resolve `apiVersion` ("v1" | "v2" | "auto") against `baseUrl`.
+    * Auto probes GET /api/v2/heartbeat ONCE per baseUrl: a 2xx means the
+    * server speaks v2; any HTTP error status means v1 (0.4/0.5 servers
+    * 404 the path). A TRANSPORT failure (refused, DNS, timeout) is NOT a
+    * version signal — it propagates, because every later call would fail
+    * the same way and "v1" would mislabel the real problem. */
+  private[sources] def resolveApiVersion(baseUrl: String, apiVersion: String,
+                                         timeoutMs: Int): String =
+    apiVersion match {
+      case "v1" | "v2" => apiVersion
+      case "auto" => negotiated.computeIfAbsent(baseUrl, b =>
+        if (getStatus(s"$b/api/v2/heartbeat", timeoutMs) / 100 == 2) "v2" else "v1")
+      case other => throw new IllegalArgumentException(
+        s"apiVersion must be v1, v2 or auto, got '$other'")
+    }
+
+  private def createUrl(base: String, v: String,
+                        tenant: String, database: String): String = v match {
+    case "v1" => s"$base/api/v1/collections?tenant=${enc(tenant)}&database=${enc(database)}"
+    case _ => s"$base/api/v2/tenants/${enc(tenant)}/databases/${enc(database)}/collections"
+  }
+
+  private def recordsUrl(base: String, v: String, tenant: String,
+                         database: String, collId: String, verb: String): String = v match {
+    case "v1" => s"$base/api/v1/collections/$collId/$verb"
+    case _ => s"$base/api/v2/tenants/${enc(tenant)}/databases/${enc(database)}" +
+      s"/collections/$collId/$verb"
+  }
+
   /** Resolve (get-or-create) the server-side collection id — driver-side,
     * one call. `space` rides as Chroma's `hnsw:space` metadata. */
   def resolveCollectionId(baseUrl: String, name: String,
                           space: String = "l2",
                           tenant: String = "default_tenant",
                           database: String = "default_database",
-                          timeoutMs: Int = 30000): String = {
+                          timeoutMs: Int = 30000,
+                          apiVersion: String = "auto"): String = {
+    val v = resolveApiVersion(baseUrl, apiVersion, timeoutMs)
     val body = s"""{"name":${jstr(name)},"get_or_create":true,""" +
       s""""metadata":{"hnsw:space":${jstr(space)}}}"""
-    val resp = post(
-      s"$baseUrl/api/v1/collections?tenant=${enc(tenant)}&database=${enc(database)}",
-      body, timeoutMs)
+    val resp = post(createUrl(baseUrl, v, tenant, database), body, timeoutMs)
     // minimal extraction of "id":"..." — the response is a flat object;
     // a full JSON parser would be the sink's only dependency
     val m = """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(resp)
@@ -73,18 +118,69 @@ object ChromaRestSink {
           database: String = "default_database",
           batchSize: Int = 5000,
           maxRetries: Int = 5,
-          timeoutMs: Int = 60000): Long = {
-    val collId = resolveCollectionId(baseUrl, collectionName, space, tenant, database)
-    addResolved(df, baseUrl, collId, batchSize, maxRetries, timeoutMs)
+          timeoutMs: Int = 60000,
+          apiVersion: String = "auto"): Long =
+    pushRecords(df, baseUrl, collectionName, space, tenant, database,
+      batchSize, maxRetries, timeoutMs, apiVersion, "add")
+
+  /** Bulk upsert — the same wire payload as [[add]] to the `/upsert`
+    * endpoint: existing ids REPLACE, new ids insert (Chroma's upsert
+    * semantics). This is the replay-safe verb for refreshing a curated
+    * export — add's duplicate-id rejection would refuse the second push
+    * of a re-curated set, upsert makes the whole job IDEMPOTENT (exactly-
+    * once effect under at-least-once delivery). */
+  def upsert(df: DataFrame, baseUrl: String, collectionName: String,
+             space: String = "l2",
+             tenant: String = "default_tenant",
+             database: String = "default_database",
+             batchSize: Int = 5000,
+             maxRetries: Int = 5,
+             timeoutMs: Int = 60000,
+             apiVersion: String = "auto"): Long =
+    pushRecords(df, baseUrl, collectionName, space, tenant, database,
+      batchSize, maxRetries, timeoutMs, apiVersion, "upsert")
+
+  /** Bulk delete by id: every partition posts its `id` column in
+    * `{"ids":[..]}` batches to the `/delete` endpoint — the retire half
+    * of a curated refresh (upsert the new cut, delete the rows that fell
+    * out of it). Deleting an absent id is a server-side no-op, so
+    * at-least-once replays are harmless; returns ids pushed. */
+  def deleteIds(df: DataFrame, baseUrl: String, collectionName: String,
+                space: String = "l2",
+                tenant: String = "default_tenant",
+                database: String = "default_database",
+                batchSize: Int = 5000,
+                maxRetries: Int = 5,
+                timeoutMs: Int = 60000,
+                apiVersion: String = "auto"): Long = {
+    require(df.columns.contains("id"), "ChromaRestSink.deleteIds needs an `id` column")
+    val v = resolveApiVersion(baseUrl, apiVersion, timeoutMs)
+    val collId = resolveCollectionId(baseUrl, collectionName, space, tenant,
+      database, timeoutMs, v)
+    val url = recordsUrl(baseUrl, v, tenant, database, collId, "delete")
+    val ids = df.select("id")
+    val schema = ids.schema
+    pushPartitions(ids, url, batchSize, maxRetries, timeoutMs,
+      "chroma_rest_deletes", (batch, _) => idsJson(batch, schema))
   }
 
-  /** [[add]] against an already-resolved collection id (the streaming
-    * form resolves once and reuses). */
-  private def addResolved(df: DataFrame, baseUrl: String, collId: String,
-                          batchSize: Int, maxRetries: Int,
-                          timeoutMs: Int): Long = {
-    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
-    require(df.columns.contains("id"), "ChromaRestSink.add needs an `id` column")
+  private def pushRecords(df: DataFrame, baseUrl: String, collectionName: String,
+                          space: String, tenant: String, database: String,
+                          batchSize: Int, maxRetries: Int, timeoutMs: Int,
+                          apiVersion: String, verb: String): Long = {
+    val v = resolveApiVersion(baseUrl, apiVersion, timeoutMs)
+    val collId = resolveCollectionId(baseUrl, collectionName, space, tenant,
+      database, timeoutMs, v)
+    recordsResolved(df, recordsUrl(baseUrl, v, tenant, database, collId, verb),
+      batchSize, maxRetries, timeoutMs)
+  }
+
+  /** [[add]]/[[upsert]] against an already-resolved endpoint URL (the
+    * streaming form resolves once and reuses). */
+  private def recordsResolved(df: DataFrame, url: String,
+                              batchSize: Int, maxRetries: Int,
+                              timeoutMs: Int): Long = {
+    require(df.columns.contains("id"), "ChromaRestSink needs an `id` column")
     // LOUD on a reserved name with the wrong type: a STRING `embedding`
     // (say a JSON-serialized vector) qualifies neither as embeddings nor
     // as metadata (reserved name) — it would vanish from the wire
@@ -97,12 +193,21 @@ object ChromaRestSink {
       f.dataType == StringType,
       s"`document` must be STRING, got ${f.dataType.simpleString} — " +
         "rename the column if it is not the document text"))
-    val url = s"$baseUrl/api/v1/collections/$collId/add"
+    pushPartitions(df, url, batchSize, maxRetries, timeoutMs,
+      "chroma_rest_rows", batchJson)
+  }
+
+  /** The shared per-partition batch loop: `bodyOf` renders one batch. */
+  private def pushPartitions(df: DataFrame, url: String, batchSize: Int,
+                             maxRetries: Int, timeoutMs: Int,
+                             counterName: String,
+                             bodyOf: (Seq[Row], StructType) => String): Long = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val schema = df.schema
-    val counter = df.sparkSession.sparkContext.longAccumulator("chroma_rest_rows")
+    val counter = df.sparkSession.sparkContext.longAccumulator(counterName)
     df.foreachPartition { rows: Iterator[Row] =>
       rows.grouped(batchSize).foreach { batch =>
-        postWithRetry(url, batchJson(batch, schema), maxRetries, timeoutMs)
+        postWithRetry(url, bodyOf(batch, schema), maxRetries, timeoutMs)
         counter.add(batch.size.toLong)
       }
     }
@@ -120,15 +225,19 @@ object ChromaRestSink {
                       database: String = "default_database",
                       batchSize: Int = 5000,
                       maxRetries: Int = 5,
-                      timeoutMs: Int = 60000): (DataFrame, Long) => Unit = {
+                      timeoutMs: Int = 60000,
+                      apiVersion: String = "auto"): (DataFrame, Long) => Unit = {
     // driver-side one-slot cache; foreachBatch bodies run on the driver
-    var collId: Option[String] = None
+    var addUrl: Option[String] = None
     (batch, _) => {
       if (!batch.isEmpty) {
-        if (collId.isEmpty)
-          collId = Some(resolveCollectionId(baseUrl, collectionName, space,
-            tenant, database, timeoutMs))
-        addResolved(batch, baseUrl, collId.get, batchSize, maxRetries, timeoutMs)
+        if (addUrl.isEmpty) {
+          val v = resolveApiVersion(baseUrl, apiVersion, timeoutMs)
+          val collId = resolveCollectionId(baseUrl, collectionName, space,
+            tenant, database, timeoutMs, v)
+          addUrl = Some(recordsUrl(baseUrl, v, tenant, database, collId, "add"))
+        }
+        recordsResolved(batch, addUrl.get, batchSize, maxRetries, timeoutMs)
       }
       (): Unit
     }
@@ -209,6 +318,20 @@ object ChromaRestSink {
     sb.toString
   }
 
+  /** One delete-payload: `{"ids":[..]}` — same null-id posture as add. */
+  private[sources] def idsJson(batch: Seq[Row], schema: StructType): String = {
+    val idIdx = schema.fieldIndex("id")
+    val sb = new StringBuilder(256)
+    sb.append("{\"ids\":[")
+    appendJoined(sb, batch) { r =>
+      require(!r.isNullAt(idIdx),
+        "ChromaRestSink: null `id` in a delete batch — filter ids before the sink")
+      sb.append(jstr(String.valueOf(r.get(idIdx))))
+    }
+    sb.append("]}")
+    sb.toString
+  }
+
   private def appendJoined(sb: StringBuilder, batch: Seq[Row])(one: Row => Unit): Unit = {
     var first = true
     batch.foreach { r =>
@@ -269,6 +392,28 @@ object ChromaRestSink {
     java.net.URLEncoder.encode(s, "UTF-8")
 
   // ---- transport (JDK-only: HttpURLConnection, keep-alive by default) ----
+
+  /** One GET returning the HTTP status (the negotiation probe). Response
+    * body is drained so the connection returns to the keep-alive pool;
+    * transport failures propagate (see [[resolveApiVersion]]). */
+  private[sources] def getStatus(url: String, timeoutMs: Int): Int = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      if (stream != null) {
+        val tmp = new Array[Byte](8192)
+        while (stream.read(tmp) >= 0) ()
+        stream.close()
+      }
+      code
+    } catch {
+      case e: Throwable => conn.disconnect(); throw e
+    }
+  }
 
   private[sources] def post(url: String, body: String, timeoutMs: Int): String = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]

@@ -170,6 +170,113 @@ class ChromaRestSinkSpec extends SparkTestBase {
     }
   }
 
+  /** A v2-shaped fake Chroma (chromadb >= 0.6/1.x): /api/v2/heartbeat
+    * answers, collections nest under tenant/database path segments, and —
+    * like a real current server — every /api/v1 path answers 410 Gone.
+    * Records each (verb, body) it accepts. */
+  private def withFakeChromaV2[T](
+      body: (String, ConcurrentLinkedQueue[(String, String)]) => T): T = {
+    val recorded = new ConcurrentLinkedQueue[(String, String)]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: HttpExchange, code: Int, payload: String): Unit = {
+      val bytes = payload.getBytes(UTF_8)
+      ex.sendResponseHeaders(code, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+    server.createContext("/api/v1", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      respond(ex, 410, """{"error":"Gone: v1 API is removed, use /api/v2"}""")
+    })
+    server.createContext("/api/v2/heartbeat", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      respond(ex, 200, """{"nanosecond heartbeat":1}""")
+    })
+    server.createContext("/api/v2/tenants", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val payload = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      // only the canonical nested shape is answered — a malformed path
+      // (e.g. the v1 query-param form against v2) must fail the test
+      val okBase = path.startsWith("/api/v2/tenants/t1/databases/db1/collections")
+      if (!okBase) respond(ex, 404, s"""{"error":"bad path $path"}""")
+      else if (path.endsWith("/collections")) {
+        recorded.add(("create", payload))
+        respond(ex, 200, """{"id":"v2-coll-id","name":"docs"}""")
+      } else {
+        val verb = path.substring(path.lastIndexOf('/') + 1)
+        if (!path.contains("/collections/v2-coll-id/"))
+          respond(ex, 404, """{"error":"unknown collection"}""")
+        else { recorded.add((verb, payload)); respond(ex, 201, "true") }
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}", recorded)
+    finally server.stop(0)
+  }
+
+  test("auto-negotiation: a v2 server is detected and spoken through the nested path") {
+    withFakeChromaV2 { (url, recorded) =>
+      val pushed = ChromaRestSink.add(frame(6).coalesce(1), url, "docs",
+        tenant = "t1", database = "db1", batchSize = 4)
+      assert(pushed == 6)
+      val ops = recorded.toArray(Array.empty[(String, String)])
+      assert(ops.head._1 == "create" && ops.head._2.contains("\"get_or_create\":true"))
+      assert(ops.count(_._1 == "add") == 2) // 6 rows, batchSize 4
+    }
+  }
+
+  test("explicit apiVersion=v1 against a v2-only server fails loudly with the 410") {
+    withFakeChromaV2 { (url, _) =>
+      val e = intercept[IllegalStateException] {
+        ChromaRestSink.add(frame(2).coalesce(1), url, "docs",
+          tenant = "t1", database = "db1", apiVersion = "v1")
+      }
+      assert(e.getMessage.contains("410"))
+    }
+  }
+
+  test("upsert posts the add payload shape to /upsert (idempotent refresh verb)") {
+    withFakeChromaV2 { (url, recorded) =>
+      val pushed = ChromaRestSink.upsert(frame(5).coalesce(1), url, "docs",
+        tenant = "t1", database = "db1")
+      assert(pushed == 5)
+      val ups = recorded.toArray(Array.empty[(String, String)]).filter(_._1 == "upsert")
+      assert(ups.length == 1)
+      assert(ups.head._2.contains("\"ids\":[") &&
+        ups.head._2.contains("\"embeddings\":[["))
+    }
+  }
+
+  test("deleteIds posts id-only batches to /delete; null ids fail loudly") {
+    withFakeChromaV2 { (url, recorded) =>
+      val pushed = ChromaRestSink.deleteIds(
+        frame(7).select(col("id")).coalesce(1), url, "docs",
+        tenant = "t1", database = "db1", batchSize = 3)
+      assert(pushed == 7)
+      val dels = recorded.toArray(Array.empty[(String, String)]).filter(_._1 == "delete")
+      assert(dels.length == 3) // 7 ids, batchSize 3
+      dels.foreach { case (_, b) =>
+        assert(b.startsWith("{\"ids\":[") && !b.contains("embeddings"))
+      }
+      val withNull = spark.range(2).select(
+        when(col("id") === 0, lit(null)).otherwise(col("id"))
+          .cast("string").as("id"))
+      intercept[org.apache.spark.SparkException] {
+        ChromaRestSink.deleteIds(withNull.coalesce(1), url, "docs",
+          tenant = "t1", database = "db1")
+      }
+    }
+  }
+
+  test("a v1-only server keeps negotiating to the v1 leg (back-compat intact)") {
+    withFakeChroma() { (url, adds) =>
+      // no /api/v2/heartbeat on the fake → probe 404s → v1 chosen
+      val pushed = ChromaRestSink.add(frame(3).coalesce(1), url, "docs")
+      assert(pushed == 3 && adds.size() == 1)
+    }
+  }
+
   test("streaming foreachBatch form pushes each microbatch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
