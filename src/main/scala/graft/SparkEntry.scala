@@ -1605,8 +1605,7 @@ object SparkEntry {
       // see BASELINE r11). The override lives on a CLONED session (shared
       // SparkContext, isolated SQL conf), so concurrent work on the main
       // session never plans with it and no finally-restore can leak.
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val s2 = StreamingHydrator.streamingSession(s, partitions = 8)
       implicit val sqlc: org.apache.spark.sql.SQLContext = s2.sqlContext
       import s2.implicits._
       val lMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
@@ -1659,8 +1658,7 @@ object SparkEntry {
       val rRows = base.filter(_._1 % 2 == 1).map { case (i, u) => (u, ts(i), i) }
       // same state-store economics as q142 (4 stores/partition/batch):
       // 8 partitions on a cloned session, main session untouched
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val s2 = StreamingHydrator.streamingSession(s, partitions = 8)
       implicit val sqlc: org.apache.spark.sql.SQLContext = s2.sqlContext
       import s2.implicits._
       val lMem = MemoryStream[(Long, java.sql.Timestamp, Long)]
@@ -1727,8 +1725,7 @@ object SparkEntry {
       def rows(lo: Long, hi: Long) = base
         .filter { case (i, _) => i >= lo && i < hi }
         .map { case (i, t) => (i.toString, ts(i), t) }
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val s2 = StreamingHydrator.streamingSession(s, partitions = 8)
       implicit val sqlc: org.apache.spark.sql.SQLContext = s2.sqlContext
       import s2.implicits._
       val mem = MemoryStream[(String, java.sql.Timestamp, String)]

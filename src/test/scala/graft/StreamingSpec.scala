@@ -354,4 +354,18 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, 100L, 500L), (2L, 200L, -1L)),
       s"expected the match plus exactly one expiry null row, got $rows")
   }
+
+  test("streamingSession: explicit state-store dial, clamped heuristic, parent untouched") {
+    val parentBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val pinned = StreamingHydrator.streamingSession(spark, partitions = 8)
+    assert(pinned.conf.get("spark.sql.shuffle.partitions") == "8")
+    // default heuristic: defaultParallelism/4 clamped to [8, 200] — on
+    // the local[8] test session that clamps UP to the floor of 8
+    val auto = StreamingHydrator.streamingSession(spark)
+    val n = auto.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(n >= 8 && n <= 200)
+    // conf isolation: the parent session's planner never sees the dial
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parentBefore)
+    assert(pinned.sparkContext eq spark.sparkContext)
+  }
 }
