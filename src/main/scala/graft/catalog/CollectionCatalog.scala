@@ -985,7 +985,10 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       require(d == ef.dim,
         s"embedding function dim ${ef.dim} != collection dimension $d")
     }
-    val embedded = batch.withColumn("embedding", ef.embedText(col("document")))
+    // embedFrame: the compiled-expression embedders keep the zero-extra-
+    // pass column path; a ModelEmbeddingFunction takes its per-partition
+    // BATCHED inference shape here instead
+    val embedded = ef.embedFrame(batch, "document", "embedding")
     // Null-document gate for EVERY space (chromadb raises on None
     // documents too): HashEmbed is null-safe, so a null document would
     // otherwise commit a null embedding silently — and null distances
@@ -1091,6 +1094,9 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     val ef = graft.operators.TfIdfSrpEmbedder.fit(cur, "document", dim, vocabSize)
     val expected = m.copy(metadata =
       m.metadata + ("embedding_model_fp" -> Collection.modelFp(ef.modelText)))
+    // in-place column REPLACE (refit's ef is always the fitted TF-IDF
+    // family — compiled column path; embedFrame would append at the end
+    // and silently reorder the stored layout)
     writeVersion(cur.withColumn("embedding", ef.embedText(col("document"))),
       expected, repack = true,
       beforeCommit = () => io.writeBytes(new Path(dir, Collection.EmbedderSidecar),

@@ -35,6 +35,13 @@ sealed trait EmbeddingFunction {
   /** Driver-side form for query texts — MUST agree bit-for-bit with
     * [[embedText]] (shared implementation, spec-pinned). */
   def embedOne(text: String): Seq[Float]
+  /** Frame form of [[embedText]] — what every store write path calls.
+    * Compiled-expression embedders keep the zero-overhead column path
+    * (this default); batched MODEL functions override it with the
+    * per-partition batch shape ([[ModelEmbeddingFunction.embedFrame]]). */
+  def embedFrame(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 outCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn(outCol, embedText(col(textCol)))
 }
 
 /** Deterministic signed feature-hashing embedder (see [[HashEmbed]]). */
@@ -57,6 +64,97 @@ final case class HashingEmbedder(dim: Int) extends EmbeddingFunction {
     HashEmbed.embed(
       org.apache.spark.unsafe.types.UTF8String.fromString(text)
         .toLowerCase.toString, dim).toSeq
+  }
+}
+
+/** The plug point for REAL model-backed embedding functions — the seam a
+  * deployment fills with an ONNX Runtime session, a JNI-wrapped encoder,
+  * or an RPC to a serving tier. The reference plans exactly this future
+  * (auto-generated embeddings via "proprietary or open-source embedding
+  * models", README.md:40, with `transformers` an optional dependency,
+  * README.md:56); this offline build ships no model weights, so the
+  * CONTRACT is the deliverable: implement [[embedBatch]], register the
+  * instance under its binding name ([[Embedder.register]]) in every
+  * driver process before opening collections bound to it, and every
+  * store surface (addDocuments, queryText, streaming hydration) resolves
+  * it exactly like the built-ins — binding recorded in collection
+  * metadata, name conflicts loud.
+  *
+  * Batch shape: the distributed path hands [[embedBatch]] up to
+  * [[batchSize]] non-null texts at a time from a per-partition iterator
+  * (mapPartitions — ONE runtime call per batch, the input-tensor shape
+  * an ONNX session wants), never one call per row. The function object
+  * serializes into the task closure, so hold the runtime session in a
+  * `@transient lazy val` — each executor JVM then opens its own on first
+  * use (the standard ONNX-on-Spark pattern).
+  *
+  * Determinism, stated rather than hidden: real neural inference is
+  * generally NOT bit-replayable across hardware (GPU kernels, FMA
+  * contraction), so collections bound to a model function keep the
+  * store's same-function guard but their vectors are not SQL-oracle-
+  * replayable the way the built-in hash/TF-IDF functions are — which is
+  * why the spec pins this seam with a deterministic toy model instead.
+  */
+trait ModelEmbeddingFunction extends EmbeddingFunction with Serializable {
+
+  /** Max texts per [[embedBatch]] call (the inference tensor's leading
+    * dimension). Override per model/hardware. */
+  def batchSize: Int = 64
+
+  /** One inference call: `texts.size <= batchSize`, never empty, no
+    * nulls; returns exactly one `dim`-length vector per input, in input
+    * order. */
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]]
+
+  final override def embedOne(text: String): Seq[Float] = {
+    val out = embedBatch(Seq(text))
+    require(out.size == 1 && out.head.length == dim,
+      s"embedding function '$name' returned ${out.size} vectors of dims " +
+        s"${out.map(_.length).distinct.mkString(",")} for one text (dim=$dim)")
+    out.head.toSeq
+  }
+
+  /** Row-at-a-time Column fallback (a batch-of-1 inference per row) so
+    * the full EmbeddingFunction surface holds; every store write path
+    * routes through the BATCHED [[embedFrame]] instead. */
+  override def embedText(text: Column): Column =
+    udf((t: String) => if (t == null) null else embedOne(t).toArray)
+      .apply(text)
+
+  /** The batched distributed form: per-partition iterator → grouped
+    * [[batchSize]] chunks → one [[embedBatch]] call each. Null texts
+    * never reach the model and map to null embeddings (the same
+    * null-safety the compiled HashEmbed path has — the store's own
+    * null-document gate then rejects them loudly pre-commit). Ragged or
+    * miscounted model output fails the task, never commits. */
+  override def embedFrame(df: org.apache.spark.sql.DataFrame, textCol: String,
+                          outCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+    val inSchema = df.schema
+    require(!inSchema.fieldNames.contains(outCol),
+      s"embedFrame output column '$outCol' already exists")
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = true))
+    val idx = inSchema.fieldIndex(textCol)
+    val bs = batchSize
+    require(bs > 0, s"batchSize must be positive, got $bs")
+    val d = dim
+    val nm = name
+    df.mapPartitions { it =>
+      it.grouped(bs).flatMap { rows =>
+        val texts = rows.collect { case r if !r.isNullAt(idx) => r.getString(idx) }
+        val vecs = if (texts.isEmpty) Seq.empty[Array[Float]] else embedBatch(texts)
+        require(vecs.size == texts.size,
+          s"embedding function '$nm' returned ${vecs.size} vectors for ${texts.size} texts")
+        vecs.foreach(v => require(v.length == d,
+          s"embedding function '$nm' returned a ${v.length}-dim vector (dim=$d)"))
+        val next = vecs.iterator
+        rows.map { r =>
+          val v: Any = if (r.isNullAt(idx)) null else next.next().toSeq
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }
 
@@ -140,6 +238,31 @@ object Embedder {
   val HashV1Prefix = "graft-hash-v1/"
   val TfIdfV1Prefix = "graft-tfidf-srp-v1/"
 
+  /** Registered model-backed functions, by binding name (JVM-wide;
+    * executors receive the instance via task closures, so only the
+    * DRIVER registry participates in resolution). */
+  private val registeredModels =
+    new java.util.concurrent.ConcurrentHashMap[String, ModelEmbeddingFunction]()
+
+  /** Register a [[ModelEmbeddingFunction]] under its binding name so
+    * collections recording that name resolve it like a built-in. LOUD on
+    * a reserved built-in prefix and on re-registering a name with a
+    * DIFFERENT instance — silently swapping the model behind a live
+    * binding would make stored and query vectors disagree with no error
+    * (the exact failure the binding discipline exists to prevent). */
+  def register(ef: ModelEmbeddingFunction): Unit = {
+    require(!ef.name.startsWith(HashV1Prefix) && !ef.name.startsWith(TfIdfV1Prefix),
+      s"embedding-function name '${ef.name}' uses a reserved built-in prefix")
+    require(ef.dim > 0, s"embedding dim must be positive, got ${ef.dim}")
+    val prev = registeredModels.putIfAbsent(ef.name, ef)
+    require(prev == null || (prev eq ef),
+      s"embedding function '${ef.name}' is already registered with a different " +
+        "instance — unregister it first if the swap is intentional")
+  }
+
+  /** Remove a registered model function (tests, controlled swaps). */
+  def unregister(name: String): Boolean = registeredModels.remove(name) != null
+
   /** Resolve a recorded collection embedding function by name — LOUD on an
     * unknown name: silently falling back to some default embedder would
     * query stored vectors with a different function (garbage distances,
@@ -156,8 +279,11 @@ object Embedder {
       throw new IllegalArgumentException(
         s"embedding function '$name' is FITTED — it must be resolved through its " +
           "collection's model sidecar, not by name")
-    case other => throw new IllegalArgumentException(
-      s"unknown embedding function '$other' (known: ${HashV1Prefix}<dim>, ${TfIdfV1Prefix}<dim>)")
+    case other => Option(registeredModels.get(other)).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown embedding function '$other' (known: ${HashV1Prefix}<dim>, " +
+          s"${TfIdfV1Prefix}<dim>, registered model functions: " +
+          s"${java.util.Collections.list(registeredModels.keys()).toArray.mkString("[", ", ", "]")})"))
   }
 
   /** Parse a FIT-SPEC name — `graft-tfidf-srp-v1/<dim>[?vocab=<n>]` —
