@@ -99,15 +99,27 @@ object StreamingHydrator {
       orderCol: Option[String] = None,
       refreshIvf: Boolean = false,
       refreshDoc: Boolean = true,
+      refreshKeyword: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(refreshDoc || refreshIvf,
-      "hydrateIndexed with refreshDoc=false and refreshIvf=false refreshes " +
-        "nothing — use hydrate() for an index-free sink")
+    require(refreshDoc || refreshIvf || refreshKeyword,
+      "hydrateIndexed with refreshDoc=false, refreshIvf=false and " +
+        "refreshKeyword=false refreshes nothing — use hydrate() for an " +
+        "index-free sink")
     // the document-column probe re-reads meta and re-infers the parquet
     // schema (listing + footer reads) — once proven present it stays
     // present for the stream's lifetime (upsert only ADDS columns), so
-    // probe on the first batch only, not per microbatch
+    // probe on the first batch only, not per microbatch. The probe gates
+    // BOTH document-derived families (postings + keyword stats).
     var docColumnProven = false
+    def proveDocColumn(family: String, flag: String): Unit = {
+      if (!docColumnProven) {
+        require(collection.toDF.columns.contains("document"),
+          s"collection '${collection.name}' carries no 'document' column — " +
+            s"a $family index cannot be refreshed; pass $flag = false " +
+            "for an embedding-only stream")
+        docColumnProven = true
+      }
+    }
     rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -116,14 +128,12 @@ object StreamingHydrator {
         if (!batch.isEmpty) {
           collection.upsert(batch, orderCol)
           if (refreshDoc) {
-            if (!docColumnProven) {
-              require(collection.toDF.columns.contains("document"),
-                s"collection '${collection.name}' carries no 'document' column — " +
-                  "a postings index cannot be refreshed; pass refreshDoc = false " +
-                  "for an embedding-only stream")
-              docColumnProven = true
-            }
+            proveDocColumn("postings", "refreshDoc")
             collection.refreshDocIndex()
+          }
+          if (refreshKeyword) {
+            proveDocColumn("keyword-stats", "refreshKeyword")
+            collection.refreshKeywordIndex()
           }
           if (refreshIvf) collection.refreshIndex()
           (): Unit

@@ -61,6 +61,31 @@ class StreamingSpec extends SparkTestBase {
       .select("id").as[String].collect().toSet == Set("1", "2", "3"))
   }
 
+  test("hydrateIndexed keeps the keyword-stats sidecar current; served scores equal the scan") {
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new CollectionCatalog(spark, tmp("stream-kwx"), numBuckets = 4)
+    val coll = cat.getOrCreateCollection("sk")
+    val mem = MemoryStream[(String, String, Long)]
+    val rows = mem.toDF.toDF("id", "document", "ver")
+    val q = StreamingHydrator.hydrateIndexed(rows, coll, tmp("ckpt-kwx"),
+      Some("ver"), refreshDoc = false, refreshKeyword = true,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)).start()
+    try {
+      mem.addData(("1", "spark hash join", 1L), ("2", "stream processing", 1L))
+      q.processAllAvailable()
+      assert(coll.hasKeywordIndex, "batch 1 must leave a committed keyword sidecar")
+      mem.addData(("3", "hash tables everywhere", 2L), ("2", "hash stream rewrite", 2L))
+      q.processAllAvailable()
+      assert(coll.hasKeywordIndex, "batch 2's refresh must re-commit at the new version")
+    } finally q.stop()
+    val viaIdx = coll.keywordTopK(Seq("hash", "stream"), 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val viaScan = graft.operators.Retrieval
+      .bm25TopK(coll.toDF, "id", "document", Seq("hash", "stream"), 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(viaIdx.toSeq == viaScan.toSeq)
+  }
+
   test("hydrateIndexed serves embedding-only streams with refreshDoc=false; doc-less refreshDoc is LOUD") {
     implicit val sqlCtx = spark.sqlContext
     val cat = new CollectionCatalog(spark, tmp("stream-emb"), numBuckets = 4)
