@@ -371,4 +371,35 @@ class PropertySpec extends SparkTestBase {
     assert(diverse.distinct.size == diverse.size)
     assert(diverse.toSet.subsetOf(pool))
   }
+
+  test("property: KeywordIndex bm25 ≡ Retrieval scan bm25 bit-for-bit on random corpora") {
+    // random corpora over a small vocabulary (guaranteed term overlap,
+    // repeats → tf>1, shared terms → df>1) + random case/whitespace noise;
+    // the sidecar must reproduce the scan's (id, rnk, score) EXACTLY —
+    // raw doubles, not rounded — across several generated worlds
+    val vocab = Vector("hash", "join", "stream", "sort", "merge", "SCAN", "Shuffle")
+    val docGen: Gen[String] = for {
+      n <- Gen.chooseNum(1, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+      sep <- Gen.oneOf(" ", "  ", " \t ")
+    } yield ws.mkString(sep)
+    for (seed <- 11L to 13L) {
+      val texts = sample(Gen.listOfN(40, docGen), seed)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toString, t) }.toDF("id", "document")
+      val terms = Seq("hash", "join", "scan") // note: lowercased query side
+      val path = tmpDir(s"kwx-prop-$seed")
+      graft.operators.KeywordIndex.writeWithPb(docs, "id", "document",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("id")), lit(3)), path)
+      val scan = graft.operators.Retrieval.bm25TopK(docs, "id", "document", terms, 15)
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2))))
+      val idx = graft.operators.KeywordIndex.bm25TopK(
+          spark.read.parquet(path), terms, 15)
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2))))
+      assert(idx.toSeq == scan.toSeq, s"seed $seed diverged")
+    }
+  }
 }
