@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.catalog.CollectionCatalog
+import graft.catalog.{Collection, CollectionCatalog}
 import graft.functions.{Distances, TextAnalysis}
 import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Events, HashingEmbedder, Knn, Lm, Mixture, Multimodal, Retrieval, Sketches, Skew, TfIdfSrpEmbedder}
 
@@ -43,6 +43,35 @@ object SparkEntry {
   }
   private def verifyCollectionsRoot(dir: String): String =
     s"$collectionsBase/sf_${dir.hashCode.toLong & 0xffffffffL}"
+
+  /** The fingerprint-cached keyword-indexed collection shared by q154 and
+    * q157 (the sidecar BM25 read and the indexed hybrid fusion): the full
+    * documents table hydrated THROUGH an incremental keyword-index
+    * refresh (bulk add + build, then an upsert slice + refresh, which
+    * rebuilds only touched id buckets and carries the rest by manifest). */
+  private def kwxCollection(s: SparkSession, dir: String): Collection = {
+    val docs = t(s, dir, "documents")
+    val root = verifyCollectionsRoot(dir)
+    val cat = new CollectionCatalog(s, root, numBuckets = 8)
+    val fp = s"kwx1|$dir|n=${docs.count()}"
+    val reusable = cat.getCollection("kwx").exists(c =>
+      c.meta.metadata.get("source_fp").contains(fp) && c.hasKeywordIndex)
+    val coll = if (reusable) cat.getCollection("kwx").get else {
+      cat.deleteCollection("kwx")
+      val c = cat.getOrCreateCollection("kwx")
+      val all = docs.select(col("doc_id").cast("string").as("id"),
+        col("text").as("document"))
+      c.add(all.filter(col("id").cast("long") % 7 =!= 3))
+      c.buildKeywordIndex()
+      c.upsert(all.filter(col("id").cast("long") % 7 === 3))
+      val rebuilt = c.refreshKeywordIndex()
+      require(rebuilt > 0, "kwx must exercise an incremental refresh")
+      c.modifyMetadata(Map("source_fp" -> fp))
+      c
+    }
+    require(coll.hasKeywordIndex, "kwx must serve through the keyword sidecar")
+    coll
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a long
     * (nanos) via this legacy flag; DuckDB truncates the same values to µs.
@@ -980,30 +1009,82 @@ object SparkEntry {
         .select(col("id"), col("lang"), col("n_chars"))
         .orderBy(col("id").cast("long"))
     }),
-    "q154_kwindex_bm25" -> ((s, dir) => {
+    "q154_kwindex_bm25" -> ((s, dir) =>
+      kwxCollection(s, dir).keywordTopK(Seq("hash", "join", "stream"), 20)
+        .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
+        .orderBy("rnk")),
+    // Hybrid retrieval THROUGH the sidecar: q67's reciprocal-rank fusion
+    // with the keyword leg served index-confined (KeywordIndex via the
+    // kwx collection — per-query cost O(matching postings), the shape a
+    // RAG stack actually runs per user query at 100 TB) instead of q67's
+    // O(corpus) re-explode. Fusion math identical; ids are the store's
+    // STRINGS, so ranks/ties replay on VARCHAR order in the oracle.
+    "q157_hybrid_rrf_indexed" -> ((s, dir) => {
+      val kw = kwxCollection(s, dir)
+        .keywordTopK(Seq("hash", "join", "stream"), 50)
+        .select(col("id"), col("rnk"))
+      val qv = headVec(t(s, dir, "embeddings"), 0)
+      val vr = Knn.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          qv, 50, "cosine", excludeIds = Seq(0))
+        .select(col("vec_id").cast("string").as("id"), row_number().over(
+          Window.orderBy(col("dist"), col("vec_id"))).as("rnk"))
+      Retrieval.rrf(Seq(kw, vr), "id", "rnk")
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+    }),
+    // The full RAG read path as ONE collection call: queryHybridText —
+    // the query text drives the keyword leg (corpus tokenization rule →
+    // sidecar-served BM25 top-fetchN) AND the vector leg (the RECORDED
+    // embedding function → exact cosine top-fetchN), fused by
+    // reciprocal-rank fusion. The oracle replays the whole composition
+    // from raw text: hash-embedding fit-free replay (q115's machinery),
+    // the BM25 fold, both rank windows, and the rrf arithmetic.
+    "q158_hybrid_text" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val root = verifyCollectionsRoot(dir)
       val cat = new CollectionCatalog(s, root, numBuckets = 8)
-      val fp = s"kwx1|$dir|n=${docs.count()}"
-      val reusable = cat.getCollection("kwx").exists(c =>
+      val fp = s"hyx1|$dir|n=${docs.count()}"
+      val reusable = cat.getCollection("hyx").exists(c =>
         c.meta.metadata.get("source_fp").contains(fp) && c.hasKeywordIndex)
-      val coll = if (reusable) cat.getCollection("kwx").get else {
-        cat.deleteCollection("kwx")
-        val c = cat.getOrCreateCollection("kwx")
-        val all = docs.select(col("doc_id").cast("string").as("id"),
-          col("text").as("document"))
-        c.add(all.filter(col("id").cast("long") % 7 =!= 3))
+      val coll = if (reusable) cat.getCollection("hyx").get else {
+        cat.deleteCollection("hyx")
+        val c = cat.getOrCreateCollection("hyx", space = "cosine")
+        c.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
+          col("text").as("document")), HashingEmbedder(16))
         c.buildKeywordIndex()
-        c.upsert(all.filter(col("id").cast("long") % 7 === 3))
-        val rebuilt = c.refreshKeywordIndex()
-        require(rebuilt > 0, "q154 must exercise an incremental refresh")
         c.modifyMetadata(Map("source_fp" -> fp))
         c
       }
-      require(coll.hasKeywordIndex, "q154 must serve through the keyword sidecar")
-      coll.keywordTopK(Seq("hash", "join", "stream"), 20)
-        .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
-        .orderBy("rnk")
+      require(coll.hasKeywordIndex, "q158 must serve the keyword leg through the sidecar")
+      coll.queryHybridText("hash join stream", k = 20, fetchN = 50)
+        .select(col("id"), roundz(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+    }),
+    // The plain-Spark-SQL WRITE surface (q155's other half): hydration
+    // through `df.write.format("graft")` — overwrite (create fresh), a
+    // disjoint append (add gates), then an overlapping latest-wins
+    // upsert — read back through the same source. Every mode routes
+    // through the collection API's own commit protocol; the oracle
+    // replays the final merged state from the raw table.
+    "q156_dsv2_write" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      def part(m: Long) = docs.filter(col("doc_id") % 3 === m)
+        .select(col("doc_id").cast("string").as("id"),
+          col("text").as("document"), col("lang"), col("n_chars"))
+      part(0).write.format("graft").option("root", root).option("name", "dwr")
+        .option("buckets", "8").mode("overwrite").save()
+      part(1).write.format("graft").option("root", root).option("name", "dwr")
+        .mode("append").save()
+      docs.filter(col("doc_id") % 3 === 2 || col("doc_id") % 6 === 0)
+        .select(col("doc_id").cast("string").as("id"),
+          col("text").as("document"),
+          when(col("doc_id") % 6 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+          col("n_chars"))
+        .write.format("graft").option("root", root).option("name", "dwr")
+        .mode("append").option("upsert", "true").save()
+      s.read.format("graft").option("root", root).option("name", "dwr").load()
+        .select(col("id"), col("lang"), col("n_chars"))
+        .orderBy(col("id").cast("long"))
     }),
     // Hybrid retrieval: reciprocal-rank fusion of the keyword top-50 and
     // the vector top-50 — the standard combiner, and pure rank arithmetic,
@@ -3570,6 +3651,73 @@ object SparkEntry {
          |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
          |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
     },
+    // q157: q67's fusion replayed over the sidecar-served keyword leg —
+    // the index must not change the keyword list (q154's contract), so
+    // the only semantic difference is the store's STRING ids: ranks and
+    // ties replay on VARCHAR order on both engines, the vector leg's
+    // rank is computed on the numeric id (as in q67) then cast to join
+    "q157_hybrid_rrf_indexed" -> {
+      val cos = s"1 - (${sqlDot("e.embedding", "q.qe")} / (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("q.qe", "q.qe")})))"
+      sqlBm25(50, idExpr = "CAST(doc_id AS VARCHAR)") + s""",
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vd AS (SELECT e.vec_id AS nid, $cos AS dist
+         |       FROM embeddings e, q WHERE e.vec_id <> 0),
+         |vr AS (SELECT CAST(nid AS VARCHAR) AS id,
+         |              ROW_NUMBER() OVER (ORDER BY dist, nid) AS rnk
+         |       FROM vd ORDER BY dist, nid LIMIT 50)
+         |SELECT COALESCE(k.id, v.id) AS id,
+         |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) AS rrf
+         |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+    },
+    // q158: the one-call hybrid replayed end-to-end from the raw text —
+    // the keyword leg is sqlBm25 over the collection's STRING ids (the
+    // sidecar must not change it, q154's contract), the vector leg is
+    // q115's hash-embed replay (integer-valued vectors → bit-equal
+    // double cosine → identical ranks), fused with q67's rrf arithmetic
+    "q158_hybrid_text" -> {
+      val hash = sqlStrHash("tm")
+      sqlBm25(50, idExpr = "CAST(doc_id AS VARCHAR)") + s""",
+         |qt AS (SELECT 0 AS qid, 'hash join stream' AS qtext),
+         |toks2 AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |          FROM documents),
+         |tk2 AS (SELECT doc_id, $hash AS h FROM toks2 WHERE length(tm) > 0),
+         |sums2 AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM tk2 GROUP BY doc_id, b),
+         |grid2 AS (SELECT dd.doc_id, bb.b FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |vecs2 AS (SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |          FROM grid2 g LEFT JOIN sums2 s ON s.doc_id = g.doc_id AND s.b = g.b
+         |          GROUP BY g.doc_id),
+         |qtoks2 AS (SELECT qid, unnest(string_split_regex(lower(qtext), '\\s+')) AS tm FROM qt),
+         |qtk2 AS (SELECT qid, $hash AS h FROM qtoks2 WHERE length(tm) > 0),
+         |qsums2 AS (SELECT qid, CAST(h % 16 AS INTEGER) AS b,
+         |                  SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |           FROM qtk2 GROUP BY qid, b),
+         |qgrid2 AS (SELECT qq.qid, bb.b FROM (SELECT DISTINCT qid FROM qt) qq
+         |           CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |qvecs2 AS (SELECT g.qid, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+         |           FROM qgrid2 g LEFT JOIN qsums2 s ON s.qid = g.qid AND s.b = g.b
+         |           GROUP BY g.qid),
+         |cd2 AS (SELECT v.doc_id, ${sqlCos("v.v", "q.qv")} AS dist_raw
+         |        FROM vecs2 v CROSS JOIN qvecs2 q),
+         |vr AS (SELECT id, rnk FROM (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |         ROW_NUMBER() OVER (ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
+         |       FROM cd2) WHERE rnk <= 50)
+         |SELECT COALESCE(k.id, v.id) AS id,
+         |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) + 0.0 AS rrf
+         |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+    },
+    // q156: the final merged state after overwrite + append + overlapping
+    // upsert through df.write.format("graft") — replayed from the raw
+    // table (the %6==0 slice carries the upsert's replaced lang)
+    "q156_dsv2_write" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id,
+        |       CASE WHEN doc_id % 6 = 0 THEN 'xx' ELSE lang END AS lang,
+        |       n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q137: the min-max fusion replayed — per-list MIN/MAX over the same
     // 50-row lists, the identical (s − mn)/(mx − mn) normalization
     // (constant lists → 1), weights folded in the same written order

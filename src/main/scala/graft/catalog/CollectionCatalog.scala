@@ -2411,6 +2411,34 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     }
   }
 
+  /** Hybrid retrieval — the full RAG read path as ONE collection call:
+    * the query text drives BOTH legs. The KEYWORD leg tokenizes it with
+    * the corpus rule (`lower` + whitespace split, duplicates collapsed —
+    * BM25 scores a term once per distinct query term) and runs
+    * [[keywordTopK]] (keyword sidecar when committed, scan otherwise —
+    * same values either way); the VECTOR leg embeds it through the
+    * collection's RECORDED embedding function ([[queryText]]'s binding
+    * rule, zero-vector gate included) and takes the exact top-fetchN.
+    * The two rank lists fuse by reciprocal-rank fusion
+    * ([[Retrieval.rrf]]) — rank-only arithmetic, so the fusion is exact
+    * whatever the legs' score scales are.
+    *
+    * 100 TB shape: the keyword leg reads O(matching postings) off the
+    * tp-pruned sidecar, the vector leg is one corpus scan (or the PQ/IVF
+    * routes via [[queryTextPq]] for callers that want the coded leg);
+    * the fusion joins two ≤fetchN-row lists — driver never sees rows. */
+  def queryHybridText(text: String, k: Int, fetchN: Int = 50,
+                      rrfK: Int = 60): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, s"query text '$text' has no tokens")
+    val kw = keywordTopK(terms, fetchN).select(col("id"), col("rnk"))
+    val vr = queryText(Seq(text), fetchN).select(col("id"), col("rnk"))
+    Retrieval.rrf(Seq(kw, vr), "id", "rnk", rrfK)
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+  }
+
   /** The layout-owned columns of an index build dir: always `cell`, plus
     * `pb` ONLY when the build actually has pb slices (r8+ layouts) — a
     * pre-r8 legacy build cannot own a `pb` column, so one appearing there

@@ -1,27 +1,59 @@
 package graft.sources
 
-import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.execution.datasources.DataSource
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.{DataSource, FileIndex, HadoopFsRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.{ArrayType, FloatType, NumericType}
 
 import graft.catalog.CollectionCatalog
 
-/** `spark.read.format("graft")` — the plain-Spark-SQL read surface over
-  * collections, so a SQL-only user (or `CREATE TABLE ... USING graft`)
-  * reads a hydrated collection without touching the Scala API (SURVEY
-  * A10's DSv2 note, read half; reference context: the hydrated artifact
-  * is MEANT to be consumed by downstream query stacks — README.md:5).
+/** `spark.read.format("graft")` / `df.write.format("graft")` — the
+  * plain-Spark-SQL surface over collections, so a SQL-only user (or
+  * `CREATE TABLE ... USING graft`, including CTAS) reads and hydrates a
+  * collection without touching the Scala API (SURVEY A10's DSv2 note;
+  * reference context: the hydrated artifact is MEANT to be consumed by
+  * downstream query stacks — README.md:5, and the hydration itself is the
+  * reference's whole job — sas:177-190).
   *
-  * Usage:
+  * Read usage:
   *   spark.read.format("graft").option("root", r).option("name", n).load()
   *   spark.read.format("graft").load("<root>/<name>")          // path form
   *   ...option("version", "3")                                  // time travel
   *   ...option("tenant", t).option("database", d)               // namespaces
   *   CREATE TABLE docs USING graft OPTIONS (root '...', name '...')
   *
-  * Architecture: the provider resolves the collection's COMMITTED version
-  * snapshot (meta → carry-manifest → physical `pt=<b>` leaf dirs) at
-  * relation-bind time, then delegates to Spark's own parquet
+  * Write usage (the reference's hydration, as a plain Spark sink):
+  *   df.write.format("graft").option("root", r).option("name", n).save()
+  *     — default SaveMode.ErrorIfExists: CREATE the collection, error if
+  *       the name already exists (chromadb `create_collection`);
+  *   .mode("append")                 — add() to the existing collection
+  *       (get-or-create first): Chroma `add` semantics, duplicate ids
+  *       error loudly;
+  *   .mode("append").option("upsert", "true") — upsert() instead:
+  *       latest-wins merge (chromadb `upsert`);
+  *   .mode("overwrite")              — drop + recreate + add (replace
+  *       contents; also discards prior versions and indexes — it is the
+  *       whole-collection refresh, not a row-level overwrite);
+  *   .mode("ignore")                 — create + add only if absent.
+  *   Options: `space` (l2|cosine|ip, creation only), `buckets` (creation
+  *   only — the store's pt bucket count), tenant/database as on read.
+  *   `CREATE TABLE t USING graft OPTIONS (...) AS SELECT ...` routes
+  *   through the same provider (V1 CTAS → CreatableRelationProvider).
+  *
+  * The batch is canonicalized before it reaches the store: `id` is REQUIRED
+  * and cast to string (the reference's own A5 rule, and what keeps the
+  * store's xxhash64(id) bucket pruning applicable), a numeric `embedding`
+  * array is cast to the canonical array<float>; all other columns pass
+  * through (document, metadata map, flat typed metadata — add() admits any
+  * schema and evolution is union-by-name). Every write goes through the
+  * collection API's own gates — dup-id reject, null-id reject, the MVCC
+  * claim/marker commit — never around them.
+  *
+  * Read architecture: the provider resolves the collection's COMMITTED
+  * version snapshot (meta → carry-manifest → physical `pt=<b>` leaf dirs)
+  * at relation-bind time, then delegates to Spark's own parquet
   * HadoopFsRelation over those dirs. That buys the entire native scan
   * stack for free — column pruning (ReadSchema), predicate pushdown
   * (PushedFilters to rowgroup stats), whole-stage codegen, AQE — instead
@@ -35,46 +67,69 @@ import graft.catalog.CollectionCatalog
   * until re-resolved. That is the same snapshot isolation every other
   * read surface has, surfaced at the relation boundary.
   *
-  * Writes go through the collection API (`add`/`upsert`/... — they need
-  * the dup-id gate, the bucket merge, and the commit protocol); this
-  * source is deliberately read-only, and INSERTs fail with Spark's
-  * standard unsupported-write error for V1 relations without an
-  * InsertableRelation.
+  * `INSERT INTO` a graft table is REJECTED AT ANALYSIS TIME: Spark would
+  * otherwise route it to InsertIntoHadoopFsRelationCommand and write raw
+  * parquet straight into a committed COW version dir — behind the dup-id
+  * gate and the commit protocol (and `INSERT OVERWRITE` deletes target
+  * files before writing). Spark only permits that command on single-root
+  * relations, so the bound relation's FileIndex advertises a doubled root
+  * path when the snapshot has exactly one leaf dir ([[InsertGuardIndex]]),
+  * making every INSERT fail the analyzer's single-path check before any
+  * file is touched. Writes go through `df.write.format("graft")` / CTAS /
+  * the collection API.
   */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
-  override def createRelation(sqlContext: SQLContext,
-                              parameters: Map[String, String]): BaseRelation = {
-    val spark = sqlContext.sparkSession
-    // root + name, either explicit or as load("<root>/<name>")
+  /** root + name, either explicit options or as load("<root>/<name>"),
+    * plus the (tenant, database)-resolved catalog — shared by both the
+    * read and write halves. `buckets` only matters if a write CREATES the
+    * collection (it is part of the on-disk identity afterwards). */
+  private def resolve(spark: SparkSession,
+                      parameters: Map[String, String]): (CollectionCatalog, String) = {
     val (root, name) = (parameters.get("root"), parameters.get("name")) match {
       case (Some(r), Some(n)) => (r, n)
       case (None, None) =>
         val p = parameters.getOrElse("path", throw new IllegalArgumentException(
           "graft source needs options root+name, or load(\"<root>/<name>\")"))
-        val path = new org.apache.hadoop.fs.Path(p)
+        val path = new Path(p)
         val parent = path.getParent
         require(parent != null, s"graft path '$p' has no parent — expected <root>/<name>")
         (parent.toString, path.getName)
       case _ => throw new IllegalArgumentException(
         "graft source needs BOTH root and name (or a single load path)")
     }
+    val buckets = parameters.get("buckets").map { b =>
+      val n = scala.util.Try(b.trim.toInt).getOrElse(throw new IllegalArgumentException(
+        s"graft option buckets='$b' is not an integer"))
+      require(n > 0, s"graft option buckets must be >= 1, got $n")
+      n
+    }.getOrElse(32)
     val cat = (parameters.get("tenant"), parameters.get("database")) match {
-      case (None, None) => new CollectionCatalog(spark, root)
+      case (None, None) => new CollectionCatalog(spark, root, numBuckets = buckets)
       case (t, d) => CollectionCatalog.forNamespace(spark, root,
         t.getOrElse(CollectionCatalog.DefaultTenant),
-        d.getOrElse(CollectionCatalog.DefaultDatabase))
+        d.getOrElse(CollectionCatalog.DefaultDatabase),
+        numBuckets = buckets)
     }
+    (cat, name)
+  }
+
+  // ---------------------------------------------------------------- read
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val (cat, name) = resolve(spark, parameters)
     val coll = cat.getCollection(name).getOrElse(throw new NoSuchElementException(
-      s"no collection '$name' under root '$root'" +
+      s"no collection '$name' under the given root" +
         parameters.get("tenant").map(t => s" (tenant $t)").getOrElse("")))
     val m = coll.meta
     val version = parameters.get("version").map { v =>
-      val n = scala.util.Try(v.trim.toInt).getOrElse(throw new IllegalArgumentException(
+      scala.util.Try(v.trim.toInt).getOrElse(throw new IllegalArgumentException(
         s"graft option version='$v' is not an integer"))
-      n
     }.getOrElse(m.version)
     require(version > 0,
       if (m.version == 0) s"collection '$name' is empty (never written) — nothing to bind"
@@ -83,11 +138,93 @@ class GraftDataSource extends RelationProvider with DataSourceRegister {
     require(dirs.nonEmpty, s"collection '$name' version $version has no data dirs")
     // Spark's own parquet relation machinery over the resolved snapshot:
     // schema from footers (mergeSchema across buckets), full pushdown
-    DataSource(
+    val rel = DataSource(
       sparkSession = spark,
       className = "parquet",
       paths = dirs,
       options = Map("mergeSchema" -> "true")
     ).resolveRelation()
+    rel match {
+      // the INSERT guard (see class doc): only single-root relations can
+      // reach InsertIntoHadoopFsRelationCommand, so double the advertised
+      // root when there is exactly one — reads are untouched (listing is
+      // delegated; rootPaths is only consulted by the insert analysis and
+      // explain output)
+      case h: HadoopFsRelation if h.location.rootPaths.size == 1 =>
+        h.copy(location = new InsertGuardIndex(h.location))(spark)
+      case other => other
+    }
   }
+
+  // --------------------------------------------------------------- write
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val (cat, name) = resolve(spark, parameters)
+    val batch = canonicalBatch(data)
+    val space = parameters.getOrElse("space", "l2")
+    val upsert = parameters.get("upsert").exists(_.trim.equalsIgnoreCase("true"))
+    def freshAdd(): Unit = cat.getOrCreateCollection(name, space).add(batch)
+    val existing = cat.getCollection(name)
+    mode match {
+      case SaveMode.ErrorIfExists =>
+        if (existing.nonEmpty) throw new IllegalStateException(
+          s"collection '$name' already exists — use mode('append') to add rows, " +
+            "mode('overwrite') to replace it, or mode('ignore') to skip")
+        freshAdd()
+      case SaveMode.Ignore =>
+        if (existing.isEmpty) freshAdd()
+      case SaveMode.Overwrite =>
+        // the whole-collection refresh: prior versions, indexes and
+        // collection metadata all go with it (a row-level replace is
+        // mode('append') + upsert=true)
+        cat.deleteCollection(name)
+        freshAdd()
+      case SaveMode.Append =>
+        val c = existing.getOrElse(cat.getOrCreateCollection(name, space))
+        if (upsert) c.upsert(batch) else c.add(batch)
+    }
+    // bind the freshly committed snapshot (save() discards it; CTAS reads
+    // the schema off it)
+    createRelation(sqlContext, parameters)
+  }
+
+  /** The store's canonical row shape, enforced at the boundary: string
+    * `id` (required — Chroma rows are keyed, and the store's bucket
+    * pruning hashes string ids), array<float> `embedding` if present;
+    * everything else passes through untouched. */
+  private def canonicalBatch(data: DataFrame): DataFrame = {
+    require(data.columns.contains("id"),
+      s"graft write needs an 'id' column (got: ${data.columns.mkString(", ")})")
+    val idCast = data.withColumn("id", col("id").cast("string"))
+    if (!data.columns.contains("embedding")) idCast
+    else data.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => idCast
+      case ArrayType(_: NumericType, _) =>
+        idCast.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalArgumentException(
+        s"graft write: 'embedding' must be an array of numbers, got ${other.simpleString}")
+    }
+  }
+}
+
+/** Delegating [[FileIndex]] whose only job is to advertise MORE THAN ONE
+  * root path (by repeating the single real one), so the analyzer's
+  * single-path precondition for InsertIntoHadoopFsRelationCommand can
+  * never hold over a graft relation — the only V1 route by which an
+  * `INSERT INTO` could write files into a committed version dir directly.
+  * Listing, sizing and refresh all delegate; the doubled entry is never
+  * listed twice because [[listFiles]] is the inner index's own. */
+private[sources] class InsertGuardIndex(inner: FileIndex) extends FileIndex {
+  override def rootPaths: Seq[Path] = inner.rootPaths ++ inner.rootPaths.take(1)
+  override def listFiles(partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                         dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+    inner.listFiles(partitionFilters, dataFilters)
+  override def inputFiles: Array[String] = inner.inputFiles
+  override def refresh(): Unit = inner.refresh()
+  override def sizeInBytes: Long = inner.sizeInBytes
+  override def partitionSchema: org.apache.spark.sql.types.StructType = inner.partitionSchema
+  override def metadataOpsTimeNs: Option[Long] = inner.metadataOpsTimeNs
 }

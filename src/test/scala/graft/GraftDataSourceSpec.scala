@@ -92,6 +92,138 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(cur.count() == 101)
   }
 
+  // ---------------------------------------------------------- write half
+
+  test("write default mode creates (chromadb create_collection); a second save errors") {
+    val r = tmpDir("dsw-create")
+    val df = spark.range(10).select(col("id"),
+      concat(lit("d"), col("id")).as("document"))
+    df.write.format("graft").option("root", r).option("name", "w").save()
+    val back = spark.read.format("graft").option("root", r).option("name", "w").load()
+    assert(back.count() == 10)
+    // id was canonicalized to string even though the input was bigint
+    assert(back.schema("id").dataType == org.apache.spark.sql.types.StringType)
+    val e = intercept[IllegalStateException] {
+      df.write.format("graft").option("root", r).option("name", "w").save()
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("append routes through add(): dup ids error loudly, new ids extend") {
+    val r = tmpDir("dsw-append")
+    def df(lo: Int, hi: Int) = spark.range(lo, hi).select(col("id"),
+      concat(lit("d"), col("id")).as("document"))
+    df(0, 10).write.format("graft").option("root", r).option("name", "w").save()
+    df(10, 15).write.format("graft").option("root", r).option("name", "w")
+      .mode("append").save()
+    assert(spark.read.format("graft").option("root", r).option("name", "w")
+      .load().count() == 15)
+    val e = intercept[IllegalArgumentException] {
+      df(5, 8).write.format("graft").option("root", r).option("name", "w")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("append + upsert=true is latest-wins; overwrite replaces the whole collection") {
+    val r = tmpDir("dsw-upsert")
+    spark.range(10).select(col("id"), lit("old").as("document"))
+      .write.format("graft").option("root", r).option("name", "w").save()
+    spark.range(5, 12).select(col("id"), lit("new").as("document"))
+      .write.format("graft").option("root", r).option("name", "w")
+      .mode("append").option("upsert", "true").save()
+    val after = spark.read.format("graft").option("root", r).option("name", "w").load()
+    assert(after.count() == 12)
+    assert(after.filter(col("document") === "new").count() == 7)
+    // overwrite: contents replaced, prior versions gone with the collection
+    spark.range(3).select(col("id"), lit("ow").as("document"))
+      .write.format("graft").option("root", r).option("name", "w")
+      .mode("overwrite").save()
+    val ow = spark.read.format("graft").option("root", r).option("name", "w").load()
+    assert(ow.count() == 3 && ow.filter(col("document") === "ow").count() == 3)
+    val cat = new CollectionCatalog(spark, r)
+    assert(cat.getCollection("w").get.meta.version == 1)
+    // ignore: no-op on existing
+    spark.range(100).select(col("id"), lit("ig").as("document"))
+      .write.format("graft").option("root", r).option("name", "w")
+      .mode("ignore").save()
+    assert(spark.read.format("graft").option("root", r).option("name", "w")
+      .load().count() == 3)
+  }
+
+  test("write canonicalizes: embedding double[] casts to float[], missing id errors") {
+    val r = tmpDir("dsw-canon")
+    spark.range(8).select(col("id"),
+      array(col("id").cast("double"), (col("id") * 2).cast("double")).as("embedding"))
+      .write.format("graft").option("root", r).option("name", "w").save()
+    val back = spark.read.format("graft").option("root", r).option("name", "w").load()
+    assert(back.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val noId = intercept[IllegalArgumentException] {
+      spark.range(3).select(col("id").as("key"))
+        .write.format("graft").option("root", r).option("name", "w2").save()
+    }
+    assert(noId.getMessage.contains("'id' column"))
+    val badEmb = intercept[IllegalArgumentException] {
+      spark.range(3).select(col("id"), lit("x").as("embedding"))
+        .write.format("graft").option("root", r).option("name", "w3").save()
+    }
+    assert(badEmb.getMessage.contains("array of numbers"))
+  }
+
+  test("CTAS: CREATE TABLE USING graft AS SELECT hydrates through the provider") {
+    val r = tmpDir("dsw-ctas")
+    spark.sql("DROP TABLE IF EXISTS graft_ctas")
+    try {
+      spark.sql(
+        s"""CREATE TABLE graft_ctas USING graft OPTIONS (root '$r', name 'ct')
+           |AS SELECT CAST(id AS STRING) AS id, concat('d', id) AS document
+           |FROM range(20)""".stripMargin)
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ctas").collect().head.getLong(0) == 20)
+      // and it is a real collection underneath
+      val cat = new CollectionCatalog(spark, r)
+      assert(cat.getCollection("ct").get.count() == 20L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ctas")
+  }
+
+  test("INSERT INTO is rejected at analysis — even single-leaf-dir snapshots stay inviolate") {
+    val r = tmpDir("dsw-guard")
+    // buckets=1 forces exactly one pt leaf dir — the only layout Spark's
+    // single-path precondition would otherwise let through to a raw
+    // parquet write into the committed version dir
+    spark.range(6).select(col("id"), lit("x").as("document"))
+      .write.format("graft").option("root", r).option("name", "w")
+      .option("buckets", "1").save()
+    val cat = new CollectionCatalog(spark, r)
+    val before = cat.getCollection("w").get.meta.version
+    spark.sql("DROP TABLE IF EXISTS graft_guard")
+    spark.sql(s"CREATE TABLE graft_guard USING graft OPTIONS (root '$r', name 'w')")
+    try {
+      intercept[Exception] {
+        spark.sql("INSERT INTO graft_guard SELECT '99' AS id, 'smuggled' AS document")
+      }
+      // nothing landed: same version, same rows, no foreign files
+      val c = cat.getCollection("w").get
+      assert(c.meta.version == before)
+      assert(c.count() == 6L)
+      assert(c.toDF.filter(col("document") === "smuggled").count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_guard")
+  }
+
+  test("write into a tenant/database namespace") {
+    val r = tmpDir("dsw-ns")
+    spark.range(4).select(col("id"), lit("n").as("document"))
+      .write.format("graft").option("root", r).option("name", "w")
+      .option("tenant", "acme").option("database", "prod").save()
+    val back = spark.read.format("graft").option("root", r).option("name", "w")
+      .option("tenant", "acme").option("database", "prod").load()
+    assert(back.count() == 4)
+    // absent from the default namespace
+    intercept[NoSuchElementException] {
+      spark.read.format("graft").option("root", r).option("name", "w").load()
+    }
+  }
+
   test("missing / empty collections and bad options fail loudly") {
     coll
     intercept[NoSuchElementException] {

@@ -137,4 +137,61 @@ class KeywordIndexSpec extends SparkTestBase {
     assert(c.keywordTopK(terms, 5).collect().map(r =>
       (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq == scan9.toSeq)
   }
+
+  // ------------------------------------------------- one-call hybrid text
+
+  /** A collection the hybrid path can drive end-to-end: documents embed
+    * server-side (recorded embedding function — the vector leg's
+    * requirement) and carry text (the keyword leg's). */
+  private lazy val hybridColl: graft.catalog.Collection = {
+    val cat = new CollectionCatalog(spark, tmpDir("kwx-hybrid"), numBuckets = 4)
+    val c = cat.getOrCreateCollection("h")
+    c.addDocuments(corpus.filter(_._2 != null).toDF("id", "document"),
+      graft.operators.HashingEmbedder(8))
+    c
+  }
+  private val hybridText = "hash joins stream"
+
+  test("queryHybridText: one call == keywordTopK + queryText + rrf, and the sidecar never moves it") {
+    val c = hybridColl
+    val composed = {
+      val kw = c.keywordTopK(Seq("hash", "joins", "stream"), 5)
+        .select(col("id"), col("rnk"))
+      val vr = c.queryText(Seq(hybridText), 5).select(col("id"), col("rnk"))
+      Retrieval.rrf(Seq(kw, vr), "id", "rnk")
+        .orderBy(col("rrf").desc, col("id")).limit(3)
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+    }
+    assert(!c.hasKeywordIndex)
+    val scanned = c.queryHybridText(hybridText, k = 3, fetchN = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(scanned.toSeq == composed.toSeq)
+    c.buildKeywordIndex()
+    val indexed = c.queryHybridText(hybridText, k = 3, fetchN = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(indexed.toSeq == composed.toSeq)
+    assert(indexed.nonEmpty)
+  }
+
+  test("queryHybridText: duplicate query tokens collapse; degenerate inputs fail loudly") {
+    val c = hybridColl
+    // BM25 scores a term once per DISTINCT query term: repeating a token
+    // in the text must not double its keyword contribution. The vector
+    // leg DOES see the repetition (the embedding is of the raw text), so
+    // compare the keyword legs directly.
+    val once = c.keywordTopK(Seq("hash", "joins"), 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val kwOfDup = {
+      val terms2 = "hash hash joins".toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).distinct.toSeq
+      c.keywordTopK(terms2, 5)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    }
+    assert(kwOfDup.toSeq == once.toSeq)
+    intercept[IllegalArgumentException] { c.queryHybridText("   ", k = 3) }
+    intercept[IllegalArgumentException] {
+      c.queryHybridText(hybridText, k = 5, fetchN = 3)
+    }
+    intercept[IllegalArgumentException] { c.queryHybridText(hybridText, k = 0) }
+  }
 }
