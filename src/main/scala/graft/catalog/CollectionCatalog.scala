@@ -1492,9 +1492,15 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
   // O(affected-buckets) cost; the index pays one extra corpus copy, the
   // normal price of any secondary index.
 
-  private def indexPrefix(v: Int): String = f"index_v$v%06d"
-  private def indexBuildDir(v: Int, b: Int): Path =
-    new Path(dir, f"${indexPrefix(v)}.b$b%03d")
+  // ---- machinery shared by ALL index families (`index_v` IVF/PQ,
+  // `docindex_v` trigram postings, `kwindex_v` keyword stats): ONE
+  // claim/adopt/commit discipline parameterized by family name, so a
+  // protocol fix (claim race, marker handling, adoption rule) lands
+  // once instead of once per family ----
+
+  private def familyPrefix(family: String, v: Int): String = f"${family}_v$v%06d"
+  private def familyBuildDir(family: String, v: Int, b: Int): Path =
+    new Path(dir, f"${familyPrefix(family, v)}.b$b%03d")
 
   /** Build number of an index dir name; the legacy unsuffixed
     * `index_v<V>` layout reads as build 0. */
@@ -1504,18 +1510,44 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     if (dot < 0) 0 else n.substring(dot + 2).toInt
   }
 
-  private def indexBuildsOf(v: Int): Seq[Path] = io.list(dir).filter { e =>
-    e.isDir && (e.name == indexPrefix(v) || e.name.startsWith(indexPrefix(v) + ".b"))
-  }.map(_.path)
+  private def familyBuildsOf(family: String, v: Int): Seq[Path] =
+    io.list(dir).filter { e =>
+      val n = e.name
+      e.isDir && (n == familyPrefix(family, v) ||
+        n.startsWith(familyPrefix(family, v) + ".b"))
+    }.map(_.path)
+
+  /** Highest marker-complete build of one family for one version. */
+  private def currentFamilyBuild(family: String, m: CollectionMeta): Option[Path] =
+    familyBuildsOf(family, m.version)
+      .filter(p => io.exists(new Path(p, "_graft_committed")))
+      .sortBy(buildNumberOf).lastOption
+
+  /** Claim the next build dir via O_CREAT|O_EXCL directory create —
+    * racing builders each win a DISTINCT number, never share a dir. */
+  private def claimFamilyBuild(family: String, version: Int): Path = {
+    var b = familyBuildsOf(family, version)
+      .map(buildNumberOf).maxOption.fold(0)(_ + 1)
+    var claimed: Path = null
+    while (claimed == null) {
+      try {
+        io.createDirExclusive(familyBuildDir(family, version, b))
+        claimed = familyBuildDir(family, version, b)
+      } catch { case _: java.nio.file.FileAlreadyExistsException => b += 1 }
+    }
+    claimed
+  }
+
+  private def indexPrefix(v: Int): String = familyPrefix("index", v)
+  private def indexBuildDir(v: Int, b: Int): Path = familyBuildDir("index", v, b)
+  private def indexBuildsOf(v: Int): Seq[Path] = familyBuildsOf("index", v)
 
   /** Committed index for the CURRENT version: (path, centroids), if any —
     * the highest marker-complete build. Centroid sidecars are parsed once
     * per committed build (they are immutable after the marker lands), not
     * on every query. */
   private def currentIndex(m: CollectionMeta): Option[(Path, Array[(Int, Array[Double])])] =
-    indexBuildsOf(m.version)
-      .filter(p => io.exists(new Path(p, "_graft_committed")))
-      .sortBy(buildNumberOf).lastOption
+    currentFamilyBuild("index", m)
       .flatMap { p =>
         Collection.cachedCentroids(io, p, spark.sparkContext.hadoopConfiguration)
           .map(c => (p, c))
@@ -1574,18 +1606,8 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     m
   }
 
-  private def claimIndexBuild(version: Int): Path = {
-    // claim a fresh build dir: O_CREAT|O_EXCL directory create — of two
-    // racing builders each gets its own dir, and neither deletes anything
-    // an in-flight reader may be scanning
-    var b = indexBuildsOf(version).map(buildNumberOf).maxOption.fold(0)(_ + 1)
-    var claimed: Path = null
-    while (claimed == null) {
-      try { io.createDirExclusive(indexBuildDir(version, b)); claimed = indexBuildDir(version, b) }
-      catch { case _: java.nio.file.FileAlreadyExistsException => b += 1 }
-    }
-    claimed
-  }
+  private def claimIndexBuild(version: Int): Path =
+    claimFamilyBuild("index", version)
 
   private def writeIndex(model: Ann.IvfModel, version: Int,
                          pq: Option[Ann.PqModel] = None): Unit = {
@@ -2145,20 +2167,10 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
   // [[graft.operators.DocIndex]] (trigram postings; index answers are
   // superset-prefilter + verbatim re-check, bit-identical to the scan).
 
-  private def docIndexPrefix(v: Int): String = f"docindex_v$v%06d"
-  private def docIndexBuildDir(v: Int, b: Int): Path =
-    new Path(dir, f"${docIndexPrefix(v)}.b$b%03d")
-
-  private def docIndexBuildsOf(v: Int): Seq[Path] = io.list(dir).filter { e =>
-    val n = e.name
-    e.isDir &&
-      (n == docIndexPrefix(v) || n.startsWith(docIndexPrefix(v) + ".b"))
-  }.map(_.path)
+  private def docIndexBuildsOf(v: Int): Seq[Path] = familyBuildsOf("docindex", v)
 
   private def currentDocIndex(m: CollectionMeta): Option[Path] =
-    docIndexBuildsOf(m.version)
-      .filter(p => io.exists(new Path(p, "_graft_committed")))
-      .sortBy(buildNumberOf).lastOption
+    currentFamilyBuild("docindex", m)
 
   def hasDocIndex: Boolean = currentDocIndex(meta).isDefined
 
@@ -2179,15 +2191,8 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
   }
 
-  private def claimDocIndexBuild(version: Int): Path = {
-    var b = docIndexBuildsOf(version).map(buildNumberOf).maxOption.fold(0)(_ + 1)
-    var claimed: Path = null
-    while (claimed == null) {
-      try { io.createDirExclusive(docIndexBuildDir(version, b)); claimed = docIndexBuildDir(version, b) }
-      catch { case _: java.nio.file.FileAlreadyExistsException => b += 1 }
-    }
-    claimed
-  }
+  private def claimDocIndexBuild(version: Int): Path =
+    claimFamilyBuild("docindex", version)
 
   /** Version number encoded in an index build dir name
     * (`docindex_v<V>[.b<B>]` / `index_v<V>[.b<B>]`). */
@@ -2303,20 +2308,10 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
   // postings carrying tf/dl + per-bucket stats rows; served scores are
   // bit-identical to the Retrieval.bm25 scan by the shared-fold contract).
 
-  private def kwIndexPrefix(v: Int): String = f"kwindex_v$v%06d"
-  private def kwIndexBuildDir(v: Int, b: Int): Path =
-    new Path(dir, f"${kwIndexPrefix(v)}.b$b%03d")
-
-  private def kwIndexBuildsOf(v: Int): Seq[Path] = io.list(dir).filter { e =>
-    val n = e.name
-    e.isDir &&
-      (n == kwIndexPrefix(v) || n.startsWith(kwIndexPrefix(v) + ".b"))
-  }.map(_.path)
+  private def kwIndexBuildsOf(v: Int): Seq[Path] = familyBuildsOf("kwindex", v)
 
   private def currentKwIndex(m: CollectionMeta): Option[Path] =
-    kwIndexBuildsOf(m.version)
-      .filter(p => io.exists(new Path(p, "_graft_committed")))
-      .sortBy(buildNumberOf).lastOption
+    currentFamilyBuild("kwindex", m)
 
   def hasKeywordIndex: Boolean = currentKwIndex(meta).isDefined
 
@@ -2337,15 +2332,8 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
   }
 
-  private def claimKwIndexBuild(version: Int): Path = {
-    var b = kwIndexBuildsOf(version).map(buildNumberOf).maxOption.fold(0)(_ + 1)
-    var claimed: Path = null
-    while (claimed == null) {
-      try { io.createDirExclusive(kwIndexBuildDir(version, b)); claimed = kwIndexBuildDir(version, b) }
-      catch { case _: java.nio.file.FileAlreadyExistsException => b += 1 }
-    }
-    claimed
-  }
+  private def claimKwIndexBuild(version: Int): Path =
+    claimFamilyBuild("kwindex", version)
 
   /** Incrementally refresh the keyword sidecar to the CURRENT version —
     * the [[refreshDocIndex]] contract over the `tp=`/`pb=` layout:
@@ -2431,7 +2419,13 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
                       rrfK: Int = 60): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
-    val terms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    // lowercase through UTF8String — the EXACT routine Spark's lower()
+    // applies on the corpus/sidecar side (HashingEmbedder.embedOne's
+    // contract: a JVM default-locale toLowerCase is NOT bit-identical,
+    // e.g. tr-TR dotted/dotless I, and a query term that case-maps
+    // differently from the stored postings silently matches nothing)
+    val terms = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .toLowerCase.toString.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, s"query text '$text' has no tokens")
     val kw = keywordTopK(terms, fetchN).select(col("id"), col("rnk"))
     val vr = queryText(Seq(text), fetchN).select(col("id"), col("rnk"))
@@ -2613,18 +2607,27 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     val long0 = queryBatchOf(m, queryVecs, k, where, whereDoc, nprobe, exact)
     // Chroma's query(include=["embeddings"]) returns per-hit VECTORS; the
     // long form deliberately drops them (k vectors per query would bloat
-    // every read that doesn't ask) — join them back by id, with the
-    // bounded (≤ nq·k rows) hit set BROADCAST onto one column-pruned
-    // (id, embedding) scan of the SAME snapshot the hits came from (a
-    // toDF here would re-read meta; a commit landing in between would
-    // pair old-vector distances with newer vectors — the rule at
-    // [[snapshotDF]]). The second join LEFT-preserves every hit row: a
-    // hit can never silently drop to fewer than k entries.
+    // every read that doesn't ask) — join them back by id against one
+    // column-pruned (id, embedding) scan of the SAME snapshot the hits
+    // came from (a toDF here would re-read meta; a commit landing in
+    // between would pair old-vector distances with newer vectors — the
+    // rule at [[snapshotDF]]). The hit set is MATERIALIZED once (bounded:
+    // ≤ nq·k rows — this is the presentation path, whose whole output is
+    // client-sized by contract) so the expensive kNN executes a single
+    // time: referencing long0 twice in one plan would run the entire
+    // search twice (the two subtrees differ, ReuseExchange cannot
+    // deduplicate them). The id literals confine the embedding scan via
+    // parquet pushdown, and the LEFT join preserves every hit row: a hit
+    // can never silently drop to fewer than k entries.
     val long = if (!include("embeddings")) long0
       else {
+        val hitRows = long0.collect()
+        val hits = spark.createDataFrame(
+          spark.sparkContext.parallelize(hitRows.toIndexedSeq, 1), long0.schema)
+        val hitIds = hitRows.map(_.getAs[Any]("id")).distinct.toSeq
         val embs = snapshotDF(m).select(col("id"), col("embedding").as("__emb"))
-          .join(broadcast(long0.select("id").distinct()), Seq("id"))
-        long0.join(broadcast(embs), Seq("id"), "left")
+          .filter(col("id").isin(hitIds: _*))
+        hits.join(broadcast(embs), Seq("id"), "left")
       }
     val fields: Seq[FoldField] =
       ("id", "ids", col("id")) +:

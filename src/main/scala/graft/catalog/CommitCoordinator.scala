@@ -246,27 +246,24 @@ object CommitCoordinator {
             java.nio.charset.StandardCharsets.UTF_8)
           if (held == owner) io.deleteIfExists(lease)
         } catch { case _: Exception => () } // stolen or vanished: not ours
+      // NO early unguarded delete on a contended side-lock: token
+      // inspection alone cannot distinguish young crash DEBRIS from a
+      // LIVE thief mid-steal (the thief creates .steal, then deletes the
+      // expired lease, then re-creates it via the exclusive create — a
+      // release that saw "foreign .steal + our token" and deleted
+      // unguarded could race past the thief's re-create and remove the
+      // thief's LIVE lease, breaking mutual exclusion at the exact
+      // moment a steal is in flight). The two cases resolve themselves
+      // within the short retry window instead: a live thief's critical
+      // section is a few IO ops (its .steal is gone by the next try),
+      // and debris older than ttlMs is reclaimed by withStealLock's own
+      // orphan recovery on the next attempt. Only YOUNG debris reaches
+      // the terminal fallback — the documented narrow exposure, after
+      // tries×pollMs (40 ms at defaults), never during a live steal.
       var tries = 2
       while (tries > 0) {
         val done = withStealLock(lease)(tokenDelete())
         if (done.isDefined) return
-        // Contended. Side-lock DEBRIS from a crashed stealer younger than
-        // ttlMs would otherwise tax EVERY release through this key with
-        // the full retry window (commit hot path): when the side-lock
-        // holder is FOREIGN and the lease still carries OUR token (no
-        // thief re-created it — nothing of ours is mid-delete by us),
-        // skip straight to the fallback token-checked delete instead of
-        // sleeping the window out. Same exposure as the terminal
-        // fallback, reached sooner in exactly the debris case.
-        val foreignDebrisOurLease =
-          try {
-            new String(io.readBytes(
-              new org.apache.hadoop.fs.Path(lease.toString + ".steal")),
-              java.nio.charset.StandardCharsets.UTF_8) != owner &&
-            new String(io.readBytes(lease),
-              java.nio.charset.StandardCharsets.UTF_8) == owner
-          } catch { case _: Exception => false }
-        if (foreignDebrisOurLease) { tokenDelete(); return }
         tries -= 1
         if (tries > 0) Thread.sleep(pollMs)
       }

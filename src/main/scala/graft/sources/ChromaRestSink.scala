@@ -63,16 +63,27 @@ object ChromaRestSink {
 
   /** Resolve `apiVersion` ("v1" | "v2" | "auto") against `baseUrl`.
     * Auto probes GET /api/v2/heartbeat ONCE per baseUrl: a 2xx means the
-    * server speaks v2; any HTTP error status means v1 (0.4/0.5 servers
-    * 404 the path). A TRANSPORT failure (refused, DNS, timeout) is NOT a
-    * version signal — it propagates, because every later call would fail
-    * the same way and "v1" would mislabel the real problem. */
-  private[sources] def resolveApiVersion(baseUrl: String, apiVersion: String,
-                                         timeoutMs: Int): String =
+    * server speaks v2; 404/405/410 mean the PATH does not exist — a v1
+    * (0.4/0.5) server. Nothing else is a version signal: a TRANSPORT
+    * failure (refused, DNS, timeout) propagates, and so does any other
+    * status (a 503 during a server restart is the server being briefly
+    * unhealthy, not it being v1 — caching "v1" off it would pin every
+    * later call of this JVM to /api/v1 and fail 410 against a recovered
+    * v2-only server). Only a definitive verdict is ever cached. */
+  private[graft] def resolveApiVersion(baseUrl: String, apiVersion: String,
+                                       timeoutMs: Int): String =
     apiVersion match {
       case "v1" | "v2" => apiVersion
       case "auto" => negotiated.computeIfAbsent(baseUrl, b =>
-        if (getStatus(s"$b/api/v2/heartbeat", timeoutMs) / 100 == 2) "v2" else "v1")
+        getStatus(s"$b/api/v2/heartbeat", timeoutMs) match {
+          case ok if ok / 100 == 2 => "v2"
+          case 404 | 405 | 410 => "v1"
+          case other => throw new java.io.IOException(
+            s"$b/api/v2/heartbeat returned HTTP $other — neither a v2 " +
+              "server (2xx) nor a v1 path-miss (404/405/410); not " +
+              "caching a version off a transient status. Retry, or pin " +
+              "apiVersion=v1|v2 explicitly.")
+        })
       case other => throw new IllegalArgumentException(
         s"apiVersion must be v1, v2 or auto, got '$other'")
     }
@@ -104,6 +115,30 @@ object ChromaRestSink {
     val resp = post(createUrl(baseUrl, v, tenant, database), body, timeoutMs)
     // minimal extraction of "id":"..." — the response is a flat object;
     // a full JSON parser would be the sink's only dependency
+    val m = """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(resp)
+    m.map(_.group(1)).getOrElse(throw new IllegalStateException(
+      s"Chroma server returned no collection id for '$name': $resp"))
+  }
+
+  /** Resolve an EXISTING collection's id by name — the delete-side
+    * resolution (see [[deleteIds]]): GET by name, 404/410 fail loudly
+    * instead of creating anything. */
+  private[sources] def resolveExistingCollectionId(
+      baseUrl: String, name: String, tenant: String, database: String,
+      timeoutMs: Int, v: String): String = {
+    val url = v match {
+      case "v1" => s"$baseUrl/api/v1/collections/${enc(name)}" +
+        s"?tenant=${enc(tenant)}&database=${enc(database)}"
+      case _ => s"$baseUrl/api/v2/tenants/${enc(tenant)}/databases/" +
+        s"${enc(database)}/collections/${enc(name)}"
+    }
+    val (code, resp) = getBody(url, timeoutMs)
+    if (code == 404 || code == 410) throw new NoSuchElementException(
+      s"collection '$name' does not exist on $baseUrl (HTTP $code) — " +
+        "deleteIds never creates; check the name/tenant/database")
+    if (code >= 500) throw new IOException(s"HTTP $code from $url: $resp")
+    if (code / 100 != 2) throw new IllegalStateException(
+      s"unexpected HTTP $code resolving collection '$name' at $url: $resp")
     val m = """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(resp)
     m.map(_.group(1)).getOrElse(throw new IllegalStateException(
       s"Chroma server returned no collection id for '$name': $resp"))
@@ -144,7 +179,13 @@ object ChromaRestSink {
     * `{"ids":[..]}` batches to the `/delete` endpoint — the retire half
     * of a curated refresh (upsert the new cut, delete the rows that fell
     * out of it). Deleting an absent id is a server-side no-op, so
-    * at-least-once replays are harmless; returns ids pushed. */
+    * at-least-once replays are harmless; returns ids pushed.
+    *
+    * The collection is resolved MUST-EXIST (GET by name), never
+    * get-or-create: a typo'd name would otherwise silently create an
+    * empty server-side collection, every delete would no-op against it,
+    * and the stale rows the caller meant to retire would stay live with
+    * zero errors — a data-retention hole. Absent collections fail LOUD. */
   def deleteIds(df: DataFrame, baseUrl: String, collectionName: String,
                 space: String = "l2",
                 tenant: String = "default_tenant",
@@ -155,7 +196,7 @@ object ChromaRestSink {
                 apiVersion: String = "auto"): Long = {
     require(df.columns.contains("id"), "ChromaRestSink.deleteIds needs an `id` column")
     val v = resolveApiVersion(baseUrl, apiVersion, timeoutMs)
-    val collId = resolveCollectionId(baseUrl, collectionName, space, tenant,
+    val collId = resolveExistingCollectionId(baseUrl, collectionName, tenant,
       database, timeoutMs, v)
     val url = recordsUrl(baseUrl, v, tenant, database, collId, "delete")
     val ids = df.select("id")
@@ -410,6 +451,29 @@ object ChromaRestSink {
         stream.close()
       }
       code
+    } catch {
+      case e: Throwable => conn.disconnect(); throw e
+    }
+  }
+
+  /** One GET returning (status, body) — the must-exist collection lookup.
+    * Body fully drained (keep-alive); transport failures propagate. */
+  private[sources] def getBody(url: String, timeoutMs: Int): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val buf = new ByteArrayOutputStream()
+      if (stream != null) {
+        val tmp = new Array[Byte](8192)
+        var n = stream.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = stream.read(tmp) }
+        stream.close()
+      }
+      (code, new String(buf.toByteArray, UTF_8))
     } catch {
       case e: Throwable => conn.disconnect(); throw e
     }

@@ -145,13 +145,24 @@ class GraftDataSource extends RelationProvider
       options = Map("mergeSchema" -> "true")
     ).resolveRelation()
     rel match {
-      // the INSERT guard (see class doc): only single-root relations can
-      // reach InsertIntoHadoopFsRelationCommand, so double the advertised
-      // root when there is exactly one — reads are untouched (listing is
-      // delegated; rootPaths is only consulted by the insert analysis and
-      // explain output)
-      case h: HadoopFsRelation if h.location.rootPaths.size == 1 =>
-        h.copy(location = new InsertGuardIndex(h.location))(spark)
+      // the INSERT guard (see class doc), two independent layers:
+      // (1) only single-root relations can reach
+      //     InsertIntoHadoopFsRelationCommand, so double the advertised
+      //     root when there is exactly one — the insert fails AT ANALYSIS,
+      //     before anything (including INSERT OVERWRITE's pre-write
+      //     delete) touches the store; reads are untouched (listing is
+      //     delegated; rootPaths is only consulted by the insert analysis
+      //     and explain output);
+      // (2) the relation's FileFormat refuses prepareWrite outright — so
+      //     even if a future Spark relaxes or reroutes the single-path
+      //     precondition layer (1) leans on, a physical write into a
+      //     committed COW version dir still fails loudly instead of
+      //     landing raw parquet behind the commit protocol.
+      case h: HadoopFsRelation =>
+        h.copy(
+          location = if (h.location.rootPaths.size == 1)
+            new InsertGuardIndex(h.location) else h.location,
+          fileFormat = new ReadOnlyParquetFormat)(spark)
       case other => other
     }
   }
@@ -217,6 +228,25 @@ class GraftDataSource extends RelationProvider
   * `INSERT INTO` could write files into a committed version dir directly.
   * Listing, sizing and refresh all delegate; the doubled entry is never
   * listed twice because [[listFiles]] is the inner index's own. */
+/** Parquet format whose WRITE half is unreachable: graft relations are
+  * read-only at the file level (writes go through the collection API's
+  * gates — `df.write.format("graft")` / CTAS / add/upsert). Reading is the
+  * stock parquet path (everything is inherited); only `prepareWrite`
+  * refuses, the second guard layer behind [[InsertGuardIndex]]. */
+private[sources] class ReadOnlyParquetFormat
+    extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
+  override def prepareWrite(sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "graft relations are read-only — a raw file write would bypass the " +
+        "collection's dup-id gate and commit protocol; write through " +
+        "df.write.format(\"graft\") or the collection API (add/upsert)")
+  override def toString: String = "ReadOnlyParquet"
+}
+
 private[sources] class InsertGuardIndex(inner: FileIndex) extends FileIndex {
   override def rootPaths: Seq[Path] = inner.rootPaths ++ inner.rootPaths.take(1)
   override def listFiles(partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],

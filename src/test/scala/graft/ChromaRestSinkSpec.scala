@@ -35,7 +35,12 @@ class ChromaRestSinkSpec extends SparkTestBase {
     server.createContext("/api/v1/collections", (ex: HttpExchange) => {
       val path = ex.getRequestURI.getPath
       val payload = readBody(ex)
-      if (path.endsWith("/add")) {
+      if (ex.getRequestMethod == "GET") {
+        // must-exist resolution (deleteIds): only 'docs' exists
+        if (path.endsWith("/collections/docs"))
+          respond(ex, 200, """{"id":"fake-coll-id","name":"docs"}""")
+        else respond(ex, 404, """{"error":"collection not found"}""")
+      } else if (path.endsWith("/add")) {
         if (failures.getAndDecrement() > 0) respond(ex, 500, """{"error":"flaky"}""")
         else { adds.add(payload); respond(ex, 201, "true") }
       } else if (path.endsWith("/collections")) {
@@ -199,7 +204,12 @@ class ChromaRestSinkSpec extends SparkTestBase {
       // (e.g. the v1 query-param form against v2) must fail the test
       val okBase = path.startsWith("/api/v2/tenants/t1/databases/db1/collections")
       if (!okBase) respond(ex, 404, s"""{"error":"bad path $path"}""")
-      else if (path.endsWith("/collections")) {
+      else if (ex.getRequestMethod == "GET") {
+        // must-exist resolution (deleteIds): only 'docs' exists
+        if (path.endsWith("/collections/docs"))
+          respond(ex, 200, """{"id":"v2-coll-id","name":"docs"}""")
+        else respond(ex, 404, """{"error":"collection not found"}""")
+      } else if (path.endsWith("/collections")) {
         recorded.add(("create", payload))
         respond(ex, 200, """{"id":"v2-coll-id","name":"docs"}""")
       } else {
@@ -267,6 +277,50 @@ class ChromaRestSinkSpec extends SparkTestBase {
           tenant = "t1", database = "db1")
       }
     }
+  }
+
+  test("deleteIds against a missing collection fails loudly and never creates one") {
+    withFakeChromaV2 { (url, recorded) =>
+      val e = intercept[NoSuchElementException] {
+        ChromaRestSink.deleteIds(frame(3).select(col("id")).coalesce(1),
+          url, "docs-typo", tenant = "t1", database = "db1")
+      }
+      assert(e.getMessage.contains("docs-typo") && e.getMessage.contains("does not exist"))
+      val ops = recorded.toArray(Array.empty[(String, String)])
+      assert(!ops.exists(_._1 == "create"),
+        "a delete-side resolution must never get-or-create")
+      assert(!ops.exists(_._1 == "delete"), "no delete batch may be posted")
+    }
+  }
+
+  test("a transient 5xx heartbeat is never cached as a version verdict") {
+    // a restarting v2 server briefly 503s its heartbeat: auto must
+    // propagate, and once the server recovers the SAME baseUrl must
+    // negotiate v2 — a cached 'v1' verdict would pin every later call
+    // of this JVM to /api/v1 (410 against the recovered server)
+    val healthy = new atomic.AtomicBoolean(false)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: HttpExchange, code: Int, payload: String): Unit = {
+      val bytes = payload.getBytes(UTF_8)
+      ex.sendResponseHeaders(code, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+    server.createContext("/api/v2/heartbeat", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      if (healthy.get()) respond(ex, 200, """{"nanosecond heartbeat":1}""")
+      else respond(ex, 503, """{"error":"warming up"}""")
+    })
+    server.setExecutor(null); server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val e = intercept[java.io.IOException] {
+        ChromaRestSink.resolveApiVersion(url, "auto", 5000)
+      }
+      assert(e.getMessage.contains("503"))
+      healthy.set(true)
+      assert(ChromaRestSink.resolveApiVersion(url, "auto", 5000) == "v2")
+    } finally server.stop(0)
   }
 
   test("a v1-only server keeps negotiating to the v1 leg (back-compat intact)") {
