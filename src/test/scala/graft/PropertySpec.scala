@@ -402,4 +402,33 @@ class PropertySpec extends SparkTestBase {
       assert(idx.toSeq == scan.toSeq, s"seed $seed diverged")
     }
   }
+
+  test("property: format(graft) write→read is lossless; upsert is latest-wins vs a map reference") {
+    // random batches (int ids — the write canonicalizes to string),
+    // create + overlapping upsert through the plain-SQL surface; the
+    // read-back must equal the two-map merge a local reference computes
+    val rowsGen = for {
+      n <- Gen.chooseNum(1, 30)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.chooseNum(0, 40)
+        s <- Gen.chooseNum(0, 9)
+      } yield (id, s))
+    } yield rows.distinctBy(_._1) // base add rejects in-batch dup ids
+    for (seed <- 41L to 43L) {
+      val base = sample(rowsGen, seed)
+      val up = sample(rowsGen, seed + 100)
+      val r = tmpDir(s"dsw-prop-$seed")
+      base.toDF("id", "stars").write.format("graft")
+        .option("root", r).option("name", "p").option("buckets", "3").save()
+      up.toDF("id", "stars").write.format("graft")
+        .option("root", r).option("name", "p")
+        .mode("append").option("upsert", "true").save()
+      val expect = (base.map { case (i, s) => (i.toString, s) }.toMap ++
+        up.map { case (i, s) => (i.toString, s) }.toMap).toSeq.sorted
+      val got = spark.read.format("graft")
+        .option("root", r).option("name", "p").load()
+        .collect().map(x => (x.getString(0), x.getInt(1))).toSeq.sorted
+      assert(got == expect, s"seed $seed diverged")
+    }
+  }
 }
