@@ -2801,6 +2801,28 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       .map { case (part, owner) => new Path(owner, part).toString }
   }
 
+  /** [[leafDataDirs]] confined to the `pt` buckets a literal id list can
+    * live in (the writer's own hash, evaluated driver-side — exactly
+    * [[ptBucketsOf]]'s point-read rule, surfaced for the SQL read path's
+    * `ids` option): the result is a SUPERSET binding — whole buckets, not
+    * rows — so callers must still filter by id. Falls back to every leaf
+    * dir when the stored id column is not STRING (the hash is
+    * type-sensitive; a legacy layout must stay correct over fast). */
+  private[graft] def leafDataDirsForIds(version: Int, ids: Seq[String]): Seq[String] = {
+    val all = leafDataDirs(version)
+    ptBucketsOf(readVersion(version), ids) match {
+      case None => all
+      case Some(buckets) =>
+        val want = buckets.map(b => s"pt=$b").toSet
+        val pruned = all.filter(d => want.contains(new Path(d).getName))
+        // every wanted bucket dir may be absent (ids hashing to buckets
+        // that never received rows): the true answer is empty, but a V1
+        // relation needs >= 1 root to carry a schema — bind ONE bucket
+        // (cheapest correct superset; the caller's id filter empties it)
+        if (pruned.nonEmpty) pruned else all.take(1)
+    }
+  }
+
   /** Roll back by rolling FORWARD: commit a NEW version whose content is
     * `version`'s — every bucket carried by [[Carry]] manifest (O(buckets)
     * metadata, zero data movement on any filesystem). The claim protocol

@@ -22,6 +22,9 @@ import graft.catalog.CollectionCatalog
   *   spark.read.format("graft").load("<root>/<name>")          // path form
   *   ...option("version", "3")                                  // time travel
   *   ...option("tenant", t).option("database", d)               // namespaces
+  *   ...option("ids", "a,b,c")   // point-read listing pruning: binds only
+  *                               // those ids' pt bucket dirs (SUPERSET —
+  *                               // pair with your own WHERE id IN (...))
   *   CREATE TABLE docs USING graft OPTIONS (root '...', name '...')
   *
   * Write usage (the reference's hydration, as a plain Spark sink):
@@ -134,7 +137,21 @@ class GraftDataSource extends RelationProvider
     require(version > 0,
       if (m.version == 0) s"collection '$name' is empty (never written) — nothing to bind"
       else s"graft option version must be >= 1, got $version")
-    val dirs = coll.leafDataDirs(version)
+    // `ids` option = point-read LISTING pruning, the SQL-surface analog
+    // of get(ids)'s bucket rule: bind only the pt bucket dirs the given
+    // ids can hash into (1/numBuckets of the files at 100 TB instead of
+    // all of them — rowgroup stats prune WITHIN files, only listing
+    // pruning prunes the listing). SUPERSET semantics: the relation
+    // contains those ids' whole buckets, so ALWAYS pair the option with
+    // your own `WHERE id IN (...)` — the option confines IO, the filter
+    // picks the rows.
+    val dirs = parameters.get("ids") match {
+      case Some(csv) =>
+        val ids = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(ids.nonEmpty, "graft option ids must name at least one id")
+        coll.leafDataDirsForIds(version, ids)
+      case None => coll.leafDataDirs(version)
+    }
     require(dirs.nonEmpty, s"collection '$name' version $version has no data dirs")
     // Spark's own parquet relation machinery over the resolved snapshot:
     // schema from footers (mergeSchema across buckets), full pushdown

@@ -63,6 +63,25 @@ class GraftDataSourceSpec extends SparkTestBase {
       s"the stars filter must reach PushedFilters: $plan")
   }
 
+  test("ids option prunes the LISTING to the ids' buckets; values need the caller's filter") {
+    coll
+    val full = spark.read.format("graft")
+      .option("root", root).option("name", "ds").load()
+    val pruned = spark.read.format("graft")
+      .option("root", root).option("name", "ds")
+      .option("ids", "7,13").load()
+    // IO confinement: the bound file set shrinks to the ids' buckets
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"expected a bucket-confined binding, got ${pruned.inputFiles.length} of " +
+        s"${full.inputFiles.length} files")
+    // superset semantics: the caller's own id filter completes the read
+    val rows = pruned.filter(col("id").isin("7", "13"))
+      .select("id", "stars").collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    val api = coll.toDF.filter(col("id").isin("7", "13"))
+      .select("id", "stars").collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.toSeq == api.toSeq && rows.length == 2)
+  }
+
   test("CREATE TABLE ... USING graft serves SQL-only users") {
     coll
     spark.sql("DROP TABLE IF EXISTS graft_ds")
