@@ -1031,6 +1031,20 @@ object SparkEntry {
       Retrieval.rrf(Seq(kw, vr), "id", "rnk")
         .orderBy(col("rrf").desc, col("id")).limit(20)
     }),
+    // The BATCH keyword read: one pruned sidecar read (union of the
+    // batch's tp partitions + the stats partition) serves three queries —
+    // the RAG serving shape (per-query index reads would re-list the same
+    // files once per query). df stays GLOBAL per term, so each qid's rows
+    // are exactly its single-query q154 answer; the oracle replays the
+    // per-qid fold from the raw table (scan ≡ index by the shared fold).
+    "q159_kwindex_bm25_batch" -> ((s, dir) =>
+      kwxCollection(s, dir).keywordTopKBatch(Seq(
+          Seq("hash", "join", "stream"),
+          Seq("vector", "table"),
+          Seq("index", "hash")), 10)
+        .select(col("qid"), col("id"), col("rnk"),
+          roundz(col("score"), 4).as("score"))
+        .orderBy("qid", "rnk")),
     // The full RAG read path as ONE collection call: queryHybridText —
     // the query text drives the keyword leg (corpus tokenization rule →
     // sidecar-served BM25 top-fetchN) AND the vector leg (the RECORDED
@@ -3709,6 +3723,38 @@ object SparkEntry {
          |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) + 0.0 AS rrf
          |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
          |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+    },
+    // q159: the batch fold replayed per qid — qt(qid, term) fans the one
+    // tf table out to the queries; df/dl/stats and the score expression
+    // are sqlBm25's verbatim (GLOBAL df — document frequency is
+    // query-independent), the fold key just widens to (qid, id)
+    "q159_kwindex_bm25_batch" -> {
+      val k1 = 1.2; val b = 0.75
+      val qtVals = Seq(
+        0 -> Seq("hash", "join", "stream"),
+        1 -> Seq("vector", "table"),
+        2 -> Seq("index", "hash"))
+        .flatMap { case (qi, ts) => ts.map(t => s"($qi, '$t')") }.mkString(", ")
+      val allTerms = Seq("hash", "join", "stream", "vector", "table", "index")
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH qt AS (SELECT * FROM (VALUES $qtVals) AS q(qid, term)),
+         |toks AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |         unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents),
+         |dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+         |tf AS (SELECT id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN ($allTerms) GROUP BY id, term),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT qt.qid, tf.id,
+         |    ROUND((((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1}))
+         |      / (tf + $k1 * (${1 - b} + ($b * CAST(dl AS DOUBLE) * n_docs) / CAST(tot_dl AS DOUBLE))), 6) AS s
+         |    FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (id) CROSS JOIN stats),
+         |kws AS (SELECT qid, id, CAST(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS score
+         |        FROM sc GROUP BY qid, id),
+         |kwtop AS (SELECT qid, id, score,
+         |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk FROM kws)
+         |SELECT qid, id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop
+         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
     },
     // q156: the final merged state after overwrite + append + overlapping
     // upsert through df.write.format("graft") — replayed from the raw

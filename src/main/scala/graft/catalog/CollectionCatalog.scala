@@ -2399,6 +2399,37 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     }
   }
 
+  /** The BATCH form of [[keywordTopK]] — one pruned sidecar read (or one
+    * corpus scan on the fallback path) serves every query in the batch:
+    * (qid, id, rnk, score), each qid's rows exactly its single-query
+    * [[keywordTopK]] answer (GLOBAL df, shared fold). */
+  def keywordTopKBatch(queries: Seq[Seq[String]], n: Int,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val m = meta
+    currentKwIndex(m) match {
+      case Some(idx) =>
+        KeywordIndex.bm25TopKBatch(readIndexBuild(idx), queries, n, k1, b)
+      case None =>
+        val df = snapshotDF(m)
+        require(df.columns.contains("document"),
+          s"collection '${m.name}' carries no document column — keyword " +
+            "retrieval needs one")
+        Retrieval.bm25TopKBatch(df, "id", "document", queries, n, k1, b)
+    }
+  }
+
+  /** The corpus tokenization rule applied to a query text — lowercase
+    * through UTF8String (the EXACT routine Spark's lower() applies on the
+    * corpus/sidecar side; a JVM default-locale toLowerCase is NOT
+    * bit-identical, e.g. tr-TR dotted/dotless I, and a query term that
+    * case-maps differently from the stored postings silently matches
+    * nothing), whitespace split, duplicates collapsed (BM25 scores a term
+    * once per DISTINCT query term). */
+  private def queryTerms(text: String): Seq[String] =
+    org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .toLowerCase.toString.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+
   /** Hybrid retrieval — the full RAG read path as ONE collection call:
     * the query text drives BOTH legs. The KEYWORD leg tokenizes it with
     * the corpus rule (`lower` + whitespace split, duplicates collapsed —
@@ -2419,18 +2450,35 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
                       rrfK: Int = 60): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
-    // lowercase through UTF8String — the EXACT routine Spark's lower()
-    // applies on the corpus/sidecar side (HashingEmbedder.embedOne's
-    // contract: a JVM default-locale toLowerCase is NOT bit-identical,
-    // e.g. tr-TR dotted/dotless I, and a query term that case-maps
-    // differently from the stored postings silently matches nothing)
-    val terms = org.apache.spark.unsafe.types.UTF8String.fromString(text)
-      .toLowerCase.toString.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val terms = queryTerms(text)
     require(terms.nonEmpty, s"query text '$text' has no tokens")
     val kw = keywordTopK(terms, fetchN).select(col("id"), col("rnk"))
     val vr = queryText(Seq(text), fetchN).select(col("id"), col("rnk"))
     Retrieval.rrf(Seq(kw, vr), "id", "rnk", rrfK)
       .orderBy(col("rrf").desc, col("id")).limit(k)
+  }
+
+  /** The BATCH form of [[queryHybridText]]: one sidecar read serves every
+    * text's keyword leg ([[keywordTopKBatch]]), one [[queryText]] batch
+    * serves every vector leg, and the fusion joins per (qid, id). Output
+    * (qid, id, rrf) — each qid's rows exactly its single-text
+    * [[queryHybridText]] answer. */
+  def queryHybridTextBatch(texts: Seq[String], k: Int, fetchN: Int = 50,
+                           rrfK: Int = 60): DataFrame = {
+    require(texts.nonEmpty, "queryHybridTextBatch needs at least one text")
+    require(k > 0, s"k must be positive, got $k")
+    require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    val termSets = texts.map(queryTerms)
+    termSets.zip(texts).foreach { case (ts, t) =>
+      require(ts.nonEmpty, s"query text '$t' has no tokens") }
+    val kw = keywordTopKBatch(termSets, fetchN)
+      .select(col("qid"), col("id"), col("rnk"))
+    val vr = queryText(texts, fetchN).select(col("qid"), col("id"), col("rnk"))
+    val fused = Retrieval.rrfKeyed(Seq(kw, vr), Seq("qid", "id"), "rnk", rrfK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .drop("__rk").orderBy(col("qid"), col("rrf").desc, col("id"))
   }
 
   /** The layout-owned columns of an index build dir: always `cell`, plus

@@ -137,6 +137,39 @@ object KeywordIndex {
     Retrieval.rankTopN(Retrieval.bm25ScoreFold(perTerm, k1, b), n)
   }
 
+  /** The BATCH form of [[bm25TopK]]: ONE pruned postings read (the union
+    * of every query's `tp` partitions + the stats partition) serves the
+    * whole batch — per-query index reads would re-list and re-open the
+    * same files once per query. A tiny broadcast (qid, term) frame fans
+    * matching postings out to the queries that asked for each term; `df`
+    * stays GLOBAL per term, so each qid's scores are exactly its
+    * single-query [[bm25TopK]] scores (and, by the shared-fold contract,
+    * exactly the scan path's). Returns (qid, id, rnk, score). */
+  def bm25TopKBatch(postings: DataFrame, queries: Seq[Seq[String]], n: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKBatch needs at least one query")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      require(q.nonEmpty, s"query $i has no terms") }
+    val allTerms = queries.flatten.distinct
+    val tps = allTerms.map(tpOf).distinct
+    val hits = postings
+      .filter(col("tp").isin(tps: _*))
+      .filter(col("term").isin(allTerms: _*))
+      .select(col("id"), col("term"), col("tf"), col("dl"))
+    val dft = hits.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = postings.filter(col("tp") === lit(StatsTp))
+      .agg(sum(col("tf")).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qt = queries.zipWithIndex
+      .flatMap { case (ts, qi) => ts.distinct.map(t => (qi, t)) }
+      .toDF("qid", "term")
+    Retrieval.rankTopNBatch(Retrieval.bm25ScoreFold(hits
+      .join(broadcast(qt), "term")
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats)), k1, b, Seq("qid", "id")), n)
+  }
+
   /** The writer's partition key for one term, computed driver-side with
     * the same function the plan uses (`xxhash64` = XXH64 seed 42 over
     * the UTF-8 bytes — the DocIndex.gpOf contract). */

@@ -49,6 +49,58 @@ object Retrieval {
       .crossJoin(broadcast(stats)), k1, b)
   }
 
+  /** The BATCH form of [[bm25]] — one corpus pass scores EVERY query in
+    * the batch (the RAG serving shape: per-query corpus passes would
+    * multiply the dominant cost by the batch size). The token stream,
+    * per-doc lengths, corpus stats, tf over the UNION of query terms and
+    * the per-term df are all computed once; a tiny broadcast (qid, term)
+    * frame then fans matching postings out to the queries that asked for
+    * each term, and the one shared fold scores per (qid, id). df stays
+    * GLOBAL per term (document frequency is query-independent), so each
+    * qid's scores are EXACTLY its single-query [[bm25]] scores. */
+  def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
+                queries: Seq[Seq[String]],
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25Batch needs at least one query")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      require(q.nonEmpty, s"query $i has no terms") }
+    val allTerms = queries.flatten.distinct
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("term"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = toks.filter(col("term").isin(allTerms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries.zipWithIndex
+      .flatMap { case (ts, qi) => ts.distinct.map(t => (qi, t)) }
+      .toDF("qid", "term")
+    bm25ScoreFold(tf
+      .join(broadcast(qt), "term")
+      .join(broadcast(dft), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats)), k1, b, Seq("qid", "id"))
+  }
+
+  /** Batch top-n: (qid, id, rnk, score), rank ties by id — per-query
+    * rank windows over the fold's output. The `rnk <= n` filter directly
+    * over the per-qid row_number is Spark's WindowGroupLimit shape: each
+    * input partition forwards at most n rows per qid before the exchange,
+    * so the window never sorts the full match stream. */
+  private[graft] def rankTopNBatch(scores: DataFrame, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("id"))
+    scores.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
+      .select(col("qid"), col("id"), col("rnk"), col("score"))
+  }
+
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+                    queries: Seq[Seq[String]], n: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankTopNBatch(bm25Batch(docs, idCol, textCol, queries, k1, b), n)
+
   /** The BM25 arithmetic + per-doc fold shared by the scan path above and
     * the persisted [[KeywordIndex]] read path: `perTerm` carries one row
     * per (matching doc, query term) with LONG columns `tf`, `df`, `dl`,
@@ -56,7 +108,8 @@ object Retrieval {
     * index reads them from the sidecar — and the output is (id, score).
     * ONE written form of the formula serves both, so index ≡ scan holds
     * by construction (the DocIndex rule), not by parallel maintenance. */
-  private[graft] def bm25ScoreFold(perTerm: DataFrame, k1: Double, b: Double): DataFrame = {
+  private[graft] def bm25ScoreFold(perTerm: DataFrame, k1: Double, b: Double,
+                                   groupCols: Seq[String] = Seq("id")): DataFrame = {
     val scored = perTerm
       .withColumn("idf",
         (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -64,8 +117,10 @@ object Retrieval {
         (col("idf") * (col("tf") * lit(k1 + 1)))
           / (col("tf") + lit(k1) * (lit(1 - b)
             + (lit(b) * col("dl").cast("double") * col("n_docs")) / col("tot_dl").cast("double"))))
-    // round → exact decimal sum: the per-doc fold over terms is order-free
-    scored.groupBy("id")
+    // round → exact decimal sum: the per-doc fold over terms is order-free.
+    // groupCols = Seq("qid","id") is the batch form — the per-row
+    // arithmetic is IDENTICAL, only the fold key widens
+    scored.groupBy(groupCols.map(col): _*)
       .agg(sum(round(col("s"), 6).cast(DecimalType(18, 6)))
         .cast(DecimalType(18, 6)).cast("double").as("score"))
   }
@@ -112,6 +167,24 @@ object Retrieval {
       .map(i => coalesce(col(s"c$i"), lit(0.0)))
       .reduce(_ + _)
     merged.select(col("id"), round(total, 6).as("rrf"))
+  }
+
+  /** [[rrf]] over composite keys — the batch form: lists carry
+    * (keyCols..., rankCol) and fuse per key tuple (e.g. (qid, id)), so
+    * one call fuses every query in a batch. Same arithmetic, same
+    * outer-merge semantics. */
+  def rrfKeyed(ranked: Seq[DataFrame], keyCols: Seq[String],
+               rankCol: String, k: Int = 60): DataFrame = {
+    require(ranked.size >= 2, "rrf fuses at least two ranked lists")
+    val contribs = ranked.zipWithIndex.map { case (df, i) =>
+      df.select(keyCols.map(col) :+
+        (lit(1.0) / (lit(k.toDouble) + col(rankCol))).as(s"c$i"): _*)
+    }
+    val merged = contribs.reduce((a, b) => a.join(b, keyCols, "full_outer"))
+    val total: Column = contribs.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduce(_ + _)
+    merged.select(keyCols.map(col) :+ round(total, 6).as("rrf"): _*)
   }
 
   /** Min-max-normalized weighted score fusion — the score-aware hybrid

@@ -173,6 +173,40 @@ class KeywordIndexSpec extends SparkTestBase {
     assert(indexed.nonEmpty)
   }
 
+  test("batch forms: keywordTopKBatch and queryHybridTextBatch equal the per-query loop, on both paths") {
+    val c = hybridColl
+    val queries = Seq(Seq("hash", "joins"), Seq("stream", "turtles"), Seq("skew"))
+    def batchRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).toSeq.sorted
+    def singles() = queries.zipWithIndex.flatMap { case (q, qi) =>
+      c.keywordTopK(q, 4).collect().map(r =>
+        (qi, r.getString(0), r.getInt(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2))))
+    }.sorted
+    // scan fallback path (the hybridColl fixture may already carry a
+    // sidecar from the earlier test — exercise whichever state it is in
+    // first, then force the OTHER path)
+    val before = batchRows(c.keywordTopKBatch(queries, 4))
+    assert(before == singles(), "batch != per-query loop")
+    if (!c.hasKeywordIndex) c.buildKeywordIndex() else c.dropKeywordIndex()
+    val after = batchRows(c.keywordTopKBatch(queries, 4))
+    assert(after == singles(), "batch != per-query loop after toggling the sidecar")
+    assert(before == after, "sidecar presence moved batch answers")
+    // hybrid batch ≡ the single-text call per qid (rrf values bit-equal)
+    val texts = Seq("hash joins stream", "turtles skew hash")
+    val hb = c.queryHybridTextBatch(texts, k = 3, fetchN = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSeq.sorted
+    val hs = texts.zipWithIndex.flatMap { case (t, qi) =>
+      c.queryHybridText(t, k = 3, fetchN = 5).collect().map(r =>
+        (qi, r.getString(0), java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+    }.sorted
+    assert(hb == hs, "hybrid batch != per-text loop")
+    intercept[IllegalArgumentException] { c.keywordTopKBatch(Seq(Seq("hash"), Seq()), 3) }
+    intercept[IllegalArgumentException] { c.queryHybridTextBatch(Seq(), 3) }
+  }
+
   test("queryHybridText: duplicate query tokens collapse; degenerate inputs fail loudly") {
     val c = hybridColl
     // BM25 scores a term once per DISTINCT query term: repeating a token
