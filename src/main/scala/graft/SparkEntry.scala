@@ -73,6 +73,27 @@ object SparkEntry {
     coll
   }
 
+  /** The fingerprint-cached PQ-indexed, hash-embedded collection shared
+    * by q150 and q160 (text→PQ reads, and the both-legs-indexed hybrid). */
+  private def qtpqCollection(s: SparkSession, dir: String): Collection = {
+    val docs = t(s, dir, "documents")
+    val root = verifyCollectionsRoot(dir)
+    val cat = new CollectionCatalog(s, root, numBuckets = 8)
+    val fp = s"qtpq1|$dir|n=${docs.count()}|embed=hash16|cs=0-7|ps=1-16|m=8"
+    val reusable = cat.getCollection("qtpq").exists(c =>
+      c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
+    if (reusable) cat.getCollection("qtpq").get else {
+      cat.deleteCollection("qtpq")
+      val c = cat.getOrCreateCollection("qtpq", space = "cosine")
+      c.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
+        col("text").as("document"), col("lang")), HashingEmbedder(16))
+      c.buildIndexPqSeeded((0L until 8L).map(_.toString),
+        (1L to 16L).map(_.toString), m = 8)
+      c.modifyMetadata(Map("source_fp" -> fp))
+      c
+    }
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as a long
     * (nanos) via this legacy flag; DuckDB truncates the same values to µs.
     * All event-time arithmetic therefore happens on integer MICROSECONDS on
@@ -2659,28 +2680,26 @@ object SparkEntry {
     // replays the entire composition from RAW TEXT: hash-embed (integral
     // counts — float32 and DOUBLE agree bit-for-bit), seeded assignment,
     // probe choice, encode, per-qid luts, both rank stages.
-    "q150_querytext_pq" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val root = verifyCollectionsRoot(dir)
-      val cat = new CollectionCatalog(s, root, numBuckets = 8)
-      val fp = s"qtpq1|$dir|n=${docs.count()}|embed=hash16|cs=0-7|ps=1-16|m=8"
-      val reusable = cat.getCollection("qtpq").exists(c =>
-        c.meta.metadata.get("source_fp").contains(fp) && c.hasIndex)
-      val coll = if (reusable) cat.getCollection("qtpq").get else {
-        cat.deleteCollection("qtpq")
-        val c = cat.getOrCreateCollection("qtpq", space = "cosine")
-        c.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
-          col("text").as("document"), col("lang")), HashingEmbedder(16))
-        c.buildIndexPqSeeded((0L until 8L).map(_.toString),
-          (1L to 16L).map(_.toString), m = 8)
-        c.modifyMetadata(Map("source_fp" -> fp))
-        c
-      }
-      coll.queryTextPq(
+    "q150_querytext_pq" -> ((s, dir) =>
+      qtpqCollection(s, dir).queryTextPq(
           Seq("vector database search index", "streaming join throughput"),
           k = 10, nprobe = 2, fetchN = 30)
         .select(col("qid"), col("rnk"), col("id"), col("adc"), col("dist"))
-        .orderBy("qid", "rnk")
+        .orderBy("qid", "rnk")),
+    // Hybrid with BOTH legs index-confined — the 100 TB serving hybrid:
+    // keyword leg through the tp-pruned keyword sidecar, vector leg
+    // through the PQ-coded index (codes-only ADC scan in the probed
+    // cells, exact refine). The vector leg's ranks are the PQ pipeline's
+    // REFINED ranks, so the oracle replays the ENTIRE q150 construction
+    // for the query text plus the BM25 fold, then fuses — every stage of
+    // both approximate legs under one hash.
+    "q160_hybrid_text_pq" -> ((s, dir) => {
+      val coll = qtpqCollection(s, dir)
+      if (!coll.hasKeywordIndex) coll.buildKeywordIndex()
+      coll.queryHybridTextPq("hash join stream", k = 20, fetchN = 30,
+          nprobe = 2, adcFetchN = 30)
+        .select(col("id"), roundz(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
     }),
     // Cross-version SCHEMA EVOLUTION through the store: batch 1 writes
     // (id, document, embedding); a later upsert introduces a NEW metadata
@@ -4507,6 +4526,111 @@ object SparkEntry {
          |          row_number() OVER (PARTITION BY qid ORDER BY dist_raw, id) AS rnk
          |   FROM ref) WHERE rnk <= 10
          |ORDER BY qid, rnk""".stripMargin
+    },
+    // q160: the both-legs-indexed hybrid replayed end to end from the raw
+    // text — the ENTIRE q150 PQ construction for 'hash join stream'
+    // (hash-embed → seeded assignment → probe choice → encode → lut →
+    // decimal ADC → shortlist → exact-cosine refine ranks) beside the
+    // BM25 fold (sqlBm25's expressions verbatim, k-prefixed CTE names to
+    // avoid collisions), fused with q67's rrf arithmetic
+    "q160_hybrid_text_pq" -> {
+      val hash = sqlStrHash("tm")
+      val k1 = 1.2; val b = 0.75
+      s"""WITH qt AS (SELECT * FROM (VALUES (0, 'hash join stream')) AS q(qid, qtext)),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |         FROM documents),
+         |tk AS (SELECT doc_id, $hash AS h FROM toks WHERE length(tm) > 0),
+         |sums AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
+         |                SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |         FROM tk GROUP BY doc_id, b),
+         |grid AS (SELECT dd.doc_id, bb.b FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |         CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |vecs AS MATERIALIZED (
+         |        SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |        FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.b
+         |        GROUP BY g.doc_id),
+         |qtoks AS (SELECT qid, unnest(string_split_regex(lower(qtext), '\\s+')) AS tm FROM qt),
+         |qtk AS (SELECT qid, $hash AS h FROM qtoks WHERE length(tm) > 0),
+         |qsums AS (SELECT qid, CAST(h % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY qid, b),
+         |qgrid AS (SELECT qq.qid, bb.b FROM (SELECT DISTINCT qid FROM qt) qq
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |qvecs AS MATERIALIZED (
+         |         SELECT g.qid, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+         |         FROM qgrid g LEFT JOIN qsums s ON s.qid = g.qid AND s.b = g.b
+         |         GROUP BY g.qid),
+         |cct AS (SELECT CAST(doc_id AS INTEGER) AS cell, v AS ce
+         |        FROM vecs WHERE doc_id BETWEEN 0 AND 7),
+         |cdist AS (SELECT ve.doc_id AS doc_id, cct.cell AS cell,
+         |                 ${sqlL2("ve.v", "cct.ce")} AS cd
+         |          FROM vecs ve, cct),
+         |asg AS (SELECT doc_id, cell FROM
+         |          (SELECT doc_id, cell, row_number() OVER (PARTITION BY doc_id
+         |                                                   ORDER BY cd, cell) AS rn
+         |           FROM cdist) WHERE rn = 1),
+         |pc AS (SELECT qid, cell FROM
+         |         (SELECT q.qid AS qid, c.cell AS cell,
+         |                 row_number() OVER (PARTITION BY q.qid
+         |                                    ORDER BY ${sqlL2("c.ce", "q.qv")}, c.cell) AS rn
+         |          FROM cct c, qvecs q) WHERE rn <= 2),
+         |sub AS (SELECT unnest(range(8)) AS s),
+         |cb AS (SELECT sub.s AS s, CAST(ve.doc_id - 1 AS INTEGER) AS code,
+         |              list_transform(range(2), j -> ve.v[CAST(sub.s*2 + j + 1 AS INTEGER)]) AS cv
+         |       FROM vecs ve, sub WHERE ve.doc_id BETWEEN 1 AND 16),
+         |rs AS (SELECT sub.s AS s, ve.doc_id AS doc_id,
+         |              list_transform(range(2), j -> ve.v[CAST(sub.s*2 + j + 1 AS INTEGER)]) AS rv
+         |       FROM vecs ve, sub),
+         |enc AS (SELECT doc_id, s, code FROM (
+         |          SELECT r.doc_id AS doc_id, r.s AS s, c.code AS code,
+         |                 row_number() OVER (PARTITION BY r.doc_id, r.s
+         |                                    ORDER BY ${sqlL2("r.rv", "c.cv")}, c.code) AS rn
+         |          FROM rs r JOIN cb c ON c.s = r.s) WHERE rn = 1),
+         |qs AS (SELECT q.qid AS qid, sub.s AS s,
+         |              list_transform(range(2), j -> q.qv[CAST(sub.s*2 + j + 1 AS INTEGER)]) AS qv
+         |       FROM qvecs q, sub),
+         |lut AS (SELECT qs.qid AS qid, c.s AS s, c.code AS code,
+         |               ROUND(${sqlL2("qs.qv", "c.cv")}, 6) AS d6
+         |        FROM cb c JOIN qs ON qs.s = c.s),
+         |adc AS (SELECT l.qid AS qid, e.doc_id AS doc_id,
+         |               CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS adc
+         |        FROM enc e JOIN asg a ON a.doc_id = e.doc_id
+         |        JOIN lut l ON l.s = e.s AND l.code = e.code
+         |        JOIN pc p ON p.qid = l.qid AND p.cell = a.cell
+         |        GROUP BY l.qid, e.doc_id),
+         |short AS (SELECT qid, doc_id, adc FROM
+         |            (SELECT qid, doc_id, adc,
+         |                    row_number() OVER (PARTITION BY qid
+         |                                       ORDER BY adc, CAST(doc_id AS VARCHAR)) AS rn
+         |             FROM adc) WHERE rn <= 30),
+         |ref AS (SELECT sh.qid AS qid, CAST(sh.doc_id AS VARCHAR) AS id,
+         |               ${sqlCos("ve.v", "q.qv")} AS dist_raw
+         |        FROM short sh JOIN vecs ve ON ve.doc_id = sh.doc_id
+         |        JOIN qvecs q ON q.qid = sh.qid),
+         |vr AS (SELECT id, rnk FROM
+         |         (SELECT id, dist_raw,
+         |                 row_number() OVER (ORDER BY dist_raw, id) AS rnk
+         |          FROM ref) WHERE rnk <= 30),
+         |ktoks AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |          unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents),
+         |kdl AS (SELECT id, COUNT(*) AS dl FROM ktoks GROUP BY id),
+         |kstats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM kdl),
+         |ktf AS (SELECT id, term, COUNT(*) AS tf FROM ktoks
+         |        WHERE term IN ('hash', 'join', 'stream') GROUP BY id, term),
+         |kdft AS (SELECT term, COUNT(*) AS df FROM ktf GROUP BY term),
+         |ksc AS (SELECT ktf.id,
+         |    ROUND((((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1}))
+         |      / (tf + $k1 * (${1 - b} + ($b * CAST(dl AS DOUBLE) * n_docs) / CAST(tot_dl AS DOUBLE))), 6) AS s
+         |    FROM ktf JOIN kdft USING (term) JOIN kdl USING (id) CROSS JOIN kstats),
+         |kkws AS (SELECT id, CAST(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS score
+         |         FROM ksc GROUP BY id),
+         |kwtop AS (SELECT id, rnk FROM
+         |            (SELECT id, score, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk
+         |             FROM kkws) WHERE rnk <= 30)
+         |SELECT COALESCE(kk.id, v.id) AS id,
+         |  ROUND(COALESCE(1.0 / (60 + kk.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) + 0.0 AS rrf
+         |FROM kwtop kk FULL OUTER JOIN vr v ON kk.id = v.id
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
     },
     // q116: MMR's greedy trace unrolled — one (red, sc, sel, picked) CTE
     // block per rank, each stage's argmax computed from the SAME candidate

@@ -2458,6 +2458,29 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       .orderBy(col("rrf").desc, col("id")).limit(k)
   }
 
+  /** [[queryHybridText]] with BOTH legs index-confined — the 100 TB
+    * serving hybrid: the keyword leg reads O(matching postings) off the
+    * tp-pruned keyword sidecar, the vector leg runs [[queryTextPq]]'s
+    * codes-only ADC scan inside the probed IVF cells (m bytes/row, the
+    * embedding column unread until the refine). Vector-leg ranks are the
+    * PQ pipeline's REFINED ranks (approximate shortlist → exact re-rank),
+    * so the fusion inherits PQ's recall dial (`nprobe`/`adcFetchN`) —
+    * exactly the trade a serving stack tunes. `fetchN` is both legs'
+    * list depth; `adcFetchN` the ADC shortlist (0 = size-aware default). */
+  def queryHybridTextPq(text: String, k: Int, fetchN: Int = 50,
+                        nprobe: Int = 0, adcFetchN: Int = 0,
+                        rrfK: Int = 60): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    val terms = queryTerms(text)
+    require(terms.nonEmpty, s"query text '$text' has no tokens")
+    val kw = keywordTopK(terms, fetchN).select(col("id"), col("rnk"))
+    val vr = queryTextPq(Seq(text), fetchN, nprobe, adcFetchN)
+      .select(col("id"), col("rnk"))
+    Retrieval.rrf(Seq(kw, vr), "id", "rnk", rrfK)
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+  }
+
   /** The BATCH form of [[queryHybridText]]: one sidecar read serves every
     * text's keyword leg ([[keywordTopKBatch]]), one [[queryText]] batch
     * serves every vector leg, and the fusion joins per (qid, id). Output

@@ -46,6 +46,40 @@ class CollectionPqSpec extends SparkTestBase {
     assert(recall >= 8, s"trained-PQ recall@10 = $recall/10 — codebooks are mistrained")
   }
 
+  test("queryHybridTextPq: both-legs-indexed hybrid equals the composed legs; loud without a PQ build") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "collpq-hyb").toString
+    val c = new CollectionCatalog(spark, root, numBuckets = 4)
+      .getOrCreateCollection("hpq", "cosine")
+    c.addDocuments(spark.read.parquet(sf("documents"))
+      .select(col("doc_id").cast("string").as("id"), col("text").as("document")),
+      graft.operators.HashingEmbedder(16))
+    // the vector leg's contract holds through the hybrid: no committed PQ
+    // build -> loud, never a silent exact fallback ("hash join stream"
+    // is the fixture text q158/q160 prove embeds nonzero at dim 16 — a
+    // two-token probe can cancel to the zero vector and trip the cosine
+    // gate before the index check)
+    intercept[IllegalStateException] {
+      c.queryHybridTextPq("hash join stream", k = 3, fetchN = 5)
+    }
+    pqBuild(c)
+    c.buildKeywordIndex()
+    val composed = {
+      val kw = c.keywordTopK(Seq("hash", "join", "stream"), 10)
+        .select(col("id"), col("rnk"))
+      val vr = c.queryTextPq(Seq("hash join stream"), 10, nprobe = 2, fetchN = 20)
+        .select(col("id"), col("rnk"))
+      graft.operators.Retrieval.rrf(Seq(kw, vr), "id", "rnk")
+        .orderBy(col("rrf").desc, col("id")).limit(5)
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+    }
+    val got = c.queryHybridTextPq("hash join stream", k = 5, fetchN = 10,
+        nprobe = 2, adcFetchN = 20)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == composed.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("TRAINED buildPq is deterministic: same (corpus, seed) -> same codebooks") {
     import graft.operators.Ann
     val emb = spark.read.parquet(sf("embeddings"))
