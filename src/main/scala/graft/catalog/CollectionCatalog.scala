@@ -2178,17 +2178,60 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * Postings are sliced by the store's own id bucket (`gp=<g>/pb=<b>`)
     * so later [[refreshDocIndex]] calls can carry unchanged slices
     * forward instead of re-deriving the whole corpus. */
-  def buildDocIndex(): Unit = {
+  def buildDocIndex(): Unit = buildPostingsFamily("docindex", DocIndex.writeWithPb)
+
+  /** Shared build for the document-derived postings families ("docindex"
+    * trigram postings, "kwindex" keyword stats): one claim/write/commit
+    * discipline, the family's writer plugged in — a protocol fix lands
+    * once. The writer receives ((id, document, pt) frame, idCol, docCol,
+    * pbCol, path, maxRowsPerFile) — both writers share that signature. */
+  private def buildPostingsFamily(family: String,
+      writer: (DataFrame, String, String, Column, String, Long) => Unit): Unit = {
     val m = meta
     require(currentDataOf(m).nonEmpty,
       s"collection '${m.name}' is empty — nothing to index")
     val data = currentWithPtOf(m)
     require(data.columns.contains("document"),
       s"collection '${m.name}' carries no document column — nothing to index")
-    val claimed = claimDocIndexBuild(m.version)
-    DocIndex.writeWithPb(data.select(col("id"), col("document"), col("pt")),
+    val claimed = claimFamilyBuild(family, m.version)
+    writer(data.select(col("id"), col("document"), col("pt")),
       "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
     io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
+  }
+
+  /** Shared incremental refresh for the postings families (see
+    * [[buildPostingsFamily]]): postings (and, for the keyword family, the
+    * per-bucket stats rows) of CHANGED id buckets re-derive; every other
+    * `<axis>=<a>/pb=<b>` slice carries from the last committed build by
+    * manifest. Returns buckets rebuilt; full rebuild without a usable
+    * prior build. */
+  private def refreshPostingsFamily(family: String, axis: String,
+      writer: (DataFrame, String, String, Column, String, Long) => Unit): Int = {
+    val m = meta
+    require(currentDataOf(m).nonEmpty,
+      s"collection '${m.name}' is empty — nothing to index")
+    val refreshed = newestCommittedBuild(s"${family}_v") match {
+      case Some(old) if indexVersionOf(old) == m.version =>
+        0 // a committed build already serves this version
+      case Some(old) if hasPbSlices(old, axis) && io.exists(dataDir(indexVersionOf(old))) =>
+        val changed = changedBucketsBetween(indexVersionOf(old), m.version)
+        val claimed = claimFamilyBuild(family, m.version)
+        if (changed.nonEmpty)
+          writer(
+            currentWithPtOf(m).filter(col("pt").isin(changed.toSeq: _*))
+              .select(col("id"), col("document"), col("pt")),
+            "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
+        // carry forward unchanged slices: manifest entries for <axis>/pb=<b>
+        // for every b whose data bucket is byte-identical carry-over
+        carryUnchangedSlices(old, claimed, changed)
+        io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
+        changed.size
+      case _ =>
+        buildPostingsFamily(family, writer)
+        numBuckets
+    }
+    if (refreshed > 0) maybeAutoCompactIndexes()
+    refreshed
   }
 
   private def claimDocIndexBuild(version: Int): Path =
@@ -2247,33 +2290,8 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * discipline as every build: fresh claimed dir, marker written LAST,
     * readers adopt only marker-complete builds of the current version.
     */
-  def refreshDocIndex(): Int = {
-    val m = meta
-    require(currentDataOf(m).nonEmpty,
-      s"collection '${m.name}' is empty — nothing to index")
-    val refreshed = newestCommittedBuild("docindex_v") match {
-      case Some(old) if indexVersionOf(old) == m.version =>
-        0 // a committed build already serves this version
-      case Some(old) if hasPbSlices(old, "gp=") && io.exists(dataDir(indexVersionOf(old))) =>
-        val changed = changedBucketsBetween(indexVersionOf(old), m.version)
-        val claimed = claimDocIndexBuild(m.version)
-        if (changed.nonEmpty)
-          DocIndex.writeWithPb(
-            currentWithPtOf(m).filter(col("pt").isin(changed.toSeq: _*))
-              .select(col("id"), col("document"), col("pt")),
-            "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
-        // carry forward unchanged slices: manifest entries for gp=*/pb=<b>
-        // for every b whose data bucket is byte-identical carry-over
-        carryUnchangedSlices(old, claimed, changed)
-        io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
-        changed.size
-      case _ =>
-        buildDocIndex()
-        numBuckets
-    }
-    if (refreshed > 0) maybeAutoCompactIndexes()
-    refreshed
-  }
+  def refreshDocIndex(): Int =
+    refreshPostingsFamily("docindex", "gp=", DocIndex.writeWithPb)
 
   /** Drop the current version's postings-index builds. */
   def dropDocIndex(): Boolean = {
@@ -2319,18 +2337,8 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * Postings are sliced by the store's own id bucket (`tp=<t>/pb=<b>`)
     * so later [[refreshKeywordIndex]] calls can carry unchanged slices
     * forward instead of re-deriving the whole corpus. */
-  def buildKeywordIndex(): Unit = {
-    val m = meta
-    require(currentDataOf(m).nonEmpty,
-      s"collection '${m.name}' is empty — nothing to index")
-    val data = currentWithPtOf(m)
-    require(data.columns.contains("document"),
-      s"collection '${m.name}' carries no document column — nothing to index")
-    val claimed = claimKwIndexBuild(m.version)
-    KeywordIndex.writeWithPb(data.select(col("id"), col("document"), col("pt")),
-      "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
-    io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
-  }
+  def buildKeywordIndex(): Unit =
+    buildPostingsFamily("kwindex", KeywordIndex.writeWithPb)
 
   private def claimKwIndexBuild(version: Int): Path =
     claimFamilyBuild("kwindex", version)
@@ -2344,31 +2352,8 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * recompose exactly from rebuilt + carried slices.) Returns buckets
     * rebuilt; falls back to a full [[buildKeywordIndex]] without a
     * usable prior build. */
-  def refreshKeywordIndex(): Int = {
-    val m = meta
-    require(currentDataOf(m).nonEmpty,
-      s"collection '${m.name}' is empty — nothing to index")
-    val refreshed = newestCommittedBuild("kwindex_v") match {
-      case Some(old) if indexVersionOf(old) == m.version =>
-        0 // a committed build already serves this version
-      case Some(old) if hasPbSlices(old, "tp=") && io.exists(dataDir(indexVersionOf(old))) =>
-        val changed = changedBucketsBetween(indexVersionOf(old), m.version)
-        val claimed = claimKwIndexBuild(m.version)
-        if (changed.nonEmpty)
-          KeywordIndex.writeWithPb(
-            currentWithPtOf(m).filter(col("pt").isin(changed.toSeq: _*))
-              .select(col("id"), col("document"), col("pt")),
-            "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
-        carryUnchangedSlices(old, claimed, changed)
-        io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
-        changed.size
-      case _ =>
-        buildKeywordIndex()
-        numBuckets
-    }
-    if (refreshed > 0) maybeAutoCompactIndexes()
-    refreshed
-  }
+  def refreshKeywordIndex(): Int =
+    refreshPostingsFamily("kwindex", "tp=", KeywordIndex.writeWithPb)
 
   /** Drop the current version's keyword-sidecar builds. */
   def dropKeywordIndex(): Boolean = {
