@@ -679,18 +679,21 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
   private def ptBucketsOf(cur: DataFrame, ids: Seq[String]): Option[Seq[Int]] =
     if (!cur.schema.fields.exists(f =>
         f.name == "id" && f.dataType == org.apache.spark.sql.types.StringType)) None
-    else Some(ids.map { id =>
-      // Spark's own XxHash64 expression (same default seed 42 as the
-      // xxhash64() the write path uses), then Pmod's non-negative form —
-      // bit-for-bit the write hash, evaluated on the driver
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-          org.apache.spark.sql.catalyst.expressions.Literal.create(
-            id, org.apache.spark.sql.types.StringType)), 42L)
-        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-        .asInstanceOf[Long]
-      val nb = numBuckets.toLong
-      (((h % nb) + nb) % nb).toInt
-    }.distinct)
+    else Some(ids.map(ptOfString).distinct)
+
+  /** The write hash of one STRING id, evaluated driver-side: Spark's own
+    * XxHash64 expression (same default seed 42 as the xxhash64() the
+    * write path uses), then Pmod's non-negative form — bit-for-bit
+    * [[bucketed]]'s hash. */
+  private def ptOfString(id: String): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          id, org.apache.spark.sql.types.StringType)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    val nb = numBuckets.toLong
+    (((h % nb) + nb) % nb).toInt
+  }
 
   /** Read ONE committed version's rows WITH the `pt` column, resolving
     * carried buckets through its [[Carry]] manifest: each distinct
@@ -2432,13 +2435,23 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * routes via [[queryTextPq]] for callers that want the coded leg);
     * the fusion joins two ≤fetchN-row lists — driver never sees rows. */
   def queryHybridText(text: String, k: Int, fetchN: Int = 50,
-                      rrfK: Int = 60): DataFrame = {
+                      rrfK: Int = 60): DataFrame =
+    hybridFuse(text, k, fetchN, rrfK)(queryText(Seq(text), fetchN))
+
+  /** The shared hybrid skeleton (see [[queryHybridText]] /
+    * [[queryHybridTextPq]] — one written form of the gates, the keyword
+    * leg and the fusion; only the vector leg is plugged in): tokenize
+    * with the corpus rule, keyword top-fetchN, rrf-fuse with the given
+    * vector leg's (id, rnk), top-k. `vectorLeg` is by-name so its gates
+    * (e.g. the PQ index requirement) fire inside this call, loudly. */
+  private def hybridFuse(text: String, k: Int, fetchN: Int, rrfK: Int)
+                        (vectorLeg: => DataFrame): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
     val terms = queryTerms(text)
     require(terms.nonEmpty, s"query text '$text' has no tokens")
     val kw = keywordTopK(terms, fetchN).select(col("id"), col("rnk"))
-    val vr = queryText(Seq(text), fetchN).select(col("id"), col("rnk"))
+    val vr = vectorLeg.select(col("id"), col("rnk"))
     Retrieval.rrf(Seq(kw, vr), "id", "rnk", rrfK)
       .orderBy(col("rrf").desc, col("id")).limit(k)
   }
@@ -2454,17 +2467,9 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * list depth; `adcFetchN` the ADC shortlist (0 = size-aware default). */
   def queryHybridTextPq(text: String, k: Int, fetchN: Int = 50,
                         nprobe: Int = 0, adcFetchN: Int = 0,
-                        rrfK: Int = 60): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
-    val terms = queryTerms(text)
-    require(terms.nonEmpty, s"query text '$text' has no tokens")
-    val kw = keywordTopK(terms, fetchN).select(col("id"), col("rnk"))
-    val vr = queryTextPq(Seq(text), fetchN, nprobe, adcFetchN)
-      .select(col("id"), col("rnk"))
-    Retrieval.rrf(Seq(kw, vr), "id", "rnk", rrfK)
-      .orderBy(col("rrf").desc, col("id")).limit(k)
-  }
+                        rrfK: Int = 60): DataFrame =
+    hybridFuse(text, k, fetchN, rrfK)(
+      queryTextPq(Seq(text), fetchN, nprobe, adcFetchN))
 
   /** The BATCH form of [[queryHybridText]]: one sidecar read serves every
     * text's keyword leg ([[keywordTopKBatch]]), one [[queryText]] batch
@@ -2866,16 +2871,24 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * type-sensitive; a legacy layout must stay correct over fast). */
   private[graft] def leafDataDirsForIds(version: Int, ids: Seq[String]): Seq[String] = {
     val all = leafDataDirs(version)
-    ptBucketsOf(readVersion(version), ids) match {
-      case None => all
-      case Some(buckets) =>
-        val want = buckets.map(b => s"pt=$b").toSet
-        val pruned = all.filter(d => want.contains(new Path(d).getName))
-        // every wanted bucket dir may be absent (ids hashing to buckets
-        // that never received rows): the true answer is empty, but a V1
-        // relation needs >= 1 root to carry a schema — bind ONE bucket
-        // (cheapest correct superset; the caller's id filter empties it)
-        if (pruned.nonEmpty) pruned else all.take(1)
+    // id TYPE probed from ONE leaf dir's footers — the key column is
+    // written in every bucket of every version, so one dir suffices; a
+    // carry-resolved whole-version read here would pay the O(all files)
+    // footer pass this option exists to avoid. Non-string legacy layouts
+    // fall back to the full listing (the hash is type-sensitive —
+    // correct over fast), as does an unreadable probe.
+    val idIsString = scala.util.Try(spark.read.parquet(all.head).schema).toOption
+      .flatMap(_.fields.find(_.name == "id"))
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    if (!idIsString) all
+    else {
+      val want = ids.map(ptOfString).distinct.map(b => s"pt=$b").toSet
+      val pruned = all.filter(d => want.contains(new Path(d).getName))
+      // every wanted bucket dir may be absent (ids hashing to buckets
+      // that never received rows): the true answer is empty, but a V1
+      // relation needs >= 1 root to carry a schema — bind ONE bucket
+      // (cheapest correct superset; the caller's id filter empties it)
+      if (pruned.nonEmpty) pruned else all.take(1)
     }
   }
 

@@ -123,18 +123,27 @@ object KeywordIndex {
   def bm25TopK(postings: DataFrame, queryTerms: Seq[String], n: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val tps = queryTerms.map(tpOf).distinct
+    Retrieval.rankTopN(
+      Retrieval.bm25ScoreFold(perTerm(postings, queryTerms), k1, b), n)
+  }
+
+  /** The index-side per-(doc, term) frame both [[bm25TopK]] and
+    * [[bm25TopKBatch]] fold — ONE written form of the pruned read (tp
+    * partition pruning, term rowgroup pruning, GLOBAL df over the pruned
+    * hits, the stats-partition census), so the single and batch paths
+    * cannot silently diverge. */
+  private def perTerm(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    val tps = terms.map(tpOf).distinct
     val hits = postings
       .filter(col("tp").isin(tps: _*))
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .select(col("id"), col("term"), col("tf"), col("dl"))
     val dft = hits.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = postings.filter(col("tp") === lit(StatsTp))
       .agg(sum(col("tf")).as("n_docs"), sum(col("dl")).as("tot_dl"))
-    val perTerm = hits
+    hits
       .join(broadcast(dft), "term")
       .crossJoin(broadcast(stats))
-    Retrieval.rankTopN(Retrieval.bm25ScoreFold(perTerm, k1, b), n)
   }
 
   /** The BATCH form of [[bm25TopK]]: ONE pruned postings read (the union
@@ -147,27 +156,10 @@ object KeywordIndex {
     * exactly the scan path's). Returns (qid, id, rnk, score). */
   def bm25TopKBatch(postings: DataFrame, queries: Seq[Seq[String]], n: Int,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queries.nonEmpty, "bm25TopKBatch needs at least one query")
-    queries.zipWithIndex.foreach { case (q, i) =>
-      require(q.nonEmpty, s"query $i has no terms") }
-    val allTerms = queries.flatten.distinct
-    val tps = allTerms.map(tpOf).distinct
-    val hits = postings
-      .filter(col("tp").isin(tps: _*))
-      .filter(col("term").isin(allTerms: _*))
-      .select(col("id"), col("term"), col("tf"), col("dl"))
-    val dft = hits.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = postings.filter(col("tp") === lit(StatsTp))
-      .agg(sum(col("tf")).as("n_docs"), sum(col("dl")).as("tot_dl"))
-    val spark = postings.sparkSession
-    import spark.implicits._
-    val qt = queries.zipWithIndex
-      .flatMap { case (ts, qi) => ts.distinct.map(t => (qi, t)) }
-      .toDF("qid", "term")
-    Retrieval.rankTopNBatch(Retrieval.bm25ScoreFold(hits
-      .join(broadcast(qt), "term")
-      .join(broadcast(dft), "term")
-      .crossJoin(broadcast(stats)), k1, b, Seq("qid", "id")), n)
+    val qt = Retrieval.queryTermsFrame(postings, queries)
+    Retrieval.rankTopNBatch(Retrieval.bm25ScoreFold(
+      perTerm(postings, queries.flatten.distinct)
+        .join(broadcast(qt), "term"), k1, b, Seq("qid", "id")), n)
   }
 
   /** The writer's partition key for one term, computed driver-side with

@@ -32,21 +32,43 @@ object Retrieval {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    bm25ScoreFold(bm25PerTerm(docs, idCol, textCol, queryTerms), k1, b)
+  }
+
+  /** The scan-side per-(doc, term) frame both [[bm25]] and [[bm25Batch]]
+    * fold — ONE written form of the derivation (tokenization, per-doc
+    * length, corpus stats, tf over the given terms, GLOBAL df), so the
+    * single and batch paths cannot silently diverge. */
+  private def bm25PerTerm(docs: DataFrame, idCol: String, textCol: String,
+                          terms: Seq[String]): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(split(lower(col(textCol)), "\\s+")).as("term"))
     // full-stream agg: per-doc token length (the BM25 length norm)
     val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
     // corpus stats ride the plan — no driver-side collect
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-    // filtered agg: tf only for the query's terms (predicate pushes into
+    // filtered agg: tf only for the given terms (predicate pushes into
     // the exploded stream; the full vocabulary is never aggregated)
-    val tf = toks.filter(col("term").isin(queryTerms: _*))
+    val tf = toks.filter(col("term").isin(terms: _*))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    bm25ScoreFold(tf
-      .join(broadcast(dft), "term")
+    tf.join(broadcast(dft), "term")
       .join(dl, "id")
-      .crossJoin(broadcast(stats)), k1, b)
+      .crossJoin(broadcast(stats))
+  }
+
+  /** The (qid, term) fan-out frame for a query batch (per-query DISTINCT
+    * terms — BM25 scores a term once per distinct query term). */
+  private[graft] def queryTermsFrame(docs: DataFrame,
+                                     queries: Seq[Seq[String]]): DataFrame = {
+    require(queries.nonEmpty, "a query batch needs at least one query")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      require(q.nonEmpty, s"query $i has no terms") }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    queries.zipWithIndex
+      .flatMap { case (ts, qi) => ts.distinct.map(t => (qi, t)) }
+      .toDF("qid", "term")
   }
 
   /** The BATCH form of [[bm25]] — one corpus pass scores EVERY query in
@@ -61,27 +83,10 @@ object Retrieval {
   def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
                 queries: Seq[Seq[String]],
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queries.nonEmpty, "bm25Batch needs at least one query")
-    queries.zipWithIndex.foreach { case (q, i) =>
-      require(q.nonEmpty, s"query $i has no terms") }
-    val allTerms = queries.flatten.distinct
-    val toks = docs.select(col(idCol).as("id"),
-      explode(split(lower(col(textCol)), "\\s+")).as("term"))
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-    val tf = toks.filter(col("term").isin(allTerms: _*))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val qt = queries.zipWithIndex
-      .flatMap { case (ts, qi) => ts.distinct.map(t => (qi, t)) }
-      .toDF("qid", "term")
-    bm25ScoreFold(tf
-      .join(broadcast(qt), "term")
-      .join(broadcast(dft), "term")
-      .join(dl, "id")
-      .crossJoin(broadcast(stats)), k1, b, Seq("qid", "id"))
+    val qt = queryTermsFrame(docs, queries)
+    bm25ScoreFold(
+      bm25PerTerm(docs, idCol, textCol, queries.flatten.distinct)
+        .join(broadcast(qt), "term"), k1, b, Seq("qid", "id"))
   }
 
   /** Batch top-n: (qid, id, rnk, score), rank ties by id — per-query
@@ -156,18 +161,9 @@ object Retrieval {
     * Each input must carry (`idCol`, `rankCol`); lists are outer-merged so
     * an id ranked by EITHER side is fused. */
   def rrf(ranked: Seq[DataFrame], idCol: String, rankCol: String,
-          k: Int = 60): DataFrame = {
-    require(ranked.size >= 2, "rrf fuses at least two ranked lists")
-    val contribs = ranked.zipWithIndex.map { case (df, i) =>
-      df.select(col(idCol).as("id"),
-        (lit(1.0) / (lit(k.toDouble) + col(rankCol))).as(s"c$i"))
-    }
-    val merged = contribs.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
-    val total: Column = contribs.indices
-      .map(i => coalesce(col(s"c$i"), lit(0.0)))
-      .reduce(_ + _)
-    merged.select(col("id"), round(total, 6).as("rrf"))
-  }
+          k: Int = 60): DataFrame =
+    rrfKeyed(ranked.map(df => df.select(col(idCol).as("id"), col(rankCol))),
+      Seq("id"), rankCol, k)
 
   /** [[rrf]] over composite keys — the batch form: lists carry
     * (keyCols..., rankCol) and fuse per key tuple (e.g. (qid, id)), so

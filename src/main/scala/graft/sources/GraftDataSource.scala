@@ -24,7 +24,10 @@ import graft.catalog.CollectionCatalog
   *   ...option("tenant", t).option("database", d)               // namespaces
   *   ...option("ids", "a,b,c")   // point-read listing pruning: binds only
   *                               // those ids' pt bucket dirs (SUPERSET —
-  *                               // pair with your own WHERE id IN (...))
+  *                               // pair with your own WHERE id IN (...));
+  *                               // segments are verbatim (no trimming/
+  *                               // escaping) — a comma-containing id
+  *                               // cannot use this option
   *   CREATE TABLE docs USING graft OPTIONS (root '...', name '...')
   *
   * Write usage (the reference's hydration, as a plain Spark sink):
@@ -145,10 +148,22 @@ class GraftDataSource extends RelationProvider
     // contains those ids' whole buckets, so ALWAYS pair the option with
     // your own `WHERE id IN (...)` — the option confines IO, the filter
     // picks the rows.
+    // Option values are plain strings (the V1 channel), so ids travel as
+    // comma-separated segments taken VERBATIM — no trimming (an id with
+    // surrounding whitespace stays addressable) and no escaping: an id
+    // that itself contains a comma CANNOT be addressed through this
+    // option (splitting it would prune to the wrong buckets and the
+    // superset contract would silently break) — omit the option for such
+    // ids and rely on rowgroup-stats pruning. Empty segments are rejected
+    // loudly rather than silently dropped.
     val dirs = parameters.get("ids") match {
       case Some(csv) =>
-        val ids = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        require(ids.nonEmpty, "graft option ids must name at least one id")
+        val ids = csv.split(",", -1).toSeq
+        require(ids.forall(_.nonEmpty),
+          s"graft option ids='$csv' has an empty segment — ids are " +
+            "comma-separated and taken verbatim (no trimming, no escaping); " +
+            "an id containing a comma cannot use this option — omit it and " +
+            "filter by id instead")
         coll.leafDataDirsForIds(version, ids)
       case None => coll.leafDataDirs(version)
     }
