@@ -937,6 +937,30 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     maybeAutoCompact()
   }
 
+  /** Replace the collection's ENTIRE contents with `batch` as ONE MVCC
+    * commit — the atomic whole-collection refresh behind
+    * `df.write.format("graft").mode("overwrite")`. Unlike delete +
+    * recreate, the previous version stays committed (and served) until
+    * the new version's marker lands: a batch that fails the gates
+    * (in-batch duplicate or null ids) or a Spark job that dies mid-write
+    * abandons the claimed version and leaves the last committed state —
+    * data, history, indexes — intact. Superseded versions and
+    * version-stale index builds become history; reclaim with [[vacuum]].
+    *
+    * `space` optionally re-points the distance space WITH the same
+    * commit (the delete-and-recreate this replaces applied the caller's
+    * space too; a replace makes every index build version-stale anyway,
+    * so the re-point cannot strand a served index). Collection identity
+    * — name, bucket count, metadata — survives the replace. */
+  def replaceContents(batch: DataFrame, space: Option[String] = None): Unit = {
+    val m = meta
+    val (_, withinDup) = bucketStats(batch)
+    if (withinDup)
+      throw new IllegalArgumentException(s"duplicate id in batch: ${firstDupId(batch)}")
+    writeVersion(batch, space.filter(_ != m.space).fold(m)(sp => m.copy(space = sp)))
+    maybeAutoCompact()
+  }
+
   /** Server-side embedding add — `collection.add(documents=...)` WITHOUT
     * precomputed vectors, the one public chromadb call shape the reference
     * never exercises (it always passes vectors, sas:177-190). The
@@ -2655,6 +2679,12 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * Metadata = every stored column that isn't id/document/embedding,
     * stringified into one map per hit (the flat typed columns stay the
     * pushdown layout; this is presentation only).
+    *
+    * Laziness caveat: with include("embeddings") the call is EAGER — the
+    * kNN executes (and any error surfaces) at call time, because the hit
+    * set (≤ nq·k rows, client-sized by contract) is materialized once to
+    * dedup the expensive search out of the vector join-back below. Every
+    * other include set returns the usual lazy frame.
     */
   def queryStruct(queryVecs: Seq[Seq[Float]], k: Int,
                   where: Option[Where] = None,
@@ -2868,7 +2898,15 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * `ids` option): the result is a SUPERSET binding — whole buckets, not
     * rows — so callers must still filter by id. Falls back to every leaf
     * dir when the stored id column is not STRING (the hash is
-    * type-sensitive; a legacy layout must stay correct over fast). */
+    * type-sensitive; a legacy layout must stay correct over fast).
+    *
+    * Schema caveat (documented at the SQL surface too): a relation bound
+    * over the pruned dirs infers its schema from THEIR footers only — a
+    * column that union-by-name evolution introduced in unbound buckets
+    * only is invisible through this binding. Inferring from the full
+    * listing instead would pay the O(all files) footer pass the option
+    * exists to avoid; the contract is therefore rows-superset,
+    * schema-of-the-pruned-buckets. */
   private[graft] def leafDataDirsForIds(version: Int, ids: Seq[String]): Seq[String] = {
     val all = leafDataDirs(version)
     // id TYPE probed from ONE leaf dir's footers — the key column is

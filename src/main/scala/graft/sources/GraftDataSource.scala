@@ -27,7 +27,15 @@ import graft.catalog.CollectionCatalog
   *                               // pair with your own WHERE id IN (...));
   *                               // segments are verbatim (no trimming/
   *                               // escaping) — a comma-containing id
-  *                               // cannot use this option
+  *                               // cannot use this option. Schema note:
+  *                               // the relation's schema is inferred from
+  *                               // the PRUNED dirs only, so under
+  *                               // cross-version schema evolution a
+  *                               // column living only in unbound buckets
+  *                               // is absent here (selecting it fails at
+  *                               // analysis where the full relation
+  *                               // null-fills) — omit `ids` when you need
+  *                               // the full evolved schema
   *   CREATE TABLE docs USING graft OPTIONS (root '...', name '...')
   *
   * Write usage (the reference's hydration, as a plain Spark sink):
@@ -220,18 +228,33 @@ class GraftDataSource extends RelationProvider
       case SaveMode.Ignore =>
         if (existing.isEmpty) freshAdd()
       case SaveMode.Overwrite =>
-        // the whole-collection refresh: prior versions, indexes and
-        // collection metadata all go with it (a row-level replace is
-        // mode('append') + upsert=true)
-        cat.deleteCollection(name)
-        freshAdd()
+        // the whole-collection refresh, committed as ONE replacing MVCC
+        // version when the collection exists: the prior state — every
+        // version and index — stays committed (and served) until the new
+        // version's marker lands, so a batch that fails the gates or a
+        // job that dies mid-write loses NOTHING (delete-then-recreate
+        // destroyed it before the batch was even validated). Superseded
+        // versions are then reclaimed (the old semantics' "prior
+        // versions go with it"); collection identity — bucket count,
+        // metadata — survives, and an EXPLICIT space option re-points
+        // with the same commit (the "l2" default must not silently flip
+        // a cosine collection; a row-level replace is
+        // mode('append')+upsert=true).
+        existing match {
+          case Some(c) => c.replaceContents(batch, space = parameters.get("space")); c.vacuum()
+          case None => freshAdd()
+        }
       case SaveMode.Append =>
         val c = existing.getOrElse(cat.getOrCreateCollection(name, space))
         if (upsert) c.upsert(batch) else c.add(batch)
     }
     // bind the freshly committed snapshot (save() discards it; CTAS reads
-    // the schema off it)
-    createRelation(sqlContext, parameters)
+    // the schema off it) from the IDENTITY options only — forwarding the
+    // raw map would couple the two halves' option namespaces: a write
+    // option that later gains a read meaning (`buckets` already exists on
+    // both sides) would silently change the bound read
+    val identity = Set("root", "name", "path", "tenant", "database")
+    createRelation(sqlContext, parameters.filter { case (k, _) => identity(k) })
   }
 
   /** The store's canonical row shape, enforced at the boundary: string

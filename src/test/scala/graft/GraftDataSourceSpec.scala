@@ -154,14 +154,17 @@ class GraftDataSourceSpec extends SparkTestBase {
     val after = spark.read.format("graft").option("root", r).option("name", "w").load()
     assert(after.count() == 12)
     assert(after.filter(col("document") === "new").count() == 7)
-    // overwrite: contents replaced, prior versions gone with the collection
+    // overwrite: contents replaced as ONE replacing MVCC version (v1 add,
+    // v2 upsert, v3 replace) — prior versions then reclaimed, identity kept
     spark.range(3).select(col("id"), lit("ow").as("document"))
       .write.format("graft").option("root", r).option("name", "w")
       .mode("overwrite").save()
     val ow = spark.read.format("graft").option("root", r).option("name", "w").load()
     assert(ow.count() == 3 && ow.filter(col("document") === "ow").count() == 3)
     val cat = new CollectionCatalog(spark, r)
-    assert(cat.getCollection("w").get.meta.version == 1)
+    val coll = cat.getCollection("w").get
+    assert(coll.meta.version == 3)
+    assert(coll.history() == Seq(3)) // superseded versions vacuumed
     // ignore: no-op on existing
     spark.range(100).select(col("id"), lit("ig").as("document"))
       .write.format("graft").option("root", r).option("name", "w")
@@ -188,6 +191,31 @@ class GraftDataSourceSpec extends SparkTestBase {
         .write.format("graft").option("root", r).option("name", "w3").save()
     }
     assert(badEmb.getMessage.contains("array of numbers"))
+  }
+
+  test("failed overwrite preserves the prior committed state (atomic replace)") {
+    val r = tmpDir("dsw-ow-atomic")
+    spark.range(10).select(col("id"), lit("keep").as("document"))
+      .write.format("graft").option("root", r).option("name", "w").save()
+    // a batch that fails the gates (in-batch duplicate ids) must abandon
+    // the claimed version — the old delete-then-recreate path had already
+    // destroyed every prior version and index at this point
+    val dup = intercept[IllegalArgumentException] {
+      spark.range(6).select((col("id") % 3).as("id"), lit("bad").as("document"))
+        .write.format("graft").option("root", r).option("name", "w")
+        .mode("overwrite").save()
+    }
+    assert(dup.getMessage.contains("duplicate id"))
+    val back = spark.read.format("graft").option("root", r).option("name", "w").load()
+    assert(back.count() == 10)
+    assert(back.filter(col("document") === "keep").count() == 10)
+    // and a SUCCESSFUL overwrite keeps collection identity (metadata)
+    val cat = new CollectionCatalog(spark, r)
+    cat.getCollection("w").get.modifyMetadata(Map("team" -> "search"))
+    spark.range(2).select(col("id"), lit("ow").as("document"))
+      .write.format("graft").option("root", r).option("name", "w")
+      .mode("overwrite").save()
+    assert(cat.getCollection("w").get.meta.metadata.get("team").contains("search"))
   }
 
   test("CTAS: CREATE TABLE USING graft AS SELECT hydrates through the provider") {
