@@ -73,6 +73,40 @@ object SparkEntry {
     coll
   }
 
+  /** The fingerprint-cached ANALYZER collection for q161/q162: the
+    * documents text with deterministic punctuation attached to every
+    * token (`<<w1, w2, ..., wn...`) hydrated under the "simple" keyword
+    * analyzer setting (`graft:analyzer` collection metadata — the rule a
+    * punctuated natural-language RAG query needs), exercised through the
+    * same incremental keyword-refresh discipline as [[kwxCollection]] so
+    * the analyzer stamp rides the carry path too. */
+  private def kwaCollection(s: SparkSession, dir: String): Collection = {
+    val docs = t(s, dir, "documents")
+    val root = verifyCollectionsRoot(dir)
+    val cat = new CollectionCatalog(s, root, numBuckets = 8)
+    val fp = s"kwa1|$dir|n=${docs.count()}"
+    val reusable = cat.getCollection("kwa").exists(c =>
+      c.meta.metadata.get("source_fp").contains(fp) && c.hasKeywordIndex)
+    val coll = if (reusable) cat.getCollection("kwa").get else {
+      cat.deleteCollection("kwa")
+      val c = cat.getOrCreateCollection("kwa",
+        metadata = Map(Collection.AnalyzerKey -> "simple"))
+      val all = docs.select(col("doc_id").cast("string").as("id"),
+        concat(lit("<<"), regexp_replace(col("text"), " ", ", "), lit("..."))
+          .as("document"))
+      c.add(all.filter(col("id").cast("long") % 7 =!= 3))
+      c.buildKeywordIndex()
+      c.upsert(all.filter(col("id").cast("long") % 7 === 3))
+      val rebuilt = c.refreshKeywordIndex()
+      require(rebuilt > 0, "kwa must exercise an incremental refresh")
+      c.modifyMetadata(Map("source_fp" -> fp))
+      c
+    }
+    require(coll.hasKeywordIndex && coll.analyzer == "simple",
+      "kwa must serve through an analyzer-stamped keyword sidecar")
+    coll
+  }
+
   /** The fingerprint-cached PQ-indexed, hash-embedded collection shared
     * by q150 and q160 (text→PQ reads, and the both-legs-indexed hybrid). */
   private def qtpqCollection(s: SparkSession, dir: String): Collection = {
@@ -189,11 +223,14 @@ object SparkEntry {
     * token for token; only IEEE-exact ops appear (log-free idf). */
   private def sqlBm25(n: Int, terms: Seq[String] = Seq("hash", "join", "stream"),
                       k1: Double = 1.2, b: Double = 0.75,
-                      idExpr: String = "doc_id"): String = {
+                      idExpr: String = "doc_id",
+                      tokCte: Option[String] = None): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH toks AS (SELECT $idExpr AS id,
-       |              unnest(string_split_regex(lower(text), '\\s+')) AS term
-       |              FROM documents),
+    val toks = tokCte.getOrElse(
+      s"""toks AS (SELECT $idExpr AS id,
+         |              unnest(string_split_regex(lower(text), '\\s+')) AS term
+         |              FROM documents)""".stripMargin)
+    s"""WITH $toks,
        |dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
        |tf AS (SELECT id, term, COUNT(*) AS tf FROM toks
@@ -208,6 +245,24 @@ object SparkEntry {
        |kwtop AS (SELECT id, score, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk
        |          FROM kws ORDER BY score DESC, id LIMIT $n)""".stripMargin
   }
+
+  /** The "simple" ANALYZER's toks CTE over the q161/q162 fixture corpus
+    * (the documents text with deterministic punctuation attached:
+    * `<<w1, w2, ..., wn...`): lowercase, whitespace split, strip
+    * leading/trailing non-[letter/digit], drop empties — the literal
+    * DuckDB replay of [[graft.operators.Retrieval.termsCol]]'s "simple"
+    * rule (Java regex and RE2 agree on \\p{L}/\\p{N} classes). */
+  private def sqlBm25SimpleToks(idExpr: String = "CAST(doc_id AS VARCHAR)"): String =
+    s"""pdocs AS (SELECT $idExpr AS id,
+       |       concat('<<', regexp_replace(text, ' ', ', ', 'g'), '...') AS ptext
+       |       FROM documents),
+       |rawt AS (SELECT id, unnest(string_split_regex(lower(ptext), '\\s+')) AS rt
+       |         FROM pdocs),
+       |stript AS (SELECT id,
+       |       regexp_replace(regexp_replace(rt, '^[^\\p{L}\\p{N}]+', ''),
+       |                      '[^\\p{L}\\p{N}]+$$', '') AS term
+       |       FROM rawt),
+       |toks AS (SELECT id, term FROM stript WHERE length(term) > 0)""".stripMargin
 
   private def sqlKnnSingle(distSql: String, extraWhere: String = ""): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -1066,6 +1121,36 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("rnk"),
           roundz(col("score"), 4).as("score"))
         .orderBy("qid", "rnk")),
+    // The keyword ANALYZER setting end-to-end: the kwa collection stores
+    // PUNCTUATED text under graft:analyzer=simple (one shared
+    // lowercase+strip rule across the sidecar build, the scan path and
+    // the query side — Retrieval.termsCol's single written form), and
+    // the raw user terms arrive punctuated and mixed-case exactly as a
+    // natural-language RAG query sends them ("Hash!" must match the
+    // stored token "<<hash," — under the old whitespace-only rule it
+    // matched NOTHING). Sidecar-served through an incremental refresh;
+    // the oracle replays the identical strip rule in DuckDB.
+    "q161_kwindex_analyzer" -> ((s, dir) =>
+      kwaCollection(s, dir).keywordTopK(Seq("Hash!", "JOIN,", "(stream)"), 20)
+        .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
+        .orderBy("rnk")),
+    // q157's hybrid fusion with the keyword leg under the analyzer: the
+    // punctuated corpus + punctuated query terms served off the stamped
+    // sidecar, rrf-fused with the exact cosine vector leg. Pins that the
+    // analyzer changes ONLY tokenization — fusion arithmetic, rank
+    // windows and tie-breaks replay verbatim.
+    "q162_hybrid_analyzer" -> ((s, dir) => {
+      val kw = kwaCollection(s, dir)
+        .keywordTopK(Seq("Hash!", "JOIN,", "(stream)"), 50)
+        .select(col("id"), col("rnk"))
+      val qv = headVec(t(s, dir, "embeddings"), 0)
+      val vr = Knn.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          qv, 50, "cosine", excludeIds = Seq(0))
+        .select(col("vec_id").cast("string").as("id"), row_number().over(
+          Window.orderBy(col("dist"), col("vec_id"))).as("rnk"))
+      Retrieval.rrf(Seq(kw, vr), "id", "rnk")
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+    }),
     // The full RAG read path as ONE collection call: queryHybridText —
     // the query text drives the keyword leg (corpus tokenization rule →
     // sidecar-served BM25 top-fetchN) AND the vector leg (the RECORDED
@@ -3692,6 +3777,31 @@ object SparkEntry {
     "q157_hybrid_rrf_indexed" -> {
       val cos = s"1 - (${sqlDot("e.embedding", "q.qe")} / (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("q.qe", "q.qe")})))"
       sqlBm25(50, idExpr = "CAST(doc_id AS VARCHAR)") + s""",
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vd AS (SELECT e.vec_id AS nid, $cos AS dist
+         |       FROM embeddings e, q WHERE e.vec_id <> 0),
+         |vr AS (SELECT CAST(nid AS VARCHAR) AS id,
+         |              ROW_NUMBER() OVER (ORDER BY dist, nid) AS rnk
+         |       FROM vd ORDER BY dist, nid LIMIT 50)
+         |SELECT COALESCE(k.id, v.id) AS id,
+         |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) AS rrf
+         |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+    },
+    // q161: the "simple" analyzer replayed in DuckDB — the SAME punctuated
+    // corpus derivation (`<<w1, w2, ..., wn...`), the SAME strip rule
+    // (lowercase, \s+ split, trim non-[letter/digit] edges, drop empties),
+    // then sqlBm25's verbatim fold; the raw query terms "Hash!"/"JOIN,"/
+    // "(stream)" normalize to hash/join/stream on the engine side, so the
+    // oracle's term list is the analyzed form
+    "q161_kwindex_analyzer" -> (sqlBm25(20, tokCte = Some(sqlBm25SimpleToks())) +
+      "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
+    // q162: q157's fusion oracle with the keyword leg under the analyzer
+    // toks — fusion arithmetic, rank windows and VARCHAR tie-breaks are
+    // q157's verbatim
+    "q162_hybrid_analyzer" -> {
+      val cos = s"1 - (${sqlDot("e.embedding", "q.qe")} / (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("q.qe", "q.qe")})))"
+      sqlBm25(50, tokCte = Some(sqlBm25SimpleToks())) + s""",
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |vd AS (SELECT e.vec_id AS nid, $cos AS dist
          |       FROM embeddings e, q WHERE e.vec_id <> 0),

@@ -176,6 +176,10 @@ final class CollectionCatalog(
       // validate BEFORE touching the filesystem: a conflict must not
       // leave a meta-less collection dir behind
       val effSpace = resolvedSpace(space, metadata)
+      // a typo'd analyzer must fail at creation, not years later as
+      // silent whitespace tokenization on every keyword query
+      metadata.get(Collection.AnalyzerKey)
+        .foreach(graft.operators.Retrieval.requireAnalyzer)
       io.mkdirs(dir)
       // EXCLUSIVE initial create — two live callers get-or-creating the
       // same name race here, and first-writer-wins is exactly the
@@ -2213,7 +2217,8 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * once. The writer receives ((id, document, pt) frame, idCol, docCol,
     * pbCol, path, maxRowsPerFile) — both writers share that signature. */
   private def buildPostingsFamily(family: String,
-      writer: (DataFrame, String, String, Column, String, Long) => Unit): Unit = {
+      writer: (DataFrame, String, String, Column, String, Long) => Unit,
+      stamp: Option[(String, String)] = None): Unit = {
     val m = meta
     require(currentDataOf(m).nonEmpty,
       s"collection '${m.name}' is empty — nothing to index")
@@ -2223,6 +2228,10 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     val claimed = claimFamilyBuild(family, m.version)
     writer(data.select(col("id"), col("document"), col("pt")),
       "id", "document", col("pt"), claimed.toString, maxRowsPerFile)
+    // family-specific build identity (e.g. the keyword analyzer stamp),
+    // written BEFORE the marker — a build is never committed unstamped
+    stamp.foreach { case (f, v) =>
+      io.writeBytes(new Path(claimed, f), v.getBytes(StandardCharsets.UTF_8)) }
     io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
   }
 
@@ -2233,14 +2242,21 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * manifest. Returns buckets rebuilt; full rebuild without a usable
     * prior build. */
   private def refreshPostingsFamily(family: String, axis: String,
-      writer: (DataFrame, String, String, Column, String, Long) => Unit): Int = {
+      writer: (DataFrame, String, String, Column, String, Long) => Unit,
+      stamp: Option[(String, String)] = None,
+      priorUsable: Path => Boolean = _ => true): Int = {
     val m = meta
     require(currentDataOf(m).nonEmpty,
       s"collection '${m.name}' is empty — nothing to index")
     val refreshed = newestCommittedBuild(s"${family}_v") match {
-      case Some(old) if indexVersionOf(old) == m.version =>
+      // `priorUsable` gates BOTH reuse paths: a build whose identity
+      // stamp disagrees with the collection's current setting (the
+      // keyword analyzer was re-pointed) must not satisfy the refresh —
+      // and must never donate carried slices — or index ≡ scan breaks
+      case Some(old) if indexVersionOf(old) == m.version && priorUsable(old) =>
         0 // a committed build already serves this version
-      case Some(old) if hasPbSlices(old, axis) && io.exists(dataDir(indexVersionOf(old))) =>
+      case Some(old) if priorUsable(old) && hasPbSlices(old, axis) &&
+          io.exists(dataDir(indexVersionOf(old))) =>
         val changed = changedBucketsBetween(indexVersionOf(old), m.version)
         val claimed = claimFamilyBuild(family, m.version)
         if (changed.nonEmpty)
@@ -2251,10 +2267,12 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         // carry forward unchanged slices: manifest entries for <axis>/pb=<b>
         // for every b whose data bucket is byte-identical carry-over
         carryUnchangedSlices(old, claimed, changed)
+        stamp.foreach { case (f, v) =>
+          io.writeBytes(new Path(claimed, f), v.getBytes(StandardCharsets.UTF_8)) }
         io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
         changed.size
       case _ =>
-        buildPostingsFamily(family, writer)
+        buildPostingsFamily(family, writer, stamp)
         numBuckets
     }
     if (refreshed > 0) maybeAutoCompactIndexes()
@@ -2360,12 +2378,43 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
 
   def hasKeywordIndex: Boolean = currentKwIndex(meta).isDefined
 
-  /** Build the keyword-stats (BM25) sidecar over the current version.
-    * Postings are sliced by the store's own id bucket (`tp=<t>/pb=<b>`)
-    * so later [[refreshKeywordIndex]] calls can carry unchanged slices
-    * forward instead of re-deriving the whole corpus. */
-  def buildKeywordIndex(): Unit =
-    buildPostingsFamily("kwindex", KeywordIndex.writeWithPb)
+  /** The collection's keyword ANALYZER setting ([[Collection.AnalyzerKey]]
+    * metadata; absent = "whitespace") — the ONE tokenization rule the
+    * corpus scan, the sidecar build and the query side all apply. */
+  def analyzer: String = analyzerOf(meta)
+
+  private def analyzerOf(m: CollectionMeta): String = {
+    val a = m.metadata.getOrElse(Collection.AnalyzerKey, Retrieval.DefaultAnalyzer)
+    Retrieval.requireAnalyzer(a) // stored values are validated, but a
+    a                            // hand-edited meta.json must fail loudly
+  }
+
+  /** The analyzer a committed keyword build was tokenized with — its
+    * [[KeywordIndex.AnalyzerStamp]] file (absent = "whitespace": builds
+    * predate the setting, whose rule was the only one then). */
+  private def kwAnalyzerOf(build: Path): String = {
+    val p = new Path(build, KeywordIndex.AnalyzerStamp)
+    if (io.exists(p)) new String(io.readBytes(p), StandardCharsets.UTF_8).trim
+    else Retrieval.DefaultAnalyzer
+  }
+
+  /** The kwindex family writer bound to one analyzer (the shared
+    * build/refresh helpers fix the writer signature). */
+  private def kwWriter(analyzer: String)
+      : (DataFrame, String, String, Column, String, Long) => Unit =
+    (df, idc, dc, pb, path, max) =>
+      KeywordIndex.writeWithPb(df, idc, dc, pb, path, max, analyzer)
+
+  /** Build the keyword-stats (BM25) sidecar over the current version,
+    * tokenized with the collection's [[analyzer]] (stamped into the
+    * build dir). Postings are sliced by the store's own id bucket
+    * (`tp=<t>/pb=<b>`) so later [[refreshKeywordIndex]] calls can carry
+    * unchanged slices forward instead of re-deriving the whole corpus. */
+  def buildKeywordIndex(): Unit = {
+    val a = analyzerOf(meta)
+    buildPostingsFamily("kwindex", kwWriter(a),
+      stamp = Some((KeywordIndex.AnalyzerStamp, a)))
+  }
 
   private def claimKwIndexBuild(version: Int): Path =
     claimFamilyBuild("kwindex", version)
@@ -2378,9 +2427,15 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * (n_docs, tot_dl) row lives in its own `pb` slice, so corpus totals
     * recompose exactly from rebuilt + carried slices.) Returns buckets
     * rebuilt; falls back to a full [[buildKeywordIndex]] without a
-    * usable prior build. */
-  def refreshKeywordIndex(): Int =
-    refreshPostingsFamily("kwindex", "tp=", KeywordIndex.writeWithPb)
+    * usable prior build — including when the prior build's analyzer
+    * stamp disagrees with the collection's current [[analyzer]] (its
+    * slices tokenize under a retired rule and must not be carried). */
+  def refreshKeywordIndex(): Int = {
+    val a = analyzerOf(meta)
+    refreshPostingsFamily("kwindex", "tp=", kwWriter(a),
+      stamp = Some((KeywordIndex.AnalyzerStamp, a)),
+      priorUsable = b => kwAnalyzerOf(b) == a)
+  }
 
   /** Drop the current version's keyword-sidecar builds. */
   def dropKeywordIndex(): Boolean = {
@@ -2389,25 +2444,61 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     builds.nonEmpty
   }
 
+  /** The committed keyword build SERVABLE under snapshot `m`: current
+    * version AND analyzer stamp = the collection's current setting. A
+    * version-current build under a retired analyzer is stale the same
+    * way a version-stale one is — both fall back to the (analyzer-
+    * correct) scan, loudly, until a refresh rebuilds. */
+  private def servableKwIndex(m: CollectionMeta, a: String): Option[Path] =
+    currentKwIndex(m) match {
+      case Some(idx) if kwAnalyzerOf(idx) == a => Some(idx)
+      case Some(idx) =>
+        log.warn(s"keyword sidecar of collection '${m.name}' was built " +
+          s"under analyzer '${kwAnalyzerOf(idx)}' but the collection is " +
+          s"set to '$a' — serving the O(corpus) scan path; run " +
+          "refreshKeywordIndex() to rebuild")
+        None
+      case None => None
+    }
+
+  /** Caller-provided terms normalized by the collection's analyzer
+    * (stored postings are analyzed, so an unanalyzed query term — "Hash,"
+    * — would silently match nothing): under "whitespace" terms pass
+    * VERBATIM (the original contract — callers own casing); under any
+    * other rule each term is normalized and terms that normalize away
+    * are dropped, loudly when ALL do. */
+  private def analyzedTerms(terms: Seq[String], a: String): Seq[String] =
+    if (a == Retrieval.DefaultAnalyzer) terms
+    else {
+      val out = terms.map(t => Retrieval.normalizeTerm(t, a)).filter(_.nonEmpty)
+      require(out.nonEmpty,
+        s"no query term survives analyzer '$a': ${terms.mkString("[", ", ", "]")}")
+      out
+    }
+
   /** BM25 keyword top-n over the collection's `document` column:
-    * (id, rnk, score). Serves from the committed keyword sidecar when one
-    * matches the current version — per-query cost O(matching postings) —
-    * and falls back to the exact [[Retrieval.bm25TopK]] corpus scan
-    * otherwise; both paths return bit-identical scores (the shared-fold
-    * contract [[graft.operators.KeywordIndex]] documents). */
+    * (id, rnk, score). Terms are normalized by the collection's
+    * [[analyzer]]; serves from the committed keyword sidecar when one
+    * matches the current version AND the analyzer — per-query cost
+    * O(matching postings) — and falls back to the exact
+    * [[Retrieval.bm25TopK]] corpus scan otherwise; both paths return
+    * bit-identical scores (the shared-fold contract
+    * [[graft.operators.KeywordIndex]] documents). */
   def keywordTopK(queryTerms: Seq[String], n: Int,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     val m = meta
-    currentKwIndex(m) match {
+    val a = analyzerOf(m)
+    val terms = analyzedTerms(queryTerms, a)
+    servableKwIndex(m, a) match {
       case Some(idx) =>
-        KeywordIndex.bm25TopK(readIndexBuild(idx), queryTerms, n, k1, b)
+        KeywordIndex.bm25TopK(readIndexBuild(idx), terms, n, k1, b)
       case None =>
         val df = snapshotDF(m)
         require(df.columns.contains("document"),
           s"collection '${m.name}' carries no document column — keyword " +
             "retrieval needs one")
-        Retrieval.bm25TopK(df, "id", "document", queryTerms, n, k1, b)
+        Retrieval.bm25TopK(df, "id", "document", terms, n, k1, b, a)
     }
   }
 
@@ -2419,28 +2510,27 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     val m = meta
-    currentKwIndex(m) match {
+    val a = analyzerOf(m)
+    val analyzed = queries.map(q => analyzedTerms(q, a))
+    servableKwIndex(m, a) match {
       case Some(idx) =>
-        KeywordIndex.bm25TopKBatch(readIndexBuild(idx), queries, n, k1, b)
+        KeywordIndex.bm25TopKBatch(readIndexBuild(idx), analyzed, n, k1, b)
       case None =>
         val df = snapshotDF(m)
         require(df.columns.contains("document"),
           s"collection '${m.name}' carries no document column — keyword " +
             "retrieval needs one")
-        Retrieval.bm25TopKBatch(df, "id", "document", queries, n, k1, b)
+        Retrieval.bm25TopKBatch(df, "id", "document", analyzed, n, k1, b, a)
     }
   }
 
-  /** The corpus tokenization rule applied to a query text — lowercase
-    * through UTF8String (the EXACT routine Spark's lower() applies on the
-    * corpus/sidecar side; a JVM default-locale toLowerCase is NOT
-    * bit-identical, e.g. tr-TR dotted/dotless I, and a query term that
-    * case-maps differently from the stored postings silently matches
-    * nothing), whitespace split, duplicates collapsed (BM25 scores a term
-    * once per DISTINCT query term). */
+  /** The corpus tokenization rule applied to a query text — the
+    * collection's [[analyzer]] via the shared [[Retrieval.queryTerms]]
+    * written form (UTF8String lowercase — the EXACT routine Spark's
+    * lower() applies corpus-side — split, per-analyzer normalization,
+    * duplicates collapsed: BM25 scores a term once per DISTINCT term). */
   private def queryTerms(text: String): Seq[String] =
-    org.apache.spark.unsafe.types.UTF8String.fromString(text)
-      .toLowerCase.toString.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    Retrieval.queryTerms(text, analyzerOf(meta))
 
   /** Hybrid retrieval — the full RAG read path as ONE collection call:
     * the query text drives BOTH legs. The KEYWORD leg tokenizes it with
@@ -2816,6 +2906,11 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     // exactly the inconsistency it exists to prevent
     kv.get("hnsw:space").foreach(s => require(s == m.space,
       s"hnsw:space '$s' conflicts with the collection's space '${m.space}'"))
+    // re-pointing the analyzer is legal (the keyword sidecar's per-build
+    // stamp makes a stale build fall back to the scan path and the next
+    // refresh rebuild in full) — but only to a rule that exists
+    kv.get(Collection.AnalyzerKey)
+      .foreach(graft.operators.Retrieval.requireAnalyzer)
     CollectionMeta.atomicWrite(io, dir, m.copy(metadata = m.metadata ++ kv))
   }
 
@@ -3131,6 +3226,15 @@ object Collection {
   /** Collection-metadata key prefix recording a metadata key's declared
     * Chroma type for the MAP layout ([[Collection.declareMetadataTypes]]). */
   val MetaTypePrefix = "meta:type:"
+
+  /** Collection-metadata key naming the keyword-retrieval ANALYZER (one
+    * of [[graft.operators.Retrieval.Analyzers]]; absent = "whitespace").
+    * ONE tokenization rule for all three keyword sides — the corpus scan,
+    * the persisted sidecar build (stamped per build,
+    * [[graft.operators.KeywordIndex.AnalyzerStamp]]) and the query text —
+    * recorded at collection level so every session resolves the same
+    * rule. Same convention altitude as Chroma's `hnsw:space`. */
+  val AnalyzerKey = "graft:analyzer"
 
   /** Fingerprint pairing committed data with the model that embedded it
     * (first 8 SHA-256 bytes of the sidecar text, hex). */

@@ -41,9 +41,11 @@ import org.apache.spark.sql.functions._
   * |T| partitions of it: per-query cost is O(matching postings), not
   * O(corpus), and nothing collects to the driver.
   *
-  * Tokenization is EXACTLY the scan path's (`split(lower(text), "\\s+")`
-  * — [[Retrieval.bm25]]): the two paths must agree token-for-token or the
-  * equivalence contract breaks.
+  * Tokenization is EXACTLY the scan path's — the shared
+  * [[Retrieval.termsCol]] written form of the collection's analyzer
+  * setting: the two paths must agree token-for-token or the equivalence
+  * contract breaks. Which analyzer a build used is stamped into the
+  * build dir ([[AnalyzerStamp]]); readers and refreshes honor the stamp.
   */
 object KeywordIndex {
 
@@ -57,14 +59,24 @@ object KeywordIndex {
     * handling) with `term`/`id` null and the counts in `tf`/`dl`. */
   val StatsTp: Int = TpCount
 
+  /** The analyzer stamp a build dir carries (one-line file, the analyzer
+    * name the postings were tokenized with): readers serve a build ONLY
+    * when its stamp equals the collection's current analyzer setting, and
+    * an incremental refresh never carries slices across a stamp change —
+    * otherwise the index ≡ scan contract would silently break the moment
+    * a collection's analyzer is modified. Absent = "whitespace" (builds
+    * predate the setting; that was the only rule then). */
+  val AnalyzerStamp = "_graft_analyzer"
+
   private def tp(term: Column) =
     pmod(xxhash64(term), lit(TpCount)).cast("int")
 
-  /** The scan path's exact tokenization (see class doc). */
+  /** The scan path's exact tokenization (see class doc) — the shared
+    * [[Retrieval.termsCol]] written form of the given analyzer. */
   private def toks(docs: DataFrame, idCol: String, docCol: String,
-                   pbCol: Column): DataFrame =
+                   pbCol: Column, analyzer: String): DataFrame =
     docs.select(col(idCol).as("id"), pbCol.cast("int").as("pb"),
-      explode(split(lower(col(docCol)), "\\s+")).as("term"))
+      explode(Retrieval.termsCol(col(docCol), analyzer)).as("term"))
 
   /** Build the postings + stats frame: (tp, pb, term, id, tf, dl).
     * `pbCol` is the caller's id-bucket — the refresh axis: a mutation
@@ -73,8 +85,9 @@ object KeywordIndex {
     * every other slice from the previous build (the DocIndex pattern).
     * Queries never mention `pb`. */
   def postingsWithPb(docs: DataFrame, idCol: String, docCol: String,
-                     pbCol: Column): DataFrame = {
-    val tf = toks(docs, idCol, docCol, pbCol)
+                     pbCol: Column,
+                     analyzer: String = Retrieval.DefaultAnalyzer): DataFrame = {
+    val tf = toks(docs, idCol, docCol, pbCol, analyzer)
       .groupBy("pb", "id", "term").agg(count(lit(1)).as("tf"))
     // dl = the doc's TOTAL token count = Σ tf over its terms — a window
     // sum over the tf stream. This second exchange carries POSTINGS rows
@@ -85,9 +98,12 @@ object KeywordIndex {
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy("pb", "id")))
       .select(tp(col("term")).as("tp"), col("pb"), col("term"), col("id"),
         col("tf"), col("dl"))
-    // per-bucket corpus stats: n_docs = docs with >= 1 token (split always
-    // yields >= 1 token, so = all docs — same census the scan path's dl
-    // aggregate takes); tot_dl = Σ tf = total tokens in the bucket
+    // per-bucket corpus stats: n_docs = docs with >= 1 token — under
+    // "whitespace" split always yields >= 1 token so that is all docs;
+    // under "simple" an all-punctuation doc yields 0 tokens and drops
+    // out of the census on BOTH sides (the scan path's dl aggregate runs
+    // over the same exploded stream) — parity holds either way;
+    // tot_dl = Σ tf = total tokens in the bucket
     val idType = docs.schema(idCol).dataType
     val stats = tf.groupBy("pb")
       .agg(countDistinct(col("id")).as("__n"), sum(col("tf")).as("__tot"))
@@ -100,8 +116,9 @@ object KeywordIndex {
   /** Write tp/pb-sliced postings: `tp=<t>/pb=<b>/...parquet`. */
   def writeWithPb(docs: DataFrame, idCol: String, docCol: String,
                   pbCol: Column, path: String,
-                  maxRowsPerFile: Long = 4000000L): Unit =
-    postingsWithPb(docs, idCol, docCol, pbCol)
+                  maxRowsPerFile: Long = 4000000L,
+                  analyzer: String = Retrieval.DefaultAnalyzer): Unit =
+    postingsWithPb(docs, idCol, docCol, pbCol, analyzer)
       // one shuffle BY tp at build time, same rationale as the DocIndex
       // pack: without it every task writes a file into every partition
       .repartition(col("tp"))

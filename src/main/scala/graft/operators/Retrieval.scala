@@ -26,13 +26,92 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Retrieval {
 
-  /** Per-document BM25-style keyword score for `queryTerms` (lowercased
-    * whitespace tokens). Returns (id, score) for every document matching
+  // ---- analyzers: ONE written tokenization rule per name -------------
+  //
+  // The analyzer is the contract that keeps keyword retrieval's three
+  // sides — the corpus scan ([[bm25PerTerm]]), the persisted sidecar
+  // build ([[KeywordIndex]]) and the query text ([[queryTerms]]) —
+  // producing the same tokens. Each name below has exactly TWO written
+  // forms (a Column form and a bit-identical driver-side String form);
+  // every caller goes through them, so index ≡ scan ≡ query holds by
+  // construction, never by parallel maintenance.
+  //
+  //   "whitespace" (default): lowercase, split on \s+ — the original
+  //     rule, kept verbatim for compatibility (including its quirk of
+  //     counting a leading-whitespace empty token into dl).
+  //   "simple": lowercase, split on \s+, then strip LEADING/TRAILING
+  //     characters outside Unicode letters/digits from each token and
+  //     drop tokens that strip to empty — the rule a natural-language
+  //     RAG query needs ("joins." must match the stored token "joins";
+  //     the reference's declared workload is exactly such queries,
+  //     README.md:5). Interior punctuation survives ("o'brien",
+  //     "3.14") — this is Lucene-SimpleAnalyzer altitude, not stemming.
+
+  val DefaultAnalyzer = "whitespace"
+  val Analyzers: Set[String] = Set("whitespace", "simple")
+
+  /** LOUD on unknown analyzer names — shared by every entry point, so a
+    * typo'd collection setting fails at first use, not as silent
+    * whitespace behavior. */
+  def requireAnalyzer(analyzer: String): Unit =
+    require(Analyzers.contains(analyzer),
+      s"unknown analyzer '$analyzer' — supported: ${Analyzers.toSeq.sorted.mkString(", ")}")
+
+  // Java and RE2 both support these Unicode property classes, so the
+  // Spark plan, the driver-side twin and a DuckDB oracle replay agree.
+  private val StripLead = "^[^\\p{L}\\p{N}]+"
+  private val StripTrail = "[^\\p{L}\\p{N}]+$"
+
+  /** The Column form of one analyzer: text → array<string> of terms.
+    * This is the ONLY place corpus-side tokenization is written. */
+  def termsCol(text: Column, analyzer: String): Column = {
+    requireAnalyzer(analyzer)
+    analyzer match {
+      case "whitespace" => split(lower(text), "\\s+")
+      case _ =>
+        filter(
+          transform(split(lower(text), "\\s+"),
+            t => regexp_replace(regexp_replace(t, StripLead, ""), StripTrail, "")),
+          t => length(t) > 0)
+    }
+  }
+
+  /** The driver-side twin of [[termsCol]] for ONE already-split token:
+    * lowercase through UTF8String (the exact routine Spark's lower()
+    * applies corpus-side — a JVM default-locale toLowerCase is NOT
+    * bit-identical, e.g. tr-TR dotted/dotless I) + the same strip
+    * regexes via java.util.regex (which Spark's regexp_replace also
+    * compiles to). May return "" under "simple" — callers drop those. */
+  def normalizeTerm(term: String, analyzer: String): String = {
+    requireAnalyzer(analyzer)
+    val low = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+      .toLowerCase.toString
+    analyzer match {
+      case "whitespace" => low
+      case _ => low.replaceAll(StripLead, "").replaceAll(StripTrail, "")
+    }
+  }
+
+  /** A query TEXT under one analyzer: the exact corpus rule, duplicates
+    * collapsed (BM25 scores a term once per DISTINCT query term). */
+  def queryTerms(text: String, analyzer: String = DefaultAnalyzer): Seq[String] = {
+    requireAnalyzer(analyzer)
+    org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .toLowerCase.toString.split("\\s+").toSeq
+      .map(t => if (analyzer == "whitespace") t
+                else t.replaceAll(StripLead, "").replaceAll(StripTrail, ""))
+      .filter(_.nonEmpty).distinct
+  }
+
+  /** Per-document BM25-style keyword score for `queryTerms` (tokens in
+    * the ANALYZER's written form — pre-analyzed by the caller, e.g. via
+    * [[queryTerms]]). Returns (id, score) for every document matching
     * at least one term. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
-           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           analyzer: String = DefaultAnalyzer): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    bm25ScoreFold(bm25PerTerm(docs, idCol, textCol, queryTerms), k1, b)
+    bm25ScoreFold(bm25PerTerm(docs, idCol, textCol, queryTerms, analyzer), k1, b)
   }
 
   /** The scan-side per-(doc, term) frame both [[bm25]] and [[bm25Batch]]
@@ -40,9 +119,9 @@ object Retrieval {
     * length, corpus stats, tf over the given terms, GLOBAL df), so the
     * single and batch paths cannot silently diverge. */
   private def bm25PerTerm(docs: DataFrame, idCol: String, textCol: String,
-                          terms: Seq[String]): DataFrame = {
+                          terms: Seq[String], analyzer: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
-      explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      explode(termsCol(col(textCol), analyzer)).as("term"))
     // full-stream agg: per-doc token length (the BM25 length norm)
     val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
     // corpus stats ride the plan — no driver-side collect
@@ -82,10 +161,11 @@ object Retrieval {
     * qid's scores are EXACTLY its single-query [[bm25]] scores. */
   def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
                 queries: Seq[Seq[String]],
-                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                k1: Double = 1.2, b: Double = 0.75,
+                analyzer: String = DefaultAnalyzer): DataFrame = {
     val qt = queryTermsFrame(docs, queries)
     bm25ScoreFold(
-      bm25PerTerm(docs, idCol, textCol, queries.flatten.distinct)
+      bm25PerTerm(docs, idCol, textCol, queries.flatten.distinct, analyzer)
         .join(broadcast(qt), "term"), k1, b, Seq("qid", "id"))
   }
 
@@ -103,8 +183,9 @@ object Retrieval {
 
   def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
                     queries: Seq[Seq[String]], n: Int,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    rankTopNBatch(bm25Batch(docs, idCol, textCol, queries, k1, b), n)
+                    k1: Double = 1.2, b: Double = 0.75,
+                    analyzer: String = DefaultAnalyzer): DataFrame =
+    rankTopNBatch(bm25Batch(docs, idCol, textCol, queries, k1, b, analyzer), n)
 
   /** The BM25 arithmetic + per-doc fold shared by the scan path above and
     * the persisted [[KeywordIndex]] read path: `perTerm` carries one row
@@ -139,8 +220,9 @@ object Retrieval {
     * survivors of the limit — bounded, never corpus-sized. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], n: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    rankTopN(bm25(docs, idCol, textCol, queryTerms, k1, b), n)
+               k1: Double = 1.2, b: Double = 0.75,
+               analyzer: String = DefaultAnalyzer): DataFrame =
+    rankTopN(bm25(docs, idCol, textCol, queryTerms, k1, b, analyzer), n)
 
   /** Top-n of an (id, score) frame as (id, rnk, score) — the shared tail
     * of the scan and [[KeywordIndex]] BM25 paths (see [[bm25TopK]]'s
