@@ -1253,7 +1253,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       s"queryMmr requires a cosine-space collection, got '$space'")
     requireDim(queryVec.length)
     val m = meta
-    val base = (if (exact) None else currentIndex(m)) match {
+    val base = ivfOrScan(m, exact) match {
       case Some((idxPath, cents)) =>
         val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
         readIndexBuild(idxPath)
@@ -1585,6 +1585,18 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       }
 
   def hasIndex: Boolean = currentIndex(meta).isDefined
+
+  /** The IVF read choice every vector read makes — the committed
+    * current-version index, or None for the exact corpus scan. The
+    * version-STALE fallback (a build exists, just not for this version)
+    * logs loudly via [[warnIfStale]]: correct answers, O(corpus) cost. */
+  private def ivfOrScan(m: CollectionMeta,
+                        exact: Boolean): Option[(Path, Array[(Int, Array[Double])])] =
+    if (exact) None
+    else currentIndex(m) match {
+      case s @ Some(_) => s
+      case None => warnIfStale("index", m); None
+    }
 
   /** Build an IVF index over the current version with k-means centroids
     * (fit on `trainFraction` of the corpus — at scale you never train on
@@ -2152,6 +2164,37 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     }
   }
 
+  /** LOUD when a read falls back to the full scan because every committed
+    * build of `family` is version-stale: the answer stays correct (scan
+    * semantics are the contract), but at 100 TB the SILENT cost cliff is
+    * the bug — a SQL-only writer (`df.write.format("graft")`) advances
+    * the version without any way to know the sidecars went stale. */
+  private def warnIfStale(family: String, m: CollectionMeta): Unit =
+    newestCommittedBuild(s"${family}_v")
+      .filter(b => indexVersionOf(b) != m.version)
+      .foreach { b =>
+        log.warn(s"collection '${m.name}': newest committed $family build " +
+          s"serves v${indexVersionOf(b)} but the collection is at " +
+          s"v${m.version} — serving the full scan instead (correct, but " +
+          "O(corpus)); refresh via refreshIndexes() or the SQL write " +
+          "option refresh=true")
+      }
+
+  /** Refresh EVERY index family that has ever committed a build — the
+    * one-call freshness contract behind the SQL write surface's
+    * `refresh=true` option (a plain-SQL user has no per-family handles).
+    * Families never built are not built here (building is a sizing
+    * decision — `ivf:nlist`, analyzer — the owner makes once); families
+    * already current are O(listing) no-ops. Returns family → id buckets
+    * rebuilt, for logging/specs. */
+  def refreshIndexes(): Map[String, Int] = {
+    val out = Seq.newBuilder[(String, Int)]
+    if (newestCommittedBuild("index_v").isDefined) out += ("index" -> refreshIndex())
+    if (newestCommittedBuild("docindex_v").isDefined) out += ("docindex" -> refreshDocIndex())
+    if (newestCommittedBuild("kwindex_v").isDefined) out += ("kwindex" -> refreshKeywordIndex())
+    out.result().toMap
+  }
+
   /** Newest committed index build dir with the given name prefix
     * (highest (version, build)) — the refresh diff basis. */
   private def newestCommittedBuild(prefix: String): Option[Path] =
@@ -2355,11 +2398,12 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       whereDoc: Option[WhereDocument]): DataFrame =
     (for {
       wd <- whereDoc
-      idx <- currentDocIndex(m)
       sets <- DocIndex.gramSets(wd)
-    } yield df.join(
-      DocIndex.candidates(readIndexBuild(idx), sets), Seq("id"), "left_semi"))
-      .getOrElse(df)
+    } yield currentDocIndex(m) match {
+      case Some(idx) => df.join(
+        DocIndex.candidates(readIndexBuild(idx), sets), Seq("id"), "left_semi")
+      case None => warnIfStale("docindex", m); df
+    }).getOrElse(df)
 
   // ---- keyword-statistics (BM25) sidecar — hybrid retrieval's scale path ----
   //
@@ -2458,7 +2502,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
           s"set to '$a' — serving the O(corpus) scan path; run " +
           "refreshKeywordIndex() to rebuild")
         None
-      case None => None
+      case None => warnIfStale("kwindex", m); None
     }
 
   /** Caller-provided terms normalized by the collection's analyzer
@@ -2669,7 +2713,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
             exact: Boolean = false): DataFrame = {
     requireDim(queryVec.length)
     val m = meta
-    (if (exact) None else currentIndex(m)) match {
+    ivfOrScan(m, exact) match {
       case Some((idxPath, cents)) =>
         val cells = Ann.nearestCellsOf(cents, queryVec, resolveNprobe(m, nprobe))
         val indexed = readIndexBuild(idxPath)
@@ -2717,7 +2761,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     require(queryVecs.map(_.length).distinct.size == 1,
       s"query vectors must share one dimension, got ${queryVecs.map(_.length).distinct}")
     requireDim(queryVecs.head.length)
-    (if (exact) None else currentIndex(m)) match {
+    ivfOrScan(m, exact) match {
       case Some((idxPath, cents)) =>
         // per-query probe sets, chosen driver-side from the tiny centroid
         // table; the corpus scan prunes to the UNION of probed cells at the

@@ -52,7 +52,12 @@ import graft.catalog.CollectionCatalog
   *       whole-collection refresh, not a row-level overwrite);
   *   .mode("ignore")                 — create + add only if absent.
   *   Options: `space` (l2|cosine|ip, creation only), `buckets` (creation
-  *   only — the store's pt bucket count), tenant/database as on read.
+  *   only — the store's pt bucket count), tenant/database as on read;
+  *   `refresh=true` refreshes every committed index family after the
+  *   write (incremental — touched id buckets only), keeping sidecar-
+  *   served reads on the index path: without it a SQL write version-
+  *   strands the sidecars and reads fall back to the full scan (correct,
+  *   logged loudly, but O(corpus) at scale).
   *   `CREATE TABLE t USING graft OPTIONS (...) AS SELECT ...` routes
   *   through the same provider (V1 CTAS → CreatableRelationProvider).
   *
@@ -248,6 +253,16 @@ class GraftDataSource extends RelationProvider
         val c = existing.getOrElse(cat.getOrCreateCollection(name, space))
         if (upsert) c.upsert(batch) else c.add(batch)
     }
+    // index freshness for the SQL-only writer: a commit advances the
+    // version, which silently strands every committed sidecar (IVF/
+    // trigram/keyword) — reads fall back to the O(corpus) scan, correct
+    // but a 100 TB cost cliff the SQL surface gives no handle to fix.
+    // `refresh=true` refreshes every family that has ever committed a
+    // build, riding the incremental carry paths (touched id buckets
+    // rebuild, the rest carries by manifest); without it the stale
+    // bypass at read time logs loudly instead.
+    if (parameters.get("refresh").exists(_.trim.equalsIgnoreCase("true")))
+      cat.getCollection(name).foreach(_.refreshIndexes())
     // bind the freshly committed snapshot (save() discards it; CTAS reads
     // the schema off it) from the IDENTITY options only — forwarding the
     // raw map would couple the two halves' option namespaces: a write

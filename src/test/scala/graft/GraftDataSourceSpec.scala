@@ -218,6 +218,37 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(cat.getCollection("w").get.meta.metadata.get("team").contains("search"))
   }
 
+  test("refresh=true keeps committed sidecars current across SQL writes") {
+    val r = tmpDir("dsw-refresh")
+    val cat = new CollectionCatalog(spark, r, numBuckets = 4)
+    val c = cat.getOrCreateCollection("w")
+    c.add(Seq(("1", "hash joins beat sort"), ("2", "stream processing"))
+      .toDF("id", "document"))
+    c.buildKeywordIndex()
+    assert(c.hasKeywordIndex)
+    // a SQL write WITHOUT refresh strands the sidecar (version-stale):
+    // reads stay correct (scan fallback, logged loudly) but off-index
+    Seq(("3", "hash tables everywhere")).toDF("id", "document")
+      .write.format("graft").option("root", r).option("name", "w")
+      .mode("append").save()
+    assert(!c.hasKeywordIndex)
+    assert(c.keywordTopK(Seq("hash"), 5).collect()
+      .map(_.getString(0)).toSet == Set("1", "3")) // correct via scan
+    // WITH refresh=true the sidecar follows the commit — the q154-shape
+    // read stays index-served, and the refresh is incremental (the
+    // carried slices make it O(touched buckets))
+    Seq(("4", "hash index probes")).toDF("id", "document")
+      .write.format("graft").option("root", r).option("name", "w")
+      .mode("append").option("refresh", "true").save()
+    assert(c.hasKeywordIndex)
+    assert(c.keywordTopK(Seq("hash"), 5).collect()
+      .map(_.getString(0)).toSet == Set("1", "3", "4"))
+    // refreshIndexes() on a collection with no built families is a no-op
+    val c2 = cat.getOrCreateCollection("w2")
+    c2.add(Seq(("1", "x")).toDF("id", "document"))
+    assert(c2.refreshIndexes().isEmpty)
+  }
+
   test("CTAS: CREATE TABLE USING graft AS SELECT hydrates through the provider") {
     val r = tmpDir("dsw-ctas")
     spark.sql("DROP TABLE IF EXISTS graft_ctas")
