@@ -107,6 +107,29 @@ object SparkEntry {
     coll
   }
 
+  /** The fingerprint-cached hash-embedded + keyword-indexed collection
+    * shared by q158 and q163 (the one-call hybrid, via the Scala API and
+    * via the `graft_hybrid` SQL table function). */
+  private def hyxCollection(s: SparkSession, dir: String): Collection = {
+    val docs = t(s, dir, "documents")
+    val root = verifyCollectionsRoot(dir)
+    val cat = new CollectionCatalog(s, root, numBuckets = 8)
+    val fp = s"hyx1|$dir|n=${docs.count()}"
+    val reusable = cat.getCollection("hyx").exists(c =>
+      c.meta.metadata.get("source_fp").contains(fp) && c.hasKeywordIndex)
+    val coll = if (reusable) cat.getCollection("hyx").get else {
+      cat.deleteCollection("hyx")
+      val c = cat.getOrCreateCollection("hyx", space = "cosine")
+      c.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
+        col("text").as("document")), HashingEmbedder(16))
+      c.buildKeywordIndex()
+      c.modifyMetadata(Map("source_fp" -> fp))
+      c
+    }
+    require(coll.hasKeywordIndex, "hyx must serve the keyword leg through the sidecar")
+    coll
+  }
+
   /** The fingerprint-cached PQ-indexed, hash-embedded collection shared
     * by q150 and q160 (text→PQ reads, and the both-legs-indexed hybrid). */
   private def qtpqCollection(s: SparkSession, dir: String): Collection = {
@@ -263,6 +286,42 @@ object SparkEntry {
        |                      '[^\\p{L}\\p{N}]+$$', '') AS term
        |       FROM rawt),
        |toks AS (SELECT id, term FROM stript WHERE length(term) > 0)""".stripMargin
+
+  private lazy val sqlHybridTextOracle: String = {
+      val hash = sqlStrHash("tm")
+      sqlBm25(50, idExpr = "CAST(doc_id AS VARCHAR)") + s""",
+         |qt AS (SELECT 0 AS qid, 'hash join stream' AS qtext),
+         |toks2 AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |          FROM documents),
+         |tk2 AS (SELECT doc_id, $hash AS h FROM toks2 WHERE length(tm) > 0),
+         |sums2 AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM tk2 GROUP BY doc_id, b),
+         |grid2 AS (SELECT dd.doc_id, bb.b FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |vecs2 AS (SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |          FROM grid2 g LEFT JOIN sums2 s ON s.doc_id = g.doc_id AND s.b = g.b
+         |          GROUP BY g.doc_id),
+         |qtoks2 AS (SELECT qid, unnest(string_split_regex(lower(qtext), '\\s+')) AS tm FROM qt),
+         |qtk2 AS (SELECT qid, $hash AS h FROM qtoks2 WHERE length(tm) > 0),
+         |qsums2 AS (SELECT qid, CAST(h % 16 AS INTEGER) AS b,
+         |                  SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |           FROM qtk2 GROUP BY qid, b),
+         |qgrid2 AS (SELECT qq.qid, bb.b FROM (SELECT DISTINCT qid FROM qt) qq
+         |           CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |qvecs2 AS (SELECT g.qid, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+         |           FROM qgrid2 g LEFT JOIN qsums2 s ON s.qid = g.qid AND s.b = g.b
+         |           GROUP BY g.qid),
+         |cd2 AS (SELECT v.doc_id, ${sqlCos("v.v", "q.qv")} AS dist_raw
+         |        FROM vecs2 v CROSS JOIN qvecs2 q),
+         |vr AS (SELECT id, rnk FROM (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |         ROW_NUMBER() OVER (ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
+         |       FROM cd2) WHERE rnk <= 50)
+         |SELECT COALESCE(k.id, v.id) AS id,
+         |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) + 0.0 AS rrf
+         |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+    }
 
   private def sqlKnnSingle(distSql: String, extraWhere: String = ""): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -1159,25 +1218,25 @@ object SparkEntry {
     // from raw text: hash-embedding fit-free replay (q115's machinery),
     // the BM25 fold, both rank windows, and the rrf arithmetic.
     "q158_hybrid_text" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val root = verifyCollectionsRoot(dir)
-      val cat = new CollectionCatalog(s, root, numBuckets = 8)
-      val fp = s"hyx1|$dir|n=${docs.count()}"
-      val reusable = cat.getCollection("hyx").exists(c =>
-        c.meta.metadata.get("source_fp").contains(fp) && c.hasKeywordIndex)
-      val coll = if (reusable) cat.getCollection("hyx").get else {
-        cat.deleteCollection("hyx")
-        val c = cat.getOrCreateCollection("hyx", space = "cosine")
-        c.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
-          col("text").as("document")), HashingEmbedder(16))
-        c.buildKeywordIndex()
-        c.modifyMetadata(Map("source_fp" -> fp))
-        c
-      }
-      require(coll.hasKeywordIndex, "q158 must serve the keyword leg through the sidecar")
+      val coll = hyxCollection(s, dir)
       coll.queryHybridText("hash join stream", k = 20, fetchN = 50)
         .select(col("id"), roundz(col("rrf"), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("id"))
+    }),
+    // The TABLE-FUNCTION surface: q158's one-call hybrid driven from PURE
+    // SQL text — `SELECT ... FROM graft_hybrid(root, name, text, k,
+    // fetchN)` resolves the collection at analysis time and returns the
+    // collection API's own plan (keyword sidecar + recorded embedding
+    // function + rrf), so the SQL route is hash-equal to q158 by
+    // construction. graft_bm25 is smoke-checked by ExtensionsSpec.
+    "q163_hybrid_sql" -> ((s, dir) => {
+      hyxCollection(s, dir) // same fixture; TVF resolves it by (root, name)
+      graft.expressions.GraftExtensions.register(s)
+      val root = verifyCollectionsRoot(dir)
+      s.sql(
+        s"""SELECT id, ROUND(rrf, 6) + 0.0 AS rrf
+           |FROM graft_hybrid('$root', 'hyx', 'hash join stream', 20, 50)
+           |ORDER BY rrf DESC, id""".stripMargin)
     }),
     // The plain-Spark-SQL WRITE surface (q155's other half): hydration
     // through `df.write.format("graft")` — overwrite (create fresh), a
@@ -3817,42 +3876,11 @@ object SparkEntry {
     // the keyword leg is sqlBm25 over the collection's STRING ids (the
     // sidecar must not change it, q154's contract), the vector leg is
     // q115's hash-embed replay (integer-valued vectors → bit-equal
-    // double cosine → identical ranks), fused with q67's rrf arithmetic
-    "q158_hybrid_text" -> {
-      val hash = sqlStrHash("tm")
-      sqlBm25(50, idExpr = "CAST(doc_id AS VARCHAR)") + s""",
-         |qt AS (SELECT 0 AS qid, 'hash join stream' AS qtext),
-         |toks2 AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
-         |          FROM documents),
-         |tk2 AS (SELECT doc_id, $hash AS h FROM toks2 WHERE length(tm) > 0),
-         |sums2 AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
-         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
-         |          FROM tk2 GROUP BY doc_id, b),
-         |grid2 AS (SELECT dd.doc_id, bb.b FROM (SELECT DISTINCT doc_id FROM documents) dd
-         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
-         |vecs2 AS (SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
-         |          FROM grid2 g LEFT JOIN sums2 s ON s.doc_id = g.doc_id AND s.b = g.b
-         |          GROUP BY g.doc_id),
-         |qtoks2 AS (SELECT qid, unnest(string_split_regex(lower(qtext), '\\s+')) AS tm FROM qt),
-         |qtk2 AS (SELECT qid, $hash AS h FROM qtoks2 WHERE length(tm) > 0),
-         |qsums2 AS (SELECT qid, CAST(h % 16 AS INTEGER) AS b,
-         |                  SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
-         |           FROM qtk2 GROUP BY qid, b),
-         |qgrid2 AS (SELECT qq.qid, bb.b FROM (SELECT DISTINCT qid FROM qt) qq
-         |           CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
-         |qvecs2 AS (SELECT g.qid, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
-         |           FROM qgrid2 g LEFT JOIN qsums2 s ON s.qid = g.qid AND s.b = g.b
-         |           GROUP BY g.qid),
-         |cd2 AS (SELECT v.doc_id, ${sqlCos("v.v", "q.qv")} AS dist_raw
-         |        FROM vecs2 v CROSS JOIN qvecs2 q),
-         |vr AS (SELECT id, rnk FROM (SELECT CAST(doc_id AS VARCHAR) AS id,
-         |         ROW_NUMBER() OVER (ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
-         |       FROM cd2) WHERE rnk <= 50)
-         |SELECT COALESCE(k.id, v.id) AS id,
-         |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) + 0.0 AS rrf
-         |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
-         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
-    },
+    // double cosine → identical ranks), fused with q67's rrf arithmetic.
+    // q163: the SAME oracle — the graft_hybrid SQL table function must be
+    // hash-equal to q158's Scala call (one plan, two entry surfaces)
+    "q163_hybrid_sql" -> sqlHybridTextOracle,
+    "q158_hybrid_text" -> sqlHybridTextOracle,
     // q159: the batch fold replayed per qid — qt(qid, term) fans the one
     // tf table out to the queries; df/dl/stats and the score expression
     // are sqlBm25's verbatim (GLOBAL df — document frequency is

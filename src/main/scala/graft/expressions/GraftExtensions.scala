@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hash_embed"),
       new ExpressionInfo(classOf[HashEmbed].getName, "graft_hash_embed"),
       (children: Seq[Expression]) => GraftExtensions.buildHashEmbed(children)))
+    GraftExtensions.tableFunctions.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
     ext.injectOptimizerRule(session => new IvfPruneRule(session))
   }
 }
@@ -97,6 +103,73 @@ object GraftExtensions {
   def strHash(s: Column): Column =
     GraftColumnShim.column(StrHash(GraftColumnShim.expression(s)))
 
+  // ---- DataFrame-returning TABLE functions: the RAG read path for pure
+  // spark.sql users -------------------------------------------------------
+  //
+  // `SELECT * FROM graft_bm25('<root>', '<collection>', '<query text>', k)`
+  // `SELECT * FROM graft_hybrid('<root>', '<collection>', '<text>', k[, fetchN])`
+  //
+  // Each resolves the collection at ANALYSIS time (arguments must be
+  // literals — they name an external store, not row data) and returns the
+  // collection API's own plan: graft_bm25 = keywordTopK over the query
+  // text tokenized with the collection's analyzer (sidecar-served when
+  // current → O(matching postings)); graft_hybrid = queryHybridText (the
+  // full keyword + recorded-embedding-function fusion). SQL users get the
+  // same physical plans — and the same loud gates — as Scala callers.
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.logical
+
+  private def collectionOf(root: String, name: String): graft.catalog.Collection =
+    new graft.catalog.CollectionCatalog(SparkSession.active, root)
+      .getCollection(name).getOrElse(throw new NoSuchElementException(
+        s"no collection '$name' under root '$root'"))
+
+  private def buildBm25Tvf(children: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(children.length == 4,
+      s"graft_bm25 takes (root, collection, querytext, k), got ${children.length} args")
+    val coll = collectionOf(strLit(children(0), "graft_bm25 root"),
+      strLit(children(1), "graft_bm25 collection"))
+    val terms = graft.operators.Retrieval.queryTerms(
+      strLit(children(2), "graft_bm25 querytext"), coll.analyzer)
+    require(terms.nonEmpty, "graft_bm25 query text has no tokens")
+    planOf(coll.keywordTopK(terms, intLit(children(3), "graft_bm25 k")))
+  }
+
+  private def buildHybridTvf(children: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(children.length == 4 || children.length == 5,
+      s"graft_hybrid takes (root, collection, text, k[, fetchN]), got ${children.length} args")
+    val coll = collectionOf(strLit(children(0), "graft_hybrid root"),
+      strLit(children(1), "graft_hybrid collection"))
+    val k = intLit(children(3), "graft_hybrid k")
+    val fetchN =
+      if (children.length == 5) intLit(children(4), "graft_hybrid fetchN") else 50
+    planOf(coll.queryHybridText(strLit(children(2), "graft_hybrid text"), k, fetchN))
+  }
+
+  private val tableFunctions: Seq[(String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    "graft_bm25" -> (buildBm25Tvf _),
+    "graft_hybrid" -> (buildHybridTvf _))
+
   /** Register the SQL functions + the IVF prune rule on a live session. */
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -113,6 +186,10 @@ object GraftExtensions {
       "graft_text_stats", (children: Seq[Expression]) => buildTextStats(children), "scala_udf")
     registry.createOrReplaceTempFunction(
       "graft_hash_embed", (children: Seq[Expression]) => buildHashEmbed(children), "scala_udf")
+    tableFunctions.foreach { case (name, builder) =>
+      classic.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
     if (!classic.experimental.extraOptimizations.exists(_.isInstanceOf[IvfPruneRule]))
       classic.experimental.extraOptimizations =
         classic.experimental.extraOptimizations :+ new IvfPruneRule(spark)

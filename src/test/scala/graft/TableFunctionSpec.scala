@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Collection, CollectionCatalog}
+import graft.expressions.GraftExtensions
+import graft.operators.HashingEmbedder
+
+/** The DataFrame-returning SQL TABLE functions (`graft_bm25`,
+  * `graft_hybrid`): a pure-SQL user drives the same collection read
+  * paths — same plans, same gates — as a Scala caller. Pins: SQL ≡ API
+  * equality for both functions, analyzer-aware query tokenization
+  * through the SQL route, and loud failures on non-literal arguments
+  * and unknown collections. */
+class TableFunctionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    ("1", "spark joins hash joins and more joins"),
+    ("2", "hash tables back the hash join"),
+    ("3", "stream processing with watermarks"),
+    ("4", "sort merge join versus hash join under skew"))
+
+  private def mkColl(root: String, name: String,
+                     analyzer: Option[String] = None): Collection = {
+    val cat = new CollectionCatalog(spark, root, numBuckets = 4)
+    val c = cat.getOrCreateCollection(name, space = "cosine",
+      metadata = analyzer.map(Collection.AnalyzerKey -> _).toMap)
+    c.addDocuments(corpus.toDF("id", "document"), HashingEmbedder(8))
+    c.buildKeywordIndex()
+    c
+  }
+
+  test("graft_bm25 from SQL equals keywordTopK from the API") {
+    val root = tmpDir("tvf-bm25")
+    val c = mkColl(root, "k")
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_bm25('$root', 'k', 'hash joins stream', 5)")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    val viaApi = c.keywordTopK(Seq("hash", "joins", "stream"), 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
+  test("graft_hybrid from SQL equals queryHybridText from the API") {
+    val root = tmpDir("tvf-hyb")
+    val c = mkColl(root, "h")
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_hybrid('$root', 'h', 'hash joins', 3, 4)")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaApi = c.queryHybridText("hash joins", k = 3, fetchN = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaSql.toSet == viaApi.toSet && viaSql.nonEmpty)
+  }
+
+  test("graft_bm25 tokenizes the SQL query text with the collection's analyzer") {
+    val root = tmpDir("tvf-ana")
+    // punctuated corpus under the simple analyzer: a punctuated SQL query
+    // must match — and would match NOTHING under whitespace tokens
+    val cat = new CollectionCatalog(spark, root, numBuckets = 4)
+    val c = cat.getOrCreateCollection("a",
+      metadata = Map(Collection.AnalyzerKey -> "simple"))
+    c.add(Seq(("1", "Hash, joins!"), ("2", "streams.")).toDF("id", "document"))
+    c.buildKeywordIndex()
+    GraftExtensions.register(spark)
+    val hits = spark.sql(
+      s"SELECT id FROM graft_bm25('$root', 'a', 'HASH! (joins)', 2)")
+      .collect().map(_.getString(0)).toSeq
+    assert(hits == Seq("1"))
+  }
+
+  test("non-literal arguments and unknown collections fail loudly") {
+    val root = tmpDir("tvf-err")
+    mkColl(root, "k")
+    GraftExtensions.register(spark)
+    val nonLit = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bm25('$root', 'k', 'hash', 1 + 1)").collect()
+    }
+    assert(nonLit.getMessage.contains("integer literal"))
+    val missing = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bm25('$root', 'nope', 'hash', 5)").collect()
+    }
+    assert(missing.getMessage.contains("no collection"))
+  }
+}
