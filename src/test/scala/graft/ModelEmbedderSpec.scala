@@ -140,4 +140,22 @@ class ModelEmbedderSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](c.queryText(Seq("x"), k = 1))
     assert(e.getMessage.contains("toy-onnx-v1/4"))
   }
+
+  test("OnnxEmbeddingFunction is runtime-gated: loud at construction without the jar") {
+    // this sandbox has no onnxruntime jar BY DESIGN (zero extra deps) —
+    // the real-model plug must fail at CONSTRUCTION, naming the missing
+    // dependency and the wiring, never deep inside an executor task
+    assert(!graft.operators.OnnxEmbeddingFunction.runtimeAvailable)
+    val e = intercept[IllegalStateException] {
+      new graft.operators.OnnxEmbeddingFunction(
+        modelPath = "/models/encoder.onnx", name = "enc-v1", dim = 384,
+        tokenize = _.split("\\s+").map(_.length.toLong))
+    }
+    assert(e.getMessage.contains("ai.onnxruntime"))
+    assert(e.getMessage.contains("classpath"))
+    // the behavioral contracts the class INHERITS (batching, null safety,
+    // shape validation, store binding) are pinned above with the
+    // deterministic toy — the only part the sandbox cannot drive is the
+    // reflective OrtSession call itself
+  }
 }

@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.functions.Distances
-import graft.operators.{Dedup, Knn}
+import graft.operators.{Dedup, Knn, Retrieval}
 
 /** Property-based coverage (SURVEY §5.2): scalacheck generators produce the
   * inputs; each property is checked over the whole generated set in ONE
@@ -430,5 +430,45 @@ class PropertySpec extends SparkTestBase {
         .collect().map(x => (x.getString(0), x.getInt(1))).toSeq.sorted
       assert(got == expect, s"seed $seed diverged")
     }
+  }
+
+  test("property: rrf fusion — list-order invariant, local reference, rrfK monotone, deterministic order") {
+    val ids = (0 until 40).map(i => f"d$i%02d")
+    // three overlapping ranked lists: random 25-of-40 member sets, ranks
+    // 1..25 in pick order (distinct per list — the rank-list contract)
+    def genList(seed: Long): Seq[(String, Int)] =
+      sample(Gen.pick(25, ids), seed).toSeq.zipWithIndex
+        .map { case (id, i) => (id, i + 1) }
+    val (a, b, c) = (genList(13L), genList(29L), genList(31L))
+    val (da, db, dc) = (a.toDF("id", "rnk"), b.toDF("id", "rnk"), c.toDF("id", "rnk"))
+    def fused(dfs: Seq[org.apache.spark.sql.DataFrame], k: Int = 60): Map[String, Double] =
+      Retrieval.rrf(dfs, "id", "rnk", k).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val f = fused(Seq(da, db, dc))
+    // 1. fusion is invariant under list order (score magnitudes are
+    //    per-list; the outer merge is symmetric; round(6) absorbs the
+    //    fold-order ulps)
+    assert(f == fused(Seq(dc, da, db)))
+    // 2. local reference: score(id) = Σ_lists 1/(60 + rnk), absent = 0,
+    //    rounded exactly as the engine rounds (BigDecimal HALF_UP)
+    def contrib(l: Seq[(String, Int)], id: String): Double =
+      l.collectFirst { case (`id`, r) => 1.0 / (60.0 + r) }.getOrElse(0.0)
+    val ref = (a ++ b ++ c).map(_._1).distinct.map { id =>
+      id -> BigDecimal(contrib(a, id) + contrib(b, id) + contrib(c, id))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    assert(f == ref)
+    // 3. rrfK monotonicity: a larger k shrinks every contribution, so no
+    //    fused score may grow and the total strictly falls
+    val f200 = fused(Seq(da, db, dc), 200)
+    assert(f.keySet == f200.keySet)
+    assert(f200.forall { case (id, s) => s <= f(id) })
+    assert(f200.values.sum < f.values.sum)
+    // 4. the presentation order (rrf DESC, id) is a total order: two
+    //    independent runs collect the identical sequence
+    def ordered() = Retrieval.rrf(Seq(da, db, dc), "id", "rnk")
+      .orderBy(col("rrf").desc, col("id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(ordered() == ordered())
   }
 }
