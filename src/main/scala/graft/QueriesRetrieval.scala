@@ -1,0 +1,573 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.catalog.{Collection, CollectionCatalog}
+import graft.functions.{Distances, TextAnalysis}
+import graft.operators.{Ann, Assemble, ChromaFilter, Dedup, Events, HashingEmbedder, Knn, Lm, Mixture, Multimodal, Retrieval, Sketches, Skew, TfIdfSrpEmbedder}
+
+/** SURVEY §2.D query family: keyword + hybrid retrieval — BM25 (scan and
+  * sidecar-served), rrf/min-max fusion, MMR, the analyzer setting, batch
+  * reads, and the SQL table functions.
+  *
+  * Pure code motion from the pre-r15 single-file SparkEntry (the 164/164
+  * CORRECTNESS sweep is the refactoring harness — hashes unchanged);
+  * [[SparkEntry]] composes the families back into the driver-contract
+  * `queries`/`oracleSql` maps. Shared fixtures/helpers live in
+  * [[EntryKit]].
+  */
+private[graft] trait QueriesRetrieval extends EntryKit {
+
+  private[graft] def retrievalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Keyword retrieval: BM25-style scoring (log-free idf — IEEE-exact,
+    // replayable), one explode pass, broadcast df/stats, decimal score fold
+    "q66_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "stream"), 20)
+        .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
+        .orderBy("rnk")),
+    "q154_kwindex_bm25" -> ((s, dir) =>
+      kwxCollection(s, dir).keywordTopK(Seq("hash", "join", "stream"), 20)
+        .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
+        .orderBy("rnk")),
+    // Hybrid retrieval THROUGH the sidecar: q67's reciprocal-rank fusion
+    // with the keyword leg served index-confined (KeywordIndex via the
+    // kwx collection — per-query cost O(matching postings), the shape a
+    // RAG stack actually runs per user query at 100 TB) instead of q67's
+    // O(corpus) re-explode. Fusion math identical; ids are the store's
+    // STRINGS, so ranks/ties replay on VARCHAR order in the oracle.
+    "q157_hybrid_rrf_indexed" -> ((s, dir) => {
+      val kw = kwxCollection(s, dir)
+        .keywordTopK(Seq("hash", "join", "stream"), 50)
+        .select(col("id"), col("rnk"))
+      val qv = headVec(t(s, dir, "embeddings"), 0)
+      val vr = Knn.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          qv, 50, "cosine", excludeIds = Seq(0))
+        .select(col("vec_id").cast("string").as("id"), row_number().over(
+          Window.orderBy(col("dist"), col("vec_id"))).as("rnk"))
+      Retrieval.rrf(Seq(kw, vr), "id", "rnk")
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+    }),
+    // The BATCH keyword read: one pruned sidecar read (union of the
+    // batch's tp partitions + the stats partition) serves three queries —
+    // the RAG serving shape (per-query index reads would re-list the same
+    // files once per query). df stays GLOBAL per term, so each qid's rows
+    // are exactly its single-query q154 answer; the oracle replays the
+    // per-qid fold from the raw table (scan ≡ index by the shared fold).
+    "q159_kwindex_bm25_batch" -> ((s, dir) =>
+      kwxCollection(s, dir).keywordTopKBatch(Seq(
+          Seq("hash", "join", "stream"),
+          Seq("vector", "table"),
+          Seq("index", "hash")), 10)
+        .select(col("qid"), col("id"), col("rnk"),
+          roundz(col("score"), 4).as("score"))
+        .orderBy("qid", "rnk")),
+    // The keyword ANALYZER setting end-to-end: the kwa collection stores
+    // PUNCTUATED text under graft:analyzer=simple (one shared
+    // lowercase+strip rule across the sidecar build, the scan path and
+    // the query side — Retrieval.termsCol's single written form), and
+    // the raw user terms arrive punctuated and mixed-case exactly as a
+    // natural-language RAG query sends them ("Hash!" must match the
+    // stored token "<<hash," — under the old whitespace-only rule it
+    // matched NOTHING). Sidecar-served through an incremental refresh;
+    // the oracle replays the identical strip rule in DuckDB.
+    "q161_kwindex_analyzer" -> ((s, dir) =>
+      kwaCollection(s, dir).keywordTopK(Seq("Hash!", "JOIN,", "(stream)"), 20)
+        .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
+        .orderBy("rnk")),
+    // q157's hybrid fusion with the keyword leg under the analyzer: the
+    // punctuated corpus + punctuated query terms served off the stamped
+    // sidecar, rrf-fused with the exact cosine vector leg. Pins that the
+    // analyzer changes ONLY tokenization — fusion arithmetic, rank
+    // windows and tie-breaks replay verbatim.
+    "q162_hybrid_analyzer" -> ((s, dir) => {
+      val kw = kwaCollection(s, dir)
+        .keywordTopK(Seq("Hash!", "JOIN,", "(stream)"), 50)
+        .select(col("id"), col("rnk"))
+      val qv = headVec(t(s, dir, "embeddings"), 0)
+      val vr = Knn.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          qv, 50, "cosine", excludeIds = Seq(0))
+        .select(col("vec_id").cast("string").as("id"), row_number().over(
+          Window.orderBy(col("dist"), col("vec_id"))).as("rnk"))
+      Retrieval.rrf(Seq(kw, vr), "id", "rnk")
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+    }),
+    // The full RAG read path as ONE collection call: queryHybridText —
+    // the query text drives the keyword leg (corpus tokenization rule →
+    // sidecar-served BM25 top-fetchN) AND the vector leg (the RECORDED
+    // embedding function → exact cosine top-fetchN), fused by
+    // reciprocal-rank fusion. The oracle replays the whole composition
+    // from raw text: hash-embedding fit-free replay (q115's machinery),
+    // the BM25 fold, both rank windows, and the rrf arithmetic.
+    "q158_hybrid_text" -> ((s, dir) => {
+      val coll = hyxCollection(s, dir)
+      coll.queryHybridText("hash join stream", k = 20, fetchN = 50)
+        .select(col("id"), roundz(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+    }),
+    // The TABLE-FUNCTION surface: q158's one-call hybrid driven from PURE
+    // SQL text — `SELECT ... FROM graft_hybrid(root, name, text, k,
+    // fetchN)` resolves the collection at analysis time and returns the
+    // collection API's own plan (keyword sidecar + recorded embedding
+    // function + rrf), so the SQL route is hash-equal to q158 by
+    // construction. graft_bm25 is smoke-checked by ExtensionsSpec.
+    "q163_hybrid_sql" -> ((s, dir) => {
+      hyxCollection(s, dir) // same fixture; TVF resolves it by (root, name)
+      graft.expressions.GraftExtensions.register(s)
+      val root = verifyCollectionsRoot(dir)
+      s.sql(
+        s"""SELECT id, ROUND(rrf, 6) + 0.0 AS rrf
+           |FROM graft_hybrid('$root', 'hyx', 'hash join stream', 20, 50)
+           |ORDER BY rrf DESC, id""".stripMargin)
+    }),
+    // Hybrid retrieval: reciprocal-rank fusion of the keyword top-50 and
+    // the vector top-50 — the standard combiner, and pure rank arithmetic,
+    // so the fused scores replay exactly in the oracle
+    "q67_hybrid_rrf" -> ((s, dir) => {
+      val kw = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("hash", "join", "stream"), 50).select(col("id"), col("rnk"))
+      val qv = headVec(t(s, dir, "embeddings"), 0)
+      val vr = Knn.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          qv, 50, "cosine", excludeIds = Seq(0))
+        .select(col("vec_id").as("id"), row_number().over(
+          Window.orderBy(col("dist"), col("vec_id"))).as("rnk"))
+      Retrieval.rrf(Seq(kw, vr), "id", "rnk")
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+    }),
+    // Hybrid retrieval, score-aware form: min-max-normalized weighted
+    // fusion of the SCORES (not just ranks — the published alternative to
+    // q67's rrf) of the keyword top-50 and the vector top-50. Per-list
+    // min/max are single-row broadcast aggregates; normalization +
+    // weighting is IEEE-exact, so fused scores replay in the oracle.
+    "q137_hybrid_minmax" -> ((s, dir) => {
+      val kw = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "stream"), 50)
+        .select(col("id"), col("score"))
+      val qv = headVec(t(s, dir, "embeddings"), 0)
+      val vr = Knn.topK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          qv, 50, "cosine", excludeIds = Seq(0))
+        .select(col("vec_id").as("id"), (lit(1.0) - col("dist")).as("score"))
+      Retrieval.fuseMinMax(Seq(kw -> 0.4, vr -> 0.6), "id", "score")
+        .orderBy(col("fused").desc, col("id")).limit(20)
+    }),
+    // Diversity-aware top-k: Maximal Marginal Relevance (Carbonell &
+    // Goldstein 1998), the re-rank every RAG stack layers over plain kNN.
+    // The candidate fetch is the distributed part (one scan → TakeOrdered
+    // top-40); the greedy phase is a bounded driver-side primitive over
+    // exactly those 40 rows. Selection ORDER and scores both hash-pin
+    // against an unrolled per-step SQL replay — argmax, tie-break, and
+    // the max-redundancy update all verified step by step.
+    "q116_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Retrieval.mmr(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          headVec(emb, 0), k = 8, fetchN = 40, lambda = 0.5)
+        .select(col("rnk"), col("vec_id"), roundz(col("score"), 4).as("score"))
+        .orderBy("rnk")
+    }),
+    // The last two spec-equivalence-only read surfaces, composed and
+    // ORACLED in one entry: queryMmrText (text → RECORDED embedding
+    // function → pruned candidate fetch → bounded greedy MMR) side by
+    // side with queryTextStruct (same text → same binding → Chroma's
+    // parallel-list struct shape, re-exploded to long form — the
+    // positional zip is itself under test). Rank i of the output carries
+    // the i-th MMR pick AND the i-th plain-kNN hit; the oracle replays
+    // BOTH from raw text — hash embed (q115's replay), filtered cosine
+    // kNN, and the full unrolled MMR greedy trace (q116's stages over
+    // hash-embedded vectors with STRING-id tie-breaks).
+    "q133_mmrtext_struct" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = verifyCollectionsRoot(dir)
+      val cat = new CollectionCatalog(s, root, numBuckets = 8)
+      cat.deleteCollection("mmt")
+      val coll = cat.getOrCreateCollection("mmt", space = "cosine")
+      coll.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
+        col("text").as("document"), col("lang")), HashingEmbedder(16))
+      val text = "vector database search index"
+      val mmr = coll.queryMmrText(text, k = 8, fetchN = 40, lambda = 0.5)
+        .select(col("rnk"), col("id").as("mmr_id"),
+          roundz(col("mmr_score"), 4).as("mmr_score"))
+      val knn = coll.queryTextStruct(Seq(text), k = 8, include = Set("distances"))
+        .select(posexplode(arrays_zip(col("ids"), col("distances"))))
+        .select((col("pos") + 1).cast("int").as("rnk"),
+          col("col.ids").as("knn_id"),
+          roundz(col("col.distances"), 4).as("knn_dist"))
+      mmr.join(knn, "rnk").orderBy("rnk")
+    }),
+    // Hard-negative mining (DPR-style): per query vector, the top-5
+    // nearest corpus vectors with a DIFFERENT label — the negative-
+    // sampling step of contrastive retriever training. One broadcast of
+    // the 3-query table against one corpus scan; the label-mismatch
+    // predicate applies before the rank window.
+    "q117_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0, 1, 2))
+      Knn.hardNegatives(emb, "vec_id", "embedding", "label",
+          queries, "vec_id", "embedding", "label", k = 5, space = "cosine")
+        .select(col("qid"), col("rnk"), col("vec_id"),
+          roundz(col("dist"), 4).as("dist"), col("label"))
+        .orderBy("qid", "rnk")
+    }),
+    // Hybrid with BOTH legs index-confined — the 100 TB serving hybrid:
+    // keyword leg through the tp-pruned keyword sidecar, vector leg
+    // through the PQ-coded index (codes-only ADC scan in the probed
+    // cells, exact refine). The vector leg's ranks are the PQ pipeline's
+    // REFINED ranks, so the oracle replays the ENTIRE q150 construction
+    // for the query text plus the BM25 fold, then fuses — every stage of
+    // both approximate legs under one hash.
+    "q160_hybrid_text_pq" -> ((s, dir) => {
+      val coll = qtpqCollection(s, dir)
+      if (!coll.hasKeywordIndex) coll.buildKeywordIndex()
+      coll.queryHybridTextPq("hash join stream", k = 20, fetchN = 30,
+          nprobe = 2, adcFetchN = 30)
+        .select(col("id"), roundz(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+    }),
+  )
+
+  private[graft] def retrievalOracles: Map[String, String] = Map(
+    "q66_bm25_topk" -> (sqlBm25(20) + "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
+    "q154_kwindex_bm25" -> (sqlBm25(20, idExpr = "CAST(doc_id AS VARCHAR)") +
+      "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
+    "q67_hybrid_rrf" -> {
+      // vector side mirrors q11's cosine shape at k=50; fusion is pure
+      // rank arithmetic (1/(60+rnk)), kw contribution folded first
+      val cos = s"1 - (${sqlDot("e.embedding", "q.qe")} / (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("q.qe", "q.qe")})))"
+      sqlBm25(50) + s""",
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vd AS (SELECT e.vec_id AS id, $cos AS dist
+         |       FROM embeddings e, q WHERE e.vec_id <> 0),
+         |vr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY dist, id) AS rnk
+         |       FROM vd ORDER BY dist, id LIMIT 50)
+         |SELECT COALESCE(k.id, v.id) AS id,
+         |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) AS rrf
+         |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+    },
+    // q157: q67's fusion replayed over the sidecar-served keyword leg —
+    // the index must not change the keyword list (q154's contract), so
+    // the only semantic difference is the store's STRING ids: ranks and
+    // ties replay on VARCHAR order on both engines, the vector leg's
+    // rank is computed on the numeric id (as in q67) then cast to join
+    "q157_hybrid_rrf_indexed" -> {
+      val cos = s"1 - (${sqlDot("e.embedding", "q.qe")} / (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("q.qe", "q.qe")})))"
+      sqlBm25(50, idExpr = "CAST(doc_id AS VARCHAR)") + s""",
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vd AS (SELECT e.vec_id AS nid, $cos AS dist
+         |       FROM embeddings e, q WHERE e.vec_id <> 0),
+         |vr AS (SELECT CAST(nid AS VARCHAR) AS id,
+         |              ROW_NUMBER() OVER (ORDER BY dist, nid) AS rnk
+         |       FROM vd ORDER BY dist, nid LIMIT 50)
+         |SELECT COALESCE(k.id, v.id) AS id,
+         |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) AS rrf
+         |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+    },
+    // q161: the "simple" analyzer replayed in DuckDB — the SAME punctuated
+    // corpus derivation (`<<w1, w2, ..., wn...`), the SAME strip rule
+    // (lowercase, \s+ split, trim non-[letter/digit] edges, drop empties),
+    // then sqlBm25's verbatim fold; the raw query terms "Hash!"/"JOIN,"/
+    // "(stream)" normalize to hash/join/stream on the engine side, so the
+    // oracle's term list is the analyzed form
+    "q161_kwindex_analyzer" -> (sqlBm25(20, tokCte = Some(sqlBm25SimpleToks())) +
+      "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
+    // q162: q157's fusion oracle with the keyword leg under the analyzer
+    // toks — fusion arithmetic, rank windows and VARCHAR tie-breaks are
+    // q157's verbatim
+    "q162_hybrid_analyzer" -> {
+      val cos = s"1 - (${sqlDot("e.embedding", "q.qe")} / (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("q.qe", "q.qe")})))"
+      sqlBm25(50, tokCte = Some(sqlBm25SimpleToks())) + s""",
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vd AS (SELECT e.vec_id AS nid, $cos AS dist
+         |       FROM embeddings e, q WHERE e.vec_id <> 0),
+         |vr AS (SELECT CAST(nid AS VARCHAR) AS id,
+         |              ROW_NUMBER() OVER (ORDER BY dist, nid) AS rnk
+         |       FROM vd ORDER BY dist, nid LIMIT 50)
+         |SELECT COALESCE(k.id, v.id) AS id,
+         |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) AS rrf
+         |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+    },
+    // q158: the one-call hybrid replayed end-to-end from the raw text —
+    // the keyword leg is sqlBm25 over the collection's STRING ids (the
+    // sidecar must not change it, q154's contract), the vector leg is
+    // q115's hash-embed replay (integer-valued vectors → bit-equal
+    // double cosine → identical ranks), fused with q67's rrf arithmetic.
+    // q163: the SAME oracle — the graft_hybrid SQL table function must be
+    // hash-equal to q158's Scala call (one plan, two entry surfaces)
+    "q163_hybrid_sql" -> sqlHybridTextOracle,
+    "q158_hybrid_text" -> sqlHybridTextOracle,
+    // q159: the batch fold replayed per qid — qt(qid, term) fans the one
+    // tf table out to the queries; df/dl/stats and the score expression
+    // are sqlBm25's verbatim (GLOBAL df — document frequency is
+    // query-independent), the fold key just widens to (qid, id)
+    "q159_kwindex_bm25_batch" -> {
+      val k1 = 1.2; val b = 0.75
+      val qtVals = Seq(
+        0 -> Seq("hash", "join", "stream"),
+        1 -> Seq("vector", "table"),
+        2 -> Seq("index", "hash"))
+        .flatMap { case (qi, ts) => ts.map(t => s"($qi, '$t')") }.mkString(", ")
+      val allTerms = Seq("hash", "join", "stream", "vector", "table", "index")
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH qt AS (SELECT * FROM (VALUES $qtVals) AS q(qid, term)),
+         |toks AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |         unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents),
+         |dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+         |tf AS (SELECT id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN ($allTerms) GROUP BY id, term),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT qt.qid, tf.id,
+         |    ROUND((((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1}))
+         |      / (tf + $k1 * (${1 - b} + ($b * CAST(dl AS DOUBLE) * n_docs) / CAST(tot_dl AS DOUBLE))), 6) AS s
+         |    FROM tf JOIN qt USING (term) JOIN dft USING (term) JOIN dl USING (id) CROSS JOIN stats),
+         |kws AS (SELECT qid, id, CAST(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS score
+         |        FROM sc GROUP BY qid, id),
+         |kwtop AS (SELECT qid, id, score,
+         |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rnk FROM kws)
+         |SELECT qid, id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop
+         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+    },
+    // q137: the min-max fusion replayed — per-list MIN/MAX over the same
+    // 50-row lists, the identical (s − mn)/(mx − mn) normalization
+    // (constant lists → 1), weights folded in the same written order
+    "q137_hybrid_minmax" -> {
+      val cos = s"1 - (${sqlDot("e.embedding", "q.qe")} / (sqrt(${sqlDot("e.embedding", "e.embedding")}) * sqrt(${sqlDot("q.qe", "q.qe")})))"
+      sqlBm25(50) + s""",
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vd AS (SELECT e.vec_id AS id, 1 - ($cos) AS score
+         |       FROM embeddings e, q WHERE e.vec_id <> 0),
+         |vr AS (SELECT id, score FROM vd ORDER BY 1 - score, id LIMIT 50),
+         |kmm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM kwtop),
+         |vmm AS (SELECT MIN(score) AS mn, MAX(score) AS mx FROM vr),
+         |kn AS (SELECT id, 0.4 * (CASE WHEN mx = mn THEN 1.0
+         |                              ELSE (score - mn) / (mx - mn) END) AS c0
+         |       FROM kwtop, kmm),
+         |vn AS (SELECT id, 0.6 * (CASE WHEN mx = mn THEN 1.0
+         |                              ELSE (score - mn) / (mx - mn) END) AS c1
+         |       FROM vr, vmm)
+         |SELECT COALESCE(kn.id, vn.id) AS id,
+         |  ROUND(COALESCE(c0, 0) + COALESCE(c1, 0), 6) + 0.0 AS fused
+         |FROM kn FULL OUTER JOIN vn ON kn.id = vn.id
+         |ORDER BY fused DESC, id LIMIT 20""".stripMargin
+    },
+    // q160: the both-legs-indexed hybrid replayed end to end from the raw
+    // text — the ENTIRE q150 PQ construction for 'hash join stream'
+    // (hash-embed → seeded assignment → probe choice → encode → lut →
+    // decimal ADC → shortlist → exact-cosine refine ranks) beside the
+    // BM25 fold (sqlBm25's expressions verbatim, k-prefixed CTE names to
+    // avoid collisions), fused with q67's rrf arithmetic
+    "q160_hybrid_text_pq" -> {
+      val hash = sqlStrHash("tm")
+      val k1 = 1.2; val b = 0.75
+      s"""WITH qt AS (SELECT * FROM (VALUES (0, 'hash join stream')) AS q(qid, qtext)),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |         FROM documents),
+         |tk AS (SELECT doc_id, $hash AS h FROM toks WHERE length(tm) > 0),
+         |sums AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
+         |                SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |         FROM tk GROUP BY doc_id, b),
+         |grid AS (SELECT dd.doc_id, bb.b FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |         CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |vecs AS MATERIALIZED (
+         |        SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |        FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.b
+         |        GROUP BY g.doc_id),
+         |qtoks AS (SELECT qid, unnest(string_split_regex(lower(qtext), '\\s+')) AS tm FROM qt),
+         |qtk AS (SELECT qid, $hash AS h FROM qtoks WHERE length(tm) > 0),
+         |qsums AS (SELECT qid, CAST(h % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY qid, b),
+         |qgrid AS (SELECT qq.qid, bb.b FROM (SELECT DISTINCT qid FROM qt) qq
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |qvecs AS MATERIALIZED (
+         |         SELECT g.qid, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+         |         FROM qgrid g LEFT JOIN qsums s ON s.qid = g.qid AND s.b = g.b
+         |         GROUP BY g.qid),
+         |cct AS (SELECT CAST(doc_id AS INTEGER) AS cell, v AS ce
+         |        FROM vecs WHERE doc_id BETWEEN 0 AND 7),
+         |cdist AS (SELECT ve.doc_id AS doc_id, cct.cell AS cell,
+         |                 ${sqlL2("ve.v", "cct.ce")} AS cd
+         |          FROM vecs ve, cct),
+         |asg AS (SELECT doc_id, cell FROM
+         |          (SELECT doc_id, cell, row_number() OVER (PARTITION BY doc_id
+         |                                                   ORDER BY cd, cell) AS rn
+         |           FROM cdist) WHERE rn = 1),
+         |pc AS (SELECT qid, cell FROM
+         |         (SELECT q.qid AS qid, c.cell AS cell,
+         |                 row_number() OVER (PARTITION BY q.qid
+         |                                    ORDER BY ${sqlL2("c.ce", "q.qv")}, c.cell) AS rn
+         |          FROM cct c, qvecs q) WHERE rn <= 2),
+         |sub AS (SELECT unnest(range(8)) AS s),
+         |cb AS (SELECT sub.s AS s, CAST(ve.doc_id - 1 AS INTEGER) AS code,
+         |              list_transform(range(2), j -> ve.v[CAST(sub.s*2 + j + 1 AS INTEGER)]) AS cv
+         |       FROM vecs ve, sub WHERE ve.doc_id BETWEEN 1 AND 16),
+         |rs AS (SELECT sub.s AS s, ve.doc_id AS doc_id,
+         |              list_transform(range(2), j -> ve.v[CAST(sub.s*2 + j + 1 AS INTEGER)]) AS rv
+         |       FROM vecs ve, sub),
+         |enc AS (SELECT doc_id, s, code FROM (
+         |          SELECT r.doc_id AS doc_id, r.s AS s, c.code AS code,
+         |                 row_number() OVER (PARTITION BY r.doc_id, r.s
+         |                                    ORDER BY ${sqlL2("r.rv", "c.cv")}, c.code) AS rn
+         |          FROM rs r JOIN cb c ON c.s = r.s) WHERE rn = 1),
+         |qs AS (SELECT q.qid AS qid, sub.s AS s,
+         |              list_transform(range(2), j -> q.qv[CAST(sub.s*2 + j + 1 AS INTEGER)]) AS qv
+         |       FROM qvecs q, sub),
+         |lut AS (SELECT qs.qid AS qid, c.s AS s, c.code AS code,
+         |               ROUND(${sqlL2("qs.qv", "c.cv")}, 6) AS d6
+         |        FROM cb c JOIN qs ON qs.s = c.s),
+         |adc AS (SELECT l.qid AS qid, e.doc_id AS doc_id,
+         |               CAST(CAST(SUM(CAST(l.d6 AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS adc
+         |        FROM enc e JOIN asg a ON a.doc_id = e.doc_id
+         |        JOIN lut l ON l.s = e.s AND l.code = e.code
+         |        JOIN pc p ON p.qid = l.qid AND p.cell = a.cell
+         |        GROUP BY l.qid, e.doc_id),
+         |short AS (SELECT qid, doc_id, adc FROM
+         |            (SELECT qid, doc_id, adc,
+         |                    row_number() OVER (PARTITION BY qid
+         |                                       ORDER BY adc, CAST(doc_id AS VARCHAR)) AS rn
+         |             FROM adc) WHERE rn <= 30),
+         |ref AS (SELECT sh.qid AS qid, CAST(sh.doc_id AS VARCHAR) AS id,
+         |               ${sqlCos("ve.v", "q.qv")} AS dist_raw
+         |        FROM short sh JOIN vecs ve ON ve.doc_id = sh.doc_id
+         |        JOIN qvecs q ON q.qid = sh.qid),
+         |vr AS (SELECT id, rnk FROM
+         |         (SELECT id, dist_raw,
+         |                 row_number() OVER (ORDER BY dist_raw, id) AS rnk
+         |          FROM ref) WHERE rnk <= 30),
+         |ktoks AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |          unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents),
+         |kdl AS (SELECT id, COUNT(*) AS dl FROM ktoks GROUP BY id),
+         |kstats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM kdl),
+         |ktf AS (SELECT id, term, COUNT(*) AS tf FROM ktoks
+         |        WHERE term IN ('hash', 'join', 'stream') GROUP BY id, term),
+         |kdft AS (SELECT term, COUNT(*) AS df FROM ktf GROUP BY term),
+         |ksc AS (SELECT ktf.id,
+         |    ROUND((((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * (tf * ${k1 + 1}))
+         |      / (tf + $k1 * (${1 - b} + ($b * CAST(dl AS DOUBLE) * n_docs) / CAST(tot_dl AS DOUBLE))), 6) AS s
+         |    FROM ktf JOIN kdft USING (term) JOIN kdl USING (id) CROSS JOIN kstats),
+         |kkws AS (SELECT id, CAST(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS score
+         |         FROM ksc GROUP BY id),
+         |kwtop AS (SELECT id, rnk FROM
+         |            (SELECT id, score, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk
+         |             FROM kkws) WHERE rnk <= 30)
+         |SELECT COALESCE(kk.id, v.id) AS id,
+         |  ROUND(COALESCE(1.0 / (60 + kk.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) + 0.0 AS rrf
+         |FROM kwtop kk FULL OUTER JOIN vr v ON kk.id = v.id
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+    },
+    // q116: MMR's greedy trace unrolled — one (red, sc, sel, picked) CTE
+    // block per rank, each stage's argmax computed from the SAME candidate
+    // and pairwise-sim tables the engine's incremental max-redundancy
+    // walks. Selection order, tie-breaks AND scores all hash-pin.
+    // MATERIALIZED is load-bearing: each stage references picked_{i-1}
+    // twice and DuckDB inlines CTEs by default — unrolled over 8 ranks
+    // that's 2^8 re-evaluations of the candidate scan (minutes, not ms).
+    "q116_mmr_rerank" -> {
+      def sim(a: String, b: String) =
+        s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+      val stages = (2 to 8).map { i =>
+        s"""red_$i AS (SELECT p.ai AS vec_id, MAX(p.s) AS red FROM pairs p
+           |  JOIN picked_${i - 1} pk ON p.bi = pk.vec_id GROUP BY p.ai),
+           |sc_$i AS (SELECT c.vec_id, (0.5 * c.simq) - (0.5 * r.red) AS sc
+           |  FROM cand c JOIN red_$i r ON r.vec_id = c.vec_id
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM picked_${i - 1})),
+           |sel_$i AS (SELECT vec_id, $i AS rnk, sc FROM sc_$i
+           |  ORDER BY sc DESC, vec_id LIMIT 1),
+           |picked_$i AS MATERIALIZED (SELECT * FROM picked_${i - 1} UNION ALL SELECT * FROM sel_$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (SELECT e.vec_id, e.embedding AS v, ${sim("e.embedding", "q.qe")} AS simq
+         |         FROM embeddings e, q WHERE e.vec_id <> 0
+         |         ORDER BY simq DESC, e.vec_id LIMIT 40),
+         |pairs AS MATERIALIZED (SELECT a.vec_id AS ai, b.vec_id AS bi, ${sim("a.v", "b.v")} AS s
+         |          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |picked_1 AS MATERIALIZED (SELECT vec_id, 1 AS rnk, (0.5 * simq) - (0.5 * 0.0) AS sc
+         |             FROM cand ORDER BY simq DESC, vec_id LIMIT 1),
+         |$stages
+         |SELECT rnk, vec_id, ROUND(sc, 4) + 0.0 AS score FROM picked_8 ORDER BY rnk"""
+        .stripMargin
+    },
+    // q133: q115's hash-embed replay feeding BOTH read shapes — the
+    // plain cosine kNN (the struct form's long-form content) and q116's
+    // unrolled MMR greedy trace, with STRING-id tie-breaks throughout
+    // (the store keys by string id, so argmax/rank ties order by the
+    // CAST id, not the numeric doc_id). MATERIALIZED per the q116
+    // inlining lesson.
+    "q133_mmrtext_struct" -> {
+      val hash = sqlStrHash("tm")
+      def sim(a: String, b: String) =
+        s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+      val stages = (2 to 8).map { i =>
+        s"""red_$i AS (SELECT p.ai AS id, MAX(p.s) AS red FROM pairs p
+           |  JOIN picked_${i - 1} pk ON p.bi = pk.id GROUP BY p.ai),
+           |sc_$i AS (SELECT c.id, (0.5 * c.simq) - (0.5 * r.red) AS sc
+           |  FROM cand c JOIN red_$i r ON r.id = c.id
+           |  WHERE c.id NOT IN (SELECT id FROM picked_${i - 1})),
+           |sel_$i AS (SELECT id, $i AS rnk, sc FROM sc_$i
+           |  ORDER BY sc DESC, id LIMIT 1),
+           |picked_$i AS MATERIALIZED (SELECT * FROM picked_${i - 1} UNION ALL SELECT * FROM sel_$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH qt AS (SELECT 'vector database search index' AS qtext),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |         FROM documents),
+         |tk AS (SELECT doc_id, $hash AS h FROM toks WHERE length(tm) > 0),
+         |sums AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
+         |                SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |         FROM tk GROUP BY doc_id, b),
+         |grid AS (SELECT dd.doc_id, bb.b FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |         CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |vecs AS MATERIALIZED (
+         |  SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |  FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.b
+         |  GROUP BY g.doc_id),
+         |qtoks AS (SELECT unnest(string_split_regex(lower(qtext), '\\s+')) AS tm FROM qt),
+         |qtk AS (SELECT $hash AS h FROM qtoks WHERE length(tm) > 0),
+         |qsums AS (SELECT CAST(h % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY b),
+         |qvec AS MATERIALIZED (
+         |  SELECT list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY bb.b) AS qv
+         |  FROM (SELECT unnest(range(16)) AS b) bb
+         |  LEFT JOIN qsums s ON s.b = bb.b),
+         |cand AS MATERIALIZED (
+         |  SELECT CAST(v.doc_id AS VARCHAR) AS id, v.v, ${sim("v.v", "q.qv")} AS simq
+         |  FROM vecs v, qvec q ORDER BY simq DESC, id LIMIT 40),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.id AS ai, b.id AS bi, ${sim("a.v", "b.v")} AS s
+         |  FROM cand a JOIN cand b ON a.id <> b.id),
+         |picked_1 AS MATERIALIZED (
+         |  SELECT id, 1 AS rnk, (0.5 * simq) - (0.5 * 0.0) AS sc
+         |  FROM cand ORDER BY simq DESC, id LIMIT 1),
+         |$stages,
+         |knn AS (SELECT CAST(v.doc_id AS VARCHAR) AS id,
+         |               ${sqlCos("v.v", "q.qv")} AS dist,
+         |               ROW_NUMBER() OVER (ORDER BY ${sqlCos("v.v", "q.qv")},
+         |                                  CAST(v.doc_id AS VARCHAR)) AS rnk
+         |        FROM vecs v, qvec q)
+         |SELECT CAST(p.rnk AS INTEGER) AS rnk, p.id AS mmr_id,
+         |       ROUND(p.sc, 4) + 0.0 AS mmr_score,
+         |       k.id AS knn_id, ROUND(k.dist, 4) + 0.0 AS knn_dist
+         |FROM picked_8 p JOIN knn k ON k.rnk = p.rnk
+         |ORDER BY rnk""".stripMargin
+    },
+    // q117: hard negatives — nearest different-label rows per query; the
+    // cosine arithmetic and (dist, id) tie-break replay exactly as in the
+    // kNN oracles, with the label-mismatch predicate in the pair stage.
+    "q117_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+         |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |d AS (SELECT q.qid, e.vec_id, e.label,
+         |             ${sqlCos("e.embedding", "q.qv")} AS dist_raw
+         |      FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlabel),
+         |r AS (SELECT qid, vec_id, label, dist_raw, ROW_NUMBER() OVER
+         |        (PARTITION BY qid ORDER BY dist_raw, vec_id) AS rnk FROM d)
+         |SELECT qid, rnk, vec_id, ROUND(dist_raw, 4) + 0.0 AS dist, label
+         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+  )
+}
