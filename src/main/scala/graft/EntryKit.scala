@@ -328,4 +328,20 @@ private[graft] trait EntryKit {
 
   private[graft] val enStop = TextAnalysis.stopwordList("en")
   private[graft] def sqlInList(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString("(", ", ", ")")
+
+  /** The "english" ANALYZER's toks CTE over the raw documents text:
+    * lowercase, \s+ split, strip non-[letter/digit] edges, drop empties
+    * AND English stopwords — the literal DuckDB replay of
+    * [[graft.operators.Retrieval.termsCol]]'s "english" rule, the stop
+    * list inlined from the same [[TextAnalysis.stopwordList]] source. */
+  private[graft] def sqlBm25EnglishToks(idExpr: String = "doc_id"): String =
+    s"""rawt AS (SELECT $idExpr AS id,
+       |         unnest(string_split_regex(lower(text), '\\s+')) AS rt
+       |         FROM documents),
+       |stript AS (SELECT id,
+       |       regexp_replace(regexp_replace(rt, '^[^\\p{L}\\p{N}]+', ''),
+       |                      '[^\\p{L}\\p{N}]+$$', '') AS term
+       |       FROM rawt),
+       |toks AS (SELECT id, term FROM stript
+       |         WHERE length(term) > 0 AND term NOT IN ${sqlInList(enStop)})""".stripMargin
 }

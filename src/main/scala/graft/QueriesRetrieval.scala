@@ -78,6 +78,18 @@ private[graft] trait QueriesRetrieval extends EntryKit {
       kwaCollection(s, dir).keywordTopK(Seq("Hash!", "JOIN,", "(stream)"), 20)
         .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
         .orderBy("rnk")),
+    // The "english" analyzer rung: "simple" + drop English stopwords
+    // (TextAnalysis.stopwordList("en") — the one list the oracle also
+    // inlines, no drift possible). Stopwords leave the dl length norm
+    // too, so scores genuinely differ from q66's whitespace run over the
+    // same corpus (the corpus contains "the"); a query term that IS a
+    // stopword ("the") normalizes away on the engine side.
+    "q164_bm25_english" -> ((s, dir) =>
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Retrieval.queryTerms("the hash, JOIN stream", "english"), 20,
+          analyzer = "english")
+        .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
+        .orderBy("rnk")),
     // q157's hybrid fusion with the keyword leg under the analyzer: the
     // punctuated corpus + punctuated query terms served off the stamped
     // sidecar, rrf-fused with the exact cosine vector leg. Pins that the
@@ -272,6 +284,12 @@ private[graft] trait QueriesRetrieval extends EntryKit {
     // "(stream)" normalize to hash/join/stream on the engine side, so the
     // oracle's term list is the analyzed form
     "q161_kwindex_analyzer" -> (sqlBm25(20, tokCte = Some(sqlBm25SimpleToks())) +
+      "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
+    // q164: the english rule replayed — the SAME strip CTE plus the
+    // inlined stop list (one Scala source, no drift); the query term
+    // "the" already normalized away on the engine side, so the oracle's
+    // term list is the surviving analyzed form
+    "q164_bm25_english" -> (sqlBm25(20, tokCte = Some(sqlBm25EnglishToks())) +
       "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
     // q162: q157's fusion oracle with the keyword leg under the analyzer
     // toks — fusion arithmetic, rank windows and VARCHAR tie-breaks are

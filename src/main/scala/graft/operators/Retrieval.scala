@@ -46,9 +46,20 @@ object Retrieval {
   //     the reference's declared workload is exactly such queries,
   //     README.md:5). Interior punctuation survives ("o'brien",
   //     "3.14") — this is Lucene-SimpleAnalyzer altitude, not stemming.
+  //   "english": "simple" + drop English stopwords (the
+  //     [[graft.functions.TextAnalysis.stopwordList]] single source of
+  //     truth, so oracle SQL replays from the same list) — stopwords
+  //     leave the dl length norm too, Lucene-StandardAnalyzer-with-
+  //     stops altitude. Stemming stays out: it is corpus-destructive
+  //     and language-model-specific; a stack that wants it should
+  //     pre-normalize the document column.
 
   val DefaultAnalyzer = "whitespace"
-  val Analyzers: Set[String] = Set("whitespace", "simple")
+  val Analyzers: Set[String] = Set("whitespace", "simple", "english")
+
+  private val EnglishStops: Seq[String] =
+    graft.functions.TextAnalysis.stopwordList("en")
+  private val EnglishStopSet: Set[String] = EnglishStops.toSet
 
   /** LOUD on unknown analyzer names — shared by every entry point, so a
     * typo'd collection setting fails at first use, not as silent
@@ -69,10 +80,14 @@ object Retrieval {
     analyzer match {
       case "whitespace" => split(lower(text), "\\s+")
       case _ =>
-        filter(
-          transform(split(lower(text), "\\s+"),
-            t => regexp_replace(regexp_replace(t, StripLead, ""), StripTrail, "")),
-          t => length(t) > 0)
+        val stripped = transform(split(lower(text), "\\s+"),
+          t => regexp_replace(regexp_replace(t, StripLead, ""), StripTrail, ""))
+        if (analyzer == "simple") filter(stripped, t => length(t) > 0)
+        else {
+          // array_contains over a literal array (the stopwordHits shape)
+          val sw = array(EnglishStops.map(lit): _*)
+          filter(stripped, t => length(t) > 0 && !array_contains(sw, t))
+        }
     }
   }
 
@@ -88,7 +103,10 @@ object Retrieval {
       .toLowerCase.toString
     analyzer match {
       case "whitespace" => low
-      case _ => low.replaceAll(StripLead, "").replaceAll(StripTrail, "")
+      case _ =>
+        val stripped = low.replaceAll(StripLead, "").replaceAll(StripTrail, "")
+        if (analyzer == "english" && EnglishStopSet.contains(stripped)) ""
+        else stripped
     }
   }
 
@@ -98,8 +116,7 @@ object Retrieval {
     requireAnalyzer(analyzer)
     org.apache.spark.unsafe.types.UTF8String.fromString(text)
       .toLowerCase.toString.split("\\s+").toSeq
-      .map(t => if (analyzer == "whitespace") t
-                else t.replaceAll(StripLead, "").replaceAll(StripTrail, ""))
+      .map(t => normalizeTerm(t, analyzer)) // idempotent re-lowercase
       .filter(_.nonEmpty).distinct
   }
 

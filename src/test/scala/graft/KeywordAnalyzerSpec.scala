@@ -137,6 +137,39 @@ class KeywordAnalyzerSpec extends SparkTestBase {
     assert(hits.nonEmpty && hits.contains("1"))
   }
 
+  test("english rule: simple + stopword drop, from dl too; sidecar ≡ scan") {
+    // "the" is in TextAnalysis.stopwordList("en") — it must vanish from
+    // tokens (and thus the BM25 length norm), in corpus and query alike
+    val toks = Seq(("1", "The hash, beats the sort!")).toDF("id", "document")
+      .select(Retrieval.termsCol(col("document"), "english").as("t"))
+      .as[Seq[String]].collect().head
+    assert(toks == Seq("hash", "beats", "sort"))
+    assert(Retrieval.queryTerms("The hash! the", "english") == Seq("hash"))
+    // all-stopword queries are loud, not silently empty
+    val cat = new CollectionCatalog(spark, tmpDir("kwa-en"), numBuckets = 4)
+    val c = cat.getOrCreateCollection("e",
+      metadata = Map(Collection.AnalyzerKey -> "english"))
+    c.add(corpus.toDF("id", "document"))
+    val e = intercept[IllegalArgumentException](c.keywordTopK(Seq("the", "of"), 5))
+    assert(e.getMessage.contains("no query term survives"))
+    // sidecar ≡ scan under english (the shared-fold + shared-rule contract)
+    c.buildKeywordIndex()
+    val idx = c.keywordTopK(Seq("joins!", "The hash"), 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    c.dropKeywordIndex()
+    val scan = c.keywordTopK(Seq("joins!", "The hash"), 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(idx == scan && idx.nonEmpty)
+    // stopwords really left the LENGTH NORM, not just the match set: doc
+    // 2 ("\"Hash\" tables back the hash-join!") tokenizes to 4 terms
+    // under english (the "the" drops) vs 5 under simple
+    val dl = Seq(corpus(1)).toDF("id", "document")
+      .select(size(Retrieval.termsCol(col("document"), "english")).as("n"),
+        size(Retrieval.termsCol(col("document"), "simple")).as("m"))
+      .collect().head
+    assert(dl.getInt(0) == 4 && dl.getInt(1) == 5)
+  }
+
   test("unknown analyzers fail loudly at creation and at modifyMetadata") {
     val cat = new CollectionCatalog(spark, tmpDir("kwa-bad"), numBuckets = 4)
     val e = intercept[IllegalArgumentException] {
