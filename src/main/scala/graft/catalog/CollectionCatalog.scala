@@ -955,13 +955,27 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * commit (the delete-and-recreate this replaces applied the caller's
     * space too; a replace makes every index build version-stale anyway,
     * so the re-point cannot strand a served index). Collection identity
-    * — name, bucket count, metadata — survives the replace. */
+    * — name, bucket count, metadata — survives the replace, EXCEPT any
+    * recorded embedding-function binding (`embedding_function` /
+    * `embedding_model_fp` + the fitted sidecar): the replacing batch's
+    * vectors are caller-provided, so a surviving binding would let
+    * queryText embed queries with a function the stored vectors never
+    * came from — silently meaningless distances (the old delete+recreate
+    * destroyed the binding too). After a replace, queryText fails loudly
+    * until re-bound (addDocuments / a fresh fit). */
   def replaceContents(batch: DataFrame, space: Option[String] = None): Unit = {
     val m = meta
     val (_, withinDup) = bucketStats(batch)
     if (withinDup)
       throw new IllegalArgumentException(s"duplicate id in batch: ${firstDupId(batch)}")
-    writeVersion(batch, space.filter(_ != m.space).fold(m)(sp => m.copy(space = sp)))
+    val hadBinding = m.metadata.contains("embedding_function")
+    val cleared = m.metadata -- Seq("embedding_function", "embedding_model_fp")
+    writeVersion(batch, m.copy(space = space.getOrElse(m.space), metadata = cleared))
+    // the fitted-model sidecar pairs with the cleared fingerprint:
+    // reclaim it post-commit, best-effort (an orphan is dormant without
+    // a metadata binding, and a fresh fitted bind writes its own)
+    if (hadBinding)
+      io.deleteIfExists(new Path(dir, Collection.EmbedderSidecar))
     maybeAutoCompact()
   }
 
@@ -2169,7 +2183,16 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * semantics are the contract), but at 100 TB the SILENT cost cliff is
     * the bug — a SQL-only writer (`df.write.format("graft")`) advances
     * the version without any way to know the sidecars went stale. */
-  private def warnIfStale(family: String, m: CollectionMeta): Unit =
+  private def warnIfStale(family: String, m: CollectionMeta): Unit = {
+    // memoized per (collection, family, version) and JVM: the warning is
+    // a log line, so probing once per version is enough — without the
+    // memo EVERY scan-fallback read (including on collections that never
+    // built the family at all) would pay a directory LIST purely to
+    // decide not to log, a per-query I/O tax on object stores. A build
+    // committed for the SAME version after the probe only suppresses the
+    // (already moot) warning, never a serving decision.
+    if (!Collection.staleProbe.add(s"$dir|$family|v${m.version}")) return
+    if (Collection.staleProbe.size > 65536) Collection.staleProbe.clear()
     newestCommittedBuild(s"${family}_v")
       .filter(b => indexVersionOf(b) != m.version)
       .foreach { b =>
@@ -2179,6 +2202,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
           "O(corpus)); refresh via refreshIndexes() or the SQL write " +
           "option refresh=true")
       }
+  }
 
   /** Refresh EVERY index family that has ever committed a build — the
     * one-call freshness contract behind the SQL write surface's
@@ -3286,6 +3310,13 @@ object Collection {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString
+
+  /** [[Collection]]'s stale-index warn memo: (dir, family, version)
+    * triples already probed this JVM (see warnIfStale — bounds the
+    * fallback-read listing tax to one LIST per version per family).
+    * Size-capped by coarse clear: re-probing is the only cost. */
+  private[catalog] val staleProbe =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Centroid sidecars parsed once per committed build. A committed build
     * dir is immutable, but a path CAN be reborn (drop collection →

@@ -21,10 +21,12 @@ package graft.operators
   *   coll.addDocuments(df, ef)               // batched mapPartitions path
   *
   * Execution shape is [[ModelEmbeddingFunction]]'s: the function object
-  * serializes into the task closure; each executor JVM opens its own
-  * OrtSession on first use (`@transient lazy val`), and [[embedBatch]]
-  * makes ONE `session.run` per ≤[[batchSize]] texts — the tensor shape an
-  * ONNX encoder wants. Token ids pad/truncate to `maxLen` with `padId`.
+  * serializes into the task closure; each executor JVM opens ONE
+  * OrtSession per modelPath on first use (a companion-object cache —
+  * NOT an instance field, which would re-open a native session per task
+  * and leak), and [[embedBatch]] makes ONE `session.run` per
+  * ≤[[batchSize]] texts — the tensor shape an ONNX encoder wants. Token
+  * ids pad/truncate to `maxLen` with `padId`.
   * The model is expected to map `input_ids: int64[batch, maxLen]` to a
   * POOLED `float[batch, dim]` first output; models emitting per-token
   * `[batch, seq, hidden]` need a pooling head exported into the graph.
@@ -57,19 +59,12 @@ final class OnnxEmbeddingFunction(
         "the driver and executor classpaths (e.g. spark-submit --jars), " +
         "or use a built-in embedding function")
 
-  /** One OrtSession per JVM (driver for gates, each executor for the
-    * batched path) — resolved reflectively so nothing here links against
-    * the optional runtime. */
-  @transient private lazy val envAndSession: (AnyRef, AnyRef) = {
-    val envCls = Class.forName(OnnxEmbeddingFunction.RuntimeClass)
-    val env = envCls.getMethod("getEnvironment").invoke(null)
-    val session = envCls.getMethod("createSession", classOf[String])
-      .invoke(env, modelPath)
-    (env, session)
-  }
-
   override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
-    val (env, session) = envAndSession
+    // JVM-SINGLETON session (companion cache): this function object rides
+    // every task closure, so an instance-held lazy val would re-open a
+    // native OrtSession per TASK and never close it — an unbounded
+    // native-memory leak on executors
+    val (env, session) = OnnxEmbeddingFunction.sessionFor(modelPath)
     val ids: Array[Array[Long]] = texts.map { t =>
       val raw = tokenize(t)
       if (raw.length >= maxLen) raw.take(maxLen)
@@ -107,4 +102,22 @@ object OnnxEmbeddingFunction {
   def runtimeAvailable: Boolean =
     try { Class.forName(RuntimeClass); true }
     catch { case _: ClassNotFoundException => false }
+
+  /** One OrtSession per (JVM, modelPath): the function object serializes
+    * into every task closure, so the session must live OUTSIDE the
+    * instance or each task would open (and leak) its own native session.
+    * Process-lifetime by design — sessions are reused by every job the
+    * executor runs and die with the JVM (the standard ONNX-on-Spark
+    * pattern); closing on job end would race concurrent jobs sharing the
+    * model. */
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[String, (AnyRef, AnyRef)]()
+
+  private[operators] def sessionFor(modelPath: String): (AnyRef, AnyRef) =
+    sessions.computeIfAbsent(modelPath, p => {
+      val envCls = Class.forName(RuntimeClass)
+      val env = envCls.getMethod("getEnvironment").invoke(null)
+      val session = envCls.getMethod("createSession", classOf[String]).invoke(env, p)
+      (env, session)
+    })
 }

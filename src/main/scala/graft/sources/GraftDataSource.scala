@@ -47,12 +47,20 @@ import graft.catalog.CollectionCatalog
   *       error loudly;
   *   .mode("append").option("upsert", "true") — upsert() instead:
   *       latest-wins merge (chromadb `upsert`);
-  *   .mode("overwrite")              — drop + recreate + add (replace
-  *       contents; also discards prior versions and indexes — it is the
-  *       whole-collection refresh, not a row-level overwrite);
+  *   .mode("overwrite")              — replace the ENTIRE contents as one
+  *       MVCC commit (the whole-collection refresh, not a row-level
+  *       overwrite): the prior state stays committed until the new
+  *       version's marker lands, superseded versions are then vacuumed,
+  *       and collection IDENTITY (bucket count, metadata) survives —
+  *       any recorded embedding-function binding is cleared (the new
+  *       vectors were not produced by it);
   *   .mode("ignore")                 — create + add only if absent.
-  *   Options: `space` (l2|cosine|ip, creation only), `buckets` (creation
-  *   only — the store's pt bucket count), tenant/database as on read;
+  *   Options: `space` (l2|cosine|ip — applied at creation, and re-pointed
+  *   on an existing collection ONLY by an explicit option on
+  *   mode('overwrite')), `buckets` (creation only: the store's pt bucket
+  *   count is collection identity — an overwrite of an existing
+  *   collection keeps it, ignoring the option), tenant/database as on
+  *   read;
   *   `refresh=true` refreshes every committed index family after the
   *   write (incremental — touched id buckets only), keeping sidecar-
   *   served reads on the index path: without it a SQL write version-
@@ -222,6 +230,7 @@ class GraftDataSource extends RelationProvider
     val batch = canonicalBatch(data)
     val space = parameters.getOrElse("space", "l2")
     val upsert = parameters.get("upsert").exists(_.trim.equalsIgnoreCase("true"))
+    val refresh = parameters.get("refresh").exists(_.trim.equalsIgnoreCase("true"))
     def freshAdd(): Unit = cat.getOrCreateCollection(name, space).add(batch)
     val existing = cat.getCollection(name)
     mode match {
@@ -246,7 +255,15 @@ class GraftDataSource extends RelationProvider
         // a cosine collection; a row-level replace is
         // mode('append')+upsert=true).
         existing match {
-          case Some(c) => c.replaceContents(batch, space = parameters.get("space")); c.vacuum()
+          case Some(c) =>
+            c.replaceContents(batch, space = parameters.get("space"))
+            // refresh MUST precede vacuum: vacuum reclaims every
+            // superseded build, and refreshIndexes only rebuilds families
+            // that still HAVE a committed build — vacuum-first would
+            // silently leave the collection index-less (the exact cost
+            // cliff refresh=true exists to prevent)
+            if (refresh) c.refreshIndexes()
+            c.vacuum()
           case None => freshAdd()
         }
       case SaveMode.Append =>
@@ -260,8 +277,10 @@ class GraftDataSource extends RelationProvider
     // `refresh=true` refreshes every family that has ever committed a
     // build, riding the incremental carry paths (touched id buckets
     // rebuild, the rest carries by manifest); without it the stale
-    // bypass at read time logs loudly instead.
-    if (parameters.get("refresh").exists(_.trim.equalsIgnoreCase("true")))
+    // bypass at read time logs loudly instead. (The Overwrite-existing
+    // arm already refreshed pre-vacuum; re-running here is a cheap
+    // already-current no-op.)
+    if (refresh)
       cat.getCollection(name).foreach(_.refreshIndexes())
     // bind the freshly committed snapshot (save() discards it; CTAS reads
     // the schema off it) from the IDENTITY options only — forwarding the

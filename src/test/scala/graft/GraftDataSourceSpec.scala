@@ -247,6 +247,39 @@ class GraftDataSourceSpec extends SparkTestBase {
     val c2 = cat.getOrCreateCollection("w2")
     c2.add(Seq(("1", "x")).toDF("id", "document"))
     assert(c2.refreshIndexes().isEmpty)
+    // overwrite + refresh=true: the refresh must run BEFORE the replace's
+    // vacuum (vacuum reclaims superseded builds; a vacuum-first ordering
+    // would leave the collection silently index-less)
+    Seq(("9", "hash replaced corpus")).toDF("id", "document")
+      .write.format("graft").option("root", r).option("name", "w")
+      .mode("overwrite").option("refresh", "true").save()
+    assert(c.hasKeywordIndex)
+    assert(c.keywordTopK(Seq("hash"), 5).collect()
+      .map(_.getString(0)).toSet == Set("9"))
+  }
+
+  test("overwrite clears a recorded embedding-function binding (stale-vector guard)") {
+    val r = tmpDir("dsw-ow-binding")
+    val cat = new CollectionCatalog(spark, r, numBuckets = 4)
+    val c = cat.getOrCreateCollection("w", space = "cosine")
+    c.addDocuments(Seq(("1", "alpha"), ("2", "beta")).toDF("id", "document"),
+      graft.operators.HashingEmbedder(8))
+    assert(c.meta.metadata.contains("embedding_function"))
+    assert(c.queryText(Seq("alpha"), k = 1).collect().nonEmpty)
+    // replace with CALLER-provided vectors: the old binding describes the
+    // replaced corpus — keeping it would embed queries with a function
+    // these vectors never came from (silently meaningless distances)
+    Seq(("9", "gamma", Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("id", "document", "embedding")
+      .write.format("graft").option("root", r).option("name", "w")
+      .mode("overwrite").save()
+    val after = cat.getCollection("w").get
+    assert(!after.meta.metadata.contains("embedding_function"))
+    val e = intercept[IllegalStateException](after.queryText(Seq("x"), k = 1))
+    assert(e.getMessage.toLowerCase.contains("embedding"))
+    // vector reads still serve
+    assert(after.query(Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 1).collect()
+      .map(_.getString(0)).toSeq == Seq("9"))
   }
 
   test("CTAS: CREATE TABLE USING graft AS SELECT hydrates through the provider") {
