@@ -49,14 +49,17 @@ private[graft] trait EntryKit {
     val docs = t(s, dir, "documents")
     val root = verifyCollectionsRoot(dir)
     val cat = new CollectionCatalog(s, root, numBuckets = 8)
-    val fp = s"kwx1|$dir|n=${docs.count()}"
+    // fp v2: rows carry the lang metadata column (q165's where-filter
+    // target) — BM25 scores are independent of extra metadata columns,
+    // so q154/q157/q159 hashes are unchanged by the re-hydration
+    val fp = s"kwx2|$dir|n=${docs.count()}"
     val reusable = cat.getCollection("kwx").exists(c =>
       c.meta.metadata.get("source_fp").contains(fp) && c.hasKeywordIndex)
     val coll = if (reusable) cat.getCollection("kwx").get else {
       cat.deleteCollection("kwx")
       val c = cat.getOrCreateCollection("kwx")
       val all = docs.select(col("doc_id").cast("string").as("id"),
-        col("text").as("document"))
+        col("text").as("document"), col("lang"))
       c.add(all.filter(col("id").cast("long") % 7 =!= 3))
       c.buildKeywordIndex()
       c.upsert(all.filter(col("id").cast("long") % 7 === 3))
@@ -110,14 +113,16 @@ private[graft] trait EntryKit {
     val docs = t(s, dir, "documents")
     val root = verifyCollectionsRoot(dir)
     val cat = new CollectionCatalog(s, root, numBuckets = 8)
-    val fp = s"hyx1|$dir|n=${docs.count()}"
+    // fp v2: rows carry lang (q166's hybrid where-filter target); the
+    // unfiltered q158/q163 hashes are metadata-column-independent
+    val fp = s"hyx2|$dir|n=${docs.count()}"
     val reusable = cat.getCollection("hyx").exists(c =>
       c.meta.metadata.get("source_fp").contains(fp) && c.hasKeywordIndex)
     val coll = if (reusable) cat.getCollection("hyx").get else {
       cat.deleteCollection("hyx")
       val c = cat.getOrCreateCollection("hyx", space = "cosine")
       c.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
-        col("text").as("document")), HashingEmbedder(16))
+        col("text").as("document"), col("lang")), HashingEmbedder(16))
       c.buildKeywordIndex()
       c.modifyMetadata(Map("source_fp" -> fp))
       c
@@ -240,15 +245,22 @@ private[graft] trait EntryKit {
     * in particular sits on a rounding boundary a hand-written `2.2` could
     * miss. The arithmetic parenthesization mirrors the Column expression
     * token for token; only IEEE-exact ops appear (log-free idf). */
+  /** `idFilter` replays the engine's prefilter rule (keywordTopK's
+    * `where`): a boolean over `kws.id` applied BETWEEN the score fold
+    * and the rank/top-n — eligibility changes WHICH documents rank,
+    * never their scores (BM25 statistics stay corpus-global, the Lucene
+    * filter-query contract). */
   private[graft] def sqlBm25(n: Int, terms: Seq[String] = Seq("hash", "join", "stream"),
                       k1: Double = 1.2, b: Double = 0.75,
                       idExpr: String = "doc_id",
-                      tokCte: Option[String] = None): String = {
+                      tokCte: Option[String] = None,
+                      idFilter: Option[String] = None): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val toks = tokCte.getOrElse(
       s"""toks AS (SELECT $idExpr AS id,
          |              unnest(string_split_regex(lower(text), '\\s+')) AS term
          |              FROM documents)""".stripMargin)
+    val elig = idFilter.map(f => s"WHERE $f ").getOrElse("")
     s"""WITH $toks,
        |dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
@@ -262,7 +274,7 @@ private[graft] trait EntryKit {
        |kws AS (SELECT id, CAST(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS score
        |        FROM sc GROUP BY id),
        |kwtop AS (SELECT id, score, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rnk
-       |          FROM kws ORDER BY score DESC, id LIMIT $n)""".stripMargin
+       |          FROM kws ${elig}ORDER BY score DESC, id LIMIT $n)""".stripMargin
   }
 
   /** The "simple" ANALYZER's toks CTE over the q161/q162 fixture corpus
@@ -283,9 +295,18 @@ private[graft] trait EntryKit {
        |       FROM rawt),
        |toks AS (SELECT id, term FROM stript WHERE length(term) > 0)""".stripMargin
 
-  private[graft] lazy val sqlHybridTextOracle: String = {
+  private[graft] lazy val sqlHybridTextOracle: String = sqlHybridText()
+
+  /** The one-call-hybrid replay, optionally under the engine's
+    * prefilters: `idFilter` confines the keyword leg (sqlBm25's rule —
+    * between fold and rank), `vecFilter` the vector leg (between the
+    * cosine distances and the rank window) — BOTH legs rank eligible
+    * documents only, exactly queryHybridText(where=...)'s contract. */
+  private[graft] def sqlHybridText(idFilter: Option[String] = None,
+                                   vecFilter: Option[String] = None): String = {
       val hash = sqlStrHash("tm")
-      sqlBm25(50, idExpr = "CAST(doc_id AS VARCHAR)") + s""",
+      val velig = vecFilter.map(f => s" WHERE $f").getOrElse("")
+      sqlBm25(50, idExpr = "CAST(doc_id AS VARCHAR)", idFilter = idFilter) + s""",
          |qt AS (SELECT 0 AS qid, 'hash join stream' AS qtext),
          |toks2 AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
          |          FROM documents),
@@ -312,7 +333,7 @@ private[graft] trait EntryKit {
          |        FROM vecs2 v CROSS JOIN qvecs2 q),
          |vr AS (SELECT id, rnk FROM (SELECT CAST(doc_id AS VARCHAR) AS id,
          |         ROW_NUMBER() OVER (ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
-         |       FROM cd2) WHERE rnk <= 50)
+         |       FROM cd2$velig) WHERE rnk <= 50)
          |SELECT COALESCE(k.id, v.id) AS id,
          |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) + 0.0 AS rrf
          |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id

@@ -33,6 +33,20 @@ private[graft] trait QueriesRetrieval extends EntryKit {
       kwxCollection(s, dir).keywordTopK(Seq("hash", "join", "stream"), 20)
         .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
         .orderBy("rnk")),
+    // FILTERED keyword retrieval — Chroma's query prefilters on the BM25
+    // read path ("search within tenant/lang X", the filter every real
+    // RAG stack sends): `where` confines WHICH documents rank, never how
+    // they score — BM25 statistics stay corpus-global (the Lucene
+    // filter-query rule), so the committed sidecar serves the filtered
+    // query too (O(matching postings) score fold, a column-pruned
+    // eligibility semi-join, THEN the top-n rank). The oracle applies
+    // the identical rule: the unfiltered fold, eligibility between fold
+    // and rank.
+    "q165_kwindex_bm25_where" -> ((s, dir) =>
+      kwxCollection(s, dir).keywordTopK(Seq("hash", "join", "stream"), 20,
+          where = Some(ChromaFilter.Eq("lang", "en")))
+        .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
+        .orderBy("rnk")),
     // Hybrid retrieval THROUGH the sidecar: q67's reciprocal-rank fusion
     // with the keyword leg served index-confined (KeywordIndex via the
     // kwx collection — per-query cost O(matching postings), the shape a
@@ -120,6 +134,20 @@ private[graft] trait QueriesRetrieval extends EntryKit {
         .select(col("id"), roundz(col("rrf"), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("id"))
     }),
+    // q158's one-call hybrid UNDER A PREFILTER: the same where confines
+    // BOTH legs before their top-fetchN (keyword: eligibility between
+    // the sidecar's score fold and the rank; vector: the kNN's standard
+    // prefilter), so every fused id satisfies the filter and both legs'
+    // fetchN slots go to eligible documents — filtering the fused list
+    // instead would under-fill k. The oracle replays the whole
+    // composition with the filter at the same two points.
+    "q166_hybrid_text_where" -> ((s, dir) => {
+      val coll = hyxCollection(s, dir)
+      coll.queryHybridText("hash join stream", k = 20, fetchN = 50,
+          where = Some(ChromaFilter.Eq("lang", "en")))
+        .select(col("id"), roundz(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+    }),
     // The TABLE-FUNCTION surface: q158's one-call hybrid driven from PURE
     // SQL text — `SELECT ... FROM graft_hybrid(root, name, text, k,
     // fetchN)` resolves the collection at analysis time and returns the
@@ -133,6 +161,21 @@ private[graft] trait QueriesRetrieval extends EntryKit {
       s.sql(
         s"""SELECT id, ROUND(rrf, 6) + 0.0 AS rrf
            |FROM graft_hybrid('$root', 'hyx', 'hash join stream', 20, 50)
+           |ORDER BY rrf DESC, id""".stripMargin)
+    }),
+    // q166 driven from PURE SQL text INCLUDING the filter: the trailing
+    // graft_hybrid argument is Chroma's wire-format where JSON
+    // ({"lang": "en"}), parsed by ChromaFilter.whereFromJson into the
+    // same ADT the Scala call passes — one grammar, hash-equal to q166
+    // by construction (and the parser itself is therefore oracled).
+    "q169_hybrid_sql_where" -> ((s, dir) => {
+      hyxCollection(s, dir)
+      graft.expressions.GraftExtensions.register(s)
+      val root = verifyCollectionsRoot(dir)
+      s.sql(
+        s"""SELECT id, ROUND(rrf, 6) + 0.0 AS rrf
+           |FROM graft_hybrid('$root', 'hyx', 'hash join stream', 20, 50,
+           |                  '{"lang": "en"}')
            |ORDER BY rrf DESC, id""".stripMargin)
     }),
     // Hybrid retrieval: reciprocal-rank fusion of the keyword top-50 and
@@ -239,9 +282,20 @@ private[graft] trait QueriesRetrieval extends EntryKit {
     }),
   )
 
+  private lazy val sqlHybridTextWhereEn: String = sqlHybridText(
+    idFilter = Some("id IN (SELECT CAST(doc_id AS VARCHAR) FROM documents WHERE lang = 'en')"),
+    vecFilter = Some("doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"))
+
   private[graft] def retrievalOracles: Map[String, String] = Map(
     "q66_bm25_topk" -> (sqlBm25(20) + "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
     "q154_kwindex_bm25" -> (sqlBm25(20, idExpr = "CAST(doc_id AS VARCHAR)") +
+      "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
+    // q165: the filtered read — the SAME unfiltered fold (scores are
+    // filter-invariant by the corpus-global-stats rule), eligibility
+    // (lang = 'en') applied between fold and rank, exactly where the
+    // engine's semi-join sits
+    "q165_kwindex_bm25_where" -> (sqlBm25(20, idExpr = "CAST(doc_id AS VARCHAR)",
+        idFilter = Some("id IN (SELECT CAST(doc_id AS VARCHAR) FROM documents WHERE lang = 'en')")) +
       "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
     "q67_hybrid_rrf" -> {
       // vector side mirrors q11's cosine shape at k=50; fusion is pure
@@ -317,6 +371,15 @@ private[graft] trait QueriesRetrieval extends EntryKit {
     // hash-equal to q158's Scala call (one plan, two entry surfaces)
     "q163_hybrid_sql" -> sqlHybridTextOracle,
     "q158_hybrid_text" -> sqlHybridTextOracle,
+    // q166: q158's full replay with the prefilter at BOTH legs' rank
+    // boundaries — keyword eligibility between fold and rank (q165's
+    // rule), vector eligibility between the cosine distances and the
+    // rank window (the kNN prefilter) — fusion arithmetic verbatim
+    "q166_hybrid_text_where" -> sqlHybridTextWhereEn,
+    // q169: the SAME oracle — graft_hybrid's where JSON must be
+    // hash-equal to q166's Scala where (one plan, two entry surfaces,
+    // one filter grammar)
+    "q169_hybrid_sql_where" -> sqlHybridTextWhereEn,
     // q159: the batch fold replayed per qid — qt(qid, term) fans the one
     // tf table out to the queries; df/dl/stats and the score expression
     // are sqlBm25's verbatim (GLOBAL df — document frequency is

@@ -256,9 +256,79 @@ private[graft] trait QueriesText extends EntryKit {
           array_join(f.getField("reasons"), ",").as("reasons"))
         .orderBy("doc_id")
     }),
+    // S-stemmer (Harman 1991) — the documented PRE-NORMALIZATION route
+    // for stem-folded retrieval (the analyzer family deliberately
+    // excludes stemming; Retrieval.scala's adjudication): the corpus is
+    // deterministically pluralized (the all-singular synthetic vocabulary
+    // would make the rules a silent no-op), then every token runs the
+    // three ordered rules — ies→y, es→e, s→'' with their guards — as one
+    // codegen'd CASE chain per token, zero shuffle. The oracle replays
+    // the identical patterns (shared verbatim; only the group-ref SYNTAX
+    // differs: Java "$1", RE2 "\1").
+    "q167_sstem_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.sStemText(pluralized(col("text"))).as("stemmed"))
+        .orderBy("doc_id")),
+    // Stem-folded BM25 end-to-end: the pluralized corpus pre-normalized
+    // with sStemText, the PLURAL mixed-case user query ("JOINS",
+    // "Streams") folded with the driver-side twin sStemTerm — one written
+    // rule, both sides, so a plural query matches a plural corpus. Scores
+    // ride the ordinary whitespace BM25 over the stemmed text.
+    "q168_bm25_stemmed" -> ((s, dir) =>
+      Retrieval.bm25TopK(
+          t(s, dir, "documents").select(col("doc_id"),
+            TextAnalysis.sStemText(pluralized(col("text"))).as("text")),
+          "doc_id", "text",
+          Seq("JOINS", "Streams", "query").map(TextAnalysis.sStemTerm), 20)
+        .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
+        .orderBy("rnk")),
   )
 
+  /** Deterministic pluralization of the synthetic corpus for the
+    * S-stemmer entries: join/stream/table → +s, query → queries, batch →
+    * batches — exercises all three rules (and the es-rule's honest
+    * "batches"→"batche" output). One written form, replayed by
+    * [[sqlPluralized]]. */
+  private def pluralized(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "\\b(join|stream|table)\\b", "$1s"),
+        "\\bquery\\b", "queries"),
+      "\\bbatch\\b", "batches")
+
+  private def sqlPluralized(col: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($col,
+       |  '\\b(join|stream|table)\\b', '\\1s', 'g'),
+       |  '\\bquery\\b', 'queries', 'g'),
+       |  '\\bbatch\\b', 'batches', 'g')""".stripMargin
+
+  /** The S-stemmer CASE chain over one token expression — the literal
+    * replay of [[TextAnalysis.sStemText]]'s per-token rule. */
+  private def sqlSStem(tok: String): String =
+    s"""CASE WHEN regexp_matches($tok, '^([a-z]+[^ae])ies$$')
+       |       THEN regexp_replace($tok, '^([a-z]+[^ae])ies$$', '\\1y')
+       |     WHEN regexp_matches($tok, '^([a-z]+[^aeo])es$$')
+       |       THEN regexp_replace($tok, '^([a-z]+[^aeo])es$$', '\\1e')
+       |     WHEN regexp_matches($tok, '^([a-z]+[^us])s$$')
+       |       THEN regexp_replace($tok, '^([a-z]+[^us])s$$', '\\1')
+       |     ELSE $tok END""".stripMargin
+
   private[graft] def textOracles: Map[String, String] = Map(
+    "q167_sstem_normalize" ->
+      s"""SELECT doc_id, array_to_string(list_transform(
+         |  string_split_regex(lower(${sqlPluralized("text")}), '\\s+'),
+         |  x -> ${sqlSStem("x")}), ' ') AS stemmed
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q168: sqlBm25's verbatim fold over the stemmed-token CTE — the
+    // pluralize + lower + split + per-token CASE chain, then the ordinary
+    // whitespace BM25; the query terms are the driver-folded forms
+    "q168_bm25_stemmed" -> (sqlBm25(20, terms = Seq("join", "stream", "query"),
+        tokCte = Some(
+          s"""rawt AS (SELECT doc_id AS id,
+             |    unnest(string_split_regex(lower(${sqlPluralized("text")}), '\\s+')) AS rt
+             |    FROM documents),
+             |toks AS (SELECT id, ${sqlSStem("rt")} AS term FROM rawt)""".stripMargin)) +
+      "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
     "q24_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
         |CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpeish

@@ -2551,45 +2551,77 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * O(matching postings) — and falls back to the exact
     * [[Retrieval.bm25TopK]] corpus scan otherwise; both paths return
     * bit-identical scores (the shared-fold contract
-    * [[graft.operators.KeywordIndex]] documents). */
+    * [[graft.operators.KeywordIndex]] documents).
+    *
+    * `where`/`whereDoc` confine WHICH documents rank (Chroma's query
+    * prefilters, applied between the score fold and the top-n rank) —
+    * never how they score: BM25 statistics stay corpus-global, the
+    * Lucene filter-query rule, so a committed sidecar serves filtered
+    * queries too and a document's score is filter-invariant
+    * ([[keywordEligible]] documents the join shape). */
   def keywordTopK(queryTerms: Seq[String], n: Int,
-                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                  k1: Double = 1.2, b: Double = 0.75,
+                  where: Option[Where] = None,
+                  whereDoc: Option[WhereDocument] = None): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     val m = meta
     val a = analyzerOf(m)
     val terms = analyzedTerms(queryTerms, a)
-    servableKwIndex(m, a) match {
+    val scores = servableKwIndex(m, a) match {
       case Some(idx) =>
-        KeywordIndex.bm25TopK(readIndexBuild(idx), terms, n, k1, b)
+        KeywordIndex.bm25Scores(readIndexBuild(idx), terms, k1, b)
       case None =>
-        val df = snapshotDF(m)
-        require(df.columns.contains("document"),
-          s"collection '${m.name}' carries no document column — keyword " +
-            "retrieval needs one")
-        Retrieval.bm25TopK(df, "id", "document", terms, n, k1, b, a)
+        Retrieval.bm25(keywordCorpus(m), "id", "document", terms, k1, b, a)
     }
+    Retrieval.rankTopN(keywordEligible(scores, m, where, whereDoc), n)
   }
+
+  private def keywordCorpus(m: CollectionMeta): DataFrame = {
+    val df = snapshotDF(m)
+    require(df.columns.contains("document"),
+      s"collection '${m.name}' carries no document column — keyword " +
+        "retrieval needs one")
+    df
+  }
+
+  /** Confine a scored keyword frame (carrying `id`) to the documents
+    * passing the prefilters, BEFORE the rank: eligibility is a
+    * column-pruned snapshot scan (id + the filtered columns only — the
+    * predicate pushes to parquet) semi-joined onto the O(matching
+    * postings) score stream, so the sidecar path never re-reads the
+    * corpus beyond the filter columns. whereDoc rides the trigram
+    * postings index when one is committed ([[docIndexConfine]]), the
+    * same scale path get/query take. No-op without filters. */
+  private def keywordEligible(scores: DataFrame, m: CollectionMeta,
+                              where: Option[Where],
+                              whereDoc: Option[WhereDocument]): DataFrame =
+    if (where.isEmpty && whereDoc.isEmpty) scores
+    else {
+      var snap = docIndexConfine(snapshotDF(m), m, whereDoc)
+      ChromaFilter.predicate(where, whereDoc, col("document"), keyResolver(snap))
+        .foreach(p => snap = snap.filter(p))
+      scores.join(snap.select("id"), Seq("id"), "left_semi")
+    }
 
   /** The BATCH form of [[keywordTopK]] — one pruned sidecar read (or one
     * corpus scan on the fallback path) serves every query in the batch:
     * (qid, id, rnk, score), each qid's rows exactly its single-query
     * [[keywordTopK]] answer (GLOBAL df, shared fold). */
   def keywordTopKBatch(queries: Seq[Seq[String]], n: Int,
-                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                       k1: Double = 1.2, b: Double = 0.75,
+                       where: Option[Where] = None,
+                       whereDoc: Option[WhereDocument] = None): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     val m = meta
     val a = analyzerOf(m)
     val analyzed = queries.map(q => analyzedTerms(q, a))
-    servableKwIndex(m, a) match {
+    val scores = servableKwIndex(m, a) match {
       case Some(idx) =>
-        KeywordIndex.bm25TopKBatch(readIndexBuild(idx), analyzed, n, k1, b)
+        KeywordIndex.bm25ScoresBatch(readIndexBuild(idx), analyzed, k1, b)
       case None =>
-        val df = snapshotDF(m)
-        require(df.columns.contains("document"),
-          s"collection '${m.name}' carries no document column — keyword " +
-            "retrieval needs one")
-        Retrieval.bm25TopKBatch(df, "id", "document", analyzed, n, k1, b, a)
+        Retrieval.bm25Batch(keywordCorpus(m), "id", "document", analyzed, k1, b, a)
     }
+    Retrieval.rankTopNBatch(keywordEligible(scores, m, where, whereDoc), n)
   }
 
   /** The corpus tokenization rule applied to a query text — the
@@ -2617,8 +2649,11 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * routes via [[queryTextPq]] for callers that want the coded leg);
     * the fusion joins two ≤fetchN-row lists — driver never sees rows. */
   def queryHybridText(text: String, k: Int, fetchN: Int = 50,
-                      rrfK: Int = 60): DataFrame =
-    hybridFuse(text, k, fetchN, rrfK)(queryText(Seq(text), fetchN))
+                      rrfK: Int = 60,
+                      where: Option[Where] = None,
+                      whereDoc: Option[WhereDocument] = None): DataFrame =
+    hybridFuse(text, k, fetchN, rrfK, where, whereDoc)(
+      queryText(Seq(text), fetchN, where, whereDoc))
 
   /** The shared hybrid skeleton (see [[queryHybridText]] /
     * [[queryHybridTextPq]] — one written form of the gates, the keyword
@@ -2626,13 +2661,21 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * with the corpus rule, keyword top-fetchN, rrf-fuse with the given
     * vector leg's (id, rnk), top-k. `vectorLeg` is by-name so its gates
     * (e.g. the PQ index requirement) fire inside this call, loudly. */
-  private def hybridFuse(text: String, k: Int, fetchN: Int, rrfK: Int)
+  private def hybridFuse(text: String, k: Int, fetchN: Int, rrfK: Int,
+                         where: Option[Where] = None,
+                         whereDoc: Option[WhereDocument] = None)
                         (vectorLeg: => DataFrame): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
     val terms = queryTerms(text)
     require(terms.nonEmpty, s"query text '$text' has no tokens")
-    val kw = keywordTopK(terms, fetchN).select(col("id"), col("rnk"))
+    // prefilters apply to BOTH legs before their top-fetchN (the caller
+    // passes the same where/whereDoc into its vector leg), so every
+    // fused id satisfies the filter and each leg's fetchN slots all go
+    // to eligible documents — filtering the fused list instead would
+    // silently return < k rows whenever ineligible docs crowd a leg
+    val kw = keywordTopK(terms, fetchN, where = where, whereDoc = whereDoc)
+      .select(col("id"), col("rnk"))
     val vr = vectorLeg.select(col("id"), col("rnk"))
     Retrieval.rrf(Seq(kw, vr), "id", "rnk", rrfK)
       .orderBy(col("rrf").desc, col("id")).limit(k)
@@ -2649,9 +2692,11 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * list depth; `adcFetchN` the ADC shortlist (0 = size-aware default). */
   def queryHybridTextPq(text: String, k: Int, fetchN: Int = 50,
                         nprobe: Int = 0, adcFetchN: Int = 0,
-                        rrfK: Int = 60): DataFrame =
-    hybridFuse(text, k, fetchN, rrfK)(
-      queryTextPq(Seq(text), fetchN, nprobe, adcFetchN))
+                        rrfK: Int = 60,
+                        where: Option[Where] = None,
+                        whereDoc: Option[WhereDocument] = None): DataFrame =
+    hybridFuse(text, k, fetchN, rrfK, where, whereDoc)(
+      queryTextPq(Seq(text), fetchN, nprobe, adcFetchN, where, whereDoc))
 
   /** The BATCH form of [[queryHybridText]]: one sidecar read serves every
     * text's keyword leg ([[keywordTopKBatch]]), one [[queryText]] batch
@@ -2659,16 +2704,19 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * (qid, id, rrf) — each qid's rows exactly its single-text
     * [[queryHybridText]] answer. */
   def queryHybridTextBatch(texts: Seq[String], k: Int, fetchN: Int = 50,
-                           rrfK: Int = 60): DataFrame = {
+                           rrfK: Int = 60,
+                           where: Option[Where] = None,
+                           whereDoc: Option[WhereDocument] = None): DataFrame = {
     require(texts.nonEmpty, "queryHybridTextBatch needs at least one text")
     require(k > 0, s"k must be positive, got $k")
     require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
     val termSets = texts.map(queryTerms)
     termSets.zip(texts).foreach { case (ts, t) =>
       require(ts.nonEmpty, s"query text '$t' has no tokens") }
-    val kw = keywordTopKBatch(termSets, fetchN)
+    val kw = keywordTopKBatch(termSets, fetchN, where = where, whereDoc = whereDoc)
       .select(col("qid"), col("id"), col("rnk"))
-    val vr = queryText(texts, fetchN).select(col("qid"), col("id"), col("rnk"))
+    val vr = queryText(texts, fetchN, where, whereDoc)
+      .select(col("qid"), col("id"), col("rnk"))
     val fused = Retrieval.rrfKeyed(Seq(kw, vr), Seq("qid", "id"), "rnk", rrfK)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("rrf").desc, col("id"))

@@ -106,8 +106,8 @@ object GraftExtensions {
   // ---- DataFrame-returning TABLE functions: the RAG read path for pure
   // spark.sql users -------------------------------------------------------
   //
-  // `SELECT * FROM graft_bm25('<root>', '<collection>', '<query text>', k)`
-  // `SELECT * FROM graft_hybrid('<root>', '<collection>', '<text>', k[, fetchN])`
+  // `SELECT * FROM graft_bm25('<root>', '<collection>', '<query text>', k[, whereJson])`
+  // `SELECT * FROM graft_hybrid('<root>', '<collection>', '<text>', k[, fetchN[, whereJson]])`
   //
   // Each resolves the collection at ANALYSIS time (arguments must be
   // literals — they name an external store, not row data) and returns the
@@ -116,6 +116,11 @@ object GraftExtensions {
   // current → O(matching postings)); graft_hybrid = queryHybridText (the
   // full keyword + recorded-embedding-function fusion). SQL users get the
   // same physical plans — and the same loud gates — as Scala callers.
+  // The optional trailing argument is a Chroma-wire-format `where` JSON
+  // ('{"lang": "en"}', '{"rating": {"$gte": 4}}', '{"$and": [...]}') —
+  // [[graft.operators.ChromaFilter.whereFromJson]]'s grammar — applied as
+  // the same prefilter the Scala API takes (keyword: between score fold
+  // and rank; hybrid: both legs).
 
   private def strLit(e: Expression, what: String): String = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(
@@ -143,26 +148,31 @@ object GraftExtensions {
 
   private def buildBm25Tvf(children: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    require(children.length == 4,
-      s"graft_bm25 takes (root, collection, querytext, k), got ${children.length} args")
+    require(children.length == 4 || children.length == 5,
+      s"graft_bm25 takes (root, collection, querytext, k[, whereJson]), got ${children.length} args")
     val coll = collectionOf(strLit(children(0), "graft_bm25 root"),
       strLit(children(1), "graft_bm25 collection"))
     val terms = graft.operators.Retrieval.queryTerms(
       strLit(children(2), "graft_bm25 querytext"), coll.analyzer)
     require(terms.nonEmpty, "graft_bm25 query text has no tokens")
-    planOf(coll.keywordTopK(terms, intLit(children(3), "graft_bm25 k")))
+    val where = children.lift(4).map(e =>
+      graft.operators.ChromaFilter.whereFromJson(strLit(e, "graft_bm25 where")))
+    planOf(coll.keywordTopK(terms, intLit(children(3), "graft_bm25 k"), where = where))
   }
 
   private def buildHybridTvf(children: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    require(children.length == 4 || children.length == 5,
-      s"graft_hybrid takes (root, collection, text, k[, fetchN]), got ${children.length} args")
+    require(children.length >= 4 && children.length <= 6,
+      s"graft_hybrid takes (root, collection, text, k[, fetchN[, whereJson]]), got ${children.length} args")
     val coll = collectionOf(strLit(children(0), "graft_hybrid root"),
       strLit(children(1), "graft_hybrid collection"))
     val k = intLit(children(3), "graft_hybrid k")
     val fetchN =
-      if (children.length == 5) intLit(children(4), "graft_hybrid fetchN") else 50
-    planOf(coll.queryHybridText(strLit(children(2), "graft_hybrid text"), k, fetchN))
+      if (children.length >= 5) intLit(children(4), "graft_hybrid fetchN") else 50
+    val where = children.lift(5).map(e =>
+      graft.operators.ChromaFilter.whereFromJson(strLit(e, "graft_hybrid where")))
+    planOf(coll.queryHybridText(strLit(children(2), "graft_hybrid text"), k, fetchN,
+      where = where))
   }
 
   private val tableFunctions: Seq[(String,

@@ -238,6 +238,54 @@ object TextAnalysis {
   def maskPattern(text: Column, pattern: String, replacement: String): Column =
     regexp_replace(text, pattern, replacement)
 
+  // ---- S-stemmer (Harman 1991, "How effective is suffixing?") ------------
+  // The documented pre-normalization route for stemmed keyword retrieval:
+  // the analyzer family deliberately excludes stemming (corpus-destructive,
+  // language-specific — Retrieval.scala's adjudication), so a stack that
+  // wants plural-folding applies THIS to the document column before
+  // hydration and to its query text via [[sStemTerm]] — one written rule,
+  // both sides. Harman's three ordered rules, FIRST match wins, each with
+  // a minimum-stem guard (>= 1 char before the guarded char) so the
+  // two-letter function words ("is", "as", "us") pass through:
+  //   ies→y  unless preceded by a|e   (studies→study; "ties" falls through
+  //                                    to the es rule → "tie")
+  //   es→e   unless preceded by a|e|o (indexes→indexe per the paper —
+  //                                    "tables"/"nodes" keep their e)
+  //   s→''   unless preceded by u|s   (joins→join; focus/class untouched)
+  // Patterns are RE2-safe and shared verbatim with the oracle; only the
+  // group-reference SYNTAX differs per engine (Java "$1", RE2 "\1").
+
+  private val SStemRules: Seq[(String, String)] = Seq(
+    ("^([a-z]+[^ae])ies$", "$1y"),
+    ("^([a-z]+[^aeo])es$", "$1e"),
+    ("^([a-z]+[^us])s$", "$1"))
+
+  /** Stem ONE lowercase token (Column form): a CASE chain — the literal
+    * shape a SQL oracle replays — testing each rule's pattern in order
+    * and rewriting with the first that matches. */
+  private def sStemToken(t: Column): Column =
+    SStemRules.foldLeft(Option.empty[Column]) { case (acc, (p, r)) =>
+      val arm = regexp_replace(t, p, r)
+      Some(acc.fold(when(t.rlike(p), arm))(_.when(t.rlike(p), arm)))
+    }.get.otherwise(t)
+
+  /** S-stem every whitespace token of `text` (lowercasing first — the
+    * rules are written over [a-z]), re-joined single-spaced: the
+    * pre-normalized document column for stem-folded retrieval. */
+  def sStemText(text: Column): Column =
+    array_join(transform(split(lower(text), "\\s+"), t => sStemToken(t)), " ")
+
+  /** The driver-side twin of [[sStemText]] for one token — apply to the
+    * query terms a stem-normalized corpus is searched with (UTF8String
+    * lowercase: the exact routine Spark's lower() applies corpus-side). */
+  def sStemTerm(term: String): String = {
+    val low = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+      .toLowerCase.toString
+    SStemRules.collectFirst {
+      case (p, r) if low.matches(p) => low.replaceAll(p, r)
+    }.getOrElse(low)
+  }
+
   // ---- PII detection / redaction -----------------------------------------
   // The canonical pre-training scrub: emails, phone-shaped digit runs and
   // IPv4 literals replaced by typed placeholder tokens. Patterns are

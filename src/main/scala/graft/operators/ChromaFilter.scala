@@ -112,4 +112,196 @@ object ChromaFilter {
       whereDoc.map(_.toColumn(docCol)).toSeq
     parts.reduceOption(_ && _)
   }
+
+  // ---- Chroma wire format: JSON → Where / WhereDocument -------------------
+  //
+  // The literal JSON shapes Chroma's HTTP API and clients send —
+  //   {"lang": "en"}                      {"rating": {"$gte": 4}}
+  //   {"lang": {"$in": ["en", "fr"]}}     {"$and": [w1, w2]}  {"$or": [...]}
+  //   {"$contains": "spark"}              {"$not_contains": "x"}  (documents)
+  // — parsed into the ADT above, so a pure-SQL surface (the graft_bm25 /
+  // graft_hybrid table functions) and a future REST ingress share ONE
+  // written form of the wire grammar. Chroma's own validation rules hold:
+  // a where object has EXACTLY one key (conjunction is explicit $and), and
+  // values are scalars (string / number / boolean). Numbers parse as Long
+  // when integral, Double otherwise (Chroma's int/float metadata split).
+
+  def whereFromJson(json: String): Where = {
+    val (v, rest) = JsonMini.parse(json)
+    JsonMini.requireEnd(rest, json)
+    whereOf(v)
+  }
+
+  def whereDocFromJson(json: String): WhereDocument = {
+    val (v, rest) = JsonMini.parse(json)
+    JsonMini.requireEnd(rest, json)
+    whereDocOf(v)
+  }
+
+  private def whereOf(v: Any): Where = v match {
+    case obj: Map[_, _] =>
+      val m = obj.asInstanceOf[Map[String, Any]]
+      require(m.size == 1,
+        s"a where object must have exactly one key (use $$and/$$or to combine), got ${m.keys.mkString(", ")}")
+      m.head match {
+        case ("$and", vs: Seq[_]) => And(vs.map(whereOf))
+        case ("$or", vs: Seq[_])  => Or(vs.map(whereOf))
+        case (op @ ("$and" | "$or"), bad) => throw new IllegalArgumentException(
+          s"$op expects an array of where objects, got $bad")
+        case (key, op: Map[_, _]) =>
+          val o = op.asInstanceOf[Map[String, Any]]
+          require(o.size == 1,
+            s"operator object for '$key' must have exactly one operator, got ${o.keys.mkString(", ")}")
+          o.head match {
+            case ("$eq", x)  => Eq(key, scalar(x, key))
+            case ("$ne", x)  => Ne(key, scalar(x, key))
+            case ("$gt", x)  => Gt(key, scalar(x, key))
+            case ("$gte", x) => Gte(key, scalar(x, key))
+            case ("$lt", x)  => Lt(key, scalar(x, key))
+            case ("$lte", x) => Lte(key, scalar(x, key))
+            case ("$in", xs: Seq[_])  => In(key, xs.map(scalar(_, key)))
+            case ("$nin", xs: Seq[_]) => Nin(key, xs.map(scalar(_, key)))
+            case (o2, x) => throw new IllegalArgumentException(
+              s"unknown where operator '$o2' for key '$key' (value $x)")
+          }
+        case (key, x) => Eq(key, scalar(x, key)) // {"lang": "en"} shorthand
+      }
+    case other => throw new IllegalArgumentException(
+      s"a where filter must be a JSON object, got $other")
+  }
+
+  private def whereDocOf(v: Any): WhereDocument = v match {
+    case obj: Map[_, _] =>
+      val m = obj.asInstanceOf[Map[String, Any]]
+      require(m.size == 1,
+        s"a where_document object must have exactly one key, got ${m.keys.mkString(", ")}")
+      m.head match {
+        case ("$contains", s: String)     => Contains(s)
+        case ("$not_contains", s: String) => NotContains(s)
+        case ("$and", vs: Seq[_]) => AndDoc(vs.map(whereDocOf))
+        case ("$or", vs: Seq[_])  => OrDoc(vs.map(whereDocOf))
+        case (op, x) => throw new IllegalArgumentException(
+          s"unknown where_document operator '$op' (value $x)")
+      }
+    case other => throw new IllegalArgumentException(
+      s"a where_document filter must be a JSON object, got $other")
+  }
+
+  private def scalar(v: Any, key: String): Any = v match {
+    case s: String => s
+    case l: Long => l
+    case d: Double => d
+    case b: Boolean => b
+    case other => throw new IllegalArgumentException(
+      s"metadata filter values must be scalars; key '$key' got $other")
+  }
+
+  /** A minimal recursive-descent JSON reader for the wire filters: objects
+    * → Map[String, Any] (insertion order irrelevant — filter objects are
+    * single-key by contract), arrays → Seq[Any], strings with the standard
+    * escapes, numbers → Long when integral / Double otherwise, true/false/
+    * null. No dependency, deterministic errors with offsets. */
+  private object JsonMini {
+    def parse(s: String): (Any, Int) = value(s, ws(s, 0))
+
+    def requireEnd(pos: Int, s: String): Unit = {
+      val p = ws(s, pos)
+      require(p == s.length, s"trailing content at offset $p in filter JSON: '$s'")
+    }
+
+    private def ws(s: String, i: Int): Int = {
+      var p = i
+      while (p < s.length && Character.isWhitespace(s(p))) p += 1
+      p
+    }
+
+    private def value(s: String, i: Int): (Any, Int) = {
+      require(i < s.length, s"unexpected end of filter JSON: '$s'")
+      s(i) match {
+        case '{' => obj(s, i + 1)
+        case '[' => arr(s, i + 1)
+        case '"' => str(s, i + 1)
+        case 't' => require(s.startsWith("true", i), bad(s, i)); (true, i + 4)
+        case 'f' => require(s.startsWith("false", i), bad(s, i)); (false, i + 5)
+        case 'n' => require(s.startsWith("null", i), bad(s, i)); (null, i + 4)
+        case c if c == '-' || c.isDigit => num(s, i)
+        case _ => throw new IllegalArgumentException(bad(s, i))
+      }
+    }
+
+    private def bad(s: String, i: Int) =
+      s"unexpected character '${s(i)}' at offset $i in filter JSON: '$s'"
+
+    private def obj(s: String, i0: Int): (Map[String, Any], Int) = {
+      var p = ws(s, i0)
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      if (p < s.length && s(p) == '}') return (out.toMap, p + 1)
+      while (true) {
+        require(p < s.length && s(p) == '"', s"expected a key at offset $p in '$s'")
+        val (k, p1) = str(s, p + 1)
+        p = ws(s, p1)
+        require(p < s.length && s(p) == ':', s"expected ':' at offset $p in '$s'")
+        val (v, p2) = value(s, ws(s, p + 1))
+        out(k) = v
+        p = ws(s, p2)
+        require(p < s.length, s"unterminated object in filter JSON: '$s'")
+        if (s(p) == '}') return (out.toMap, p + 1)
+        require(s(p) == ',', s"expected ',' or '}' at offset $p in '$s'")
+        p = ws(s, p + 1)
+      }
+      sys.error("unreachable")
+    }
+
+    private def arr(s: String, i0: Int): (Seq[Any], Int) = {
+      var p = ws(s, i0)
+      val out = Seq.newBuilder[Any]
+      if (p < s.length && s(p) == ']') return (out.result(), p + 1)
+      while (true) {
+        val (v, p1) = value(s, p)
+        out += v
+        p = ws(s, p1)
+        require(p < s.length, s"unterminated array in filter JSON: '$s'")
+        if (s(p) == ']') return (out.result(), p + 1)
+        require(s(p) == ',', s"expected ',' or ']' at offset $p in '$s'")
+        p = ws(s, p + 1)
+      }
+      sys.error("unreachable")
+    }
+
+    private def str(s: String, i0: Int): (String, Int) = {
+      val sb = new StringBuilder
+      var p = i0
+      while (p < s.length && s(p) != '"') {
+        if (s(p) == '\\') {
+          require(p + 1 < s.length, s"dangling escape in filter JSON: '$s'")
+          s(p + 1) match {
+            case 'u' =>
+              require(p + 5 < s.length, s"bad \\u escape in filter JSON: '$s'")
+              sb.append(Integer.parseInt(s.substring(p + 2, p + 6), 16).toChar); p += 6
+            case 'n' => sb.append('\n'); p += 2
+            case 't' => sb.append('\t'); p += 2
+            case 'r' => sb.append('\r'); p += 2
+            case 'b' => sb.append('\b'); p += 2
+            case 'f' => sb.append('\f'); p += 2
+            case c @ ('"' | '\\' | '/') => sb.append(c); p += 2
+            case c => throw new IllegalArgumentException(
+              s"unknown escape '\\$c' in filter JSON: '$s'")
+          }
+        } else { sb.append(s(p)); p += 1 }
+      }
+      require(p < s.length, s"unterminated string in filter JSON: '$s'")
+      (sb.toString, p + 1)
+    }
+
+    private def num(s: String, i0: Int): (Any, Int) = {
+      var p = i0
+      if (p < s.length && s(p) == '-') p += 1
+      while (p < s.length && (s(p).isDigit || "+-.eE".contains(s(p)))) p += 1
+      val raw = s.substring(i0, p)
+      val v: Any =
+        if (raw.exists(c => c == '.' || c == 'e' || c == 'E')) raw.toDouble
+        else scala.util.Try(raw.toLong).getOrElse(raw.toDouble)
+      (v, p)
+    }
+  }
 }

@@ -138,10 +138,18 @@ object KeywordIndex {
     * row, and the only exchange carries (id, score) pairs for MATCHING
     * docs — the corpus itself is never read. */
   def bm25TopK(postings: DataFrame, queryTerms: Seq[String], n: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    Retrieval.rankTopN(bm25Scores(postings, queryTerms, k1, b), n)
+
+  /** The PRE-RANK (id, score) frame of [[bm25TopK]] — exposed so a caller
+    * can confine eligibility (e.g. a metadata `where` filter) between the
+    * score fold and the top-n rank without touching the scores: BM25
+    * statistics stay corpus-global by contract (the Lucene filter-query
+    * rule), so this is the ONLY correct insertion point for a filter. */
+  def bm25Scores(postings: DataFrame, queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    Retrieval.rankTopN(
-      Retrieval.bm25ScoreFold(perTerm(postings, queryTerms), k1, b), n)
+    Retrieval.bm25ScoreFold(perTerm(postings, queryTerms), k1, b)
   }
 
   /** The index-side per-(doc, term) frame both [[bm25TopK]] and
@@ -172,11 +180,17 @@ object KeywordIndex {
     * single-query [[bm25TopK]] scores (and, by the shared-fold contract,
     * exactly the scan path's). Returns (qid, id, rnk, score). */
   def bm25TopKBatch(postings: DataFrame, queries: Seq[Seq[String]], n: Int,
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    Retrieval.rankTopNBatch(bm25ScoresBatch(postings, queries, k1, b), n)
+
+  /** The PRE-RANK (qid, id, score) frame of [[bm25TopKBatch]] — the batch
+    * twin of [[bm25Scores]], same eligibility-confinement contract. */
+  def bm25ScoresBatch(postings: DataFrame, queries: Seq[Seq[String]],
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qt = Retrieval.queryTermsFrame(postings, queries)
-    Retrieval.rankTopNBatch(Retrieval.bm25ScoreFold(
+    Retrieval.bm25ScoreFold(
       perTerm(postings, queries.flatten.distinct)
-        .join(broadcast(qt), "term"), k1, b, Seq("qid", "id")), n)
+        .join(broadcast(qt), "term"), k1, b, Seq("qid", "id"))
   }
 
   /** The writer's partition key for one term, computed driver-side with

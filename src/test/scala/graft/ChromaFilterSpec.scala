@@ -39,6 +39,43 @@ class ChromaFilterSpec extends SparkTestBase {
     assert(dids(OrDoc(Seq(Contains("bonjour"), Contains("hola")))) == Set("b", "d"))
   }
 
+  test("whereFromJson: Chroma wire shapes parse to the exact ADT") {
+    assert(whereFromJson("""{"lang": "en"}""") == Eq("lang", "en"))
+    assert(whereFromJson("""{"rating": {"$gte": 4}}""") == Gte("rating", 4L))
+    assert(whereFromJson("""{"score": {"$lt": 2.5}}""") == Lt("score", 2.5))
+    assert(whereFromJson("""{"ok": {"$eq": true}}""") == Eq("ok", true))
+    assert(whereFromJson("""{"lang": {"$in": ["en", "fr"]}}""") ==
+      In("lang", Seq("en", "fr")))
+    assert(whereFromJson(
+      """{"$and": [{"lang": "en"}, {"$or": [{"n": {"$gt": 1}}, {"n": {"$ne": 0}}]}]}""") ==
+      And(Seq(Eq("lang", "en"), Or(Seq(Gt("n", 1L), Ne("n", 0L))))))
+    // escapes survive
+    assert(whereFromJson("""{"k": "a\"b\\cA"}""") == Eq("k", "a\"b\\cA"))
+    // filtering behavior end-to-end matches hand-built nodes
+    assert(ids(whereFromJson("""{"$and": [{"lang": "en"}, {"n": {"$gt": 1}}]}""")) == Set("c"))
+  }
+
+  test("whereFromJson: Chroma's validation rules fail loudly") {
+    // two top-level keys need explicit $and
+    intercept[IllegalArgumentException](whereFromJson("""{"a": 1, "b": 2}"""))
+    intercept[IllegalArgumentException](whereFromJson("""{"a": {"$gt": 1, "$lt": 5}}"""))
+    intercept[IllegalArgumentException](whereFromJson("""{"a": {"$like": "x"}}"""))
+    intercept[IllegalArgumentException](whereFromJson("""{"$and": "not-an-array"}"""))
+    intercept[IllegalArgumentException](whereFromJson("""["not", "an", "object"]"""))
+    intercept[IllegalArgumentException](whereFromJson("""{"a": 1} trailing"""))
+    intercept[IllegalArgumentException](whereFromJson("""{"a": [1, 2]}""")) // array is not a scalar
+    intercept[IllegalArgumentException](whereFromJson("""{"a": """))
+  }
+
+  test("whereDocFromJson: contains shapes") {
+    assert(whereDocFromJson("""{"$contains": "spark"}""") == Contains("spark"))
+    assert(whereDocFromJson("""{"$not_contains": "x"}""") == NotContains("x"))
+    assert(whereDocFromJson(
+      """{"$and": [{"$contains": "a"}, {"$not_contains": "b"}]}""") ==
+      AndDoc(Seq(Contains("a"), NotContains("b"))))
+    intercept[IllegalArgumentException](whereDocFromJson("""{"$eq": "x"}"""))
+  }
+
   test("ordering ops on MAP-backed metadata compare numerically, never throw") {
     import org.apache.spark.sql.functions.element_at
     val m = Seq(

@@ -71,6 +71,29 @@ class TableFunctionSpec extends SparkTestBase {
     assert(hits == Seq("1"))
   }
 
+  test("graft_bm25 where JSON: the SQL filter equals the Scala where") {
+    val root = tmpDir("tvf-where")
+    val cat = new CollectionCatalog(spark, root, numBuckets = 4)
+    val c = cat.getOrCreateCollection("w")
+    c.add(Seq(
+      ("1", "hash join", "en"), ("2", "hash hash", "fr"),
+      ("3", "join scan", "en")).toDF("id", "document", "lang"))
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      s"""SELECT id, rnk, score FROM graft_bm25('$root', 'w', 'hash join', 5,
+         |  '{"lang": "en"}')""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    val viaScala = c.keywordTopK(Seq("hash", "join"), 5,
+        where = Some(graft.operators.ChromaFilter.Eq("lang", "en")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(viaSql == viaScala && viaSql.map(_._1).toSet == Set("1", "3"))
+    // malformed JSON fails loudly at analysis
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bm25('$root', 'w', 'hash', 5, '{\"a\": }')").collect()
+    }
+    assert(bad.getMessage.contains("filter JSON"))
+  }
+
   test("non-literal arguments and unknown collections fail loudly") {
     val root = tmpDir("tvf-err")
     mkColl(root, "k")

@@ -466,4 +466,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(row.getDouble(1) == 6.0 / 7 && row.getDouble(2) == 6.0 / 7
       && row.getDouble(3) == 0.0)
   }
+
+  // the rule table a DuckDB replay of the identical patterns produces —
+  // first-match-wins order, guards, and the honest es-rule outputs
+  private val sStemTable = Seq(
+    "studies" -> "study", "queries" -> "query",   // ies→y
+    "ties" -> "tie",                               // ies guard → es rule
+    "tables" -> "table", "nodes" -> "node",        // es→e
+    "indexes" -> "indexe", "batches" -> "batche",  // es rule's honest output
+    "joins" -> "join", "streams" -> "stream",      // s→''
+    "focus" -> "focus", "class" -> "class",        // us/ss guards
+    "is" -> "is", "as" -> "as",                    // minimum-stem guard
+    "its" -> "it", "gas" -> "ga",                  // published-rule outputs
+    "hash" -> "hash", "3.14s" -> "3.14s")          // no suffix / non-[a-z]
+
+  test("sStemText: Harman rules, first match wins, guards hold") {
+    val got = sStemTable.map(_._1).toDF("t")
+      .select(TextAnalysis.sStemText(col("t"))).as[String].collect().toSeq
+    assert(got == sStemTable.map(_._2))
+    // multi-token text: per-token stemming, single-space rejoin, case fold
+    val s = Seq("Spark JOINS  two tables").toDF("t")
+      .select(TextAnalysis.sStemText(col("t"))).as[String].head()
+    assert(s == "spark join two table")
+  }
+
+  test("sStemTerm: driver-side twin is bit-equal to the Column form") {
+    val terms = sStemTable.map(_._1) ++ Seq("JOINS", "Queries", "Batches")
+    val viaCol = terms.toDF("t")
+      .select(TextAnalysis.sStemText(col("t"))).as[String].collect().toSeq
+    assert(terms.map(TextAnalysis.sStemTerm) == viaCol)
+  }
 }
