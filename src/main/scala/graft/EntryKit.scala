@@ -301,12 +301,17 @@ private[graft] trait EntryKit {
     * prefilters: `idFilter` confines the keyword leg (sqlBm25's rule —
     * between fold and rank), `vecFilter` the vector leg (between the
     * cosine distances and the rank window) — BOTH legs rank eligible
-    * documents only, exactly queryHybridText(where=...)'s contract. */
+    * documents only, exactly queryHybridText(where=...)'s contract.
+    * `k`/`fetchN` mirror the call's output/leg-depth dials; `finalAs`
+    * turns the final select into a named CTE so a composing oracle
+    * (q170's rerank) can keep deriving from the fused list. */
   private[graft] def sqlHybridText(idFilter: Option[String] = None,
-                                   vecFilter: Option[String] = None): String = {
+                                   vecFilter: Option[String] = None,
+                                   k: Int = 20, fetchN: Int = 50,
+                                   finalAs: Option[String] = None): String = {
       val hash = sqlStrHash("tm")
       val velig = vecFilter.map(f => s" WHERE $f").getOrElse("")
-      sqlBm25(50, idExpr = "CAST(doc_id AS VARCHAR)", idFilter = idFilter) + s""",
+      sqlBm25(fetchN, idExpr = "CAST(doc_id AS VARCHAR)", idFilter = idFilter) + s""",
          |qt AS (SELECT 0 AS qid, 'hash join stream' AS qtext),
          |toks2 AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
          |          FROM documents),
@@ -333,11 +338,16 @@ private[graft] trait EntryKit {
          |        FROM vecs2 v CROSS JOIN qvecs2 q),
          |vr AS (SELECT id, rnk FROM (SELECT CAST(doc_id AS VARCHAR) AS id,
          |         ROW_NUMBER() OVER (ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
-         |       FROM cd2$velig) WHERE rnk <= 50)
-         |SELECT COALESCE(k.id, v.id) AS id,
-         |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) + 0.0 AS rrf
-         |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
-         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+         |       FROM cd2$velig) WHERE rnk <= $fetchN)""".stripMargin + {
+        val fusedSelect = s"""SELECT COALESCE(k.id, v.id) AS id,
+           |  ROUND(COALESCE(1.0 / (60 + k.rnk), 0) + COALESCE(1.0 / (60 + v.rnk), 0), 6) + 0.0 AS rrf
+           |FROM kwtop k FULL OUTER JOIN vr v ON k.id = v.id
+           |ORDER BY rrf DESC, id LIMIT $k""".stripMargin
+        finalAs match {
+          case Some(name) => s",\n$name AS ($fusedSelect)"
+          case None => s"\n$fusedSelect"
+        }
+      }
     }
 
   private[graft] def sqlKnnSingle(distSql: String, extraWhere: String = ""): String =

@@ -178,6 +178,23 @@ private[graft] trait QueriesRetrieval extends EntryKit {
            |                  '{"lang": "en"}')
            |ORDER BY rrf DESC, id""".stripMargin)
     }),
+    // The THIRD stage of the RAG read path — retrieve → fuse → RERANK —
+    // as one call: queryRerankText runs the fused hybrid top-fetchN,
+    // point-reads the candidates' documents (get(ids) bucket pruning),
+    // and re-scores every (query, document) pair with a pluggable
+    // RerankFunction inside the plan (batched mapPartitions, bounded by
+    // the ≤fetchN candidate contract). OverlapRerank is the
+    // deterministic lexical rung — |distinct query ∩ doc tokens| — so
+    // the oracle replays the WHOLE three-stage pipeline: the q158
+    // hybrid CTEs at (k=30, fetchN=30), the prior-rank window, the
+    // list_intersect score, and the stable (score DESC, prior) re-rank.
+    "q170_rerank_text" -> ((s, dir) => {
+      val coll = hyxCollection(s, dir)
+      coll.queryRerankText("hash join stream", k = 10,
+          graft.operators.OverlapRerank(), fetchN = 30)
+        .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
+        .orderBy("rnk")
+    }),
     // Hybrid retrieval: reciprocal-rank fusion of the keyword top-50 and
     // the vector top-50 — the standard combiner, and pure rank arithmetic,
     // so the fused scores replay exactly in the oracle
@@ -371,6 +388,24 @@ private[graft] trait QueriesRetrieval extends EntryKit {
     // hash-equal to q158's Scala call (one plan, two entry surfaces)
     "q163_hybrid_sql" -> sqlHybridTextOracle,
     "q158_hybrid_text" -> sqlHybridTextOracle,
+    // q170: the three-stage replay — the hybrid's own CTEs emit the
+    // fused list as `cand` (k=fetchN=30, the call's dials), prior = the
+    // fused order, score = the OverlapRerank rule (distinct-token
+    // intersection via list_intersect — lowercase \s+ split on both
+    // engines), final rank stable on ties by prior
+    "q170_rerank_text" -> (sqlHybridText(k = 30, fetchN = 30,
+        finalAs = Some("cand")) + s""",
+       |rpri AS (SELECT id, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS prior
+       |         FROM cand),
+       |rsc AS (SELECT p.id, p.prior,
+       |          CAST(len(list_intersect(
+       |            list_distinct(string_split_regex(lower(d.text), '\\s+')),
+       |            ['hash', 'join', 'stream'])) AS DOUBLE) AS score
+       |        FROM rpri p JOIN documents d ON CAST(d.doc_id AS VARCHAR) = p.id),
+       |rfin AS (SELECT id, score,
+       |           ROW_NUMBER() OVER (ORDER BY score DESC, prior) AS rnk FROM rsc)
+       |SELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM rfin
+       |WHERE rnk <= 10 ORDER BY rnk""".stripMargin),
     // q166: q158's full replay with the prefilter at BOTH legs' rank
     // boundaries — keyword eligibility between fold and rank (q165's
     // rule), vector eligibility between the cosine distances and the

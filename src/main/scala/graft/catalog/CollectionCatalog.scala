@@ -2724,6 +2724,47 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       .drop("__rk").orderBy(col("qid"), col("rrf").desc, col("id"))
   }
 
+  /** Hybrid retrieval + cross-encoder RERANK as one call — the full
+    * three-stage RAG read path (retrieve → fuse → rerank): the query
+    * text drives [[queryHybridText]]'s fused top-fetchN (both legs,
+    * same prefilters), the candidates' documents are point-read with
+    * the get(ids) bucket pruning, and `fn` re-scores every (text,
+    * document) pair — [[graft.operators.Rerank.rerank]]'s batched
+    * mapPartitions, ties broken by the fused prior rank (stable).
+    * Returns (id, rnk, score), rnk 1..k by reranked order.
+    *
+    * Bounded by construction: the candidate list is ≤ fetchN rows (the
+    * retrieval contract), so the id collect, the pruned document read
+    * and the rank window are all client-sized — the corpus never feeds
+    * the scorer. Like [[queryBatchOf]]'s embeddings path, the fused
+    * kNN executes eagerly at call time (the candidate ids prune the
+    * document read). */
+  def queryRerankText(text: String, k: Int, fn: graft.operators.RerankFunction,
+                      fetchN: Int = 50, rrfK: Int = 60,
+                      where: Option[Where] = None,
+                      whereDoc: Option[WhereDocument] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    val m = meta
+    require(snapshotDF(m).columns.contains("document"),
+      s"collection '${m.name}' carries no document column — rerank scores " +
+        "(query, document) pairs")
+    val fused = queryHybridText(text, fetchN, fetchN, rrfK, where, whereDoc)
+    // prior = the fused order (rrf desc, id) — the tie-break rerank
+    // preserves among equal scores; bounded collect (≤ fetchN rows)
+    val prior = fused.orderBy(col("rrf").desc, col("id"))
+      .collect().map(_.getAs[String]("id")).zipWithIndex
+      .map { case (id, i) => (id, i + 1) }
+    val spark = snapshotDF(m).sparkSession
+    import spark.implicits._
+    val cands = broadcast(prior.toSeq.toDF("id", "prior"))
+    val docs = get(ids = prior.map(_._1).toSeq,
+      include = Some(Set("documents"))).select(col("id"), col("document"))
+    graft.operators.Rerank.rerank(
+      cands.join(docs, Seq("id"), "inner"), "id", "document", "prior",
+      text, fn, k)
+  }
+
   /** The layout-owned columns of an index build dir: always `cell`, plus
     * `pb` ONLY when the build actually has pb slices (r8+ layouts) — a
     * pre-r8 legacy build cannot own a `pb` column, so one appearing there

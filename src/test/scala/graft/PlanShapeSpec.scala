@@ -392,4 +392,33 @@ class PlanShapeSpec extends SparkTestBase {
       s"probe lookups must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cross products:\n$p")
   }
+
+  test("filtered keywordTopK keeps the sidecar's tp pruning; eligibility scan is column-pruned") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "plan-kwf").toString
+    val cat = new graft.catalog.CollectionCatalog(spark, root, numBuckets = 4)
+    val c = cat.getOrCreateCollection("pf")
+    c.add(spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"),
+        col("text").as("document"), col("lang"), col("source")))
+    c.buildKeywordIndex()
+    val df = c.keywordTopK(Seq("hash", "join"), 10,
+      where = Some(graft.operators.ChromaFilter.Eq("lang", "en")))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the where must NOT cost the sidecar its partition pruning: the
+    // postings read still lists only the query terms' tp dirs
+    val tpLine = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("tp")).getOrElse("")
+    assert(tpLine.contains(" IN ") || tpLine.contains("tp#"),
+      s"expected the tp IN pruning to survive the filtered path, got: $tpLine\n$p")
+    // the eligibility side reads ONLY (id, lang) — never document/source:
+    // a filter that re-read the text column would defeat the sidecar
+    val eligScan = p.linesIterator.filter(_.contains("ReadSchema"))
+      .find(l => l.contains("lang")).getOrElse("")
+    assert(eligScan.nonEmpty && !eligScan.contains("document") &&
+      !eligScan.contains("source"),
+      s"eligibility scan must prune to id+lang, got: $eligScan\n$p")
+  }
 }
