@@ -195,6 +195,19 @@ private[graft] trait QueriesRetrieval extends EntryKit {
         .select(col("id"), col("rnk"), roundz(col("score"), 4).as("score"))
         .orderBy("rnk")
     }),
+    // q170 from PURE SQL: graft_rerank drives the whole three-stage
+    // pipeline (fused hybrid → pruned doc read → OverlapRerank, the one
+    // deterministic scorer SQL can name) — hash-equal to q170 by
+    // construction, the q163/q169 pattern on the rerank surface.
+    "q171_rerank_sql" -> ((s, dir) => {
+      hyxCollection(s, dir)
+      graft.expressions.GraftExtensions.register(s)
+      val root = verifyCollectionsRoot(dir)
+      s.sql(
+        s"""SELECT id, rnk, ROUND(score, 4) + 0.0 AS score
+           |FROM graft_rerank('$root', 'hyx', 'hash join stream', 10, 30)
+           |ORDER BY rnk""".stripMargin)
+    }),
     // Hybrid retrieval: reciprocal-rank fusion of the keyword top-50 and
     // the vector top-50 — the standard combiner, and pure rank arithmetic,
     // so the fused scores replay exactly in the oracle
@@ -299,6 +312,20 @@ private[graft] trait QueriesRetrieval extends EntryKit {
     }),
   )
 
+  private lazy val sqlRerankOracle: String = (sqlHybridText(k = 30, fetchN = 30,
+      finalAs = Some("cand")) + s""",
+     |rpri AS (SELECT id, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS prior
+     |         FROM cand),
+     |rsc AS (SELECT p.id, p.prior,
+     |          CAST(len(list_intersect(
+     |            list_distinct(string_split_regex(lower(d.text), '\\s+')),
+     |            ['hash', 'join', 'stream'])) AS DOUBLE) AS score
+     |        FROM rpri p JOIN documents d ON CAST(d.doc_id AS VARCHAR) = p.id),
+     |rfin AS (SELECT id, score,
+     |           ROW_NUMBER() OVER (ORDER BY score DESC, prior) AS rnk FROM rsc)
+     |SELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM rfin
+     |WHERE rnk <= 10 ORDER BY rnk""".stripMargin)
+
   private lazy val sqlHybridTextWhereEn: String = sqlHybridText(
     idFilter = Some("id IN (SELECT CAST(doc_id AS VARCHAR) FROM documents WHERE lang = 'en')"),
     vecFilter = Some("doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"))
@@ -392,20 +419,11 @@ private[graft] trait QueriesRetrieval extends EntryKit {
     // fused list as `cand` (k=fetchN=30, the call's dials), prior = the
     // fused order, score = the OverlapRerank rule (distinct-token
     // intersection via list_intersect — lowercase \s+ split on both
-    // engines), final rank stable on ties by prior
-    "q170_rerank_text" -> (sqlHybridText(k = 30, fetchN = 30,
-        finalAs = Some("cand")) + s""",
-       |rpri AS (SELECT id, ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS prior
-       |         FROM cand),
-       |rsc AS (SELECT p.id, p.prior,
-       |          CAST(len(list_intersect(
-       |            list_distinct(string_split_regex(lower(d.text), '\\s+')),
-       |            ['hash', 'join', 'stream'])) AS DOUBLE) AS score
-       |        FROM rpri p JOIN documents d ON CAST(d.doc_id AS VARCHAR) = p.id),
-       |rfin AS (SELECT id, score,
-       |           ROW_NUMBER() OVER (ORDER BY score DESC, prior) AS rnk FROM rsc)
-       |SELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM rfin
-       |WHERE rnk <= 10 ORDER BY rnk""".stripMargin),
+    // engines), final rank stable on ties by prior.
+    // q171: the SAME oracle — the graft_rerank SQL table function must
+    // be hash-equal to q170's Scala call (one plan, two entry surfaces)
+    "q170_rerank_text" -> sqlRerankOracle,
+    "q171_rerank_sql" -> sqlRerankOracle,
     // q166: q158's full replay with the prefilter at BOTH legs' rank
     // boundaries — keyword eligibility between fold and rank (q165's
     // rule), vector eligibility between the cosine distances and the

@@ -2757,6 +2757,11 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       .map { case (id, i) => (id, i + 1) }
     val spark = snapshotDF(m).sparkSession
     import spark.implicits._
+    if (prior.isEmpty)
+      // zero candidates (a prefilter excluded everything): empty result —
+      // get(ids = Nil) means NO id filter and would scan the whole corpus
+      // just to inner-join it against nothing
+      return Seq.empty[(String, Int, Double)].toDF("id", "rnk", "score")
     val cands = broadcast(prior.toSeq.toDF("id", "prior"))
     val docs = get(ids = prior.map(_._1).toSeq,
       include = Some(Set("documents"))).select(col("id"), col("document"))

@@ -175,10 +175,32 @@ object GraftExtensions {
       where = where))
   }
 
+  /** `graft_rerank(root, collection, text, k[, fetchN[, whereJson]])` —
+    * the full three-stage read path (retrieve → fuse → rerank) from pure
+    * SQL. The scorer is fixed to [[graft.operators.OverlapRerank]]: SQL
+    * has no channel for a function object, and the lexical rung is the
+    * one deterministic scorer; model-backed rerankers are a Scala-API
+    * concern (`queryRerankText(fn = new OnnxRerankFunction(...))`). */
+  private def buildRerankTvf(children: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(children.length >= 4 && children.length <= 6,
+      s"graft_rerank takes (root, collection, text, k[, fetchN[, whereJson]]), got ${children.length} args")
+    val coll = collectionOf(strLit(children(0), "graft_rerank root"),
+      strLit(children(1), "graft_rerank collection"))
+    val k = intLit(children(3), "graft_rerank k")
+    val fetchN =
+      if (children.length >= 5) intLit(children(4), "graft_rerank fetchN") else 50
+    val where = children.lift(5).map(e =>
+      graft.operators.ChromaFilter.whereFromJson(strLit(e, "graft_rerank where")))
+    planOf(coll.queryRerankText(strLit(children(2), "graft_rerank text"), k,
+      graft.operators.OverlapRerank(), fetchN, where = where))
+  }
+
   private val tableFunctions: Seq[(String,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     "graft_bm25" -> (buildBm25Tvf _),
-    "graft_hybrid" -> (buildHybridTvf _))
+    "graft_hybrid" -> (buildHybridTvf _),
+    "graft_rerank" -> (buildRerankTvf _))
 
   /** Register the SQL functions + the IVF prune rule on a live session. */
   def register(spark: SparkSession): Unit = {

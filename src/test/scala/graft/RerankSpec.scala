@@ -104,6 +104,11 @@ class RerankSpec extends SparkTestBase {
         fetchN = 3, where = Some(graft.operators.ChromaFilter.Eq("lang", "en")))
       .collect().map(_.getString(0)).toSeq
     assert(got.toSet.subsetOf(Set("1", "3")) && got.head == "3")
+    // a filter that excludes everything: empty result, and NOT a full
+    // corpus read (get(ids = Nil) would mean no id filter)
+    assert(c.queryRerankText("hash join stream", k = 2, OverlapRerank(),
+      fetchN = 3, where = Some(graft.operators.ChromaFilter.Eq("lang", "zz")))
+      .count() == 0)
   }
 
   test("OnnxRerankFunction: loud at construction without the runtime jar") {

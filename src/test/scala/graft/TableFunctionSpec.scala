@@ -94,6 +94,24 @@ class TableFunctionSpec extends SparkTestBase {
     assert(bad.getMessage.contains("filter JSON"))
   }
 
+  test("graft_rerank: the SQL three-stage path equals the Scala call") {
+    val root = tmpDir("tvf-rr")
+    val cat = new CollectionCatalog(spark, root, numBuckets = 4)
+    val c = cat.getOrCreateCollection("r", space = "cosine")
+    c.addDocuments(Seq(
+      ("1", "hash join stream"), ("2", "hash table"), ("3", "join scan"),
+      ("4", "stream hash")).toDF("id", "document"),
+      graft.operators.HashingEmbedder(8))
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT id, rnk, score FROM graft_rerank('$root', 'r', 'hash join', 3, 4)")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    val viaScala = c.queryRerankText("hash join", k = 3,
+        graft.operators.OverlapRerank(), fetchN = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(viaSql == viaScala && viaSql.head._1 == "1") // both terms hit doc 1
+  }
+
   test("non-literal arguments and unknown collections fail loudly") {
     val root = tmpDir("tvf-err")
     mkColl(root, "k")
