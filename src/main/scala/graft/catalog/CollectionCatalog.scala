@@ -176,6 +176,7 @@ final class CollectionCatalog(
       // validate BEFORE touching the filesystem: a conflict must not
       // leave a meta-less collection dir behind
       val effSpace = resolvedSpace(space, metadata)
+      Collection.requireSpace(effSpace)
       // a typo'd analyzer must fail at creation, not years later as
       // silent whitespace tokenization on every keyword query
       metadata.get(Collection.AnalyzerKey)
@@ -965,12 +966,24 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     * until re-bound (addDocuments / a fresh fit). */
   def replaceContents(batch: DataFrame, space: Option[String] = None): Unit = {
     val m = meta
+    // validate BEFORE any write work: a typo'd space must not commit
+    // (creation validates through the same gate)
+    space.foreach(Collection.requireSpace)
     val (_, withinDup) = bucketStats(batch)
     if (withinDup)
       throw new IllegalArgumentException(s"duplicate id in batch: ${firstDupId(batch)}")
     val hadBinding = m.metadata.contains("embedding_function")
-    val cleared = m.metadata -- Seq("embedding_function", "embedding_model_fp")
-    writeVersion(batch, m.copy(space = space.getOrElse(m.space), metadata = cleared))
+    val newSpace = space.getOrElse(m.space)
+    val cleared0 = m.metadata -- Seq("embedding_function", "embedding_model_fp")
+    // an explicit re-point rewrites the Chroma-convention hnsw:space
+    // mirror in the SAME commit: a stale mirror would both mislead
+    // convention readers and make the next modifyMetadata restating it
+    // fail the space-consistency gate
+    val cleared =
+      if (cleared0.contains("hnsw:space") && newSpace != m.space)
+        cleared0 + ("hnsw:space" -> newSpace)
+      else cleared0
+    writeVersion(batch, m.copy(space = newSpace, metadata = cleared))
     // the fitted-model sidecar pairs with the cleared fingerprint:
     // reclaim it post-commit, best-effort (an orphan is dormant without
     // a metadata binding, and a fresh fitted bind writes its own)
@@ -1678,6 +1691,7 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     // complete codebook for its codes column
     pq.foreach(p => Ann.writePqSidecar(claimed, p, spark.sparkContext.hadoopConfiguration))
     io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
+    recordFamily("index")
   }
 
   /** PQ codebooks of a committed index build (None for a plain IVF one);
@@ -2193,29 +2207,56 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     // (already moot) warning, never a serving decision.
     if (!Collection.staleProbe.add(s"$dir|$family|v${m.version}")) return
     if (Collection.staleProbe.size > 65536) Collection.staleProbe.clear()
-    newestCommittedBuild(s"${family}_v")
-      .filter(b => indexVersionOf(b) != m.version)
-      .foreach { b =>
+    newestCommittedBuild(s"${family}_v") match {
+      case Some(b) if indexVersionOf(b) != m.version =>
         log.warn(s"collection '${m.name}': newest committed $family build " +
           s"serves v${indexVersionOf(b)} but the collection is at " +
           s"v${m.version} — serving the full scan instead (correct, but " +
           "O(corpus)); refresh via refreshIndexes() or the SQL write " +
           "option refresh=true")
-      }
+      case None if familyMarker(family) =>
+        // the family was built once but NO build survives (an overwrite
+        // made every build version-stale and vacuum reclaimed them) —
+        // without this arm the cost cliff would be silent forever
+        log.warn(s"collection '${m.name}': the $family index was built " +
+          "once but no build survives (overwrite + vacuum) — serving the " +
+          "full scan; refreshIndexes() or the SQL write option " +
+          "refresh=true rebuilds it in full")
+      case _ => ()
+    }
   }
 
-  /** Refresh EVERY index family that has ever committed a build — the
-    * one-call freshness contract behind the SQL write surface's
-    * `refresh=true` option (a plain-SQL user has no per-family handles).
+  /** Refresh EVERY index family that has ever been built — the one-call
+    * freshness contract behind the SQL write surface's `refresh=true`
+    * option (a plain-SQL user has no per-family handles). Family
+    * detection is committed-build OR the durable [[recordFamily]] marker,
+    * so an overwrite+vacuum that reclaimed every stale build still
+    * rebuilds (full re-derivation — the refresh methods' own fallback).
     * Families never built are not built here (building is a sizing
     * decision — `ivf:nlist`, analyzer — the owner makes once); families
     * already current are O(listing) no-ops. Returns family → id buckets
     * rebuilt, for logging/specs. */
   def refreshIndexes(): Map[String, Int] = {
+    def known(fam: String): Boolean = {
+      val found = newestCommittedBuild(s"${fam}_v").isDefined
+      if (found) recordFamily(fam) // self-heal pre-marker collections
+      found || familyMarker(fam)
+    }
     val out = Seq.newBuilder[(String, Int)]
-    if (newestCommittedBuild("index_v").isDefined) out += ("index" -> refreshIndex())
-    if (newestCommittedBuild("docindex_v").isDefined) out += ("docindex" -> refreshDocIndex())
-    if (newestCommittedBuild("kwindex_v").isDefined) out += ("kwindex" -> refreshKeywordIndex())
+    if (known("index")) {
+      // the IVF full-rebuild fallback re-trains from ivf:nlist; a seeded
+      // build wiped by overwrite+vacuum has no nlist to re-train from —
+      // warn loudly instead of throwing the whole multi-family refresh
+      if (newestCommittedBuild("index_v").isDefined ||
+          meta.metadata.contains("ivf:nlist"))
+        out += ("index" -> refreshIndex())
+      else log.warn(s"collection '$name': the IVF index was built once " +
+        "but no build survives and the collection carries no ivf:nlist " +
+        "metadata to re-train from — rebuild explicitly via " +
+        "buildIndex(nlist)/buildIndexSeeded")
+    }
+    if (known("docindex")) out += ("docindex" -> refreshDocIndex())
+    if (known("kwindex")) out += ("kwindex" -> refreshKeywordIndex())
     out.result().toMap
   }
 
@@ -2300,7 +2341,25 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     stamp.foreach { case (f, v) =>
       io.writeBytes(new Path(claimed, f), v.getBytes(StandardCharsets.UTF_8)) }
     io.writeBytes(new Path(claimed, "_graft_committed"), Array.emptyByteArray)
+    recordFamily(family)
   }
+
+  /** Durable "this family was built once" marker (`_graft_has_<family>`,
+    * a flat file outside the versioned build dirs): the owner's sizing
+    * decision survives even when [[vacuum]] reclaims every superseded
+    * BUILD (an overwrite makes all builds version-stale, and an
+    * overwrite+vacuum without refresh used to leave [[refreshIndexes]]
+    * with nothing to detect the family by — refresh=true on the NEXT
+    * write silently no-opped and the collection was stranded index-less
+    * with no SQL-surface recovery). Written at every build commit;
+    * self-healed by [[refreshIndexes]] for pre-marker collections. */
+  private def recordFamily(family: String): Unit = {
+    val p = new Path(dir, s"_graft_has_$family")
+    if (!io.exists(p)) io.writeBytes(p, Array.emptyByteArray)
+  }
+
+  private def familyMarker(family: String): Boolean =
+    io.exists(new Path(dir, s"_graft_has_$family"))
 
   /** Shared incremental refresh for the postings families (see
     * [[buildPostingsFamily]]): postings (and, for the keyword family, the
@@ -2459,11 +2518,17 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
 
   /** The analyzer a committed keyword build was tokenized with — its
     * [[KeywordIndex.AnalyzerStamp]] file (absent = "whitespace": builds
-    * predate the setting, whose rule was the only one then). */
+    * predate the setting, whose rule was the only one then). Cached per
+    * build dir ([[Collection.kwStampCache]]): stamps are immutable once
+    * the marker lands, and an uncached read would tax EVERY sidecar-path
+    * keyword query with a small-file read. */
   private def kwAnalyzerOf(build: Path): String = {
-    val p = new Path(build, KeywordIndex.AnalyzerStamp)
-    if (io.exists(p)) new String(io.readBytes(p), StandardCharsets.UTF_8).trim
-    else Retrieval.DefaultAnalyzer
+    if (Collection.kwStampCache.size > 65536) Collection.kwStampCache.clear()
+    Collection.kwStampCache.computeIfAbsent(build.toString, _ => {
+      val p = new Path(build, KeywordIndex.AnalyzerStamp)
+      if (io.exists(p)) new String(io.readBytes(p), StandardCharsets.UTF_8).trim
+      else Retrieval.DefaultAnalyzer
+    })
   }
 
   /** The kwindex family writer bound to one analyzer (the shared
@@ -2521,10 +2586,15 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
     currentKwIndex(m) match {
       case Some(idx) if kwAnalyzerOf(idx) == a => Some(idx)
       case Some(idx) =>
-        log.warn(s"keyword sidecar of collection '${m.name}' was built " +
-          s"under analyzer '${kwAnalyzerOf(idx)}' but the collection is " +
-          s"set to '$a' — serving the O(corpus) scan path; run " +
-          "refreshKeywordIndex() to rebuild")
+        // memoized like warnIfStale: the mismatch holds until a refresh
+        // lands (which changes the newest build PATH, keying a new warn),
+        // so warning once per (build, setting) is enough — unmemoized,
+        // every keyword query would log the same line
+        if (Collection.staleProbe.add(s"$dir|kwindex-analyzer|$idx|$a"))
+          log.warn(s"keyword sidecar of collection '${m.name}' was built " +
+            s"under analyzer '${kwAnalyzerOf(idx)}' but the collection is " +
+            s"set to '$a' — serving the O(corpus) scan path; run " +
+            "refreshKeywordIndex() to rebuild")
         None
       case None => warnIfStale("kwindex", m); None
     }
@@ -3397,6 +3467,25 @@ object Collection {
     * recorded at collection level so every session resolves the same
     * rule. Same convention altitude as Chroma's `hnsw:space`. */
   val AnalyzerKey = "graft:analyzer"
+
+  /** The distance spaces the engine implements (the Chroma set). Every
+    * entry point that ACCEPTS a space name validates against this —
+    * creation and the SQL surface's overwrite re-point — so a typo'd
+    * space fails at the call, not years later as an 'unknown space'
+    * analysis error on the first vector query against a committed meta. */
+  val Spaces: Set[String] = Set("l2", "cosine", "ip")
+
+  def requireSpace(s: String): Unit =
+    require(Spaces.contains(s),
+      s"unknown space '$s' — supported: ${Spaces.toSeq.sorted.mkString(", ")}")
+
+  /** Keyword-sidecar analyzer stamps, cached per committed build dir: a
+    * build is immutable once its marker lands, so the one-file read never
+    * changes — without the cache EVERY keyword query on the sidecar path
+    * pays a small-file read just to re-learn the same stamp (an object-
+    * store tax). Coarse clear bounds the size, like [[staleProbe]]. */
+  private[catalog] val kwStampCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Fingerprint pairing committed data with the model that embedded it
     * (first 8 SHA-256 bytes of the sidecar text, hex). */

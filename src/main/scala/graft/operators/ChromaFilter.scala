@@ -144,6 +144,11 @@ object ChromaFilter {
       require(m.size == 1,
         s"a where object must have exactly one key (use $$and/$$or to combine), got ${m.keys.mkString(", ")}")
       m.head match {
+        // Chroma rejects empty operator lists ("Expected ... to be a
+        // non-empty list") — and And(Nil).toColumnWith would crash with a
+        // bare empty.reduce, escaping the parser's loud-error contract
+        case (op @ ("$and" | "$or"), vs: Seq[_]) if vs.isEmpty =>
+          throw new IllegalArgumentException(s"$op expects a NON-EMPTY array of where objects")
         case ("$and", vs: Seq[_]) => And(vs.map(whereOf))
         case ("$or", vs: Seq[_])  => Or(vs.map(whereOf))
         case (op @ ("$and" | "$or"), bad) => throw new IllegalArgumentException(
@@ -159,6 +164,11 @@ object ChromaFilter {
             case ("$gte", x) => Gte(key, scalar(x, key))
             case ("$lt", x)  => Lt(key, scalar(x, key))
             case ("$lte", x) => Lte(key, scalar(x, key))
+            // Chroma: "$in/$nin value must be a non-empty list"; an empty
+            // isin() would silently match nothing/everything instead
+            case (op @ ("$in" | "$nin"), xs: Seq[_]) if xs.isEmpty =>
+              throw new IllegalArgumentException(
+                s"$op for key '$key' expects a NON-EMPTY array of scalars")
             case ("$in", xs: Seq[_])  => In(key, xs.map(scalar(_, key)))
             case ("$nin", xs: Seq[_]) => Nin(key, xs.map(scalar(_, key)))
             case (o2, x) => throw new IllegalArgumentException(
@@ -178,6 +188,8 @@ object ChromaFilter {
       m.head match {
         case ("$contains", s: String)     => Contains(s)
         case ("$not_contains", s: String) => NotContains(s)
+        case (op @ ("$and" | "$or"), vs: Seq[_]) if vs.isEmpty =>
+          throw new IllegalArgumentException(s"$op expects a NON-EMPTY array")
         case ("$and", vs: Seq[_]) => AndDoc(vs.map(whereDocOf))
         case ("$or", vs: Seq[_])  => OrDoc(vs.map(whereDocOf))
         case (op, x) => throw new IllegalArgumentException(

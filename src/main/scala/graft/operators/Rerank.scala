@@ -37,6 +37,14 @@ object Rerank {
     val bs = fn.batchSize
     require(bs > 0, s"batchSize must be positive, got $bs")
     val nm = fn.name
+    // loud at the BOUNDARY: a non-string doc column (binary, struct)
+    // would otherwise surface as a bare ClassCastException deep inside
+    // an executor task (cast("string") is no better — binary would cast
+    // to garbage text and score silently wrong)
+    require(cands.schema(docCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"rerank scores (query, TEXT) pairs — column '$docCol' is " +
+        s"${cands.schema(docCol).dataType.simpleString}, not string")
     val in = cands.select(col(idCol).cast("string").as("id"),
       col(docCol).as("__doc"), col(priorCol).cast("int").as("__prior"))
     val scored = in.mapPartitions { it =>

@@ -257,11 +257,11 @@ class GraftDataSource extends RelationProvider
         existing match {
           case Some(c) =>
             c.replaceContents(batch, space = parameters.get("space"))
-            // refresh MUST precede vacuum: vacuum reclaims every
-            // superseded build, and refreshIndexes only rebuilds families
-            // that still HAVE a committed build — vacuum-first would
-            // silently leave the collection index-less (the exact cost
-            // cliff refresh=true exists to prevent)
+            // refresh precedes vacuum so the rebuild rides the cheap
+            // carry/diff paths off the superseded builds; without
+            // refresh, vacuum still reclaims them — the durable family
+            // markers keep refreshIndexes()/refresh=true able to rebuild
+            // IN FULL later, and stale-scan reads warn loudly meanwhile
             if (refresh) c.refreshIndexes()
             c.vacuum()
           case None => freshAdd()
@@ -274,13 +274,13 @@ class GraftDataSource extends RelationProvider
     // version, which silently strands every committed sidecar (IVF/
     // trigram/keyword) — reads fall back to the O(corpus) scan, correct
     // but a 100 TB cost cliff the SQL surface gives no handle to fix.
-    // `refresh=true` refreshes every family that has ever committed a
-    // build, riding the incremental carry paths (touched id buckets
-    // rebuild, the rest carries by manifest); without it the stale
-    // bypass at read time logs loudly instead. (The Overwrite-existing
-    // arm already refreshed pre-vacuum; re-running here is a cheap
-    // already-current no-op.)
-    if (refresh)
+    // `refresh=true` refreshes every family ever built, riding the
+    // incremental carry paths (touched id buckets rebuild, the rest
+    // carries by manifest); without it the stale bypass at read time
+    // logs loudly instead. The Overwrite-existing arm refreshed
+    // pre-vacuum already — skip the re-probe here (3 per-family LIST
+    // calls per overwrite on an object store, just to no-op).
+    if (refresh && !(mode == SaveMode.Overwrite && existing.nonEmpty))
       cat.getCollection(name).foreach(_.refreshIndexes())
     // bind the freshly committed snapshot (save() discards it; CTAS reads
     // the schema off it) from the IDENTITY options only — forwarding the

@@ -65,6 +65,13 @@ class ChromaFilterSpec extends SparkTestBase {
     intercept[IllegalArgumentException](whereFromJson("""{"a": 1} trailing"""))
     intercept[IllegalArgumentException](whereFromJson("""{"a": [1, 2]}""")) // array is not a scalar
     intercept[IllegalArgumentException](whereFromJson("""{"a": """))
+    // empty operator lists: Chroma rejects them; And(Nil) would crash
+    // with a bare empty.reduce and {"$in": []} would silently match nothing
+    intercept[IllegalArgumentException](whereFromJson("""{"$and": []}"""))
+    intercept[IllegalArgumentException](whereFromJson("""{"$or": []}"""))
+    intercept[IllegalArgumentException](whereFromJson("""{"a": {"$in": []}}"""))
+    intercept[IllegalArgumentException](whereFromJson("""{"a": {"$nin": []}}"""))
+    intercept[IllegalArgumentException](whereDocFromJson("""{"$and": []}"""))
   }
 
   test("whereDocFromJson: contains shapes") {

@@ -258,6 +258,62 @@ class GraftDataSourceSpec extends SparkTestBase {
       .map(_.getString(0)).toSet == Set("9"))
   }
 
+  test("overwrite WITHOUT refresh: vacuum reclaims the builds, but the family marker keeps refresh=true able to rebuild") {
+    val r = tmpDir("dsw-marker")
+    val cat = new CollectionCatalog(spark, r, numBuckets = 4)
+    val c = cat.getOrCreateCollection("m")
+    c.add(Seq(("1", "hash joins"), ("2", "stream state")).toDF("id", "document"))
+    c.buildKeywordIndex()
+    // overwrite with refresh unset: every build goes version-stale and
+    // vacuum reclaims them — the old failure mode left refreshIndexes()
+    // with no committed build to DETECT the family by, so refresh=true
+    // on the next write silently no-opped and the collection was
+    // stranded index-less with no SQL-surface recovery
+    Seq(("9", "hash replaced")).toDF("id", "document")
+      .write.format("graft").option("root", r).option("name", "m")
+      .mode("overwrite").save()
+    assert(!c.hasKeywordIndex)
+    // the durable marker makes the family known: refresh=true rebuilds IN FULL
+    Seq(("10", "hash again")).toDF("id", "document")
+      .write.format("graft").option("root", r).option("name", "m")
+      .mode("append").option("refresh", "true").save()
+    assert(c.hasKeywordIndex)
+    assert(c.keywordTopK(Seq("hash"), 5).collect()
+      .map(_.getString(0)).toSet == Set("9", "10"))
+  }
+
+  test("overwrite space option: validated, and the hnsw:space mirror follows the re-point") {
+    val r = tmpDir("dsw-space")
+    val cat = new CollectionCatalog(spark, r, numBuckets = 4)
+    val c = cat.getOrCreateCollection("s",
+      metadata = Map("hnsw:space" -> "cosine"))
+    assert(c.meta.space == "cosine")
+    c.add(Seq(("1", Array(1f, 0f))).toDF("id", "embedding"))
+    // a typo'd space must fail BEFORE any write work — the old path
+    // committed it and every later vector query died at analysis
+    val bad = intercept[Exception] {
+      Seq(("2", Array(0f, 1f))).toDF("id", "embedding")
+        .write.format("graft").option("root", r).option("name", "s")
+        .mode("overwrite").option("space", "cosinee").save()
+    }
+    assert(bad.getMessage.contains("unknown space"))
+    assert(c.meta.space == "cosine") // nothing committed
+    // an explicit legal re-point rewrites the Chroma-convention mirror
+    // in the same commit (a stale mirror would fail the next
+    // modifyMetadata consistency gate and mislead convention readers)
+    Seq(("2", Array(0f, 1f))).toDF("id", "embedding")
+      .write.format("graft").option("root", r).option("name", "s")
+      .mode("overwrite").option("space", "l2").save()
+    assert(c.meta.space == "l2")
+    assert(c.meta.metadata.get("hnsw:space").contains("l2"))
+    c.modifyMetadata(Map("hnsw:space" -> "l2")) // gate passes: consistent
+    // creation validates through the same gate
+    val badCreate = intercept[Exception] {
+      cat.getOrCreateCollection("s2", space = "dot")
+    }
+    assert(badCreate.getMessage.contains("unknown space"))
+  }
+
   test("overwrite clears a recorded embedding-function binding (stale-vector guard)") {
     val r = tmpDir("dsw-ow-binding")
     val cat = new CollectionCatalog(spark, r, numBuckets = 4)

@@ -62,6 +62,13 @@ class RerankSpec extends SparkTestBase {
       Rerank.rerank(two, "id", "document", "prior", "q", bad, 2).collect()
     }
     assert(e2.getMessage.contains("scores"))
+    // a non-string doc column fails at the BOUNDARY, not as a bare
+    // ClassCastException inside an executor task
+    val bin = Seq(("a", Array[Byte](1, 2), 1)).toDF("id", "document", "prior")
+    val e3 = intercept[IllegalArgumentException] {
+      Rerank.rerank(bin, "id", "document", "prior", "q", OverlapRerank(), 1)
+    }
+    assert(e3.getMessage.contains("not string"))
   }
 
   test("queryRerankText: one call == hybrid + doc read + overlap + stable rank") {
