@@ -131,6 +131,66 @@ class PropertySpec extends SparkTestBase {
     assert(inC + ninC == 200)
   }
 
+  test("property: whereFromJson parses every rendered Where AST back to itself") {
+    import graft.operators.ChromaFilter
+    import graft.operators.ChromaFilter._
+    // render the wire form a Chroma client sends for a given AST — a
+    // test-local twin of the grammar, so the property exercises the
+    // parser over the whole shape space (nesting, operator objects,
+    // shorthand Eq, escapes, number typing), not a fixed example set
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c => c.toString
+      } + "\""
+    def jval(v: Any): String = v match {
+      case s: String => jstr(s)
+      case other => other.toString // Long / Double / Boolean
+    }
+    def render(w: Where): String = w match {
+      case Eq(k, v)  => s"{${jstr(k)}: {\"$$eq\": ${jval(v)}}}"
+      case Ne(k, v)  => s"{${jstr(k)}: {\"$$ne\": ${jval(v)}}}"
+      case Gt(k, v)  => s"{${jstr(k)}: {\"$$gt\": ${jval(v)}}}"
+      case Gte(k, v) => s"{${jstr(k)}: {\"$$gte\": ${jval(v)}}}"
+      case Lt(k, v)  => s"{${jstr(k)}: {\"$$lt\": ${jval(v)}}}"
+      case Lte(k, v) => s"{${jstr(k)}: {\"$$lte\": ${jval(v)}}}"
+      case In(k, vs)  => s"{${jstr(k)}: {\"$$in\": [${vs.map(jval).mkString(", ")}]}}"
+      case Nin(k, vs) => s"{${jstr(k)}: {\"$$nin\": [${vs.map(jval).mkString(", ")}]}}"
+      case And(cs) => s"{\"$$and\": [${cs.map(render).mkString(", ")}]}"
+      case Or(cs)  => s"{\"$$or\": [${cs.map(render).mkString(", ")}]}"
+    }
+    val key = Gen.oneOf("lang", "rating", "a b", "quo\"te", "unié")
+    val scalar: Gen[Any] = Gen.oneOf(
+      Gen.oneOf("en", "x\"y", "back\\slash", "line\nbreak"),
+      Gen.chooseNum(-1000L, 1000L),
+      Gen.chooseNum(-10.5, 10.5).map(d => math.round(d * 4) / 4.0), // dyadic — toString round-trips
+      Gen.oneOf(true, false))
+    val leaf: Gen[Where] = for {
+      k <- key; v <- scalar
+      mk <- Gen.oneOf[(String, Any) => Where](Eq(_, _), Ne(_, _), Gt(_, _),
+        Gte(_, _), Lt(_, _), Lte(_, _))
+    } yield mk(k, v)
+    val inLeaf: Gen[Where] = for {
+      k <- key; vs <- Gen.nonEmptyListOf(scalar).map(_.take(4))
+      mk <- Gen.oneOf[(String, Seq[Any]) => Where](In(_, _), Nin(_, _))
+    } yield mk(k, vs)
+    def tree(depth: Int): Gen[Where] =
+      if (depth <= 0) Gen.oneOf(leaf, inLeaf)
+      else Gen.frequency(
+        3 -> leaf, 1 -> inLeaf,
+        1 -> Gen.nonEmptyListOf(tree(depth - 1)).map(cs => And(cs.take(3))),
+        1 -> Gen.nonEmptyListOf(tree(depth - 1)).map(cs => Or(cs.take(3))))
+    val asts = sample(Gen.listOfN(80, tree(3)), 47L)
+    asts.foreach { w =>
+      val parsed = ChromaFilter.whereFromJson(render(w))
+      assert(parsed == w, s"round-trip diverged for ${render(w)}: got $parsed")
+    }
+    // the shorthand form {"k": v} parses as Eq
+    assert(ChromaFilter.whereFromJson("""{"lang": "en"}""") == Eq("lang", "en"))
+  }
+
   test("property: jaccard(a,a)=1, jaccard bounded [0,1]") {
     val toks = sample(Gen.listOfN(40,
       Gen.nonEmptyListOf(Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6")).map(_.toSeq)), 31L)
