@@ -106,6 +106,59 @@ private[graft] trait EntryKit {
     coll
   }
 
+  /** The fingerprint-cached trigram-doc-indexed collection shared by
+    * q112 and q173 ($contains and $regex through the same postings
+    * build): hydrated THROUGH the incremental-refresh path (bulk add +
+    * buildDocIndex, then an upsert slice + refreshDocIndex — only
+    * touched id buckets re-derive postings, the rest carry). */
+  private[graft] def dixCollection(s: SparkSession, dir: String): Collection = {
+    val docs = t(s, dir, "documents")
+    val root = verifyCollectionsRoot(dir)
+    val cat = new CollectionCatalog(s, root, numBuckets = 8)
+    val fp = s"dix3|$dir|n=${docs.count()}"
+    val reusable = cat.getCollection("dix").exists(c =>
+      c.meta.metadata.get("source_fp").contains(fp) && c.hasDocIndex)
+    val coll = if (reusable) cat.getCollection("dix").get else {
+      cat.deleteCollection("dix")
+      val c = cat.getOrCreateCollection("dix")
+      val all = docs.select(col("doc_id").cast("string").as("id"),
+        col("text").as("document"), col("lang"), col("n_chars"))
+      c.add(all.filter(col("id").cast("long") % 7 =!= 3))
+      c.buildDocIndex()
+      c.upsert(all.filter(col("id").cast("long") % 7 === 3))
+      val rebuilt = c.refreshDocIndex()
+      require(rebuilt > 0, "dix must exercise an incremental refresh")
+      c.modifyMetadata(Map("source_fp" -> fp))
+      c
+    }
+    require(coll.hasDocIndex, "dix must exercise the postings index")
+    coll
+  }
+
+  /** The fingerprint-cached hash-embedded + trigram-doc-indexed
+    * collection shared by q124 and q172 (queryText with a where_document
+    * prefilter, via the Scala API and via the `graft_knn` SQL table
+    * function). */
+  private[graft] def qtdCollection(s: SparkSession, dir: String): Collection = {
+    val docs = t(s, dir, "documents")
+    val root = verifyCollectionsRoot(dir)
+    val cat = new CollectionCatalog(s, root, numBuckets = 8)
+    val fp = s"qtd2|$dir|n=${docs.count()}|embed=hash16"
+    val reusable = cat.getCollection("qtd").exists(c =>
+      c.meta.metadata.get("source_fp").contains(fp) && c.hasDocIndex)
+    val coll = if (reusable) cat.getCollection("qtd").get else {
+      cat.deleteCollection("qtd")
+      val c = cat.getOrCreateCollection("qtd", space = "cosine")
+      c.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
+        col("text").as("document"), col("lang")), HashingEmbedder(16))
+      c.buildDocIndex()
+      c.modifyMetadata(Map("source_fp" -> fp))
+      c
+    }
+    require(coll.hasDocIndex, "qtd must exercise the postings index")
+    coll
+  }
+
   /** The fingerprint-cached hash-embedded + keyword-indexed collection
     * shared by q158 and q163 (the one-call hybrid, via the Scala API and
     * via the `graft_hybrid` SQL table function). */

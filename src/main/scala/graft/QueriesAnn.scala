@@ -284,28 +284,35 @@ private[graft] trait QueriesAnn extends EntryKit {
     // q112 fingerprint discipline — the artifact is a persistent indexed
     // collection, not per-call ingestion.
     "q124_querytext_docindex" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val root = verifyCollectionsRoot(dir)
-      val cat = new CollectionCatalog(s, root, numBuckets = 8)
-      val fp = s"qtd2|$dir|n=${docs.count()}|embed=hash16"
-      val reusable = cat.getCollection("qtd").exists(c =>
-        c.meta.metadata.get("source_fp").contains(fp) && c.hasDocIndex)
-      val coll = if (reusable) cat.getCollection("qtd").get else {
-        cat.deleteCollection("qtd")
-        val c = cat.getOrCreateCollection("qtd", space = "cosine")
-        c.addDocuments(docs.select(col("doc_id").cast("string").as("id"),
-          col("text").as("document"), col("lang")), HashingEmbedder(16))
-        c.buildDocIndex()
-        c.modifyMetadata(Map("source_fp" -> fp))
-        c
-      }
-      require(coll.hasDocIndex, "q124 must exercise the postings index")
-      coll.queryText(
+      qtdCollection(s, dir).queryText(
           Seq("vector database search index", "streaming join throughput"),
           k = 10, whereDoc = Some(ChromaFilter.Contains("vector table")))
         .select(col("qid"), col("rnk"), col("id"),
           roundz(col("dist"), 4).as("dist"), col("lang"))
         .orderBy("qid", "rnk")
+    }),
+    // q124 driven from PURE SQL — the graft_knn table function completes
+    // the TVF quadrant (bm25/hybrid/rerank/knn): each call embeds its
+    // text with the collection's RECORDED function and returns
+    // queryText's own plan, the where_document prefilter arriving as
+    // Chroma's wire JSON ('' skips the where slot). Two single-text
+    // calls UNION ALL into q124's two-query batch shape (each call's
+    // qid is 0 — the SQL re-labels), so the entry is hash-equal to the
+    // Scala batch call by construction: one plan, two entry surfaces,
+    // and the TVF's filter grammar is oracled for free.
+    "q172_knn_sql" -> ((s, dir) => {
+      qtdCollection(s, dir) // same fixture; TVF resolves it by (root, name)
+      graft.expressions.GraftExtensions.register(s)
+      val root = verifyCollectionsRoot(dir)
+      s.sql(
+        s"""SELECT 0 AS qid, rnk, id, ROUND(dist, 4) + 0.0 AS dist, lang
+           |FROM graft_knn('$root', 'qtd', 'vector database search index', 10,
+           |               '', '{"$$contains": "vector table"}')
+           |UNION ALL
+           |SELECT 1 AS qid, rnk, id, ROUND(dist, 4) + 0.0 AS dist, lang
+           |FROM graft_knn('$root', 'qtd', 'streaming join throughput', 10,
+           |               '', '{"$$contains": "vector table"}')
+           |ORDER BY qid, rnk""".stripMargin)
     }),
     // IVF-PQ, the canonical composed ANN (FAISS's IVFPQ): the corpus is
     // cell-partitioned (q32's seeded IVF prunes WHICH rows) AND
@@ -500,6 +507,44 @@ private[graft] trait QueriesAnn extends EntryKit {
     }),
   )
 
+  private lazy val sqlQueryTextDocIndexOracle: String = {
+      val hash = sqlStrHash("tm")
+      s"""WITH qt AS (SELECT * FROM (VALUES (0, 'vector database search index'),
+         |                                  (1, 'streaming join throughput')) AS q(qid, qtext)),
+         |d AS (SELECT doc_id, text, lang FROM documents
+         |      WHERE contains(text, 'vector table')),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
+         |         FROM d),
+         |tk AS (SELECT doc_id, $hash AS h FROM toks WHERE length(tm) > 0),
+         |sums AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
+         |                SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |         FROM tk GROUP BY doc_id, b),
+         |grid AS (SELECT dd.doc_id, bb.b FROM (SELECT doc_id FROM d) dd
+         |         CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |vecs AS (SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |         FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.b
+         |         GROUP BY g.doc_id),
+         |qtoks AS (SELECT qid, unnest(string_split_regex(lower(qtext), '\\s+')) AS tm FROM qt),
+         |qtk AS (SELECT qid, $hash AS h FROM qtoks WHERE length(tm) > 0),
+         |qsums AS (SELECT qid, CAST(h % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY qid, b),
+         |qgrid AS (SELECT qq.qid, bb.b FROM (SELECT DISTINCT qid FROM qt) qq
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |qvecs AS (SELECT g.qid, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+         |          FROM qgrid g LEFT JOIN qsums s ON s.qid = g.qid AND s.b = g.b
+         |          GROUP BY g.qid),
+         |cd AS (SELECT q.qid, v.doc_id, d.lang, ${sqlCos("v.v", "q.qv")} AS dist_raw
+         |       FROM vecs v JOIN d ON d.doc_id = v.doc_id
+         |       CROSS JOIN qvecs q),
+         |r AS (SELECT qid, doc_id, lang, dist_raw, ROW_NUMBER() OVER
+         |        (PARTITION BY qid ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
+         |      FROM cd)
+         |SELECT qid, rnk, CAST(doc_id AS VARCHAR) AS id,
+         |       ROUND(dist_raw, 4) + 0.0 AS dist, lang
+         |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   private[graft] def annOracles: Map[String, String] = Map(
     "q11_knn_cosine" -> sqlKnnSingle(sqlCos("e.embedding", "q.qe")),
     "q69_quantized_knn" -> {
@@ -642,43 +687,12 @@ private[graft] trait QueriesAnn extends EntryKit {
     // prefilter + verbatim re-check), so scan semantics ARE the oracle;
     // restricting the corpus CTE up front is valid because a document's
     // embedding depends only on its own text.
-    "q124_querytext_docindex" -> {
-      val hash = sqlStrHash("tm")
-      s"""WITH qt AS (SELECT * FROM (VALUES (0, 'vector database search index'),
-         |                                  (1, 'streaming join throughput')) AS q(qid, qtext)),
-         |d AS (SELECT doc_id, text, lang FROM documents
-         |      WHERE contains(text, 'vector table')),
-         |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tm
-         |         FROM d),
-         |tk AS (SELECT doc_id, $hash AS h FROM toks WHERE length(tm) > 0),
-         |sums AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS b,
-         |                SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
-         |         FROM tk GROUP BY doc_id, b),
-         |grid AS (SELECT dd.doc_id, bb.b FROM (SELECT doc_id FROM d) dd
-         |         CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
-         |vecs AS (SELECT g.doc_id, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
-         |         FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.b
-         |         GROUP BY g.doc_id),
-         |qtoks AS (SELECT qid, unnest(string_split_regex(lower(qtext), '\\s+')) AS tm FROM qt),
-         |qtk AS (SELECT qid, $hash AS h FROM qtoks WHERE length(tm) > 0),
-         |qsums AS (SELECT qid, CAST(h % 16 AS INTEGER) AS b,
-         |                 SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
-         |          FROM qtk GROUP BY qid, b),
-         |qgrid AS (SELECT qq.qid, bb.b FROM (SELECT DISTINCT qid FROM qt) qq
-         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
-         |qvecs AS (SELECT g.qid, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
-         |          FROM qgrid g LEFT JOIN qsums s ON s.qid = g.qid AND s.b = g.b
-         |          GROUP BY g.qid),
-         |cd AS (SELECT q.qid, v.doc_id, d.lang, ${sqlCos("v.v", "q.qv")} AS dist_raw
-         |       FROM vecs v JOIN d ON d.doc_id = v.doc_id
-         |       CROSS JOIN qvecs q),
-         |r AS (SELECT qid, doc_id, lang, dist_raw, ROW_NUMBER() OVER
-         |        (PARTITION BY qid ORDER BY dist_raw, CAST(doc_id AS VARCHAR)) AS rnk
-         |      FROM cd)
-         |SELECT qid, rnk, CAST(doc_id AS VARCHAR) AS id,
-         |       ROUND(dist_raw, 4) + 0.0 AS dist, lang
-         |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
-    },
+    "q124_querytext_docindex" -> sqlQueryTextDocIndexOracle,
+    // q172: the SAME oracle — the graft_knn SQL table function must be
+    // hash-equal to q124's Scala batch call (one plan, two entry
+    // surfaces, and the wire-JSON where_document grammar is oracled)
+    "q172_knn_sql" -> sqlQueryTextDocIndexOracle,
+
     // q150: the full text→PQ composition replayed from raw text — q115's
     // hash-embed CTEs produce the 16-dim vectors (integral counts, so
     // float32 and DOUBLE agree bit-for-bit), then q144's per-qid PQ

@@ -421,9 +421,82 @@ private[graft] trait QueriesCuration extends EntryKit {
           roundz(col("mean_byte"), 4).as("mean_byte"))
         .orderBy("media_id")
     }),
+    // The TRAINED quality-classifier rung (CCNet/fastText's slot, above
+    // the rule gates q77/q85/q98): 3 batch-perceptron epochs on a seed-
+    // labeled slice (doc_id < 500; label = the q77-style rule the model
+    // must rediscover from hashed token counts), then ONE map-only
+    // corpus scoring pass with the dim+1 integer weights as an array
+    // literal. Pure-integer training (no sigmoid/log) is what makes the
+    // fit itself — not just the scoring — bit-replayable in DuckDB: the
+    // oracle unrolls all three epochs as exact BIGINT folds.
+    "q175_quality_clf" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val d = t(s, dir, "documents")
+      val txt = coalesce(col("text"), lit(""))
+      val lab = d.filter(col("doc_id") < 500)
+        .withColumn("label",
+          !txt.contains("slow") && size(split(txt, " ")) >= 30)
+      val w = QualityClassifier.trainPerceptron(
+        lab, "doc_id", "text", "label", dim = 64, epochs = 3)
+      QualityClassifier.score(d, "doc_id", "text", w).orderBy("doc_id")
+    }),
   )
 
   private[graft] def curationOracles: Map[String, String] = Map(
+    // q175: the whole TRAINING REPLAYED, not just the scoring — w1 is the
+    // all-misclassified first step (w0 = 0), each later epoch joins the
+    // margin fold back on the labeled features and adds the misclassified
+    // gradient; every value is a BIGINT so the hash compare is exact.
+    // Bucketing uses the pmod shape ((h % 64) + 64) % 64 — DuckDB's % keeps
+    // sign, Spark's pmod doesn't.
+    "q175_quality_clf" -> {
+      val h = sqlSpreadHash("tm")
+      s"""WITH lab AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN NOT contains(COALESCE(text, ''), 'slow')
+         |         AND len(string_split(COALESCE(text, ''), ' ')) >= 30
+         |         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+         |  FROM documents WHERE doc_id < 500),
+         |ltk AS (SELECT doc_id, $h AS hh FROM (
+         |  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tm
+         |  FROM documents WHERE doc_id < 500)),
+         |lf AS MATERIALIZED (
+         |  SELECT f.doc_id, l.y, f.b, f.c FROM (
+         |    SELECT doc_id, CAST(((hh % 64) + 64) % 64 AS INTEGER) AS b,
+         |           CAST(COUNT(*) AS BIGINT) AS c
+         |    FROM ltk GROUP BY 1, 2
+         |    UNION ALL SELECT doc_id, 64, 1 FROM lab) f
+         |  JOIN lab l USING (doc_id)),
+         |w1 AS MATERIALIZED (
+         |  SELECT b, CAST(SUM(y * c) AS BIGINT) AS w FROM lf GROUP BY b),
+         |m1 AS (SELECT lf.doc_id, lf.y, SUM(lf.c * COALESCE(w1.w, 0)) AS m
+         |       FROM lf LEFT JOIN w1 USING (b) GROUP BY 1, 2),
+         |g2 AS (SELECT lf.b, CAST(SUM(lf.y * lf.c) AS BIGINT) AS g
+         |       FROM lf JOIN m1 USING (doc_id) WHERE m1.y * m1.m <= 0
+         |       GROUP BY lf.b),
+         |w2 AS MATERIALIZED (
+         |  SELECT w1.b, w1.w + COALESCE(g2.g, 0) AS w
+         |  FROM w1 LEFT JOIN g2 USING (b)),
+         |m2 AS (SELECT lf.doc_id, lf.y, SUM(lf.c * COALESCE(w2.w, 0)) AS m
+         |       FROM lf LEFT JOIN w2 USING (b) GROUP BY 1, 2),
+         |g3 AS (SELECT lf.b, CAST(SUM(lf.y * lf.c) AS BIGINT) AS g
+         |       FROM lf JOIN m2 USING (doc_id) WHERE m2.y * m2.m <= 0
+         |       GROUP BY lf.b),
+         |w3 AS MATERIALIZED (
+         |  SELECT w2.b, w2.w + COALESCE(g3.g, 0) AS w
+         |  FROM w2 LEFT JOIN g3 USING (b)),
+         |ctk AS (SELECT doc_id, $h AS hh FROM (
+         |  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tm
+         |  FROM documents)),
+         |cf AS (SELECT doc_id, CAST(((hh % 64) + 64) % 64 AS INTEGER) AS b,
+         |              CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM ctk GROUP BY 1, 2
+         |       UNION ALL SELECT doc_id, 64, 1 FROM documents),
+         |sc AS (SELECT cf.doc_id, SUM(cf.c * COALESCE(w3.w, 0)) AS s
+         |       FROM cf LEFT JOIN w3 USING (b) GROUP BY 1)
+         |SELECT doc_id, CAST(s AS BIGINT) AS clf_score, s > 0 AS kept,
+         |       CASE WHEN s > 0 THEN 'kept' ELSE 'clf_negative' END AS reason
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
     "q16_dedup_exact" ->
       """SELECT (SELECT COUNT(DISTINCT text) FROM documents) AS n_distinct,
         |(SELECT COUNT(*) FROM (SELECT text, MIN(doc_id) FROM documents GROUP BY text)) AS n_after""".stripMargin,

@@ -282,34 +282,22 @@ private[graft] trait QueriesStore extends EntryKit {
     // artifact is a persistent INDEXED collection; rebuilding per call
     // would measure ingestion forever and the index path never.
     "q112_docindex_contains" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val root = verifyCollectionsRoot(dir)
-      val cat = new CollectionCatalog(s, root, numBuckets = 8)
-      val fp = s"dix3|$dir|n=${docs.count()}"
-      val reusable = cat.getCollection("dix").exists(c =>
-        c.meta.metadata.get("source_fp").contains(fp) && c.hasDocIndex)
-      val coll = if (reusable) cat.getCollection("dix").get else {
-        cat.deleteCollection("dix")
-        val c = cat.getOrCreateCollection("dix")
-        val all = docs.select(col("doc_id").cast("string").as("id"),
-          col("text").as("document"), col("lang"), col("n_chars"))
-        // hydrate in two stages THROUGH the incremental-refresh path
-        // (r8): index the bulk, then upsert a slice and refreshDocIndex —
-        // only the touched id buckets re-derive postings, the rest
-        // hard-link from the previous build. Final content = the full
-        // corpus either way, so the scan-semantics oracle is unchanged;
-        // what's newly pinned is that a REFRESHED index still answers
-        // bit-identically to the scan.
-        c.add(all.filter(col("id").cast("long") % 7 =!= 3))
-        c.buildDocIndex()
-        c.upsert(all.filter(col("id").cast("long") % 7 === 3))
-        val rebuilt = c.refreshDocIndex()
-        require(rebuilt > 0, "q112 must exercise an incremental refresh")
-        c.modifyMetadata(Map("source_fp" -> fp))
-        c
-      }
-      require(coll.hasDocIndex, "q112 must exercise the postings index")
-      coll.get(whereDoc = Some(ChromaFilter.Contains("vector table")))
+      dixCollection(s, dir)
+        .get(whereDoc = Some(ChromaFilter.Contains("vector table")))
+        .select(col("id"), col("lang"),
+          length(col("document")).cast("int").as("n_doc"))
+    }),
+    // B8 $regex (current chromadb parity): partial-match regex over the
+    // document text, served through the SAME trigram postings build as
+    // q112 — the conservative literal extractor finds the regex's
+    // REQUIRED runs ('vector ', ' table'), their grams confine the scan
+    // (superset prefilter), and the verbatim rlike re-check runs on the
+    // confined set, so the plain-scan oracle must hash-match. The
+    // pattern stays in the RE2 ∩ java.util.regex common subset and is
+    // shared verbatim with the DuckDB oracle (the q167 discipline).
+    "q173_docindex_regex" -> ((s, dir) => {
+      dixCollection(s, dir)
+        .get(whereDoc = Some(ChromaFilter.MatchesRegex("vector [a-z]+ table")))
         .select(col("id"), col("lang"),
           length(col("document")).cast("int").as("n_doc"))
     }),
@@ -656,9 +644,94 @@ private[graft] trait QueriesStore extends EntryKit {
           element_at(col("metadata"), "flagged").cast("boolean").as("flagged"))
         .orderBy(col("id"))
     }),
+    // A10's missing DIRECTION — Chroma REST INGRESS: a live Chroma server
+    // (faked here by a loopback JDK HttpServer speaking the public v2
+    // wire shapes — heartbeat negotiation, GET collection, count, paged
+    // POST get with parallel-array responses) is imported in ONE call
+    // through the normal add gates, then queried. The driver does two
+    // tiny calls; every page fetch runs on executors (the 100 TB-honest
+    // split: the single-node server bounds throughput, never Spark).
+    // The oracle replays the fixture the server serves (documents
+    // doc_id < 300, lang + n_chars as typed metadata) with the composed
+    // where × where_document read — proving the full wire → store →
+    // query path preserves content bit-for-bit.
+    "q174_rest_import" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      val fixture = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id").cast("string").as("id"), col("text"),
+          col("lang"), col("n_chars").cast("long").as("n_chars"))
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3))))
+        .sortBy(_._1)
+      def jstr(x: String): String =
+        "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      def getJson(off: Int, lim: Int): String = {
+        val page = fixture.slice(off, off + lim)
+        "{\"ids\":[" + page.map(r => jstr(r._1)).mkString(",") +
+          "],\"embeddings\":null,\"documents\":[" +
+          page.map(r => if (r._2 == null) "null" else jstr(r._2)).mkString(",") +
+          "],\"metadatas\":[" + page.map { r =>
+            val kv = Seq(Option(r._3).map(l => "\"lang\":" + jstr(l)),
+              Option(r._4).map(n => "\"n_chars\":" + n)).flatten
+            kv.mkString("{", ",", "}")
+          }.mkString(",") + "]}"
+      }
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val path = ex.getRequestURI.getPath
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        def num(key: String): Int =
+          ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(body)
+            .map(_.group(1).toInt).getOrElse(0)
+        val payload =
+          if (path == "/api/v2/heartbeat") """{"nanosecond heartbeat": 1}"""
+          else if (path.endsWith("/collections/restsrc"))
+            """{"id":"rsrc-1","name":"restsrc","metadata":{"hnsw:space":"l2"}}"""
+          else if (path.endsWith("/collections/rsrc-1/count")) fixture.length.toString
+          else if (path.endsWith("/collections/rsrc-1/get"))
+            getJson(num("offset"), num("limit"))
+          else null
+        val bytes = (if (payload == null) """{"error":"nope"}""" else payload)
+          .getBytes(UTF_8)
+        ex.sendResponseHeaders(if (payload == null) 404 else 200, bytes.length)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      })
+      server.setExecutor(null)
+      server.start()
+      try {
+        val root = verifyCollectionsRoot(dir)
+        val cat = new CollectionCatalog(s, root, numBuckets = 8)
+        cat.deleteCollection("restimp") // re-import each run: add forbids dup ids
+        val coll = graft.sources.ChromaRestSource.importInto(cat,
+          s"http://127.0.0.1:${server.getAddress.getPort}", "restsrc",
+          localName = "restimp", pageSize = 64, parallelism = 4)
+        coll.get(where = Some(ChromaFilter.Eq("lang", "en")),
+            whereDoc = Some(ChromaFilter.Contains("vector")))
+          .select(col("id"),
+            element_at(col("metadata"), "lang").as("lang"),
+            element_at(col("metadata"), "n_chars").cast("int").as("n_chars"),
+            length(col("document")).cast("int").as("n_doc"))
+          .orderBy(col("id"))
+      } finally server.stop(0)
+    }),
   )
 
   private[graft] def storeOracles: Map[String, String] = Map(
+    // q174: the serve → negotiate → page → parse → add → get pipeline
+    // must be CONTENT-PRESERVING, so the fixture the fake server reads
+    // from the documents table IS the oracle corpus; the composed
+    // where (map metadata) × where_document replays as plain predicates.
+    "q174_rest_import" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, lang,
+        |CAST(n_chars AS INTEGER) AS n_chars,
+        |CAST(length(text) AS INTEGER) AS n_doc
+        |FROM documents
+        |WHERE doc_id < 300 AND lang = 'en' AND contains(text, 'vector')
+        |ORDER BY id""".stripMargin,
     "q00_hydrate" ->
       """SELECT CAST(doc_id AS VARCHAR) AS id, text AS document,
         |CAST(len(embedding) AS INTEGER) AS dim, CAST(label AS VARCHAR) AS rating
@@ -866,6 +939,15 @@ private[graft] trait QueriesStore extends EntryKit {
       """SELECT CAST(doc_id AS VARCHAR) AS id, lang,
         |CAST(length(text) AS INTEGER) AS n_doc
         |FROM documents WHERE contains(text, 'vector table') ORDER BY id""".stripMargin,
+    // q173: same discipline for $regex — the postings index is a superset
+    // prefilter (required-literal grams) + verbatim re-check, so linear
+    // regexp scan semantics ARE the oracle; the pattern is shared
+    // verbatim (RE2-compatible, partial match on both engines).
+    "q173_docindex_regex" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, lang,
+        |CAST(length(text) AS INTEGER) AS n_doc
+        |FROM documents WHERE regexp_matches(text, 'vector [a-z]+ table')
+        |ORDER BY id""".stripMargin,
     // q114: the composed B7×B8 predicate through Collection.get over
     // MAP-typed metadata. The map stores n_chars as a STRING; the numeric
     // $gt literal makes the engine try_cast both sides to double, which

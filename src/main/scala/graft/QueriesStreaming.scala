@@ -223,17 +223,24 @@ private[graft] trait QueriesStreaming extends EntryKit {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.Trigger
       import graft.streaming.StreamingHydrator
-      import s.implicits._
-      implicit val sqlc: org.apache.spark.sql.SQLContext = s.sqlContext
       val base = t(s, dir, "events").filter(col("event_id") < 200)
         .select(col("event_id"), col("event_type")).collect()
         .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       def rows(lo: Long, hi: Long) = base
         .filter { case (i, _) => i >= lo && i < hi }
         .map { case (i, t) => (new java.sql.Timestamp(i * 180000L), t) }
+      // a windowed streaming agg opens one state store per shuffle
+      // partition per microbatch; at the session default 32, the three
+      // tiny driver-fed batches here pay ~96 store round-trips of pure
+      // fixed cost (the q142 lesson — its pin took 11.3 s → 5.3 s).
+      // 8 partitions on a CLONED session (shared SparkContext, isolated
+      // SQL conf) so concurrent work never plans with the override.
+      val s2 = StreamingHydrator.streamingSession(s, partitions = 8)
+      implicit val sqlc: org.apache.spark.sql.SQLContext = s2.sqlContext
+      import s2.implicits._
       val mem = MemoryStream[(java.sql.Timestamp, String)]
       val qn = s"q111_out_${dir.hashCode.toLong & 0xffffffffL}"
-      s.catalog.dropTempView(qn)
+      s2.catalog.dropTempView(qn)
       val out = StreamingHydrator.windowedCounts(
         mem.toDF().toDF("ts", "event_type"), "ts", "1 hour", "1 hour")
       val q = out.writeStream.format("memory").queryName(qn)
@@ -246,7 +253,7 @@ private[graft] trait QueriesStreaming extends EntryKit {
         mem.addData(Seq((new java.sql.Timestamp(30L * 3600000L), "___push")): _*)
         q.processAllAvailable()
       } finally q.stop()
-      s.table(qn)
+      s2.table(qn)
         .select(expr("unix_micros(window_start) div 3600000000").as("hr"),
           col("event_type"), col("cnt"))
         .orderBy("hr", "event_type")

@@ -143,7 +143,7 @@ private[graft] object Carry {
   *    are scanned once, not once to validate and again to write.
   */
 final class CollectionCatalog(
-    spark: SparkSession, rootDir: String, numBuckets: Int = 32,
+    val spark: SparkSession, rootDir: String, numBuckets: Int = 32,
     maxRowsPerFile: Long = 1L << 20) {
 
   require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
@@ -1598,8 +1598,6 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
 
   private def indexPrefix(v: Int): String = familyPrefix("index", v)
   private def indexBuildDir(v: Int, b: Int): Path = familyBuildDir("index", v, b)
-  private def indexBuildsOf(v: Int): Seq[Path] = familyBuildsOf("index", v)
-
   /** Committed index for the CURRENT version: (path, centroids), if any —
     * the highest marker-complete build. Centroid sidecars are parsed once
     * per committed build (they are immutable after the marker lands), not
@@ -2289,11 +2287,26 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
         changed.contains(slice.substring(slice.indexOf("/pb=") + 4).toInt) }
       .map { case (slice, owner) => slice -> owner.getName })
 
-  /** Drop the current version's index builds (reads fall back to the exact
-    * scan). Explicit user intent — unlike rebuild, this DOES delete. */
-  def dropIndex(): Boolean = {
-    val builds = indexBuildsOf(meta.version)
+  /** Drop the IVF index (reads fall back to the exact scan). Explicit
+    * user intent — unlike rebuild, this DOES delete: every build of the
+    * family (stale versions included — they serve nothing, and a
+    * surviving committed one would let [[refreshIndexes]]'s self-heal
+    * resurrect the family) AND the durable [[recordFamily]] marker, so
+    * `refreshIndexes()` / the SQL write option `refresh=true` honor the
+    * drop instead of silently rebuilding in full, and [[warnIfStale]]
+    * stays quiet on a deliberately index-less collection. */
+  def dropIndex(): Boolean = dropFamily("index")
+
+  /** [[dropIndex]]'s shared body: delete ALL builds of `family` (any
+    * version, committed or claimed) plus its `_graft_has_<family>`
+    * marker. Returns whether any build existed. */
+  private def dropFamily(family: String): Boolean = {
+    val builds = io.list(dir).filter { e =>
+      e.isDir && e.name.startsWith(s"${family}_v")
+    }.map(_.path)
     builds.foreach(io.deleteRecursively)
+    val marker = new Path(dir, s"_graft_has_$family")
+    if (io.exists(marker)) io.deleteRecursively(marker)
     builds.nonEmpty
   }
 
@@ -2305,8 +2318,6 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
   // superseded builds reclaimed by [[vacuum]]. Layout + query semantics:
   // [[graft.operators.DocIndex]] (trigram postings; index answers are
   // superset-prefilter + verbatim re-check, bit-identical to the scan).
-
-  private def docIndexBuildsOf(v: Int): Seq[Path] = familyBuildsOf("docindex", v)
 
   private def currentDocIndex(m: CollectionMeta): Option[Path] =
     currentFamilyBuild("docindex", m)
@@ -2464,12 +2475,10 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
   def refreshDocIndex(): Int =
     refreshPostingsFamily("docindex", "gp=", DocIndex.writeWithPb)
 
-  /** Drop the current version's postings-index builds. */
-  def dropDocIndex(): Boolean = {
-    val builds = docIndexBuildsOf(meta.version)
-    builds.foreach(io.deleteRecursively)
-    builds.nonEmpty
-  }
+  /** Drop the postings index — every build plus the durable family
+    * marker (the [[dropIndex]] contract: a drop must not be undone by
+    * `refreshIndexes()`). */
+  def dropDocIndex(): Boolean = dropFamily("docindex")
 
   /** Confine `df` to the postings index's candidate ids when a committed
     * index matches snapshot `m` and `whereDoc` is gram-confinable; no-op
@@ -2497,8 +2506,6 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
   // + query semantics: [[graft.operators.KeywordIndex]] (term-hash-sliced
   // postings carrying tf/dl + per-bucket stats rows; served scores are
   // bit-identical to the Retrieval.bm25 scan by the shared-fold contract).
-
-  private def kwIndexBuildsOf(v: Int): Seq[Path] = familyBuildsOf("kwindex", v)
 
   private def currentKwIndex(m: CollectionMeta): Option[Path] =
     currentFamilyBuild("kwindex", m)
@@ -2570,12 +2577,10 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       priorUsable = b => kwAnalyzerOf(b) == a)
   }
 
-  /** Drop the current version's keyword-sidecar builds. */
-  def dropKeywordIndex(): Boolean = {
-    val builds = kwIndexBuildsOf(meta.version)
-    builds.foreach(io.deleteRecursively)
-    builds.nonEmpty
-  }
+  /** Drop the keyword sidecar — every build plus the durable family
+    * marker (the [[dropIndex]] contract: a drop must not be undone by
+    * `refreshIndexes()`). */
+  def dropKeywordIndex(): Boolean = dropFamily("kwindex")
 
   /** The committed keyword build SERVABLE under snapshot `m`: current
     * version AND analyzer stamp = the collection's current setting. A

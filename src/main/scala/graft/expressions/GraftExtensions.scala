@@ -196,11 +196,40 @@ object GraftExtensions {
       graft.operators.OverlapRerank(), fetchN, where = where))
   }
 
+  /** `graft_knn(root, collection, text, k[, whereJson[, whereDocJson]])` —
+    * Chroma's `query(query_texts=[...])` from pure SQL, completing the
+    * TVF quadrant (bm25 / hybrid / rerank / knn): embed the text with the
+    * collection's RECORDED embedding function and rank by the collection
+    * space's distance, served through the committed IVF/PQ index when
+    * current (exact-scan fallback otherwise) — the same [[graft.catalog
+    * .Collection.queryText]] plan, gates included, Scala callers get.
+    * The two trailing filters are Chroma wire-format JSON (`where` then
+    * `where_document`); pass `''` to skip a slot — SQL's positional
+    * arguments have no other spelling of None (a typed NULL literal
+    * would read as the string "null" under strLit's contract). */
+  private def buildKnnTvf(children: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(children.length >= 4 && children.length <= 6,
+      s"graft_knn takes (root, collection, text, k[, whereJson[, whereDocJson]]), got ${children.length} args")
+    val coll = collectionOf(strLit(children(0), "graft_knn root"),
+      strLit(children(1), "graft_knn collection"))
+    val k = intLit(children(3), "graft_knn k")
+    def optJson(i: Int, what: String): Option[String] =
+      children.lift(i).map(e => strLit(e, what)).filter(_.nonEmpty)
+    val where = optJson(4, "graft_knn where")
+      .map(graft.operators.ChromaFilter.whereFromJson)
+    val whereDoc = optJson(5, "graft_knn whereDoc")
+      .map(graft.operators.ChromaFilter.whereDocFromJson)
+    planOf(coll.queryText(Seq(strLit(children(2), "graft_knn text")), k,
+      where, whereDoc))
+  }
+
   private val tableFunctions: Seq[(String,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     "graft_bm25" -> (buildBm25Tvf _),
     "graft_hybrid" -> (buildHybridTvf _),
-    "graft_rerank" -> (buildRerankTvf _))
+    "graft_rerank" -> (buildRerankTvf _),
+    "graft_knn" -> (buildKnnTvf _))
 
   /** Register the SQL functions + the IVF prune rule on a live session. */
   def register(spark: SparkSession): Unit = {

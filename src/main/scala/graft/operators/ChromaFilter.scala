@@ -95,6 +95,22 @@ object ChromaFilter {
   final case class NotContains(s: String) extends WhereDocument {
     def toColumn(docCol: Column): Column = !docCol.contains(s)
   }
+  /** `$regex` (current chromadb parity, beside `$contains`): partial-
+    * match semantics — the document matches if the pattern matches ANY
+    * substring (Chroma/SQLite REGEXP, DuckDB `regexp_matches`, Spark
+    * `rlike` all agree on partial match). The pattern evaluates under
+    * Spark's engine (java.util.regex); oracle-shared patterns must stay
+    * inside the RE2-compatible subset (no lookaround/backrefs — the q167
+    * pattern-sharing discipline). Confinable through the trigram postings
+    * index via [[DocIndex.requiredLiterals]] (extracted required literal
+    * runs → gram sets; anything non-extractable falls back to the scan,
+    * and callers ALWAYS re-apply this verbatim predicate). */
+  final case class MatchesRegex(pattern: String) extends WhereDocument {
+    def toColumn(docCol: Column): Column = docCol.rlike(pattern)
+  }
+  final case class NotMatchesRegex(pattern: String) extends WhereDocument {
+    def toColumn(docCol: Column): Column = !docCol.rlike(pattern)
+  }
   final case class AndDoc(cs: Seq[WhereDocument]) extends WhereDocument {
     def toColumn(docCol: Column): Column = cs.map(_.toColumn(docCol)).reduce(_ && _)
   }
@@ -174,6 +190,15 @@ object ChromaFilter {
             case (o2, x) => throw new IllegalArgumentException(
               s"unknown where operator '$o2' for key '$key' (value $x)")
           }
+        // {"lang": "en"} shorthand — but a `$`-prefixed key here is an
+        // operator in the wrong position ({"$contains": ...} passed as
+        // `where`, or a typo like {"$And": ...} with a scalar), which
+        // Chroma rejects loudly; accepting it as metadata equality would
+        // silently match nothing on the map layout
+        case (key, x) if key.startsWith("$") => throw new IllegalArgumentException(
+          s"unknown where operator '$key' (value $x) — metadata keys may not start with '$$'" +
+            (if (key == "$contains" || key == "$not_contains")
+               "; document operators belong in where_document, not where" else ""))
         case (key, x) => Eq(key, scalar(x, key)) // {"lang": "en"} shorthand
       }
     case other => throw new IllegalArgumentException(
@@ -188,6 +213,8 @@ object ChromaFilter {
       m.head match {
         case ("$contains", s: String)     => Contains(s)
         case ("$not_contains", s: String) => NotContains(s)
+        case ("$regex", s: String)        => MatchesRegex(s)
+        case ("$not_regex", s: String)    => NotMatchesRegex(s)
         case (op @ ("$and" | "$or"), vs: Seq[_]) if vs.isEmpty =>
           throw new IllegalArgumentException(s"$op expects a NON-EMPTY array")
         case ("$and", vs: Seq[_]) => AndDoc(vs.map(whereDocOf))
@@ -213,7 +240,7 @@ object ChromaFilter {
     * single-key by contract), arrays → Seq[Any], strings with the standard
     * escapes, numbers → Long when integral / Double otherwise, true/false/
     * null. No dependency, deterministic errors with offsets. */
-  private object JsonMini {
+  private[graft] object JsonMini {
     def parse(s: String): (Any, Int) = value(s, ws(s, 0))
 
     def requireEnd(pos: Int, s: String): Unit = {
@@ -254,6 +281,10 @@ object ChromaFilter {
         p = ws(s, p1)
         require(p < s.length && s(p) == ':', s"expected ':' at offset $p in '$s'")
         val (v, p2) = value(s, ws(s, p + 1))
+        // last-wins would let {"a": 1, "a": 2} slip past the exactly-one-
+        // key validation as Eq(a, 2) while two DISTINCT keys fail loudly
+        require(!out.contains(k),
+          s"duplicate key '$k' in filter JSON object: '$s'")
         out(k) = v
         p = ws(s, p2)
         require(p < s.length, s"unterminated object in filter JSON: '$s'")

@@ -107,6 +107,15 @@ object DocIndex {
       val g = CharGrams.gramsOf(s, N)
       if (g.isEmpty) None else Some(Seq(g))
     case ChromaFilter.NotContains(_) => None
+    // $regex confines through its REQUIRED literal runs: every match
+    // must contain each extracted literal, so the union of their grams
+    // is one AND-set — a strict superset filter, like Contains. A
+    // pattern with no extractable >=N-char literal (or any construct
+    // the conservative extractor refuses) returns None → linear scan.
+    case ChromaFilter.MatchesRegex(p) =>
+      requiredLiterals(p).map(_.flatMap(CharGrams.gramsOf(_, N)).distinct)
+        .filter(_.nonEmpty).map(g => Seq(g))
+    case ChromaFilter.NotMatchesRegex(_) => None
     case ChromaFilter.AndDoc(cs) =>
       val confining = cs.flatMap(gramSets)
       if (confining.isEmpty) None
@@ -123,6 +132,82 @@ object DocIndex {
         val all = branches.flatMap(_.get)
         if (all.size > MaxGramSets) None else Some(all)
       }
+  }
+
+  /** The literal strings REQUIRED by a regex — substrings every matching
+    * document must contain — extracted conservatively for trigram
+    * confinement. Sound by construction: a literal run counts only when
+    * it sits at nesting depth 0 (group contents may be under alternation
+    * or `?`, so nothing inside parens is required), a quantifier that can
+    * make its atom vanish (`*`, `?`, `{`) retracts the run's last char,
+    * and any construct the scanner can't prove requiredness through —
+    * top-level alternation, `\Q`, an unclosed class — returns None
+    * (→ scan fallback, loudly logged by the caller). Class shorthands
+    * (`\d` etc.), anchors, `.` and `[...]` classes just break the run.
+    * None ⇔ no >=1-char required literal survives. */
+  def requiredLiterals(pattern: String): Option[Seq[String]] = {
+    val out = Seq.newBuilder[String]
+    val run = new StringBuilder
+    var depth = 0
+    var i = 0
+    def flush(): Unit = { if (run.nonEmpty) { out += run.toString; run.clear() } }
+    def retract(): Unit = if (run.nonEmpty) run.setLength(run.length - 1)
+    while (i < pattern.length) {
+      pattern(i) match {
+        case '\\' =>
+          if (i + 1 >= pattern.length) return None // dangling escape
+          pattern(i + 1) match {
+            case 'Q' => return None // quote block: would need its own scan
+            case c @ ('\\' | '.' | '*' | '+' | '?' | '(' | ')' | '[' | ']' |
+                      '{' | '}' | '|' | '^' | '$' | '-' | '/') =>
+              // escaped metachar = literal — but only a depth-0 literal
+              // counts, and a following vanishing quantifier retracts it
+              if (depth == 0 && (i + 2 >= pattern.length ||
+                  !"*?{".contains(pattern(i + 2)))) run.append(c)
+              else flush()
+            case _ => flush() // \d \w \s \b \1 ... : matches, but not a literal
+          }
+          i += 2
+        case '[' =>
+          flush()
+          // skip the class: first char (or after ^) may be an unescaped ]
+          var j = i + 1
+          if (j < pattern.length && pattern(j) == '^') j += 1
+          if (j < pattern.length && pattern(j) == ']') j += 1
+          while (j < pattern.length && pattern(j) != ']') {
+            if (pattern(j) == '\\') j += 1
+            j += 1
+          }
+          if (j >= pattern.length) return None // unclosed class
+          i = j + 1
+        case '(' => flush(); depth += 1; i += 1
+        case ')' =>
+          if (depth == 0) return None // unbalanced
+          depth -= 1; i += 1
+        case '|' =>
+          if (depth == 0) return None // top-level alternation: nothing required
+          i += 1
+        case '*' | '?' => retract(); flush(); i += 1
+        case '{' =>
+          // {m,n}: conservatively treat as possibly-zero → retract
+          retract(); flush()
+          val j = pattern.indexOf('}', i)
+          if (j < 0) return None
+          i = j + 1
+        case '+' => flush(); i += 1 // one-or-more keeps the atom required
+        case '.' | '^' | '$' => flush(); i += 1
+        case c =>
+          // a literal followed by a vanishing quantifier is optional
+          if (depth == 0 && (i + 1 >= pattern.length ||
+              !"*?{".contains(pattern(i + 1)))) run.append(c)
+          else flush()
+          i += 1
+      }
+    }
+    if (depth != 0) return None
+    flush()
+    val ls = out.result().filter(_.nonEmpty)
+    if (ls.isEmpty) None else Some(ls)
   }
 
   /** Candidate ids from a postings layout at `path` for `sets` (the

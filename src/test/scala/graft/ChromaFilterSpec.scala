@@ -72,11 +72,32 @@ class ChromaFilterSpec extends SparkTestBase {
     intercept[IllegalArgumentException](whereFromJson("""{"a": {"$in": []}}"""))
     intercept[IllegalArgumentException](whereFromJson("""{"a": {"$nin": []}}"""))
     intercept[IllegalArgumentException](whereDocFromJson("""{"$and": []}"""))
+    // a $-prefixed key with a scalar value is an operator in the wrong
+    // position, not a metadata key — Chroma rejects it; the old shorthand
+    // arm parsed Eq("$contains", ...) which silently matched nothing
+    val e = intercept[IllegalArgumentException](
+      whereFromJson("""{"$contains": "spark"}"""))
+    assert(e.getMessage.contains("where_document"))
+    intercept[IllegalArgumentException](whereFromJson("""{"$And": "x"}"""))
+    intercept[IllegalArgumentException](whereFromJson("""{"$not_contains": "x"}"""))
+    // duplicate keys must not slip past exactly-one-key validation
+    // last-wins ({"a":1,"a":2} used to parse as Eq(a, 2))
+    val d = intercept[IllegalArgumentException](
+      whereFromJson("""{"a": 1, "a": 2}"""))
+    assert(d.getMessage.contains("duplicate key"))
+    intercept[IllegalArgumentException](
+      whereFromJson("""{"a": {"$gt": 1, "$gt": 5}}"""))
+    intercept[IllegalArgumentException](
+      whereDocFromJson("""{"$contains": "x", "$contains": "y"}"""))
   }
 
   test("whereDocFromJson: contains shapes") {
     assert(whereDocFromJson("""{"$contains": "spark"}""") == Contains("spark"))
     assert(whereDocFromJson("""{"$not_contains": "x"}""") == NotContains("x"))
+    assert(whereDocFromJson("""{"$regex": "sp[a-z]+k"}""") ==
+      MatchesRegex("sp[a-z]+k"))
+    assert(whereDocFromJson("""{"$not_regex": "a\\d+b"}""") ==
+      NotMatchesRegex("a\\d+b"))
     assert(whereDocFromJson(
       """{"$and": [{"$contains": "a"}, {"$not_contains": "b"}]}""") ==
       AndDoc(Seq(Contains("a"), NotContains("b"))))

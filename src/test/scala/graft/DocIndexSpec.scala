@@ -71,6 +71,69 @@ class DocIndexSpec extends SparkTestBase {
       .select("id").as[String].collect().toSet == Set("2", "4"))
   }
 
+  test("requiredLiterals: conservative required-run extraction") {
+    import DocIndex.requiredLiterals
+    // plain literal ≡ contains
+    assert(requiredLiterals("brown fox") == Some(Seq("brown fox")))
+    // metachars break runs; both sides required
+    assert(requiredLiterals("quick.*brown") == Some(Seq("quick", "brown")))
+    assert(requiredLiterals("vector [a-z]+ table") ==
+      Some(Seq("vector ", " table")))
+    // vanishing quantifiers retract their atom
+    assert(requiredLiterals("colou?r") == Some(Seq("colo", "r")))
+    assert(requiredLiterals("ab*c") == Some(Seq("a", "c")))
+    assert(requiredLiterals("ab{0,3}c") == Some(Seq("a", "c")))
+    // + keeps its atom
+    assert(requiredLiterals("ab+c") == Some(Seq("ab", "c")))
+    // group contents are never required (may be alternated/optional)
+    assert(requiredLiterals("(foo|bar)baz") == Some(Seq("baz")))
+    assert(requiredLiterals("pre(opt)?post") == Some(Seq("pre", "post")))
+    // escaped metachars are literals; class shorthands are not
+    assert(requiredLiterals("a\\.b") == Some(Seq("a.b")))
+    assert(requiredLiterals("a\\d+b") == Some(Seq("a", "b")))
+    // anchors break runs but don't poison extraction
+    assert(requiredLiterals("^start end$") == Some(Seq("start end")))
+    // unconfinable shapes: top-level alternation, quote blocks,
+    // unbalanced syntax, nothing-literal patterns
+    assert(requiredLiterals("abc|def").isEmpty)
+    assert(requiredLiterals("\\Qa.b\\E").isEmpty)
+    assert(requiredLiterals("[a-z").isEmpty)
+    assert(requiredLiterals("a)b").isEmpty)
+    assert(requiredLiterals("\\d+\\s*").isEmpty)
+    assert(requiredLiterals("(abc)").isEmpty)
+  }
+
+  test("gramSets: $regex confines via required literals; $not_regex never") {
+    assert(DocIndex.gramSets(MatchesRegex("brown")) ==
+      Some(Seq(Seq("bro", "row", "own"))))
+    // both required runs' grams land in ONE AND-set
+    assert(DocIndex.gramSets(MatchesRegex("qui.*own")) == Some(Seq(Seq("qui", "own"))))
+    // runs shorter than a gram contribute nothing; if none survive → scan
+    assert(DocIndex.gramSets(MatchesRegex("a.*b")).isEmpty)
+    assert(DocIndex.gramSets(MatchesRegex("abc|def")).isEmpty)
+    assert(DocIndex.gramSets(NotMatchesRegex("brown")).isEmpty)
+  }
+
+  test("$regex through get(): index-confined equals scan, fallback included") {
+    val c = hydrated()
+    val pat = "qu[a-z]+k b" // requires 'qu' (too short) and 'k b' (gram 'k b')
+    val scan = c.get(whereDoc = Some(MatchesRegex(pat)))
+      .select("id").as[String].collect().toSet
+    assert(scan == Set("1", "3"))
+    c.buildDocIndex()
+    assert(c.get(whereDoc = Some(MatchesRegex(pat)))
+      .select("id").as[String].collect().toSet == scan)
+    // confinable composite: regex AND not_contains
+    assert(c.get(whereDoc = Some(AndDoc(Seq(
+        MatchesRegex("bro[a-z]n"), NotContains("slow")))))
+      .select("id").as[String].collect().toSet == Set("1", "3"))
+    // unconfinable regex falls back to the scan, verbatim semantics
+    assert(c.get(whereDoc = Some(MatchesRegex("jugs$|fox")))
+      .select("id").as[String].collect().toSet == Set("1", "2"))
+    assert(c.get(whereDoc = Some(NotMatchesRegex("b[or]o?wn")))
+      .select("id").as[String].collect().toSet == Set("2", "4"))
+  }
+
   test("index path is gp-partition-confined in the plan") {
     val c = hydrated()
     c.buildDocIndex()

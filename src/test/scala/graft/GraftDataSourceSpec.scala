@@ -282,6 +282,59 @@ class GraftDataSourceSpec extends SparkTestBase {
       .map(_.getString(0)).toSet == Set("9", "10"))
   }
 
+  test("drop removes the durable family marker: refreshIndexes()/refresh=true honor the drop") {
+    val r = tmpDir("dsw-drop")
+    val cat = new CollectionCatalog(spark, r, numBuckets = 4)
+    val c = cat.getOrCreateCollection("d")
+    c.add(Seq(("1", "hash joins"), ("2", "stream state")).toDF("id", "document"))
+    c.buildKeywordIndex()
+    c.buildDocIndex()
+    assert(c.hasKeywordIndex && c.hasDocIndex)
+    // an explicit drop is user intent: the family must STAY dropped —
+    // the marker used to survive, so refreshIndexes() (and any SQL write
+    // with refresh=true) silently rebuilt the dropped index in full
+    assert(c.dropKeywordIndex())
+    assert(!c.hasKeywordIndex)
+    assert(c.refreshIndexes() == Map("docindex" -> 0))
+    assert(!c.hasKeywordIndex)
+    assert(c.dropDocIndex())
+    assert(c.refreshIndexes().isEmpty)
+    assert(!c.hasDocIndex && !c.hasKeywordIndex)
+    Seq(("3", "hash tables")).toDF("id", "document")
+      .write.format("graft").option("root", r).option("name", "d")
+      .mode("append").option("refresh", "true").save()
+    assert(!c.hasKeywordIndex && !c.hasDocIndex)
+    // reads stay correct through the scan fallback
+    assert(c.keywordTopK(Seq("hash"), 5).collect()
+      .map(_.getString(0)).toSet == Set("1", "3"))
+    // rebuilding explicitly re-records the family — refresh works again
+    c.buildKeywordIndex()
+    assert(c.hasKeywordIndex)
+    Seq(("4", "hash probes")).toDF("id", "document")
+      .write.format("graft").option("root", r).option("name", "d")
+      .mode("append").option("refresh", "true").save()
+    assert(c.hasKeywordIndex)
+  }
+
+  test("dropIndex after overwrite: neither the marker nor stale builds resurrect the family") {
+    val r = tmpDir("dsw-drop2")
+    val cat = new CollectionCatalog(spark, r, numBuckets = 4)
+    val c = cat.getOrCreateCollection("d2")
+    c.add(Seq(("1", "hash joins")).toDF("id", "document"))
+    c.buildKeywordIndex()
+    // overwrite with refresh unset: every build goes version-stale and
+    // the replace's vacuum reclaims them; only the durable marker remains
+    Seq(("9", "hash replaced")).toDF("id", "document")
+      .write.format("graft").option("root", r).option("name", "d2")
+      .mode("overwrite").save()
+    assert(!c.hasKeywordIndex)
+    // drop with zero surviving builds: returns false (nothing deleted)
+    // but MUST still clear the marker, else refreshIndexes() rebuilds
+    assert(!c.dropKeywordIndex())
+    assert(c.refreshIndexes().isEmpty)
+    assert(!c.hasKeywordIndex)
+  }
+
   test("overwrite space option: validated, and the hnsw:space mirror follows the re-point") {
     val r = tmpDir("dsw-space")
     val cat = new CollectionCatalog(spark, r, numBuckets = 4)

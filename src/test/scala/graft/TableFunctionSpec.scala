@@ -112,6 +112,77 @@ class TableFunctionSpec extends SparkTestBase {
     assert(viaSql == viaScala && viaSql.head._1 == "1") // both terms hit doc 1
   }
 
+  test("graft_knn from SQL equals queryText from the API, filters included") {
+    val root = tmpDir("tvf-knn")
+    val cat = new CollectionCatalog(spark, root, numBuckets = 4)
+    val c = cat.getOrCreateCollection("n", space = "cosine")
+    c.addDocuments(Seq(
+      ("1", "hash join stream", "en"), ("2", "hash table scan", "fr"),
+      ("3", "join scan probe", "en"), ("4", "stream hash state", "en"))
+      .toDF("id", "document", "lang"), HashingEmbedder(8))
+    GraftExtensions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    // plain: recorded-embedding kNN through SQL ≡ the Scala call
+    val viaSql = rows(spark.sql(
+      s"SELECT id, rnk, dist FROM graft_knn('$root', 'n', 'hash join', 3)"))
+    val viaApi = rows(c.queryText(Seq("hash join"), k = 3)
+      .select("id", "rnk", "dist"))
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    // where JSON confines eligibility; '' skips a slot
+    val filtered = rows(spark.sql(
+      s"""SELECT id, rnk, dist FROM graft_knn('$root', 'n', 'hash join', 3,
+         |  '{"lang": "en"}')""".stripMargin))
+    val filteredApi = rows(c.queryText(Seq("hash join"), k = 3,
+        where = Some(graft.operators.ChromaFilter.Eq("lang", "en")))
+      .select("id", "rnk", "dist"))
+    assert(filtered == filteredApi && !filtered.map(_._1).contains("2"))
+    // whereDoc JSON in the trailing slot, where slot skipped with ''
+    val docf = rows(spark.sql(
+      s"""SELECT id, rnk, dist FROM graft_knn('$root', 'n', 'hash join', 3,
+         |  '', '{"$$contains": "scan"}')""".stripMargin))
+    val docfApi = rows(c.queryText(Seq("hash join"), k = 3,
+        whereDoc = Some(graft.operators.ChromaFilter.Contains("scan")))
+      .select("id", "rnk", "dist"))
+    assert(docf == docfApi && docf.map(_._1).toSet == Set("2", "3"))
+  }
+
+  test("graft_knn analysis-time failures are loud") {
+    val root = tmpDir("tvf-knn-err")
+    mkColl(root, "k") // keyword-only fixture: NO recorded embedding function?
+    GraftExtensions.register(spark)
+    // mkColl uses addDocuments → has an embedding function; a collection
+    // hydrated via plain add has none — queryText's gate must fire
+    val cat = new CollectionCatalog(spark, root, numBuckets = 4)
+    val bare = cat.getOrCreateCollection("bare")
+    bare.add(Seq(("1", "x")).toDF("id", "document"))
+    val noEf = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_knn('$root', 'bare', 'x', 1)").collect()
+    }
+    assert(noEf.getMessage.contains("embedding function"))
+    val nonLit = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_knn('$root', 'k', 'hash', 1 + 1)").collect()
+    }
+    assert(nonLit.getMessage.contains("integer literal"))
+    val missing = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_knn('$root', 'nope', 'hash', 5)").collect()
+    }
+    assert(missing.getMessage.contains("no collection"))
+    val badJson = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_knn('$root', 'k', 'hash', 5, '{\"a\": }')").collect()
+    }
+    assert(badJson.getMessage.contains("filter JSON"))
+    // a where_document operator passed in the WHERE slot fails loudly
+    // (the ChromaFilter shorthand gate), pointing at the right slot
+    val wrongSlot = intercept[Exception] {
+      spark.sql(
+        s"""SELECT * FROM graft_knn('$root', 'k', 'hash', 5,
+           |  '{"$$contains": "x"}')""".stripMargin).collect()
+    }
+    assert(wrongSlot.getMessage.contains("where_document"))
+  }
+
   test("non-literal arguments and unknown collections fail loudly") {
     val root = tmpDir("tvf-err")
     mkColl(root, "k")
