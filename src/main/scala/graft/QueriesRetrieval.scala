@@ -310,6 +310,23 @@ private[graft] trait QueriesRetrieval extends EntryKit {
         .select(col("id"), roundz(col("rrf"), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("id"))
     }),
+    // LATE-INTERACTION retrieval (ColBERT MaxSim) — the reranking rung
+    // between BM25 and the cross-encoder: the corpus is chunked (q70's
+    // operator, 32/8), every chunk hash-embedded (q115's function), the
+    // query encoded PER TOKEN, and each doc scored by the sum over query
+    // tokens of its best-chunk cosine similarity. The oracle replays the
+    // whole construction — chunk windows, signed-hash chunk/token
+    // vectors, per-(doc,token) max, the round-then-decimal per-doc sum —
+    // so chunking, embedding and the MaxSim fold sit under ONE hash.
+    "q176_maxsim" -> ((s, dir) => {
+      val emb = HashingEmbedder(16)
+      val ch = TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text", 32, 8)
+      val qvecs = Seq("vector", "database", "search").map(emb.embedOne)
+      Retrieval.maxSimTopK(emb.embedFrame(ch, "chunk_text", "cvec"),
+          "doc_id", "cvec", qvecs, k = 15)
+        .select(col("doc_id"), roundz(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
   )
 
   private lazy val sqlRerankOracle: String = (sqlHybridText(k = 30, fetchN = 30,
@@ -331,6 +348,59 @@ private[graft] trait QueriesRetrieval extends EntryKit {
     vecFilter = Some("doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"))
 
   private[graft] def retrievalOracles: Map[String, String] = Map(
+    // q176: the full late-interaction construction replayed — q70's chunk
+    // windows, q115's signed-hash embedding for every chunk AND every
+    // query token, the same 1 - (1 - dot/(|a||b|)) similarity shape the
+    // engine computes (bit-identical op order), per-(doc,token) MAX,
+    // round-to-6-then-DECIMAL per-doc sum (order-free), top-15 by
+    // (score desc, doc_id). Zero chunk vectors are dropped on both sides
+    // (cosine undefined; max() would NaN-poison silently).
+    "q176_maxsim" -> {
+      val h = sqlStrHash("tm")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(COALESCE(text, ''), '\\s+') AS toks
+         |           FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |        GREATEST(CAST(CEIL(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INTEGER), 1) AS nc
+         |      FROM t),
+         |ck AS (SELECT doc_id, u.cid AS cid, u.txt AS txt FROM (
+         |  SELECT doc_id, unnest(list_transform(range(nc), i -> {
+         |    'cid': i,
+         |    'txt': array_to_string(toks[CAST(i*24 + 1 AS INTEGER):CAST(i*24 + 32 AS INTEGER)], ' ')})) AS u
+         |  FROM n)),
+         |ctoks AS (SELECT doc_id, cid, unnest(string_split_regex(lower(txt), '\\s+')) AS tm FROM ck),
+         |ctk AS (SELECT doc_id, cid, $h AS hh FROM ctoks WHERE length(tm) > 0),
+         |csums AS (SELECT doc_id, cid, CAST(hh % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM ctk GROUP BY 1, 2, 3),
+         |cgrid AS (SELECT k.doc_id, k.cid, bb.b FROM (SELECT doc_id, cid FROM ck) k
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |cvecs AS (SELECT g.doc_id, g.cid,
+         |                 list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |          FROM cgrid g LEFT JOIN csums s
+         |            ON s.doc_id = g.doc_id AND s.cid = g.cid AND s.b = g.b
+         |          GROUP BY g.doc_id, g.cid),
+         |nz AS (SELECT doc_id, cid, v FROM cvecs
+         |       WHERE len(list_filter(v, x -> x <> 0)) > 0),
+         |qt AS (SELECT * FROM (VALUES (0, 'vector'), (1, 'database'),
+         |                             (2, 'search')) AS q(qtok, tm)),
+         |qtk AS (SELECT qtok, $h AS hh FROM qt),
+         |qsums AS (SELECT qtok, CAST(hh % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY 1, 2),
+         |qgrid AS (SELECT qq.qtok, bb.b FROM (SELECT DISTINCT qtok FROM qt) qq
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |qvecs AS MATERIALIZED (
+         |  SELECT g.qtok, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+         |  FROM qgrid g LEFT JOIN qsums s ON s.qtok = g.qtok AND s.b = g.b
+         |  GROUP BY g.qtok),
+         |sims AS (SELECT c.doc_id, q.qtok, 1.0 - (${sqlCos("c.v", "q.qv")}) AS sim
+         |         FROM nz c CROSS JOIN qvecs q),
+         |mx AS (SELECT doc_id, qtok, CAST(ROUND(MAX(sim), 6) AS DECIMAL(18,6)) AS ms
+         |       FROM sims GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, CAST(SUM(ms) AS DOUBLE) AS score FROM mx GROUP BY 1)
+         |SELECT doc_id, ROUND(score, 6) + 0.0 AS score FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+    },
     "q66_bm25_topk" -> (sqlBm25(20) + "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
     "q154_kwindex_bm25" -> (sqlBm25(20, idExpr = "CAST(doc_id AS VARCHAR)") +
       "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),

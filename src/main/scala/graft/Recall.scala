@@ -98,6 +98,24 @@ object Recall {
           Ann.queryPqRefined(encoded, emb, model, "vec_id", "embedding",
             q0, 10, fetchN, "cosine", Seq(0L)).select(col("vec_id")),
           exactExcl, "vec_id"))
+      },
+      // Late interaction vs the bi-encoder baseline: overlap@15 of the
+      // q176 MaxSim ranking with single-vector whole-document cosine
+      // top-15 for the same query tokens. Both sides are EXACT
+      // computations — this probes how much the chunk-level max changes
+      // the answer set (the reason the rung exists), not approximation
+      // error. Null/empty documents embed to the zero vector, whose NaN
+      // distance sorts last on both sides (never ranked).
+      "maxsim_vs_biencoder" -> {
+        val docs = SparkEntry.t(spark, dir, "documents")
+        val he = graft.operators.HashingEmbedder(16)
+        val exactDoc = Knn.topK(
+          he.embedFrame(docs.withColumn("text",
+            coalesce(col("text"), lit(""))), "text", "__dv"),
+          "doc_id", "__dv", he.embedOne("vector database search"), 15, "cosine")
+          .select("doc_id")
+        one(Ann.recallAtK(run("q176_maxsim").select(col("doc_id")),
+          exactDoc, "doc_id"))
       })
 
     val bounded = emb.filter(col("vec_id") < pairCap)

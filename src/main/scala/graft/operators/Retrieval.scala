@@ -435,6 +435,70 @@ object Retrieval {
         org.apache.spark.sql.Row(r, id, sc) }.asJava, schema)
   }
 
+  /** Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia 2020):
+    * score(doc) = Σ over query-token vectors of max over the doc's CHUNK
+    * vectors of cosine similarity — the modern reranking rung between
+    * BM25 and a cross-encoder, over the chunk→embed artifacts the
+    * chunking operator (q70) produces.
+    *
+    * 100 TB shape: the query side is a handful of token vectors →
+    * broadcast; the corpus-sized chunk table is scanned ONCE, each chunk
+    * row expanding to |qtokens| (chunk, token) similarities map-side.
+    * Both folds are partial-aggregation friendly: max per (doc, qtok)
+    * combines map-side before the one shuffle on the doc id, and the
+    * per-doc sum rides the same exchange (two aggs, one partitioning).
+    * Top-k is a TakeOrdered over (score desc, id) — no global sort.
+    *
+    * Determinism: cosine reuses the compiled [[graft.functions
+    * .Distances]] fold; `max` is order-free; the per-doc sum adds ≤
+    * |qtokens| doubles, rounded AT THE CALLER after the fold (the
+    * oracle replays the same max-then-sum in DOUBLE, exact because max
+    * picks identical values and the tiny sum is over identically-valued
+    * terms in qtok order via the decimal trick — callers round scores
+    * to 6 before hashing, the q158 discipline).
+    *
+    * @param chunks frame of (idCol, embCol) — one row per chunk; extra
+    *               columns are dropped from the output
+    * @param queryVecs one vector PER QUERY TOKEN (ColBERT's per-token
+    *               query encoding), all of the chunk dimension
+    */
+  def maxSimTopK(chunks: DataFrame, idCol: String, embCol: String,
+                 queryVecs: Seq[Seq[Float]], k: Int): DataFrame = {
+    require(queryVecs.nonEmpty, "maxSimTopK needs at least one query token vector")
+    require(queryVecs.map(_.length).distinct.size == 1,
+      s"query token vectors must share one dimension, got ${queryVecs.map(_.length).distinct}")
+    require(k > 0, s"k must be positive, got $k")
+    // the queryText zero-vector gate, per token: a zero query token makes
+    // every similarity NaN and both engines' max() treats NaN as largest —
+    // the whole ranking would be NaN-poisoned silently
+    queryVecs.zipWithIndex.foreach { case (v, i) => require(v.exists(_ != 0f),
+      s"query token vector $i is all-zero — cosine similarity is undefined") }
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val q = queryVecs.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("__qtok", "__qvec")
+    // per-token MAX similarity folds per (doc, token) — the decimal cast
+    // AFTER rounding makes the later per-doc sum order-free (q105's rule).
+    // Zero CHUNK vectors (an empty/hash-cancelled chunk) are dropped, not
+    // NaN-scored: cosine is undefined on them, and a doc whose every
+    // chunk is zero has no late-interaction evidence at all.
+    val perTok = chunks
+      .select(col(idCol), col(embCol).as("__cvec"))
+      .filter(exists(col("__cvec"), x => x =!= lit(0f)))
+      .join(broadcast(q))
+      .withColumn("__sim",
+        lit(1.0) - graft.functions.Distances.bySpace("cosine")(
+          col("__cvec"), col("__qvec")))
+      .groupBy(col(idCol), col("__qtok"))
+      .agg(max(col("__sim")).as("__ms"))
+    perTok
+      .withColumn("__msr", round(col("__ms"), 6).cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(sum(col("__msr")).cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Id ascending for the mmr tie-break — typed, LOUD on an id type the
     * comparison doesn't cover (a silent toString order would diverge from
     * the oracle's numeric order exactly when it matters). */

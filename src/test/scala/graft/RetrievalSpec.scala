@@ -39,6 +39,42 @@ class RetrievalSpec extends SparkTestBase {
     assert(fused(2)._2 == r6(1.0 / 62))
   }
 
+  test("maxSimTopK: hand-computed late-interaction scores, zero chunks dropped") {
+    // doc 1: chunks aligned with qtok 0 and qtok 1; doc 2: one chunk
+    // orthogonal to qtok 0, aligned with qtok 1; doc 3: only a zero
+    // chunk (dropped entirely — no NaN poisoning)
+    val chunks = Seq(
+      (1L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0f, 2f)),
+      (3L, Seq(0f, 0f))).toDF("doc_id", "cvec")
+    val out = Retrieval.maxSimTopK(chunks, "doc_id", "cvec",
+        Seq(Seq(1f, 0f), Seq(0f, 1f)), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    // doc 1: max sim 1.0 for both tokens -> 2.0; doc 2: 0.0 + 1.0 -> 1.0
+    assert(out == List((1L, 2.0), (2L, 1.0)))
+    // ties at the k boundary break by id ascending
+    val tied = Seq((5L, Seq(1f, 0f)), (4L, Seq(1f, 0f)), (6L, Seq(1f, 0f)))
+      .toDF("doc_id", "cvec")
+    val top2 = Retrieval.maxSimTopK(tied, "doc_id", "cvec",
+      Seq(Seq(1f, 0f)), k = 2).collect().map(_.getLong(0)).toList
+    assert(top2 == List(4L, 5L))
+  }
+
+  test("maxSimTopK gates: zero query token, empty queries, bad k, ragged dims") {
+    val chunks = Seq((1L, Seq(1f, 0f))).toDF("doc_id", "cvec")
+    val zero = intercept[IllegalArgumentException] {
+      Retrieval.maxSimTopK(chunks, "doc_id", "cvec", Seq(Seq(0f, 0f)), 1)
+    }
+    assert(zero.getMessage.contains("all-zero"))
+    intercept[IllegalArgumentException](
+      Retrieval.maxSimTopK(chunks, "doc_id", "cvec", Nil, 1))
+    intercept[IllegalArgumentException](
+      Retrieval.maxSimTopK(chunks, "doc_id", "cvec", Seq(Seq(1f, 0f)), 0))
+    intercept[IllegalArgumentException](
+      Retrieval.maxSimTopK(chunks, "doc_id", "cvec",
+        Seq(Seq(1f, 0f), Seq(1f)), 1))
+  }
+
   test("mmr excludes NaN-similarity candidates (zero vectors) instead of ranking them first") {
     // cosine(0-vec, q) = 0/0 = NaN, and Spark's desc ordering ranks NaN
     // ABOVE every real number — unfiltered, the garbage row would be
