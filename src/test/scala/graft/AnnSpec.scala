@@ -184,7 +184,7 @@ class AnnSpec extends SparkTestBase {
       "q32_ivf_knn", "q69_quantized_knn", "q60_collection_ivf_knn",
       "q61_embedding_neardup_lsh", "q64_neardup_multiprobe", "q82_neardup_multitable",
       "q136_pq_adc_knn", "q139_ivfpq_knn", "q141_ivfpq_residual_knn",
-      "q148_pq_autodial_knn", "pq_scaled", "pq_trained"))
+      "q148_pq_autodial_knn", "pq_scaled", "pq_trained", "maxsim_vs_biencoder"))
     rs.foreach { case (n, v) =>
       assert(v >= 0.0 && v <= 1.0, s"$n recall out of range: $v") }
     val m = rs.toMap
