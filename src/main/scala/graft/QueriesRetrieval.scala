@@ -327,6 +327,27 @@ private[graft] trait QueriesRetrieval extends EntryKit {
         .select(col("doc_id"), roundz(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // q176's PRODUCTION shape — the staged retrieve-then-rerank: BM25
+    // picks a top-50 shortlist over the raw corpus (one scan), and ONLY
+    // the candidates' chunks are built, embedded and MaxSim-scored (a
+    // 50-row broadcast semi-join confines every later stage). This is
+    // the bounded form that holds at 100 TB (the q170 cost class: work
+    // ∝ shortlist, not corpus — BASELINE r16 records the whole-corpus
+    // q176 at ×52 on 100× rows, this at fixed candidate cost). Oracle =
+    // sqlBm25's shortlist CTE feeding q176's chunk/embed/max/sum replay.
+    "q177_maxsim_rerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = HashingEmbedder(16)
+      val cand = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("hash", "join", "stream"), 50).select(col("id").as("doc_id"))
+      val ch = TextAnalysis.chunk(docs.join(broadcast(cand), Seq("doc_id"), "left_semi"),
+        "doc_id", "text", 32, 8)
+      val qvecs = Seq("hash", "join", "stream").map(emb.embedOne)
+      Retrieval.maxSimTopK(emb.embedFrame(ch, "chunk_text", "cvec"),
+          "doc_id", "cvec", qvecs, k = 10)
+        .select(col("doc_id"), roundz(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
   )
 
   private lazy val sqlRerankOracle: String = (sqlHybridText(k = 30, fetchN = 30,
@@ -400,6 +421,58 @@ private[graft] trait QueriesRetrieval extends EntryKit {
          |sc AS (SELECT doc_id, CAST(SUM(ms) AS DOUBLE) AS score FROM mx GROUP BY 1)
          |SELECT doc_id, ROUND(score, 6) + 0.0 AS score FROM sc
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+    },
+    // q177: the staged form — sqlBm25's top-50 shortlist CTE (kwtop)
+    // confines the corpus BEFORE chunking, then q176's replay runs over
+    // the candidates only; query tokens = the BM25 terms (msc avoids
+    // sqlBm25's own `sc` CTE name)
+    "q177_maxsim_rerank" -> {
+      val h = sqlStrHash("tm")
+      sqlBm25(50) +
+      s""",
+         |t AS (SELECT doc_id, string_split_regex(COALESCE(text, ''), '\\s+') AS toks2
+         |      FROM documents WHERE doc_id IN (SELECT id FROM kwtop)),
+         |n AS (SELECT doc_id, toks2,
+         |        GREATEST(CAST(CEIL(CAST(len(toks2) - 8 AS DOUBLE) / 24) AS INTEGER), 1) AS nc
+         |      FROM t),
+         |ck AS (SELECT doc_id, u.cid AS cid, u.txt AS txt FROM (
+         |  SELECT doc_id, unnest(list_transform(range(nc), i -> {
+         |    'cid': i,
+         |    'txt': array_to_string(toks2[CAST(i*24 + 1 AS INTEGER):CAST(i*24 + 32 AS INTEGER)], ' ')})) AS u
+         |  FROM n)),
+         |ctoks AS (SELECT doc_id, cid, unnest(string_split_regex(lower(txt), '\\s+')) AS tm FROM ck),
+         |ctk AS (SELECT doc_id, cid, $h AS hh FROM ctoks WHERE length(tm) > 0),
+         |csums AS (SELECT doc_id, cid, CAST(hh % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM ctk GROUP BY 1, 2, 3),
+         |cgrid AS (SELECT k.doc_id, k.cid, bb.b FROM (SELECT doc_id, cid FROM ck) k
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |cvecs AS (SELECT g.doc_id, g.cid,
+         |                 list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |          FROM cgrid g LEFT JOIN csums s
+         |            ON s.doc_id = g.doc_id AND s.cid = g.cid AND s.b = g.b
+         |          GROUP BY g.doc_id, g.cid),
+         |nz AS (SELECT doc_id, cid, v FROM cvecs
+         |       WHERE len(list_filter(v, x -> x <> 0)) > 0),
+         |qt AS (SELECT * FROM (VALUES (0, 'hash'), (1, 'join'),
+         |                             (2, 'stream')) AS q(qtok, tm)),
+         |qtk AS (SELECT qtok, $h AS hh FROM qt),
+         |qsums AS (SELECT qtok, CAST(hh % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY 1, 2),
+         |qgrid AS (SELECT qq.qtok, bb.b FROM (SELECT DISTINCT qtok FROM qt) qq
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |qvecs AS MATERIALIZED (
+         |  SELECT g.qtok, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+         |  FROM qgrid g LEFT JOIN qsums s ON s.qtok = g.qtok AND s.b = g.b
+         |  GROUP BY g.qtok),
+         |sims AS (SELECT c.doc_id, q.qtok, 1.0 - (${sqlCos("c.v", "q.qv")}) AS sim
+         |         FROM nz c CROSS JOIN qvecs q),
+         |mx AS (SELECT doc_id, qtok, CAST(ROUND(MAX(sim), 6) AS DECIMAL(18,6)) AS ms
+         |       FROM sims GROUP BY 1, 2),
+         |msc AS (SELECT doc_id, CAST(SUM(ms) AS DOUBLE) AS score FROM mx GROUP BY 1)
+         |SELECT doc_id, ROUND(score, 6) + 0.0 AS score FROM msc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
     },
     "q66_bm25_topk" -> (sqlBm25(20) + "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
     "q154_kwindex_bm25" -> (sqlBm25(20, idExpr = "CAST(doc_id AS VARCHAR)") +

@@ -191,6 +191,53 @@ class PropertySpec extends SparkTestBase {
     assert(ChromaFilter.whereFromJson("""{"lang": "en"}""") == Eq("lang", "en"))
   }
 
+  test("property: requiredLiterals is SOUND — every matching doc contains every extracted literal") {
+    import graft.operators.DocIndex
+    // random regex ASTs over a tiny alphabet, rendered to patterns, and
+    // random docs over the same alphabet: whenever the pattern MATCHES a
+    // doc (partial match, rlike semantics), the doc must contain every
+    // extracted required literal — the property the trigram confinement's
+    // correctness rests on (a missed-match would be a silent wrong
+    // answer through the index, not a slow one)
+    val atom: Gen[String] = Gen.frequency(
+      6 -> Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.take(4).mkString),
+      1 -> Gen.const("."),
+      1 -> Gen.const("[ab]"),
+      1 -> Gen.const("\\d"))
+    val piece: Gen[String] = for {
+      a <- atom
+      q <- Gen.frequency(5 -> Gen.const(""), 1 -> Gen.const("*"),
+        1 -> Gen.const("+"), 1 -> Gen.const("?"))
+    } yield a + q
+    val grouped: Gen[String] = for {
+      l <- Gen.nonEmptyListOf(piece).map(_.take(3).mkString)
+      r <- Gen.nonEmptyListOf(piece).map(_.take(3).mkString)
+      q <- Gen.oneOf("", "?", "*")
+    } yield s"($l|$r)$q"
+    val pattern: Gen[String] =
+      Gen.nonEmptyListOf(Gen.frequency(4 -> piece, 1 -> grouped))
+        .map(_.take(5).mkString)
+    val doc: Gen[String] =
+      Gen.listOf(Gen.oneOf('a', 'b', 'c', 'a', 'b', '1', ' ')).map(_.take(24).mkString)
+    val pats = sample(Gen.listOfN(300, pattern), 83L)
+    val docs = sample(Gen.listOfN(60, doc), 89L)
+    var matched = 0
+    pats.foreach { p =>
+      val re = java.util.regex.Pattern.compile(p)
+      DocIndex.requiredLiterals(p).foreach { lits =>
+        docs.foreach { d =>
+          if (re.matcher(d).find()) {
+            matched += 1
+            lits.foreach(l => assert(d.contains(l),
+              s"UNSOUND: '$d' matches /$p/ but lacks required literal '$l' " +
+                s"(extracted ${lits.mkString("[", ",", "]")})"))
+          }
+        }
+      }
+    }
+    assert(matched > 100, s"generator too weak: only $matched matching pairs")
+  }
+
   test("property: jaccard(a,a)=1, jaccard bounded [0,1]") {
     val toks = sample(Gen.listOfN(40,
       Gen.nonEmptyListOf(Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6")).map(_.toSeq)), 31L)
