@@ -348,6 +348,20 @@ private[graft] trait QueriesRetrieval extends EntryKit {
         .select(col("doc_id"), roundz(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    // The COLLECTION surface of the staged path — queryMaxSimText as one
+    // call: sidecar-served BM25 shortlist (fetchN=30), get(ids)-pruned
+    // document point-read, chunk → RECORDED-embedding-function chunk
+    // vectors, per-TERM query vectors (the analyzer's tokens embedded
+    // alone), MaxSim top-k. The oracle replays the shortlist with
+    // sqlBm25's fold and q177's chunk/embed/max/sum over the candidate
+    // set — the recorded-function binding, the analyzer tokenization and
+    // the sidecar serving all sit under the hash.
+    "q178_maxsim_collection" -> ((s, dir) => {
+      hyxCollection(s, dir)
+        .queryMaxSimText("hash join stream", k = 10, fetchN = 30)
+        .select(col("id"), roundz(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("id"))
+    }),
   )
 
   private lazy val sqlRerankOracle: String = (sqlHybridText(k = 30, fetchN = 30,
@@ -473,6 +487,59 @@ private[graft] trait QueriesRetrieval extends EntryKit {
          |msc AS (SELECT doc_id, CAST(SUM(ms) AS DOUBLE) AS score FROM mx GROUP BY 1)
          |SELECT doc_id, ROUND(score, 6) + 0.0 AS score FROM msc
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
+    // q178: the q177 replay keyed by the collection's STRING ids — the
+    // shortlist is sqlBm25 over the hyx corpus (VARCHAR idExpr), chunk/
+    // embed/max/sum identical, final order on the string id (the
+    // engine's tie-break on the collection id column)
+    "q178_maxsim_collection" -> {
+      val h = sqlStrHash("tm")
+      sqlBm25(30, idExpr = "CAST(doc_id AS VARCHAR)") +
+      s""",
+         |t AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |             string_split_regex(COALESCE(text, ''), '\\s+') AS toks2
+         |      FROM documents WHERE CAST(doc_id AS VARCHAR) IN (SELECT id FROM kwtop)),
+         |n AS (SELECT id, toks2,
+         |        GREATEST(CAST(CEIL(CAST(len(toks2) - 8 AS DOUBLE) / 24) AS INTEGER), 1) AS nc
+         |      FROM t),
+         |ck AS (SELECT id, u.cid AS cid, u.txt AS txt FROM (
+         |  SELECT id, unnest(list_transform(range(nc), i -> {
+         |    'cid': i,
+         |    'txt': array_to_string(toks2[CAST(i*24 + 1 AS INTEGER):CAST(i*24 + 32 AS INTEGER)], ' ')})) AS u
+         |  FROM n)),
+         |ctoks AS (SELECT id, cid, unnest(string_split_regex(lower(txt), '\\s+')) AS tm FROM ck),
+         |ctk AS (SELECT id, cid, $h AS hh FROM ctoks WHERE length(tm) > 0),
+         |csums AS (SELECT id, cid, CAST(hh % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM ctk GROUP BY 1, 2, 3),
+         |cgrid AS (SELECT k.id, k.cid, bb.b FROM (SELECT id, cid FROM ck) k
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |cvecs AS (SELECT g.id, g.cid,
+         |                 list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |          FROM cgrid g LEFT JOIN csums s
+         |            ON s.id = g.id AND s.cid = g.cid AND s.b = g.b
+         |          GROUP BY g.id, g.cid),
+         |nz AS (SELECT id, cid, v FROM cvecs
+         |       WHERE len(list_filter(v, x -> x <> 0)) > 0),
+         |qt AS (SELECT * FROM (VALUES (0, 'hash'), (1, 'join'),
+         |                             (2, 'stream')) AS q(qtok, tm)),
+         |qtk AS (SELECT qtok, $h AS hh FROM qt),
+         |qsums AS (SELECT qtok, CAST(hh % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY 1, 2),
+         |qgrid AS (SELECT qq.qtok, bb.b FROM (SELECT DISTINCT qtok FROM qt) qq
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |qvecs AS MATERIALIZED (
+         |  SELECT g.qtok, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+         |  FROM qgrid g LEFT JOIN qsums s ON s.qtok = g.qtok AND s.b = g.b
+         |  GROUP BY g.qtok),
+         |sims AS (SELECT c.id, q.qtok, 1.0 - (${sqlCos("c.v", "q.qv")}) AS sim
+         |         FROM nz c CROSS JOIN qvecs q),
+         |mx AS (SELECT id, qtok, CAST(ROUND(MAX(sim), 6) AS DECIMAL(18,6)) AS ms
+         |       FROM sims GROUP BY 1, 2),
+         |msc AS (SELECT id, CAST(SUM(ms) AS DOUBLE) AS score FROM mx GROUP BY 1)
+         |SELECT id, ROUND(score, 6) + 0.0 AS score FROM msc
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin
     },
     "q66_bm25_topk" -> (sqlBm25(20) + "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
     "q154_kwindex_bm25" -> (sqlBm25(20, idExpr = "CAST(doc_id AS VARCHAR)") +

@@ -2845,6 +2845,53 @@ final class Collection(spark: SparkSession, io: StoreIO, dir: Path,
       text, fn, k)
   }
 
+  /** Late-interaction read path (ColBERT MaxSim) as ONE call — the rung
+    * between the fused/keyword retrieval and the cross-encoder rerank:
+    * keyword shortlist (sidecar-served when current, prefilters applied
+    * at the same rank boundary as every keyword read) → candidates'
+    * documents point-read (`get(ids)` bucket pruning, the rerank path's
+    * discipline) → chunked (`chunkTokens`/`overlap` windows) → chunks
+    * embedded with the collection's RECORDED embedding function → each
+    * query TERM embedded alone (ColBERT's per-token query encoding, the
+    * analyzer's own tokenization) → score(doc) = Σ over terms of the
+    * best-chunk cosine ([[graft.operators.Retrieval.maxSimTopK]]).
+    * Every stage past the shortlist is bounded by fetchN — the staged
+    * shape that holds at 100 TB (BASELINE r16: whole-corpus MaxSim is
+    * ×52 at 100× rows; this path's cost is the shortlist's). */
+  def queryMaxSimText(text: String, k: Int, fetchN: Int = 50,
+                      chunkTokens: Int = 32, overlap: Int = 8,
+                      where: Option[Where] = None,
+                      whereDoc: Option[WhereDocument] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(fetchN >= k, s"fetchN ($fetchN) must be >= k ($k)")
+    val m = meta
+    require(snapshotDF(m).columns.contains("document"),
+      s"collection '${m.name}' carries no document column — MaxSim scores " +
+        "chunk vectors of the document text")
+    val efName = m.metadata.getOrElse("embedding_function",
+      throw new IllegalStateException(
+        s"collection '$name' has no registered embedding function — " +
+          "hydrate via addDocuments; MaxSim embeds chunks AND query tokens"))
+    val ef = resolveEmbedder(efName)
+    val terms = graft.operators.Retrieval.queryTerms(text, analyzerOf(m))
+    require(terms.nonEmpty, s"query text '$text' has no tokens under the " +
+      s"'${analyzerOf(m)}' analyzer")
+    // bounded collect (≤ fetchN rows) — same contract as the rerank prior
+    val cand = keywordTopK(terms, fetchN, where = where, whereDoc = whereDoc)
+      .select("id").collect().map(_.getString(0)).toSeq
+    val spark = snapshotDF(m).sparkSession
+    import spark.implicits._
+    if (cand.isEmpty)
+      return Seq.empty[(String, Double)].toDF("id", "score")
+    val docs = get(ids = cand, include = Some(Set("documents")))
+      .select(col("id"), col("document"))
+    val chunks = graft.functions.TextAnalysis.chunk(
+      docs, "id", "document", chunkTokens, overlap)
+    graft.operators.Retrieval.maxSimTopK(
+      ef.embedFrame(chunks, "chunk_text", "cvec"), "id", "cvec",
+      terms.map(ef.embedOne), k)
+  }
+
   /** The layout-owned columns of an index build dir: always `cell`, plus
     * `pb` ONLY when the build actually has pb slices (r8+ layouts) — a
     * pre-r8 legacy build cannot own a `pb` column, so one appearing there

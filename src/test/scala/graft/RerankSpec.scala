@@ -118,6 +118,45 @@ class RerankSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("queryMaxSimText: one call == shortlist + chunk + embed + maxSimTopK; gates fire") {
+    val cat = new CollectionCatalog(spark, tmpDir("maxsim"), numBuckets = 4)
+    val c = cat.getOrCreateCollection("ms", space = "cosine")
+    c.addDocuments(Seq(
+      ("1", "hash join stream hash"), ("2", "hash table scan"),
+      ("3", "join join stream"), ("4", "stream stream hash join"),
+      ("5", "vector index scan"), ("6", "hash hash hash")
+    ).toDF("id", "document"), HashingEmbedder(8))
+    val got = c.queryMaxSimText("hash join stream", k = 4, fetchN = 6,
+        chunkTokens = 2, overlap = 1)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // hand-composed twin: BM25 shortlist → chunk(2,1) → hash-embed →
+    // maxSimTopK over the candidate chunks with per-term query vectors
+    val he = HashingEmbedder(8)
+    val cand = c.keywordTopK(Seq("hash", "join", "stream"), 6)
+      .select("id").collect().map(_.getString(0)).toSeq
+    val docs = c.get(ids = cand, include = Some(Set("documents")))
+      .select(col("id"), col("document"))
+    val chunks = graft.functions.TextAnalysis.chunk(docs, "id", "document", 2, 1)
+    val manual = graft.operators.Retrieval.maxSimTopK(
+        he.embedFrame(chunks, "chunk_text", "cvec"), "id", "cvec",
+        Seq("hash", "join", "stream").map(he.embedOne), 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == manual && got.nonEmpty)
+    // docs carrying all three terms have a best-chunk for each → lead
+    assert(got.head._1 == "1" || got.head._1 == "4")
+    // a filter that excludes everything → empty, never a corpus read
+    assert(c.queryMaxSimText("hash join stream", k = 2,
+      whereDoc = Some(graft.operators.ChromaFilter.Contains("zzz"))).count() == 0)
+    // no-embedding-function collections fail loudly
+    val bare = cat.getOrCreateCollection("bare")
+    bare.add(Seq(("1", "x y z")).toDF("id", "document"))
+    val e = intercept[IllegalStateException] {
+      bare.queryMaxSimText("x", k = 1)
+    }
+    assert(e.getMessage.contains("embedding function"))
+    intercept[IllegalArgumentException](c.queryMaxSimText("hash", k = 5, fetchN = 2))
+  }
+
   test("OnnxRerankFunction: loud at construction without the runtime jar") {
     assume(!graft.operators.OnnxEmbeddingFunction.runtimeAvailable)
     val e = intercept[IllegalStateException] {
