@@ -362,6 +362,18 @@ private[graft] trait QueriesRetrieval extends EntryKit {
         .select(col("id"), roundz(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("id"))
     }),
+    // q178 driven from PURE SQL — graft_maxsim rounds out the TVF family
+    // (bm25/hybrid/rerank/knn/maxsim): hash-equal to the Scala call by
+    // construction (one plan, two entry surfaces, the q163≡q158 pattern).
+    "q179_maxsim_sql" -> ((s, dir) => {
+      hyxCollection(s, dir) // same fixture; TVF resolves it by (root, name)
+      graft.expressions.GraftExtensions.register(s)
+      val root = verifyCollectionsRoot(dir)
+      s.sql(
+        s"""SELECT id, ROUND(score, 6) + 0.0 AS score
+           |FROM graft_maxsim('$root', 'hyx', 'hash join stream', 10, 30)
+           |ORDER BY score DESC, id""".stripMargin)
+    }),
   )
 
   private lazy val sqlRerankOracle: String = (sqlHybridText(k = 30, fetchN = 30,
@@ -381,6 +393,56 @@ private[graft] trait QueriesRetrieval extends EntryKit {
   private lazy val sqlHybridTextWhereEn: String = sqlHybridText(
     idFilter = Some("id IN (SELECT CAST(doc_id AS VARCHAR) FROM documents WHERE lang = 'en')"),
     vecFilter = Some("doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"))
+
+  private lazy val sqlMaxSimCollectionOracle: String = {
+      val h = sqlStrHash("tm")
+      sqlBm25(30, idExpr = "CAST(doc_id AS VARCHAR)") +
+      s""",
+         |t AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |             string_split_regex(COALESCE(text, ''), '\\s+') AS toks2
+         |      FROM documents WHERE CAST(doc_id AS VARCHAR) IN (SELECT id FROM kwtop)),
+         |n AS (SELECT id, toks2,
+         |        GREATEST(CAST(CEIL(CAST(len(toks2) - 8 AS DOUBLE) / 24) AS INTEGER), 1) AS nc
+         |      FROM t),
+         |ck AS (SELECT id, u.cid AS cid, u.txt AS txt FROM (
+         |  SELECT id, unnest(list_transform(range(nc), i -> {
+         |    'cid': i,
+         |    'txt': array_to_string(toks2[CAST(i*24 + 1 AS INTEGER):CAST(i*24 + 32 AS INTEGER)], ' ')})) AS u
+         |  FROM n)),
+         |ctoks AS (SELECT id, cid, unnest(string_split_regex(lower(txt), '\\s+')) AS tm FROM ck),
+         |ctk AS (SELECT id, cid, $h AS hh FROM ctoks WHERE length(tm) > 0),
+         |csums AS (SELECT id, cid, CAST(hh % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM ctk GROUP BY 1, 2, 3),
+         |cgrid AS (SELECT k.id, k.cid, bb.b FROM (SELECT id, cid FROM ck) k
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |cvecs AS (SELECT g.id, g.cid,
+         |                 list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+         |          FROM cgrid g LEFT JOIN csums s
+         |            ON s.id = g.id AND s.cid = g.cid AND s.b = g.b
+         |          GROUP BY g.id, g.cid),
+         |nz AS (SELECT id, cid, v FROM cvecs
+         |       WHERE len(list_filter(v, x -> x <> 0)) > 0),
+         |qt AS (SELECT * FROM (VALUES (0, 'hash'), (1, 'join'),
+         |                             (2, 'stream')) AS q(qtok, tm)),
+         |qtk AS (SELECT qtok, $h AS hh FROM qt),
+         |qsums AS (SELECT qtok, CAST(hh % 16 AS INTEGER) AS b,
+         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+         |          FROM qtk GROUP BY 1, 2),
+         |qgrid AS (SELECT qq.qtok, bb.b FROM (SELECT DISTINCT qtok FROM qt) qq
+         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+         |qvecs AS MATERIALIZED (
+         |  SELECT g.qtok, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+         |  FROM qgrid g LEFT JOIN qsums s ON s.qtok = g.qtok AND s.b = g.b
+         |  GROUP BY g.qtok),
+         |sims AS (SELECT c.id, q.qtok, 1.0 - (${sqlCos("c.v", "q.qv")}) AS sim
+         |         FROM nz c CROSS JOIN qvecs q),
+         |mx AS (SELECT id, qtok, CAST(ROUND(MAX(sim), 6) AS DECIMAL(18,6)) AS ms
+         |       FROM sims GROUP BY 1, 2),
+         |msc AS (SELECT id, CAST(SUM(ms) AS DOUBLE) AS score FROM mx GROUP BY 1)
+         |SELECT id, ROUND(score, 6) + 0.0 AS score FROM msc
+         |ORDER BY score DESC, id LIMIT 10""".stripMargin
+  }
 
   private[graft] def retrievalOracles: Map[String, String] = Map(
     // q176: the full late-interaction construction replayed — q70's chunk
@@ -492,55 +554,10 @@ private[graft] trait QueriesRetrieval extends EntryKit {
     // shortlist is sqlBm25 over the hyx corpus (VARCHAR idExpr), chunk/
     // embed/max/sum identical, final order on the string id (the
     // engine's tie-break on the collection id column)
-    "q178_maxsim_collection" -> {
-      val h = sqlStrHash("tm")
-      sqlBm25(30, idExpr = "CAST(doc_id AS VARCHAR)") +
-      s""",
-         |t AS (SELECT CAST(doc_id AS VARCHAR) AS id,
-         |             string_split_regex(COALESCE(text, ''), '\\s+') AS toks2
-         |      FROM documents WHERE CAST(doc_id AS VARCHAR) IN (SELECT id FROM kwtop)),
-         |n AS (SELECT id, toks2,
-         |        GREATEST(CAST(CEIL(CAST(len(toks2) - 8 AS DOUBLE) / 24) AS INTEGER), 1) AS nc
-         |      FROM t),
-         |ck AS (SELECT id, u.cid AS cid, u.txt AS txt FROM (
-         |  SELECT id, unnest(list_transform(range(nc), i -> {
-         |    'cid': i,
-         |    'txt': array_to_string(toks2[CAST(i*24 + 1 AS INTEGER):CAST(i*24 + 32 AS INTEGER)], ' ')})) AS u
-         |  FROM n)),
-         |ctoks AS (SELECT id, cid, unnest(string_split_regex(lower(txt), '\\s+')) AS tm FROM ck),
-         |ctk AS (SELECT id, cid, $h AS hh FROM ctoks WHERE length(tm) > 0),
-         |csums AS (SELECT id, cid, CAST(hh % 16 AS INTEGER) AS b,
-         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
-         |          FROM ctk GROUP BY 1, 2, 3),
-         |cgrid AS (SELECT k.id, k.cid, bb.b FROM (SELECT id, cid FROM ck) k
-         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
-         |cvecs AS (SELECT g.id, g.cid,
-         |                 list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
-         |          FROM cgrid g LEFT JOIN csums s
-         |            ON s.id = g.id AND s.cid = g.cid AND s.b = g.b
-         |          GROUP BY g.id, g.cid),
-         |nz AS (SELECT id, cid, v FROM cvecs
-         |       WHERE len(list_filter(v, x -> x <> 0)) > 0),
-         |qt AS (SELECT * FROM (VALUES (0, 'hash'), (1, 'join'),
-         |                             (2, 'stream')) AS q(qtok, tm)),
-         |qtk AS (SELECT qtok, $h AS hh FROM qt),
-         |qsums AS (SELECT qtok, CAST(hh % 16 AS INTEGER) AS b,
-         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
-         |          FROM qtk GROUP BY 1, 2),
-         |qgrid AS (SELECT qq.qtok, bb.b FROM (SELECT DISTINCT qtok FROM qt) qq
-         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
-         |qvecs AS MATERIALIZED (
-         |  SELECT g.qtok, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
-         |  FROM qgrid g LEFT JOIN qsums s ON s.qtok = g.qtok AND s.b = g.b
-         |  GROUP BY g.qtok),
-         |sims AS (SELECT c.id, q.qtok, 1.0 - (${sqlCos("c.v", "q.qv")}) AS sim
-         |         FROM nz c CROSS JOIN qvecs q),
-         |mx AS (SELECT id, qtok, CAST(ROUND(MAX(sim), 6) AS DECIMAL(18,6)) AS ms
-         |       FROM sims GROUP BY 1, 2),
-         |msc AS (SELECT id, CAST(SUM(ms) AS DOUBLE) AS score FROM mx GROUP BY 1)
-         |SELECT id, ROUND(score, 6) + 0.0 AS score FROM msc
-         |ORDER BY score DESC, id LIMIT 10""".stripMargin
-    },
+    // q179: the SAME oracle — the graft_maxsim SQL table function must
+    // be hash-equal to q178's Scala call (one plan, two entry surfaces)
+    "q179_maxsim_sql" -> sqlMaxSimCollectionOracle,
+    "q178_maxsim_collection" -> sqlMaxSimCollectionOracle,
     "q66_bm25_topk" -> (sqlBm25(20) + "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),
     "q154_kwindex_bm25" -> (sqlBm25(20, idExpr = "CAST(doc_id AS VARCHAR)") +
       "\nSELECT id, rnk, ROUND(score, 4) + 0.0 AS score FROM kwtop ORDER BY rnk"),

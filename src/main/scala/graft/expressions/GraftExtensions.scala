@@ -224,12 +224,32 @@ object GraftExtensions {
       where, whereDoc))
   }
 
+  /** `graft_maxsim(root, collection, text, k[, fetchN[, whereJson]])` —
+    * the late-interaction staged path (BM25 shortlist → chunk → recorded-
+    * embedding chunk vectors → per-term MaxSim) from pure SQL; same
+    * argument grammar as graft_rerank (the other staged reranker). */
+  private def buildMaxSimTvf(children: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(children.length >= 4 && children.length <= 6,
+      s"graft_maxsim takes (root, collection, text, k[, fetchN[, whereJson]]), got ${children.length} args")
+    val coll = collectionOf(strLit(children(0), "graft_maxsim root"),
+      strLit(children(1), "graft_maxsim collection"))
+    val k = intLit(children(3), "graft_maxsim k")
+    val fetchN =
+      if (children.length >= 5) intLit(children(4), "graft_maxsim fetchN") else 50
+    val where = children.lift(5).map(e =>
+      graft.operators.ChromaFilter.whereFromJson(strLit(e, "graft_maxsim where")))
+    planOf(coll.queryMaxSimText(strLit(children(2), "graft_maxsim text"), k,
+      fetchN, where = where))
+  }
+
   private val tableFunctions: Seq[(String,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     "graft_bm25" -> (buildBm25Tvf _),
     "graft_hybrid" -> (buildHybridTvf _),
     "graft_rerank" -> (buildRerankTvf _),
-    "graft_knn" -> (buildKnnTvf _))
+    "graft_knn" -> (buildKnnTvf _),
+    "graft_maxsim" -> (buildMaxSimTvf _))
 
   /** Register the SQL functions + the IVF prune rule on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -147,6 +147,24 @@ class TableFunctionSpec extends SparkTestBase {
     assert(docf == docfApi && docf.map(_._1).toSet == Set("2", "3"))
   }
 
+  test("graft_maxsim from SQL equals queryMaxSimText from the API") {
+    val root = tmpDir("tvf-ms")
+    val cat = new CollectionCatalog(spark, root, numBuckets = 4)
+    val c = cat.getOrCreateCollection("m", space = "cosine")
+    c.addDocuments(Seq(
+      ("1", "hash join stream hash"), ("2", "hash table scan"),
+      ("3", "join join stream"), ("4", "stream stream hash join"))
+      .toDF("id", "document"), HashingEmbedder(8))
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT id, score FROM graft_maxsim('$root', 'm', 'hash join', 3, 4)")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaApi = c.queryMaxSimText("hash join", k = 3, fetchN = 4)
+      .select("id", "score")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("graft_knn analysis-time failures are loud") {
     val root = tmpDir("tvf-knn-err")
     mkColl(root, "k") // keyword-only fixture: NO recorded embedding function?
