@@ -421,4 +421,40 @@ class PlanShapeSpec extends SparkTestBase {
       !eligScan.contains("source"),
       s"eligibility scan must prune to id+lang, got: $eligScan\n$p")
   }
+
+  test("$regex through the doc index: the postings read keeps gp partition pruning") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target"), "plan-rgx").toString
+    val cat = new graft.catalog.CollectionCatalog(spark, root, numBuckets = 4)
+    val c = cat.getOrCreateCollection("rgx")
+    c.add(spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"), col("text").as("document")))
+    c.buildDocIndex()
+    val df = c.get(whereDoc =
+      Some(graft.operators.ChromaFilter.MatchesRegex("vector [a-z]+ table")))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the regex's required-literal grams must confine the postings read
+    // to their gp partitions — a full postings scan per regex get() would
+    // be the 100 TB regression this pin exists to catch
+    val gpLine = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("gp")).getOrElse("")
+    assert(gpLine.contains(" IN ") || gpLine.contains("gp#"),
+      s"expected gp IN pruning on the regex-confined postings read:\n$p")
+    // the verbatim re-check still runs (RLike survives in the plan)
+    assert(p.contains("RLIKE") || p.toLowerCase.contains("rlike"),
+      s"the verbatim regex re-check must stay in the plan:\n$p")
+  }
+
+  test("q177 staged MaxSim: the shortlist confines via broadcast semi-join; chunks never sort-merge") {
+    val p = plan("q177_maxsim_rerank")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"the top-50 shortlist must broadcast-semi-join the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-side sort-merge in the staged path:\n$p")
+    // the per-(doc,token) max partial-aggregates before its exchange
+    assert(p.contains("partial_max") || p.contains("Partial"),
+      s"the max fold must combine map-side:\n$p")
+  }
 }
