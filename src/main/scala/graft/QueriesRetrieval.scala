@@ -394,55 +394,72 @@ private[graft] trait QueriesRetrieval extends EntryKit {
     idFilter = Some("id IN (SELECT CAST(doc_id AS VARCHAR) FROM documents WHERE lang = 'en')"),
     vecFilter = Some("doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"))
 
-  private lazy val sqlMaxSimCollectionOracle: String = {
-      val h = sqlStrHash("tm")
-      sqlBm25(30, idExpr = "CAST(doc_id AS VARCHAR)") +
-      s""",
-         |t AS (SELECT CAST(doc_id AS VARCHAR) AS id,
-         |             string_split_regex(COALESCE(text, ''), '\\s+') AS toks2
-         |      FROM documents WHERE CAST(doc_id AS VARCHAR) IN (SELECT id FROM kwtop)),
-         |n AS (SELECT id, toks2,
-         |        GREATEST(CAST(CEIL(CAST(len(toks2) - 8 AS DOUBLE) / 24) AS INTEGER), 1) AS nc
-         |      FROM t),
-         |ck AS (SELECT id, u.cid AS cid, u.txt AS txt FROM (
-         |  SELECT id, unnest(list_transform(range(nc), i -> {
-         |    'cid': i,
-         |    'txt': array_to_string(toks2[CAST(i*24 + 1 AS INTEGER):CAST(i*24 + 32 AS INTEGER)], ' ')})) AS u
-         |  FROM n)),
-         |ctoks AS (SELECT id, cid, unnest(string_split_regex(lower(txt), '\\s+')) AS tm FROM ck),
-         |ctk AS (SELECT id, cid, $h AS hh FROM ctoks WHERE length(tm) > 0),
-         |csums AS (SELECT id, cid, CAST(hh % 16 AS INTEGER) AS b,
-         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
-         |          FROM ctk GROUP BY 1, 2, 3),
-         |cgrid AS (SELECT k.id, k.cid, bb.b FROM (SELECT id, cid FROM ck) k
-         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
-         |cvecs AS (SELECT g.id, g.cid,
-         |                 list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
-         |          FROM cgrid g LEFT JOIN csums s
-         |            ON s.id = g.id AND s.cid = g.cid AND s.b = g.b
-         |          GROUP BY g.id, g.cid),
-         |nz AS (SELECT id, cid, v FROM cvecs
-         |       WHERE len(list_filter(v, x -> x <> 0)) > 0),
-         |qt AS (SELECT * FROM (VALUES (0, 'hash'), (1, 'join'),
-         |                             (2, 'stream')) AS q(qtok, tm)),
-         |qtk AS (SELECT qtok, $h AS hh FROM qt),
-         |qsums AS (SELECT qtok, CAST(hh % 16 AS INTEGER) AS b,
-         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
-         |          FROM qtk GROUP BY 1, 2),
-         |qgrid AS (SELECT qq.qtok, bb.b FROM (SELECT DISTINCT qtok FROM qt) qq
-         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
-         |qvecs AS MATERIALIZED (
-         |  SELECT g.qtok, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
-         |  FROM qgrid g LEFT JOIN qsums s ON s.qtok = g.qtok AND s.b = g.b
-         |  GROUP BY g.qtok),
-         |sims AS (SELECT c.id, q.qtok, 1.0 - (${sqlCos("c.v", "q.qv")}) AS sim
-         |         FROM nz c CROSS JOIN qvecs q),
-         |mx AS (SELECT id, qtok, CAST(ROUND(MAX(sim), 6) AS DECIMAL(18,6)) AS ms
-         |       FROM sims GROUP BY 1, 2),
-         |msc AS (SELECT id, CAST(SUM(ms) AS DOUBLE) AS score FROM mx GROUP BY 1)
-         |SELECT id, ROUND(score, 6) + 0.0 AS score FROM msc
-         |ORDER BY score DESC, id LIMIT 10""".stripMargin
+  /** The chunk→signed-hash-embed→MaxSim DuckDB replay shared by the
+    * q176/q177/q178 oracles — ONE written form of the window slicing,
+    * 16-bucket signed-hash vectors, zero-chunk drop, per-(doc,token) max
+    * and the round-then-decimal per-doc sum, so a change to the chunking
+    * or rounding rule cannot desynchronize the three oracles. Callers
+    * prepend `WITH ` (whole corpus) or a shortlist CTE chain + `,`.
+    * @param idExpr   SQL for the output id (e.g. doc_id, CAST(... AS VARCHAR))
+    * @param idAs     the output id column name (doc_id / id)
+    * @param corpusWhere optional WHERE confining the chunked corpus
+    * @param tokens   the per-token query texts (ColBERT's encoding)
+    * @param limit    final top-k */
+  private def sqlMaxSimReplay(idExpr: String, idAs: String,
+      corpusWhere: String, tokens: Seq[String], limit: Int): String = {
+    val h = sqlStrHash("tm")
+    val qtVals = tokens.zipWithIndex
+      .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+    s"""t AS (SELECT $idExpr AS $idAs,
+       |             string_split_regex(COALESCE(text, ''), '\\s+') AS toks2
+       |      FROM documents $corpusWhere),
+       |n AS (SELECT $idAs, toks2,
+       |        GREATEST(CAST(CEIL(CAST(len(toks2) - 8 AS DOUBLE) / 24) AS INTEGER), 1) AS nc
+       |      FROM t),
+       |ck AS (SELECT $idAs, u.cid AS cid, u.txt AS txt FROM (
+       |  SELECT $idAs, unnest(list_transform(range(nc), i -> {
+       |    'cid': i,
+       |    'txt': array_to_string(toks2[CAST(i*24 + 1 AS INTEGER):CAST(i*24 + 32 AS INTEGER)], ' ')})) AS u
+       |  FROM n)),
+       |ctoks AS (SELECT $idAs, cid, unnest(string_split_regex(lower(txt), '\\s+')) AS tm FROM ck),
+       |ctk AS (SELECT $idAs, cid, $h AS hh FROM ctoks WHERE length(tm) > 0),
+       |csums AS (SELECT $idAs, cid, CAST(hh % 16 AS INTEGER) AS b,
+       |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+       |          FROM ctk GROUP BY 1, 2, 3),
+       |cgrid AS (SELECT k.$idAs, k.cid, bb.b FROM (SELECT $idAs, cid FROM ck) k
+       |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+       |cvecs AS (SELECT g.$idAs, g.cid,
+       |                 list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
+       |          FROM cgrid g LEFT JOIN csums s
+       |            ON s.$idAs = g.$idAs AND s.cid = g.cid AND s.b = g.b
+       |          GROUP BY g.$idAs, g.cid),
+       |nz AS (SELECT $idAs, cid, v FROM cvecs
+       |       WHERE len(list_filter(v, x -> x <> 0)) > 0),
+       |qt AS (SELECT * FROM (VALUES $qtVals) AS q(qtok, tm)),
+       |qtk AS (SELECT qtok, $h AS hh FROM qt),
+       |qsums AS (SELECT qtok, CAST(hh % 16 AS INTEGER) AS b,
+       |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
+       |          FROM qtk GROUP BY 1, 2),
+       |qgrid AS (SELECT qq.qtok, bb.b FROM (SELECT DISTINCT qtok FROM qt) qq
+       |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
+       |qvecs AS MATERIALIZED (
+       |  SELECT g.qtok, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
+       |  FROM qgrid g LEFT JOIN qsums s ON s.qtok = g.qtok AND s.b = g.b
+       |  GROUP BY g.qtok),
+       |sims AS (SELECT c.$idAs, q.qtok, 1.0 - (${sqlCos("c.v", "q.qv")}) AS sim
+       |         FROM nz c CROSS JOIN qvecs q),
+       |mx AS (SELECT $idAs, qtok, CAST(ROUND(MAX(sim), 6) AS DECIMAL(18,6)) AS ms
+       |       FROM sims GROUP BY 1, 2),
+       |msc AS (SELECT $idAs, CAST(SUM(ms) AS DOUBLE) AS score FROM mx GROUP BY 1)
+       |SELECT $idAs, ROUND(score, 6) + 0.0 AS score FROM msc
+       |ORDER BY score DESC, $idAs LIMIT $limit""".stripMargin
   }
+
+  private lazy val sqlMaxSimCollectionOracle: String =
+    sqlBm25(30, idExpr = "CAST(doc_id AS VARCHAR)") + ",\n" +
+      sqlMaxSimReplay("CAST(doc_id AS VARCHAR)", "id",
+        "WHERE CAST(doc_id AS VARCHAR) IN (SELECT id FROM kwtop)",
+        Seq("hash", "join", "stream"), 10)
 
   private[graft] def retrievalOracles: Map[String, String] = Map(
     // q176: the full late-interaction construction replayed — q70's chunk
@@ -452,104 +469,17 @@ private[graft] trait QueriesRetrieval extends EntryKit {
     // round-to-6-then-DECIMAL per-doc sum (order-free), top-15 by
     // (score desc, doc_id). Zero chunk vectors are dropped on both sides
     // (cosine undefined; max() would NaN-poison silently).
-    "q176_maxsim" -> {
-      val h = sqlStrHash("tm")
-      s"""WITH t AS (SELECT doc_id, string_split_regex(COALESCE(text, ''), '\\s+') AS toks
-         |           FROM documents),
-         |n AS (SELECT doc_id, toks,
-         |        GREATEST(CAST(CEIL(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INTEGER), 1) AS nc
-         |      FROM t),
-         |ck AS (SELECT doc_id, u.cid AS cid, u.txt AS txt FROM (
-         |  SELECT doc_id, unnest(list_transform(range(nc), i -> {
-         |    'cid': i,
-         |    'txt': array_to_string(toks[CAST(i*24 + 1 AS INTEGER):CAST(i*24 + 32 AS INTEGER)], ' ')})) AS u
-         |  FROM n)),
-         |ctoks AS (SELECT doc_id, cid, unnest(string_split_regex(lower(txt), '\\s+')) AS tm FROM ck),
-         |ctk AS (SELECT doc_id, cid, $h AS hh FROM ctoks WHERE length(tm) > 0),
-         |csums AS (SELECT doc_id, cid, CAST(hh % 16 AS INTEGER) AS b,
-         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
-         |          FROM ctk GROUP BY 1, 2, 3),
-         |cgrid AS (SELECT k.doc_id, k.cid, bb.b FROM (SELECT doc_id, cid FROM ck) k
-         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
-         |cvecs AS (SELECT g.doc_id, g.cid,
-         |                 list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
-         |          FROM cgrid g LEFT JOIN csums s
-         |            ON s.doc_id = g.doc_id AND s.cid = g.cid AND s.b = g.b
-         |          GROUP BY g.doc_id, g.cid),
-         |nz AS (SELECT doc_id, cid, v FROM cvecs
-         |       WHERE len(list_filter(v, x -> x <> 0)) > 0),
-         |qt AS (SELECT * FROM (VALUES (0, 'vector'), (1, 'database'),
-         |                             (2, 'search')) AS q(qtok, tm)),
-         |qtk AS (SELECT qtok, $h AS hh FROM qt),
-         |qsums AS (SELECT qtok, CAST(hh % 16 AS INTEGER) AS b,
-         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
-         |          FROM qtk GROUP BY 1, 2),
-         |qgrid AS (SELECT qq.qtok, bb.b FROM (SELECT DISTINCT qtok FROM qt) qq
-         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
-         |qvecs AS MATERIALIZED (
-         |  SELECT g.qtok, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
-         |  FROM qgrid g LEFT JOIN qsums s ON s.qtok = g.qtok AND s.b = g.b
-         |  GROUP BY g.qtok),
-         |sims AS (SELECT c.doc_id, q.qtok, 1.0 - (${sqlCos("c.v", "q.qv")}) AS sim
-         |         FROM nz c CROSS JOIN qvecs q),
-         |mx AS (SELECT doc_id, qtok, CAST(ROUND(MAX(sim), 6) AS DECIMAL(18,6)) AS ms
-         |       FROM sims GROUP BY 1, 2),
-         |sc AS (SELECT doc_id, CAST(SUM(ms) AS DOUBLE) AS score FROM mx GROUP BY 1)
-         |SELECT doc_id, ROUND(score, 6) + 0.0 AS score FROM sc
-         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
-    },
+    "q176_maxsim" ->
+      ("WITH " + sqlMaxSimReplay("doc_id", "doc_id", "",
+        Seq("vector", "database", "search"), 15)),
     // q177: the staged form — sqlBm25's top-50 shortlist CTE (kwtop)
     // confines the corpus BEFORE chunking, then q176's replay runs over
     // the candidates only; query tokens = the BM25 terms (msc avoids
     // sqlBm25's own `sc` CTE name)
-    "q177_maxsim_rerank" -> {
-      val h = sqlStrHash("tm")
-      sqlBm25(50) +
-      s""",
-         |t AS (SELECT doc_id, string_split_regex(COALESCE(text, ''), '\\s+') AS toks2
-         |      FROM documents WHERE doc_id IN (SELECT id FROM kwtop)),
-         |n AS (SELECT doc_id, toks2,
-         |        GREATEST(CAST(CEIL(CAST(len(toks2) - 8 AS DOUBLE) / 24) AS INTEGER), 1) AS nc
-         |      FROM t),
-         |ck AS (SELECT doc_id, u.cid AS cid, u.txt AS txt FROM (
-         |  SELECT doc_id, unnest(list_transform(range(nc), i -> {
-         |    'cid': i,
-         |    'txt': array_to_string(toks2[CAST(i*24 + 1 AS INTEGER):CAST(i*24 + 32 AS INTEGER)], ' ')})) AS u
-         |  FROM n)),
-         |ctoks AS (SELECT doc_id, cid, unnest(string_split_regex(lower(txt), '\\s+')) AS tm FROM ck),
-         |ctk AS (SELECT doc_id, cid, $h AS hh FROM ctoks WHERE length(tm) > 0),
-         |csums AS (SELECT doc_id, cid, CAST(hh % 16 AS INTEGER) AS b,
-         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
-         |          FROM ctk GROUP BY 1, 2, 3),
-         |cgrid AS (SELECT k.doc_id, k.cid, bb.b FROM (SELECT doc_id, cid FROM ck) k
-         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
-         |cvecs AS (SELECT g.doc_id, g.cid,
-         |                 list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS v
-         |          FROM cgrid g LEFT JOIN csums s
-         |            ON s.doc_id = g.doc_id AND s.cid = g.cid AND s.b = g.b
-         |          GROUP BY g.doc_id, g.cid),
-         |nz AS (SELECT doc_id, cid, v FROM cvecs
-         |       WHERE len(list_filter(v, x -> x <> 0)) > 0),
-         |qt AS (SELECT * FROM (VALUES (0, 'hash'), (1, 'join'),
-         |                             (2, 'stream')) AS q(qtok, tm)),
-         |qtk AS (SELECT qtok, $h AS hh FROM qt),
-         |qsums AS (SELECT qtok, CAST(hh % 16 AS INTEGER) AS b,
-         |                 SUM(CASE WHEN (hh // 16) % 2 = 0 THEN 1 ELSE -1 END) AS s
-         |          FROM qtk GROUP BY 1, 2),
-         |qgrid AS (SELECT qq.qtok, bb.b FROM (SELECT DISTINCT qtok FROM qt) qq
-         |          CROSS JOIN (SELECT unnest(range(16)) AS b) bb),
-         |qvecs AS MATERIALIZED (
-         |  SELECT g.qtok, list(CAST(COALESCE(s.s, 0) AS DOUBLE) ORDER BY g.b) AS qv
-         |  FROM qgrid g LEFT JOIN qsums s ON s.qtok = g.qtok AND s.b = g.b
-         |  GROUP BY g.qtok),
-         |sims AS (SELECT c.doc_id, q.qtok, 1.0 - (${sqlCos("c.v", "q.qv")}) AS sim
-         |         FROM nz c CROSS JOIN qvecs q),
-         |mx AS (SELECT doc_id, qtok, CAST(ROUND(MAX(sim), 6) AS DECIMAL(18,6)) AS ms
-         |       FROM sims GROUP BY 1, 2),
-         |msc AS (SELECT doc_id, CAST(SUM(ms) AS DOUBLE) AS score FROM mx GROUP BY 1)
-         |SELECT doc_id, ROUND(score, 6) + 0.0 AS score FROM msc
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-    },
+    "q177_maxsim_rerank" ->
+      (sqlBm25(50) + ",\n" + sqlMaxSimReplay("doc_id", "doc_id",
+        "WHERE doc_id IN (SELECT id FROM kwtop)",
+        Seq("hash", "join", "stream"), 10)),
     // q178: the q177 replay keyed by the collection's STRING ids — the
     // shortlist is sqlBm25 over the hyx corpus (VARCHAR idExpr), chunk/
     // embed/max/sum identical, final order on the string id (the

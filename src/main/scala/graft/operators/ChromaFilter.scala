@@ -169,6 +169,17 @@ object ChromaFilter {
         case ("$or", vs: Seq[_])  => Or(vs.map(whereOf))
         case (op @ ("$and" | "$or"), bad) => throw new IllegalArgumentException(
           s"$op expects an array of where objects, got $bad")
+        // any OTHER `$`-prefixed key is an operator in the wrong position
+        // — whether its value is a scalar ({"$contains": "x"} passed as
+        // where) or an operator object ({"$lang": {"$eq": "en"}} typo).
+        // This arm must sit BEFORE the operator-object arm: metadata keys
+        // may not start with '$', and Eq("$contains", ...) would silently
+        // match nothing on the map layout.
+        case (key, x) if key.startsWith("$") => throw new IllegalArgumentException(
+          s"unknown where operator '$key' (value $x) — metadata keys may not start with '$$'" +
+            (if (key == "$contains" || key == "$not_contains" ||
+                 key == "$regex" || key == "$not_regex")
+               "; document operators belong in where_document, not where" else ""))
         case (key, op: Map[_, _]) =>
           val o = op.asInstanceOf[Map[String, Any]]
           require(o.size == 1,
@@ -190,15 +201,6 @@ object ChromaFilter {
             case (o2, x) => throw new IllegalArgumentException(
               s"unknown where operator '$o2' for key '$key' (value $x)")
           }
-        // {"lang": "en"} shorthand — but a `$`-prefixed key here is an
-        // operator in the wrong position ({"$contains": ...} passed as
-        // `where`, or a typo like {"$And": ...} with a scalar), which
-        // Chroma rejects loudly; accepting it as metadata equality would
-        // silently match nothing on the map layout
-        case (key, x) if key.startsWith("$") => throw new IllegalArgumentException(
-          s"unknown where operator '$key' (value $x) — metadata keys may not start with '$$'" +
-            (if (key == "$contains" || key == "$not_contains")
-               "; document operators belong in where_document, not where" else ""))
         case (key, x) => Eq(key, scalar(x, key)) // {"lang": "en"} shorthand
       }
     case other => throw new IllegalArgumentException(

@@ -157,7 +157,6 @@ object DocIndex {
         case '\\' =>
           if (i + 1 >= pattern.length) return None // dangling escape
           pattern(i + 1) match {
-            case 'Q' => return None // quote block: would need its own scan
             case c @ ('\\' | '.' | '*' | '+' | '?' | '(' | ')' | '[' | ']' |
                       '{' | '}' | '|' | '^' | '$' | '-' | '/') =>
               // escaped metachar = literal — but only a depth-0 literal
@@ -165,7 +164,17 @@ object DocIndex {
               if (depth == 0 && (i + 2 >= pattern.length ||
                   !"*?{".contains(pattern(i + 2)))) run.append(c)
               else flush()
-            case _ => flush() // \d \w \s \b \1 ... : matches, but not a literal
+            // exactly-one-letter constructs the scanner fully understands:
+            // class shorthands and zero-width anchors — they match
+            // something (or nothing), never a literal; just break the run
+            case c if "dDwWsSbBGRhHvVAzZntrfae".contains(c) => flush()
+            // EVERYTHING else is a multi-char or semantic escape the
+            // scanner cannot size (\uXXXX \xNN \0nnn \cX \p{..} \N{..}
+            // \k<name> \Q..\E, backreferences): consuming two chars would
+            // extract the TAIL as a fake required literal (vector →
+            // "0076ector", matching nothing) — the unsound-miss class.
+            // Bail to the scan.
+            case _ => return None
           }
           i += 2
         case '[' =>
@@ -180,7 +189,14 @@ object DocIndex {
           }
           if (j >= pattern.length) return None // unclosed class
           i = j + 1
-        case '(' => flush(); depth += 1; i += 1
+        case '(' =>
+          // `(?` opens a SPECIAL group — inline flags `(?i)` change the
+          // matching semantics of every literal after them (case folding
+          // breaks requiredness of the extracted bytes), lookarounds and
+          // named groups have their own grammars. None of them are worth
+          // modeling in a confinement heuristic: bail to the scan.
+          if (i + 1 < pattern.length && pattern(i + 1) == '?') return None
+          flush(); depth += 1; i += 1
         case ')' =>
           if (depth == 0) return None // unbalanced
           depth -= 1; i += 1

@@ -67,13 +67,25 @@ object ChromaRestSource {
            parallelism: Int = 8,
            timeoutMs: Int = 60000,
            apiVersion: String = "auto"): DataFrame = {
-    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
-    require(parallelism > 0, s"parallelism must be positive, got $parallelism")
     val v = ChromaRestSink.resolveApiVersion(baseUrl, apiVersion, timeoutMs)
     val collId = ChromaRestSink.resolveExistingCollectionId(
       baseUrl, collectionName, tenant, database, timeoutMs, v)
     val total = count(baseUrl, v, tenant, database, collId, timeoutMs)
-    val getUrl = recordsUrl(baseUrl, v, tenant, database, collId)
+    pagedRows(spark, recordsUrl(baseUrl, v, tenant, database, collId),
+      total, pageSize, parallelism, timeoutMs)
+  }
+
+  /** The executor-side paged fetch against an already-resolved endpoint
+    * and ONE count snapshot — [[read]] and [[importInto]] share it so the
+    * import's conservation gate compares against the exact total its
+    * pages were planned from (a second count would be a different
+    * snapshot), and so importInto never re-resolves what it already
+    * resolved. */
+  private def pagedRows(spark: SparkSession, getUrl: String, total: Long,
+                        pageSize: Int, parallelism: Int,
+                        timeoutMs: Int): DataFrame = {
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+    require(parallelism > 0, s"parallelism must be positive, got $parallelism")
     val nPages = ((total + pageSize - 1) / pageSize).toInt
     val pages = spark.range(0L, nPages.toLong.max(0L),
       1L, math.min(parallelism, math.max(nPages, 1)))
@@ -104,6 +116,9 @@ object ChromaRestSource {
                  timeoutMs: Int = 60000,
                  apiVersion: String = "auto"): Collection = {
     val spark = cat.spark
+    // one negotiation, one id resolve, one count — read() would redo all
+    // three, and a SECOND count could disagree with the snapshot the
+    // pages were planned from (the torn gate must compare like-for-like)
     val v = ChromaRestSink.resolveApiVersion(baseUrl, apiVersion, timeoutMs)
     val collId = ChromaRestSink.resolveExistingCollectionId(
       baseUrl, collectionName, tenant, database, timeoutMs, v)
@@ -111,8 +126,8 @@ object ChromaRestSource {
       collectionName, timeoutMs)
     val space = remoteMeta.getOrElse("hnsw:space", "l2")
     val total = count(baseUrl, v, tenant, database, collId, timeoutMs)
-    val df = read(spark, baseUrl, collectionName, tenant, database,
-      pageSize, parallelism, timeoutMs, apiVersion)
+    val df = pagedRows(spark, recordsUrl(baseUrl, v, tenant, database, collId),
+      total, pageSize, parallelism, timeoutMs)
     val name = Option(localName).getOrElse(collectionName)
     val local = cat.getOrCreateCollection(name, space = space,
       metadata = (remoteMeta - "hnsw:space") +

@@ -80,6 +80,15 @@ class ChromaFilterSpec extends SparkTestBase {
     assert(e.getMessage.contains("where_document"))
     intercept[IllegalArgumentException](whereFromJson("""{"$And": "x"}"""))
     intercept[IllegalArgumentException](whereFromJson("""{"$not_contains": "x"}"""))
+    // ...and with an OPERATOR-OBJECT value too: {"$contains": {"$eq": "x"}}
+    // used to slip past the shorthand-arm guard as Eq("$contains", "x")
+    val eo = intercept[IllegalArgumentException](
+      whereFromJson("""{"$contains": {"$eq": "x"}}"""))
+    assert(eo.getMessage.contains("where_document"))
+    intercept[IllegalArgumentException](
+      whereFromJson("""{"$lang": {"$eq": "en"}}"""))
+    intercept[IllegalArgumentException](
+      whereFromJson("""{"$regex": {"$eq": "x"}}"""))
     // duplicate keys must not slip past exactly-one-key validation
     // last-wins ({"a":1,"a":2} used to parse as Eq(a, 2))
     val d = intercept[IllegalArgumentException](

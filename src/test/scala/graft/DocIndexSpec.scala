@@ -101,6 +101,40 @@ class DocIndexSpec extends SparkTestBase {
     assert(requiredLiterals("a)b").isEmpty)
     assert(requiredLiterals("\\d+\\s*").isEmpty)
     assert(requiredLiterals("(abc)").isEmpty)
+    // INLINE FLAGS poison literal requiredness ((?i) case-folds every
+    // later byte) and special groups have their own grammars — any `(?`
+    // must bail to the scan, never extract
+    assert(requiredLiterals("(?i)vector table").isEmpty)
+    assert(requiredLiterals("(?:vec)tor").isEmpty)
+    assert(requiredLiterals("a(?=b)c").isEmpty)
+    // MULTI-CHAR escapes (\\uXXXX, \\xNN, \\0nnn, \\cX, \\p{..},
+    // backreferences) cannot be sized by the scanner — consuming two
+    // chars would extract the TAIL as a fake literal ("0076ector") and
+    // silently MISS true matches through the index
+    assert(requiredLiterals("\\" + "u0076ector").isEmpty)
+    assert(requiredLiterals("\\x76ector").isEmpty)
+    assert(requiredLiterals("\\075ector").isEmpty)
+    assert(requiredLiterals("\\cAvector").isEmpty)
+    assert(requiredLiterals("\\p{L}ector").isEmpty)
+    assert(requiredLiterals("(ab)\\1cd").isEmpty)
+    // one-letter shorthands/anchors still just break the run
+    assert(requiredLiterals("vec\\dtor") == Some(Seq("vec", "tor")))
+    assert(requiredLiterals("vec\\btor") == Some(Seq("vec", "tor")))
+  }
+
+  test("$regex with case-insensitive/escape syntax serves scan-identically through the index") {
+    val c = hydrated()
+    c.buildDocIndex()
+    // (?i) would have confined on lowercase trigrams and silently missed
+    // docs; with the bail-out both paths give the verbatim rlike answer
+    val pat = "(?i)QUICK b"
+    val viaIndex = c.get(whereDoc = Some(MatchesRegex(pat)))
+      .select("id").as[String].collect().toSet
+    assert(viaIndex == Set("1", "3"))
+    // u is 'u' — a confinement that extracted "075ick" would return
+    // nothing; the bail-out serves the true matches
+    assert(c.get(whereDoc = Some(MatchesRegex("q\\" + "u0075ick")))
+      .select("id").as[String].collect().toSet == Set("1", "3"))
   }
 
   test("gramSets: $regex confines via required literals; $not_regex never") {
