@@ -718,9 +718,129 @@ private[graft] trait QueriesStore extends EntryKit {
           .orderBy(col("id"))
       } finally server.stop(0)
     }),
+    // The FULL REST round trip — EGRESS then INGRESS under one hash:
+    // ChromaRestSink.add pushes a deterministic frame (documents slice +
+    // 2-dim integer-valued vectors + typed metadata) into a capturing
+    // fake Chroma (batched, multi-partition, real wire JSON), the server
+    // re-serves what it parsed from those add bodies through the paged
+    // get() API, ChromaRestSource.importInto pulls it back through the
+    // add gates, and a vector kNN runs over the re-imported embeddings.
+    // The egress wire format (previously spec-only) is thereby ORACLED:
+    // any drift in batchJson's floats/metadata typing, or in the ingress
+    // parse, breaks the hash.
+    "q180_rest_roundtrip" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.UTF_8
+      import graft.operators.ChromaFilter.JsonMini
+      val frame = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id").cast("string").as("id"),
+          col("text").as("document"),
+          array((col("doc_id") % 13 + 1).cast("float"),
+            (col("doc_id") % 7 + 1).cast("float")).as("embedding"),
+          col("lang"), col("n_chars"))
+      val n = frame.count()
+      // the capturing store: add bodies parsed with the SAME JsonMini the
+      // ingress uses; executor posts arrive concurrently → synchronized
+      val rows = new java.util.concurrent.CopyOnWriteArrayList[
+        (String, String, Seq[Any], Map[String, Any])]()
+      def jstr(x: String): String =
+        "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      def mjson(v: Any): String = v match {
+        case s0: String => jstr(s0)
+        case other => String.valueOf(other)
+      }
+      def getJson(off: Int, lim: Int): String = {
+        import scala.jdk.CollectionConverters._
+        val page = rows.asScala.toSeq.sortBy(_._1).slice(off, off + lim)
+        "{\"ids\":[" + page.map(r => jstr(r._1)).mkString(",") +
+          "],\"documents\":[" +
+          page.map(r => if (r._2 == null) "null" else jstr(r._2)).mkString(",") +
+          "],\"embeddings\":[" + page.map(_._3.mkString("[", ",", "]")).mkString(",") +
+          "],\"metadatas\":[" + page.map(r =>
+            r._4.map { case (k, v) => jstr(k) + ":" + mjson(v) }
+              .mkString("{", ",", "}")).mkString(",") + "]}"
+      }
+      def storeAdd(body: String): Unit = {
+        val (parsed, end) = JsonMini.parse(body)
+        JsonMini.requireEnd(end, body)
+        val m = parsed.asInstanceOf[Map[String, Any]]
+        val ids = m("ids").asInstanceOf[Seq[Any]].map(String.valueOf(_))
+        val docs = m.get("documents").collect { case xs: Seq[_] => xs }
+        val embs = m.get("embeddings").collect { case xs: Seq[_] => xs }
+        val metas = m.get("metadatas").collect { case xs: Seq[_] => xs }
+        ids.indices.foreach { i =>
+          rows.add((ids(i),
+            docs.map(_(i)).map(x => if (x == null) null else x.toString).orNull,
+            embs.map(_(i).asInstanceOf[Seq[Any]]).getOrElse(Nil),
+            metas.map(_(i).asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)))
+        }
+      }
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val path = ex.getRequestURI.getPath
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        def num(key: String): Int =
+          ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(body)
+            .map(_.group(1).toInt).getOrElse(0)
+        val payload =
+          if (path == "/api/v2/heartbeat") """{"nanosecond heartbeat": 1}"""
+          else if (path.endsWith("/collections/rt-1/add")) { storeAdd(body); "true" }
+          else if (path.endsWith("/collections/rt-1/count")) rows.size.toString
+          else if (path.endsWith("/collections/rt-1/get"))
+            getJson(num("offset"), num("limit"))
+          else if (path.endsWith("/collections/restrt"))
+            """{"id":"rt-1","name":"restrt","metadata":{"hnsw:space":"cosine"}}"""
+          else if (path.endsWith("/collections")) // egress get_or_create
+            """{"id":"rt-1","name":"restrt","metadata":{"hnsw:space":"cosine"}}"""
+          else null
+        val bytes = (if (payload == null) """{"error":"nope"}""" else payload)
+          .getBytes(UTF_8)
+        ex.sendResponseHeaders(if (payload == null) 404 else 200, bytes.length)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      })
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+      server.start()
+      try {
+        val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+        // EGRESS: real wire bodies, multi-partition, batched
+        val pushed = graft.sources.ChromaRestSink.add(
+          frame.repartition(3), url, "restrt", space = "cosine", batchSize = 64)
+        require(pushed == n, s"egress pushed $pushed of $n rows")
+        // INGRESS: one-call migration of what the server parsed + stored
+        val root = verifyCollectionsRoot(dir)
+        val cat = new CollectionCatalog(s, root, numBuckets = 8)
+        cat.deleteCollection("restrt_local")
+        val coll = graft.sources.ChromaRestSource.importInto(cat, url,
+          "restrt", localName = "restrt_local", pageSize = 64, parallelism = 4)
+        // the re-imported embeddings answer a vector query; metadata map
+        // serves the lang column — both legs of the round trip under hash
+        coll.query(Seq(1f, 1f), k = 5)
+          .select(col("id"), roundz(col("dist"), 6).as("dist"),
+            element_at(col("metadata"), "lang").as("lang"))
+          .orderBy("dist", "id")
+      } finally server.stop(0)
+    }),
   )
 
   private[graft] def storeOracles: Map[String, String] = Map(
+    // q180: wire-format conservation — the embeddings are integer-valued
+    // 2-dim vectors, exactly representable through the JSON float round
+    // trip, so the cosine kNN replay over the SOURCE expression must
+    // hash-match the query over the re-imported store; lang rides the
+    // typed-metadata leg. Rank ties break by id ascending (string).
+    "q180_rest_roundtrip" -> {
+      val qv = "[1.0, 1.0]"
+      s"""WITH e AS (SELECT CAST(doc_id AS VARCHAR) AS id, lang,
+         |             [CAST(doc_id % 13 + 1 AS DOUBLE),
+         |              CAST(doc_id % 7 + 1 AS DOUBLE)] AS v
+         |           FROM documents WHERE doc_id < 300),
+         |d AS (SELECT id, lang, ${sqlCos("e.v", qv)} AS dist FROM e),
+         |r AS (SELECT id, lang, dist,
+         |        ROW_NUMBER() OVER (ORDER BY dist, id) AS rnk FROM d)
+         |SELECT id, ROUND(dist, 6) + 0.0 AS dist, lang
+         |FROM r WHERE rnk <= 5 ORDER BY dist, id""".stripMargin
+    },
     // q174: the serve → negotiate → page → parse → add → get pipeline
     // must be CONTENT-PRESERVING, so the fixture the fake server reads
     // from the documents table IS the oracle corpus; the composed
